@@ -1,0 +1,331 @@
+package graft
+
+import graft.model.{FillPolicy, SigParams, TrendQuery}
+import graft.operators.{Daily, GapFill, Report, Score, Trend}
+import graft.sources.Cdx
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Every driver-checkable query, one per SURVEY §2 operator (plus the
+  * training-data pipeline operators). Each query's DuckDB twin lives in
+  * [[Oracle]]; output columns and row ordering are kept byte-identical.
+  */
+object Queries {
+
+  /** Injected "today" — see SparkEntry.AsOf. */
+  val AsOf = "2024-03-01"
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def captures(s: SparkSession, dir: String): DataFrame = Cdx.fromEvents(s, dir)
+
+  private def dailyDf(s: SparkSession, dir: String): DataFrame =
+    Daily.fromCaptures(captures(s, dir))
+
+  // ---------------------------------------------------------------- P1-P4
+  /** Parse/projection stage: day derivation, status-class bucketing,
+    * digest truncation (SURVEY P1-P4).
+    */
+  def cdxParse(s: SparkSession, dir: String): DataFrame =
+    captures(s, dir)
+      .select(
+        col("url"),
+        col("seq"),
+        col("ts"),
+        concat_ws("-", substring(col("ts"), 1, 4), substring(col("ts"), 5, 2), substring(col("ts"), 7, 2)).as("day"),
+        Daily.statusClass(col("status")).as("status_class"),
+        substring(col("digest"), 1, 8).as("digest8"))
+      .orderBy("url", "seq")
+
+  // ------------------------------------------------------------------- A4
+  /** Order-sensitive digest->status imputation for revisit records. */
+  def digestImpute(s: SparkSession, dir: String): DataFrame =
+    Daily.enrich(captures(s, dir))
+      .select(col("url"), col("seq"), col("s").as("status_imputed"))
+      .orderBy("url", "seq")
+
+  // ------------------------------------------------------------------- A1
+  def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    dailyDf(s, dir)
+      .select(col("url"), col("day"), col("c2xx"), col("c3xx"), col("c4xx"), col("c5xx"),
+        (col("c2xx") + col("c3xx") + col("c4xx") + col("c5xx")).as("call"))
+      .orderBy("url", "day")
+
+  // ------------------------------------------------------------------- A2
+  def dailySpecimen(s: SparkSession, dir: String): DataFrame =
+    dailyDf(s, dir)
+      .select(col("url"), col("day"), col("specimen"), col("datetime"), col("digest").as("digest8"))
+      .orderBy("url", "day")
+
+  // ------------------------------------------------------------------- A3
+  def dailyContent(s: SparkSession, dir: String): DataFrame =
+    dailyDf(s, dir)
+      .select(col("url"), col("day"), col("content"))
+      .orderBy("url", "day")
+
+  // --------------------------------------------------------------- W1/W2
+  /** Per-day chaos snapshots (cumulative + last-1000-capture window). */
+  def chaosDaily(s: SparkSession, dir: String): DataFrame =
+    dailyDf(s, dir)
+      .select(col("url"), col("day"), col("chaos"), col("chaosn"))
+      .orderBy("url", "day")
+
+  // ------------------------------------------------------------------ A13
+  /** Distinct timestamp prefixes at six granularities, per URL. */
+  def periodicSamples(s: SparkSession, dir: String): DataFrame =
+    captures(s, dir)
+      .groupBy("url")
+      .agg(
+        countDistinct(substring(col("ts"), 1, 14)).as("n_second"),
+        countDistinct(substring(col("ts"), 1, 12)).as("n_minute"),
+        countDistinct(substring(col("ts"), 1, 10)).as("n_hour"),
+        countDistinct(substring(col("ts"), 1, 8)).as("n_day"),
+        countDistinct(substring(col("ts"), 1, 6)).as("n_month"),
+        countDistinct(substring(col("ts"), 1, 4)).as("n_year"))
+      .orderBy("url")
+
+  // ------------------------------------------------------------------- A5
+  /** Monthly rollup anchored at the 15th (string month key,
+    * reference main.py:384).
+    */
+  def monthlyRollup(s: SparkSession, dir: String): DataFrame =
+    dailyCounts(s, dir)
+      .groupBy(col("url"), concat(substring(col("day"), 1, 8), lit("15")).as("month"))
+      .agg(
+        sum("c2xx").as("c2xx"),
+        sum("c3xx").as("c3xx"),
+        sum("c4xx").as("c4xx"),
+        sum("c5xx").as("c5xx"),
+        sum("call").as("call"))
+      .orderBy("url", "month")
+
+  // ------------------------------------------------------------------- A7
+  /** Column totals melted to (status, total) (reference main.py:386). */
+  def totalsUnpivot(s: SparkSession, dir: String): DataFrame =
+    dailyCounts(s, dir)
+      .groupBy("url")
+      .agg(
+        sum("c2xx").as("c2xx"),
+        sum("c3xx").as("c3xx"),
+        sum("c4xx").as("c4xx"),
+        sum("c5xx").as("c5xx"),
+        sum("call").as("call"))
+      .selectExpr(
+        "url",
+        "stack(5, 'c2xx', c2xx, 'c3xx', c3xx, 'c4xx', c4xx, 'c5xx', c5xx, 'call', call) as (status, total)")
+      .orderBy("url", "status")
+
+  // ------------------------------------------------------------------- A6
+  /** describe()-style summary per status column over observed days with
+    * zeros nulled (reference main.py:385): count, mean, std, min,
+    * q1/median/q3 (linear interpolation), max.
+    */
+  def summaryStats(s: SparkSession, dir: String): DataFrame =
+    dailyCounts(s, dir)
+      .selectExpr(
+        "url",
+        "stack(5, 'c2xx', c2xx, 'c3xx', c3xx, 'c4xx', c4xx, 'c5xx', c5xx, 'call', call) as (status, cnt)")
+      .withColumn("cnt", when(col("cnt") === 0, lit(null)).otherwise(col("cnt")))
+      .groupBy("url", "status")
+      .agg(
+        count("cnt").as("n"),
+        avg("cnt").as("mean"),
+        round(coalesce(stddev_samp(col("cnt")), lit(0.0)), 6).as("std"),
+        coalesce(min("cnt"), lit(0L)).as("min"),
+        coalesce(expr("percentile(cnt, 0.25)"), lit(0.0)).as("q1"),
+        coalesce(expr("percentile(cnt, 0.5)"), lit(0.0)).as("median"),
+        coalesce(expr("percentile(cnt, 0.75)"), lit(0.0)).as("q3"),
+        coalesce(max("cnt"), lit(0L)).as("max"))
+      .withColumn("mean", coalesce(col("mean"), lit(0.0)))
+      .orderBy("url", "status")
+
+  // ------------------------------------------------------------------- J1
+  /** Calendar densification, fill disabled (reference main.py:199-201). */
+  def densifyCalendar(s: SparkSession, dir: String): DataFrame =
+    GapFill.densify(dailyDf(s, dir), AsOf)
+      .select(col("url"), col("day"), col("specimen"), col("content"), col("filled"), col("call"))
+      .orderBy("url", "day")
+
+  // ---------------------------------------------------------------- G1-G6
+  private def fillQuery(policy: FillPolicy)(s: SparkSession, dir: String): DataFrame =
+    GapFill.fill(dailyDf(s, dir), -1, policy)
+      .select(
+        col("url"),
+        col("day"),
+        col("specimen"),
+        (col("specimen") =!= "~" && col("c2xx") + col("c3xx") + col("c4xx") + col("c5xx") === 0).as("filled"))
+      .orderBy("url", "day")
+
+  def fillForward(s: SparkSession, dir: String): DataFrame = fillQuery(FillPolicy.Forward)(s, dir)
+  def fillBackward(s: SparkSession, dir: String): DataFrame = fillQuery(FillPolicy.Backward)(s, dir)
+  def fillClosest(s: SparkSession, dir: String): DataFrame = fillQuery(FillPolicy.Closest)(s, dir)
+  def fillIdentical(s: SparkSession, dir: String): DataFrame = fillQuery(FillPolicy.Identical)(s, dir)
+
+  // ------------------------------------------------------------ A11/A12/J4
+  /** 4x4 specimen transition matrix over the densified series with the
+    * reference's skip + first-row-deadlock semantics (main.py:232-246).
+    */
+  def transitions(s: SparkSession, dir: String): DataFrame =
+    Report.transitions(GapFill.densify(dailyDf(s, dir), AsOf))
+      .orderBy("url", "src", "tgt")
+
+  // ------------------------------------------------------------------- W7
+  /** Run segmentation: contiguous same-specimen day runs. */
+  def runSegments(s: SparkSession, dir: String): DataFrame = {
+    val densified = GapFill.densify(dailyDf(s, dir), AsOf)
+    val w = Window.partitionBy("url").orderBy("day")
+    densified
+      .withColumn("changed", (col("specimen") =!= coalesce(lag(col("specimen"), 1).over(w), lit(" "))).cast("long"))
+      .withColumn("run_id", sum("changed").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("url", "run_id")
+      .agg(
+        first("specimen").as("specimen"),
+        min("day").as("start_day"),
+        max("day").as("end_day"),
+        count(lit(1)).as("days"))
+      .orderBy("url", "run_id")
+  }
+
+  // ------------------------------------------------------------------ A10
+  /** Content value counts over the densified series (main.py:390). */
+  def fixityCounts(s: SparkSession, dir: String): DataFrame =
+    GapFill.densify(dailyDf(s, dir), AsOf)
+      .groupBy("url", "content")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("url", "content")
+
+  // ------------------------------------------------------------- A8/A9/A14
+  /** Active / filled / missing day breakdown plus capture totals and OK
+    * ratio (reference main.py:388-394), under fill=-1/forward.
+    */
+  def specimenBreakdown(s: SparkSession, dir: String): DataFrame = {
+    val densified = GapFill.densify(
+      GapFill.fill(dailyDf(s, dir), -1, FillPolicy.Forward), AsOf)
+    densified
+      .groupBy("url")
+      .agg(
+        sum(when(col("call") > 0, 1L).otherwise(0L)).as("active"),
+        sum(when(col("filled"), 1L).otherwise(0L)).as("filled"),
+        sum(when(col("call") === 0 && !col("filled"), 1L).otherwise(0L)).as("missing"),
+        sum("call").as("captures"),
+        round(sum("c2xx").cast("double") / sum("call") * 100, 6).as("ok_pct"))
+      .orderBy("url")
+  }
+
+  // ------------------------------------------------------------------- S1
+  /** Full scored pipeline — the flagship. Not SQL-expressible (stateful
+    * cross-run recurrence), so driver-checked rows-only.
+    */
+  def scored(s: SparkSession, dir: String): DataFrame =
+    Trend.run(captures(s, dir), TrendQuery(fill = -1, policy = FillPolicy.Forward, asOf = AsOf))
+      .toDF()
+      .orderBy("url", "day")
+
+  /** Resilience/fixity series only (smaller projection of scored). */
+  def scoreSeries(s: SparkSession, dir: String): DataFrame =
+    scored(s, dir).select(
+      col("url"), col("day"), col("specimen"), col("content"),
+      col("resilience"), col("fixity"), col("chaos"), col("chaosn"))
+
+  // ------------------------------------------------------------------- S3
+  /** Sigmoid reference curves for the 8 default parameter sets
+    * (reference main.py:251-257).
+    */
+  def sigmoidShape(s: SparkSession, dir: String): DataFrame = {
+    val params = SigParams.defaults.toSeq.map { case (k, p) => (k, p.shift, p.slope, p.spread) }
+    val pdf = s.createDataFrame(params).toDF("key", "shift", "slope", "spread")
+    s.range(101)
+      .withColumnRenamed("id", "x")
+      .crossJoin(broadcast(pdf))
+      .select(
+        col("key"),
+        col("x"),
+        round(
+          when(col("spread") < 0, 1.0).otherwise(0.0) +
+            col("spread") / (lit(1.0) + exp(col("shift") - col("x").cast("double") / col("slope"))),
+          6).as("h"))
+      .orderBy("key", "x")
+  }
+
+  // ----------------------------------------------------- generic relational
+  /** TPC-H Q1-style pricing summary; decimal-exact sums. */
+  def tpchQ1(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,12)")).cast("double").as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Star-schema join: revenue per region/nation, broadcast dims. */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+
+  /** Top-3 orders per customer by price (window ranking). */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Tumbling 1-day event-time windows per event type (ST2 batch
+    * analog).
+    */
+  def eventDailyWindows(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("day", "event_type")
+
+  // ------------------------------------------------------------- registry
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdx_parse" -> (cdxParse _),
+    "digest_impute" -> (digestImpute _),
+    "daily_counts" -> (dailyCounts _),
+    "daily_specimen" -> (dailySpecimen _),
+    "daily_content" -> (dailyContent _),
+    "chaos_daily" -> (chaosDaily _),
+    "periodic_samples" -> (periodicSamples _),
+    "monthly_rollup" -> (monthlyRollup _),
+    "totals_unpivot" -> (totalsUnpivot _),
+    "summary_stats" -> (summaryStats _),
+    "densify_calendar" -> (densifyCalendar _),
+    "fill_forward" -> (fillForward _),
+    "fill_backward" -> (fillBackward _),
+    "fill_closest" -> (fillClosest _),
+    "fill_identical" -> (fillIdentical _),
+    "transitions" -> (transitions _),
+    "run_segments" -> (runSegments _),
+    "fixity_counts" -> (fixityCounts _),
+    "specimen_breakdown" -> (specimenBreakdown _),
+    "scored" -> (scored _),
+    "score_series" -> (scoreSeries _),
+    "sigmoid_shape" -> (sigmoidShape _),
+    "tpch_q1" -> (tpchQ1 _),
+    "revenue_by_nation" -> (revenueByNation _),
+    "top_orders_per_cust" -> (topOrdersPerCustomer _),
+    "event_daily_windows" -> (eventDailyWindows _)
+  )
+}

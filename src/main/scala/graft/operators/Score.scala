@@ -1,0 +1,137 @@
+package graft.operators
+
+import java.time.LocalDate
+
+import graft.model.{FilledRow, ScoredRow, SigParams}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** S1: the stateful sigmoid recurrence — the heart of the engine.
+  *
+  * Reference: main.py:193-227. A sequential scan over each URL's
+  * densified day series. On every specimen (resp. content) state change
+  * the new run's amplitude is re-based on the score at the boundary
+  * (`base = h; scale = base if spread < 0 else 1 - base; x = 0`), which
+  * is a cross-run data dependency no window function can express — so
+  * this one stage is a typed `groupByKey(url).flatMapGroups` fold.
+  *
+  * Scale design: per-URL series are tiny (≤ ~11k days for a 30-year
+  * archive), so the in-memory sort+fold per key is O(small); millions of
+  * URLs spread across executors on the url hash. State per group is
+  * O(1). This stage also performs densification and chaos forward-fill
+  * inline (identical semantics to [[GapFill.densify]], which remains the
+  * standalone DataFrame operator) so the scored pipeline needs only ONE
+  * shuffle (by url) downstream of the daily table — no calendar join.
+  */
+object Score {
+
+  private final case class Dim(var prev: String, var base: Double, var scale: Double, var h: Double, var x: Long)
+
+  /** Score a densified per-day table (output of [[GapFill.densify]]). */
+  def scoreDensified(
+      densified: DataFrame,
+      params: Map[String, SigParams]): Dataset[ScoredRow] = {
+    val spark = densified.sparkSession
+    import spark.implicits._
+    val ds = densified
+      .select(
+        "url", "day", "datetime", "c2xx", "c3xx", "c4xx", "c5xx",
+        "specimen", "digest", "content", "chaos", "chaosn")
+      .as[FilledRow]
+    ds.groupByKey(_.url).flatMapGroups { (url, it) =>
+      val rows = it.toArray
+      scala.util.Sorting.quickSort(rows)(Ordering.by((r: FilledRow) => r.day))
+      scoreSeries(url, rows, params)
+    }
+  }
+
+  /** Score straight from the (observed ∪ filled) table, densifying to
+    * `asOf` inside the typed stage — the single-shuffle fast path used
+    * by the flagship pipeline.
+    */
+  def scoreFilled(
+      filledDf: DataFrame,
+      params: Map[String, SigParams],
+      asOf: String): Dataset[ScoredRow] = {
+    val spark = filledDf.sparkSession
+    import spark.implicits._
+    val until = LocalDate.parse(asOf)
+    val ds = filledDf
+      .select(
+        "url", "day", "datetime", "c2xx", "c3xx", "c4xx", "c5xx",
+        "specimen", "digest", "content", "chaos", "chaosn")
+      .as[FilledRow]
+    ds.groupByKey(_.url).flatMapGroups { (url, it) =>
+      val observed = it.toArray
+      scala.util.Sorting.quickSort(observed)(Ordering.by((r: FilledRow) => r.day))
+      val byDay = observed.map(r => r.day -> r).toMap
+      // J1 calendar loop, in-stage (reference main.py:199-201).
+      val first = LocalDate.parse(observed.head.day)
+      val days = Iterator.iterate(first)(_.plusDays(1)).takeWhile(!_.isAfter(until))
+      val series = days.map { d =>
+        val t = d.toString
+        byDay.getOrElse(t, FilledRow(url, t, "~", 0, 0, 0, 0, "~", "~", "Unknown", None, None))
+      }.toArray
+      scoreSeries(url, series, params)
+    }
+  }
+
+  /** The exact reference recurrence over one URL's day-ordered series
+    * (reference main.py:194-227). Series rows must be densified
+    * (consecutive days); chaos forward-fill happens here (W3).
+    */
+  private def scoreSeries(
+      url: String,
+      series: Array[FilledRow],
+      params: Map[String, SigParams]): Iterator[ScoredRow] = {
+    // Junk specimens (possible via lexicographic bucketing of codes like
+    // "30x") would crash the reference's params lookup (main.py:209);
+    // we deliberately fall back to the Unobserved ("~") parameters.
+    def p(key: String, dflt: String): SigParams =
+      params.getOrElse(key, params(dflt))
+
+    val res = new Dim("~", 0.5, 0.5, 0.5, 0)
+    val fix = new Dim("Unknown", 0.5, 0.5, 0.5, 0)
+    var pch = 0.0
+    var pchn = 0.0
+
+    series.iterator.map { r =>
+      // W3 chaos forward-fill (reference main.py:202-207): observed days
+      // always carry chaos > 0; None marks filled/missing days.
+      val (chaos, chaosn) = (r.chaos, r.chaosn) match {
+        case (Some(c), Some(cn)) => pch = c; pchn = cn; (c, cn)
+        case _                   => (pch, pchn)
+      }
+      def step(dim: Dim, state: String, sp: SigParams): Double = {
+        if (state != dim.prev) {
+          dim.base = dim.h
+          dim.scale = if (sp.spread < 0) dim.base else 1 - dim.base
+          dim.prev = state
+          dim.x = 0
+        }
+        dim.x += 1
+        dim.h = dim.base + dim.scale * SigParams.sigmoid(dim.x.toDouble, sp)
+        dim.h
+      }
+      val resilience = step(res, r.specimen, p(r.specimen, "~"))
+      val fixity = step(fix, r.content, p(r.content, "Unknown"))
+      val call = r.c2xx + r.c3xx + r.c4xx + r.c5xx
+      ScoredRow(
+        url = url,
+        day = r.day,
+        datetime = r.datetime,
+        c2xx = r.c2xx,
+        c3xx = r.c3xx,
+        c4xx = r.c4xx,
+        c5xx = r.c5xx,
+        call = call,
+        specimen = r.specimen,
+        filled = r.specimen != "~" && call == 0,
+        resilience = resilience,
+        digest = r.digest,
+        content = r.content,
+        fixity = fixity,
+        chaos = chaos,
+        chaosn = chaosn)
+    }
+  }
+}
