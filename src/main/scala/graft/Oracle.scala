@@ -1,0 +1,401 @@
+package graft
+
+/** DuckDB SQL twins for every SQL-expressible query in [[Queries.all]].
+  *
+  * The driver runs each SQL against the same parquet tables (registered
+  * by basename: events, lineitem, ...) and hash-compares with the Spark
+  * result, sorting columns by name first — so every column alias here is
+  * lexically identical to the Spark side, and every float that could
+  * differ in the last ulp is rounded identically on both sides.
+  *
+  * Layout mirrors the Spark pipeline stage-for-stage:
+  * [[capturesCte]] == [[graft.sources.Cdx.fromEventsDf]],
+  * [[enrichedCte]] == [[graft.operators.Daily.enrich]],
+  * [[dailyCte]] == [[graft.operators.Daily.daily]],
+  * [[filledCte]] == [[graft.operators.GapFill.fill]],
+  * [[densifiedCte]] == [[graft.operators.GapFill.densify]].
+  */
+object Oracle {
+
+  val AsOf = "2024-03-01"
+
+  /** Must stay EXACTLY in sync with Cdx.fromEventsDf — same adapter
+    * expressions over events.parquet (see Cdx.scala doc).
+    */
+  val capturesCte: String =
+    """captures AS (
+      |  SELECT 'u' || CAST(user_id % 20 AS VARCHAR) AS url,
+      |         strftime(ts, '%Y%m%d%H%M%S') AS ts,
+      |         CASE WHEN event_id % 13 = 0 THEN '-'
+      |              WHEN event_id % 7 = 0 THEN '404'
+      |              WHEN event_id % 5 = 0 THEN '503'
+      |              WHEN event_id % 3 = 0 THEN '301'
+      |              ELSE '200' END AS status,
+      |         md5('d' || CAST(user_id % 20 AS VARCHAR) || CAST(event_id % 6 AS VARCHAR)) AS digest,
+      |         event_id AS seq
+      |  FROM events
+      |)""".stripMargin
+
+  /** Daily.enrich twin: status-class bucketing (P3, lexicographic),
+    * order-sensitive digest imputation (A4), day key (P2), digest prefix
+    * (P4), chaos running/sliding windows (W1/W2), specimen priority (A2).
+    */
+  val enrichedCte: String =
+    """e0 AS (
+      |  SELECT *, CASE WHEN status BETWEEN '200' AND '599'
+      |                 THEN substr(status, 1, 1) || 'xx' ELSE status END AS cls
+      |  FROM captures
+      |),
+      |e1 AS (
+      |  SELECT *,
+      |    CASE WHEN cls = '-' THEN coalesce(
+      |      last_value(CASE WHEN cls <> '-' THEN cls END IGNORE NULLS) OVER (
+      |        PARTITION BY url, digest ORDER BY ts, seq
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '~')
+      |    ELSE cls END AS s,
+      |    substr(ts, 1, 4) || '-' || substr(ts, 5, 2) || '-' || substr(ts, 7, 2) AS day,
+      |    substr(digest, 1, 8) AS d8
+      |  FROM e0
+      |),
+      |e2 AS (
+      |  SELECT *,
+      |    CASE WHEN s <> coalesce(lag(s) OVER w, '~') THEN 1 ELSE 0 END AS chg,
+      |    CASE WHEN s = '2xx' THEN 4 WHEN s = '4xx' THEN 3
+      |         WHEN s = '5xx' THEN 2 WHEN s = '3xx' THEN 1 ELSE 0 END AS priority
+      |  FROM e1 WINDOW w AS (PARTITION BY url ORDER BY ts, seq)
+      |),
+      |enriched AS (
+      |  SELECT *,
+      |    CAST(sum(chg) OVER wr AS DOUBLE) / count(*) OVER wr AS chaos,
+      |    CAST(sum(chg) OVER ws AS DOUBLE)
+      |      / least(1000, count(*) OVER wr) AS chaosn
+      |  FROM e2 WINDOW
+      |    wr AS (PARTITION BY url ORDER BY ts, seq
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    ws AS (PARTITION BY url ORDER BY ts, seq
+      |           ROWS BETWEEN 998 PRECEDING AND CURRENT ROW)
+      |)""".stripMargin
+
+  /** Daily.daily twin: per-(url,day) counts (A1), specimen argmax with
+    * first-wins tie-break (A2), chaos snapshot at the day's last capture,
+    * content change flag vs previous observed day (A3).
+    */
+  val dailyCte: String =
+    """d0 AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY url, day ORDER BY -priority, ts, seq) AS rn_spec,
+      |    row_number() OVER (PARTITION BY url, day ORDER BY ts DESC, seq DESC) AS rn_last
+      |  FROM enriched
+      |),
+      |d1 AS (
+      |  SELECT url, day,
+      |    CAST(sum(CASE WHEN s = '2xx' THEN 1 ELSE 0 END) AS BIGINT) AS c2xx,
+      |    CAST(sum(CASE WHEN s = '3xx' THEN 1 ELSE 0 END) AS BIGINT) AS c3xx,
+      |    CAST(sum(CASE WHEN s = '4xx' THEN 1 ELSE 0 END) AS BIGINT) AS c4xx,
+      |    CAST(sum(CASE WHEN s = '5xx' THEN 1 ELSE 0 END) AS BIGINT) AS c5xx,
+      |    max(CASE WHEN rn_spec = 1 THEN ts END) AS datetime,
+      |    max(CASE WHEN rn_spec = 1 THEN s END) AS specimen,
+      |    max(CASE WHEN rn_spec = 1 THEN d8 END) AS digest,
+      |    max(CASE WHEN rn_last = 1 THEN chaos END) AS chaos,
+      |    max(CASE WHEN rn_last = 1 THEN chaosn END) AS chaosn
+      |  FROM d0 GROUP BY url, day
+      |),
+      |daily AS (
+      |  SELECT *,
+      |    CASE WHEN digest = coalesce(lag(digest) OVER (PARTITION BY url ORDER BY day), '~')
+      |         THEN 'Unchanged' ELSE 'Changed' END AS content
+      |  FROM d1
+      |)""".stripMargin
+
+  /** GapFill.fill twin for one policy at fill=-1 (any gap size). */
+  def filledCte(policy: String): String = {
+    val value = policy match {
+      case "forward"   => "specimen"
+      case "backward"  => "nspec"
+      case "closest"   => "CASE WHEN pos < CAST(gap AS DOUBLE) / 2.0 THEN specimen ELSE nspec END"
+      case "identical" => "specimen"
+    }
+    val keep = if (policy == "identical") " AND specimen = nspec" else ""
+    s"""g0 AS (
+       |  SELECT url, day, specimen,
+       |    lead(day) OVER w AS nday, lead(specimen) OVER w AS nspec
+       |  FROM daily WINDOW w AS (PARTITION BY url ORDER BY day)
+       |),
+       |g1 AS (
+       |  SELECT *, datediff('day', CAST(day AS DATE), CAST(nday AS DATE)) - 1 AS gap
+       |  FROM g0 WHERE nday IS NOT NULL
+       |),
+       |g2 AS (
+       |  SELECT *, unnest(range(0, gap)) AS pos
+       |  FROM g1 WHERE gap > 0$keep
+       |),
+       |gfill AS (
+       |  SELECT url,
+       |    strftime(CAST(day AS DATE) + CAST(pos + 1 AS INTEGER), '%Y-%m-%d') AS day,
+       |    '~' AS datetime,
+       |    CAST(0 AS BIGINT) AS c2xx, CAST(0 AS BIGINT) AS c3xx,
+       |    CAST(0 AS BIGINT) AS c4xx, CAST(0 AS BIGINT) AS c5xx,
+       |    $value AS specimen, '~' AS digest,
+       |    CAST(NULL AS DOUBLE) AS chaos, CAST(NULL AS DOUBLE) AS chaosn,
+       |    'Unknown' AS content
+       |  FROM g2
+       |),
+       |filled AS (
+       |  SELECT url, day, datetime, c2xx, c3xx, c4xx, c5xx, specimen, digest,
+       |         chaos, chaosn, content
+       |  FROM daily
+       |  UNION ALL SELECT * FROM gfill
+       |)""".stripMargin
+  }
+
+  /** Passthrough "filled" stage when no gap-filling is applied. */
+  val unfilledCte: String =
+    """filled AS (
+      |  SELECT url, day, datetime, c2xx, c3xx, c4xx, c5xx, specimen, digest,
+      |         chaos, chaosn, content
+      |  FROM daily
+      |)""".stripMargin
+
+  /** GapFill.densify twin: per-url calendar [min(day), asOf] left-joined
+    * against `filled`, defaults coalesced, chaos forward-filled (W3),
+    * computed `call`/`filled` flags. Empty calendar when min(day) > asOf
+    * (reference pd.date_range semantics).
+    */
+  val densifiedCte: String =
+    s"""cal AS (
+       |  SELECT url,
+       |    strftime(unnest(generate_series(CAST(d0 AS DATE), DATE '$AsOf',
+       |                                    INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+       |  FROM (SELECT url, min(day) AS d0 FROM filled GROUP BY url)
+       |),
+       |z0 AS (
+       |  SELECT cal.url, cal.day,
+       |    coalesce(f.datetime, '~') AS datetime,
+       |    coalesce(f.c2xx, 0) AS c2xx, coalesce(f.c3xx, 0) AS c3xx,
+       |    coalesce(f.c4xx, 0) AS c4xx, coalesce(f.c5xx, 0) AS c5xx,
+       |    coalesce(f.specimen, '~') AS specimen,
+       |    coalesce(f.digest, '~') AS digest,
+       |    coalesce(f.content, 'Unknown') AS content,
+       |    f.chaos AS chaos0, f.chaosn AS chaosn0
+       |  FROM cal LEFT JOIN filled f ON cal.url = f.url AND cal.day = f.day
+       |),
+       |densified AS (
+       |  SELECT url, day, datetime, c2xx, c3xx, c4xx, c5xx, specimen, digest,
+       |    content,
+       |    coalesce(last_value(chaos0 IGNORE NULLS) OVER w, 0.0) AS chaos,
+       |    coalesce(last_value(chaosn0 IGNORE NULLS) OVER w, 0.0) AS chaosn,
+       |    c2xx + c3xx + c4xx + c5xx AS call,
+       |    specimen <> '~' AND c2xx + c3xx + c4xx + c5xx = 0 AS filled
+       |  FROM z0 WINDOW w AS (PARTITION BY url ORDER BY day
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)""".stripMargin
+
+  private def withCaptures(body: String): String =
+    s"WITH $capturesCte\n$body"
+
+  private def withDaily(body: String): String =
+    s"WITH $capturesCte,\n$enrichedCte,\n$dailyCte\n$body"
+
+  private def withDensified(body: String, fillPolicy: Option[String] = None): String = {
+    val fill = fillPolicy.map(filledCte).getOrElse(unfilledCte)
+    s"WITH $capturesCte,\n$enrichedCte,\n$dailyCte,\n$fill,\n$densifiedCte\n$body"
+  }
+
+  private def fillSql(policy: String): String =
+    s"""WITH $capturesCte,
+       |$enrichedCte,
+       |$dailyCte,
+       |${filledCte(policy)}
+       |SELECT url, day, specimen,
+       |  specimen <> '~' AND c2xx + c3xx + c4xx + c5xx = 0 AS filled
+       |FROM filled ORDER BY url, day""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "cdx_parse" -> withCaptures(
+      """SELECT url, seq, ts,
+        |  substr(ts, 1, 4) || '-' || substr(ts, 5, 2) || '-' || substr(ts, 7, 2) AS day,
+        |  CASE WHEN status BETWEEN '200' AND '599'
+        |       THEN substr(status, 1, 1) || 'xx' ELSE status END AS status_class,
+        |  substr(digest, 1, 8) AS digest8
+        |FROM captures ORDER BY url, seq""".stripMargin),
+
+    "digest_impute" -> s"""WITH $capturesCte,\n$enrichedCte
+      |SELECT url, seq, s AS status_imputed FROM enriched ORDER BY url, seq""".stripMargin,
+
+    "daily_counts" -> withDaily(
+      """SELECT url, day, c2xx, c3xx, c4xx, c5xx,
+        |  c2xx + c3xx + c4xx + c5xx AS call
+        |FROM daily ORDER BY url, day""".stripMargin),
+
+    "daily_specimen" -> withDaily(
+      """SELECT url, day, specimen, datetime, digest AS digest8
+        |FROM daily ORDER BY url, day""".stripMargin),
+
+    "daily_content" -> withDaily(
+      "SELECT url, day, content FROM daily ORDER BY url, day"),
+
+    "chaos_daily" -> withDaily(
+      "SELECT url, day, chaos, chaosn FROM daily ORDER BY url, day"),
+
+    "periodic_samples" -> withCaptures(
+      """SELECT url,
+        |  count(DISTINCT substr(ts, 1, 14)) AS n_second,
+        |  count(DISTINCT substr(ts, 1, 12)) AS n_minute,
+        |  count(DISTINCT substr(ts, 1, 10)) AS n_hour,
+        |  count(DISTINCT substr(ts, 1, 8)) AS n_day,
+        |  count(DISTINCT substr(ts, 1, 6)) AS n_month,
+        |  count(DISTINCT substr(ts, 1, 4)) AS n_year
+        |FROM captures GROUP BY url ORDER BY url""".stripMargin),
+
+    "monthly_rollup" -> withDaily(
+      """SELECT url, substr(day, 1, 8) || '15' AS month,
+        |  CAST(sum(c2xx) AS BIGINT) AS c2xx, CAST(sum(c3xx) AS BIGINT) AS c3xx,
+        |  CAST(sum(c4xx) AS BIGINT) AS c4xx, CAST(sum(c5xx) AS BIGINT) AS c5xx,
+        |  CAST(sum(c2xx + c3xx + c4xx + c5xx) AS BIGINT) AS call
+        |FROM daily GROUP BY url, month ORDER BY url, month""".stripMargin),
+
+    "totals_unpivot" -> withDaily(
+      """SELECT url, status, CAST(sum(v) AS BIGINT) AS total FROM (
+        |  SELECT url, 'c2xx' AS status, c2xx AS v FROM daily
+        |  UNION ALL SELECT url, 'c3xx', c3xx FROM daily
+        |  UNION ALL SELECT url, 'c4xx', c4xx FROM daily
+        |  UNION ALL SELECT url, 'c5xx', c5xx FROM daily
+        |  UNION ALL SELECT url, 'call', c2xx + c3xx + c4xx + c5xx FROM daily
+        |) GROUP BY url, status ORDER BY url, status""".stripMargin),
+
+    "summary_stats" -> withDaily(
+      """SELECT url, status,
+        |  count(cnt) AS n,
+        |  coalesce(avg(cnt), 0.0) AS mean,
+        |  round(coalesce(stddev_samp(cnt), 0.0), 6) AS std,
+        |  coalesce(min(cnt), 0) AS min,
+        |  coalesce(quantile_cont(cnt, 0.25), 0.0) AS q1,
+        |  coalesce(quantile_cont(cnt, 0.5), 0.0) AS median,
+        |  coalesce(quantile_cont(cnt, 0.75), 0.0) AS q3,
+        |  coalesce(max(cnt), 0) AS max
+        |FROM (
+        |  SELECT url, status, CASE WHEN v = 0 THEN NULL ELSE v END AS cnt FROM (
+        |    SELECT url, 'c2xx' AS status, c2xx AS v FROM daily
+        |    UNION ALL SELECT url, 'c3xx', c3xx FROM daily
+        |    UNION ALL SELECT url, 'c4xx', c4xx FROM daily
+        |    UNION ALL SELECT url, 'c5xx', c5xx FROM daily
+        |    UNION ALL SELECT url, 'call', c2xx + c3xx + c4xx + c5xx FROM daily
+        |  )
+        |) GROUP BY url, status ORDER BY url, status""".stripMargin),
+
+    "densify_calendar" -> withDensified(
+      """SELECT url, day, specimen, content, filled, call
+        |FROM densified ORDER BY url, day""".stripMargin),
+
+    "fill_forward" -> fillSql("forward"),
+    "fill_backward" -> fillSql("backward"),
+    "fill_closest" -> fillSql("closest"),
+    "fill_identical" -> fillSql("identical"),
+
+    "transitions" -> withDensified(
+      """, t0 AS (
+        |  SELECT url, day, specimen,
+        |    first_value(specimen) OVER (PARTITION BY url ORDER BY day) AS first_spec
+        |  FROM densified
+        |),
+        |t1 AS (
+        |  SELECT url, lag(specimen) OVER (PARTITION BY url ORDER BY day) AS src,
+        |         specimen AS tgt
+        |  FROM t0
+        |  WHERE specimen IN ('2xx', '3xx', '4xx', '5xx')
+        |    AND first_spec IN ('2xx', '3xx', '4xx', '5xx')
+        |),
+        |t2 AS (
+        |  SELECT url, src, tgt, count(*) AS n FROM t1
+        |  WHERE src IS NOT NULL GROUP BY url, src, tgt
+        |),
+        |grid AS (
+        |  SELECT u.url, s.src, t.tgt
+        |  FROM (SELECT DISTINCT url FROM densified) u
+        |  CROSS JOIN (VALUES ('2xx'), ('3xx'), ('4xx'), ('5xx')) s(src)
+        |  CROSS JOIN (VALUES ('2xx'), ('3xx'), ('4xx'), ('5xx')) t(tgt)
+        |)
+        |SELECT g.url, g.src, g.tgt, CAST(coalesce(t2.n, 0) AS BIGINT) AS cnt
+        |FROM grid g LEFT JOIN t2 ON g.url = t2.url AND g.src = t2.src AND g.tgt = t2.tgt
+        |ORDER BY g.url, g.src, g.tgt""".stripMargin),
+
+    "run_segments" -> withDensified(
+      """, r0 AS (
+        |  SELECT url, day, specimen,
+        |    CASE WHEN specimen <> coalesce(lag(specimen) OVER w, ' ')
+        |         THEN 1 ELSE 0 END AS changed
+        |  FROM densified WINDOW w AS (PARTITION BY url ORDER BY day)
+        |),
+        |r1 AS (
+        |  SELECT *, CAST(sum(changed) OVER (PARTITION BY url ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |  FROM r0
+        |)
+        |SELECT url, run_id, min(specimen) AS specimen, min(day) AS start_day,
+        |       max(day) AS end_day, count(*) AS days
+        |FROM r1 GROUP BY url, run_id ORDER BY url, run_id""".stripMargin),
+
+    "fixity_counts" -> withDensified(
+      """SELECT url, content, count(*) AS cnt
+        |FROM densified GROUP BY url, content ORDER BY url, content""".stripMargin),
+
+    "specimen_breakdown" -> withDensified(
+      """SELECT url,
+        |  CAST(sum(CASE WHEN call > 0 THEN 1 ELSE 0 END) AS BIGINT) AS active,
+        |  CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS filled,
+        |  CAST(sum(CASE WHEN call = 0 AND NOT filled THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+        |  CAST(sum(call) AS BIGINT) AS captures,
+        |  round(CAST(sum(c2xx) AS DOUBLE) / CAST(sum(call) AS DOUBLE) * 100, 6) AS ok_pct
+        |FROM densified GROUP BY url ORDER BY url""".stripMargin,
+      fillPolicy = Some("forward")),
+
+    "sigmoid_shape" ->
+      """WITH params(key, shift, slope, spread) AS (VALUES
+        |  ('2xx', 4.0, 1.0, 1.0), ('3xx', 5.0, 10.0, -0.5),
+        |  ('4xx', 5.0, 1.0, -1.0), ('5xx', 5.0, 1.0, -1.0),
+        |  ('~', 10.0, 20.0, -0.5), ('Changed', 6.0, 1.0, -1.0),
+        |  ('Unchanged', 4.0, 1.0, 1.0), ('Unknown', 10.0, 30.0, -0.5)),
+        |xs AS (SELECT unnest(range(0, 101)) AS x)
+        |SELECT key, x,
+        |  round(CASE WHEN spread < 0 THEN 1.0 ELSE 0.0 END
+        |        + spread / (1.0 + exp(shift - CAST(x AS DOUBLE) / slope)), 6) AS h
+        |FROM xs CROSS JOIN params ORDER BY key, x""".stripMargin,
+
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "top_orders_per_cust" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "event_daily_windows" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+  )
+}

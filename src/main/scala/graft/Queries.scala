@@ -258,7 +258,13 @@ object Queries {
       .agg(
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,12)")).cast("double").as("sum_disc_price"),
+        // All-decimal arithmetic: casting each money-like factor to
+        // decimal(18,2) is unambiguous, and decimal multiply/sum are
+        // exact — a double->decimal(28,12) cast of the product would
+        // round differently between engines (half-up vs half-even).
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
         round(avg("l_quantity"), 6).as("avg_qty"),
         round(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -290,7 +296,7 @@ object Queries {
     * analog).
     */
   def eventDailyWindows(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
+    Cdx.readEvents(s, dir)
       .groupBy(
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
         col("event_type"))

@@ -14,7 +14,7 @@ object SparkEntry {
     * span 2024-01-01..2024-01-30, so this leaves a ~30-day unobserved
     * tail that exercises the decay path.
     */
-  val AsOf = "2024-03-01"
+  val AsOf: String = Queries.AsOf
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full multi-URL scored daily series (parse -> daily agg ->

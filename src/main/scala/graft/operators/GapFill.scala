@@ -96,6 +96,10 @@ object GapFill {
     val calendar = filledDf
       .groupBy("url")
       .agg(min("day").as("d0"))
+      // Guard d0 <= asOf: Spark's `sequence` would generate a DESCENDING
+      // range for d0 > asOf, whereas the reference's pd.date_range
+      // (main.py:199) yields an empty calendar. Filter, don't reverse.
+      .filter(to_date(col("d0")) <= to_date(lit(asOf)))
       .select(
         col("url"),
         explode(sequence(to_date(col("d0")), to_date(lit(asOf)))).as("dayd"))

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Capture sources.
   *
@@ -39,8 +40,26 @@ object Cdx {
     * stream from the same parquet, so every expression here has a
     * lexically-identical SQL twin.
     */
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * 4's reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Reading with an
+    * explicit LongType schema takes the raw INT64 nanos, which we convert
+    * losslessly with integer arithmetic — no session conf needed, so the
+    * driver's own SparkSession works too.
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
-    fromEventsDf(spark.read.parquet(s"$sfDir/events.parquet"))
+    fromEventsDf(readEvents(spark, sfDir))
 
   def fromEventsDf(events: DataFrame): DataFrame = {
     val e = col("event_id")
