@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.TextStats
+
 /** DuckDB SQL twins for every SQL-expressible query in [[Queries.all]].
   *
   * The driver runs each SQL against the same parquet tables (registered
@@ -210,7 +212,188 @@ object Oracle {
        |  specimen <> '~' AND c2xx + c3xx + c4xx + c5xx = 0 AS filled
        |FROM filled ORDER BY url, day""".stripMargin
 
+  /** Word 3-shingles CTE, twin of [[graft.operators.Dedup.shingles]]. */
+  val shinglesCte: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |       unnest(range(len(words) - 2)) t(i)
+      |)""".stripMargin
+
+  /** Language-ID twin generated from the SAME marker table the Spark
+    * operator uses, so the two sides cannot drift.
+    */
+  private def langIdSql: String = {
+    def occ(w: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$w'))"
+    val scores = TextStats.Markers.map { case (lang, ms) =>
+      s"(${ms.map(occ).mkString(" + ")}) AS score_$lang"
+    }.mkString(",\n    ")
+    val langs = TextStats.Markers.map(_._1)
+    val branches = langs.zipWithIndex.map { case (lang, i) =>
+      val beats = langs.drop(i + 1).map(o => s"score_$lang >= score_$o")
+      val cond = (s"score_$lang > 0" +: beats).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n      ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  predicted, predicted = lang AS agrees
+       |FROM (
+       |  SELECT *,
+       |    CASE
+       |      $branches
+       |      ELSE 'und' END AS predicted
+       |  FROM scored
+       |) ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "doc_exact_dedup" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS group_size,
+        |         min(doc_id) AS canonical
+        |  FROM documents GROUP BY h
+        |)
+        |SELECT d.doc_id, g.h, g.canonical, g.group_size,
+        |       d.doc_id <> g.canonical AS is_dup
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents) d
+        |JOIN g USING (h) ORDER BY doc_id""".stripMargin,
+
+    "doc_near_dup" ->
+      s"""WITH $shinglesCte,
+         |mh AS (
+         |  SELECT doc_id, perm,
+         |    min(substr(md5(CAST(perm AS VARCHAR) || '|' || shingle), 1, 8)) AS minh
+         |  FROM sh, unnest(range(16)) p(perm)
+         |  GROUP BY doc_id, perm
+         |),
+         |bs AS (
+         |  SELECT doc_id, perm // 4 AS band,
+         |    string_agg(minh, '_' ORDER BY perm) AS sig
+         |  FROM mh GROUP BY doc_id, band
+         |),
+         |pr AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
+         |                     AND a.doc_id < b.doc_id
+         |),
+         |cnts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |com AS (
+         |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM pr
+         |  JOIN sh sa ON pr.doc_a = sa.doc_id
+         |  JOIN sh sb ON pr.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+         |  GROUP BY doc_a, doc_b
+         |)
+         |SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b,
+         |  coalesce(com.n_common, 0) AS n_common,
+         |  round(CAST(coalesce(com.n_common, 0) AS DOUBLE)
+         |        / (ca.n + cb.n - coalesce(com.n_common, 0)), 6) AS jaccard
+         |FROM pr
+         |LEFT JOIN com USING (doc_a, doc_b)
+         |JOIN cnts ca ON pr.doc_a = ca.doc_id
+         |JOIN cnts cb ON pr.doc_b = cb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "doc_simhash" ->
+      """WITH wc AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY doc_id, word
+        |),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(cnt * (((wh >> b) & 1) * 2 - 1)) AS v
+        |  FROM (SELECT *, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wh FROM wc),
+        |       unnest(range(32)) t(b)
+        |  GROUP BY doc_id, b
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "doc_simhash_pairs" ->
+      """WITH wc AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY doc_id, word
+        |),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(cnt * (((wh >> b) & 1) * 2 - 1)) AS v
+        |  FROM (SELECT *, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wh FROM wc),
+        |       unnest(range(32)) t(b)
+        |  GROUP BY doc_id, b
+        |),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |),
+        |banded AS (
+        |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS key
+        |  FROM sim, unnest(range(4)) t(band)
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |                           AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "doc_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subtokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS avg_token_len,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_lang_id" -> langIdSql,
+
+    "doc_quality" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  round(CAST(nstop AS DOUBLE) / ntok, 6) AS stopword_ratio,
+        |  round(CAST(punct AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  round(CAST(digits AS DOUBLE) / length(text), 6) AS digit_ratio,
+        |  round(least(1.0, CAST(ntok AS DOUBLE) / 50)
+        |        * (1.0 - CAST(punct AS DOUBLE) / length(text))
+        |        * least(1.0, CAST(nstop AS DOUBLE) / ntok * 5 + 0.5), 6) AS quality
+        |FROM (
+        |  SELECT *, len(string_split(text, ' ')) AS ntok,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'the'))
+        |    + len(list_filter(string_split(text, ' '), x -> x = 'a'))
+        |    + len(list_filter(string_split(text, ' '), x -> x = 'of'))
+        |    + len(list_filter(string_split(text, ' '), x -> x = 'and'))
+        |    + len(list_filter(string_split(text, ' '), x -> x = 'is'))
+        |    + len(list_filter(string_split(text, ' '), x -> x = 'to'))
+        |    + len(list_filter(string_split(text, ' '), x -> x = 'in')) AS nstop,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS punct,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH $shinglesCte,
+         |bt AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(list_sort(list(DISTINCT md5(shingle))), 1, 3), '_') AS bottom3
+         |  FROM sh GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, md5(norm) AS fp_md5, substr(md5(norm), 1, 8) AS fp_prefix,
+         |  CAST(length(norm) AS INTEGER) AS n_norm_chars,
+         |  coalesce(bt.bottom3, '') AS bottom3
+         |FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+         |      FROM documents) d
+         |LEFT JOIN bt USING (doc_id) ORDER BY doc_id""".stripMargin,
     "cdx_parse" -> withCaptures(
       """SELECT url, seq, ts,
         |  substr(ts, 1, 4) || '-' || substr(ts, 5, 2) || '-' || substr(ts, 7, 2) AS day,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{FillPolicy, SigParams, TrendQuery}
-import graft.operators.{Daily, GapFill, Report, Score, Trend}
+import graft.operators.{Daily, Dedup, GapFill, Report, Score, TextStats, Trend}
 import graft.sources.Cdx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -305,6 +305,41 @@ object Queries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("day", "event_type")
 
+  // --------------------------------------------- training-data pipeline ops
+  private def docs(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
+
+  /** Exact dedup: content-hash groups with canonical survivor. */
+  def docExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir)).orderBy("doc_id")
+
+  /** MinHash-LSH near-dup candidate pairs + exact shingle Jaccard. */
+  def docNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
+
+  /** 32-bit SimHash fingerprints. */
+  def docSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir)).orderBy("doc_id")
+
+  /** SimHash banded near-dup pairs (Hamming <= 6). */
+  def docSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
+
+  /** Token statistics per document. */
+  def docTokenStats(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenStats(docs(s, dir)).orderBy("doc_id")
+
+  /** Marker-scoring language ID. */
+  def docLangId(s: SparkSession, dir: String): DataFrame =
+    TextStats.langId(docs(s, dir)).orderBy("doc_id")
+
+  /** Pretraining quality heuristics. */
+  def docQuality(s: SparkSession, dir: String): DataFrame =
+    TextStats.quality(docs(s, dir)).orderBy("doc_id")
+
+  /** Content fingerprints (md5 + bottom-3 shingle sketch). */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprint(docs(s, dir)).orderBy("doc_id")
+
   // ------------------------------------------------------------- registry
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdx_parse" -> (cdxParse _),
@@ -332,6 +367,14 @@ object Queries {
     "tpch_q1" -> (tpchQ1 _),
     "revenue_by_nation" -> (revenueByNation _),
     "top_orders_per_cust" -> (topOrdersPerCustomer _),
-    "event_daily_windows" -> (eventDailyWindows _)
+    "event_daily_windows" -> (eventDailyWindows _),
+    "doc_exact_dedup" -> (docExactDedup _),
+    "doc_near_dup" -> (docNearDup _),
+    "doc_simhash" -> (docSimhash _),
+    "doc_simhash_pairs" -> (docSimhashPairs _),
+    "doc_token_stats" -> (docTokenStats _),
+    "doc_lang_id" -> (docLangId _),
+    "doc_quality" -> (docQuality _),
+    "doc_fingerprint" -> (docFingerprint _)
   )
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH banded near-dup, and SimHash.
+  *
+  * Scale design (the whole point): near-dup NEVER does an all-pairs
+  * crossJoin. Candidate generation is a self-equi-join on LSH band
+  * buckets — at 100 TB the shuffle is keyed by (band, signature), bucket
+  * sizes stay small for non-pathological corpora (and a pathological
+  * bucket is exactly a giant duplicate cluster, which is the answer, not
+  * an accident), and the verify step touches only candidate pairs.
+  * Every hash is md5-derived so the DuckDB oracle reproduces results
+  * bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per document with its content-hash group.
+    * `canonical` is the group's smallest doc_id (the survivor); `is_dup`
+    * marks rows a dedup pass would drop.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val groups = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical"))
+    docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(groups, "h")
+      .select(
+        col("doc_id"),
+        col("h"),
+        col("canonical"),
+        col("group_size"),
+        (col("doc_id") =!= col("canonical")).as("is_dup"))
+  }
+
+  /** Distinct word k-shingles per document (k=3). Short docs (<k words)
+    * contribute no shingles.
+    */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(split(text, ' ')) >= 3
+            |THEN transform(sequence(0, size(split(text, ' ')) - 3),
+            |               i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: PERMS md5-derived hash functions; the per-doc
+    * minimum of `substr(md5(perm || '|' || shingle), 1, 8)` per perm.
+    * Lexicographic min over fixed-width hex == numeric min, and md5 keeps
+    * the oracle SQL bit-identical.
+    */
+  val Perms = 16
+  val Bands = 4 // 4 rows per band
+
+  def minhash(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .select(col("doc_id"), col("shingle"), explode(expr(s"sequence(0, ${Perms - 1})")).as("perm"))
+      .groupBy("doc_id", "perm")
+      .agg(min(substring(md5(concat(col("perm").cast("string"), lit("|"), col("shingle"))), 1, 8)).as("minh"))
+
+  /** LSH band signatures: Perms/Bands rows per band concatenated in perm
+    * order. Docs sharing any (band, sig) bucket become candidate pairs.
+    */
+  def bandSignatures(docs: DataFrame): DataFrame =
+    minhash(docs)
+      .withColumn("band", expr(s"perm div ${Perms / Bands}"))
+      .groupBy("doc_id", "band")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(perm, minh))), x -> x.minh), '_')").as("sig"))
+
+  /** Near-dup candidate pairs via LSH bucket self-join, verified with
+    * exact shingle-set Jaccard. Output is every candidate pair with its
+    * true similarity — thresholding is the caller's policy decision.
+    */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val sigs = bandSignatures(docs)
+    val pairs = sigs.as("a")
+      .join(sigs.as("b"), expr("a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sh = shingles(docs)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+
+    pairs
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_a"),
+        col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(
+          coalesce(col("n_common"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))),
+          6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over the document's word multiset: each word votes
+    * its md5-derived 32-bit pattern weighted by its count; bit b of the
+    * fingerprint is 1 iff the summed vote is positive (tie -> 0).
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("wh", expr("CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("doc_id"), col("cnt"), col("wh"), explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("vote", col("cnt") * (expr("shiftright(wh, b) & 1") * 2 - 1))
+      .groupBy("doc_id", "b")
+      .agg(sum("vote").as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+
+  /** SimHash near-dup candidates: docs agreeing on any of the four
+    * 8-bit bands join into a bucket (same no-all-pairs shape as MinHash
+    * LSH); pairs at Hamming distance <= 6 are near-dups.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr("shiftright(simhash, band * 8) & 255"))
+    banded.as("a")
+      .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+}

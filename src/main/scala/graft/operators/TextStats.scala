@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token statistics,
+  * marker-based language ID, quality scoring, and content
+  * fingerprinting. Everything is built-in-expression arithmetic (no
+  * UDFs) chosen so every operator has a bit-identical DuckDB twin:
+  * whitespace splits, regex token counts, occurrence counting via
+  * list filters, md5 fingerprints.
+  */
+object TextStats {
+
+  private val words = split(col("text"), " ")
+
+  /** Per-document token statistics: whitespace tokens, distinct types,
+    * BPE-ish regex tokens (letter runs / digit runs / single symbols),
+    * mean token length, type-token ratio.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words).as("n_tokens"),
+      size(array_distinct(words)).as("n_types"),
+      size(expr("""regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)""")).as("n_subtokens"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(words), 6).as("avg_token_len"),
+      round(size(array_distinct(words)).cast("double") / size(words), 6).as("ttr"))
+
+  private def occurrences(word: String): Column =
+    size(expr(s"filter(split(text, ' '), x -> x = '$word')"))
+
+  /** Marker words per language for the n-gram-heuristic language ID.
+    * Tiny by design: the operator shape (score -> argmax) is what
+    * matters; swap in real frequency tables for production corpora.
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "los", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Language ID: per-language marker-occurrence scores and the argmax
+    * (ties resolve in Markers order; all-zero -> "und" = undetermined).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = Markers.foldLeft(docs.select(col("doc_id"), col("text"), col("lang"))) {
+      case (df, (lang, ms)) =>
+        df.withColumn(s"score_$lang", ms.map(occurrences).reduce(_ + _))
+    }
+    val langs = Markers.map(_._1)
+    val predicted = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), acc) =>
+      val beatsLater = langs.drop(i + 1).map(o => col(s"score_$lang") >= col(s"score_$o"))
+      val cond = (col(s"score_$lang") > 0) && beatsLater.foldLeft(lit(true))(_ && _)
+      when(cond, lang).otherwise(acc)
+    }
+    scored
+      .withColumn("predicted", predicted)
+      .select(
+        Seq(col("doc_id"), col("lang")) ++ langs.map(l => col(s"score_$l")) :+
+          col("predicted") :+ (col("predicted") === col("lang")).as("agrees"): _*)
+  }
+
+  /** Quality scoring: length, punctuation/digit/stopword ratios, and a
+    * composite [0,1] score (longer, cleaner, stopword-bearing text
+    * scores higher — the usual pretraining heuristics).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val nTokens = size(words)
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val nStop = stop.map(occurrences).reduce(_ + _)
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    val digits = length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      nTokens.as("n_tokens"),
+      round(nStop.cast("double") / nTokens, 6).as("stopword_ratio"),
+      round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
+      round(digits.cast("double") / length(col("text")), 6).as("digit_ratio"),
+      round(
+        least(lit(1.0), nTokens.cast("double") / 50) *
+          (lit(1.0) - punct.cast("double") / length(col("text"))) *
+          least(lit(1.0), nStop.cast("double") / nTokens * 5 + 0.5),
+        6).as("quality"))
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase
+    * text, its 8-char prefix, and a bottom-3 sketch of shingle hashes
+    * (a deterministic min-hash-style document signature usable for
+    * containment checks).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val fps = docs.select(
+      col("doc_id"),
+      md5(norm).as("fp_md5"),
+      substring(md5(norm), 1, 8).as("fp_prefix"),
+      length(norm).as("n_norm_chars"))
+    val sketch = Dedup.shingles(docs)
+      .groupBy("doc_id")
+      .agg(expr("array_join(slice(array_sort(collect_set(md5(shingle))), 1, 3), '_')").as("bottom3"))
+    fps.join(sketch, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("fp_md5"),
+        col("fp_prefix"),
+        col("n_norm_chars"),
+        coalesce(col("bottom3"), lit("")).as("bottom3"))
+  }
+}

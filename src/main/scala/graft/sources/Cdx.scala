@@ -19,18 +19,27 @@ object Cdx {
 
   /** Parse raw CDX text lines `"<ts> <status> <digest>"` for one URL
     * (reference line split at main.py:144). `seq` preserves stream order
-    * via the line's position so order-sensitive operators stay exact.
+    * so order-sensitive operators (A4 imputation, W1/W2 chaos, A2
+    * tie-break) stay exact: `zipWithIndex` assigns a GLOBAL, contiguous
+    * index from (partition, offset) — deterministic for file sources
+    * whose partitions are ordered by (file, byte offset) regardless of
+    * split count. `monotonically_increasing_id` would only be file-order
+    * under single-split reads.
     */
   def parseLines(spark: SparkSession, lines: DataFrame, url: String): DataFrame = {
+    import spark.implicits._
+    val indexed = lines
+      .select(col("value").cast("string"))
+      .rdd.map(_.getString(0))
+      .zipWithIndex()
+      .toDF("value", "seq")
     val parts = split(col("value"), " ")
-    lines
-      .withColumn("seq", monotonically_increasing_id())
-      .select(
-        lit(url).as("url"),
-        parts.getItem(0).as("ts"),
-        parts.getItem(1).as("status"),
-        parts.getItem(2).as("digest"),
-        col("seq"))
+    indexed.select(
+      lit(url).as("url"),
+      parts.getItem(0).as("ts"),
+      parts.getItem(1).as("status"),
+      parts.getItem(2).as("digest"),
+      col("seq"))
   }
 
   /** Deterministic adapter: driver `events` table -> capture stream.
