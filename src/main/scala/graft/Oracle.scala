@@ -251,7 +251,100 @@ object Oracle {
        |) ORDER BY doc_id""".stripMargin
   }
 
+  /** Embedding corpus with per-vector L2 norm (left-fold in index order,
+    * matching Spark's `aggregate`).
+    */
+  val vecNormCte: String =
+    """vn AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** md5-derived LSH bucket twin of [[graft.operators.Ann.withBucket]]. */
+  val bucketExpr: String =
+    """CAST(list_sum(list_transform(range(8), p ->
+      |  CASE WHEN list_sum(list_transform(range(64), d ->
+      |    (CASE WHEN CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END)
+      |    * CAST(embedding[d + 1] AS DOUBLE))) >= 0
+      |  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  private val cosExpr =
+    """list_sum(list_transform(list_zip(q.qe, v.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.qnorm * v.norm)""".stripMargin
+
+  private def annTopkSql(bucketed: Boolean): String = {
+    val corpus =
+      if (bucketed)
+        s"vb AS (SELECT vn.*, $bucketExpr AS bucket FROM vn)"
+      else "vb AS (SELECT vn.*, 0 AS bucket FROM vn)"
+    val joinCond =
+      if (bucketed) "q.bucket = v.bucket AND q.q_id <> v.vec_id"
+      else "q.q_id <> v.vec_id"
+    s"""WITH $vecNormCte,
+       |$corpus,
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qnorm, bucket
+       |      FROM vb WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.q_id, v.vec_id,
+       |    $cosExpr AS cos_raw
+       |  FROM q JOIN vb v ON $joinCond
+       |),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY cos_raw DESC, vec_id) AS rn
+       |  FROM scored
+       |)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "ann_topk" ->
+      s"""${annTopkSql(bucketed = false)}
+         |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
+         |FROM rk WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "ann_lsh" ->
+      s"""${annTopkSql(bucketed = true)}
+         |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
+         |FROM rk WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "ann_buckets" ->
+      s"""WITH b AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "ann_classify" ->
+      s"""${annTopkSql(bucketed = false)},
+         |nb AS (
+         |  SELECT rk.q_id, e.label FROM rk
+         |  JOIN embeddings e ON rk.vec_id = e.vec_id
+         |  WHERE rk.rn <= 5
+         |),
+         |votes AS (
+         |  SELECT q_id, label, CAST(count(*) AS BIGINT) AS votes
+         |  FROM nb GROUP BY q_id, label
+         |),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY votes DESC, label) AS vr
+         |  FROM votes
+         |)
+         |SELECT b.q_id, b.label AS predicted, b.votes, e.label AS true_label,
+         |       b.label = e.label AS correct
+         |FROM best b JOIN embeddings e ON b.q_id = e.vec_id
+         |WHERE b.vr = 1 ORDER BY q_id""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id, 'image' AS modality,
+        |  n_chars % 64 + 16 AS width,
+        |  n_chars * 7 % 64 + 16 AS height,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(least(16, length(text))),
+        |    i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT) AS header_sum,
+        |  round(CAST(n_chars % 64 + 16 AS DOUBLE) / (n_chars * 7 % 64 + 16), 6) AS aspect
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_exact_dedup" ->
       """WITH g AS (
         |  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS group_size,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{FillPolicy, SigParams, TrendQuery}
-import graft.operators.{Daily, Dedup, GapFill, Report, Score, TextStats, Trend}
+import graft.operators.{Ann, Daily, Dedup, GapFill, Multimodal, Report, Score, TextStats, Trend}
 import graft.sources.Cdx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -340,6 +340,33 @@ object Queries {
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprint(docs(s, dir)).orderBy("doc_id")
 
+  private def embs(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+
+  /** Brute-force cosine top-K: broadcast query set vs corpus. */
+  def annTopK(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineTopK(embs(s, dir)).orderBy("q_id", "rn")
+
+  /** LSH-bucketed cosine top-K (the scale path). */
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTopK(embs(s, dir)).orderBy("q_id", "rn")
+
+  /** LSH bucket histogram (bucketing sanity + skew visibility). */
+  def annBuckets(s: SparkSession, dir: String): DataFrame =
+    Ann.withBucket(embs(s, dir))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("bucket")
+
+  /** k-NN majority-label classification of the query set. */
+  def annClassify(s: SparkSession, dir: String): DataFrame =
+    Ann.knnClassify(embs(s, dir)).orderBy("q_id")
+
+  /** Multimodal plumbing: binary payload + metadata -> typed
+    * partition-batched feature extraction (decode stubbed).
+    */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.features(docs(s, dir)).toDF().orderBy("doc_id")
+
   // ------------------------------------------------------------- registry
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdx_parse" -> (cdxParse _),
@@ -375,6 +402,11 @@ object Queries {
     "doc_token_stats" -> (docTokenStats _),
     "doc_lang_id" -> (docLangId _),
     "doc_quality" -> (docQuality _),
-    "doc_fingerprint" -> (docFingerprint _)
+    "doc_fingerprint" -> (docFingerprint _),
+    "ann_topk" -> (annTopK _),
+    "ann_lsh" -> (annLsh _),
+    "ann_buckets" -> (annBuckets _),
+    "ann_classify" -> (annClassify _),
+    "mm_features" -> (mmFeatures _)
   )
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Two paths, as a 100 TB pipeline needs:
+  *
+  *   - [[cosineTopK]]: brute-force baseline — a SMALL query set
+  *     (broadcast) against the full corpus. Never corpus × corpus: the
+  *     broadcast join streams the big side once, no shuffle.
+  *   - [[lshTopK]]: the scale path — random-hyperplane LSH buckets the
+  *     corpus (one shuffle by bucket id), and each query only scores its
+  *     own bucket. Hyperplane weights are md5-derived (±1 per (plane,
+  *     dim)), so the DuckDB oracle regenerates the identical planes.
+  *
+  * All float math is widened to double and folded left in array-index
+  * order — both Spark's `aggregate` and DuckDB's `list_sum` are strict
+  * left folds, so cosines match bit-for-bit.
+  */
+object Ann {
+
+  /** Queries = every 50th vector (10 at sf0.01) — stands in for the
+    * "small probe set vs big corpus" shape.
+    */
+  val QueryMod = 50
+  val K = 5
+  val Planes = 8
+
+  private val dotExpr =
+    """aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+      |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  private val normExpr =
+    """sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |               CAST(0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("norm", expr(normExpr))
+
+  private def topK(scoredPairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    scoredPairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** Brute-force cosine top-K: broadcast query set vs full corpus. */
+  def cosineTopK(emb: DataFrame): DataFrame = {
+    val corpus = withNorm(emb)
+    val queries = corpus
+      .filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qnorm"))
+    val scored = corpus
+      .join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      .withColumn("cos_raw", expr(dotExpr) / (col("qnorm") * col("norm")))
+    topK(scored)
+  }
+
+  /** Deterministic ±1 hyperplane weights: +1 iff the first hex digit of
+    * md5(s"$plane_$dim") is even — identical derivation in the oracle
+    * SQL, so buckets agree bit-for-bit.
+    */
+  def planeWeights: Seq[Seq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until Planes).map { p =>
+      (0 until 64).map { d =>
+        md.reset()
+        val hex = md.digest(s"${p}_$d".getBytes(StandardCharsets.UTF_8))
+        val firstNibble = (hex(0) >> 4) & 0xf
+        if (firstNibble % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Bucket id = 8 sign bits of the plane dot products. */
+  def withBucket(emb: DataFrame): DataFrame = {
+    val planes = typedLit(planeWeights)
+    emb
+      .withColumn("planes", planes)
+      .withColumn(
+        "bucket",
+        expr(
+          """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
+            |  acc + CASE WHEN
+            |    aggregate(zip_with(element_at(planes, p + 1), embedding,
+            |                       (w, x) -> w * CAST(x AS DOUBLE)),
+            |              CAST(0 AS DOUBLE), (a, v) -> a + v) >= 0
+            |  THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .drop("planes")
+  }
+
+  /** LSH-bucketed cosine top-K: queries only score vectors in their own
+    * bucket — the join is keyed by bucket id, never all-pairs.
+    */
+  def lshTopK(emb: DataFrame): DataFrame = {
+    val corpus = withBucket(withNorm(emb))
+    val queries = corpus
+      .filter(col("vec_id") % QueryMod === 0)
+      .select(
+        col("vec_id").as("q_id"),
+        col("embedding").as("qe"),
+        col("norm").as("qnorm"),
+        col("bucket"))
+    val scored = corpus
+      .join(queries, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_raw", expr(dotExpr) / (col("qnorm") * col("norm")))
+    topK(scored)
+  }
+
+  /** k-NN label vote on the brute-force neighbors: majority label of the
+    * top-K (ties -> smaller label), compared against the query's own
+    * label.
+    */
+  def knnClassify(emb: DataFrame): DataFrame = {
+    val neighbors = cosineTopK(emb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val votes = neighbors
+      .groupBy("q_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("label"))
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("predicted"), col("votes"))
+      .join(
+        emb.select(col("vec_id").as("q_id"), col("label").as("true_label")),
+        "q_id")
+      .withColumn("correct", col("predicted") === col("true_label"))
+  }
+}
