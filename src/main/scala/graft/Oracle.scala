@@ -299,7 +299,54 @@ object Oracle {
        |)""".stripMargin
   }
 
+  /** P7 ymd twin of [[graft.operators.Metrics.ymd]] — fully inlined. */
+  def ymdSql(v: String): String = {
+    val y0 = s"CAST(floor(($v) / 365.0) AS BIGINT)"
+    val m0 = s"CAST(floor((($v) % 365) / 30.0) AS BIGINT)"
+    val d0 = s"((($v) % 365) % 30)"
+    val cond1 = s"($y0 > 0 OR $m0 > 6)"
+    val m1 = s"(CASE WHEN $cond1 AND $d0 > 15 THEN $m0 + 1 ELSE $m0 END)"
+    val d1 = s"(CASE WHEN $cond1 THEN 0 ELSE $d0 END)"
+    val y2 = s"(CASE WHEN $m1 = 12 THEN $y0 + 1 ELSE $y0 END)"
+    val m2 = s"(CASE WHEN $m1 = 12 THEN 0 ELSE $m1 END)"
+    s"concat(CASE WHEN $y2 > 0 THEN CAST($y2 AS VARCHAR) || 'y' ELSE '' END, " +
+      s"CASE WHEN $m2 > 0 THEN CAST($m2 AS VARCHAR) || 'm' ELSE '' END, " +
+      s"CASE WHEN $d1 > 0 THEN CAST($d1 AS VARCHAR) || 'd' ELSE '' END)"
+  }
+
+  private def spanMetricsSql: String = {
+    val agg =
+      """agg AS (
+        |  SELECT url,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN call > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |    min(day) AS first_day,
+        |    max(CASE WHEN call > 0 THEN day END) AS last_active_day,
+        |    CAST(sum(call) AS BIGINT) AS captures,
+        |    round(CAST(sum(c2xx) AS DOUBLE) / CAST(sum(call) AS DOUBLE) * 100, 6) AS ok_pct,
+        |    max_by(datetime, CASE WHEN call > 0 THEN day END) AS last_dt
+        |  FROM densified GROUP BY url
+        |)""".stripMargin
+    s""", $agg
+       |SELECT url, n_days, n_active, n_filled,
+       |  n_days - n_active AS n_gaps,
+       |  first_day, last_active_day,
+       |  CAST(datediff('day', CAST(last_active_day AS DATE), DATE '$AsOf') AS BIGINT) AS inactive,
+       |  ${ymdSql("n_days")} AS span_ymd,
+       |  CASE WHEN datediff('day', CAST(last_active_day AS DATE), DATE '$AsOf') = 0
+       |       THEN 'Today'
+       |       ELSE ${ymdSql(s"datediff('day', CAST(last_active_day AS DATE), DATE '$AsOf')")}
+       |  END AS last_ymd,
+       |  captures, ok_pct,
+       |  CASE WHEN last_dt <> '~'
+       |       THEN 'https://web.archive.org/web' || '/' || last_dt || '/' || url
+       |       ELSE '#' END AS last_urim
+       |FROM agg ORDER BY url""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "span_metrics" -> withDensified(spanMetricsSql, fillPolicy = Some("forward")),
     "ann_topk" ->
       s"""${annTopkSql(bucketed = false)}
          |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{FillPolicy, SigParams, TrendQuery}
-import graft.operators.{Ann, Daily, Dedup, GapFill, Multimodal, Report, Score, TextStats, Trend}
+import graft.operators.{Ann, Daily, Dedup, GapFill, Metrics, Multimodal, Report, Score, TextStats, Trend}
 import graft.sources.Cdx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -214,6 +214,21 @@ object Queries {
       .orderBy("url")
   }
 
+  // ----------------------------------------------------------- W4/W5/P5/P7
+  /** Score-free headline metrics per url: span/gaps/activity/ymd/URIM
+    * (reference main.py:393-405 minus the score columns).
+    */
+  def spanMetrics(s: SparkSession, dir: String): DataFrame =
+    Metrics.spanMetrics(
+      GapFill.densify(GapFill.fill(dailyDf(s, dir), -1, FillPolicy.Forward), AsOf), AsOf)
+      .orderBy("url")
+
+  /** Full six-metric headline row (resilience/fixity deltas included) —
+    * rows-only for the oracle (stateful scores).
+    */
+  def metrics(s: SparkSession, dir: String): DataFrame =
+    Metrics.headline(scored(s, dir)).orderBy("url")
+
   // ------------------------------------------------------------------- S1
   /** Full scored pipeline — the flagship. Not SQL-expressible (stateful
     * cross-run recurrence), so driver-checked rows-only.
@@ -407,6 +422,8 @@ object Queries {
     "ann_lsh" -> (annLsh _),
     "ann_buckets" -> (annBuckets _),
     "ann_classify" -> (annClassify _),
-    "mm_features" -> (mmFeatures _)
+    "mm_features" -> (mmFeatures _),
+    "span_metrics" -> (spanMetrics _),
+    "metrics" -> (metrics _)
   )
 }
