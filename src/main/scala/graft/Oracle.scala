@@ -550,6 +550,11 @@ object Oracle {
         |  c2xx + c3xx + c4xx + c5xx AS call
         |FROM daily ORDER BY url, day""".stripMargin),
 
+    "streaming_daily" -> withDaily(
+      """SELECT url, day, datetime, c2xx, c3xx, c4xx, c5xx, specimen,
+        |  digest, content, chaos, chaosn
+        |FROM daily ORDER BY url, day""".stripMargin),
+
     "daily_specimen" -> withDaily(
       """SELECT url, day, specimen, datetime, digest AS digest8
         |FROM daily ORDER BY url, day""".stripMargin),

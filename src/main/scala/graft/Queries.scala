@@ -382,6 +382,20 @@ object Queries {
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(docs(s, dir)).toDF().orderBy("doc_id")
 
+  // ------------------------------------------------------------------ ST1
+  /** The streaming fold run over bounded input — must equal the batch
+    * daily table bit-for-bit (same oracle SQL shape as daily_counts).
+    */
+  def streamingDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.model.Capture
+    captures(s, dir).as[Capture]
+      .groupByKey(_.url)
+      .flatMapGroups((url, rows) => graft.streaming.Streaming.runBatch(url, rows))
+      .toDF()
+      .orderBy("url", "day")
+  }
+
   // ------------------------------------------------------------- registry
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdx_parse" -> (cdxParse _),
@@ -424,6 +438,7 @@ object Queries {
     "ann_classify" -> (annClassify _),
     "mm_features" -> (mmFeatures _),
     "span_metrics" -> (spanMetrics _),
-    "metrics" -> (metrics _)
+    "metrics" -> (metrics _),
+    "streaming_daily" -> (streamingDaily _)
   )
 }

@@ -1,0 +1,179 @@
+package graft.streaming
+
+import graft.model.Capture
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** ST1: incremental daily aggregation as a stateful stream.
+  *
+  * The reference recomputes everything per run behind a 1h cache
+  * (main.py:129,186); the streaming engine instead keys the capture
+  * stream by url and holds the fused-pass loop state (main.py:131-142)
+  * in `GroupState` — digest->status map, 1000-slot chaos ring buffer,
+  * current-day accumulator — emitting a finalized [[DailyOut]] row
+  * whenever a day closes, exactly like the reference's day flush
+  * (main.py:153-159). Scoring stays a batch pass over the emitted daily
+  * table (it re-bases on every parameter change anyway, mirroring the
+  * reference's warm path).
+  *
+  * Ordering contract (ST3): rows are sorted by (ts, seq) within each
+  * micro-batch; cross-batch order must be non-decreasing (CDX pagination
+  * guarantees it at the source). A watermark + buffer would relax this;
+  * the divergence window is documented in SURVEY §2.9.
+  *
+  * Scale: state per url is O(1) (bounded ring + digest map capped by
+  * distinct digests per url); urls hash-partition across executors, the
+  * same layout as the batch pipeline's groupBy(url).
+  */
+object Streaming {
+
+  /** Finalized per-day row (pre-scoring). */
+  case class DailyOut(
+      url: String,
+      day: String,
+      datetime: String,
+      c2xx: Long,
+      c3xx: Long,
+      c4xx: Long,
+      c5xx: Long,
+      specimen: String,
+      digest: String,
+      content: String,
+      chaos: Double,
+      chaosn: Double)
+
+  /** Open-day accumulator (reference `dr` + `cp`). */
+  case class DayAcc(
+      day: String,
+      datetime: String,
+      c2xx: Long,
+      c3xx: Long,
+      c4xx: Long,
+      c5xx: Long,
+      specimen: String,
+      digest: String,
+      content: String,
+      cp: Int)
+
+  /** Full per-url loop state (reference main.py:131-142). */
+  case class UrlState(
+      digestStatus: Map[String, String],
+      sw: Seq[String],
+      pc: String,
+      ps: String,
+      rs: Long,
+      us: Long,
+      uw: Long,
+      acc: Option[DayAcc])
+
+  val SWS = 1000
+
+  private def emptyState: UrlState =
+    UrlState(Map.empty, Vector.fill(SWS)("~"), "~", "~", 0L, 0L, 0L, None)
+
+  private val STPR = Map("2xx" -> 4, "4xx" -> 3, "5xx" -> 2, "3xx" -> 1)
+
+  /** One capture through the fused pass; returns the flushed day, if a
+    * day just closed.
+    */
+  private def step(st: UrlState, c: Capture): (UrlState, Option[DailyOut]) = {
+    val t = s"${c.ts.substring(0, 4)}-${c.ts.substring(4, 6)}-${c.ts.substring(6, 8)}"
+    val cls =
+      if ("200" <= c.status && c.status <= "599") c.status.substring(0, 1) + "xx" else c.status
+    val (s, digestStatus) =
+      if (cls == "-") (st.digestStatus.getOrElse(c.digest, "~"), st.digestStatus)
+      else (cls, st.digestStatus.updated(c.digest, cls))
+    val d8 = c.digest.substring(0, math.min(8, c.digest.length))
+
+    // day flush (reference main.py:153-159)
+    val (flushed, pc, acc0) = st.acc match {
+      case Some(a) if a.day != t =>
+        val out = DailyOut(c.url, a.day, a.datetime, a.c2xx, a.c3xx, a.c4xx, a.c5xx,
+          a.specimen, a.digest, a.content,
+          st.us.toDouble / st.rs, st.uw.toDouble / math.min(SWS, st.rs))
+        (Some(out), a.digest, DayAcc(t, "~", 0, 0, 0, 0, "~", "~", "Unknown", -1))
+      case Some(a) => (None, st.pc, a)
+      case None    => (None, st.pc, DayAcc(t, "~", 0, 0, 0, 0, "~", "~", "Unknown", -1))
+    }
+
+    val acc1 = s match {
+      case "2xx" => acc0.copy(c2xx = acc0.c2xx + 1)
+      case "3xx" => acc0.copy(c3xx = acc0.c3xx + 1)
+      case "4xx" => acc0.copy(c4xx = acc0.c4xx + 1)
+      case "5xx" => acc0.copy(c5xx = acc0.c5xx + 1)
+      case _     => acc0
+    }
+    val pr = STPR.getOrElse(s, 0)
+    val acc2 =
+      if (pr > acc1.cp)
+        acc1.copy(
+          specimen = s, datetime = c.ts, digest = d8,
+          content = if (d8 == pc) "Unchanged" else "Changed", cp = pr)
+      else acc1
+
+    // chaos counters + ring buffer (reference main.py:170-181)
+    val wp = (st.rs % SWS).toInt
+    val rs = st.rs + 1
+    val (ps, us, uw0) =
+      if (s != st.ps) (s, st.us + 1, st.uw + 1) else (st.ps, st.us, st.uw)
+    val wrapped = ((wp - SWS + 1) % SWS + SWS) % SWS
+    val uw = if (st.sw(wp) != st.sw(wrapped)) uw0 - 1 else uw0
+    val sw = st.sw.updated(wp, s)
+
+    (UrlState(digestStatus, sw, pc, ps, rs, us, uw, Some(acc2)), flushed)
+  }
+
+  /** flatMapGroupsWithState body: fold the batch's (sorted) captures
+    * through the loop state, emit closed days.
+    */
+  def processGroup(
+      url: String,
+      rows: Iterator[Capture],
+      state: GroupState[UrlState]): Iterator[DailyOut] = {
+    var st = state.getOption.getOrElse(emptyState)
+    val out = Vector.newBuilder[DailyOut]
+    rows.toSeq.sortBy(c => (c.ts, c.seq)).foreach { c =>
+      val (next, flushed) = step(st, c)
+      st = next
+      flushed.foreach(out += _)
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Wire a capture stream into the incremental daily table. */
+  def dailyStream(captures: Dataset[Capture]): Dataset[DailyOut] = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    captures
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(processGroup)
+  }
+
+  /** Run the exact streaming fold over one url's bounded capture set and
+    * close the final day — the batch harness for the streaming code
+    * path, giving it an oracle-checkable correctness row identical to
+    * the batch daily table.
+    */
+  def runBatch(url: String, rows: Iterator[Capture]): Iterator[DailyOut] = {
+    var st = emptyState
+    val out = Vector.newBuilder[DailyOut]
+    rows.toSeq.sortBy(c => (c.ts, c.seq)).foreach { c =>
+      val (next, flushed) = step(st, c)
+      st = next
+      flushed.foreach(out += _)
+    }
+    finalizeDay(url, st).foreach(out += _)
+    out.result().iterator
+  }
+
+  /** Batch-mode flush: finalize every url's open day from the state the
+    * stream would hold — used by the equivalence test to close the books.
+    */
+  def finalizeDay(url: String, st: UrlState): Option[DailyOut] =
+    st.acc.map { a =>
+      DailyOut(url, a.day, a.datetime, a.c2xx, a.c3xx, a.c4xx, a.c5xx,
+        a.specimen, a.digest, a.content,
+        st.us.toDouble / st.rs, st.uw.toDouble / math.min(SWS, st.rs))
+    }
+}

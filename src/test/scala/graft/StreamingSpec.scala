@@ -1,0 +1,67 @@
+package graft
+
+import graft.model.Capture
+import graft.operators.Daily
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** ST1 equivalence: the incremental flatMapGroupsWithState daily table
+  * must match the batch window/aggregate pipeline on the closed days,
+  * regardless of how the stream is chopped into micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private def fixture(url: String, seed: Int, n: Int, days: Int): Seq[Capture] = {
+    val rnd = new Random(seed)
+    val statuses = Seq("200", "200", "301", "404", "503", "-")
+    (0 until n).map { _ =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(rnd.nextInt(days))
+      val ts = f"${day.toString.replace("-", "")}${rnd.nextInt(24)}%02d${rnd.nextInt(60)}%02d${rnd.nextInt(60)}%02d"
+      (ts, statuses(rnd.nextInt(statuses.length)), f"SD${rnd.nextInt(7)}%02dYYYYYYY")
+    }.sortBy(_._1).zipWithIndex.map { case ((t, s, d), i) => Capture(url, t, s, d, i.toLong) }
+  }
+
+  test("streaming daily table equals batch daily table on closed days") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val capsA = fixture("sa", 21, 200, 25)
+    val capsB = fixture("sb", 22, 80, 25)
+    val all = (capsA ++ capsB).sortBy(c => (c.ts, c.seq))
+
+    val stream = MemoryStream[Capture]
+    val query = Streaming.dailyStream(stream.toDS())
+      .writeStream.format("memory").queryName("daily_stream")
+      .outputMode("append").start()
+    // three uneven micro-batches, each time-ordered
+    val chunks = Seq(all.take(90), all.slice(90, 201), all.drop(201))
+    chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+    query.stop()
+
+    val streamed = spark.table("daily_stream")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq)
+      .toMap
+
+    val batch = Daily.fromCaptures(all.toDF())
+      .select("url", "day", "datetime", "c2xx", "c3xx", "c4xx", "c5xx",
+        "specimen", "digest", "content", "chaos", "chaosn")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq)
+      .toMap
+
+    // closed days = all batch days except each url's last
+    val lastDay = batch.keys.groupBy(_._1).map { case (u, ks) => u -> ks.map(_._2).max }
+    val closed = batch.filter { case ((u, d), _) => d != lastDay(u) }
+    assert(closed.nonEmpty && streamed.nonEmpty)
+    assert(streamed.keySet == closed.keySet,
+      s"closed-day sets differ: extra=${streamed.keySet -- closed.keySet} missing=${closed.keySet -- streamed.keySet}")
+    closed.foreach { case (k, want) =>
+      assert(streamed(k) == want, s"row mismatch at $k:\n  stream ${streamed(k)}\n  batch  $want")
+    }
+  }
+}
