@@ -221,6 +221,54 @@ object Oracle {
       |       unnest(range(len(words) - 2)) t(i)
       |)""".stripMargin
 
+  /** MinHash CTEs twin of [[graft.operators.Dedup.minhash]]/
+    * [[graft.operators.Dedup.bandSignatures]] — same wide 16-min
+    * aggregation, generated to stay column-for-column in sync.
+    */
+  val minhashCtes: String = {
+    val mins = (0 until 16)
+      .map(p => s"min(substr(md5('$p|' || shingle), 1, 8)) AS mh$p")
+      .mkString(",\n    ")
+    val bands = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(p => s"mh$p").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $cols AS sig FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""mh AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id
+       |),
+       |bs AS (
+       |  $bands
+       |)""".stripMargin
+  }
+
+  /** SimHash CTEs twin of [[graft.operators.Dedup.simhash]] — same wide
+    * 32-vote aggregation.
+    */
+  val simhashCtes: String = {
+    val votes = (0 until 32)
+      .map(b => s"sum(cnt * (((wh >> $b) & 1) * 2 - 1)) AS v$b")
+      .mkString(",\n    ")
+    val fp = (0 until 32)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""wc AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY doc_id, word
+       |),
+       |vs AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM (SELECT *, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wh FROM wc)
+       |  GROUP BY doc_id
+       |),
+       |sim AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM vs
+       |)""".stripMargin
+  }
+
   /** Language-ID twin generated from the SAME marker table the Spark
     * operator uses, so the two sides cannot drift.
     */
@@ -405,17 +453,7 @@ object Oracle {
 
     "doc_near_dup" ->
       s"""WITH $shinglesCte,
-         |mh AS (
-         |  SELECT doc_id, perm,
-         |    min(substr(md5(CAST(perm AS VARCHAR) || '|' || shingle), 1, 8)) AS minh
-         |  FROM sh, unnest(range(16)) p(perm)
-         |  GROUP BY doc_id, perm
-         |),
-         |bs AS (
-         |  SELECT doc_id, perm // 4 AS band,
-         |    string_agg(minh, '_' ORDER BY perm) AS sig
-         |  FROM mh GROUP BY doc_id, band
-         |),
+         |$minhashCtes,
          |pr AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
@@ -440,41 +478,12 @@ object Oracle {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "doc_simhash" ->
-      """WITH wc AS (
-        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-        |  GROUP BY doc_id, word
-        |),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    sum(cnt * (((wh >> b) & 1) * 2 - 1)) AS v
-        |  FROM (SELECT *, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wh FROM wc),
-        |       unnest(range(32)) t(b)
-        |  GROUP BY doc_id, b
-        |)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
 
     "doc_simhash_pairs" ->
-      """WITH wc AS (
-        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-        |  GROUP BY doc_id, word
-        |),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    sum(cnt * (((wh >> b) & 1) * 2 - 1)) AS v
-        |  FROM (SELECT *, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wh FROM wc),
-        |       unnest(range(32)) t(b)
-        |  GROUP BY doc_id, b
-        |),
-        |sim AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id
-        |),
-        |banded AS (
+      s"""WITH $simhashCtes,
+         |banded AS (
         |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS key
         |  FROM sim, unnest(range(4)) t(band)
         |)

@@ -21,8 +21,21 @@ object Queries {
 
   def captures(s: SparkSession, dir: String): DataFrame = Cdx.fromEvents(s, dir)
 
+  /** SNK2: the daily table is the reference's disk-cached materialized
+    * intermediate (main.py:129 — load_cdx is cached, fill+score re-run
+    * on parameter change). Mirror that cache split: compute once per
+    * (session, dir), persist, and let every downstream query reuse it —
+    * otherwise each of the ~20 daily-derived queries re-runs the
+    * captures scan + three window shuffles.
+    */
+  private val dailyCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   private def dailyDf(s: SparkSession, dir: String): DataFrame =
-    Daily.fromCaptures(captures(s, dir))
+    dailyCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir),
+      Daily.fromCaptures(captures(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   // ---------------------------------------------------------------- P1-P4
   /** Parse/projection stage: day derivation, status-class bucketing,
@@ -234,7 +247,7 @@ object Queries {
     * cross-run recurrence), so driver-checked rows-only.
     */
   def scored(s: SparkSession, dir: String): DataFrame =
-    Trend.run(captures(s, dir), TrendQuery(fill = -1, policy = FillPolicy.Forward, asOf = AsOf))
+    Trend.runFromDaily(dailyDf(s, dir), TrendQuery(fill = -1, policy = FillPolicy.Forward, asOf = AsOf))
       .toDF()
       .orderBy("url", "day")
 

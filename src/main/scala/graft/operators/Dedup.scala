@@ -37,54 +37,72 @@ object Dedup {
   }
 
   /** Distinct word k-shingles per document (k=3). Short docs (<k words)
-    * contribute no shingles.
+    * contribute no shingles. The words array is materialized ONCE per
+    * row before the lambda — splitting inside the transform would
+    * re-tokenize per element (O(tokens^2) per doc).
     */
   def shingles(docs: DataFrame): DataFrame =
     docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(
         col("doc_id"),
         explode(expr(
-          """CASE WHEN size(split(text, ' ')) >= 3
-            |THEN transform(sequence(0, size(split(text, ' ')) - 3),
-            |               i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
+          """CASE WHEN size(w) >= 3
+            |THEN transform(sequence(0, size(w) - 3),
+            |               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("shingle"))
       .distinct()
 
   /** MinHash signatures: PERMS md5-derived hash functions; the per-doc
     * minimum of `substr(md5(perm || '|' || shingle), 1, 8)` per perm.
-    * Lexicographic min over fixed-width hex == numeric min, and md5 keeps
-    * the oracle SQL bit-identical.
+    * Lexicographic min over fixed-width hex == numeric min, and md5
+    * keeps the oracle SQL bit-identical.
+    *
+    * One WIDE aggregation (16 min columns) instead of a perm-explode:
+    * the shuffle carries |shingles| rows with map-side combine, not
+    * 16x|shingles| — the shape that survives a 100x scale-up.
     */
   val Perms = 16
   val Bands = 4 // 4 rows per band
 
   def minhash(docs: DataFrame): DataFrame =
     shingles(docs)
-      .select(col("doc_id"), col("shingle"), explode(expr(s"sequence(0, ${Perms - 1})")).as("perm"))
-      .groupBy("doc_id", "perm")
-      .agg(min(substring(md5(concat(col("perm").cast("string"), lit("|"), col("shingle"))), 1, 8)).as("minh"))
+      .groupBy("doc_id")
+      .agg(
+        min(substring(md5(concat(lit("0|"), col("shingle"))), 1, 8)).as("mh0"),
+        (1 until Perms).map(p =>
+          min(substring(md5(concat(lit(s"$p|"), col("shingle"))), 1, 8)).as(s"mh$p")): _*)
 
-  /** LSH band signatures: Perms/Bands rows per band concatenated in perm
-    * order. Docs sharing any (band, sig) bucket become candidate pairs.
+  /** LSH band signatures: Perms/Bands minima per band concatenated in
+    * perm order. Docs sharing any (band, sig) bucket become candidates.
     */
-  def bandSignatures(docs: DataFrame): DataFrame =
-    minhash(docs)
-      .withColumn("band", expr(s"perm div ${Perms / Bands}"))
-      .groupBy("doc_id", "band")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(perm, minh))), x -> x.minh), '_')").as("sig"))
+  def bandSignatures(docs: DataFrame): DataFrame = {
+    val stack = (0 until Bands).map { b =>
+      val cols = (b * Perms / Bands until (b + 1) * Perms / Bands).map(p => s"mh$p")
+      s"$b, concat_ws('_', ${cols.mkString(", ")})"
+    }.mkString(", ")
+    minhash(docs).selectExpr(
+      "doc_id", s"stack($Bands, $stack) as (band, sig)")
+  }
 
   /** Near-dup candidate pairs via LSH bucket self-join, verified with
     * exact shingle-set Jaccard. Output is every candidate pair with its
     * true similarity — thresholding is the caller's policy decision.
     */
   def nearDupPairs(docs: DataFrame): DataFrame = {
+    // Persist both self-joined intermediates: without it the whole
+    // 16-perm minhash pipeline runs once per join side (and the shingle
+    // explode three times). At warehouse scale these would be bucketed
+    // intermediate tables; persist is the single-job equivalent.
     val sigs = bandSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = sigs.as("a")
       .join(sigs.as("b"), expr("a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
     val sh = shingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -111,19 +129,26 @@ object Dedup {
   /** 32-bit SimHash over the document's word multiset: each word votes
     * its md5-derived 32-bit pattern weighted by its count; bit b of the
     * fingerprint is 1 iff the summed vote is positive (tie -> 0).
+    *
+    * Same wide-aggregation shape as [[minhash]]: 32 vote sums in one
+    * pass instead of a 32x bit-explode — the shuffle carries one row per
+    * (doc, word), combined map-side.
     */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame): DataFrame = {
+    val votes = (0 until 32).map(b =>
+      sum(col("cnt") * (expr(s"shiftright(wh, $b) & 1") * 2 - 1)).as(s"v$b"))
+    val fingerprint = (0 until 32)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("wh", expr("CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT)"))
-      .select(col("doc_id"), col("cnt"), col("wh"), explode(expr("sequence(0, 31)")).as("b"))
-      .withColumn("vote", col("cnt") * (expr("shiftright(wh, b) & 1") * 2 - 1))
-      .groupBy("doc_id", "b")
-      .agg(sum("vote").as("v"))
       .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+  }
 
   /** SimHash near-dup candidates: docs agreeing on any of the four
     * 8-bit bands join into a bucket (same no-all-pairs shape as MinHash
@@ -131,6 +156,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val sh = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(
       col("doc_id"),
       col("simhash"),
