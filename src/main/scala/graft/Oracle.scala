@@ -269,6 +269,34 @@ object Oracle {
        |)""".stripMargin
   }
 
+  /** A11/A12/J4 CTEs twin of [[graft.operators.Report.transitions]]:
+    * consecutive-valid pairs with the first-row-deadlock guard, then the
+    * static 4x4 grid completion.
+    */
+  val transitionsCtes: String =
+    """t0 AS (
+      |  SELECT url, day, specimen,
+      |    first_value(specimen) OVER (PARTITION BY url ORDER BY day) AS first_spec
+      |  FROM densified
+      |),
+      |t1 AS (
+      |  SELECT url, lag(specimen) OVER (PARTITION BY url ORDER BY day) AS src,
+      |         specimen AS tgt
+      |  FROM t0
+      |  WHERE specimen IN ('2xx', '3xx', '4xx', '5xx')
+      |    AND first_spec IN ('2xx', '3xx', '4xx', '5xx')
+      |),
+      |t2 AS (
+      |  SELECT url, src, tgt, count(*) AS n FROM t1
+      |  WHERE src IS NOT NULL GROUP BY url, src, tgt
+      |),
+      |grid AS (
+      |  SELECT u.url, s.src, t.tgt
+      |  FROM (SELECT DISTINCT url FROM densified) u
+      |  CROSS JOIN (VALUES ('2xx'), ('3xx'), ('4xx'), ('5xx')) s(src)
+      |  CROSS JOIN (VALUES ('2xx'), ('3xx'), ('4xx'), ('5xx')) t(tgt)
+      |)""".stripMargin
+
   /** Language-ID twin generated from the SAME marker table the Spark
     * operator uses, so the two sides cannot drift.
     */
@@ -629,32 +657,34 @@ object Oracle {
     "fill_closest" -> fillSql("closest"),
     "fill_identical" -> fillSql("identical"),
 
+    "transitions_chart" -> withDensified(
+      s""", $transitionsCtes
+         |SELECT g.url, g.src, g.tgt, CAST(coalesce(t2.n, 0) AS BIGINT) AS cnt,
+         |       CAST(coalesce(t2.n, 0) + 1 AS BIGINT) AS cnt_plus
+         |FROM grid g LEFT JOIN t2 ON g.url = t2.url AND g.src = t2.src AND g.tgt = t2.tgt
+         |ORDER BY g.url, g.src, g.tgt""".stripMargin),
+
     "transitions" -> withDensified(
-      """, t0 AS (
-        |  SELECT url, day, specimen,
-        |    first_value(specimen) OVER (PARTITION BY url ORDER BY day) AS first_spec
-        |  FROM densified
-        |),
-        |t1 AS (
-        |  SELECT url, lag(specimen) OVER (PARTITION BY url ORDER BY day) AS src,
-        |         specimen AS tgt
-        |  FROM t0
-        |  WHERE specimen IN ('2xx', '3xx', '4xx', '5xx')
-        |    AND first_spec IN ('2xx', '3xx', '4xx', '5xx')
-        |),
-        |t2 AS (
-        |  SELECT url, src, tgt, count(*) AS n FROM t1
-        |  WHERE src IS NOT NULL GROUP BY url, src, tgt
-        |),
-        |grid AS (
-        |  SELECT u.url, s.src, t.tgt
-        |  FROM (SELECT DISTINCT url FROM densified) u
-        |  CROSS JOIN (VALUES ('2xx'), ('3xx'), ('4xx'), ('5xx')) s(src)
-        |  CROSS JOIN (VALUES ('2xx'), ('3xx'), ('4xx'), ('5xx')) t(tgt)
-        |)
-        |SELECT g.url, g.src, g.tgt, CAST(coalesce(t2.n, 0) AS BIGINT) AS cnt
-        |FROM grid g LEFT JOIN t2 ON g.url = t2.url AND g.src = t2.src AND g.tgt = t2.tgt
-        |ORDER BY g.url, g.src, g.tgt""".stripMargin),
+      s""", $transitionsCtes
+         |SELECT g.url, g.src, g.tgt, CAST(coalesce(t2.n, 0) AS BIGINT) AS cnt
+         |FROM grid g LEFT JOIN t2 ON g.url = t2.url AND g.src = t2.src AND g.tgt = t2.tgt
+         |ORDER BY g.url, g.src, g.tgt""".stripMargin),
+
+    "report_daily" -> withDensified(
+      """SELECT url, day AS Day, datetime AS Datetime,
+        |  c2xx AS "2xx", c3xx AS "3xx", c4xx AS "4xx", c5xx AS "5xx",
+        |  call AS "All", specimen AS Specimen, filled AS Filled,
+        |  digest AS Digest, content AS Content,
+        |  CASE WHEN datetime <> '~'
+        |       THEN 'https://web.archive.org/web' || '/' || datetime || '/' || url
+        |       ELSE '#' END AS URIM
+        |FROM densified ORDER BY url, Day""".stripMargin),
+
+    "normalize_urls" -> withCaptures(
+      """SELECT url,
+        |  CASE WHEN url LIKE 'http://%' OR url LIKE 'https://%'
+        |       THEN url ELSE 'https://' || url END AS normalized
+        |FROM (SELECT DISTINCT url FROM captures) ORDER BY url""".stripMargin),
 
     "run_segments" -> withDensified(
       """, r0 AS (

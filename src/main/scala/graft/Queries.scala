@@ -395,6 +395,41 @@ object Queries {
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(docs(s, dir)).toDF().orderBy("doc_id")
 
+  // ------------------------------------------------------------ P6/P5/P11/P12
+  /** Presentation projection of the densified table: the reference's
+    * public column set (rename/title-case P6, main.py:230) + URIM (P5).
+    */
+  def reportDaily(s: SparkSession, dir: String): DataFrame =
+    GapFill.densify(dailyDf(s, dir), AsOf)
+      .select(
+        col("url"),
+        col("day").as("Day"),
+        col("datetime").as("Datetime"),
+        col("c2xx").as("2xx"),
+        col("c3xx").as("3xx"),
+        col("c4xx").as("4xx"),
+        col("c5xx").as("5xx"),
+        col("call").as("All"),
+        col("specimen").as("Specimen"),
+        col("filled").as("Filled"),
+        col("digest").as("Digest"),
+        col("content").as("Content"),
+        Metrics.urim(col("datetime"), col("url")).as("URIM"))
+      .orderBy("url", "Day")
+
+  /** Transition melt with the chart's log-scale guard column (P11,
+    * `datum.Count+1`, main.py:555-556).
+    */
+  def transitionsChart(s: SparkSession, dir: String): DataFrame =
+    transitions(s, dir).withColumn("cnt_plus", col("cnt") + 1)
+
+  /** URL scheme normalization (P12, main.py:588). */
+  def normalizeUrls(s: SparkSession, dir: String): DataFrame =
+    captures(s, dir)
+      .select("url").distinct()
+      .select(col("url"), Metrics.normalizeUrl(col("url")).as("normalized"))
+      .orderBy("url")
+
   // ------------------------------------------------------------------ ST1
   /** The streaming fold run over bounded input — must equal the batch
     * daily table bit-for-bit (same oracle SQL shape as daily_counts).
@@ -452,6 +487,9 @@ object Queries {
     "mm_features" -> (mmFeatures _),
     "span_metrics" -> (spanMetrics _),
     "metrics" -> (metrics _),
-    "streaming_daily" -> (streamingDaily _)
+    "streaming_daily" -> (streamingDaily _),
+    "report_daily" -> (reportDaily _),
+    "transitions_chart" -> (transitionsChart _),
+    "normalize_urls" -> (normalizeUrls _)
   )
 }

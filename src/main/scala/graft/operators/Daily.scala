@@ -33,6 +33,13 @@ object Daily {
 
   /** Per-capture enrichment: status class, imputed status, day key,
     * digest prefix, chaos counters. Input: (url, ts, status, digest, seq).
+    *
+    * PRECONDITION: stream order == (ts, seq) order. The windows sort by
+    * (ts, seq); the reference processes raw stream order and, on
+    * out-of-order input, would re-flush a recurring day (overwriting the
+    * earlier row, main.py:153-159) — pathological behavior we do not
+    * replicate. The CDX server contract guarantees sorted input; `seq`
+    * breaks same-second ties by stream position.
     */
   def enrich(captures: DataFrame): DataFrame = {
     // A4: a "-" (revisit) record inherits the status class last recorded

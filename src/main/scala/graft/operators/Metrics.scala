@@ -37,6 +37,11 @@ object Metrics {
       when(d1 > 0, concat(d1.cast("string"), lit("d"))).otherwise(""))
   }
 
+  /** P12: URL scheme normalizer (reference main.py:588). */
+  def normalizeUrl(url: Column): Column =
+    when(url.startsWith("http://") || url.startsWith("https://"), url)
+      .otherwise(concat(lit("https://"), url))
+
   /** P5: Wayback URIM link for a specimen capture. */
   def urim(datetime: Column, url: Column): Column =
     when(datetime =!= "~", format_string("%s/%s/%s", lit(WBM), datetime, url))

@@ -127,6 +127,27 @@ class InvariantsSpec extends AnyFunSuite {
     pins.foreach { case (d, want) => assert(got(d) == want, s"ymd($d)") }
   }
 
+  test("parseLines seq preserves line order across input splits") {
+    val spark = TestSpark.spark
+    val lines = (0 until 5000).map { i =>
+      f"202401${1 + i / 2000}%02d${i % 86400}%06d ${if (i % 3 == 0) "200" else "404"} DIG$i%06dXX"
+    }
+    val f = java.nio.file.Files.createTempFile("cdx", ".txt")
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes)
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8192") // force many splits
+      val parsed = graft.sources.Cdx.parseLines(spark, spark.read.text(f.toString), "u")
+      assert(parsed.rdd.getNumPartitions > 1, "fixture must actually split")
+      val got = parsed.collect().sortBy(_.getLong(4)).map(r => (r.getString(1), r.getString(2)))
+      val want = lines.map { l => val p = l.split(" "); (p(0), p(1)) }
+      assert(got.toSeq == want)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+      java.nio.file.Files.delete(f)
+    }
+  }
+
   test("chaosn over >1000 captures uses the 999-indicator window") {
     val spark = TestSpark.spark
     import spark.implicits._
