@@ -579,6 +579,10 @@ object Oracle {
         |  substr(digest, 1, 8) AS digest8
         |FROM captures ORDER BY url, seq""".stripMargin),
 
+    "cdx_source_scan" -> withCaptures(
+      """SELECT url, ts, status, digest FROM captures
+        |ORDER BY url, ts, status, digest""".stripMargin),
+
     "digest_impute" -> s"""WITH $capturesCte,\n$enrichedCte
       |SELECT url, seq, s AS status_imputed FROM enriched ORDER BY url, seq""".stripMargin,
 

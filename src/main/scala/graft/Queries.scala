@@ -430,6 +430,35 @@ object Queries {
       .select(col("url"), Metrics.normalizeUrl(col("url")).as("normalized"))
       .orderBy("url")
 
+  // ------------------------------------------------------------- SRC1-SRC3
+  /** Scan through the CDX DataSourceV2: captures are materialized once
+    * as page files (the driver-side write is test-fixture setup, not
+    * part of the operator), then read back through the paginated,
+    * pushdown-capable source and checked against the oracle's captures.
+    */
+  def cdxSourceScan(s: SparkSession, dir: String): DataFrame = {
+    val pagesDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_cdx_pages_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    Queries.synchronized {
+      if (!new java.io.File(pagesDir, "page-done").exists()) {
+        pagesDir.mkdirs()
+        val rows = captures(s, dir).orderBy("url", "ts", "seq").collect()
+        val perPage = math.max(1, (rows.length + 7) / 8)
+        rows.grouped(perPage).zipWithIndex.foreach { case (chunk, i) =>
+          val w = new java.io.PrintWriter(new java.io.File(pagesDir, f"page-$i%03d"), "UTF-8")
+          chunk.foreach(r => w.println(s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} ${r.getString(3)}"))
+          w.close()
+        }
+        new java.io.File(pagesDir, "page-done").createNewFile()
+      }
+    }
+    s.read.format(graft.sources.CdxSource.Name).option("path", pagesDir.getPath).load()
+      .filter(col("url").isNotNull)
+      .select("url", "ts", "status", "digest")
+      .orderBy("url", "ts", "status", "digest")
+  }
+
   // ------------------------------------------------------------------ ST1
   /** The streaming fold run over bounded input — must equal the batch
     * daily table bit-for-bit (same oracle SQL shape as daily_counts).
@@ -489,6 +518,7 @@ object Queries {
     "metrics" -> (metrics _),
     "streaming_daily" -> (streamingDaily _),
     "report_daily" -> (reportDaily _),
+    "cdx_source_scan" -> (cdxSourceScan _),
     "transitions_chart" -> (transitionsChart _),
     "normalize_urls" -> (normalizeUrls _)
   )
