@@ -1,0 +1,72 @@
+package graft
+
+import graft.model.{Capture, FillPolicy, SigParams, TrendQuery}
+import graft.operators.Trend
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based testing (SURVEY §5.2): randomized capture streams —
+  * arbitrary day spread, same-second ties, revisit records, junk status
+  * codes — must score identically to the reference port under any fill
+  * policy, with the structural invariants holding on every output.
+  */
+object EngineProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val AsOf = "2024-02-15"
+  private val params = SigParams.defaults.map { case (k, q) => k -> (q.shift, q.slope, q.spread) }
+
+  private val genLine: Gen[(String, String, String)] = for {
+    d <- Gen.choose(0, 24)
+    sec <- Gen.choose(0, 86399)
+    st <- Gen.frequency(
+      8 -> Gen.const("200"), 2 -> Gen.const("301"), 2 -> Gen.const("404"),
+      2 -> Gen.const("503"), 3 -> Gen.const("-"), 1 -> Gen.const("30x"),
+      1 -> Gen.const("junk"))
+    dg <- Gen.choose(0, 5)
+  } yield (
+    f"202401${d + 1}%02d${sec / 3600}%02d${(sec / 60) % 60}%02d${sec % 60}%02d",
+    st,
+    s"DIGESTNO${dg}_PADDING")
+
+  private val genCase: Gen[(Seq[(String, String, String)], FillPolicy, Int)] = for {
+    n <- Gen.choose(1, 120)
+    lines <- Gen.listOfN(n, genLine)
+    policy <- Gen.oneOf(FillPolicy.all)
+    fill <- Gen.oneOf(-1, 0, 2)
+  } yield (lines.sortBy(_._1), policy, fill)
+
+  property("pipeline parity + invariants on random streams") = forAll(genCase) {
+    case (lines, policy, fill) =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val caps = lines.zipWithIndex.map { case ((t, s, d), i) => Capture("u", t, s, d, i.toLong) }
+      val got = Trend.run(caps.toDF(), TrendQuery(fill, policy, AsOf))
+        .collect().sortBy(_.day)
+      val want = ReferencePort.loadData(lines, fill, policy.name, AsOf, params)
+
+      val sameLen = got.length == want.length
+      val parity = sameLen && got.zip(want).forall { case (g, w) =>
+        g.day == w.day && g.specimen == w.specimen && g.content == w.content &&
+        g.c2xx == w.c2xx && g.c3xx == w.c3xx && g.c4xx == w.c4xx && g.c5xx == w.c5xx &&
+        g.filled == w.filled &&
+        math.abs(g.resilience - w.resilience) < 1e-12 &&
+        math.abs(g.fixity - w.fixity) < 1e-12 &&
+        math.abs(g.chaos - w.chaos) < 1e-12 &&
+        math.abs(g.chaosn - w.chaosn) < 1e-12
+      }
+      val bounds = got.forall(r =>
+        r.resilience >= 0 && r.resilience <= 1 && r.fixity >= 0 && r.fixity <= 1 &&
+        r.call == r.c2xx + r.c3xx + r.c4xx + r.c5xx && (!r.filled || r.call == 0))
+      val contiguous = got.zip(got.drop(1)).forall { case (a, b) =>
+        java.time.LocalDate.parse(b.day) == java.time.LocalDate.parse(a.day).plusDays(1)
+      }
+      val label = s"n=${lines.length} policy=${policy.name} fill=$fill days=${got.length}"
+      Prop.all(
+        Prop(parity) :| s"parity mismatch [$label]",
+        Prop(bounds) :| s"bounds violated [$label]",
+        Prop(contiguous) :| s"calendar holes [$label]")
+  }
+}
