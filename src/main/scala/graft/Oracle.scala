@@ -303,7 +303,7 @@ object Oracle {
   private def langIdSql: String = {
     def occ(w: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$w'))"
     val scores = TextStats.Markers.map { case (lang, ms) =>
-      s"(${ms.map(occ).mkString(" + ")}) AS score_$lang"
+      s"CAST(${ms.map(occ).mkString(" + ")} AS INTEGER) AS score_$lang"
     }.mkString(",\n    ")
     val langs = TextStats.Markers.map(_._1)
     val branches = langs.zipWithIndex.map { case (lang, i) =>
@@ -369,8 +369,8 @@ object Oracle {
        |  FROM q JOIN vb v ON $joinCond
        |),
        |rk AS (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id
-       |                               ORDER BY cos_raw DESC, vec_id) AS rn
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |              ORDER BY cos_raw DESC, vec_id) AS INTEGER) AS rn
        |  FROM scored
        |)""".stripMargin
   }
@@ -758,8 +758,8 @@ object Oracle {
     "top_orders_per_cust" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders
         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
