@@ -421,8 +421,58 @@ object Oracle {
        |FROM agg ORDER BY url""".stripMargin
   }
 
+  private def cosSql(a: String, b: String, na: String, nb: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / ($na * $nb)""".stripMargin
+
+  /** IVF CTEs twin of [[graft.operators.Ann.ivfAssign]]/ivfTopK. */
+  private val ivfCtes: String =
+    s"""cent AS (
+       |  SELECT vec_id AS c_id, embedding AS ce, norm AS cnorm
+       |  FROM vn WHERE vec_id < 16
+       |),
+       |asg AS (
+       |  SELECT vec_id, embedding, norm, c_id FROM (
+       |    SELECT vn.vec_id, vn.embedding, vn.norm, c.c_id,
+       |      row_number() OVER (PARTITION BY vn.vec_id ORDER BY
+       |        ${cosSql("vn.embedding", "c.ce", "vn.norm", "c.cnorm")} DESC, c.c_id) AS arn
+       |    FROM vn CROSS JOIN cent c
+       |  ) WHERE arn = 1
+       |),
+       |probes AS (
+       |  SELECT q_id, qe, qnorm, c_id FROM (
+       |    SELECT vn.vec_id AS q_id, vn.embedding AS qe, vn.norm AS qnorm, c.c_id,
+       |      row_number() OVER (PARTITION BY vn.vec_id ORDER BY
+       |        ${cosSql("vn.embedding", "c.ce", "vn.norm", "c.cnorm")} DESC, c.c_id) AS qrn
+       |    FROM vn CROSS JOIN cent c WHERE vn.vec_id % 50 = 0
+       |  ) WHERE qrn <= 2
+       |)""".stripMargin
+
   val all: Map[String, String] = Map(
     "span_metrics" -> withDensified(spanMetricsSql, fillPolicy = Some("forward")),
+
+    "ann_ivf" ->
+      s"""WITH $vecNormCte,
+         |$ivfCtes,
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id,
+         |    ${cosSql("p.qe", "a.embedding", "p.qnorm", "a.norm")} AS cos_raw
+         |  FROM probes p JOIN asg a ON p.c_id = a.c_id AND p.q_id <> a.vec_id
+         |),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos_raw DESC, vec_id) AS INTEGER) AS rn
+         |  FROM scored
+         |)
+         |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
+         |FROM rk WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "ann_ivf_lists" ->
+      s"""WITH $vecNormCte,
+         |$ivfCtes
+         |SELECT c_id, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM asg GROUP BY c_id ORDER BY c_id""".stripMargin,
+
     "ann_topk" ->
       s"""${annTopkSql(bucketed = false)}
          |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos

@@ -378,6 +378,17 @@ object Queries {
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(embs(s, dir)).orderBy("q_id", "rn")
 
+  /** IVF-probed cosine top-K (coarse quantizer + inverted lists). */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    Ann.ivfTopK(embs(s, dir)).orderBy("q_id", "rn")
+
+  /** IVF inverted-list histogram. */
+  def annIvfLists(s: SparkSession, dir: String): DataFrame =
+    Ann.ivfAssign(embs(s, dir))
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("c_id")
+
   /** LSH bucket histogram (bucketing sanity + skew visibility). */
   def annBuckets(s: SparkSession, dir: String): DataFrame =
     Ann.withBucket(embs(s, dir))
@@ -511,6 +522,8 @@ object Queries {
     "doc_fingerprint" -> (docFingerprint _),
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
+    "ann_ivf_lists" -> (annIvfLists _),
     "ann_buckets" -> (annBuckets _),
     "ann_classify" -> (annClassify _),
     "mm_features" -> (mmFeatures _),

@@ -116,6 +116,54 @@ object Ann {
     topK(scored)
   }
 
+  /** IVF: coarse-quantize the corpus into K inverted lists, probe the
+    * NProbe nearest lists per query. The third scale path — what disk
+    * vector indexes do. Centroids are the first K corpus vectors (a
+    * deterministic stand-in for a trained k-means codebook: swapping in
+    * learned centroids changes only the `centroids` frame).
+    */
+  val IvfK = 16
+  val NProbe = 2
+
+  private def dot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  private def centroids(emb: DataFrame): DataFrame =
+    withNorm(emb)
+      .filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cnorm"))
+
+  /** Nearest-centroid assignment (ties -> smaller centroid id). */
+  def ivfAssign(emb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+    withNorm(emb)
+      .crossJoin(broadcast(centroids(emb)))
+      .withColumn("ccos", expr(dot("embedding", "ce")) / (col("norm") * col("cnorm")))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("c_id"))
+  }
+
+  /** IVF top-K: queries probe their NProbe nearest lists only. */
+  def ivfTopK(emb: DataFrame): DataFrame = {
+    val lists = ivfAssign(emb)
+    val wq = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+    val probes = withNorm(emb)
+      .filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qnorm"))
+      .crossJoin(broadcast(centroids(emb)))
+      .withColumn("ccos", expr(dot("qe", "ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= NProbe)
+      .select(col("q_id"), col("qe"), col("qnorm"), col("c_id"))
+    val scored = probes
+      .join(lists, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_raw", expr(dot("qe", "embedding")) / (col("qnorm") * col("norm")))
+    topK(scored)
+  }
+
   /** k-NN label vote on the brute-force neighbors: majority label of the
     * top-K (ties -> smaller label), compared against the query's own
     * label.
