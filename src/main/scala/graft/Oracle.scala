@@ -473,6 +473,15 @@ object Oracle {
          |SELECT c_id, CAST(count(*) AS BIGINT) AS n_vecs
          |FROM asg GROUP BY c_id ORDER BY c_id""".stripMargin,
 
+    "emb_near_dup" ->
+      s"""WITH $vecNormCte,
+         |vb AS (SELECT vn.*, $bucketExpr AS bucket FROM vn)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")}, 6) AS cos
+         |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")} >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
     "ann_topk" ->
       s"""${annTopkSql(bucketed = false)}
          |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos

@@ -389,6 +389,10 @@ object Queries {
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("c_id")
 
+  /** Embedding-cosine near-dup pairs (LSH-bucketed, cos >= 0.3). */
+  def embNearDup(s: SparkSession, dir: String): DataFrame =
+    Ann.embNearDup(embs(s, dir)).orderBy("vec_a", "vec_b")
+
   /** LSH bucket histogram (bucketing sanity + skew visibility). */
   def annBuckets(s: SparkSession, dir: String): DataFrame =
     Ann.withBucket(embs(s, dir))
@@ -524,6 +528,7 @@ object Queries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_lists" -> (annIvfLists _),
+    "emb_near_dup" -> (embNearDup _),
     "ann_buckets" -> (annBuckets _),
     "ann_classify" -> (annClassify _),
     "mm_features" -> (mmFeatures _),

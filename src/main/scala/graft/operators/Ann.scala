@@ -164,6 +164,31 @@ object Ann {
     topK(scored)
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join
+    * (same no-all-pairs shape as text MinHash), exact cosine verify,
+    * high threshold. The fifth dedup modality — catches semantic
+    * near-dups that text shingles miss.
+    */
+  val NearDupCos = 0.3
+
+  def embNearDup(emb: DataFrame): DataFrame = {
+    val corpus = withBucket(withNorm(emb))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
+    corpus.as("a")
+      .join(corpus.as("b"), expr("a.bucket = b.bucket AND a.vec_id < b.vec_id"))
+      .withColumn(
+        "cos_raw",
+        expr(
+          """aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
+          (col("a.norm") * col("b.norm")))
+      .filter(col("cos_raw") >= NearDupCos)
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(col("cos_raw"), 6).as("cos"))
+  }
+
   /** k-NN label vote on the brute-force neighbors: majority label of the
     * top-K (ties -> smaller label), compared against the query's own
     * label.
