@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.model.Capture
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** ST1: incremental daily aggregation as a stateful stream.
@@ -148,6 +149,67 @@ object Streaming {
     captures
       .groupByKey(_.url)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(processGroup)
+  }
+
+  /** ST3: late/out-of-order tolerant variant. Incoming rows are held in
+    * a per-url buffer and only folded through the (order-sensitive) loop
+    * once the event-time watermark has passed them — any row arriving
+    * within the lateness bound lands in its correct stream position;
+    * rows later than the bound are dropped by the watermark upstream.
+    * This defines the semantics the reference leaves undefined (its
+    * algorithm silently corrupts on unsorted input, SURVEY §2.9 ST3).
+    */
+  case class LateState(pending: Seq[Capture], core: UrlState)
+
+  private[streaming] def tsMillis(ts: String): Long =
+    java.time.LocalDateTime
+      .parse(ts, java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  def processGroupLate(
+      url: String,
+      rows: Iterator[Capture],
+      state: GroupState[LateState]): Iterator[DailyOut] = {
+    val st = state.getOption.getOrElse(LateState(Vector.empty, emptyState))
+    val wm = state.getCurrentWatermarkMs()
+    val all = (st.pending ++ rows).sortBy(c => (c.ts, c.seq))
+    val (ready, hold) = all.partition(c => tsMillis(c.ts) <= wm)
+    var core = st.core
+    val out = Vector.newBuilder[DailyOut]
+    ready.foreach { c =>
+      val (next, flushed) = step(core, c)
+      core = next
+      flushed.foreach(out += _)
+    }
+    state.update(LateState(hold, core))
+    out.result().iterator
+  }
+
+  /** Watermarked stream: tolerate up to `lateness` of event-time
+    * disorder. The watermark both bounds the hold-back buffer and drops
+    * too-late rows before they can corrupt the order-sensitive fold.
+    */
+  def dailyStreamWatermarked(captures: Dataset[Capture], lateness: String): Dataset[DailyOut] = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    captures
+      .withColumn("event_time", to_timestamp(col("ts"), "yyyyMMddHHmmss"))
+      .withWatermark("event_time", lateness)
+      .as[CaptureWithTime]
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (url: String, rows: Iterator[CaptureWithTime], state: GroupState[LateState]) =>
+          processGroupLate(url, rows.map(_.toCapture), state))
+  }
+
+  case class CaptureWithTime(
+      url: String,
+      ts: String,
+      status: String,
+      digest: String,
+      seq: Long,
+      event_time: java.sql.Timestamp) {
+    def toCapture: Capture = Capture(url, ts, status, digest, seq)
   }
 
   /** Run the exact streaming fold over one url's bounded capture set and

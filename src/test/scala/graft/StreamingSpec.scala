@@ -64,4 +64,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(k) == want, s"row mismatch at $k:\n  stream ${streamed(k)}\n  batch  $want")
     }
   }
+
+  test("watermarked stream absorbs out-of-order arrivals within the bound") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = fixture("w", 31, 150, 20)
+    // shuffle WITHIN each batch (cross-batch still roughly ordered, as a
+    // watermarked source would deliver)
+    val rnd = new Random(5)
+    val chunks = Seq(all.take(60), all.slice(60, 110), all.drop(110)).map(rnd.shuffle(_))
+
+    val stream = MemoryStream[Capture]
+    val query = Streaming.dailyStreamWatermarked(stream.toDS(), "2 days")
+      .writeStream.format("memory").queryName("daily_wm")
+      .outputMode("append").start()
+    chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+    // one empty commit so the final watermark (advanced by the last
+    // batch's max event time) releases the last held-back rows
+    stream.addData(Seq.empty[Capture]); query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("daily_wm")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+
+    val batch = Daily.fromCaptures(all.toDF())
+      .select("url", "day", "datetime", "c2xx", "c3xx", "c4xx", "c5xx",
+        "specimen", "digest", "content", "chaos", "chaosn")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+
+    // every emitted day must match the batch table exactly (watermark
+    // holds back the tail, so emitted is a prefix of the batch table)
+    assert(streamed.nonEmpty, "watermarked stream emitted nothing")
+    streamed.foreach { case (k, got) =>
+      assert(batch(k) == got, s"late-data divergence at $k")
+    }
+  }
 }
