@@ -251,6 +251,33 @@ object Queries {
       .toDF()
       .orderBy("url", "day")
 
+  /** The BASELINE protocol's multi-URL synthetic scoring run: 1M
+    * captures x 200 urls generated distributedly (spark.range, no data
+    * files, no driver loops) through the FULL pipeline — the headline
+    * throughput number for the flagship path. Output is one scored day
+    * row per (url, day): ~9k rows from 1M captures.
+    */
+  def scoredScale(s: SparkSession, dir: String): DataFrame = {
+    val n = 1000000L
+    val caps = s.range(n).select(
+      concat(lit("u"), (col("id") % 200).cast("string")).as("url"),
+      date_format(
+        timestamp_seconds(
+          lit(1704067200L) + (col("id") / 200).cast("long") % 45 * 86400 +
+            (col("id") * 7919) % 86400),
+        "yyyyMMddHHmmss").as("ts"),
+      when(col("id") % 13 === 0, "-")
+        .when(col("id") % 7 === 0, "404")
+        .when(col("id") % 5 === 0, "503")
+        .when(col("id") % 3 === 0, "301")
+        .otherwise("200").as("status"),
+      md5(concat(lit("g"), (col("id") % 200).cast("string"), (col("id") % 9).cast("string"))).as("digest"),
+      col("id").as("seq"))
+    Trend.run(caps, TrendQuery(fill = -1, policy = FillPolicy.Forward, asOf = "2024-04-01"))
+      .toDF()
+      .orderBy("url", "day")
+  }
+
   /** Resilience/fixity series only (smaller projection of scored). */
   def scoreSeries(s: SparkSession, dir: String): DataFrame =
     scored(s, dir).select(
@@ -510,6 +537,7 @@ object Queries {
     "fixity_counts" -> (fixityCounts _),
     "specimen_breakdown" -> (specimenBreakdown _),
     "scored" -> (scored _),
+    "scored_scale" -> (scoredScale _),
     "score_series" -> (scoreSeries _),
     "sigmoid_shape" -> (sigmoidShape _),
     "tpch_q1" -> (tpchQ1 _),
