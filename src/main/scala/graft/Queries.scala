@@ -145,7 +145,9 @@ object Queries {
       .agg(
         count("cnt").as("n"),
         avg("cnt").as("mean"),
-        round(coalesce(stddev_samp(col("cnt")), lit(0.0)), 6).as("std"),
+        // nanvl: Spark stddev_samp of a single value is NaN where
+        // DuckDB's is NULL — both must land on 0.0
+        round(coalesce(nanvl(stddev_samp(col("cnt")), lit(null)), lit(0.0)), 6).as("std"),
         coalesce(min("cnt"), lit(0L)).as("min"),
         coalesce(expr("percentile(cnt, 0.25)"), lit(0.0)).as("q1"),
         coalesce(expr("percentile(cnt, 0.5)"), lit(0.0)).as("median"),
