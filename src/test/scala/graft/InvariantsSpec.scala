@@ -148,6 +148,28 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("warm path: re-parameterization from the same daily table only moves scores") {
+    // the reference's Entry-3 cache split (main.py:129 vs 186): load_cdx
+    // cached, fill+score re-run on slider change
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.model.SigParams
+    val daily = Daily.fromCaptures(fixture.toDF()).persist()
+    val q1 = TrendQuery(-1, FillPolicy.Forward, AsOf)
+    val q2 = q1.copy(params = SigParams.defaults.updated("2xx", SigParams(2, 5, 1)))
+    val a = Trend.runFromDaily(daily, q1).collect().sortBy(r => (r.url, r.day))
+    val b = Trend.runFromDaily(daily, q2).collect().sortBy(r => (r.url, r.day))
+    daily.unpersist()
+    assert(a.length == b.length)
+    var scoresDiffer = false
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.copy(resilience = 0, fixity = 0) == y.copy(resilience = 0, fixity = 0),
+        "non-score columns must be identical across re-parameterization")
+      if (x.resilience != y.resilience) scoresDiffer = true
+    }
+    assert(scoresDiffer, "changed 2xx params must move resilience somewhere")
+  }
+
   test("chaosn over >1000 captures uses the 999-indicator window") {
     val spark = TestSpark.spark
     import spark.implicits._
