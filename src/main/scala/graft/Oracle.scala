@@ -592,6 +592,25 @@ object Oracle {
         |        / len(string_split(text, ' ')), 6) AS ttr
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "doc_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 8 THEN 'train'
+        |       WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bucket
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin,
+
+    "doc_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                      ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(text) AS INTEGER) AS n_chars_raw,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                                  ' +', ' ', 'g'))) AS INTEGER) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "doc_lang_id" -> langIdSql,
 
     "doc_quality" ->

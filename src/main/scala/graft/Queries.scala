@@ -397,6 +397,14 @@ object Queries {
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprint(docs(s, dir)).orderBy("doc_id")
 
+  /** Deterministic train/valid/test hash split. */
+  def docSplit(s: SparkSession, dir: String): DataFrame =
+    TextStats.trainSplit(docs(s, dir)).orderBy("doc_id")
+
+  /** Pre-tokenization text normalization with shrinkage audit. */
+  def docNormalize(s: SparkSession, dir: String): DataFrame =
+    TextStats.normalize(docs(s, dir)).orderBy("doc_id")
+
   private def embs(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 
   /** Brute-force cosine top-K: broadcast query set vs corpus. */
@@ -554,6 +562,8 @@ object Queries {
     "doc_lang_id" -> (docLangId _),
     "doc_quality" -> (docQuality _),
     "doc_fingerprint" -> (docFingerprint _),
+    "doc_split" -> (docSplit _),
+    "doc_normalize" -> (docNormalize _),
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),

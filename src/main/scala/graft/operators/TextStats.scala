@@ -85,6 +85,35 @@ object TextStats {
         6).as("quality"))
   }
 
+  /** Deterministic dataset splitting: hash-bucket each document by
+    * md5(doc_id) into 10 buckets -> 8 train / 1 valid / 1 test. The
+    * split is a pure function of the id — stable across runs, machines,
+    * and data order, which is what keeps eval sets uncontaminated.
+    */
+  def trainSplit(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"))
+      .withColumn(
+        "bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10"))
+      .withColumn(
+        "split",
+        when(col("bucket") < 8, "train").when(col("bucket") === 8, "valid").otherwise("test"))
+
+  /** Text normalization: lowercase, strip non-alphanumeric (keeping
+    * spaces), collapse whitespace — the standard pre-tokenization
+    * cleanup, with before/after lengths for shrinkage auditing.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(
+      col("doc_id"),
+      cleaned.as("norm_text"),
+      length(col("text")).as("n_chars_raw"),
+      length(cleaned).as("n_chars_norm"))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase
     * text, its 8-char prefix, and a bottom-3 sketch of shingle hashes
     * (a deterministic min-hash-style document signature usable for
