@@ -39,8 +39,11 @@ class CdxSource extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new CdxTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    val maxPages = Option(properties.get("maxPages")).map(_.toInt)
+      .getOrElse(CdxSource.MaxPages)
+    new CdxTable(properties.get("path"), maxPages)
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -53,18 +56,24 @@ object CdxSource {
     StructField("seq", LongType)))
 
   val Name: String = classOf[CdxSource].getName
+
+  /** Reference page cap (MAXCDXPAGES, main.py:23): pages beyond the cap
+    * are never planned, the limit-like pushdown the reference applies
+    * at the HTTP layer.
+    */
+  val MaxPages = 2000
 }
 
-class CdxTable(path: String) extends Table with SupportsRead {
+class CdxTable(path: String, maxPages: Int) extends Table with SupportsRead {
   override def name(): String = s"cdx(`$path`)"
   override def schema(): StructType = CdxSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdxScanBuilder(path)
+    new CdxScanBuilder(path, maxPages)
 }
 
-class CdxScanBuilder(path: String)
+class CdxScanBuilder(path: String, maxPages: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -89,13 +98,13 @@ class CdxScanBuilder(path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new CdxScan(path, required, urlFilter)
+  override def build(): Scan = new CdxScan(path, required, urlFilter, maxPages)
 }
 
 /** One page file = one partition. */
 case class CdxPagePartition(file: String, page: Int) extends InputPartition
 
-class CdxScan(path: String, required: StructType, urlFilter: Option[String])
+class CdxScan(path: String, required: StructType, urlFilter: Option[String], maxPages: Int)
     extends Scan
     with Batch {
 
@@ -111,6 +120,7 @@ class CdxScan(path: String, required: StructType, urlFilter: Option[String])
       .filter(_.isFile)
       .map(_.getPath.toString)
       .sorted // lexicographic file order == page order
+      .take(maxPages)
     pages.zipWithIndex.map { case (f, i) => CdxPagePartition(f, i): InputPartition }
   }
 

@@ -39,6 +39,13 @@ class CdxSourceSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSeq == rows.map(_.getString(1)).toSeq.sorted)
   }
 
+  test("maxPages caps planned partitions (MAXCDXPAGES analog)") {
+    val df = TestSpark.spark.read.format(CdxSource.Name)
+      .option("path", pagesDir.getPath).option("maxPages", "2").load()
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 5)
+  }
+
   test("url equality filter is pushed to the reader") {
     val df = read.filter(col("url") === "a")
     val plan = df.queryExecution.executedPlan.toString

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guardrails: the properties that make these queries
+  * survive a 100x scale-up, asserted so a refactor can't silently
+  * regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    Queries.all(name)(TestSpark.spark, dir).queryExecution.executedPlan.toString
+
+  test("tpch_q1: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n${p.take(2000)}")
+    assert(!p.contains("l_comment"), "unused columns must be pruned from the scan")
+  }
+
+  test("revenue_by_nation: all three dimension joins broadcast") {
+    val p = plan("revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, s"expected 3 broadcast joins:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), "no dim join may degrade to sort-merge")
+  }
+
+  test("near-dup and ANN queries plan no cartesian products") {
+    for (q <- Seq("doc_near_dup", "doc_simhash_pairs", "ann_lsh", "emb_near_dup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("ann_topk broadcasts the query side (small x big, never shuffle)") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("daily-derived queries reuse the persisted daily table") {
+    assert(plan("chaos_daily").contains("InMemoryTableScan"),
+      "chaos_daily must read the cached daily table, not recompute it")
+  }
+}
