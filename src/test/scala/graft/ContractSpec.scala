@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract itself: entry smoke, registry/oracle key
+  * alignment, JSON-safety of the oracle SQL.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("entry yields rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
+
+  test("every oracle key names a registered query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle keys without queries: $dangling")
+  }
+
+  test("rows-only queries are exactly the stateful-score set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("scored", "scored_scale", "score_series", "metrics"),
+      s"unexpected rows-only queries (add an oracle twin or document): $rowsOnly")
+  }
+
+  test("oracle SQL parses as single statements (no stray semicolons)") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(!sql.contains(";"), s"$k oracle contains a semicolon")
+      assert(sql.toLowerCase.contains("select"), s"$k oracle has no select")
+    }
+  }
+}
