@@ -19,7 +19,10 @@ import graft.operators.TextStats
   */
 object Oracle {
 
-  val AsOf = "2024-03-01"
+  /** Single source of truth — any drift from the Spark side's injected
+    * "today" silently shifts every densified twin's calendar endpoint.
+    */
+  val AsOf: String = Queries.AsOf
 
   /** Must stay EXACTLY in sync with Cdx.fromEventsDf — same adapter
     * expressions over events.parquet (see Cdx.scala doc).
@@ -522,11 +525,12 @@ object Oracle {
       """SELECT doc_id, 'image' AS modality,
         |  n_chars % 64 + 16 AS width,
         |  n_chars * 7 % 64 + 16 AS height,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  CAST(list_sum(list_transform(range(least(16, length(text))),
-        |    i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT) AS header_sum,
+        |  CAST(length(p) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(least(16, length(p))),
+        |    i -> ascii(substr(p, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT) AS header_sum,
         |  round(CAST(n_chars % 64 + 16 AS DOUBLE) / (n_chars * 7 % 64 + 16), 6) AS aspect
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM (SELECT *, regexp_replace(text, '[^\x20-\x7e]', '_', 'g') AS p
+        |      FROM documents) ORDER BY doc_id""".stripMargin,
     "doc_exact_dedup" ->
       """WITH g AS (
         |  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS group_size,

@@ -28,14 +28,24 @@ object Queries {
     * otherwise each of the ~20 daily-derived queries re-runs the
     * captures scan + three window shuffles.
     */
+  /** Weak keys: the session object itself keys its cache (identity
+    * semantics — SparkSession doesn't override equals), so a stale
+    * entry can never be handed to a different session, and entries for
+    * stopped, dereferenced sessions are GC-collectable instead of
+    * pinning their persisted blocks forever.
+    */
   private val dailyCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
   private def dailyDf(s: SparkSession, dir: String): DataFrame =
-    dailyCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir),
-      Daily.fromCaptures(captures(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    dailyCache.synchronized {
+      val perSession = dailyCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, DataFrame])
+      perSession.getOrElseUpdate(
+        dir,
+        Daily.fromCaptures(captures(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   // ---------------------------------------------------------------- P1-P4
   /** Parse/projection stage: day derivation, status-class bucketing,
@@ -488,24 +498,24 @@ object Queries {
     * part of the operator), then read back through the paginated,
     * pushdown-capable source and checked against the oracle's captures.
     */
+  /** Page-file fixtures are cached per JVM (fresh temp dir each run) so
+    * regenerated input parquet can never be shadowed by stale pages.
+    */
+  private val cdxPagesCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
   def cdxSourceScan(s: SparkSession, dir: String): DataFrame = {
-    val pagesDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_cdx_pages_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-    Queries.synchronized {
-      if (!new java.io.File(pagesDir, "page-done").exists()) {
-        pagesDir.mkdirs()
-        val rows = captures(s, dir).orderBy("url", "ts", "seq").collect()
-        val perPage = math.max(1, (rows.length + 7) / 8)
-        rows.grouped(perPage).zipWithIndex.foreach { case (chunk, i) =>
-          val w = new java.io.PrintWriter(new java.io.File(pagesDir, f"page-$i%03d"), "UTF-8")
-          chunk.foreach(r => w.println(s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} ${r.getString(3)}"))
-          w.close()
-        }
-        new java.io.File(pagesDir, "page-done").createNewFile()
+    val pagesPath = cdxPagesCache.getOrElseUpdate(dir, {
+      val pagesDir = java.nio.file.Files.createTempDirectory("graft_cdx_pages_").toFile
+      val rows = captures(s, dir).orderBy("url", "ts", "seq").collect()
+      val perPage = math.max(1, (rows.length + 7) / 8)
+      rows.grouped(perPage).zipWithIndex.foreach { case (chunk, i) =>
+        val w = new java.io.PrintWriter(new java.io.File(pagesDir, f"page-$i%03d"), "UTF-8")
+        chunk.foreach(r => w.println(s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} ${r.getString(3)}"))
+        w.close()
       }
-    }
-    s.read.format(graft.sources.CdxSource.Name).option("path", pagesDir.getPath).load()
+      pagesDir.getPath
+    })
+    s.read.format(graft.sources.CdxSource.Name).option("path", pagesPath).load()
       .filter(col("url").isNotNull)
       .select("url", "ts", "status", "digest")
       .orderBy("url", "ts", "status", "digest")

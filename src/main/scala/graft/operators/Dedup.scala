@@ -94,6 +94,10 @@ object Dedup {
     // 16-perm minhash pipeline runs once per join side (and the shingle
     // explode three times). At warehouse scale these would be bucketed
     // intermediate tables; persist is the single-job equivalent.
+    // Lifecycle note: Spark's CacheManager dedupes by canonicalized
+    // plan, so repeated calls over the same input reuse one cache
+    // entry; entries live until the session ends (callers wanting
+    // eager cleanup own an unpersist after their action).
     val sigs = bandSignatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = sigs.as("a")

@@ -36,8 +36,11 @@ object Multimodal {
       aspect: Double)
 
   /** Attach a binary payload + metadata to the documents table. The
-    * payload is the utf-8 text bytes standing in for an encoded image;
-    * width/height are derived metadata a real ingest would carry.
+    * payload is ASCII-projected text bytes standing in for an encoded
+    * image (the projection keeps byte == character so the DuckDB oracle
+    * — which has no blob byte extraction — can verify the stubbed
+    * decode; real ingests carry true binary); width/height are derived
+    * metadata a real ingest would carry.
     */
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(
@@ -45,7 +48,7 @@ object Multimodal {
       lit("image").as("modality"),
       (col("n_chars") % 64 + 16).as("width"),
       (col("n_chars") * 7 % 64 + 16).as("height"),
-      encode(col("text"), "utf-8").as("payload"))
+      encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", "_"), "utf-8").as("payload"))
 
   /** STUB decode: a real implementation would parse the codec header and
     * decode pixel/sample data here. The fake reads raw byte length and a

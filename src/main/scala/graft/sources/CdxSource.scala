@@ -98,13 +98,39 @@ class CdxScanBuilder(path: String, maxPages: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new CdxScan(path, required, urlFilter, maxPages)
+  override def build(): Scan = {
+    // Capture the session's Hadoop configuration (driver side) so the
+    // source honors spark.hadoop.* / fs.* settings like every built-in
+    // source — a bare `new Configuration()` cannot reach s3a
+    // credentials, custom fs impls, or HDFS nameservices.
+    val hadoopProps = {
+      val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+      val it = conf.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    new CdxScan(path, required, urlFilter, maxPages, hadoopProps)
+  }
+}
+
+object CdxConf {
+  def build(props: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    props.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
 }
 
 /** One page file = one partition. */
 case class CdxPagePartition(file: String, page: Int) extends InputPartition
 
-class CdxScan(path: String, required: StructType, urlFilter: Option[String], maxPages: Int)
+class CdxScan(
+    path: String,
+    required: StructType,
+    urlFilter: Option[String],
+    maxPages: Int,
+    hadoopProps: Map[String, String])
     extends Scan
     with Batch {
 
@@ -115,7 +141,7 @@ class CdxScan(path: String, required: StructType, urlFilter: Option[String], max
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hPath = new Path(path)
-    val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = hPath.getFileSystem(CdxConf.build(hadoopProps))
     val pages = fs.listStatus(hPath)
       .filter(_.isFile)
       .map(_.getPath.toString)
@@ -125,14 +151,17 @@ class CdxScan(path: String, required: StructType, urlFilter: Option[String], max
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdxReaderFactory(required.fieldNames, urlFilter)
+    new CdxReaderFactory(required.fieldNames, urlFilter, hadoopProps)
 }
 
-class CdxReaderFactory(columns: Array[String], urlFilter: Option[String])
+class CdxReaderFactory(
+    columns: Array[String],
+    urlFilter: Option[String],
+    hadoopProps: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdxPagePartition]
-    new CdxPartitionReader(p.file, p.page, columns, urlFilter)
+    new CdxPartitionReader(p.file, p.page, columns, urlFilter, hadoopProps)
   }
 }
 
@@ -140,11 +169,12 @@ class CdxPartitionReader(
     file: String,
     page: Int,
     columns: Array[String],
-    urlFilter: Option[String])
+    urlFilter: Option[String],
+    hadoopProps: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(file)
-  private val in = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hPath)
+  private val in = hPath.getFileSystem(CdxConf.build(hadoopProps)).open(hPath)
   private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
   private var offset = -1L
   private var row: InternalRow = _

@@ -161,19 +161,24 @@ object Streaming {
     */
   case class LateState(pending: Seq[Capture], core: UrlState)
 
-  private[streaming] def tsMillis(ts: String): Long =
+  /** Parse ts in the SAME zone `to_timestamp` used to derive the
+    * watermark column (the session timezone) — a hard-coded UTC here
+    * would release rows up to a zone-offset early on non-UTC sessions,
+    * letting in-bound stragglers corrupt the order-sensitive fold.
+    */
+  private[streaming] def tsMillis(ts: String, zone: java.time.ZoneId): Long =
     java.time.LocalDateTime
       .parse(ts, java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      .atZone(zone).toInstant.toEpochMilli
 
-  def processGroupLate(
+  def processGroupLate(zone: java.time.ZoneId)(
       url: String,
       rows: Iterator[Capture],
       state: GroupState[LateState]): Iterator[DailyOut] = {
     val st = state.getOption.getOrElse(LateState(Vector.empty, emptyState))
     val wm = state.getCurrentWatermarkMs()
     val all = (st.pending ++ rows).sortBy(c => (c.ts, c.seq))
-    val (ready, hold) = all.partition(c => tsMillis(c.ts) <= wm)
+    val (ready, hold) = all.partition(c => tsMillis(c.ts, zone) <= wm)
     var core = st.core
     val out = Vector.newBuilder[DailyOut]
     ready.foreach { c =>
@@ -192,6 +197,9 @@ object Streaming {
   def dailyStreamWatermarked(captures: Dataset[Capture], lateness: String): Dataset[DailyOut] = {
     val spark = captures.sparkSession
     import spark.implicits._
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    val process = processGroupLate(zone) _
     captures
       .withColumn("event_time", to_timestamp(col("ts"), "yyyyMMddHHmmss"))
       .withWatermark("event_time", lateness)
@@ -199,7 +207,7 @@ object Streaming {
       .groupByKey(_.url)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (url: String, rows: Iterator[CaptureWithTime], state: GroupState[LateState]) =>
-          processGroupLate(url, rows.map(_.toCapture), state))
+          process(url, rows.map(_.toCapture), state))
   }
 
   case class CaptureWithTime(
