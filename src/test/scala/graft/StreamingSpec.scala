@@ -101,4 +101,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch(k) == got, s"late-data divergence at $k")
     }
   }
+
+  test("watermarked stream is correct under a non-UTC session timezone") {
+    // pins the fix for the UTC/session-zone mismatch: the hold-back
+    // predicate must use the same zone to_timestamp used
+    val spark = TestSpark.spark.newSession()
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = fixture("nz", 41, 100, 15)
+    val rnd = new Random(7)
+    val chunks = Seq(all.take(50), all.drop(50)).map(rnd.shuffle(_))
+
+    val stream = MemoryStream[Capture]
+    val query = Streaming.dailyStreamWatermarked(stream.toDS(), "2 days")
+      .writeStream.format("memory").queryName("daily_nz")
+      .outputMode("append").start()
+    chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+    stream.addData(Seq.empty[Capture]); query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("daily_nz")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    val batch = Daily.fromCaptures(all.toDF())
+      .select("url", "day", "datetime", "c2xx", "c3xx", "c4xx", "c5xx",
+        "specimen", "digest", "content", "chaos", "chaosn")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, got) => assert(batch(k) == got, s"tz divergence at $k") }
+  }
 }
