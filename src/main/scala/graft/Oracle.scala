@@ -64,10 +64,10 @@ object Oracle {
       |),
       |e2 AS (
       |  SELECT *,
-      |    CASE WHEN s <> coalesce(lag(s) OVER w, '~') THEN 1 ELSE 0 END AS chg,
+      |    CASE WHEN s <> coalesce(lag(s) OVER we, '~') THEN 1 ELSE 0 END AS chg,
       |    CASE WHEN s = '2xx' THEN 4 WHEN s = '4xx' THEN 3
       |         WHEN s = '5xx' THEN 2 WHEN s = '3xx' THEN 1 ELSE 0 END AS priority
-      |  FROM e1 WINDOW w AS (PARTITION BY url ORDER BY ts, seq)
+      |  FROM e1 WINDOW we AS (PARTITION BY url ORDER BY ts, seq)
       |),
       |enriched AS (
       |  SELECT *,
@@ -123,8 +123,8 @@ object Oracle {
     val keep = if (policy == "identical") " AND specimen = nspec" else ""
     s"""g0 AS (
        |  SELECT url, day, specimen,
-       |    lead(day) OVER w AS nday, lead(specimen) OVER w AS nspec
-       |  FROM daily WINDOW w AS (PARTITION BY url ORDER BY day)
+       |    lead(day) OVER wg AS nday, lead(specimen) OVER wg AS nspec
+       |  FROM daily WINDOW wg AS (PARTITION BY url ORDER BY day)
        |),
        |g1 AS (
        |  SELECT *, datediff('day', CAST(day AS DATE), CAST(nday AS DATE)) - 1 AS gap
@@ -187,12 +187,12 @@ object Oracle {
        |densified AS (
        |  SELECT url, day, datetime, c2xx, c3xx, c4xx, c5xx, specimen, digest,
        |    content,
-       |    coalesce(last_value(chaos0 IGNORE NULLS) OVER w, 0.0) AS chaos,
-       |    coalesce(last_value(chaosn0 IGNORE NULLS) OVER w, 0.0) AS chaosn,
+       |    coalesce(last_value(chaos0 IGNORE NULLS) OVER wd, 0.0) AS chaos,
+       |    coalesce(last_value(chaosn0 IGNORE NULLS) OVER wd, 0.0) AS chaosn,
        |    c2xx + c3xx + c4xx + c5xx AS call,
        |    specimen <> '~' AND c2xx + c3xx + c4xx + c5xx = 0 AS filled
-       |  FROM z0 WINDOW w AS (PARTITION BY url ORDER BY day
-       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |  FROM z0 WINDOW wd AS (PARTITION BY url ORDER BY day
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |)""".stripMargin
 
   private def withCaptures(body: String): String =
@@ -424,6 +424,77 @@ object Oracle {
        |FROM agg ORDER BY url""".stripMargin
   }
 
+  /** S1 twin: the stateful sigmoid recurrence replayed as a RECURSIVE
+    * CTE — one step per (url, day index), carrying the exact loop state
+    * (prev specimen/content, x, base, scale, h for both dimensions).
+    * The parameter VALUES table and every expression are generated from
+    * the same SigParams.defaults the Spark side uses. Mirrors
+    * Score.scoreSeries / reference main.py:194-227 including the
+    * re-basing on state change and the junk-specimen '~' fallback.
+    */
+  private def scoreSeriesSql: String = {
+    val params = graft.model.SigParams.defaults.toSeq.sortBy(_._1)
+      .map { case (k, p) => s"('$k', ${p.shift}, ${p.slope}, ${p.spread})" }
+      .mkString(",\n    ")
+    val chgS = "d.specimen <> r.ps"
+    val chgC = "d.content <> r.pcc"
+    val nx = s"(CASE WHEN $chgS THEN 1 ELSE r.x + 1 END)"
+    val nbase = s"(CASE WHEN $chgS THEN r.h ELSE r.base END)"
+    val nscale =
+      s"(CASE WHEN $chgS THEN (CASE WHEN d.s_spread < 0 THEN r.h ELSE 1 - r.h END) ELSE r.scale END)"
+    val nh = s"$nbase + $nscale * (d.s_spread / (1 + exp(d.s_shift - CAST($nx AS DOUBLE) / d.s_slope)))"
+    val nxc = s"(CASE WHEN $chgC THEN 1 ELSE r.xc + 1 END)"
+    val nbasec = s"(CASE WHEN $chgC THEN r.hc ELSE r.basec END)"
+    val nscalec =
+      s"(CASE WHEN $chgC THEN (CASE WHEN d.c_spread < 0 THEN r.hc ELSE 1 - r.hc END) ELSE r.scalec END)"
+    val nhc = s"$nbasec + $nscalec * (d.c_spread / (1 + exp(d.c_shift - CAST($nxc AS DOUBLE) / d.c_slope)))"
+    s"""WITH RECURSIVE $capturesCte,
+       |$enrichedCte,
+       |$dailyCte,
+       |${filledCte("forward")},
+       |$densifiedCte,
+       |pt(key, shift, slope, spread) AS (VALUES
+       |    $params),
+       |days AS (
+       |  SELECT d0.*,
+       |    coalesce(ps_.shift, tld.shift) AS s_shift,
+       |    coalesce(ps_.slope, tld.slope) AS s_slope,
+       |    coalesce(ps_.spread, tld.spread) AS s_spread,
+       |    pc_.shift AS c_shift, pc_.slope AS c_slope, pc_.spread AS c_spread
+       |  FROM (
+       |    SELECT url, day, specimen, content, chaos, chaosn,
+       |      row_number() OVER (PARTITION BY url ORDER BY day) AS i
+       |    FROM densified
+       |  ) d0
+       |  LEFT JOIN pt ps_ ON ps_.key = d0.specimen
+       |  LEFT JOIN pt pc_ ON pc_.key = d0.content
+       |  CROSS JOIN (SELECT shift, slope, spread FROM pt WHERE key = '~') tld
+       |),
+       |rec AS (
+       |  SELECT url, CAST(0 AS BIGINT) AS i,
+       |    CAST(NULL AS VARCHAR) AS day, CAST(NULL AS VARCHAR) AS specimen,
+       |    CAST(NULL AS VARCHAR) AS content,
+       |    CAST(NULL AS DOUBLE) AS chaos, CAST(NULL AS DOUBLE) AS chaosn,
+       |    '~' AS ps, CAST(0 AS BIGINT) AS x,
+       |    CAST(0.5 AS DOUBLE) AS base, CAST(0.5 AS DOUBLE) AS scale,
+       |    CAST(0.5 AS DOUBLE) AS h,
+       |    'Unknown' AS pcc, CAST(0 AS BIGINT) AS xc,
+       |    CAST(0.5 AS DOUBLE) AS basec, CAST(0.5 AS DOUBLE) AS scalec,
+       |    CAST(0.5 AS DOUBLE) AS hc
+       |  FROM (SELECT DISTINCT url FROM days)
+       |  UNION ALL
+       |  SELECT d.url, d.i, d.day, d.specimen, d.content, d.chaos, d.chaosn,
+       |    d.specimen AS ps, $nx AS x, $nbase AS base, $nscale AS scale,
+       |    $nh AS h,
+       |    d.content AS pcc, $nxc AS xc, $nbasec AS basec, $nscalec AS scalec,
+       |    $nhc AS hc
+       |  FROM rec r JOIN days d ON d.url = r.url AND d.i = r.i + 1
+       |)
+       |SELECT url, day, specimen, content,
+       |  round(h, 6) AS resilience, round(hc, 6) AS fixity, chaos, chaosn
+       |FROM rec WHERE i > 0 ORDER BY url, day""".stripMargin
+  }
+
   private def cosSql(a: String, b: String, na: String, nb: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / ($na * $nb)""".stripMargin
@@ -453,6 +524,8 @@ object Oracle {
 
   val all: Map[String, String] = Map(
     "span_metrics" -> withDensified(spanMetricsSql, fillPolicy = Some("forward")),
+
+    "score_series" -> scoreSeriesSql,
 
     "ann_ivf" ->
       s"""WITH $vecNormCte,

@@ -290,11 +290,17 @@ object Queries {
       .orderBy("url", "day")
   }
 
-  /** Resilience/fixity series only (smaller projection of scored). */
+  /** Resilience/fixity series, scores rounded to 6 decimals — the
+    * rounding puts the stateful recurrence under the DuckDB oracle (a
+    * recursive CTE replays it; Java and DuckDB exp() may differ in the
+    * last ulp, which round(6) absorbs).
+    */
   def scoreSeries(s: SparkSession, dir: String): DataFrame =
     scored(s, dir).select(
       col("url"), col("day"), col("specimen"), col("content"),
-      col("resilience"), col("fixity"), col("chaos"), col("chaosn"))
+      round(col("resilience"), 6).as("resilience"),
+      round(col("fixity"), 6).as("fixity"),
+      col("chaos"), col("chaosn"))
 
   // ------------------------------------------------------------------- S3
   /** Sigmoid reference curves for the 8 default parameter sets

@@ -18,7 +18,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("rows-only queries are exactly the stateful-score set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("scored", "scored_scale", "score_series", "metrics"),
+    assert(rowsOnly == Set("scored", "scored_scale", "metrics"),
       s"unexpected rows-only queries (add an oracle twin or document): $rowsOnly")
   }
 
