@@ -166,10 +166,12 @@ object Oracle {
     * computed `call`/`filled` flags. Empty calendar when min(day) > asOf
     * (reference pd.date_range semantics).
     */
-  val densifiedCte: String =
+  val densifiedCte: String = densifiedCteAt(AsOf)
+
+  def densifiedCteAt(asOf: String): String =
     s"""cal AS (
        |  SELECT url,
-       |    strftime(unnest(generate_series(CAST(d0 AS DATE), DATE '$AsOf',
+       |    strftime(unnest(generate_series(CAST(d0 AS DATE), DATE '$asOf',
        |                                    INTERVAL 1 DAY)), '%Y-%m-%d') AS day
        |  FROM (SELECT url, min(day) AS d0 FROM filled GROUP BY url)
        |),
@@ -432,7 +434,10 @@ object Oracle {
     * Score.scoreSeries / reference main.py:194-227 including the
     * re-basing on state change and the junk-specimen '~' fallback.
     */
-  private def scoreSeriesSql: String = {
+  private def scoredRecCtes(
+      fillPolicy: String,
+      asOf: String,
+      capturesSrc: String = capturesCte): String = {
     val params = graft.model.SigParams.defaults.toSeq.sortBy(_._1)
       .map { case (k, p) => s"('$k', ${p.shift}, ${p.slope}, ${p.spread})" }
       .mkString(",\n    ")
@@ -448,21 +453,22 @@ object Oracle {
     val nscalec =
       s"(CASE WHEN $chgC THEN (CASE WHEN d.c_spread < 0 THEN r.hc ELSE 1 - r.hc END) ELSE r.scalec END)"
     val nhc = s"$nbasec + $nscalec * (d.c_spread / (1 + exp(d.c_shift - CAST($nxc AS DOUBLE) / d.c_slope)))"
-    s"""WITH RECURSIVE $capturesCte,
+    s"""WITH RECURSIVE $capturesSrc,
        |$enrichedCte,
        |$dailyCte,
-       |${filledCte("forward")},
-       |$densifiedCte,
+       |${filledCte(fillPolicy)},
+       |${densifiedCteAt(asOf)},
        |pt(key, shift, slope, spread) AS (VALUES
        |    $params),
-       |days AS (
+       |days AS MATERIALIZED (
        |  SELECT d0.*,
        |    coalesce(ps_.shift, tld.shift) AS s_shift,
        |    coalesce(ps_.slope, tld.slope) AS s_slope,
        |    coalesce(ps_.spread, tld.spread) AS s_spread,
        |    pc_.shift AS c_shift, pc_.slope AS c_slope, pc_.spread AS c_spread
        |  FROM (
-       |    SELECT url, day, specimen, content, chaos, chaosn,
+       |    SELECT url, day, datetime, specimen, content, digest,
+       |      c2xx, c3xx, c4xx, c5xx, call, filled, chaos, chaosn,
        |      row_number() OVER (PARTITION BY url ORDER BY day) AS i
        |    FROM densified
        |  ) d0
@@ -489,11 +495,80 @@ object Oracle {
        |    d.content AS pcc, $nxc AS xc, $nbasec AS basec, $nscalec AS scalec,
        |    $nhc AS hc
        |  FROM rec r JOIN days d ON d.url = r.url AND d.i = r.i + 1
-       |)
+       |)""".stripMargin
+  }
+
+  /** Full scored-table final select over the recursive scaffold. */
+  private def scoredSelect: String =
+    """SELECT r.url, r.day, d2.datetime, d2.c2xx, d2.c3xx, d2.c4xx, d2.c5xx,
+      |  d2.call, r.specimen, d2.filled,
+      |  round(r.h, 6) AS resilience, d2.digest, r.content,
+      |  round(r.hc, 6) AS fixity, r.chaos, r.chaosn
+      |FROM rec r JOIN days d2 ON d2.url = r.url AND d2.i = r.i
+      |WHERE r.i > 0 ORDER BY r.url, r.day""".stripMargin
+
+  private def scoreSeriesSql: String =
+    s"""${scoredRecCtes("forward", AsOf)}
        |SELECT url, day, specimen, content,
        |  round(h, 6) AS resilience, round(hc, 6) AS fixity, chaos, chaosn
        |FROM rec WHERE i > 0 ORDER BY url, day""".stripMargin
-  }
+
+  private def scoredSql: String =
+    s"""${scoredRecCtes("forward", AsOf)}
+       |$scoredSelect""".stripMargin
+
+  /** Synthetic 1M-capture generator twin of Queries.scoredScale. */
+  private def scaleCapturesCte: String =
+    """captures AS (
+      |  SELECT 'u' || CAST(id % 200 AS VARCHAR) AS url,
+      |    strftime(to_timestamp(1704067200 + (id // 200) % 45 * 86400
+      |                          + (id * 7919) % 86400), '%Y%m%d%H%M%S') AS ts,
+      |    CASE WHEN id % 13 = 0 THEN '-'
+      |         WHEN id % 7 = 0 THEN '404'
+      |         WHEN id % 5 = 0 THEN '503'
+      |         WHEN id % 3 = 0 THEN '301'
+      |         ELSE '200' END AS status,
+      |    md5('g' || CAST(id % 200 AS VARCHAR) || CAST(id % 9 AS VARCHAR)) AS digest,
+      |    id AS seq
+      |  FROM range(1000000) t(id)
+      |)""".stripMargin
+
+  private def scoredScaleSql: String =
+    s"""${scoredRecCtes("forward", "2024-04-01", scaleCapturesCte)}
+       |$scoredSelect""".stripMargin
+
+  /** Headline metrics twin over the recursive scaffold (main.py:393-405
+    * semantics as implemented in Metrics.headline).
+    */
+  private def metricsSql: String =
+    s"""${scoredRecCtes("forward", AsOf)},
+       |agg AS (
+       |  SELECT url, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(CASE WHEN call > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       |    CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       |    CAST(sum(CASE WHEN content = 'Changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |    CAST(sum(call) AS BIGINT) AS captures,
+       |    CAST(sum(c2xx) AS BIGINT) AS ok,
+       |    max(i) AS mi
+       |  FROM days GROUP BY url
+       |)
+       |SELECT a.url, lastd.day AS last_day, a.captures,
+       |  round(CAST(a.ok AS DOUBLE) / a.captures * 100, 6) AS ok_pct,
+       |  ${ymdSql("a.n_days")} AS span_ymd,
+       |  a.n_days - a.n_active AS n_gaps, a.n_filled,
+       |  round(round(lastr.h, 6), 6) AS resilience,
+       |  round(round(lastr.h, 6) - round(prevr.h, 6), 6) AS res_delta,
+       |  round(round(lastr.hc, 6), 6) AS fixity,
+       |  round(CAST(a.n_changed AS DOUBLE) / a.n_active * 100, 6) AS changed_pct,
+       |  round(lastr.chaos, 6) AS chaos, round(lastr.chaosn, 6) AS chaosn,
+       |  CASE WHEN lastd.datetime <> '~'
+       |       THEN 'https://web.archive.org/web' || '/' || lastd.datetime || '/' || a.url
+       |       ELSE '#' END AS urim
+       |FROM agg a
+       |JOIN rec lastr ON lastr.url = a.url AND lastr.i = a.mi
+       |JOIN rec prevr ON prevr.url = a.url AND prevr.i = a.mi - 1
+       |JOIN days lastd ON lastd.url = a.url AND lastd.i = a.mi
+       |ORDER BY a.url""".stripMargin
 
   private def cosSql(a: String, b: String, na: String, nb: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
@@ -526,6 +601,9 @@ object Oracle {
     "span_metrics" -> withDensified(spanMetricsSql, fillPolicy = Some("forward")),
 
     "score_series" -> scoreSeriesSql,
+    "scored" -> scoredSql,
+    "scored_scale" -> scoredScaleSql,
+    "metrics" -> metricsSql,
 
     "ann_ivf" ->
       s"""WITH $vecNormCte,

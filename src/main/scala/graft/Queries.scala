@@ -261,6 +261,11 @@ object Queries {
   def scored(s: SparkSession, dir: String): DataFrame =
     Trend.runFromDaily(dailyDf(s, dir), TrendQuery(fill = -1, policy = FillPolicy.Forward, asOf = AsOf))
       .toDF()
+      // query-level round(6): puts the recurrence under the DuckDB
+      // recursive-CTE oracle (absorbs last-ulp exp() differences);
+      // Trend.run itself stays raw
+      .withColumn("resilience", round(col("resilience"), 6))
+      .withColumn("fixity", round(col("fixity"), 6))
       .orderBy("url", "day")
 
   /** The BASELINE protocol's multi-URL synthetic scoring run: 1M
@@ -287,6 +292,8 @@ object Queries {
       col("id").as("seq"))
     Trend.run(caps, TrendQuery(fill = -1, policy = FillPolicy.Forward, asOf = "2024-04-01"))
       .toDF()
+      .withColumn("resilience", round(col("resilience"), 6))
+      .withColumn("fixity", round(col("fixity"), 6))
       .orderBy("url", "day")
   }
 

@@ -16,10 +16,10 @@ class ContractSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracle keys without queries: $dangling")
   }
 
-  test("rows-only queries are exactly the stateful-score set") {
+  test("every registered query has an oracle twin") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("scored", "scored_scale", "metrics"),
-      s"unexpected rows-only queries (add an oracle twin or document): $rowsOnly")
+    assert(rowsOnly.isEmpty,
+      s"rows-only queries (add an oracle twin or document): $rowsOnly")
   }
 
   test("oracle SQL parses as single statements (no stray semicolons)") {
