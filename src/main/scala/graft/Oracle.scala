@@ -367,7 +367,7 @@ object Oracle {
     s"""WITH $vecNormCte,
        |$corpus,
        |q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qnorm, bucket
-       |      FROM vb WHERE vec_id % 50 = 0),
+       |      FROM vb WHERE vec_id % ${graft.operators.Ann.QueryMod} = 0),
        |scored AS (
        |  SELECT q.q_id, v.vec_id,
        |    $cosExpr AS cos_raw
@@ -556,9 +556,9 @@ object Oracle {
        |  round(CAST(a.ok AS DOUBLE) / a.captures * 100, 6) AS ok_pct,
        |  ${ymdSql("a.n_days")} AS span_ymd,
        |  a.n_days - a.n_active AS n_gaps, a.n_filled,
-       |  round(round(lastr.h, 6), 6) AS resilience,
+       |  round(lastr.h, 6) AS resilience,
        |  round(round(lastr.h, 6) - round(prevr.h, 6), 6) AS res_delta,
-       |  round(round(lastr.hc, 6), 6) AS fixity,
+       |  round(lastr.hc, 6) AS fixity,
        |  round(CAST(a.n_changed AS DOUBLE) / a.n_active * 100, 6) AS changed_pct,
        |  round(lastr.chaos, 6) AS chaos, round(lastr.chaosn, 6) AS chaosn,
        |  CASE WHEN lastd.datetime <> '~'
@@ -578,7 +578,7 @@ object Oracle {
   private val ivfCtes: String =
     s"""cent AS (
        |  SELECT vec_id AS c_id, embedding AS ce, norm AS cnorm
-       |  FROM vn WHERE vec_id < 16
+       |  FROM vn WHERE vec_id < ${graft.operators.Ann.IvfK}
        |),
        |asg AS (
        |  SELECT vec_id, embedding, norm, c_id FROM (
@@ -593,8 +593,8 @@ object Oracle {
        |    SELECT vn.vec_id AS q_id, vn.embedding AS qe, vn.norm AS qnorm, c.c_id,
        |      row_number() OVER (PARTITION BY vn.vec_id ORDER BY
        |        ${cosSql("vn.embedding", "c.ce", "vn.norm", "c.cnorm")} DESC, c.c_id) AS qrn
-       |    FROM vn CROSS JOIN cent c WHERE vn.vec_id % 50 = 0
-       |  ) WHERE qrn <= 2
+       |    FROM vn CROSS JOIN cent c WHERE vn.vec_id % ${graft.operators.Ann.QueryMod} = 0
+       |  ) WHERE qrn <= ${graft.operators.Ann.NProbe}
        |)""".stripMargin
 
   val all: Map[String, String] = Map(
@@ -619,7 +619,7 @@ object Oracle {
          |  FROM scored
          |)
          |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
-         |FROM rk WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+         |FROM rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
 
     "ann_ivf_lists" ->
       s"""WITH $vecNormCte,
@@ -633,18 +633,18 @@ object Oracle {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")}, 6) AS cos
          |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")} >= 0.3
+         |WHERE ${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")} >= ${graft.operators.Ann.NearDupCos}
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "ann_topk" ->
       s"""${annTopkSql(bucketed = false)}
          |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
-         |FROM rk WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+         |FROM rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
 
     "ann_lsh" ->
       s"""${annTopkSql(bucketed = true)}
          |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
-         |FROM rk WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+         |FROM rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
 
     "ann_buckets" ->
       s"""WITH b AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings)
@@ -656,7 +656,7 @@ object Oracle {
          |nb AS (
          |  SELECT rk.q_id, e.label FROM rk
          |  JOIN embeddings e ON rk.vec_id = e.vec_id
-         |  WHERE rk.rn <= 5
+         |  WHERE rk.rn <= ${graft.operators.Ann.K}
          |),
          |votes AS (
          |  SELECT q_id, label, CAST(count(*) AS BIGINT) AS votes

@@ -28,14 +28,23 @@ object Queries {
     * otherwise each of the ~20 daily-derived queries re-runs the
     * captures scan + three window shuffles.
     */
-  /** Weak keys: the session object itself keys its cache (identity
-    * semantics — SparkSession doesn't override equals), so a stale
-    * entry can never be handed to a different session, and entries for
-    * stopped, dereferenced sessions are GC-collectable instead of
-    * pinning their persisted blocks forever.
+  /** The session object itself keys its cache (identity semantics —
+    * SparkSession doesn't override equals), so a stale entry can never
+    * be handed to a different session. NOTE: the cached DataFrames hold
+    * strong references back to their session, so entries are NOT
+    * GC-reclaimed — the map is bounded by (live sessions x sf dirs) and
+    * long-lived drivers cycling sessions should call [[clearDailyCache]]
+    * on session stop.
     */
   private val dailyCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
+  /** Drop and unpersist a stopped session's cached daily tables. */
+  def clearDailyCache(s: SparkSession): Unit = dailyCache.synchronized {
+    Option(dailyCache.remove(s)).foreach(_.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    })
+  }
 
   private def dailyDf(s: SparkSession, dir: String): DataFrame =
     dailyCache.synchronized {
@@ -297,17 +306,13 @@ object Queries {
       .orderBy("url", "day")
   }
 
-  /** Resilience/fixity series, scores rounded to 6 decimals — the
-    * rounding puts the stateful recurrence under the DuckDB oracle (a
-    * recursive CTE replays it; Java and DuckDB exp() may differ in the
-    * last ulp, which round(6) absorbs).
+  /** Resilience/fixity series projection of [[scored]] (whose scores
+    * are already rounded to 6 for the recursive-CTE oracle).
     */
   def scoreSeries(s: SparkSession, dir: String): DataFrame =
     scored(s, dir).select(
       col("url"), col("day"), col("specimen"), col("content"),
-      round(col("resilience"), 6).as("resilience"),
-      round(col("fixity"), 6).as("fixity"),
-      col("chaos"), col("chaosn"))
+      col("resilience"), col("fixity"), col("chaos"), col("chaosn"))
 
   // ------------------------------------------------------------------- S3
   /** Sigmoid reference curves for the 8 default parameter sets
@@ -511,14 +516,20 @@ object Queries {
     * part of the operator), then read back through the paginated,
     * pushdown-capable source and checked against the oracle's captures.
     */
-  /** Page-file fixtures are cached per JVM (fresh temp dir each run) so
-    * regenerated input parquet can never be shadowed by stale pages.
+  /** Page-file fixtures are cached per (JVM, dir) — a fresh temp dir
+    * each run, so pages from a previous process can never shadow
+    * regenerated input parquet — and removed on JVM exit.
     */
   private val cdxPagesCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def cdxSourceScan(s: SparkSession, dir: String): DataFrame = {
     val pagesPath = cdxPagesCache.getOrElseUpdate(dir, {
       val pagesDir = java.nio.file.Files.createTempDirectory("graft_cdx_pages_").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        pagesDir.listFiles().foreach(_.delete())
+        pagesDir.delete()
+        ()
+      }))
       val rows = captures(s, dir).orderBy("url", "ts", "seq").collect()
       val perPage = math.max(1, (rows.length + 7) / 8)
       rows.grouped(perPage).zipWithIndex.foreach { case (chunk, i) =>

@@ -103,11 +103,19 @@ class CdxScanBuilder(path: String, maxPages: Int)
     // source honors spark.hadoop.* / fs.* settings like every built-in
     // source — a bare `new Configuration()` cannot reach s3a
     // credentials, custom fs impls, or HDFS nameservices.
+    // Only filesystem-relevant keys: the full configuration (~1000
+    // entries incl. core-defaults) would ride inside every serialized
+    // task for every partition.
     val hadoopProps = {
       val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
       val it = conf.iterator()
       val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey
+        if (k.startsWith("fs.") || k.startsWith("dfs.") || k.startsWith("hadoop.security.") ||
+          k.startsWith("io.compression.")) b += k -> e.getValue
+      }
       b.result()
     }
     new CdxScan(path, required, urlFilter, maxPages, hadoopProps)

@@ -178,7 +178,11 @@ object Streaming {
     val st = state.getOption.getOrElse(LateState(Vector.empty, emptyState))
     val wm = state.getCurrentWatermarkMs()
     val all = (st.pending ++ rows).sortBy(c => (c.ts, c.seq))
-    val (ready, hold) = all.partition(c => tsMillis(c.ts, zone) <= wm)
+    // STRICT <: Spark's late-data filter keeps rows with event time
+    // >= watermark, so a row at exactly the watermark can still arrive
+    // in a later batch — folding its equal-timestamp peers now would
+    // break (ts, seq) order.
+    val (ready, hold) = all.partition(c => tsMillis(c.ts, zone) < wm)
     var core = st.core
     val out = Vector.newBuilder[DailyOut]
     ready.foreach { c =>
