@@ -82,6 +82,44 @@ object GapFill {
     observed.unionByName(filledRows)
   }
 
+  /** G1-G5 as a pure in-memory function over ONE url's sorted observed
+    * (day, specimen) list — the same semantics as [[fill]], used where
+    * the series is already assembled per key (the fused single-shuffle
+    * scoring path and the incremental streaming scorer). Returns the
+    * generated interior (day, specimen) fill rows only.
+    */
+  def fillDays(
+      observed: IndexedSeq[(String, String)],
+      fill: Int,
+      policy: FillPolicy): Seq[(String, String)] = {
+    if (fill == 0 || observed.length < 2) return Nil
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    while (i < observed.length - 1) {
+      val (d, spec) = observed(i)
+      val (nd, nspec) = observed(i + 1)
+      val ld = java.time.LocalDate.parse(d)
+      val gap = java.time.temporal.ChronoUnit.DAYS.between(ld, java.time.LocalDate.parse(nd)) - 1
+      if (gap > 0 && (fill == -1 || gap <= fill) &&
+        (policy != FillPolicy.Identical || spec == nspec)) {
+        var pos = 0L
+        while (pos < gap) {
+          val value = policy match {
+            case FillPolicy.Backward => nspec
+            // first ceil(gap/2) days take the left value: pos < gap/2
+            // with float division (reference main.py:62-66)
+            case FillPolicy.Closest => if (pos < gap / 2.0) spec else nspec
+            case _                  => spec // Forward, Identical (spec == nspec)
+          }
+          out += ((ld.plusDays(pos + 1).toString, value))
+          pos += 1
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** J1: left-join a per-URL generated calendar [first observed day,
     * asOf] against the (observed ∪ filled) table; missing days default to
     * specimen "~" / content "Unknown" (reference main.py:199-201). Also

@@ -61,18 +61,50 @@ object Score {
         "specimen", "digest", "content", "chaos", "chaosn")
       .as[FilledRow]
     ds.groupByKey(_.url).flatMapGroups { (url, it) =>
-      val observed = it.toArray
-      scala.util.Sorting.quickSort(observed)(Ordering.by((r: FilledRow) => r.day))
-      val byDay = observed.map(r => r.day -> r).toMap
-      // J1 calendar loop, in-stage (reference main.py:199-201).
-      val first = LocalDate.parse(observed.head.day)
-      val days = Iterator.iterate(first)(_.plusDays(1)).takeWhile(!_.isAfter(until))
-      val series = days.map { d =>
-        val t = d.toString
-        byDay.getOrElse(t, FilledRow(url, t, "~", 0, 0, 0, 0, "~", "~", "Unknown", None, None))
-      }.toArray
-      scoreSeries(url, series, params)
+      val rows = it.toArray
+      scala.util.Sorting.quickSort(rows)(Ordering.by((r: FilledRow) => r.day))
+      densifyAndScore(url, rows, params, until)
     }
+  }
+
+  /** J1 calendar loop + recurrence over one url's sorted (observed ∪
+    * filled) rows (reference main.py:199-201). Fill rows are strictly
+    * interior, so the head row is always an observed day.
+    */
+  private def densifyAndScore(
+      url: String,
+      rows: Array[FilledRow],
+      params: Map[String, SigParams],
+      until: LocalDate): Iterator[ScoredRow] = {
+    val byDay = rows.map(r => r.day -> r).toMap
+    val first = LocalDate.parse(rows.head.day)
+    val days = Iterator.iterate(first)(_.plusDays(1)).takeWhile(!_.isAfter(until))
+    val series = days.map { d =>
+      val t = d.toString
+      byDay.getOrElse(t, FilledRow(url, t, "~", 0, 0, 0, 0, "~", "~", "Unknown", None, None))
+    }.toArray
+    scoreSeries(url, series, params)
+  }
+
+  /** Fused-path core: one url's day-sorted OBSERVED daily rows through
+    * in-memory gap fill (G1-G6) + densify + recurrence — everything
+    * downstream of the daily fold without leaving the partition. Used by
+    * [[Trend.run]]'s single-shuffle path and the streaming scorer.
+    */
+  private[graft] def scoreObservedDaily(
+      url: String,
+      observed: Array[FilledRow],
+      fill: Int,
+      policy: graft.model.FillPolicy,
+      params: Map[String, SigParams],
+      asOf: String): Iterator[ScoredRow] = {
+    if (observed.isEmpty) return Iterator.empty
+    val fills = GapFill
+      .fillDays(observed.map(r => (r.day, r.specimen)).toIndexedSeq, fill, policy)
+      .map { case (d, sp) => FilledRow(url, d, "~", 0, 0, 0, 0, sp, "~", "Unknown", None, None) }
+    val rows = (observed ++ fills)
+    scala.util.Sorting.quickSort(rows)(Ordering.by((r: FilledRow) => r.day))
+    densifyAndScore(url, rows, params, LocalDate.parse(asOf))
   }
 
   /** The exact reference recurrence over one URL's day-ordered series

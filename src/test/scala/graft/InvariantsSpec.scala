@@ -49,6 +49,18 @@ class InvariantsSpec extends AnyFunSuite {
     assert(base.toSeq == shuffled.toSeq)
   }
 
+  test("fused single-shuffle run equals the staged declarative pipeline") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = fixture.toDF()
+    for (p <- FillPolicy.all; fill <- Seq(-1, 0, 3)) {
+      val q = TrendQuery(fill, p, AsOf)
+      val fused = Trend.run(df, q).collect().sortBy(r => (r.url, r.day))
+      val staged = Trend.runStaged(df, q).collect().sortBy(r => (r.url, r.day))
+      assert(fused.toSeq == staged.toSeq, s"fused != staged for policy=$p fill=$fill")
+    }
+  }
+
   test("densify yields empty calendar when first day is after asOf") {
     val spark = TestSpark.spark
     import spark.implicits._
