@@ -517,6 +517,21 @@ object Oracle {
     s"""${scoredRecCtes("forward", AsOf)}
        |$scoredSelect""".stripMargin
 
+  /** Twin of Queries.streamingScored: the scored table restricted to
+    * each url's observed-day prefix (the incremental scorer emits a day
+    * only once it closes — trailing densified days never stream out).
+    */
+  private def streamingScoredSql: String =
+    s"""${scoredRecCtes("forward", AsOf)}
+       |SELECT r.url, r.day, d2.datetime, d2.c2xx, d2.c3xx, d2.c4xx, d2.c5xx,
+       |  d2.call, r.specimen, d2.filled,
+       |  round(r.h, 6) AS resilience, d2.digest, r.content,
+       |  round(r.hc, 6) AS fixity, r.chaos, r.chaosn
+       |FROM rec r JOIN days d2 ON d2.url = r.url AND d2.i = r.i
+       |WHERE r.i > 0
+       |  AND r.day <= (SELECT max(m.day) FROM daily m WHERE m.url = r.url)
+       |ORDER BY r.url, r.day""".stripMargin
+
   /** Synthetic 1M-capture generator twin of Queries.scoredScale. */
   private def scaleCapturesCte: String =
     """captures AS (
@@ -602,6 +617,7 @@ object Oracle {
 
     "score_series" -> scoreSeriesSql,
     "scored" -> scoredSql,
+    "streaming_scored" -> streamingScoredSql,
     "scored_scale" -> scoredScaleSql,
     "metrics" -> metricsSql,
 

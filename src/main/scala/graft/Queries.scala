@@ -559,6 +559,23 @@ object Queries {
       .orderBy("url", "day")
   }
 
+  /** The incremental scorer's fold (ST1 full: captures -> daily ->
+    * scored in one stateful stage) over bounded input — must equal the
+    * batch scored table on each url's observed-day prefix.
+    */
+  def streamingScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.model.Capture
+    val q = graft.model.TrendQuery(fill = -1, policy = FillPolicy.Forward, asOf = AsOf)
+    captures(s, dir).as[Capture]
+      .groupByKey(_.url)
+      .flatMapGroups((url, rows) => graft.streaming.Streaming.runBatchScored(url, rows, q))
+      .toDF()
+      .withColumn("resilience", round(col("resilience"), 6))
+      .withColumn("fixity", round(col("fixity"), 6))
+      .orderBy("url", "day")
+  }
+
   // ------------------------------------------------------------- registry
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdx_parse" -> (cdxParse _),
@@ -609,6 +626,7 @@ object Queries {
     "span_metrics" -> (spanMetrics _),
     "metrics" -> (metrics _),
     "streaming_daily" -> (streamingDaily _),
+    "streaming_scored" -> (streamingScored _),
     "report_daily" -> (reportDaily _),
     "cdx_source_scan" -> (cdxSourceScan _),
     "transitions_chart" -> (transitionsChart _),

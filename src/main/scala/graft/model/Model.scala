@@ -78,6 +78,28 @@ object SigParams {
     p.spread / (1 + math.exp(p.shift - x / p.slope))
 }
 
+/** One scoring dimension's recurrence state (reference main.py:194-227):
+  * on a state change the new run re-bases on the score at the boundary
+  * (`base = h; scale = base if spread < 0 else 1 - base; x = 0`), then
+  * every day advances `x` and re-evaluates the sigmoid. Immutable so it
+  * can sit directly in Spark streaming `GroupState`.
+  */
+case class DimState(prev: String, base: Double, scale: Double, h: Double, x: Long) {
+  def step(state: String, p: SigParams): DimState = {
+    val (b, sc, pv, x0) =
+      if (state != prev) (h, if (p.spread < 0) h else 1 - h, state, 0L)
+      else (base, scale, prev, x)
+    val x1 = x0 + 1
+    DimState(pv, b, sc, b + sc * SigParams.sigmoid(x1.toDouble, p), x1)
+  }
+}
+
+object DimState {
+  /** init base = h = 0.5, x = 0 (reference main.py:196-198) */
+  val resilienceInit: DimState = DimState("~", 0.5, 0.5, 0.5, 0)
+  val fixityInit: DimState = DimState("Unknown", 0.5, 0.5, 0.5, 0)
+}
+
 /** Gap-fill policy ADT (reference: main.py:81-86). */
 sealed abstract class FillPolicy(val name: String)
 object FillPolicy {

@@ -24,8 +24,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Score {
 
-  private final case class Dim(var prev: String, var base: Double, var scale: Double, var h: Double, var x: Long)
-
   /** Score a densified per-day table (output of [[GapFill.densify]]). */
   def scoreDensified(
       densified: DataFrame,
@@ -121,8 +119,8 @@ object Score {
     def p(key: String, dflt: String): SigParams =
       params.getOrElse(key, params(dflt))
 
-    val res = new Dim("~", 0.5, 0.5, 0.5, 0)
-    val fix = new Dim("Unknown", 0.5, 0.5, 0.5, 0)
+    var res = graft.model.DimState.resilienceInit
+    var fix = graft.model.DimState.fixityInit
     var pch = 0.0
     var pchn = 0.0
 
@@ -133,19 +131,10 @@ object Score {
         case (Some(c), Some(cn)) => pch = c; pchn = cn; (c, cn)
         case _                   => (pch, pchn)
       }
-      def step(dim: Dim, state: String, sp: SigParams): Double = {
-        if (state != dim.prev) {
-          dim.base = dim.h
-          dim.scale = if (sp.spread < 0) dim.base else 1 - dim.base
-          dim.prev = state
-          dim.x = 0
-        }
-        dim.x += 1
-        dim.h = dim.base + dim.scale * SigParams.sigmoid(dim.x.toDouble, sp)
-        dim.h
-      }
-      val resilience = step(res, r.specimen, p(r.specimen, "~"))
-      val fixity = step(fix, r.content, p(r.content, "Unknown"))
+      res = res.step(r.specimen, p(r.specimen, "~"))
+      fix = fix.step(r.content, p(r.content, "Unknown"))
+      val resilience = res.h
+      val fixity = fix.h
       val call = r.c2xx + r.c3xx + r.c4xx + r.c5xx
       ScoredRow(
         url = url,

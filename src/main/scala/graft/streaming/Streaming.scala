@@ -1,6 +1,7 @@
 package graft.streaming
 
-import graft.model.Capture
+import graft.model.{Capture, DimState, ScoredRow, SigParams, TrendQuery}
+import graft.operators.GapFill
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -222,6 +223,125 @@ object Streaming {
       seq: Long,
       event_time: java.sql.Timestamp) {
     def toCapture: Capture = Capture(url, ts, status, digest, seq)
+  }
+
+  // ------------------------------------------------------------ ST1 full
+  /** Recurrence state carried between closed days: the two sigmoid
+    * dimensions plus the last scored day's (day, specimen, chaos) — all
+    * the incremental scorer needs to fill and score the next span.
+    */
+  case class ScoreCore(
+      res: DimState,
+      fix: DimState,
+      lastDay: String,
+      lastSpec: String,
+      chaos: Double,
+      chaosn: Double)
+
+  /** Full incremental-pipeline state: daily fold + recurrence. */
+  case class ScoredState(core: UrlState, score: Option[ScoreCore])
+
+  /** Score one newly closed day: first the interior gap days since the
+    * previous closed day (gap-filled per policy via [[GapFill.fillDays]],
+    * unfilled days densify to "~"; chaos inherits the previous observed
+    * day, reference main.py:199-207), then the day itself. Emitted rows
+    * are exactly the batch scored table's rows for those days — the
+    * recurrence is forward-only, so a closed prefix never changes.
+    */
+  private def scoreClosedDay(
+      url: String,
+      prev: Option[ScoreCore],
+      d: DailyOut,
+      query: TrendQuery): (ScoreCore, Vector[ScoredRow]) = {
+    def p(key: String, dflt: String): SigParams =
+      query.params.getOrElse(key, query.params(dflt))
+    val out = Vector.newBuilder[ScoredRow]
+    var res = prev.map(_.res).getOrElse(DimState.resilienceInit)
+    var fix = prev.map(_.fix).getOrElse(DimState.fixityInit)
+    prev.foreach { pc =>
+      val pd = java.time.LocalDate.parse(pc.lastDay)
+      val gap = java.time.temporal.ChronoUnit.DAYS
+        .between(pd, java.time.LocalDate.parse(d.day)) - 1
+      if (gap > 0) {
+        val fills = GapFill
+          .fillDays(Vector((pc.lastDay, pc.lastSpec), (d.day, d.specimen)), query.fill, query.policy)
+          .toMap
+        var pos = 0L
+        while (pos < gap) {
+          val day = pd.plusDays(pos + 1).toString
+          val spec = fills.getOrElse(day, "~")
+          res = res.step(spec, p(spec, "~"))
+          fix = fix.step("Unknown", p("Unknown", "Unknown"))
+          out += ScoredRow(url, day, "~", 0, 0, 0, 0, 0, spec, spec != "~",
+            res.h, "~", "Unknown", fix.h, pc.chaos, pc.chaosn)
+          pos += 1
+        }
+      }
+    }
+    res = res.step(d.specimen, p(d.specimen, "~"))
+    fix = fix.step(d.content, p(d.content, "Unknown"))
+    val call = d.c2xx + d.c3xx + d.c4xx + d.c5xx
+    out += ScoredRow(url, d.day, d.datetime, d.c2xx, d.c3xx, d.c4xx, d.c5xx, call,
+      d.specimen, d.specimen != "~" && call == 0, res.h, d.digest, d.content,
+      fix.h, d.chaos, d.chaosn)
+    (ScoreCore(res, fix, d.day, d.specimen, d.chaos, d.chaosn), out.result())
+  }
+
+  /** ST1 in full: captures stream in, SCORED daily rows stream out — the
+    * whole reference pipeline (daily fold + gap fill + densify + sigmoid
+    * recurrence) as one stateful stage. A day's scores emit the moment
+    * the day closes; the batch pipeline over the same captures produces
+    * an identical prefix (see StreamingSpec), so consumers can switch
+    * between the two freely. Same ordering contract as [[dailyStream]].
+    */
+  def scoredStream(captures: Dataset[Capture], query: TrendQuery): Dataset[ScoredRow] = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    captures
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (url: String, rows: Iterator[Capture], state: GroupState[ScoredState]) =>
+          var st = state.getOption.getOrElse(ScoredState(emptyState, None))
+          val out = Vector.newBuilder[ScoredRow]
+          rows.toSeq.sortBy(c => (c.ts, c.seq)).foreach { c =>
+            val (next, flushed) = step(st.core, c)
+            var score = st.score
+            flushed.foreach { d =>
+              val (sc, emitted) = scoreClosedDay(url, score, d, query)
+              score = Some(sc)
+              emitted.foreach(out += _)
+            }
+            st = ScoredState(next, score)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** The scored stream's fold over one url's bounded capture set with a
+    * final flush — the batch harness giving the incremental scorer an
+    * oracle-checkable row set: the scored table restricted to observed
+    * days (the stream's closed prefix after the last day flushes).
+    */
+  def runBatchScored(
+      url: String,
+      rows: Iterator[Capture],
+      query: TrendQuery): Iterator[ScoredRow] = {
+    var st = emptyState
+    var score: Option[ScoreCore] = None
+    val out = Vector.newBuilder[ScoredRow]
+    def emit(d: DailyOut): Unit = {
+      val (sc, emitted) = scoreClosedDay(url, score, d, query)
+      score = Some(sc)
+      emitted.foreach(out += _)
+    }
+    rows.toSeq.sortBy(c => (c.ts, c.seq)).foreach { c =>
+      val (next, flushed) = step(st, c)
+      st = next
+      flushed.foreach(emit)
+    }
+    finalizeDay(url, st).foreach(emit)
+    out.result().iterator
   }
 
   /** Run the exact streaming fold over one url's bounded capture set and

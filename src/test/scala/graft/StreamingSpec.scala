@@ -65,6 +65,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("scored stream emits exactly the batch scored table's closed prefix") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{FillPolicy, TrendQuery}
+
+    val all = (fixture("p", 51, 260, 35) ++ fixture("q", 52, 60, 35))
+      .sortBy(c => (c.ts, c.seq))
+    for (policy <- Seq(FillPolicy.Forward, FillPolicy.Closest)) {
+      val q = TrendQuery(-1, policy, "2024-03-15")
+      val stream = MemoryStream[graft.model.Capture]
+      val name = s"scored_${policy.name}"
+      val query = Streaming.scoredStream(stream.toDS(), q)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val chunks = Seq(all.take(100), all.slice(100, 250), all.drop(250))
+      chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+      query.stop()
+
+      val streamed = spark.table(name).as[graft.model.ScoredRow]
+        .collect().map(r => (r.url, r.day) -> r).toMap
+      assert(streamed.nonEmpty, "scored stream emitted nothing")
+      // batch over the same captures; restrict to each url's emitted
+      // prefix (the open day and trailing densified days aren't closed)
+      val lastEmitted = streamed.keys.groupBy(_._1).map { case (u, ks) => u -> ks.map(_._2).max }
+      val batch = operators.Trend.run(all.toDF(), q)
+        .collect()
+        .filter(r => r.day <= lastEmitted(r.url))
+        .map(r => (r.url, r.day) -> r).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"day sets differ for $policy: extra=${streamed.keySet -- batch.keySet} missing=${batch.keySet -- streamed.keySet}")
+      batch.foreach { case (k, want) =>
+        assert(streamed(k) == want, s"scored divergence for $policy at $k")
+      }
+    }
+  }
+
   test("watermarked stream absorbs out-of-order arrivals within the bound") {
     val spark = TestSpark.spark
     import spark.implicits._
