@@ -172,7 +172,9 @@ object Dedup {
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so filtering BEFORE the
+      // dedup shuffle is equivalent — and ships only the near-dup pairs
       .filter(col("hamming") <= 6)
+      .distinct()
   }
 }

@@ -19,16 +19,21 @@ object TextStats {
     * mean token length, type-token ratio.
     */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs.select(
+    docs.select(col("doc_id"), col("text"), words.as("w")).select(
       col("doc_id"),
-      size(words).as("n_tokens"),
-      size(array_distinct(words)).as("n_types"),
+      size(col("w")).as("n_tokens"),
+      size(array_distinct(col("w"))).as("n_types"),
       size(expr("""regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)""")).as("n_subtokens"),
-      round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(words), 6).as("avg_token_len"),
-      round(size(array_distinct(words)).cast("double") / size(words), 6).as("ttr"))
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("w")), 6).as("avg_token_len"),
+      round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6).as("ttr"))
 
+  /** Occurrence count of one marker word in a pre-split words column —
+    * the array is materialized ONCE per row (projected as `w`); counting
+    * against `split(text, ...)` inline would re-tokenize per marker
+    * (20 splits/row in [[langId]]).
+    */
   private def occurrences(word: String): Column =
-    size(expr(s"filter(split(text, ' '), x -> x = '$word')"))
+    size(expr(s"filter(w, x -> x = '$word')"))
 
   /** Marker words per language for the n-gram-heuristic language ID.
     * Tiny by design: the operator shape (score -> argmax) is what
@@ -44,7 +49,8 @@ object TextStats {
     * (ties resolve in Markers order; all-zero -> "und" = undetermined).
     */
   def langId(docs: DataFrame): DataFrame = {
-    val scored = Markers.foldLeft(docs.select(col("doc_id"), col("text"), col("lang"))) {
+    val scored = Markers.foldLeft(
+      docs.select(col("doc_id"), words.as("w"), col("lang"))) {
       case (df, (lang, ms)) =>
         df.withColumn(s"score_$lang", ms.map(occurrences).reduce(_ + _))
     }
@@ -66,12 +72,12 @@ object TextStats {
     * scores higher — the usual pretraining heuristics).
     */
   def quality(docs: DataFrame): DataFrame = {
-    val nTokens = size(words)
+    val nTokens = size(col("w"))
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
     val nStop = stop.map(occurrences).reduce(_ + _)
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
     val digits = length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
-    docs.select(
+    docs.select(col("doc_id"), col("n_chars"), col("text"), words.as("w")).select(
       col("doc_id"),
       col("n_chars"),
       nTokens.as("n_tokens"),
