@@ -40,6 +40,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("fused Trend.run plans exactly one shuffle (url hash partitioning)") {
+    import graft.model.{FillPolicy, TrendQuery}
+    val caps = Queries.captures(TestSpark.spark, dir)
+    val p = graft.operators.Trend
+      .run(caps, TrendQuery(-1, FillPolicy.Forward, "2024-03-01"))
+      .queryExecution.executedPlan.toString
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findAllIn(p).size
+    assert(shuffles == 1, s"fused pipeline must shuffle exactly once, saw $shuffles:\n${p.take(3000)}")
+    // the one exchange hash-partitions on the groupByKey key (the url
+    // string, projected as value#N by the typed API)
+    assert(p.contains("MapGroups") && p.contains("Exchange hashpartitioning(value"),
+      s"expected MapGroups over a single url-keyed exchange:\n${p.take(1500)}")
+  }
+
   test("daily-derived queries reuse the persisted daily table") {
     assert(plan("chaos_daily").contains("InMemoryTableScan"),
       "chaos_daily must read the cached daily table, not recompute it")
