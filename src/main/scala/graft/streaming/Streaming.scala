@@ -318,6 +318,56 @@ object Streaming {
       }
   }
 
+  /** Watermarked scored-stream state: hold-back buffer + daily fold +
+    * recurrence.
+    */
+  case class ScoredLateState(pending: Seq[Capture], core: UrlState, score: Option[ScoreCore])
+
+  /** ST1 + ST3 combined: the full incremental pipeline under an
+    * event-time watermark. Rows within the lateness bound are buffered
+    * per url and folded in correct (ts, seq) position once the watermark
+    * passes them; rows beyond the bound are dropped upstream — the same
+    * hold-back contract as [[dailyStreamWatermarked]], extended through
+    * scoring.
+    */
+  def scoredStreamWatermarked(
+      captures: Dataset[Capture],
+      query: TrendQuery,
+      lateness: String): Dataset[ScoredRow] = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    captures
+      .withColumn("event_time", to_timestamp(col("ts"), "yyyyMMddHHmmss"))
+      .withWatermark("event_time", lateness)
+      .as[CaptureWithTime]
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (url: String, rows: Iterator[CaptureWithTime], state: GroupState[ScoredLateState]) =>
+          val st = state.getOption.getOrElse(ScoredLateState(Vector.empty, emptyState, None))
+          val wm = state.getCurrentWatermarkMs()
+          val all = (st.pending ++ rows.map(_.toCapture)).sortBy(c => (c.ts, c.seq))
+          // strict <, matching processGroupLate: an equal-watermark row
+          // can still arrive in a later batch
+          val (ready, hold) = all.partition(c => tsMillis(c.ts, zone) < wm)
+          var core = st.core
+          var score = st.score
+          val out = Vector.newBuilder[ScoredRow]
+          ready.foreach { c =>
+            val (next, flushed) = step(core, c)
+            core = next
+            flushed.foreach { d =>
+              val (sc, emitted) = scoreClosedDay(url, score, d, query)
+              score = Some(sc)
+              emitted.foreach(out += _)
+            }
+          }
+          state.update(ScoredLateState(hold, core, score))
+          out.result().iterator
+      }
+  }
+
   /** The scored stream's fold over one url's bounded capture set with a
     * final flush — the batch harness giving the incremental scorer an
     * oracle-checkable row set: the scored table restricted to observed

@@ -61,6 +61,26 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("fillDays (in-memory) generates exactly the DataFrame fill rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val daily = Daily.fromCaptures(fixture.toDF())
+    val observed = daily.select("url", "day", "specimen").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1)
+      .map { case (u, rs) => u -> rs.sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq }
+    for (p <- FillPolicy.all; f <- Seq(-1, 2)) {
+      val dfFills = GapFill.fill(daily, f, p)
+        .filter(col("datetime") === "~")
+        .select("url", "day", "specimen").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val pure = observed.flatMap { case (u, obs) =>
+        GapFill.fillDays(obs, f, p).map { case (d, sp) => (u, d, sp) }
+      }.toSet
+      assert(pure == dfFills, s"fillDays != fill for policy=$p fill=$f")
+    }
+  }
+
   test("densify yields empty calendar when first day is after asOf") {
     val spark = TestSpark.spark
     import spark.implicits._

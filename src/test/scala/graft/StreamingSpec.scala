@@ -102,6 +102,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("watermarked scored stream matches the batch scored table despite disorder") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{FillPolicy, TrendQuery}
+
+    val all = fixture("ws", 61, 180, 30)
+    val rnd = new Random(13)
+    val chunks = Seq(all.take(70), all.slice(70, 130), all.drop(130)).map(rnd.shuffle(_))
+    val q = TrendQuery(-1, FillPolicy.Forward, "2024-03-15")
+
+    val stream = MemoryStream[graft.model.Capture]
+    val query = Streaming.scoredStreamWatermarked(stream.toDS(), q, "2 days")
+      .writeStream.format("memory").queryName("scored_wm")
+      .outputMode("append").start()
+    chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+    stream.addData(Seq.empty[graft.model.Capture]); query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("scored_wm").as[graft.model.ScoredRow]
+      .collect().map(r => (r.url, r.day) -> r).toMap
+    assert(streamed.nonEmpty, "watermarked scored stream emitted nothing")
+    val batch = operators.Trend.run(all.toDF(), q)
+      .collect().map(r => (r.url, r.day) -> r).toMap
+    // emitted days are a contiguous closed prefix of the batch table
+    streamed.foreach { case (k, got) =>
+      assert(batch(k) == got, s"late-data scored divergence at $k")
+    }
+    val lastEmitted = streamed.keys.map(_._2).max
+    val expectedPrefix = batch.keys.filter(_._2 <= lastEmitted).toSet
+    assert(streamed.keySet == expectedPrefix, "emitted set must be a gap-free prefix")
+  }
+
   test("watermarked stream absorbs out-of-order arrivals within the bound") {
     val spark = TestSpark.spark
     import spark.implicits._
