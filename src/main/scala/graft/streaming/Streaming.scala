@@ -368,6 +368,27 @@ object Streaming {
       }
   }
 
+  /** ST2 as a true stream: event-time tumbling 1-day windows with a
+    * watermark (the batch analog is Queries.eventDailyWindows — same
+    * output shape). Append mode emits a window only once the watermark
+    * passes its end, so every emitted row is final — a windowed
+    * aggregation needs no custom state at all, exactly why it stays a
+    * declarative groupBy(window(...)) and not flatMapGroupsWithState.
+    * Input: (ts TIMESTAMP, event_type STRING, value DOUBLE).
+    */
+  def eventDailyWindowStream(
+      events: org.apache.spark.sql.DataFrame,
+      lateness: String): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** The scored stream's fold over one url's bounded capture set with a
     * final flush — the batch harness giving the incremental scorer an
     * oracle-checkable row set: the scored table restricted to observed

@@ -172,6 +172,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed event stream finalizes exactly the batch daily windows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rnd = new Random(17)
+    val events = (0 until 400).map { i =>
+      val day = 1 + rnd.nextInt(12)
+      (java.sql.Timestamp.valueOf(f"2024-02-$day%02d ${rnd.nextInt(24)}%02d:00:00"),
+        Seq("click", "view", "buy")(rnd.nextInt(3)),
+        rnd.nextInt(1000) / 100.0)
+    }.sortBy(_._1.getTime)
+
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val query = Streaming.eventDailyWindowStream(
+      stream.toDF().toDF("ts", "event_type", "value"), "1 day")
+      .writeStream.format("memory").queryName("event_win")
+      .outputMode("append").start()
+    Seq(events.take(150), events.slice(150, 300), events.drop(300))
+      .foreach { c => stream.addData(c); query.processAllAvailable() }
+    query.stop()
+
+    val streamed = spark.table("event_win")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty, "no windows finalized")
+    val batch = events.toDF("ts", "event_type", "value")
+      .groupBy(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // every finalized window must equal its batch twin, and all windows
+    // strictly before the final watermark must have been emitted
+    streamed.foreach { case (k, got) => assert(batch(k) == got, s"window mismatch at $k") }
+    val lastDay = streamed.keys.map(_._1).max
+    val expected = batch.keys.filter(_._1 <= lastDay).toSet
+    assert(streamed.keySet == expected, "finalized windows must be a closed prefix")
+  }
+
   test("watermarked stream is correct under a non-UTC session timezone") {
     // pins the fix for the UTC/session-zone mismatch: the hold-back
     // predicate must use the same zone to_timestamp used
