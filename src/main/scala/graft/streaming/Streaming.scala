@@ -78,8 +78,18 @@ object Streaming {
   /** One capture through the fused pass; returns the flushed day, if a
     * day just closed.
     */
+  /** Python-slice / SQL-substring tolerant slicing: out-of-range bounds
+    * clamp to the string instead of throwing, so a junk short `ts` yields
+    * a junk day string — the same tolerance as `Daily.enrich`'s SQL
+    * substring and the reference's `ts[:4]` (main.py:146). Junk days
+    * still refuse to SCORE (LocalDate.parse, like the reference's
+    * pd.date_range) — the tolerance is about matching the daily table.
+    */
+  private def slice(s: String, from: Int, until: Int): String =
+    s.substring(math.min(from, s.length), math.min(until, s.length))
+
   private def step(st: UrlState, c: Capture): (UrlState, Option[DailyOut]) = {
-    val t = s"${c.ts.substring(0, 4)}-${c.ts.substring(4, 6)}-${c.ts.substring(6, 8)}"
+    val t = s"${slice(c.ts, 0, 4)}-${slice(c.ts, 4, 6)}-${slice(c.ts, 6, 8)}"
     val cls =
       if ("200" <= c.status && c.status <= "599") c.status.substring(0, 1) + "xx" else c.status
     val (s, digestStatus) =
@@ -125,6 +135,23 @@ object Streaming {
     (UrlState(digestStatus, sw, pc, ps, rs, us, uw, Some(acc2)), flushed)
   }
 
+  /** Fold time-ordered captures through the daily loop, invoking
+    * `onFlush` for each closed day — THE core shared by every batch and
+    * streaming variant, so the fold semantics live in exactly one place.
+    */
+  private def foldSorted(start: UrlState, caps: Seq[Capture])(onFlush: DailyOut => Unit): UrlState = {
+    var st = start
+    caps.foreach { c =>
+      val (next, flushed) = step(st, c)
+      st = next
+      flushed.foreach(onFlush)
+    }
+    st
+  }
+
+  private def timeOrdered(rows: IterableOnce[Capture]): Seq[Capture] =
+    rows.iterator.toSeq.sortBy(c => (c.ts, c.seq))
+
   /** flatMapGroupsWithState body: fold the batch's (sorted) captures
     * through the loop state, emit closed days.
     */
@@ -132,13 +159,8 @@ object Streaming {
       url: String,
       rows: Iterator[Capture],
       state: GroupState[UrlState]): Iterator[DailyOut] = {
-    var st = state.getOption.getOrElse(emptyState)
     val out = Vector.newBuilder[DailyOut]
-    rows.toSeq.sortBy(c => (c.ts, c.seq)).foreach { c =>
-      val (next, flushed) = step(st, c)
-      st = next
-      flushed.foreach(out += _)
-    }
+    val st = foldSorted(state.getOption.getOrElse(emptyState), timeOrdered(rows))(out += _)
     state.update(st)
     out.result().iterator
   }
@@ -172,25 +194,27 @@ object Streaming {
       .parse(ts, java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
       .atZone(zone).toInstant.toEpochMilli
 
+  /** Split (pending ∪ batch) into the watermark-released prefix and the
+    * new hold-back buffer. STRICT <: Spark's late-data filter keeps rows
+    * with event time >= watermark, so a row at exactly the watermark can
+    * still arrive in a later batch — folding its equal-timestamp peers
+    * now would break (ts, seq) order.
+    */
+  private def release(
+      pending: Seq[Capture],
+      batch: Iterator[Capture],
+      zone: java.time.ZoneId,
+      wm: Long): (Seq[Capture], Seq[Capture]) =
+    timeOrdered(pending.iterator ++ batch).partition(c => tsMillis(c.ts, zone) < wm)
+
   def processGroupLate(zone: java.time.ZoneId)(
       url: String,
       rows: Iterator[Capture],
       state: GroupState[LateState]): Iterator[DailyOut] = {
     val st = state.getOption.getOrElse(LateState(Vector.empty, emptyState))
-    val wm = state.getCurrentWatermarkMs()
-    val all = (st.pending ++ rows).sortBy(c => (c.ts, c.seq))
-    // STRICT <: Spark's late-data filter keeps rows with event time
-    // >= watermark, so a row at exactly the watermark can still arrive
-    // in a later batch — folding its equal-timestamp peers now would
-    // break (ts, seq) order.
-    val (ready, hold) = all.partition(c => tsMillis(c.ts, zone) < wm)
-    var core = st.core
+    val (ready, hold) = release(st.pending, rows, zone, state.getCurrentWatermarkMs())
     val out = Vector.newBuilder[DailyOut]
-    ready.foreach { c =>
-      val (next, flushed) = step(core, c)
-      core = next
-      flushed.foreach(out += _)
-    }
+    val core = foldSorted(st.core, ready)(out += _)
     state.update(LateState(hold, core))
     out.result().iterator
   }
@@ -247,6 +271,12 @@ object Streaming {
     * day, reference main.py:199-207), then the day itself. Emitted rows
     * are exactly the batch scored table's rows for those days — the
     * recurrence is forward-only, so a closed prefix never changes.
+    *
+    * Days AFTER `query.asOf` neither emit nor advance the recurrence:
+    * the batch calendar ends at asOf (reference main.py:199), so scoring
+    * past it would diverge from the batch table and its oracle. The
+    * fill endpoints still track the real observed days (lastDay may
+    * exceed asOf) so gap arithmetic stays correct.
     */
   private def scoreClosedDay(
       url: String,
@@ -267,24 +297,46 @@ object Streaming {
           .fillDays(Vector((pc.lastDay, pc.lastSpec), (d.day, d.specimen)), query.fill, query.policy)
           .toMap
         var pos = 0L
-        while (pos < gap) {
+        var within = true
+        while (pos < gap && within) {
           val day = pd.plusDays(pos + 1).toString
-          val spec = fills.getOrElse(day, "~")
-          res = res.step(spec, p(spec, "~"))
-          fix = fix.step("Unknown", p("Unknown", "Unknown"))
-          out += ScoredRow(url, day, "~", 0, 0, 0, 0, 0, spec, spec != "~",
-            res.h, "~", "Unknown", fix.h, pc.chaos, pc.chaosn)
-          pos += 1
+          if (day > query.asOf) within = false
+          else {
+            val spec = fills.getOrElse(day, "~")
+            res = res.step(spec, p(spec, "~"))
+            fix = fix.step("Unknown", p("Unknown", "Unknown"))
+            out += ScoredRow(url, day, "~", 0, 0, 0, 0, 0, spec, spec != "~",
+              res.h, "~", "Unknown", fix.h, pc.chaos, pc.chaosn)
+            pos += 1
+          }
         }
       }
     }
-    res = res.step(d.specimen, p(d.specimen, "~"))
-    fix = fix.step(d.content, p(d.content, "Unknown"))
-    val call = d.c2xx + d.c3xx + d.c4xx + d.c5xx
-    out += ScoredRow(url, d.day, d.datetime, d.c2xx, d.c3xx, d.c4xx, d.c5xx, call,
-      d.specimen, d.specimen != "~" && call == 0, res.h, d.digest, d.content,
-      fix.h, d.chaos, d.chaosn)
+    if (d.day <= query.asOf) {
+      res = res.step(d.specimen, p(d.specimen, "~"))
+      fix = fix.step(d.content, p(d.content, "Unknown"))
+      val call = d.c2xx + d.c3xx + d.c4xx + d.c5xx
+      out += ScoredRow(url, d.day, d.datetime, d.c2xx, d.c3xx, d.c4xx, d.c5xx, call,
+        d.specimen, d.specimen != "~" && call == 0, res.h, d.digest, d.content,
+        fix.h, d.chaos, d.chaosn)
+    }
     (ScoreCore(res, fix, d.day, d.specimen, d.chaos, d.chaosn), out.result())
+  }
+
+  /** Routes closed days through [[scoreClosedDay]], accumulating emitted
+    * rows and the recurrence state — the one scoring sink every scored
+    * variant (streamed, watermarked, bounded) plugs into [[foldSorted]].
+    */
+  private final class ScoringSink(url: String, query: TrendQuery, init: Option[ScoreCore]) {
+    private var scoreState = init
+    private val rows = Vector.newBuilder[ScoredRow]
+    def onFlush(d: DailyOut): Unit = {
+      val (sc, emitted) = scoreClosedDay(url, scoreState, d, query)
+      scoreState = Some(sc)
+      emitted.foreach(rows += _)
+    }
+    def score: Option[ScoreCore] = scoreState
+    def result: Vector[ScoredRow] = rows.result()
   }
 
   /** ST1 in full: captures stream in, SCORED daily rows stream out — the
@@ -301,20 +353,11 @@ object Streaming {
       .groupByKey(_.url)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (url: String, rows: Iterator[Capture], state: GroupState[ScoredState]) =>
-          var st = state.getOption.getOrElse(ScoredState(emptyState, None))
-          val out = Vector.newBuilder[ScoredRow]
-          rows.toSeq.sortBy(c => (c.ts, c.seq)).foreach { c =>
-            val (next, flushed) = step(st.core, c)
-            var score = st.score
-            flushed.foreach { d =>
-              val (sc, emitted) = scoreClosedDay(url, score, d, query)
-              score = Some(sc)
-              emitted.foreach(out += _)
-            }
-            st = ScoredState(next, score)
-          }
-          state.update(st)
-          out.result().iterator
+          val st = state.getOption.getOrElse(ScoredState(emptyState, None))
+          val sink = new ScoringSink(url, query, st.score)
+          val core = foldSorted(st.core, timeOrdered(rows))(sink.onFlush)
+          state.update(ScoredState(core, sink.score))
+          sink.result.iterator
       }
   }
 
@@ -346,25 +389,12 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (url: String, rows: Iterator[CaptureWithTime], state: GroupState[ScoredLateState]) =>
           val st = state.getOption.getOrElse(ScoredLateState(Vector.empty, emptyState, None))
-          val wm = state.getCurrentWatermarkMs()
-          val all = (st.pending ++ rows.map(_.toCapture)).sortBy(c => (c.ts, c.seq))
-          // strict <, matching processGroupLate: an equal-watermark row
-          // can still arrive in a later batch
-          val (ready, hold) = all.partition(c => tsMillis(c.ts, zone) < wm)
-          var core = st.core
-          var score = st.score
-          val out = Vector.newBuilder[ScoredRow]
-          ready.foreach { c =>
-            val (next, flushed) = step(core, c)
-            core = next
-            flushed.foreach { d =>
-              val (sc, emitted) = scoreClosedDay(url, score, d, query)
-              score = Some(sc)
-              emitted.foreach(out += _)
-            }
-          }
-          state.update(ScoredLateState(hold, core, score))
-          out.result().iterator
+          val (ready, hold) =
+            release(st.pending, rows.map(_.toCapture), zone, state.getCurrentWatermarkMs())
+          val sink = new ScoringSink(url, query, st.score)
+          val core = foldSorted(st.core, ready)(sink.onFlush)
+          state.update(ScoredLateState(hold, core, sink.score))
+          sink.result.iterator
       }
   }
 
@@ -375,6 +405,12 @@ object Streaming {
     * aggregation needs no custom state at all, exactly why it stays a
     * declarative groupBy(window(...)) and not flatMapGroupsWithState.
     * Input: (ts TIMESTAMP, event_type STRING, value DOUBLE).
+    *
+    * Day-bucket contract: `window()` aligns to the epoch (UTC), while
+    * the batch analog's `date_trunc` follows the session timezone — the
+    * two agree under a UTC session, which is the engine default (set in
+    * every entry point); non-UTC sessions shift which wall-clock day an
+    * event lands in.
     */
   def eventDailyWindowStream(
       events: org.apache.spark.sql.DataFrame,
@@ -392,27 +428,17 @@ object Streaming {
   /** The scored stream's fold over one url's bounded capture set with a
     * final flush — the batch harness giving the incremental scorer an
     * oracle-checkable row set: the scored table restricted to observed
-    * days (the stream's closed prefix after the last day flushes).
+    * days no later than `query.asOf` (the stream's closed prefix after
+    * the last day flushes).
     */
   def runBatchScored(
       url: String,
       rows: Iterator[Capture],
       query: TrendQuery): Iterator[ScoredRow] = {
-    var st = emptyState
-    var score: Option[ScoreCore] = None
-    val out = Vector.newBuilder[ScoredRow]
-    def emit(d: DailyOut): Unit = {
-      val (sc, emitted) = scoreClosedDay(url, score, d, query)
-      score = Some(sc)
-      emitted.foreach(out += _)
-    }
-    rows.toSeq.sortBy(c => (c.ts, c.seq)).foreach { c =>
-      val (next, flushed) = step(st, c)
-      st = next
-      flushed.foreach(emit)
-    }
-    finalizeDay(url, st).foreach(emit)
-    out.result().iterator
+    val sink = new ScoringSink(url, query, None)
+    val st = foldSorted(emptyState, timeOrdered(rows))(sink.onFlush)
+    finalizeDay(url, st).foreach(sink.onFlush)
+    sink.result.iterator
   }
 
   /** Run the exact streaming fold over one url's bounded capture set and
@@ -421,13 +447,8 @@ object Streaming {
     * the batch daily table.
     */
   def runBatch(url: String, rows: Iterator[Capture]): Iterator[DailyOut] = {
-    var st = emptyState
     val out = Vector.newBuilder[DailyOut]
-    rows.toSeq.sortBy(c => (c.ts, c.seq)).foreach { c =>
-      val (next, flushed) = step(st, c)
-      st = next
-      flushed.foreach(out += _)
-    }
+    val st = foldSorted(emptyState, timeOrdered(rows))(out += _)
     finalizeDay(url, st).foreach(out += _)
     out.result().iterator
   }

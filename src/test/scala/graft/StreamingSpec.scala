@@ -102,6 +102,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("scored stream stops at asOf even when captures continue past it") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{FillPolicy, TrendQuery}
+
+    // 40 days of captures from 2024-01-01; asOf cuts mid-series
+    val all = fixture("ao", 71, 200, 40)
+    val asOf = "2024-01-20"
+    val q = TrendQuery(-1, FillPolicy.Forward, asOf)
+
+    val stream = MemoryStream[graft.model.Capture]
+    val query = Streaming.scoredStream(stream.toDS(), q)
+      .writeStream.format("memory").queryName("scored_asof")
+      .outputMode("append").start()
+    Seq(all.take(80), all.drop(80)).foreach { c => stream.addData(c); query.processAllAvailable() }
+    query.stop()
+
+    val streamed = spark.table("scored_asof").as[graft.model.ScoredRow]
+      .collect().map(r => (r.url, r.day) -> r).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.keys.forall(_._2 <= asOf), "no emitted day may exceed asOf")
+    val batch = operators.Trend.run(all.toDF(), q)
+      .collect().map(r => (r.url, r.day) -> r).toMap
+    // every batch day <= the last emitted day must match; with captures
+    // continuing past asOf, the gap loop emits the full [.., asOf] span
+    assert(streamed.keySet == batch.keySet,
+      s"extra=${streamed.keySet -- batch.keySet} missing=${batch.keySet -- streamed.keySet}")
+    batch.foreach { case (k, want) => assert(streamed(k) == want, s"asOf divergence at $k") }
+  }
+
   test("watermarked scored stream matches the batch scored table despite disorder") {
     val spark = TestSpark.spark
     import spark.implicits._
