@@ -65,8 +65,15 @@ object Dedup {
   val Perms = 16
   val Bands = 4 // 4 rows per band
 
-  def minhash(docs: DataFrame): DataFrame =
-    shingles(docs)
+  def minhash(docs: DataFrame): DataFrame = minhashFromShingles(shingles(docs))
+
+  /** Minhash over an already-materialized (doc_id, shingle) frame — lets
+    * pipelines that need the shingles anyway (near-dup verify) compute
+    * the explode once and feed both consumers from the same (persisted)
+    * intermediate.
+    */
+  def minhashFromShingles(sh: DataFrame): DataFrame =
+    sh
       .groupBy("doc_id")
       .agg(
         min(substring(md5(concat(lit("0|"), col("shingle"))), 1, 8)).as("mh0"),
@@ -76,12 +83,15 @@ object Dedup {
   /** LSH band signatures: Perms/Bands minima per band concatenated in
     * perm order. Docs sharing any (band, sig) bucket become candidates.
     */
-  def bandSignatures(docs: DataFrame): DataFrame = {
+  def bandSignatures(docs: DataFrame): DataFrame =
+    bandSignaturesFromShingles(shingles(docs))
+
+  def bandSignaturesFromShingles(sh: DataFrame): DataFrame = {
     val stack = (0 until Bands).map { b =>
       val cols = (b * Perms / Bands until (b + 1) * Perms / Bands).map(p => s"mh$p")
       s"$b, concat_ws('_', ${cols.mkString(", ")})"
     }.mkString(", ")
-    minhash(docs).selectExpr(
+    minhashFromShingles(sh).selectExpr(
       "doc_id", s"stack($Bands, $stack) as (band, sig)")
   }
 
@@ -98,15 +108,17 @@ object Dedup {
     // plan, so repeated calls over the same input reuse one cache
     // entry; entries live until the session ends (callers wanting
     // eager cleanup own an unpersist after their action).
-    val sigs = bandSignatures(docs)
+    val sh = shingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures read the PERSISTED shingles — the explode runs once
+    // and feeds both the LSH side and the Jaccard verify side
+    val sigs = bandSignaturesFromShingles(sh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = sigs.as("a")
       .join(sigs.as("b"), expr("a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val sh = shingles(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

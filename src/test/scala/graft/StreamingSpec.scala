@@ -65,6 +65,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("fused fold tolerates junk timestamps like the declarative path") {
+    // short / malformed ts must yield the same junk day strings as SQL
+    // substring (and the reference's Python slicing), not throw
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val caps = Seq(
+      Capture("j", "2024", "200", "DIGA_______", 0L), // day "2024--"
+      Capture("j", "20240105", "301", "DIGB_______", 1L), // no HHMMSS
+      Capture("j", "20240106120000", "404", "DIGC_______", 2L),
+      Capture("j", "troll", "30x", "D", 3L)) // junk everything
+    val fused = Streaming.runBatch("j", caps.iterator).toVector
+      .map(d => d.day -> d).toMap
+    val declarative = Daily.fromCaptures(caps.toDF())
+      .select("url", "day", "datetime", "c2xx", "c3xx", "c4xx", "c5xx",
+        "specimen", "digest", "content", "chaos", "chaosn")
+      .collect()
+      .map(r => r.getString(1) -> r.toSeq).toMap
+    assert(fused.keySet == declarative.keySet,
+      s"day sets differ: ${fused.keySet} vs ${declarative.keySet}")
+    fused.foreach { case (day, d) =>
+      val want = declarative(day)
+      val got = Seq(d.url, d.day, d.datetime, d.c2xx, d.c3xx, d.c4xx, d.c5xx,
+        d.specimen, d.digest, d.content, d.chaos, d.chaosn)
+      assert(got == want, s"junk-ts divergence at $day:\n  fused $got\n  decl  $want")
+    }
+  }
+
   test("scored stream emits exactly the batch scored table's closed prefix") {
     val spark = TestSpark.spark
     import spark.implicits._
