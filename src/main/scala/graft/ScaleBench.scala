@@ -1,0 +1,69 @@
+package graft
+
+import graft.model.{FillPolicy, TrendQuery}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the fused scoring path: N synthetic captures across U
+  * urls (the scoredScale generator, parameterized) through Trend.run,
+  * forced via the noop sink. Prints one JSON line per (n, urls) step so
+  * scaling linearity is measurable:
+  *
+  *   SPARK_GRAFT_SCALE_STEPS="1000000x200,4000000x800,10000000x2000" \
+  *     sbt "runMain graft.ScaleBench"
+  *
+  * Urls scale with N so per-url capture counts stay near the reference's
+  * real-world shape (~5k/url) — scaling BOTH the key count and total
+  * volume, which is what a cluster scale-up looks like.
+  */
+object ScaleBench {
+  def captures(spark: SparkSession, n: Long, urls: Int) =
+    spark.range(n).select(
+      concat(lit("u"), (col("id") % urls).cast("string")).as("url"),
+      date_format(
+        timestamp_seconds(
+          lit(1704067200L) + (col("id") / urls).cast("long") % 45 * 86400 +
+            (col("id") * 7919) % 86400),
+        "yyyyMMddHHmmss").as("ts"),
+      when(col("id") % 13 === 0, "-")
+        .when(col("id") % 7 === 0, "404")
+        .when(col("id") % 5 === 0, "503")
+        .when(col("id") % 3 === 0, "301")
+        .otherwise("200").as("status"),
+      md5(concat(lit("g"), (col("id") % urls).cast("string"), (col("id") % 9).cast("string"))).as("digest"),
+      col("id").as("seq"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val steps = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "1000000x200,4000000x800,10000000x2000")
+      .split(",").toSeq.map { s =>
+        val Array(n, u) = s.trim.split("x")
+        (n.toLong, u.toInt)
+      }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = TrendQuery(fill = -1, policy = FillPolicy.Forward, asOf = "2024-04-01")
+    // warm codegen on a small run so step timings measure data volume
+    Trend_run(spark, 100000, 20, q)
+    steps.foreach { case (n, u) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Trend_run(spark, n, u, q)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = times.min
+      println(
+        s"""{"metric":"scale","captures":$n,"urls":$u,"sec":$best,"captures_per_sec":${(n / best).toLong}}""")
+    }
+    spark.stop()
+  }
+
+  private def Trend_run(spark: SparkSession, n: Long, u: Int, q: TrendQuery): Unit =
+    graft.operators.Trend.run(captures(spark, n, u), q)
+      .toDF().write.format("noop").mode("overwrite").save()
+}
