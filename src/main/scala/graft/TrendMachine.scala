@@ -45,4 +45,25 @@ object TrendMachine {
 
   /** Alias for [[fromDaily]] matching the reference's warm-path naming. */
   def rescore(daily: DataFrame, query: TrendQuery): TrendResult = fromDaily(daily, query)
+
+  /** SQL surface: register the result bundle as temp views so the whole
+    * engine is queryable from `spark.sql` — `<prefix>_captures`,
+    * `<prefix>_daily`, `<prefix>_scored`, `<prefix>_transitions`,
+    * `<prefix>_headline`. Views are lazy plans: nothing materializes
+    * until a SQL query runs, and Catalyst pushes SQL-side filters and
+    * projections down INTO the engine's plans (filter a url in SQL and
+    * the parquet scan prunes).
+    */
+  def registerViews(
+      captures: DataFrame,
+      query: TrendQuery = TrendQuery(),
+      prefix: String = "trend"): TrendResult = {
+    val result = run(captures, query)
+    captures.createOrReplaceTempView(s"${prefix}_captures")
+    result.daily.createOrReplaceTempView(s"${prefix}_daily")
+    result.scored.toDF().createOrReplaceTempView(s"${prefix}_scored")
+    result.transitions.createOrReplaceTempView(s"${prefix}_transitions")
+    result.headline.createOrReplaceTempView(s"${prefix}_headline")
+    result
+  }
 }

@@ -30,4 +30,78 @@ class TrendMachineSpec extends AnyFunSuite {
       assert(h.getAs[String]("last_day") == lastByUrl(h.getAs[String]("url")))
     }
   }
+
+  private def fixture(n: Int, urls: Int): Seq[Capture] = {
+    val rnd = new Random(88)
+    (0 until n).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(rnd.nextInt(20))
+      val ts = f"${day.toString.replace("-", "")}${rnd.nextInt(86400)}%06d"
+      Capture(s"s${i % urls}", ts, Seq("200", "404", "301")(rnd.nextInt(3)), f"E${rnd.nextInt(4)}%02dXXXXXXX", i.toLong)
+    }.sortBy(c => (c.ts, c.seq)).zipWithIndex.map { case (c, i) => c.copy(seq = i.toLong) }
+  }
+
+  test("parquet sink roundtrips the scored table and prunes url lookups") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val q = TrendQuery(-1, FillPolicy.Forward, "2024-02-01")
+    val scored = TrendMachine.run(fixture(150, 4).toDF(), q).scored.toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    try {
+      graft.sinks.Sinks.writeScored(scored, dir, buckets = 8)
+      val back = graft.sinks.Sinks.readScored(spark, dir)
+      val want = scored.collect().map(_.toSeq.toVector).sortBy(_.toString).toSeq
+      val got = back.drop("url_bucket")
+        .select(scored.columns.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq.toVector).sortBy(_.toString).toSeq
+      assert(got == want, "sink roundtrip must preserve every row")
+      // the per-url read prunes to one bucket partition
+      val one = graft.sinks.Sinks.forUrl(spark, dir, "s1", buckets = 8)
+      assert(one.count() == scored.filter($"url" === "s1").count())
+      val scan = one.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters: [isnotnull(url_bucket"),
+        s"url lookup must prune on the bucket partition:\n${scan.take(1200)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("streaming scored sink lands closed days durably in parquet") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val q = TrendQuery(-1, FillPolicy.Forward, "2024-02-01")
+    val all = fixture(150, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssink_").toString
+    try {
+      val stream = MemoryStream[Capture]
+      val sink = graft.sinks.Sinks.scoredStreamSink(
+        graft.streaming.Streaming.scoredStream(stream.toDS(), q),
+        s"$dir/data", s"$dir/ckpt")
+      Seq(all.take(70), all.drop(70)).foreach { c => stream.addData(c); sink.processAllAvailable() }
+      sink.stop()
+      val landed = spark.read.parquet(s"$dir/data").as[graft.model.ScoredRow]
+        .collect().map(r => (r.url, r.day) -> r).toMap
+      assert(landed.nonEmpty, "no rows landed")
+      val batch = operators.Trend.run(all.toDF(), q)
+        .collect().map(r => (r.url, r.day) -> r).toMap
+      landed.foreach { case (k, got) => assert(batch(k) == got, s"sink divergence at $k") }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("registerViews exposes the engine to spark.sql with pushdown") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val q = TrendQuery(-1, FillPolicy.Forward, "2024-02-01")
+    val r = TrendMachine.registerViews(fixture(120, 3).toDF(), q, prefix = "tv")
+    val viaSql = spark.sql(
+      "SELECT url, count(*) AS n FROM tv_scored WHERE url = 's2' GROUP BY url")
+      .collect()
+    assert(viaSql.length == 1 && viaSql.head.getString(0) == "s2")
+    assert(viaSql.head.getLong(1) == r.scored.filter(_.url == "s2").count())
+    assert(spark.sql("SELECT * FROM tv_headline").count() == 3)
+    assert(spark.sql("SELECT * FROM tv_transitions").count() == 3 * 16)
+  }
 }
