@@ -105,17 +105,28 @@ object Queries {
       .orderBy("url", "day")
 
   // ------------------------------------------------------------------ A13
-  /** Distinct timestamp prefixes at six granularities, per URL. */
+  /** Distinct timestamp prefixes at six granularities, per URL.
+    *
+    * Dedup-first shape: every coarser prefix is a prefix of the
+    * second-level one, so distinct (url, second-prefix) FIRST, then
+    * count distincts over the deduped set. A direct 6-way countDistinct
+    * would run Spark's Expand (6x every capture row) before the shuffle;
+    * here the expand touches only distinct seconds — at archive scale,
+    * orders of magnitude fewer rows — and n_second becomes a plain
+    * count.
+    */
   def periodicSamples(s: SparkSession, dir: String): DataFrame =
     captures(s, dir)
+      .select(col("url"), substring(col("ts"), 1, 14).as("p14"))
+      .distinct()
       .groupBy("url")
       .agg(
-        countDistinct(substring(col("ts"), 1, 14)).as("n_second"),
-        countDistinct(substring(col("ts"), 1, 12)).as("n_minute"),
-        countDistinct(substring(col("ts"), 1, 10)).as("n_hour"),
-        countDistinct(substring(col("ts"), 1, 8)).as("n_day"),
-        countDistinct(substring(col("ts"), 1, 6)).as("n_month"),
-        countDistinct(substring(col("ts"), 1, 4)).as("n_year"))
+        count(lit(1)).as("n_second"),
+        countDistinct(substring(col("p14"), 1, 12)).as("n_minute"),
+        countDistinct(substring(col("p14"), 1, 10)).as("n_hour"),
+        countDistinct(substring(col("p14"), 1, 8)).as("n_day"),
+        countDistinct(substring(col("p14"), 1, 6)).as("n_month"),
+        countDistinct(substring(col("p14"), 1, 4)).as("n_year"))
       .orderBy("url")
 
   // ------------------------------------------------------------------- A5
