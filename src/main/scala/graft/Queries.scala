@@ -295,21 +295,10 @@ object Queries {
     * row per (url, day): ~9k rows from 1M captures.
     */
   def scoredScale(s: SparkSession, dir: String): DataFrame = {
-    val n = 1000000L
-    val caps = s.range(n).select(
-      concat(lit("u"), (col("id") % 200).cast("string")).as("url"),
-      date_format(
-        timestamp_seconds(
-          lit(1704067200L) + (col("id") / 200).cast("long") % 45 * 86400 +
-            (col("id") * 7919) % 86400),
-        "yyyyMMddHHmmss").as("ts"),
-      when(col("id") % 13 === 0, "-")
-        .when(col("id") % 7 === 0, "404")
-        .when(col("id") % 5 === 0, "503")
-        .when(col("id") % 3 === 0, "301")
-        .otherwise("200").as("status"),
-      md5(concat(lit("g"), (col("id") % 200).cast("string"), (col("id") % 9).cast("string"))).as("digest"),
-      col("id").as("seq"))
+    // the ONE synthetic generator — ScaleBench parameterizes the same
+    // definition, so the scaling probe benchmarks exactly the workload
+    // this oracle-pinned query verifies
+    val caps = ScaleBench.captures(s, 1000000L, 200)
     Trend.run(caps, TrendQuery(fill = -1, policy = FillPolicy.Forward, asOf = "2024-04-01"))
       .toDF()
       .withColumn("resilience", round(col("resilience"), 6))

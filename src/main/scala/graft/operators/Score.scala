@@ -24,6 +24,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Score {
 
+  /** ISO day parse as an Option — the scorer's junk-day gate. Upstream
+    * stages deliberately tolerate junk timestamps (they yield junk day
+    * strings, matching the reference's Python slicing); such days carry
+    * no calendar position, so scoring SKIPS them rather than crashing
+    * mid-job (the reference's pd.date_range would throw). The daily
+    * table still reports them.
+    */
+  private[graft] def parseDay(s: String): Option[LocalDate] =
+    try Some(LocalDate.parse(s))
+    catch { case _: java.time.format.DateTimeParseException => None }
+
   /** Score a densified per-day table (output of [[GapFill.densify]]). */
   def scoreDensified(
       densified: DataFrame,
@@ -59,7 +70,7 @@ object Score {
         "specimen", "digest", "content", "chaos", "chaosn")
       .as[FilledRow]
     ds.groupByKey(_.url).flatMapGroups { (url, it) =>
-      val rows = it.toArray
+      val rows = it.filter(r => parseDay(r.day).nonEmpty).toArray
       scala.util.Sorting.quickSort(rows)(Ordering.by((r: FilledRow) => r.day))
       densifyAndScore(url, rows, params, until)
     }
@@ -74,6 +85,7 @@ object Score {
       rows: Array[FilledRow],
       params: Map[String, SigParams],
       until: LocalDate): Iterator[ScoredRow] = {
+    if (rows.isEmpty) return Iterator.empty
     val byDay = rows.map(r => r.day -> r).toMap
     val first = LocalDate.parse(rows.head.day)
     val days = Iterator.iterate(first)(_.plusDays(1)).takeWhile(!_.isAfter(until))
@@ -96,11 +108,12 @@ object Score {
       policy: graft.model.FillPolicy,
       params: Map[String, SigParams],
       asOf: String): Iterator[ScoredRow] = {
-    if (observed.isEmpty) return Iterator.empty
+    val scorable = observed.filter(r => parseDay(r.day).nonEmpty)
+    if (scorable.isEmpty) return Iterator.empty
     val fills = GapFill
-      .fillDays(observed.map(r => (r.day, r.specimen)).toIndexedSeq, fill, policy)
+      .fillDays(scorable.map(r => (r.day, r.specimen)).toIndexedSeq, fill, policy)
       .map { case (d, sp) => FilledRow(url, d, "~", 0, 0, 0, 0, sp, "~", "Unknown", None, None) }
-    val rows = (observed ++ fills)
+    val rows = (scorable ++ fills)
     scala.util.Sorting.quickSort(rows)(Ordering.by((r: FilledRow) => r.day))
     densifyAndScore(url, rows, params, LocalDate.parse(asOf))
   }

@@ -1,6 +1,9 @@
 package graft.sinks
 
+import java.nio.charset.StandardCharsets
+
 import graft.model.ScoredRow
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -25,26 +28,58 @@ object Sinks {
   private def bucketed(df: DataFrame, buckets: Int): DataFrame =
     df.withColumn("url_bucket", pmod(xxhash64(col("url")), lit(buckets)))
 
-  /** Write a scored (or daily) table for serving. */
-  def writeScored(scored: DataFrame, path: String, buckets: Int = DefaultBuckets): Unit =
+  /** Write a scored (or daily) table for serving. The bucket count is
+    * persisted alongside the data (`_graft_buckets`) so readers never
+    * have to know it — a mismatched count would hash lookups into the
+    * wrong partition and silently return nothing.
+    */
+  def writeScored(scored: DataFrame, path: String, buckets: Int = DefaultBuckets): Unit = {
     bucketed(scored, buckets)
       .repartition(col("url_bucket"))
-      .sortWithinPartitions("url", "day")
+      // url_bucket leads the sort: the V1 write path requires child
+      // ordering on the partition column and would otherwise insert its
+      // OWN Sort(url_bucket) above this one — paying two sorts and
+      // keeping (url, day) contiguity only by spill-order accident
+      .sortWithinPartitions("url_bucket", "url", "day")
       .write
       .partitionBy("url_bucket")
       .mode("overwrite")
       .parquet(path)
+    val fs = new Path(path).getFileSystem(
+      scored.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path, "_graft_buckets"), true)
+    out.write(buckets.toString.getBytes(StandardCharsets.UTF_8))
+    out.close()
+  }
 
   /** Read the materialization back; `forUrl` prunes to the one bucket
     * partition the url hashes into (partition pruning does the work —
-    * check PushedFilters/PartitionFilters in the scan).
+    * check PushedFilters/PartitionFilters in the scan). Without the
+    * bucket marker it falls back to an unpruned url filter — correct,
+    * just a full scan.
     */
   def readScored(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  def forUrl(spark: SparkSession, path: String, url: String, buckets: Int = DefaultBuckets): DataFrame =
-    readScored(spark, path)
-      .filter(col("url_bucket") === pmod(xxhash64(lit(url)), lit(buckets)) && col("url") === url)
+  private def writtenBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val p = new Path(path, "_graft_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  def forUrl(spark: SparkSession, path: String, url: String): DataFrame = {
+    val base = readScored(spark, path).filter(col("url") === url)
+    writtenBuckets(spark, path) match {
+      case Some(b) => base.filter(col("url_bucket") === pmod(xxhash64(lit(url)), lit(b)))
+      case None    => base
+    }
+  }
 
   /** Wire the incremental scorer into an append-only parquet dataset
     * with exactly-once checkpointing — the streaming serving path: each

@@ -223,17 +223,32 @@ object Streaming {
     * disorder. The watermark both bounds the hold-back buffer and drops
     * too-late rows before they can corrupt the order-sensitive fold.
     */
-  def dailyStreamWatermarked(captures: Dataset[Capture], lateness: String): Dataset[DailyOut] = {
+  /** The watermark scaffold shared by both late-data variants: resolve
+    * the session zone (the hold-back predicate MUST use the same zone
+    * `to_timestamp` derives event time in — see [[tsMillis]]) and attach
+    * the watermark. Keeping this in one place keeps the zone contract
+    * in one place.
+    */
+  private def withEventTimeWatermark(
+      captures: Dataset[Capture],
+      lateness: String): (java.time.ZoneId, Dataset[CaptureWithTime]) = {
     val spark = captures.sparkSession
     import spark.implicits._
     val zone = java.time.ZoneId.of(
       spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
-    val process = processGroupLate(zone) _
-    captures
+    val ds = captures
       .withColumn("event_time", to_timestamp(col("ts"), "yyyyMMddHHmmss"))
       .withWatermark("event_time", lateness)
       .as[CaptureWithTime]
-      .groupByKey(_.url)
+    (zone, ds)
+  }
+
+  def dailyStreamWatermarked(captures: Dataset[Capture], lateness: String): Dataset[DailyOut] = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    val (zone, ds) = withEventTimeWatermark(captures, lateness)
+    val process = processGroupLate(zone) _
+    ds.groupByKey(_.url)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (url: String, rows: Iterator[CaptureWithTime], state: GroupState[LateState]) =>
           process(url, rows.map(_.toCapture), state))
@@ -326,11 +341,21 @@ object Streaming {
   /** Routes closed days through [[scoreClosedDay]], accumulating emitted
     * rows and the recurrence state — the one scoring sink every scored
     * variant (streamed, watermarked, bounded) plugs into [[foldSorted]].
+    *
+    * Junk days (unparseable as ISO dates — possible because the daily
+    * fold deliberately tolerates junk timestamps) are SKIPPED here
+    * without touching the recurrence state: they exist in the daily
+    * stream but have no calendar position to score. Storing one in
+    * `ScoreCore.lastDay` would poison the checkpoint — every later
+    * batch would throw on `LocalDate.parse` and the stream could never
+    * recover. Same drop rule as the batch scorer
+    * ([[graft.operators.Score]]).
     */
   private final class ScoringSink(url: String, query: TrendQuery, init: Option[ScoreCore]) {
     private var scoreState = init
     private val rows = Vector.newBuilder[ScoredRow]
     def onFlush(d: DailyOut): Unit = {
+      if (graft.operators.Score.parseDay(d.day).isEmpty) return
       val (sc, emitted) = scoreClosedDay(url, scoreState, d, query)
       scoreState = Some(sc)
       emitted.foreach(rows += _)
@@ -379,13 +404,8 @@ object Streaming {
       lateness: String): Dataset[ScoredRow] = {
     val spark = captures.sparkSession
     import spark.implicits._
-    val zone = java.time.ZoneId.of(
-      spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
-    captures
-      .withColumn("event_time", to_timestamp(col("ts"), "yyyyMMddHHmmss"))
-      .withWatermark("event_time", lateness)
-      .as[CaptureWithTime]
-      .groupByKey(_.url)
+    val (zone, ds) = withEventTimeWatermark(captures, lateness)
+    ds.groupByKey(_.url)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (url: String, rows: Iterator[CaptureWithTime], state: GroupState[ScoredLateState]) =>
           val st = state.getOption.getOrElse(ScoredLateState(Vector.empty, emptyState, None))

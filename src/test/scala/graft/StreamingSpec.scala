@@ -92,6 +92,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("a junk-day capture cannot poison the scored stream's state") {
+    // a url whose FIRST closed day is junk ("2024--") must not wedge the
+    // stream: scoring skips unparseable days without storing them, so
+    // later well-formed days score normally (against a fresh recurrence)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{Capture, FillPolicy, TrendQuery}
+
+    val caps = Seq(
+      Capture("pz", "2024", "200", "JUNKDAY____", 0L), // day "2024--"
+      Capture("pz", "20240110120000", "200", "DIGA_______", 1L),
+      Capture("pz", "20240112120000", "404", "DIGB_______", 2L),
+      Capture("pz", "20240115120000", "200", "DIGC_______", 3L))
+    val q = TrendQuery(-1, FillPolicy.Forward, "2024-01-20")
+
+    val stream = MemoryStream[Capture]
+    val query = Streaming.scoredStream(stream.toDS(), q)
+      .writeStream.format("memory").queryName("scored_poison")
+      .outputMode("append").start()
+    // junk day closes in batch 1; later days close across batches 2-3
+    Seq(caps.take(2), caps.slice(2, 3), caps.drop(3))
+      .foreach { c => stream.addData(c); query.processAllAvailable() }
+    query.stop()
+
+    val streamed = spark.table("scored_poison").as[graft.model.ScoredRow]
+      .collect().map(r => r.day -> r).toMap
+    // 01-15 never closes (no later capture), so its gap days stay held;
+    // the junk day is skipped, later days score normally
+    assert(streamed.keySet == Set("2024-01-10", "2024-01-11", "2024-01-12"),
+      s"got ${streamed.keySet}")
+    // batch pipeline drops the junk day identically
+    val batch = operators.Trend.run(caps.toDF(), q)
+      .collect().filter(r => r.day <= "2024-01-12").map(r => r.day -> r).toMap
+    batch.foreach { case (k, want) => assert(streamed(k) == want, s"poison divergence at $k") }
+  }
+
   test("scored stream emits exactly the batch scored table's closed prefix") {
     val spark = TestSpark.spark
     import spark.implicits._

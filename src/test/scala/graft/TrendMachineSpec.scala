@@ -54,8 +54,9 @@ class TrendMachineSpec extends AnyFunSuite {
         .select(scored.columns.map(org.apache.spark.sql.functions.col): _*)
         .collect().map(_.toSeq.toVector).sortBy(_.toString).toSeq
       assert(got == want, "sink roundtrip must preserve every row")
-      // the per-url read prunes to one bucket partition
-      val one = graft.sinks.Sinks.forUrl(spark, dir, "s1", buckets = 8)
+      // the per-url read prunes to one bucket partition — the bucket
+      // count comes from the persisted marker, not the caller
+      val one = graft.sinks.Sinks.forUrl(spark, dir, "s1")
       assert(one.count() == scored.filter($"url" === "s1").count())
       val scan = one.queryExecution.executedPlan.toString
       assert(scan.contains("PartitionFilters: [isnotnull(url_bucket"),
