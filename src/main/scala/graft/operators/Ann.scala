@@ -33,16 +33,20 @@ object Ann {
   val K = 5
   val Planes = 8
 
-  private val dotExpr =
-    """aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-      |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  /** Dot products run through [[graft.functions.FloatDot]] — a native
+    * codegen'd expression, bit-identical to the built-in
+    * `aggregate(zip_with(...))` left fold it replaced (same widen-to-
+    * double, same accumulation order, same null semantics) but compiled
+    * to a tight loop instead of per-element lambda interpretation.
+    */
+  private val dotExpr = "float_dot(qe, embedding)"
 
-  private val normExpr =
-    """sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-      |               CAST(0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin
+  private val normExpr = "sqrt(float_dot(embedding, embedding))"
 
-  private def withNorm(emb: DataFrame): DataFrame =
+  private def withNorm(emb: DataFrame): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
     emb.withColumn("norm", expr(normExpr))
+  }
 
   private def topK(scoredPairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
@@ -125,9 +129,7 @@ object Ann {
   val IvfK = 16
   val NProbe = 2
 
-  private def dot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  private def dot(a: String, b: String): String = s"float_dot($a, $b)"
 
   private def centroids(emb: DataFrame): DataFrame =
     withNorm(emb)
@@ -178,10 +180,7 @@ object Ann {
       .join(corpus.as("b"), expr("a.bucket = b.bucket AND a.vec_id < b.vec_id"))
       .withColumn(
         "cos_raw",
-        expr(
-          """aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-            |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
-          (col("a.norm") * col("b.norm")))
+        expr("float_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")))
       .filter(col("cos_raw") >= NearDupCos)
       .select(
         col("a.vec_id").as("vec_a"),
