@@ -84,19 +84,22 @@ object Ann {
     }
   }
 
-  /** Bucket id = 8 sign bits of the plane dot products. */
+  /** Bucket id = 8 sign bits of the plane dot products. Planes carry
+    * ±1.0 weights — exact in float — so storing them as ARRAY<FLOAT> and
+    * dotting with the native [[graft.functions.FloatDot]] is bit-equal
+    * to the old double-weight zip_with fold, with only the 8-iteration
+    * outer loop left to the interpreted HOF.
+    */
   def withBucket(emb: DataFrame): DataFrame = {
-    val planes = typedLit(planeWeights)
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val planes = typedLit(planeWeights.map(_.map(_.toFloat)))
     emb
       .withColumn("planes", planes)
       .withColumn(
         "bucket",
         expr(
           """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
-            |  acc + CASE WHEN
-            |    aggregate(zip_with(element_at(planes, p + 1), embedding,
-            |                       (w, x) -> w * CAST(x AS DOUBLE)),
-            |              CAST(0 AS DOUBLE), (a, v) -> a + v) >= 0
+            |  acc + CASE WHEN float_dot(element_at(planes, p + 1), embedding) >= 0
             |  THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
       .drop("planes")
   }
