@@ -698,6 +698,26 @@ object Oracle {
         |  round(CAST(n_chars % 64 + 16 AS DOUBLE) / (n_chars * 7 % 64 + 16), 6) AS aspect
         |FROM (SELECT *, regexp_replace(text, '[^\x20-\x7e]', '_', 'g') AS p
         |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      s"""WITH p AS (SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7e]', '_', 'g') AS p
+         |           FROM documents)
+         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         |  CAST(length(substr(p, CAST(i*${graft.operators.Multimodal.FrameBytes}+1 AS INTEGER), ${graft.operators.Multimodal.FrameBytes})) AS BIGINT) AS n_bytes,
+         |  md5(substr(p, CAST(i*${graft.operators.Multimodal.FrameBytes}+1 AS INTEGER), ${graft.operators.Multimodal.FrameBytes})) AS frame_md5
+         |FROM p, LATERAL (SELECT unnest(range(CAST(ceil(length(p)/${graft.operators.Multimodal.FrameBytes}.0) AS BIGINT))) AS i)
+         |WHERE i % ${graft.operators.Multimodal.SampleEvery} = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_resize" ->
+      s"""WITH p AS (SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7e]', '_', 'g') AS p
+         |           FROM documents)
+         |SELECT doc_id, CAST(length(s) AS BIGINT) AS n_bytes_resized, md5(s) AS resized_md5
+         |FROM (SELECT doc_id,
+         |  list_aggregate(list_transform(range(CAST(ceil(length(p)/${graft.operators.Multimodal.ResizeStride}.0) AS BIGINT)),
+         |    i -> substr(p, CAST(i*${graft.operators.Multimodal.ResizeStride}+1 AS INTEGER), 1)), 'string_agg', '') AS s
+         |  FROM p)
+         |ORDER BY doc_id""".stripMargin,
+
     "doc_exact_dedup" ->
       """WITH g AS (
         |  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS group_size,

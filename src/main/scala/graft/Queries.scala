@@ -475,6 +475,16 @@ object Queries {
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(docs(s, dir)).toDF().orderBy("doc_id")
 
+  /** Frame sampling over the payload (video-keyframe plumbing). */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.withPayload(docs(s, dir)))
+      .toDF().orderBy("doc_id", "frame_idx")
+
+  /** Stride-resample resize stub. */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resize(Multimodal.withPayload(docs(s, dir)))
+      .toDF().orderBy("doc_id")
+
   // ------------------------------------------------------------ P6/P5/P11/P12
   /** Presentation projection of the densified table: the reference's
     * public column set (rename/title-case P6, main.py:230) + URIM (P5).
@@ -623,6 +633,8 @@ object Queries {
     "ann_buckets" -> (annBuckets _),
     "ann_classify" -> (annClassify _),
     "mm_features" -> (mmFeatures _),
+    "mm_frames" -> (mmFrames _),
+    "mm_resize" -> (mmResize _),
     "span_metrics" -> (spanMetrics _),
     "metrics" -> (metrics _),
     "streaming_daily" -> (streamingDaily _),

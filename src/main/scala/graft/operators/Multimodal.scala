@@ -91,4 +91,55 @@ object Multimodal {
 
   /** documents -> payloads -> features, the full plumbing. */
   def features(docs: DataFrame): Dataset[MmFeatures] = extractFeatures(withPayload(docs))
+
+  /** One sampled frame of a payload. */
+  case class MmFrame(doc_id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)
+
+  /** A stride-resampled ("resized") payload. */
+  case class MmResized(doc_id: Long, n_bytes_resized: Long, resized_md5: String)
+
+  val FrameBytes = 64
+  val SampleEvery = 2
+  val ResizeStride = 4
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map("%02x".format(_)).mkString
+
+  /** Frame sampling: chunk the payload into fixed-size frames, keep
+    * every SampleEvery-th — the video-keyframe shape. A real decoder
+    * would parse container frame boundaries; the chunking stands in for
+    * that, and everything else (partition-batched iteration, one digest
+    * instance reused per partition, per-frame rows out) is the real
+    * plumbing.
+    */
+  def sampleFrames(withPayloadDf: DataFrame): Dataset[MmFrame] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        r.payload.grouped(FrameBytes).zipWithIndex.collect {
+          case (frame, i) if i % SampleEvery == 0 =>
+            MmFrame(r.doc_id, i.toLong, frame.length.toLong, hex(md.digest(frame)))
+        }
+      }
+    }
+  }
+
+  /** Resize stub: stride-resample the payload (every ResizeStride-th
+    * byte) — a real image resize decodes, scales, re-encodes; the
+    * stride keeps the operator deterministic for the oracle while the
+    * plumbing (bounded memory, per-partition batching) is real.
+    */
+  def resize(withPayloadDf: DataFrame): Dataset[MmResized] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val sampled = Array.range(0, r.payload.length, ResizeStride).map(r.payload(_))
+        MmResized(r.doc_id, sampled.length.toLong, hex(md.digest(sampled)))
+      }
+    }
+  }
 }
