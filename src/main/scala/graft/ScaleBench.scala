@@ -33,6 +33,30 @@ object ScaleBench {
       md5(concat(lit("g"), (col("id") % urls).cast("string"), (col("id") % 9).cast("string"))).as("digest"),
       col("id").as("seq"))
 
+  /** Synthetic corpus for the dedup scale probe: ~40 md5-derived words
+    * per doc; every 10th doc repeats the previous doc's text with one
+    * word changed — a planted near-dup pair the MinHash-LSH path must
+    * surface. Word indices spread over a 2^31 space so unrelated docs
+    * share essentially no shingles (a tight vocabulary would weld the
+    * corpus into giant all-alike clusters and the pair count would
+    * explode quadratically — the known duplicate-cluster pathology, not
+    * an interesting benchmark). Generated distributedly (spark.range),
+    * no driver loops.
+    */
+  def documents(spark: SparkSession, n: Long) =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 40).map { w =>
+          // word w of doc id: docs with id % 10 == 0 reuse doc id-1's
+          // words except slot 0
+          val base = when(col("id") % 10 === 0, col("id") - 1).otherwise(col("id"))
+          val idx =
+            if (w == 0) pmod(col("id") * 2654435761L + w, lit(2147483647L))
+            else pmod(base * 2654435761L + w * 40503, lit(2147483647L))
+          substring(md5(idx.cast("string")), 1, 8)
+        }: _*).as("text"))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val steps = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "1000000x200,4000000x800,10000000x2000")
@@ -59,6 +83,15 @@ object ScaleBench {
       val best = times.min
       println(
         s"""{"metric":"scale","captures":$n,"urls":$u,"sec":$best,"captures_per_sec":${(n / best).toLong}}""")
+    }
+    // dedup scale probe: MinHash-LSH near-dup over a synthetic corpus
+    sys.env.get("SPARK_GRAFT_DEDUP_DOCS").map(_.toLong).foreach { nDocs =>
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.nearDupPairs(documents(spark, nDocs))
+        .filter(col("jaccard") >= 0.8).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(
+        s"""{"metric":"dedup_scale","docs":$nDocs,"near_dup_pairs":$pairs,"sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
     }
     spark.stop()
   }
