@@ -713,8 +713,11 @@ object Oracle {
          |           FROM documents)
          |SELECT doc_id, CAST(length(s) AS BIGINT) AS n_bytes_resized, md5(s) AS resized_md5
          |FROM (SELECT doc_id,
-         |  list_aggregate(list_transform(range(CAST(ceil(length(p)/${graft.operators.Multimodal.ResizeStride}.0) AS BIGINT)),
-         |    i -> substr(p, CAST(i*${graft.operators.Multimodal.ResizeStride}+1 AS INTEGER), 1)), 'string_agg', '') AS s
+         |  -- coalesce: string_agg over an empty list is NULL in DuckDB,
+         |  -- but the Spark side hashes an empty byte array for an empty
+         |  -- payload -- both must yield md5('')
+         |  coalesce(list_aggregate(list_transform(range(CAST(ceil(length(p)/${graft.operators.Multimodal.ResizeStride}.0) AS BIGINT)),
+         |    i -> substr(p, CAST(i*${graft.operators.Multimodal.ResizeStride}+1 AS INTEGER), 1)), 'string_agg', ''), '') AS s
          |  FROM p)
          |ORDER BY doc_id""".stripMargin,
 

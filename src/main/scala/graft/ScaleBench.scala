@@ -48,9 +48,11 @@ object ScaleBench {
       col("id").as("doc_id"),
       concat_ws(" ",
         (0 until 40).map { w =>
-          // word w of doc id: docs with id % 10 == 0 reuse doc id-1's
-          // words except slot 0
-          val base = when(col("id") % 10 === 0, col("id") - 1).otherwise(col("id"))
+          // word w of doc id: docs with id % 10 == 0 (except doc 0,
+          // which has no predecessor) reuse doc id-1's words except
+          // slot 0 — planting n/10 - 1 near-dup pairs
+          val base = when(col("id") % 10 === 0 && col("id") > 0, col("id") - 1)
+            .otherwise(col("id"))
           val idx =
             if (w == 0) pmod(col("id") * 2654435761L + w, lit(2147483647L))
             else pmod(base * 2654435761L + w * 40503, lit(2147483647L))

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -91,7 +90,14 @@ object FloatDot {
         id,
         new ExpressionInfo(classOf[FloatDot].getName, Name),
         (children: Seq[Expression]) => {
-          require(children.length == 2, s"$Name expects 2 arguments")
+          if (children.length != 2)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> Name,
+                "expectedNum" -> "2",
+                "actualNum" -> children.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
           FloatDot(children.head, children(1))
         })
     }

@@ -56,12 +56,22 @@ class FloatDotSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("float_dot wrong arity raises an AnalysisException with the function name") {
+    val spark = TestSpark.spark
+    FloatDot.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT float_dot(array(CAST(1 AS FLOAT)))").collect()
+    }
+    assert(e.getMessage.contains("float_dot"), s"unhelpful message: ${e.getMessage}")
+  }
+
   test("float_dot works under interpreted evaluation too") {
     // codegen fallback path: evaluate the expression directly
     val spark = TestSpark.spark
     import spark.implicits._
     FloatDot.register(spark)
-    val old = spark.conf.get("spark.sql.codegen.wholeStage")
+    val oldWhole = spark.conf.get("spark.sql.codegen.wholeStage")
+    val oldFactory = spark.conf.get("spark.sql.codegen.factoryMode")
     try {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
       spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
@@ -69,8 +79,8 @@ class FloatDotSpec extends AnyFunSuite {
         .toDF("a", "b").select(expr("float_dot(a, b)")).head.getDouble(0)
       assert(got == (1.5f.toDouble * 2.0f + (-2.0f).toDouble * 1.0f + 0.5f.toDouble * 4.0f))
     } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", old)
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", oldWhole)
+      spark.conf.set("spark.sql.codegen.factoryMode", oldFactory)
     }
   }
 }
