@@ -38,6 +38,40 @@ object EngineProps extends Properties("graft") {
     fill <- Gen.oneOf(-1, 0, 2)
   } yield (lines.sortBy(_._1), policy, fill)
 
+  private val genSeries: Gen[(Seq[(String, String)], FillPolicy, Int)] = for {
+    n <- Gen.choose(1, 30)
+    days <- Gen.listOfN(n, Gen.choose(0, 59))
+    specs <- Gen.listOfN(n, Gen.oneOf("2xx", "3xx", "4xx", "5xx", "~"))
+    policy <- Gen.oneOf(FillPolicy.all)
+    fill <- Gen.oneOf(-1, 0, 1, 3)
+  } yield (
+    days.distinct.sorted
+      .map(d => java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong).toString)
+      .zip(specs),
+    policy,
+    fill)
+
+  property("fillDays equals the DataFrame fill operator on random series") =
+    forAll(genSeries) { case (obs, policy, fill) =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val dailyDf = obs
+        .map { case (d, sp) =>
+          ("u", d, "20240101000000", 1L, 0L, 0L, 0L, sp, "DGXXXXXX", "Changed",
+            Some(0.5), Some(0.5))
+        }
+        .toDF("url", "day", "datetime", "c2xx", "c3xx", "c4xx", "c5xx",
+          "specimen", "digest", "content", "chaos", "chaosn")
+      val dfFills = graft.operators.GapFill.fill(dailyDf, fill, policy)
+        .filter(org.apache.spark.sql.functions.col("datetime") === "~")
+        .select("day", "specimen").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val pure = graft.operators.GapFill.fillDays(obs.toIndexedSeq, fill, policy)
+        .sorted
+      Prop(pure == dfFills) :|
+        s"fillDays != fill [n=${obs.length} policy=${policy.name} fill=$fill]\n pure=$pure\n df=$dfFills"
+    }
+
   property("pipeline parity + invariants on random streams") = forAll(genCase) {
     case (lines, policy, fill) =>
       val spark = TestSpark.spark
