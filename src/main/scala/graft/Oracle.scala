@@ -274,6 +274,36 @@ object Oracle {
        |)""".stripMargin
   }
 
+  /** Near-dup CTE chain ending in `nd(doc_a, doc_b, jaccard)` — the
+    * [[graft.operators.Dedup.nearDupPairs]] pipeline (LSH candidates +
+    * exact-Jaccard verify) as consumed by the cluster twin.
+    */
+  val nearDupCtes: String =
+    s"""$shinglesCte,
+       |$minhashCtes,
+       |pr AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
+       |                     AND a.doc_id < b.doc_id
+       |),
+       |cnts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |com AS (
+       |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM pr
+       |  JOIN sh sa ON pr.doc_a = sa.doc_id
+       |  JOIN sh sb ON pr.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY doc_a, doc_b
+       |),
+       |nd AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(coalesce(com.n_common, 0) AS DOUBLE)
+       |          / (ca.n + cb.n - coalesce(com.n_common, 0)), 6) AS jaccard
+       |  FROM pr
+       |  LEFT JOIN com USING (doc_a, doc_b)
+       |  JOIN cnts ca ON pr.doc_a = ca.doc_id
+       |  JOIN cnts cb ON pr.doc_b = cb.doc_id
+       |)""".stripMargin
+
   /** A11/A12/J4 CTEs twin of [[graft.operators.Report.transitions]]:
     * consecutive-valid pairs with the first-row-deadlock guard, then the
     * static 4x4 grid completion.
@@ -806,6 +836,116 @@ object Oracle {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_lang_id" -> langIdSql,
+
+    // Duplicate-cluster twin: DuckDB has no iterative min-propagation,
+    // so the oracle computes the SAME fixpoint by transitive closure —
+    // a recursive CTE reaching every node of each component, then
+    // min(reachable) as the label. Equivalent because min-propagation
+    // converges exactly to min-over-component.
+    "doc_dedup_clusters" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM nd WHERE jaccard >= ${graft.operators.Corpus.ClusterJaccard}
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM nd WHERE jaccard >= ${graft.operators.Corpus.ClusterJaccard}
+         |),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         |),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY cluster)
+         |SELECT l.doc_id, l.cluster, sz.cluster_size,
+         |       l.doc_id = l.cluster AS is_canonical
+         |FROM lab l JOIN sz USING (cluster)
+         |ORDER BY doc_id""".stripMargin,
+
+    "doc_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |bsh AS (SELECT DISTINCT shingle FROM sh
+         |        WHERE doc_id % ${graft.operators.Corpus.BenchmarkMod} = 0),
+         |csh AS (SELECT doc_id, shingle FROM sh
+         |        WHERE doc_id % ${graft.operators.Corpus.BenchmarkMod} <> 0),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |      FROM csh GROUP BY doc_id),
+         |mt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+         |       FROM csh JOIN bsh USING (shingle) GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_matched,
+         |  round(CAST(n_matched AS DOUBLE) / greatest(n_shingles, 1), 6) AS contamination,
+         |  round(CAST(n_matched AS DOUBLE) / greatest(n_shingles, 1), 6)
+         |    >= ${graft.operators.Corpus.ContaminationThreshold} AS contaminated
+         |FROM (
+         |  SELECT d.doc_id, coalesce(c.n_shingles, 0) AS n_shingles,
+         |         coalesce(mt.n_matched, 0) AS n_matched
+         |  FROM documents d
+         |  LEFT JOIN c USING (doc_id)
+         |  LEFT JOIN mt USING (doc_id)
+         |  WHERE d.doc_id % ${graft.operators.Corpus.BenchmarkMod} <> 0
+         |)
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_vocab" ->
+      s"""WITH pd AS (
+         |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word, doc_id
+         |),
+         |st AS (SELECT word, CAST(count(*) AS BIGINT) AS df,
+         |              CAST(sum(cnt) AS BIGINT) AS tf
+         |       FROM pd GROUP BY word),
+         |top AS (SELECT * FROM st
+         |        ORDER BY df DESC, tf DESC, word ASC
+         |        LIMIT ${graft.operators.Corpus.VocabTopK})
+         |SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, word ASC) AS INTEGER) AS rank,
+         |       word, df, tf
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "doc_tfidf" ->
+      s"""WITH pd AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY doc_id, word
+         |),
+         |dfs AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY word),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT pd.doc_id, pd.word, pd.tf, dfs.df,
+         |    round(pd.tf * ln(CAST(n.n_docs AS DOUBLE) / dfs.df), 6) AS tfidf
+         |  FROM pd JOIN dfs USING (word) CROSS JOIN n
+         |),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |              ORDER BY tfidf DESC, word ASC) AS INTEGER) AS rn
+         |  FROM sc
+         |)
+         |SELECT doc_id, word, tf, df, tfidf, rn FROM rk
+         |WHERE rn <= ${graft.operators.Corpus.TfidfTopK}
+         |ORDER BY doc_id, rn""".stripMargin,
+
+    "doc_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, md5('s' || CAST(doc_id AS VARCHAR)) AS skey
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS INTEGER) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+         |  FROM s
+         |)
+         |SELECT doc_id, lang, rn, n_lang FROM r
+         |WHERE rn <= (n_lang + ${graft.operators.Corpus.SampleDenom - 1}) // ${graft.operators.Corpus.SampleDenom}
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  quantile_cont(n_chars, 0.5) AS median_chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
 
     "doc_quality" ->
       """SELECT doc_id, n_chars,

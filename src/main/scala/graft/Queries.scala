@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{FillPolicy, SigParams, TrendQuery}
-import graft.operators.{Ann, Daily, Dedup, GapFill, Metrics, Multimodal, Report, Score, TextStats, Trend}
+import graft.operators.{Ann, Corpus, Daily, Dedup, GapFill, Metrics, Multimodal, Report, Score, TextStats, Trend}
 import graft.sources.Cdx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -433,6 +433,50 @@ object Queries {
   def docNormalize(s: SparkSession, dir: String): DataFrame =
     TextStats.normalize(docs(s, dir)).orderBy("doc_id")
 
+  /** Duplicate-cluster resolution: connected components over near-dup
+    * pairs, canonical survivor per cluster.
+    */
+  def docDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Corpus.dedupClusters(docs(s, dir)).orderBy("doc_id")
+
+  /** Benchmark decontamination: shingle overlap vs the held-out set. */
+  def docDecontaminate(s: SparkSession, dir: String): DataFrame =
+    Corpus.decontaminate(docs(s, dir)).orderBy("doc_id")
+
+  /** Corpus vocabulary: top-100 words by document frequency. */
+  def corpusVocab(s: SparkSession, dir: String): DataFrame =
+    Corpus.vocab(docs(s, dir)).orderBy("rank")
+
+  /** Per-document top-3 TF-IDF terms. */
+  def docTfidf(s: SparkSession, dir: String): DataFrame =
+    Corpus.tfidf(docs(s, dir)).orderBy("doc_id", "rn")
+
+  /** Deterministic hash-stratified 1-in-5 sample per language. */
+  def docSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedSample(docs(s, dir)).orderBy("doc_id")
+
+  /** Corpus composition audit per (lang, source). */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Corpus.stats(docs(s, dir)).orderBy("lang", "source")
+
+  /** A13 at archive scale: HLL sketches (approx_count_distinct)
+    * replacing the exact distinct counts — the documented approximation
+    * path when exact per-granularity distincts stop fitting the
+    * shuffle. Rows-only check (sketch estimates are engine-specific, so
+    * no DuckDB hash twin can exist).
+    */
+  def periodicSamplesApprox(s: SparkSession, dir: String): DataFrame =
+    captures(s, dir)
+      .groupBy("url")
+      .agg(
+        approx_count_distinct(substring(col("ts"), 1, 14)).as("n_second"),
+        approx_count_distinct(substring(col("ts"), 1, 12)).as("n_minute"),
+        approx_count_distinct(substring(col("ts"), 1, 10)).as("n_hour"),
+        approx_count_distinct(substring(col("ts"), 1, 8)).as("n_day"),
+        approx_count_distinct(substring(col("ts"), 1, 6)).as("n_month"),
+        approx_count_distinct(substring(col("ts"), 1, 4)).as("n_year"))
+      .orderBy("url")
+
   private def embs(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 
   /** Brute-force cosine top-K: broadcast query set vs corpus. */
@@ -625,6 +669,13 @@ object Queries {
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_normalize" -> (docNormalize _),
+    "doc_dedup_clusters" -> (docDedupClusters _),
+    "doc_decontaminate" -> (docDecontaminate _),
+    "corpus_vocab" -> (corpusVocab _),
+    "doc_tfidf" -> (docTfidf _),
+    "doc_sample" -> (docSample _),
+    "corpus_stats" -> (corpusStats _),
+    "periodic_samples_approx" -> (periodicSamplesApprox _),
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),

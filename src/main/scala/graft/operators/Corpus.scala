@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-level operators a large-scale training-data pipeline needs on
+  * top of per-document dedup/stats: duplicate-cluster resolution,
+  * benchmark decontamination, vocabulary building, TF-IDF term scoring,
+  * and deterministic stratified sampling.
+  *
+  * Everything here is shaped for the 100 TB case first:
+  *  - no all-pairs joins (clustering consumes the LSH-bucketed pair
+  *    stream from [[Dedup.nearDupPairs]]);
+  *  - corpus-wide top-k goes through `TakeOrderedAndProject`
+  *    (distributed heap per partition, k rows to the driver), never a
+  *    global sort;
+  *  - the one global `Window` in [[vocab]] runs over the k already-taken
+  *    rows, not the corpus;
+  *  - sampling and splitting are pure hash functions of the row — no
+  *    RNG, no driver state, stable under repartitioning.
+  */
+object Corpus {
+
+  /** Candidate pairs at or above this exact-Jaccard become dedup-cluster
+    * edges (the usual near-dup threshold for 3-word shingles).
+    */
+  val ClusterJaccard = 0.5
+
+  /** Duplicate-cluster resolution: connected components over the
+    * near-dup pair graph, by iterative min-label propagation. Every
+    * document gets the smallest doc_id reachable through near-dup edges
+    * as its `cluster`; the member equal to the label is the canonical
+    * survivor a dedup pass keeps.
+    *
+    * Scale shape: each round is one `edges JOIN labels` hash join keyed
+    * by doc_id plus a map-side-combined min — O(diameter) rounds, and
+    * near-dup graphs have tiny diameters (clusters are quasi-cliques:
+    * the LSH bands that link A-B and B-C usually link A-C too).
+    * `localCheckpoint` truncates lineage each round so the plan does not
+    * grow with iterations; on a real cluster this becomes
+    * `checkpoint()` to reliable storage. For adversarial long-chain
+    * graphs the two-phase large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") drops rounds to
+    * O(log n) — not needed at near-dup-cluster shapes.
+    *
+    * Convergence test is one scalar action per round: labels only ever
+    * decrease, so the label sum is a strictly decreasing monovariant and
+    * an unchanged sum IS the fixpoint.
+    */
+  def dedupClusters(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.nearDupPairs(docs)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("e_src", "e_dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
+    var prevSum = Long.MinValue
+    var curSum = labels.agg(sum("cluster")).head().getLong(0)
+    while (curSum != prevSum) {
+      val nbrMin = edges
+        .join(labels, edges("e_dst") === labels("doc_id"))
+        .groupBy(col("e_src"))
+        .agg(min("cluster").as("nbr"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("e_src"), "left")
+        .select(
+          labels("doc_id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      labels = next
+      prevSum = curSum
+      curSum = labels.agg(sum("cluster")).head().getLong(0)
+    }
+    edges.unpersist()
+
+    val sizes = labels
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "cluster")
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("cluster_size"),
+        (col("doc_id") === col("cluster")).as("is_canonical"))
+  }
+
+  /** Every 29th doc_id plays the held-out benchmark set in
+    * [[decontaminate]] — a deterministic stand-in for the external eval
+    * suites a production pipeline would load as their own table.
+    */
+  val BenchmarkMod = 29
+
+  /** A corpus document sharing at least this fraction of its shingles
+    * with the benchmark set is flagged contaminated.
+    */
+  val ContaminationThreshold = 0.2
+
+  /** Benchmark decontamination: flag training documents whose n-gram
+    * shingles overlap the benchmark set. The join is keyed by shingle
+    * against the DISTINCT benchmark shingle set — which is tiny relative
+    * to the corpus (eval suites are MBs, corpora are TBs), so it
+    * broadcasts and the corpus-side scan never shuffles. Production
+    * pipelines use 8-13-word n-grams for the same shape; the 3-word
+    * shingles here reuse [[Dedup.shingles]] so one explode feeds dedup
+    * and decontamination alike.
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val benchSh = sh.filter(col("doc_id") % BenchmarkMod === 0)
+      .select("shingle").distinct()
+    val corpusSh = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+    val counts = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val matched = corpusSh
+      .join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+    val contamination = round(
+      col("n_matched").cast("double") / greatest(col("n_shingles"), lit(1L)), 6)
+    docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        col("n_matched"),
+        contamination.as("contamination"),
+        (contamination >= ContaminationThreshold).as("contaminated"))
+  }
+
+  val VocabTopK = 100
+
+  /** Corpus vocabulary: the top-k words by document frequency (ties:
+    * total frequency desc, then word asc — a total order, so the top-k
+    * set is unique). The `orderBy.limit` pair compiles to
+    * `TakeOrderedAndProject` — each partition keeps a k-row heap and the
+    * driver merges |partitions|*k rows — and the rank window then runs
+    * over just those k rows, not the vocabulary.
+    */
+  def vocab(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word", "doc_id")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = perDoc
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"), sum("cnt").as("tf"))
+    val order = Seq(col("df").desc, col("tf").desc, col("word").asc)
+    stats
+      .orderBy(order: _*)
+      .limit(VocabTopK)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .select("rank", "word", "df", "tf")
+  }
+
+  val TfidfTopK = 3
+
+  /** Per-document top TF-IDF terms: tf = in-doc count, idf = ln(N/df),
+    * score rounded to 6 places BEFORE ranking so the ordering key is
+    * identical across engines (raw-double ordering could flip on a
+    * last-ulp difference; the rounded key cannot, except exactly at a
+    * rounding boundary). Rank ties resolve by word asc — deterministic.
+    *
+    * The doc-frequency side is a word-keyed aggregate joined back on
+    * word; N arrives as a broadcast one-row aggregate, never a driver
+    * `.count()` round-trip baked into the plan as a literal.
+    */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val dfs = perDoc.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    perDoc
+      .join(dfs, "word")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word").asc)))
+      .filter(col("rn") <= TfidfTopK)
+      .select("doc_id", "word", "tf", "df", "tfidf", "rn")
+  }
+
+  /** Keep 1 in SampleDenom documents per stratum in
+    * [[stratifiedSample]] (integer arithmetic only — a fractional rate
+    * would multiply a DOUBLE on the Spark side against a DECIMAL literal
+    * on a SQL oracle side and diverge at ceil boundaries).
+    */
+  val SampleDenom = 5
+
+  /** Deterministic stratified sampling: within each language stratum,
+    * rank documents by an md5 hash of their id and keep the first
+    * ceil(n/SampleDenom). A pure function of (lang, doc_id) — stable
+    * across runs, machines, partitionings, and data order, which is
+    * what makes downsampling reproducible and auditable. The rank
+    * window partitions by stratum, so no global sort; skewed strata
+    * (one language dominating a crawl) cost one window partition each,
+    * the same bound as any per-key window in the engine.
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val skey = md5(concat(lit("s"), col("doc_id").cast("string")))
+    docs
+      .select(col("doc_id"), col("lang"), skey.as("skey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("skey"), col("doc_id"))))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") <= expr(s"(n_lang + ${SampleDenom - 1}) div $SampleDenom"))
+      .select("doc_id", "lang", "rn", "n_lang")
+  }
+
+  /** Per-(lang, source) corpus composition: document counts, char
+    * volume, mean and exact median lengths. The shape every ingest
+    * audit starts from; exact `percentile` matches the engine-wide
+    * pandas-interpolation contract (SURVEY §7.4-5).
+    */
+  def stats(docs: DataFrame): DataFrame =
+    docs
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(avg("n_chars"), 6).as("avg_chars"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"))
+}

@@ -16,8 +16,15 @@ class ContractSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracle keys without queries: $dangling")
   }
 
-  test("every registered query has an oracle twin") {
-    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  /** Sketch-based queries whose estimates are engine-specific — no
+    * DuckDB twin can hash-match, so the driver records the documented
+    * weaker rows-only check for exactly these.
+    */
+  private val rowsOnlyByDesign = Set("periodic_samples_approx")
+
+  test("every registered query has an oracle twin (or is rows-only by design)") {
+    val rowsOnly =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(rowsOnly.isEmpty,
       s"rows-only queries (add an oracle twin or document): $rowsOnly")
   }

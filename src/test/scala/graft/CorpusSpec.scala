@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-level operators: dedup clustering, decontamination,
+  * vocabulary, TF-IDF, stratified sampling.
+  */
+class CorpusSpec extends AnyFunSuite {
+
+  private def docsDf(rows: Seq[(Long, String, String, String)]) = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  // Three near-identical docs (one token differs out of 12 — Jaccard
+  // well above 0.5 pairwise), one unrelated doc, one short doc.
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+  private val clusterFixture = Seq(
+    (1L, s"$base mu", "en", "web"),
+    (2L, s"$base nu", "en", "web"),
+    (3L, s"$base xi", "en", "web"),
+    (7L, "one two three four five six seven eight nine ten eleven twelve", "en", "web"),
+    (9L, "tiny", "en", "web"))
+
+  test("dedupClusters: transitive near-dups collapse to min-id cluster; singletons stay") {
+    val out = Corpus.dedupClusters(docsDf(clusterFixture))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1L, 3L, true)))
+    assert(out(2L) == ((1L, 3L, false)))
+    assert(out(3L) == ((1L, 3L, false)))
+    assert(out(7L) == ((7L, 1L, true)))
+    assert(out(9L) == ((9L, 1L, true)))
+  }
+
+  test("dedupClusters: every cluster label is a member doc_id and the component min") {
+    val rows = Corpus.dedupClusters(docsDf(clusterFixture)).collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(ids.contains(r.getLong(1)), "label must be a real doc_id")
+      assert(r.getLong(1) <= r.getLong(0), "label must be the component min")
+    }
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (label, members) =>
+      assert(members.map(_.getLong(0)).min == label)
+      assert(members.forall(_.getLong(2) == members.length))
+      assert(members.count(_.getBoolean(3)) == 1)
+    }
+  }
+
+  test("decontaminate: an exact copy of a benchmark doc is fully contaminated") {
+    // doc 29 is benchmark (29 % 29 == 0); doc 30 copies it verbatim,
+    // doc 31 shares nothing, doc 32 is too short to shingle.
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val out = Corpus.decontaminate(docsDf(Seq(
+      (29L, txt, "en", "web"),
+      (30L, txt, "en", "web"),
+      (31L, "completely different words with zero overlap whatsoever here now", "en", "web"),
+      (32L, "to short", "en", "web"))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(29L), "benchmark docs are excluded from the output")
+    assert(out(30L).getDouble(3) == 1.0 && out(30L).getBoolean(4))
+    assert(out(31L).getLong(2) == 0L && !out(31L).getBoolean(4))
+    assert(out(32L).getLong(1) == 0L && out(32L).getDouble(3) == 0.0 && !out(32L).getBoolean(4))
+  }
+
+  test("vocab: rank 1 is the highest-document-frequency word; ranks are dense") {
+    val out = Corpus.vocab(docsDf(Seq(
+      (1L, "apple banana", "en", "web"),
+      (2L, "apple cherry", "en", "web"),
+      (3L, "apple banana", "en", "web"))))
+      .orderBy("rank").collect()
+    assert(out.head.getString(1) == "apple")
+    assert(out.head.getLong(2) == 3L)
+    assert(out.map(_.getInt(0)).toSeq == (1 to out.length))
+    // banana (df 2) before cherry (df 1)
+    assert(out.map(_.getString(1)).indexOf("banana") < out.map(_.getString(1)).indexOf("cherry"))
+  }
+
+  test("tfidf: a word unique to one doc outranks corpus-wide words") {
+    val out = Corpus.tfidf(docsDf(Seq(
+      (1L, "shared shared unique", "en", "web"),
+      (2L, "shared shared common", "en", "web"),
+      (3L, "shared shared common", "en", "web"))))
+      .filter(col("doc_id") === 1L).orderBy("rn").collect()
+    assert(out.head.getString(1) == "unique", s"got ${out.head}")
+    // 'shared' appears in every doc: idf = ln(1) = 0
+    val shared = out.find(_.getString(1) == "shared").get
+    assert(shared.getDouble(4) == 0.0)
+  }
+
+  test("stratifiedSample: deterministic, per-stratum ceil(n/5), subset of input") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = docsDf((1L to 57L).map(i =>
+      (i, s"text body number $i", if (i % 3 == 0) "de" else "en", "web")))
+    val a = Corpus.stratifiedSample(docs).collect()
+    val b = Corpus.stratifiedSample(docs.repartition(7)).collect()
+    assert(a.map(_.getLong(0)).sorted.toSeq == b.map(_.getLong(0)).sorted.toSeq,
+      "sample must not depend on partitioning")
+    val byLang = a.groupBy(_.getString(1))
+    assert(byLang("de").length == (19 + 4) / 5)
+    assert(byLang("en").length == (38 + 4) / 5)
+    a.foreach(r => assert(r.getInt(2) <= (r.getLong(3) + 4) / 5))
+  }
+
+  test("stats: per-(lang,source) counts and exact median") {
+    val out = Corpus.stats(docsDf(Seq(
+      (1L, "aa", "en", "web"),      // 2 chars
+      (2L, "aaaa", "en", "web"),    // 4
+      (3L, "aaaaaa", "en", "web"),  // 6
+      (4L, "a", "de", "book"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val en = out(("en", "web"))
+    assert(en.getLong(2) == 3L && en.getLong(3) == 12L)
+    assert(en.getDouble(4) == 4.0 && en.getDouble(5) == 4.0)
+    val de = out(("de", "book"))
+    assert(de.getLong(2) == 1L && de.getDouble(5) == 1.0)
+  }
+}
