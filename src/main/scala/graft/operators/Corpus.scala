@@ -58,31 +58,44 @@ object Corpus {
       .toDF("e_src", "e_dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    // Only nodes with an edge can ever change label — iterate over the
+    // edge subgraph (near-dup nodes, a sliver of the corpus) and union
+    // the isolated docs back as singletons afterwards. At 100 TB this
+    // is the difference between shuffling the corpus per round and
+    // shuffling the duplicate set per round.
+    val nodes = edges.select(col("e_src").as("doc_id")).distinct()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint()
     var prevSum = Long.MinValue
-    var curSum = labels.agg(sum("cluster")).head().getLong(0)
+    var curSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
     while (curSum != prevSum) {
       val nbrMin = edges
         .join(labels, edges("e_dst") === labels("doc_id"))
         .groupBy(col("e_src"))
         .agg(min("cluster").as("nbr"))
+      // inner join: every subgraph node has >= 1 edge, so nbrMin covers
+      // all of them; least() keeps the node's own (possibly smaller) label
       val next = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("e_src"), "left")
-        .select(
-          labels("doc_id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .join(nbrMin, labels("doc_id") === nbrMin("e_src"))
+        .select(labels("doc_id"), least(col("cluster"), col("nbr")).as("cluster"))
         .localCheckpoint()
       labels = next
       prevSum = curSum
-      curSum = labels.agg(sum("cluster")).head().getLong(0)
+      curSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
     }
-    edges.unpersist()
+    // edges stays persisted: the singleton anti-join below still reads
+    // it, and CacheManager shares the entry across repeated calls.
 
-    val sizes = labels
+    val singletons = docs
+      .join(nodes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    // checkpoint: `all` appears twice in the output plan (rows + sizes);
+    // without it the anti-join pipeline runs once per occurrence
+    val all = labels.union(singletons).localCheckpoint()
+    val sizes = all
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels
+    all
       .join(sizes, "cluster")
       .select(
         col("doc_id"),

@@ -140,6 +140,11 @@ object Dedup {
           coalesce(col("n_common"), lit(0L)).cast("double") /
             (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))),
           6).as("jaccard"))
+      // The verified pair set is tiny (it IS the duplicate list) and
+      // every consumer — thresholding, clustering ([[Corpus
+      // .dedupClusters]] scans it once per propagation round) — rereads
+      // it; persist so the 5-join verify pipeline runs once per input.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** 32-bit SimHash over the document's word multiset: each word votes
