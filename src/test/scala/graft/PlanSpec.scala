@@ -59,4 +59,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("chaos_daily").contains("InMemoryTableScan"),
       "chaos_daily must read the cached daily table, not recompute it")
   }
+
+  test("corpus_vocab: top-k is a distributed heap take, not a global sort") {
+    val p = plan("corpus_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the top-k:\n${p.take(2000)}")
+  }
+
+  test("doc_decontaminate: benchmark shingle set broadcasts, corpus side never shuffles for the probe") {
+    val p = plan("doc_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("doc_tfidf: corpus size N arrives by broadcast, not a driver collect baked as a literal") {
+    val p = plan("doc_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"N must join in by broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
