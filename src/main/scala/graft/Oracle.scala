@@ -939,6 +939,23 @@ object Oracle {
          |WHERE rn <= (n_lang + ${graft.operators.Corpus.SampleDenom - 1}) // ${graft.operators.Corpus.SampleDenom}
          |ORDER BY doc_id""".stripMargin,
 
+    "emb_centroids" ->
+      """SELECT label, CAST(pos AS INTEGER) AS pos,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0), 6) AS centroid
+        |FROM (
+        |  SELECT label, g.i AS pos,
+        |    CAST(round(CAST(embedding[CAST(g.i + 1 AS INTEGER)] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+        |)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "streaming_dedup" ->
+      """SELECT doc_id, md5(text) AS h,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "corpus_stats" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -513,6 +513,10 @@ object Queries {
   def annClassify(s: SparkSession, dir: String): DataFrame =
     Ann.knnClassify(embs(s, dir)).orderBy("q_id")
 
+  /** Per-label centroid embeddings (long format). */
+  def embCentroids(s: SparkSession, dir: String): DataFrame =
+    Ann.labelCentroids(embs(s, dir)).orderBy("label", "pos")
+
   /** Multimodal plumbing: binary payload + metadata -> typed
     * partition-batched feature extraction (decode stubbed).
     */
@@ -630,6 +634,22 @@ object Queries {
       .orderBy("url", "day")
   }
 
+  /** The streaming exact-dedup fold (hash-keyed first-seen-wins) over
+    * bounded input — must equal min-per-hash, the batch dedup's
+    * canonical rule.
+    */
+  def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Streaming
+    docs(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h")).as[Streaming.DocKeyed]
+      .groupByKey(_.h)
+      .flatMapGroups((h: String, rows: Iterator[Streaming.DocKeyed]) =>
+        Streaming.runBatchDedup(h, rows))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- registry
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdx_parse" -> (cdxParse _),
@@ -681,6 +701,7 @@ object Queries {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_lists" -> (annIvfLists _),
     "emb_near_dup" -> (embNearDup _),
+    "emb_centroids" -> (embCentroids _),
     "ann_buckets" -> (annBuckets _),
     "ann_classify" -> (annClassify _),
     "mm_features" -> (mmFeatures _),
@@ -690,6 +711,7 @@ object Queries {
     "metrics" -> (metrics _),
     "streaming_daily" -> (streamingDaily _),
     "streaming_scored" -> (streamingScored _),
+    "streaming_dedup" -> (streamingDedup _),
     "report_daily" -> (reportDaily _),
     "cdx_source_scan" -> (cdxSourceScan _),
     "transitions_chart" -> (transitionsChart _),

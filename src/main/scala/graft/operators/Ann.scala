@@ -211,4 +211,34 @@ object Ann {
         "q_id")
       .withColumn("correct", col("predicted") === col("true_label"))
   }
+
+  /** Per-label centroid embeddings in long format (label, pos, n_vecs,
+    * centroid) — the class-prototype / k-means-step building block.
+    *
+    * Shape: `posexplode` then an aggregate keyed by (label, pos) — one
+    * shuffle carrying (corpus × dims) rows with map-side combine, the
+    * layout that survives any corpus size (a per-label typed fold would
+    * pin each label's vectors in one task).
+    *
+    * Determinism contract: floating-point addition is order-sensitive
+    * and shuffle-reduce order is not deterministic, so elements are
+    * quantized to 1e-6 fixed-point BIGINTs first — integer sums are
+    * exact and order-free, making the centroid reproducible across
+    * runs, partitionings, and engines (the DuckDB twin quantizes
+    * identically). Quantization error (<=5e-7 per element, averaged
+    * down further) is far below any embedding's meaningful precision.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(round(col("v").cast("double") * 1000000).cast("long")).as("sq"))
+      .select(
+        col("label"),
+        col("pos"),
+        col("n_vecs"),
+        round(col("sq").cast("double") / (col("n_vecs").cast("double") * 1000000.0), 6)
+          .as("centroid"))
 }

@@ -482,4 +482,58 @@ object Streaming {
         a.specimen, a.digest, a.content,
         st.us.toDouble / st.rs, st.uw.toDouble / math.min(SWS, st.rs))
     }
+
+  // ----------------------------------------------------- streaming dedup
+  /** (doc_id, content-hash) pair entering the dedup stream. */
+  case class DocKeyed(doc_id: Long, h: String)
+
+  /** Dedup verdict: `canonical` is the hash group's keeper. */
+  case class DedupOut(doc_id: Long, h: String, canonical: Long, is_dup: Boolean)
+
+  /** The per-hash dedup fold shared by the stream and its batch
+    * harness: the first arrival claims the hash, everything after is a
+    * duplicate. `prior` is the already-claimed canonical, if any.
+    */
+  private def dedupFold(rows: Iterator[DocKeyed], prior: Option[Long]): (Long, Vector[DedupOut]) = {
+    val sorted = rows.toSeq.sortBy(_.doc_id)
+    val canonical = prior.getOrElse(sorted.head.doc_id)
+    (canonical, sorted.iterator.map(d =>
+      DedupOut(d.doc_id, d.h, canonical, d.doc_id != canonical)).toVector)
+  }
+
+  /** Streaming exact dedup — the ingest-pipeline stage that drops
+    * already-seen content as documents arrive: stream keyed by
+    * `md5(text)`, first-seen doc claims the hash, later arrivals emit
+    * as duplicates of it. State per hash is ONE long (the canonical
+    * id), hash-partitioned across executors — the smallest possible
+    * state for exact dedup, and the reason this scales to an unbounded
+    * crawl where a batch groupBy cannot even start until the scan ends.
+    *
+    * Ordering: within a micro-batch, rows fold in doc_id order (so a
+    * batch containing a whole group picks the same canonical as the
+    * batch operator [[graft.operators.Dedup.exact]]); across batches,
+    * first-ARRIVAL wins — the streaming-native semantics, since a
+    * stream cannot know a smaller id arrives tomorrow. The batch
+    * harness [[runBatchDedup]] closes over a bounded input, where the
+    * two definitions coincide.
+    */
+  def dedupStream(docs: org.apache.spark.sql.DataFrame): Dataset[DedupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), md5(col("text")).as("h")).as[DocKeyed]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h: String, rows: Iterator[DocKeyed], state: GroupState[Long]) =>
+          val (canonical, out) = dedupFold(rows, state.getOption)
+          state.update(canonical)
+          out.iterator
+      }
+  }
+
+  /** The dedup stream's fold over one bounded hash group — the batch
+    * harness giving the streaming code path an oracle-checkable twin
+    * (equals min-per-hash on bounded input).
+    */
+  def runBatchDedup(h: String, rows: Iterator[DocKeyed]): Iterator[DedupOut] =
+    dedupFold(rows, None)._2.iterator
 }

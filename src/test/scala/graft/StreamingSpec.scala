@@ -336,4 +336,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     streamed.foreach { case (k, got) => assert(batch(k) == got, s"tz divergence at $k") }
   }
+
+  test("streaming dedup: first arrival claims the hash across micro-batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDS().toDF("doc_id", "text")
+    val query = Streaming.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    // batch 1: doc 10 claims "same"; batch 2: doc 3 (smaller id!) and
+    // doc 11 arrive with identical content — both must defer to 10,
+    // because a stream's canonical is first-ARRIVAL, not global min
+    stream.addData(Seq((10L, "same"), (20L, "other")))
+    query.processAllAvailable()
+    stream.addData(Seq((3L, "same"), (11L, "same"), (21L, "fresh")))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("dedup_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(10L) == ((10L, false)))
+    assert(out(3L) == ((10L, true)), "later-arriving smaller id must still be the dup")
+    assert(out(11L) == ((10L, true)))
+    assert(out(20L) == ((20L, false)) && out(21L) == ((21L, false)))
+  }
+
+  test("streaming dedup over bounded input equals batch min-per-hash dedup") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "cc"), (5L, "bb"), (6L, "aa"))
+      .toDF("doc_id", "text")
+    val folded = docs
+      .select(col("doc_id"), md5(col("text")).as("h")).as[Streaming.DocKeyed]
+      .groupByKey(_.h)
+      .flatMapGroups((h: String, rows: Iterator[Streaming.DocKeyed]) =>
+        Streaming.runBatchDedup(h, rows))
+      .collect().map(d => d.doc_id -> ((d.canonical, d.is_dup))).toMap
+    val batch = graft.operators.Dedup.exact(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(folded == batch)
+  }
 }
