@@ -94,6 +94,19 @@ object ScaleBench {
       val sec = (System.nanoTime() - t0) / 1e9
       println(
         s"""{"metric":"dedup_scale","docs":$nDocs,"near_dup_pairs":$pairs,"sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
+      // clustering on the same corpus: connected components over the
+      // pair graph (caches from the pair probe stay warm — exactly how
+      // a pipeline runs pair-gen then clustering)
+      val t1 = System.nanoTime()
+      val summary = graft.operators.Corpus.dedupClusters(documents(spark, nDocs))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(when(col("is_canonical"), 0L).otherwise(1L)).as("dups"),
+          max("cluster_size").as("max_cluster"))
+        .head()
+      val csec = (System.nanoTime() - t1) / 1e9
+      println(
+        s"""{"metric":"cluster_scale","docs":${summary.getLong(0)},"dups_dropped":${summary.getLong(1)},"max_cluster":${summary.getLong(2)},"sec":$csec}""")
     }
     spark.stop()
   }
