@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{ScoredRow, TrendQuery}
-import graft.operators.{Daily, GapFill, Metrics, Report, Trend}
+import graft.operators.{Corpus, Daily, Dedup, GapFill, Metrics, Report, TextStats, Trend}
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** The engine's public API (SURVEY §7.1 module 7) — what the
@@ -65,5 +65,25 @@ object TrendMachine {
     result.transitions.createOrReplaceTempView(s"${prefix}_transitions")
     result.headline.createOrReplaceTempView(s"${prefix}_headline")
     result
+  }
+
+  /** SQL surface for the training-data pipeline: register the corpus
+    * operators over a documents table (doc_id, text, lang, source,
+    * n_chars) as temp views — `<prefix>_dedup`, `<prefix>_clusters`,
+    * `<prefix>_quality`, `<prefix>_vocab`, `<prefix>_tfidf`,
+    * `<prefix>_sample`, `<prefix>_stats`. Same laziness contract as
+    * [[registerViews]] with one exception: the clustering view's
+    * label-propagation loop runs actions at registration time (its
+    * fixpoint cannot be expressed as a single lazy plan).
+    */
+  def registerCorpusViews(docs: DataFrame, prefix: String = "corpus"): Unit = {
+    docs.createOrReplaceTempView(s"${prefix}_documents")
+    Dedup.exact(docs).createOrReplaceTempView(s"${prefix}_dedup")
+    Corpus.dedupClusters(docs).createOrReplaceTempView(s"${prefix}_clusters")
+    TextStats.quality(docs).createOrReplaceTempView(s"${prefix}_quality")
+    Corpus.vocab(docs).createOrReplaceTempView(s"${prefix}_vocab")
+    Corpus.tfidf(docs).createOrReplaceTempView(s"${prefix}_tfidf")
+    Corpus.stratifiedSample(docs).createOrReplaceTempView(s"${prefix}_sample")
+    Corpus.stats(docs).createOrReplaceTempView(s"${prefix}_stats")
   }
 }

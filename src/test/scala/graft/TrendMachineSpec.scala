@@ -105,4 +105,23 @@ class TrendMachineSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM tv_headline").count() == 3)
     assert(spark.sql("SELECT * FROM tv_transitions").count() == 3 * 16)
   }
+
+  test("registerCorpusViews exposes the training-pipeline operators to spark.sql") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "web"),
+      (2L, "alpha beta gamma delta epsilon", "en", "web"),
+      (3L, "totally different content here now", "de", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    TrendMachine.registerCorpusViews(docs, prefix = "cv")
+    // exact copies land in one cluster, queryable from SQL
+    val dups = spark.sql("SELECT doc_id FROM cv_dedup WHERE is_dup").collect()
+    assert(dups.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.sql("SELECT max(cluster_size) FROM cv_clusters").head().getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM cv_vocab").head().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM cv_stats WHERE lang = 'en'").head().getLong(0) == 1L)
+  }
 }
