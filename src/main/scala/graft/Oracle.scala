@@ -295,7 +295,8 @@ object Oracle {
        |  GROUP BY doc_a, doc_b
        |),
        |nd AS (
-       |  SELECT doc_a, doc_b,
+       |  SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b,
+       |    coalesce(com.n_common, 0) AS n_common,
        |    round(CAST(coalesce(com.n_common, 0) AS DOUBLE)
        |          / (ca.n + cb.n - coalesce(com.n_common, 0)), 6) AS jaccard
        |  FROM pr
@@ -763,30 +764,9 @@ object Oracle {
         |JOIN g USING (h) ORDER BY doc_id""".stripMargin,
 
     "doc_near_dup" ->
-      s"""WITH $shinglesCte,
-         |$minhashCtes,
-         |pr AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
-         |                     AND a.doc_id < b.doc_id
-         |),
-         |cnts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-         |com AS (
-         |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_common
-         |  FROM pr
-         |  JOIN sh sa ON pr.doc_a = sa.doc_id
-         |  JOIN sh sb ON pr.doc_b = sb.doc_id AND sa.shingle = sb.shingle
-         |  GROUP BY doc_a, doc_b
-         |)
-         |SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b,
-         |  coalesce(com.n_common, 0) AS n_common,
-         |  round(CAST(coalesce(com.n_common, 0) AS DOUBLE)
-         |        / (ca.n + cb.n - coalesce(com.n_common, 0)), 6) AS jaccard
-         |FROM pr
-         |LEFT JOIN com USING (doc_a, doc_b)
-         |JOIN cnts ca ON pr.doc_a = ca.doc_id
-         |JOIN cnts cb ON pr.doc_b = cb.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $nearDupCtes
+         |SELECT doc_a, doc_b, n_a, n_b, n_common, jaccard
+         |FROM nd ORDER BY doc_a, doc_b""".stripMargin,
 
     "doc_simhash" ->
       s"""WITH $simhashCtes

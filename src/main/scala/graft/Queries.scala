@@ -638,17 +638,8 @@ object Queries {
     * bounded input — must equal min-per-hash, the batch dedup's
     * canonical rule.
     */
-  def streamingDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.streaming.Streaming
-    docs(s, dir)
-      .select(col("doc_id"), md5(col("text")).as("h")).as[Streaming.DocKeyed]
-      .groupByKey(_.h)
-      .flatMapGroups((h: String, rows: Iterator[Streaming.DocKeyed]) =>
-        Streaming.runBatchDedup(h, rows))
-      .toDF()
-      .orderBy("doc_id")
-  }
+  def streamingDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchDedup(docs(s, dir)).toDF().orderBy("doc_id")
 
   // ------------------------------------------------------------- registry
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

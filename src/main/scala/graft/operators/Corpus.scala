@@ -125,7 +125,13 @@ object Corpus {
     * and decontamination alike.
     */
   def decontaminate(docs: DataFrame): DataFrame = {
+    // same persist rationale as nearDupPairs: the corpus-wide
+    // tokenize+explode feeds three branches (benchmark set, per-doc
+    // counts, match join) and must run once, not per branch — and
+    // CacheManager dedupes this entry with the one nearDupPairs creates
+    // over the same input
     val sh = Dedup.shingles(docs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val benchSh = sh.filter(col("doc_id") % BenchmarkMod === 0)
       .select("shingle").distinct()
     val corpusSh = sh.filter(col("doc_id") % BenchmarkMod =!= 0)

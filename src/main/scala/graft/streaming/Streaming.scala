@@ -536,4 +536,16 @@ object Streaming {
     */
   def runBatchDedup(h: String, rows: Iterator[DocKeyed]): Iterator[DedupOut] =
     dedupFold(rows, None)._2.iterator
+
+  /** [[runBatchDedup]] wired over a whole documents table — the one
+    * batch-harness pipeline shared by the registered query and the
+    * equivalence spec, so both always exercise the same keying + fold.
+    */
+  def batchDedup(docs: org.apache.spark.sql.DataFrame): Dataset[DedupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), md5(col("text")).as("h")).as[DocKeyed]
+      .groupByKey(_.h)
+      .flatMapGroups((h: String, rows: Iterator[DocKeyed]) => runBatchDedup(h, rows))
+  }
 }

@@ -370,11 +370,7 @@ class StreamingSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "cc"), (5L, "bb"), (6L, "aa"))
       .toDF("doc_id", "text")
-    val folded = docs
-      .select(col("doc_id"), md5(col("text")).as("h")).as[Streaming.DocKeyed]
-      .groupByKey(_.h)
-      .flatMapGroups((h: String, rows: Iterator[Streaming.DocKeyed]) =>
-        Streaming.runBatchDedup(h, rows))
+    val folded = Streaming.batchDedup(docs)
       .collect().map(d => d.doc_id -> ((d.canonical, d.is_dup))).toMap
     val batch = graft.operators.Dedup.exact(docs)
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
