@@ -817,6 +817,18 @@ object Oracle {
 
     "doc_lang_id" -> langIdSql,
 
+    "doc_pii_scrub" -> {
+      val email = TextStats.EmailRe
+      val num = TextStats.LongNumRe
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num')) AS INTEGER) AS n_longnums,
+         |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num', '<NUM>', 'g') AS scrubbed,
+         |  len(regexp_extract_all(text, '$email')) = 0
+         |    AND len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num')) = 0 AS is_clean
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     // Duplicate-cluster twin: DuckDB has no iterative min-propagation,
     // so the oracle computes the SAME fixpoint by transitive closure —
     // a recursive CTE reaching every node of each component, then

@@ -433,6 +433,10 @@ object Queries {
   def docNormalize(s: SparkSession, dir: String): DataFrame =
     TextStats.normalize(docs(s, dir)).orderBy("doc_id")
 
+  /** PII scrubbing: email + long-digit-run redaction with audit counts. */
+  def docPiiScrub(s: SparkSession, dir: String): DataFrame =
+    TextStats.piiScrub(docs(s, dir)).orderBy("doc_id")
+
   /** Duplicate-cluster resolution: connected components over near-dup
     * pairs, canonical survivor per cluster.
     */
@@ -680,6 +684,7 @@ object Queries {
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_normalize" -> (docNormalize _),
+    "doc_pii_scrub" -> (docPiiScrub _),
     "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_decontaminate" -> (docDecontaminate _),
     "corpus_vocab" -> (corpusVocab _),

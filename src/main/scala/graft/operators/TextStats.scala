@@ -120,6 +120,31 @@ object TextStats {
       length(cleaned).as("n_chars_norm"))
   }
 
+  /** Email-address shape, written without backslash escapes so the
+    * Spark (Java regex) and DuckDB (RE2) patterns are byte-identical.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+
+  /** 7+ digit runs — phone numbers, SSN-ish ids, account numbers. */
+  val LongNumRe = "[0-9]{7,}"
+
+  /** PII scrubbing: redact email addresses and long digit runs (the
+    * pretraining-pipeline privacy pass), with per-doc redaction counts
+    * for auditing. Emails first — a digit run inside an address must
+    * count once, as an email. Pure per-row projection: no shuffle, scans
+    * stay pruned, codegen keeps it in one stage at any corpus size.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    docs.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all(regexp_replace(text, '$EmailRe', '<EMAIL>'), '$LongNumRe', 0)"))
+        .as("n_longnums"),
+      regexp_replace(afterEmail, LongNumRe, "<NUM>").as("scrubbed"))
+      .withColumn("is_clean", col("n_emails") === 0 && col("n_longnums") === 0)
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase
     * text, its 8-char prefix, and a bottom-3 sketch of shingle hashes
     * (a deterministic min-hash-style document signature usable for

@@ -108,6 +108,21 @@ class CorpusSpec extends AnyFunSuite {
     a.foreach(r => assert(r.getInt(2) <= (r.getLong(3) + 4) / 5))
   }
 
+  test("piiScrub: planted emails and digit runs are redacted and counted") {
+    import graft.operators.TextStats
+    val out = TextStats.piiScrub(docsDf(Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk or call 5551234567 now", "en", "web"),
+      (2L, "short num 123456 stays but 1234567 goes", "en", "web"),
+      (3L, "nothing sensitive here at all", "en", "web"))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1 && out(1L).getInt(2) == 1)
+    assert(out(1L).getString(3) == "contact me at <EMAIL> or call <NUM> now")
+    assert(!out(1L).getBoolean(4))
+    assert(out(2L).getInt(2) == 1)
+    assert(out(2L).getString(3) == "short num 123456 stays but <NUM> goes")
+    assert(out(3L).getBoolean(4) && out(3L).getString(3) == "nothing sensitive here at all")
+  }
+
   test("stats: per-(lang,source) counts and exact median") {
     val out = Corpus.stats(docsDf(Seq(
       (1L, "aa", "en", "web"),      // 2 chars

@@ -103,4 +103,42 @@ object EngineProps extends Properties("graft") {
         Prop(bounds) :| s"bounds violated [$label]",
         Prop(contiguous) :| s"calendar holes [$label]")
   }
+
+  /** Random near-dup corpora: groups of 12-word template variants (each
+    * doc perturbs one slot, so group members pairwise share >=10 words)
+    * plus the group-count/size randomness that shapes the pair graph.
+    */
+  private val genCorpus: Gen[Seq[(Long, String)]] = for {
+    g <- Gen.choose(1, 4)
+    sizes <- Gen.listOfN(g, Gen.choose(1, 5))
+  } yield sizes.zipWithIndex.flatMap { case (m, k) =>
+    (0 until m).map { j =>
+      val words = (0 until 12).map(w => if (w == j % 12) s"g${k}v${j}w$w" else s"g${k}w$w")
+      (k * 10L + j, words.mkString(" "))
+    }
+  }
+
+  property("dedupClusters equals a local union-find over the discovered pair graph") =
+    forAll(genCorpus) { docsSeq =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val df = docsSeq.toDF("doc_id", "text")
+      val pairs = graft.operators.Dedup.nearDupPairs(df)
+        .filter(col("jaccard") >= graft.operators.Corpus.ClusterJaccard)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // reference union-find; larger roots point at smaller, so each
+      // tree's root is the component minimum — the operator's label rule
+      val parent = scala.collection.mutable.Map(docsSeq.map(d => d._1 -> d._1): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = docsSeq.map(d => d._1 -> find(d._1)).toMap
+      val got = graft.operators.Corpus.dedupClusters(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(got == want) :|
+        s"cluster labels != union-find [docs=${docsSeq.length} pairs=${pairs.length}]\n got=$got\n want=$want"
+    }
 }
