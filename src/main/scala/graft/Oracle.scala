@@ -333,6 +333,33 @@ object Oracle {
       |  CROSS JOIN (VALUES ('2xx'), ('3xx'), ('4xx'), ('5xx')) t(tgt)
       |)""".stripMargin
 
+  /** Quality-scoring twin of [[graft.operators.TextStats.quality]] —
+    * shared by `doc_quality` and the `doc_keep_mask` composite so the
+    * two can never disagree on a document's score.
+    */
+  private val qualitySelect: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  round(CAST(nstop AS DOUBLE) / ntok, 6) AS stopword_ratio,
+      |  round(CAST(punct AS DOUBLE) / length(text), 6) AS punct_ratio,
+      |  round(CAST(digits AS DOUBLE) / length(text), 6) AS digit_ratio,
+      |  round(least(1.0, CAST(ntok AS DOUBLE) / 50)
+      |        * (1.0 - CAST(punct AS DOUBLE) / length(text))
+      |        * least(1.0, CAST(nstop AS DOUBLE) / ntok * 5 + 0.5), 6) AS quality
+      |FROM (
+      |  SELECT *, len(string_split(text, ' ')) AS ntok,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'the'))
+      |    + len(list_filter(string_split(text, ' '), x -> x = 'a'))
+      |    + len(list_filter(string_split(text, ' '), x -> x = 'of'))
+      |    + len(list_filter(string_split(text, ' '), x -> x = 'and'))
+      |    + len(list_filter(string_split(text, ' '), x -> x = 'is'))
+      |    + len(list_filter(string_split(text, ' '), x -> x = 'to'))
+      |    + len(list_filter(string_split(text, ' '), x -> x = 'in')) AS nstop,
+      |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS punct,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+      |  FROM documents
+      |)""".stripMargin
+
   /** Language-ID twin generated from the SAME marker table the Spark
     * operator uses, so the two sides cannot drift.
     */
@@ -817,6 +844,48 @@ object Oracle {
 
     "doc_lang_id" -> langIdSql,
 
+    "doc_repetition" ->
+      """WITH bg AS (
+        |  SELECT doc_id, words[CAST(i + 1 AS INTEGER)] || ' ' || words[CAST(i + 2 AS INTEGER)] AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |       unnest(range(len(words) - 1)) t(i)
+        |),
+        |bc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM bg GROUP BY doc_id, bigram),
+        |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |               CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+        |               CAST(count(*) AS BIGINT) AS n_distinct
+        |        FROM bc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(agg.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(agg.top_bigram_cnt, 0) AS top_bigram_cnt,
+        |  round(CAST(coalesce(agg.top_bigram_cnt, 0) AS DOUBLE)
+        |        / greatest(coalesce(agg.n_bigrams, 0), 1), 6) AS top_bigram_frac,
+        |  round(CAST(coalesce(agg.n_distinct, 0) AS DOUBLE)
+        |        / greatest(coalesce(agg.n_bigrams, 0), 1), 6) AS distinct_bigram_frac
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // keep-mask twin: quality from the shared qualitySelect; is_dup via
+    // the window-min formulation, provably equal to doc_exact_dedup's
+    // group-min canonical (same per-hash minimum)
+    "doc_keep_mask" -> {
+      val reason =
+        s"""CASE WHEN is_dup THEN 'dup'
+           |       WHEN n_tokens < ${TextStats.MinTokens} THEN 'too_short'
+           |       WHEN quality < ${TextStats.QualityMin} THEN 'low_quality'
+           |       ELSE 'keep' END""".stripMargin
+      s"""WITH q AS ($qualitySelect),
+         |d AS (SELECT doc_id,
+         |        doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+         |      FROM documents)
+         |SELECT q.doc_id, q.n_tokens, q.quality, d.is_dup,
+         |  $reason AS reason,
+         |  ($reason) = 'keep' AS keep
+         |FROM q JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "doc_pii_scrub" -> {
       val email = TextStats.EmailRe
       val num = TextStats.LongNumRe
@@ -956,28 +1025,7 @@ object Oracle {
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
 
-    "doc_quality" ->
-      """SELECT doc_id, n_chars,
-        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-        |  round(CAST(nstop AS DOUBLE) / ntok, 6) AS stopword_ratio,
-        |  round(CAST(punct AS DOUBLE) / length(text), 6) AS punct_ratio,
-        |  round(CAST(digits AS DOUBLE) / length(text), 6) AS digit_ratio,
-        |  round(least(1.0, CAST(ntok AS DOUBLE) / 50)
-        |        * (1.0 - CAST(punct AS DOUBLE) / length(text))
-        |        * least(1.0, CAST(nstop AS DOUBLE) / ntok * 5 + 0.5), 6) AS quality
-        |FROM (
-        |  SELECT *, len(string_split(text, ' ')) AS ntok,
-        |    len(list_filter(string_split(text, ' '), x -> x = 'the'))
-        |    + len(list_filter(string_split(text, ' '), x -> x = 'a'))
-        |    + len(list_filter(string_split(text, ' '), x -> x = 'of'))
-        |    + len(list_filter(string_split(text, ' '), x -> x = 'and'))
-        |    + len(list_filter(string_split(text, ' '), x -> x = 'is'))
-        |    + len(list_filter(string_split(text, ' '), x -> x = 'to'))
-        |    + len(list_filter(string_split(text, ' '), x -> x = 'in')) AS nstop,
-        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS punct,
-        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
-        |  FROM documents
-        |) ORDER BY doc_id""".stripMargin,
+    "doc_quality" -> s"$qualitySelect\nORDER BY doc_id",
 
     "doc_fingerprint" ->
       s"""WITH $shinglesCte,

@@ -437,6 +437,14 @@ object Queries {
   def docPiiScrub(s: SparkSession, dir: String): DataFrame =
     TextStats.piiScrub(docs(s, dir)).orderBy("doc_id")
 
+  /** Within-document repetition (bigram dominance) quality signal. */
+  def docRepetition(s: SparkSession, dir: String): DataFrame =
+    TextStats.repetition(docs(s, dir)).orderBy("doc_id")
+
+  /** Composite keep/drop verdict (dup > too_short > low_quality). */
+  def docKeepMask(s: SparkSession, dir: String): DataFrame =
+    TextStats.keepMask(docs(s, dir)).orderBy("doc_id")
+
   /** Duplicate-cluster resolution: connected components over near-dup
     * pairs, canonical survivor per cluster.
     */
@@ -685,6 +693,8 @@ object Queries {
     "doc_split" -> (docSplit _),
     "doc_normalize" -> (docNormalize _),
     "doc_pii_scrub" -> (docPiiScrub _),
+    "doc_repetition" -> (docRepetition _),
+    "doc_keep_mask" -> (docKeepMask _),
     "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_decontaminate" -> (docDecontaminate _),
     "corpus_vocab" -> (corpusVocab _),

@@ -120,6 +120,74 @@ object TextStats {
       length(cleaned).as("n_chars_norm"))
   }
 
+  /** Within-document repetition (the Gopher-style quality signal):
+    * bigram counts per doc, the dominant bigram's share of all bigrams,
+    * and the distinct-bigram ratio. Highly repetitive docs (boilerplate,
+    * keyword stuffing, generation loops) show a high top share and a
+    * low distinct ratio. Shape: explode + (doc, bigram) aggregate with
+    * map-side combine, then a per-doc rollup — two shuffles keyed by
+    * doc, no windows over the corpus.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"), words.as("w"))
+      .select(
+        col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(w) >= 2
+            |THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("bigram"))
+      .groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_bigrams"),
+        max("cnt").as("top_bigram_cnt"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    docs.select(col("doc_id"))
+      .join(bigrams, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        round(
+          coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)),
+          6).as("top_bigram_frac"),
+        round(
+          coalesce(col("n_distinct_bigrams"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)),
+          6).as("distinct_bigram_frac"))
+  }
+
+  /** Keep/drop thresholds for [[keepMask]]. */
+  val QualityMin = 0.3
+  val MinTokens = 5
+
+  /** The composite filter decision every pretraining pipeline ends
+    * with: exact-dup? too short? low quality? One row per document with
+    * the verdict and the FIRST failing reason (precedence: dup >
+    * too_short > low_quality), composed from [[Dedup.exact]] and
+    * [[quality]] — operators compose as plans, so Catalyst fuses the
+    * three scans and the filter into one job.
+    */
+  def keepMask(docs: DataFrame): DataFrame = {
+    val q = quality(docs).select("doc_id", "n_tokens", "quality")
+    val d = Dedup.exact(docs).select("doc_id", "is_dup")
+    val reason = when(col("is_dup"), "dup")
+      .when(col("n_tokens") < MinTokens, "too_short")
+      .when(col("quality") < QualityMin, "low_quality")
+      .otherwise("keep")
+    q.join(d, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("quality"),
+        col("is_dup"),
+        reason.as("reason"),
+        (reason === "keep").as("keep"))
+  }
+
   /** Email-address shape, written without backslash escapes so the
     * Spark (Java regex) and DuckDB (RE2) patterns are byte-identical.
     */

@@ -123,6 +123,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L).getBoolean(4) && out(3L).getString(3) == "nothing sensitive here at all")
   }
 
+  test("repetition: a looping doc shows bigram dominance; short docs are zero") {
+    import graft.operators.TextStats
+    val out = TextStats.repetition(docsDf(Seq(
+      (1L, "spam spam spam spam spam spam", "en", "web"), // 5 bigrams, all "spam spam"
+      (2L, "all words here are different ones", "en", "web"),
+      (3L, "solo", "en", "web"))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 5L && out(1L).getLong(2) == 5L)
+    assert(out(1L).getDouble(3) == 1.0 && out(1L).getDouble(4) == 0.2)
+    assert(out(2L).getDouble(3) == 0.2 && out(2L).getDouble(4) == 1.0)
+    assert(out(3L).getLong(1) == 0L && out(3L).getDouble(3) == 0.0)
+  }
+
+  test("keepMask: reason precedence dup > too_short > low_quality") {
+    import graft.operators.TextStats
+    val good = "the cat sat on the mat and it is a fine day for all of us to be here now"
+    val out = TextStats.keepMask(docsDf(Seq(
+      (1L, good, "en", "web"),
+      (2L, good, "en", "web"),            // exact dup of 1 -> dup
+      (3L, "too few", "en", "web"),       // 2 tokens -> too_short
+      (4L, "%%% ### @@@ !!! ??? &&& ***", "en", "web")))) // punct-only -> low_quality
+      .collect().map(r => r.getLong(0) -> ((r.getString(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == (("keep", true)))
+    assert(out(2L) == (("dup", false)))
+    assert(out(3L) == (("too_short", false)))
+    assert(out(4L) == (("low_quality", false)))
+  }
+
   test("stats: per-(lang,source) counts and exact median") {
     val out = Corpus.stats(docsDf(Seq(
       (1L, "aa", "en", "web"),      // 2 chars
