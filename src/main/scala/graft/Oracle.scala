@@ -218,13 +218,21 @@ object Oracle {
        |FROM filled ORDER BY url, day""".stripMargin
 
   /** Word 3-shingles CTE, twin of [[graft.operators.Dedup.shingles]]. */
-  val shinglesCte: String =
-    """sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS shingle
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      |       unnest(range(len(words) - 2)) t(i)
-      |)""".stripMargin
+  /** Word-k-gram CTE — SQL twin of [[graft.operators.Dedup.ngramRows]],
+    * k-parameterized so every n-gram consumer (shingles, bigrams) reads
+    * the one construction.
+    */
+  def ngramCte(k: Int, alias: String, outCol: String, distinct: Boolean): String = {
+    val gram = (1 to k).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+    s"""$alias AS (
+       |  SELECT ${if (distinct) "DISTINCT " else ""}doc_id,
+       |    $gram AS $outCol
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |       unnest(range(len(words) - ${k - 1})) t(i)
+       |)""".stripMargin
+  }
+
+  val shinglesCte: String = ngramCte(3, "sh", "shingle", distinct = true)
 
   /** MinHash CTEs twin of [[graft.operators.Dedup.minhash]]/
     * [[graft.operators.Dedup.bandSignatures]] — same wide 16-min
@@ -845,11 +853,7 @@ object Oracle {
     "doc_lang_id" -> langIdSql,
 
     "doc_repetition" ->
-      """WITH bg AS (
-        |  SELECT doc_id, words[CAST(i + 1 AS INTEGER)] || ' ' || words[CAST(i + 2 AS INTEGER)] AS bigram
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |       unnest(range(len(words) - 1)) t(i)
-        |),
+      s"""WITH ${ngramCte(2, "bg", "bigram", distinct = false)},
         |bc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt
         |       FROM bg GROUP BY doc_id, bigram),
         |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,

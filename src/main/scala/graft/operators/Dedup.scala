@@ -36,22 +36,29 @@ object Dedup {
         (col("doc_id") =!= col("canonical")).as("is_dup"))
   }
 
-  /** Distinct word k-shingles per document (k=3). Short docs (<k words)
-    * contribute no shingles. The words array is materialized ONCE per
-    * row before the lambda — splitting inside the transform would
-    * re-tokenize per element (O(tokens^2) per doc).
+  /** (doc_id, k-gram) rows — the ONE word-n-gram construction every
+    * n-gram consumer derives from (shingles k=3, repetition bigrams
+    * k=2; [[graft.Oracle.ngramCte]] is its SQL twin). Multiset: no
+    * dedup here, callers decide. Short docs (<k words) contribute no
+    * rows. The words array is materialized ONCE per row before the
+    * lambda — splitting inside the transform would re-tokenize per
+    * element (O(tokens^2) per doc).
     */
-  def shingles(docs: DataFrame): DataFrame =
+  def ngramRows(docs: DataFrame, k: Int, outCol: String): DataFrame = {
+    val gram = (0 until k).map(j => s"w[i+$j]").mkString("concat(", ", ' ', ", ")")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(
         col("doc_id"),
         explode(expr(
-          """CASE WHEN size(w) >= 3
-            |THEN transform(sequence(0, size(w) - 3),
-            |               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
-            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("shingle"))
-      .distinct()
+          s"""CASE WHEN size(w) >= $k
+             |THEN transform(sequence(0, size(w) - $k), i -> $gram)
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as(outCol))
+  }
+
+  /** Distinct word 3-shingles per document. */
+  def shingles(docs: DataFrame): DataFrame =
+    ngramRows(docs, 3, "shingle").distinct()
 
   /** MinHash signatures: PERMS md5-derived hash functions; the per-doc
     * minimum of `substr(md5(perm || '|' || shingle), 1, 8)` per perm.

@@ -129,14 +129,7 @@ object TextStats {
     * doc, no windows over the corpus.
     */
   def repetition(docs: DataFrame): DataFrame = {
-    val bigrams = docs
-      .select(col("doc_id"), words.as("w"))
-      .select(
-        col("doc_id"),
-        explode(expr(
-          """CASE WHEN size(w) >= 2
-            |THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))
-            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("bigram"))
+    val bigrams = Dedup.ngramRows(docs, 2, "bigram")
       .groupBy("doc_id", "bigram")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
