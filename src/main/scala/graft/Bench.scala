@@ -36,6 +36,13 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None // a fast failure must not masquerade as a fast query
+        } finally {
+          // Release operator-scoped persists so 67 queries' intermediates
+          // don't accumulate in storage memory and skew later queries —
+          // every iteration measures the operator, not a prior query's
+          // leftover cache. The daily-table cache (SNK2, a deliberate
+          // cross-query materialization) is not scoped and survives.
+          graft.operators.CacheScope.releaseAll()
         }
       }
       name -> (if (times.nonEmpty) times.min else -1.0)

@@ -13,6 +13,7 @@ object BenchOne {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
         println(f"$name iter$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        graft.operators.CacheScope.releaseAll()
       }
     }
     spark.stop()

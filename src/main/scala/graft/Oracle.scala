@@ -257,14 +257,15 @@ object Oracle {
   }
 
   /** SimHash CTEs twin of [[graft.operators.Dedup.simhash]] — same wide
-    * 32-vote aggregation.
+    * 64-vote aggregation, fingerprint as two 32-bit halves.
     */
   val simhashCtes: String = {
-    val votes = (0 until 32)
-      .map(b => s"sum(cnt * (((wh >> $b) & 1) * 2 - 1)) AS v$b")
+    val votes = (
+      (0 until 32).map(b => s"sum(cnt * (((whl >> $b) & 1) * 2 - 1)) AS vl$b") ++
+        (0 until 32).map(b => s"sum(cnt * (((whh >> $b) & 1) * 2 - 1)) AS vh$b"))
       .mkString(",\n    ")
-    val fp = (0 until 32)
-      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+    def fp(prefix: String) = (0 until 32)
+      .map(b => s"(CASE WHEN $prefix$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
     s"""wc AS (
        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
@@ -274,11 +275,16 @@ object Oracle {
        |vs AS (
        |  SELECT doc_id,
        |    $votes
-       |  FROM (SELECT *, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wh FROM wc)
+       |  FROM (SELECT *,
+       |          CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS whl,
+       |          CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS whh
+       |        FROM wc)
        |  GROUP BY doc_id
        |),
        |sim AS (
-       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM vs
+       |  SELECT doc_id, CAST(${fp("vh")} AS BIGINT) AS sim_hi,
+       |    CAST(${fp("vl")} AS BIGINT) AS sim_lo
+       |  FROM vs
        |)""".stripMargin
   }
 
@@ -805,19 +811,23 @@ object Oracle {
 
     "doc_simhash" ->
       s"""WITH $simhashCtes
-         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, sim_hi, sim_lo FROM sim ORDER BY doc_id""".stripMargin,
 
     "doc_simhash_pairs" ->
       s"""WITH $simhashCtes,
          |banded AS (
-        |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS key
+        |  SELECT doc_id, sim_hi, sim_lo, band,
+        |    CASE WHEN band < 2 THEN (sim_lo >> (band * 16)) & 65535
+        |         ELSE (sim_hi >> ((band - 2) * 16)) & 65535 END AS key
         |  FROM sim, unnest(range(4)) t(band)
         |)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |  CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+        |     + bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
         |FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
         |                           AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        |WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+        |    + bit_count(xor(a.sim_hi, b.sim_hi)) <= ${graft.operators.Dedup.SimhashHammingMax}
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "doc_token_stats" ->

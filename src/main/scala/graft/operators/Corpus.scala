@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Corpus-level operators a large-scale training-data pipeline needs on
   * top of per-document dedup/stats: duplicate-cluster resolution,
@@ -45,18 +44,19 @@ object Corpus {
     * "Connected Components in MapReduce and Beyond") drops rounds to
     * O(log n) — not needed at near-dup-cluster shapes.
     *
-    * Convergence test is one scalar action per round: labels only ever
-    * decrease, so the label sum is a strictly decreasing monovariant and
-    * an unchanged sum IS the fixpoint.
+    * Convergence test is one scalar action per round — and it is the
+    * SAME action that materializes the round's checkpoint (lazy
+    * `localCheckpoint` + the sum aggregate run in one job): labels only
+    * ever decrease, so the label sum is a strictly decreasing
+    * monovariant and an unchanged sum IS the fixpoint.
     */
   def dedupClusters(docs: DataFrame): DataFrame = {
     val pairs = Dedup.nearDupPairs(docs)
       .filter(col("jaccard") >= ClusterJaccard)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
+    val edges = CacheScope.persist(pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("e_src", "e_dst")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .toDF("e_src", "e_dst"))
 
     // Only nodes with an edge can ever change label — iterate over the
     // edge subgraph (near-dup nodes, a sliver of the corpus) and union
@@ -65,7 +65,7 @@ object Corpus {
     // shuffling the duplicate set per round.
     val nodes = edges.select(col("e_src").as("doc_id")).distinct()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prevSum = Long.MinValue
     var curSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
     while (curSum != prevSum) {
@@ -78,13 +78,16 @@ object Corpus {
       val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("e_src"))
         .select(labels("doc_id"), least(col("cluster"), col("nbr")).as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       labels = next
       prevSum = curSum
+      // one job per round: the sum action materializes the lazy
+      // checkpoint as a side effect (lineage still truncates; on a real
+      // cluster this becomes reliable checkpoint())
       curSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
     }
-    // edges stays persisted: the singleton anti-join below still reads
-    // it, and CacheManager shares the entry across repeated calls.
+    // edges stays persisted until the harness releases the scope: the
+    // singleton anti-join below still reads it.
 
     val singletons = docs
       .join(nodes, Seq("doc_id"), "left_anti")
@@ -130,8 +133,7 @@ object Corpus {
     // counts, match join) and must run once, not per branch — and
     // CacheManager dedupes this entry with the one nearDupPairs creates
     // over the same input
-    val sh = Dedup.shingles(docs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = CacheScope.persist(Dedup.shingles(docs))
     val benchSh = sh.filter(col("doc_id") % BenchmarkMod === 0)
       .select("shingle").distinct()
     val corpusSh = sh.filter(col("doc_id") % BenchmarkMod =!= 0)

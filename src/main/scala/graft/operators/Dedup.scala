@@ -111,16 +111,13 @@ object Dedup {
     // 16-perm minhash pipeline runs once per join side (and the shingle
     // explode three times). At warehouse scale these would be bucketed
     // intermediate tables; persist is the single-job equivalent.
-    // Lifecycle note: Spark's CacheManager dedupes by canonicalized
-    // plan, so repeated calls over the same input reuse one cache
-    // entry; entries live until the session ends (callers wanting
-    // eager cleanup own an unpersist after their action).
-    val sh = shingles(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Registered with CacheScope: scoped to the operator invocation, so
+    // a multi-query harness can release them between queries instead of
+    // letting 60+ queries' intermediates pile up in storage memory.
+    val sh = CacheScope.persist(shingles(docs))
     // signatures read the PERSISTED shingles — the explode runs once
     // and feeds both the LSH side and the Jaccard verify side
-    val sigs = bandSignaturesFromShingles(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = CacheScope.persist(bandSignaturesFromShingles(sh))
     val pairs = sigs.as("a")
       .join(sigs.as("b"), expr("a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -133,7 +130,11 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
 
-    pairs
+    // The verified pair set is tiny (it IS the duplicate list) and
+    // every consumer — thresholding, clustering ([[Corpus
+    // .dedupClusters]] scans it once per propagation round) — rereads
+    // it; persist so the 5-join verify pipeline runs once per input.
+    CacheScope.persist(pairs
       .join(common, Seq("doc_a", "doc_b"), "left")
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
@@ -146,59 +147,83 @@ object Dedup {
         round(
           coalesce(col("n_common"), lit(0L)).cast("double") /
             (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))),
-          6).as("jaccard"))
-      // The verified pair set is tiny (it IS the duplicate list) and
-      // every consumer — thresholding, clustering ([[Corpus
-      // .dedupClusters]] scans it once per propagation round) — rereads
-      // it; persist so the 5-join verify pipeline runs once per input.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          6).as("jaccard")))
   }
 
-  /** 32-bit SimHash over the document's word multiset: each word votes
-    * its md5-derived 32-bit pattern weighted by its count; bit b of the
+  /** 64-bit SimHash over the document's word multiset: each word votes
+    * its md5-derived 64-bit pattern weighted by its count; bit b of the
     * fingerprint is 1 iff the summed vote is positive (tie -> 0).
     *
-    * Same wide-aggregation shape as [[minhash]]: 32 vote sums in one
-    * pass instead of a 32x bit-explode — the shuffle carries one row per
+    * Same wide-aggregation shape as [[minhash]]: 64 vote sums in one
+    * pass instead of a 64x bit-explode — the shuffle carries one row per
     * (doc, word), combined map-side.
+    *
+    * The fingerprint ships as two 32-bit halves (`sim_hi` = md5 chars
+    * 9-16, `sim_lo` = chars 1-8): a single 64-bit value with the sign
+    * bit in play would overflow DuckDB's checked BIGINT arithmetic in
+    * the oracle twin, and the halves band/XOR just as cheaply.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val votes = (0 until 32).map(b =>
-      sum(col("cnt") * (expr(s"shiftright(wh, $b) & 1") * 2 - 1)).as(s"v$b"))
-    val fingerprint = (0 until 32)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+    val votes =
+      (0 until 32).map(b =>
+        sum(col("cnt") * (expr(s"shiftright(whl, $b) & 1") * 2 - 1)).as(s"vl$b")) ++
+        (0 until 32).map(b =>
+          sum(col("cnt") * (expr(s"shiftright(whh, $b) & 1") * 2 - 1)).as(s"vh$b"))
+    def fingerprint(prefix: String) = (0 until 32)
+      .map(b => when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("wh", expr("CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("whl", expr("CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("whh", expr("CAST(conv(substr(md5(word), 9, 8), 16, 10) AS BIGINT)"))
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fingerprint.as("simhash"))
+      .select(col("doc_id"), fingerprint("vh").as("sim_hi"), fingerprint("vl").as("sim_lo"))
   }
 
+  /** Pairs at or under this Hamming distance (of 64 bits) are SimHash
+    * near-dups — the 6-of-32 threshold scaled to the wider fingerprint.
+    */
+  val SimhashHammingMax = 12
+
   /** SimHash near-dup candidates: docs agreeing on any of the four
-    * 8-bit bands join into a bucket (same no-all-pairs shape as MinHash
-    * LSH); pairs at Hamming distance <= 6 are near-dups.
+    * 16-bit bands join into a bucket (same no-all-pairs shape as MinHash
+    * LSH); pairs at Hamming distance <= [[SimhashHammingMax]] are
+    * near-dups.
+    *
+    * Band width is the scale lever: 16-bit keys give 65,536 buckets per
+    * band, so the per-band keyspace keeps growing past any realistic
+    * bucket skew (8-bit keys cap at 256 buckets TOTAL per band — the
+    * within-bucket self-join would go quadratic in corpus size; a spec
+    * pins the cardinality so that shape cannot return).
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val sh = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh.select(
-      col("doc_id"),
-      col("simhash"),
-      explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("key", expr("shiftright(simhash, band * 8) & 255"))
+    val banded = simhashBanded(CacheScope.persist(simhash(docs)))
     banded.as("a")
       .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        (expr("bit_count(a.sim_lo ^ b.sim_lo)") + expr("bit_count(a.sim_hi ^ b.sim_hi)"))
+          .as("hamming"))
       // hamming is a pure function of the pair, so filtering BEFORE the
       // dedup shuffle is equivalent — and ships only the near-dup pairs
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= SimhashHammingMax)
       .distinct()
   }
+
+  /** (doc_id, band, key) bucket rows: four 16-bit slices of the 64-bit
+    * fingerprint (bands 0-1 from `sim_lo`, 2-3 from `sim_hi`).
+    */
+  def simhashBanded(sim: DataFrame): DataFrame =
+    sim.select(
+      col("doc_id"),
+      col("sim_hi"),
+      col("sim_lo"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr(
+        """CASE WHEN band < 2 THEN shiftright(sim_lo, band * 16) & 65535
+          |ELSE shiftright(sim_hi, (band - 2) * 16) & 65535 END""".stripMargin))
 }

@@ -33,6 +33,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash band keys grow with the corpus (no degenerate bucket keyspace)") {
+    // The round-4 scale-killer: 8-bit band keys cap at 4x256 = 1,024
+    // distinct (band, key) values TOTAL, independent of corpus size, so
+    // the within-bucket self-join degenerates to all-pairs/1024. With
+    // 16-bit bands of a 64-bit fingerprint the keyspace is 4x65,536 and
+    // 500 docs (of which the planted near-dups rightly SHARE keys —
+    // that is the bucketing working) must still spread past the 8-bit
+    // scheme's mathematical ceiling of 1,024.
+    val docs = TestSpark.spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val distinctKeys = graft.operators.Dedup
+      .simhashBanded(graft.operators.Dedup.simhash(docs))
+      .select("band", "key").distinct().count()
+    assert(distinctKeys > 1200, s"band keyspace degenerate: $distinctKeys distinct (band, key)")
+  }
+
   test("ann_topk broadcasts the query side (small x big, never shuffle)") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
