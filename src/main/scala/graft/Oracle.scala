@@ -1151,6 +1151,16 @@ object Oracle {
          |FROM grid g LEFT JOIN t2 ON g.url = t2.url AND g.src = t2.src AND g.tgt = t2.tgt
          |ORDER BY g.url, g.src, g.tgt""".stripMargin),
 
+    "asof_join" -> withDaily(
+      """, chg AS (
+        |  SELECT url, day AS rday, day AS chg_day, digest AS chg_digest
+        |  FROM daily WHERE content = 'Changed'
+        |)
+        |SELECT l.url, l.day, l.specimen, r.chg_day, r.chg_digest
+        |FROM daily l ASOF LEFT JOIN chg r
+        |  ON l.url = r.url AND l.day >= r.rday
+        |ORDER BY l.url, l.day""".stripMargin),
+
     "transitions" -> withDensified(
       s""", $transitionsCtes
          |SELECT g.url, g.src, g.tgt, CAST(coalesce(t2.n, 0) AS BIGINT) AS cnt

@@ -208,6 +208,28 @@ object Queries {
   def fillClosest(s: SparkSession, dir: String): DataFrame = fillQuery(FillPolicy.Closest)(s, dir)
   def fillIdentical(s: SparkSession, dir: String): DataFrame = fillQuery(FillPolicy.Identical)(s, dir)
 
+  // ---------------------------------------------------------------- as-of
+  /** Backward as-of join ([[graft.operators.AsOf.asofJoin]]): each
+    * observed day joined to the most recent content-change day at or
+    * before it for the same url — "state as of" is the time-series
+    * lookup the reference's digest-imputation dict performs implicitly
+    * (SURVEY §2.4 notes A4/J2 is an as-of join in disguise). DuckDB's
+    * native ASOF JOIN is the oracle twin.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyDf(s, dir)
+    val left = daily.select(col("url"), col("day"), col("specimen"))
+    val right = daily.filter(col("content") === "Changed")
+      .select(
+        col("url"),
+        col("day").as("rday"),
+        col("day").as("chg_day"),
+        col("digest").as("chg_digest"))
+    graft.operators.AsOf
+      .asofJoin(left, right, Seq("url"), "day", "rday", Seq("chg_day", "chg_digest"))
+      .orderBy("url", "day")
+  }
+
   // ------------------------------------------------------------ A11/A12/J4
   /** 4x4 specimen transition matrix over the densified series with the
     * reference's skip + first-row-deadlock semantics (main.py:232-246).
@@ -503,6 +525,17 @@ object Queries {
   def annIvf(s: SparkSession, dir: String): DataFrame =
     Ann.ivfTopK(embs(s, dir)).orderBy("q_id", "rn")
 
+  /** IVF with an MLlib-KMeans-trained codebook — the production path
+    * (the deterministic first-K stand-in keeps the oracle row;
+    * IvfRecallSpec pins this path's recall against brute force).
+    * Rows-only: a trained model has no cross-engine SQL twin.
+    */
+  def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = embs(s, dir)
+    Ann.ivfTopK(emb, Ann.defaultQueries(emb), Ann.kmeansCentroids(emb))
+      .orderBy("q_id", "rn")
+  }
+
   /** IVF inverted-list histogram. */
   def annIvfLists(s: SparkSession, dir: String): DataFrame =
     Ann.ivfAssign(embs(s, dir))
@@ -600,13 +633,18 @@ object Queries {
         pagesDir.delete()
         ()
       }))
-      val rows = captures(s, dir).orderBy("url", "ts", "seq").collect()
-      val perPage = math.max(1, (rows.length + 7) / 8)
-      rows.grouped(perPage).zipWithIndex.foreach { case (chunk, i) =>
-        val w = new java.io.PrintWriter(new java.io.File(pagesDir, f"page-$i%03d"), "UTF-8")
-        chunk.foreach(r => w.println(s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} ${r.getString(3)}"))
-        w.close()
-      }
+      // Distributed page write — no driver collect: range-partition by
+      // stream position so lexicographic part-file order == page order
+      // (the source's pagination contract), executors write the pages.
+      // At 100x the same plan writes 100x the pages; the driver never
+      // holds a row.
+      captures(s, dir)
+        .repartitionByRange(8, col("url"), col("ts"), col("seq"))
+        .sortWithinPartitions("url", "ts", "seq")
+        .select(concat_ws(" ", col("url"), col("ts"), col("status"), col("digest")))
+        .write.mode("overwrite").text(pagesDir.getPath)
+      // the empty job marker would parse as a 0-line page; drop it
+      new java.io.File(pagesDir, "_SUCCESS").delete()
       pagesDir.getPath
     })
     s.read.format(graft.sources.CdxSource.Name).option("path", pagesPath).load()
@@ -670,6 +708,7 @@ object Queries {
     "fill_backward" -> (fillBackward _),
     "fill_closest" -> (fillClosest _),
     "fill_identical" -> (fillIdentical _),
+    "asof_join" -> (asofJoin _),
     "transitions" -> (transitions _),
     "run_segments" -> (runSegments _),
     "fixity_counts" -> (fixityCounts _),
@@ -705,6 +744,7 @@ object Queries {
     "ann_topk" -> (annTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_ivf_lists" -> (annIvfLists _),
     "emb_near_dup" -> (embNearDup _),
     "emb_centroids" -> (embCentroids _),

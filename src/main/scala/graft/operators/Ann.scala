@@ -56,14 +56,32 @@ object Ann {
       .select(col("q_id"), col("rn"), col("vec_id"), round(col("cos_raw"), 6).as("cos"))
   }
 
-  /** Brute-force cosine top-K: broadcast query set vs full corpus. */
-  def cosineTopK(emb: DataFrame): DataFrame = {
-    val corpus = withNorm(emb)
-    val queries = corpus
+  /** The fixture query set: every QueryMod-th corpus vector, as a
+    * (q_id, embedding) frame. Registry/oracle queries use this (the
+    * DuckDB twin replays the same `% 50`); production callers pass
+    * their own query table to the two-argument overloads — a fixture
+    * derived from the corpus would otherwise grow linearly with it.
+    */
+  def defaultQueries(emb: DataFrame): DataFrame =
+    emb
       .filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qnorm"))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+
+  /** (q_id, embedding) -> (q_id, qe, qnorm) probe side. */
+  private def probeSide(queries: DataFrame): DataFrame =
+    withNorm(queries.select(col("q_id"), col("embedding")))
+      .select(col("q_id"), col("embedding").as("qe"), col("norm").as("qnorm"))
+
+  /** Brute-force cosine top-K: broadcast query set vs full corpus.
+    * `queries` must carry (q_id, embedding); self-matches (a corpus row
+    * with vec_id == q_id) are excluded.
+    */
+  def cosineTopK(emb: DataFrame): DataFrame = cosineTopK(emb, defaultQueries(emb))
+
+  def cosineTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val corpus = withNorm(emb)
     val scored = corpus
-      .join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      .join(broadcast(probeSide(queries)), col("q_id") =!= col("vec_id"))
       .withColumn("cos_raw", expr(dotExpr) / (col("qnorm") * col("norm")))
     topK(scored)
   }
@@ -107,17 +125,14 @@ object Ann {
   /** LSH-bucketed cosine top-K: queries only score vectors in their own
     * bucket — the join is keyed by bucket id, never all-pairs.
     */
-  def lshTopK(emb: DataFrame): DataFrame = {
+  def lshTopK(emb: DataFrame): DataFrame = lshTopK(emb, defaultQueries(emb))
+
+  def lshTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
     val corpus = withBucket(withNorm(emb))
-    val queries = corpus
-      .filter(col("vec_id") % QueryMod === 0)
-      .select(
-        col("vec_id").as("q_id"),
-        col("embedding").as("qe"),
-        col("norm").as("qnorm"),
-        col("bucket"))
+    val probes = withBucket(probeSide(queries).withColumnRenamed("qe", "embedding"))
+      .withColumnRenamed("embedding", "qe")
     val scored = corpus
-      .join(queries, Seq("bucket"))
+      .join(probes, Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos_raw", expr(dotExpr) / (col("qnorm") * col("norm")))
     topK(scored)
@@ -134,16 +149,49 @@ object Ann {
 
   private def dot(a: String, b: String): String = s"float_dot($a, $b)"
 
-  private def centroids(emb: DataFrame): DataFrame =
+  /** Deterministic stand-in codebook: the first K corpus vectors as
+    * (c_id, ce, cnorm) — replayable by the DuckDB oracle. A trained
+    * codebook ([[kmeansCentroids]]) slots into the same overloads.
+    */
+  def firstKCentroids(emb: DataFrame): DataFrame =
     withNorm(emb)
       .filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cnorm"))
 
+  /** MLlib-trained codebook: k-means cluster centers over the corpus
+    * embeddings (fixed seed), shaped like [[firstKCentroids]]. The
+    * model fit is one MLlib job; the K centers come back to the driver
+    * (K vectors, not data) and broadcast into the assignment join.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int = IvfK): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb.select(
+      col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    // cosine k-means: the index assigns vectors to lists by cosine
+    // ([[ivfAssign]]), so the codebook must be trained under the same
+    // geometry — Euclidean centers over unnormalized vectors put a
+    // query's true cosine neighbors in other lists and crater recall
+    val model = new KMeans()
+      .setK(k).setSeed(42L).setMaxIter(20).setDistanceMeasure("cosine")
+      .fit(feats)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("c_id", "ce")
+      .withColumn("cnorm", expr("sqrt(float_dot(ce, ce))"))
+  }
+
   /** Nearest-centroid assignment (ties -> smaller centroid id). */
-  def ivfAssign(emb: DataFrame): DataFrame = {
+  def ivfAssign(emb: DataFrame): DataFrame = ivfAssign(emb, firstKCentroids(emb))
+
+  def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
     withNorm(emb)
-      .crossJoin(broadcast(centroids(emb)))
+      .crossJoin(broadcast(cents))
       .withColumn("ccos", expr(dot("embedding", "ce")) / (col("norm") * col("cnorm")))
       .withColumn("arn", row_number().over(w))
       .filter(col("arn") === 1)
@@ -151,13 +199,14 @@ object Ann {
   }
 
   /** IVF top-K: queries probe their NProbe nearest lists only. */
-  def ivfTopK(emb: DataFrame): DataFrame = {
-    val lists = ivfAssign(emb)
+  def ivfTopK(emb: DataFrame): DataFrame =
+    ivfTopK(emb, defaultQueries(emb), firstKCentroids(emb))
+
+  def ivfTopK(emb: DataFrame, queries: DataFrame, cents: DataFrame): DataFrame = {
+    val lists = ivfAssign(emb, cents)
     val wq = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
-    val probes = withNorm(emb)
-      .filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qnorm"))
-      .crossJoin(broadcast(centroids(emb)))
+    val probes = probeSide(queries)
+      .crossJoin(broadcast(cents))
       .withColumn("ccos", expr(dot("qe", "ce")) / (col("qnorm") * col("cnorm")))
       .withColumn("qrn", row_number().over(wq))
       .filter(col("qrn") <= NProbe)

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Ann
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MLlib-trained IVF path must actually work as an ANN index: on
+  * clusterable data, probing NProbe=2 of 16 k-means lists has to
+  * recover most of the true brute-force top-5. (The sf* embeddings are
+  * isotropic-random — intra-label cosine ~0.02 — so no coarse quantizer
+  * can concentrate neighbors there; the recall contract is stated on
+  * planted clusters, the data shape IVF exists for.)
+  */
+class IvfRecallSpec extends AnyFunSuite {
+
+  /** 1,000 vectors in 16 tight cosine clusters (seeded, deterministic). */
+  private def plantedClusters = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
+    (0 until 1000).map { i =>
+      val c = centers(i % 16)
+      val v = c.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      (i.toLong, v, (i % 16).toLong)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("KMeans-IVF top-5 recall vs brute force >= 0.8 at NProbe=2 on clustered data") {
+    val emb = plantedClusters
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.cosineTopK(emb))
+    val ivf = pairs(Ann.ivfTopK(emb, Ann.defaultQueries(emb), Ann.kmeansCentroids(emb)))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, f"IVF recall $recall%.3f < 0.8 (${exact.size} true neighbors)")
+  }
+
+  test("trained codebook beats the deterministic first-K stand-in on clustered data") {
+    val emb = plantedClusters
+    def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("q_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Ann.cosineTopK(emb))
+      val ivf = pairs(Ann.ivfTopK(emb, Ann.defaultQueries(emb), cents))
+      (exact intersect ivf).size.toDouble / exact.size
+    }
+    val trained = recallOf(Ann.kmeansCentroids(emb))
+    val standIn = recallOf(Ann.firstKCentroids(emb))
+    assert(trained >= standIn,
+      f"trained codebook recall $trained%.3f < stand-in $standIn%.3f")
+  }
+}
