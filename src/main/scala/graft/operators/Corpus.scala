@@ -64,7 +64,13 @@ object Corpus {
     // is the difference between shuffling the corpus per round and
     // shuffling the duplicate set per round.
     val nodes = edges.select(col("e_src").as("doc_id")).distinct()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+    // init IS the first propagation round: label = min(self, neighbors)
+    // comes out of one groupBy over the edge list, so the loop below
+    // starts from round-1 state instead of paying a round to reach it
+    var labels = edges
+      .groupBy(col("e_src"))
+      .agg(min("e_dst").as("nbr"))
+      .select(col("e_src").as("doc_id"), least(col("e_src"), col("nbr")).as("cluster"))
       .localCheckpoint(eager = false)
     var prevSum = Long.MinValue
     var curSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
@@ -92,18 +98,14 @@ object Corpus {
     val singletons = docs
       .join(nodes, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))
-    // checkpoint: `all` appears twice in the output plan (rows + sizes);
-    // without it the anti-join pipeline runs once per occurrence
-    val all = labels.union(singletons).localCheckpoint()
-    val sizes = all
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("cluster_size"))
-    all
-      .join(sizes, "cluster")
+    // cluster sizes via one window over the union — a single
+    // cluster-keyed shuffle where groupBy+join-back would shuffle twice
+    // and need a checkpoint to avoid re-running the anti-join per branch
+    labels.union(singletons)
       .select(
         col("doc_id"),
         col("cluster"),
-        col("cluster_size"),
+        count(lit(1)).over(Window.partitionBy("cluster")).as("cluster_size"),
         (col("doc_id") === col("cluster")).as("is_canonical"))
   }
 

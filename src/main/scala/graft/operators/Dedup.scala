@@ -78,13 +78,17 @@ object Dedup {
     * pipelines that need the shingles anyway (near-dup verify) compute
     * the explode once and feed both consumers from the same (persisted)
     * intermediate.
+    *
+    * The per-doc shingle count `n` rides in the SAME aggregation — the
+    * Jaccard denominator would otherwise cost a second full shuffle
+    * over the shingle rows for a value this groupBy already has in hand.
     */
   def minhashFromShingles(sh: DataFrame): DataFrame =
     sh
       .groupBy("doc_id")
       .agg(
-        min(substring(md5(concat(lit("0|"), col("shingle"))), 1, 8)).as("mh0"),
-        (1 until Perms).map(p =>
+        count(lit(1)).as("n"),
+        (0 until Perms).map(p =>
           min(substring(md5(concat(lit(s"$p|"), col("shingle"))), 1, 8)).as(s"mh$p")): _*)
 
   /** LSH band signatures: Perms/Bands minima per band concatenated in
@@ -93,13 +97,18 @@ object Dedup {
   def bandSignatures(docs: DataFrame): DataFrame =
     bandSignaturesFromShingles(shingles(docs))
 
-  def bandSignaturesFromShingles(sh: DataFrame): DataFrame = {
+  def bandSignaturesFromShingles(sh: DataFrame): DataFrame =
+    bandStack(minhashFromShingles(sh))
+
+  /** Band stack over a minhash frame — a narrow projection, so callers
+    * holding a persisted minhash pay no extra shuffle per read.
+    */
+  private def bandStack(mh: DataFrame): DataFrame = {
     val stack = (0 until Bands).map { b =>
       val cols = (b * Perms / Bands until (b + 1) * Perms / Bands).map(p => s"mh$p")
       s"$b, concat_ws('_', ${cols.mkString(", ")})"
     }.mkString(", ")
-    minhashFromShingles(sh).selectExpr(
-      "doc_id", s"stack($Bands, $stack) as (band, sig)")
+    mh.selectExpr("doc_id", s"stack($Bands, $stack) as (band, sig)")
   }
 
   /** Near-dup candidate pairs via LSH bucket self-join, verified with
@@ -115,15 +124,18 @@ object Dedup {
     // a multi-query harness can release them between queries instead of
     // letting 60+ queries' intermediates pile up in storage memory.
     val sh = CacheScope.persist(shingles(docs))
-    // signatures read the PERSISTED shingles — the explode runs once
-    // and feeds both the LSH side and the Jaccard verify side
-    val sigs = CacheScope.persist(bandSignaturesFromShingles(sh))
+    // the minhash aggregate reads the PERSISTED shingles — the explode
+    // runs once — and is itself persisted: the band stack (narrow) reads
+    // it twice for the self-join, and the Jaccard denominators are its
+    // free `n` column instead of a second shuffle over the shingle rows
+    val mh = CacheScope.persist(minhashFromShingles(sh))
+    val sigs = bandStack(mh)
     val pairs = sigs.as("a")
       .join(sigs.as("b"), expr("a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val counts = mh.select(col("doc_id"), col("n"))
     val common = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
