@@ -31,8 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     order-sensitive operators (A4/W1/W2/A2) key on it.
   *
   * Page files contain lines `<url> <ts> <status> <digest>`, named so
-  * lexicographic order == page order. An HTTP-backed variant only swaps
-  * the reader's line iterator; the planning surface stays identical.
+  * lexicographic order == page order. The HTTP mode (`endpoint` +
+  * `url` options) is the reference's live ingestion (main.py:112-126):
+  * a driver-side `showNumPages` probe plans one partition per page and
+  * executors GET their own pages — same planning surface, the reader's
+  * line iterator swapped (see [[CdxLineReader]]). CdxHttpSpec exercises
+  * it against a loopback server (the sandbox has no egress).
   */
 class CdxSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = CdxSource.Schema
@@ -42,7 +46,11 @@ class CdxSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val maxPages = Option(properties.get("maxPages")).map(_.toInt)
       .getOrElse(CdxSource.MaxPages)
-    new CdxTable(properties.get("path"), maxPages)
+    new CdxTable(
+      Option(properties.get("path")),
+      Option(properties.get("endpoint")),
+      Option(properties.get("url")),
+      maxPages)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -64,16 +72,31 @@ object CdxSource {
   val MaxPages = 2000
 }
 
-class CdxTable(path: String, maxPages: Int) extends Table with SupportsRead {
-  override def name(): String = s"cdx(`$path`)"
+/** Two ingestion modes behind one planning surface: `path` reads page
+  * FILES (one partition per file); `endpoint` + `url` fetches pages
+  * over HTTP exactly as the reference does (main.py:112-126 —
+  * `showNumPages` probe, then one GET per page; each page is one
+  * [[InputPartition]], so a 2000-page URL fans out across executors).
+  */
+class CdxTable(
+    path: Option[String],
+    endpoint: Option[String],
+    urlOpt: Option[String],
+    maxPages: Int) extends Table with SupportsRead {
+  require(path.isDefined || endpoint.isDefined, "cdx source needs `path` or `endpoint`")
+  override def name(): String = s"cdx(`${path.orElse(endpoint).get}`)"
   override def schema(): StructType = CdxSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdxScanBuilder(path, maxPages)
+    new CdxScanBuilder(path, endpoint, urlOpt, maxPages)
 }
 
-class CdxScanBuilder(path: String, maxPages: Int)
+class CdxScanBuilder(
+    path: Option[String],
+    endpoint: Option[String],
+    urlOpt: Option[String],
+    maxPages: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -118,7 +141,7 @@ class CdxScanBuilder(path: String, maxPages: Int)
       }
       b.result()
     }
-    new CdxScan(path, required, urlFilter, maxPages, hadoopProps)
+    new CdxScan(path, endpoint, urlOpt, required, urlFilter, maxPages, hadoopProps)
   }
 }
 
@@ -133,8 +156,16 @@ object CdxConf {
 /** One page file = one partition. */
 case class CdxPagePartition(file: String, page: Int) extends InputPartition
 
+/** One HTTP page fetch = one partition (the reference's per-page GET,
+  * main.py:116-118, distributed: each executor fetches its own pages).
+  */
+case class CdxHttpPagePartition(endpoint: String, urlKey: String, page: Int)
+    extends InputPartition
+
 class CdxScan(
-    path: String,
+    path: Option[String],
+    endpoint: Option[String],
+    urlOpt: Option[String],
     required: StructType,
     urlFilter: Option[String],
     maxPages: Int,
@@ -145,21 +176,57 @@ class CdxScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"CdxScan(path=$path, columns=${required.fieldNames.mkString(",")}, urlFilter=$urlFilter)"
+    s"CdxScan(source=${path.orElse(endpoint).get}, " +
+      s"columns=${required.fieldNames.mkString(",")}, urlFilter=$urlFilter)"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val hPath = new Path(path)
-    val fs = hPath.getFileSystem(CdxConf.build(hadoopProps))
-    val pages = fs.listStatus(hPath)
-      .filter(_.isFile)
-      .map(_.getPath.toString)
-      .sorted // lexicographic file order == page order
-      .take(maxPages)
-    pages.zipWithIndex.map { case (f, i) => CdxPagePartition(f, i): InputPartition }
+  override def planInputPartitions(): Array[InputPartition] = path match {
+    case Some(p) =>
+      val hPath = new Path(p)
+      val fs = hPath.getFileSystem(CdxConf.build(hadoopProps))
+      val pages = fs.listStatus(hPath)
+        .filter(_.isFile)
+        .map(_.getPath.toString)
+        .sorted // lexicographic file order == page order
+        .take(maxPages)
+      pages.zipWithIndex.map { case (f, i) => CdxPagePartition(f, i): InputPartition }
+    case None =>
+      // HTTP mode: the url= predicate is the server-side scan key —
+      // a pushed url filter narrows it exactly like the reference's
+      // url= query param (main.py:115); fall back to the url option.
+      val urlKey = urlFilter.orElse(urlOpt).getOrElse(
+        throw new IllegalArgumentException(
+          "cdx http mode needs a url (option or pushed filter)"))
+      // the reference's page-count probe (showNumPages=true,
+      // main.py:114-116): one tiny driver-side GET, then the pages
+      // themselves are fetched by executors
+      val probe = CdxHttp.readLines(
+        CdxHttp.pageCountUrl(endpoint.get, urlKey))
+      val n = try probe.readLine().trim.toInt finally probe.close()
+      (0 until math.min(n, maxPages)).map(i =>
+        CdxHttpPagePartition(endpoint.get, urlKey, i): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CdxReaderFactory(required.fieldNames, urlFilter, hadoopProps)
+}
+
+object CdxHttp {
+  def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  def pageCountUrl(endpoint: String, url: String): String =
+    s"$endpoint?url=${enc(url)}&showNumPages=true"
+  /** The reference's per-page fetch shape: server-side fl= projection
+    * (SRC2) and url= predicate (SRC3) in the query string (main.py:118).
+    */
+  def pageUrl(endpoint: String, url: String, page: Int): String =
+    s"$endpoint?url=${enc(url)}&fl=timestamp,statuscode,digest&page=$page"
+
+  def readLines(u: String): java.io.BufferedReader = {
+    val conn = new java.net.URL(u).openConnection()
+    conn.setConnectTimeout(15000)
+    conn.setReadTimeout(120000)
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+  }
 }
 
 class CdxReaderFactory(
@@ -167,23 +234,37 @@ class CdxReaderFactory(
     urlFilter: Option[String],
     hadoopProps: Map[String, String])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[CdxPagePartition]
-    new CdxPartitionReader(p.file, p.page, columns, urlFilter, hadoopProps)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case CdxPagePartition(file, page) =>
+        val hPath = new Path(file)
+        val in = hPath.getFileSystem(CdxConf.build(hadoopProps)).open(hPath)
+        new CdxLineReader(
+          new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")),
+          page, columns, urlFilter, defaultUrl = None)
+      case CdxHttpPagePartition(endpoint, urlKey, page) =>
+        // fl=timestamp,statuscode,digest lines carry 3 fields; the url
+        // column is the scan key itself (exactly one url per HTTP scan)
+        new CdxLineReader(
+          CdxHttp.readLines(CdxHttp.pageUrl(endpoint, urlKey, page)),
+          page, columns, urlFilter, defaultUrl = Some(urlKey))
+    }
 }
 
-class CdxPartitionReader(
-    file: String,
+/** Shared line-to-row loop — the file and HTTP modes differ ONLY in
+  * where the BufferedReader comes from (the class doc's "an HTTP
+  * variant only swaps the reader's line iterator", made literal).
+  * Accepts 4-field `url ts status digest` page-file lines and 3-field
+  * `ts status digest` fl-projected HTTP lines (url = scan key).
+  */
+class CdxLineReader(
+    reader: java.io.BufferedReader,
     page: Int,
     columns: Array[String],
     urlFilter: Option[String],
-    hadoopProps: Map[String, String])
+    defaultUrl: Option[String])
     extends PartitionReader[InternalRow] {
 
-  private val hPath = new Path(file)
-  private val in = hPath.getFileSystem(CdxConf.build(hadoopProps)).open(hPath)
-  private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
   private var offset = -1L
   private var row: InternalRow = _
 
@@ -192,13 +273,18 @@ class CdxPartitionReader(
     offset += 1
     while (line != null) {
       val parts = line.split(" ")
-      if (parts.length == 4 && urlFilter.forall(_ == parts(0))) {
+      val url =
+        if (parts.length == 4) Some(parts(0))
+        else if (parts.length == 3) defaultUrl
+        else None
+      if (url.isDefined && urlFilter.forall(_ == url.get)) {
+        val base = if (parts.length == 4) 1 else 0
         val seq = (page.toLong << 32) | offset
         row = InternalRow.fromSeq(columns.toSeq.map {
-          case "url"    => UTF8String.fromString(parts(0))
-          case "ts"     => UTF8String.fromString(parts(1))
-          case "status" => UTF8String.fromString(parts(2))
-          case "digest" => UTF8String.fromString(parts(3))
+          case "url"    => UTF8String.fromString(url.get)
+          case "ts"     => UTF8String.fromString(parts(base))
+          case "status" => UTF8String.fromString(parts(base + 1))
+          case "digest" => UTF8String.fromString(parts(base + 2))
           case "seq"    => seq
         })
         return true

@@ -1,0 +1,91 @@
+package graft
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The HTTP ingestion mode of the CDX source, driven against a loopback
+  * server that speaks the reference's protocol: `showNumPages=true`
+  * answers the page count, `page=N` answers fl-projected 3-field lines
+  * (main.py:112-126). No egress — everything is 127.0.0.1.
+  */
+class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val pages = Vector(
+    Vector("20240101000000 200 AAAA1111", "20240101010000 404 BBBB2222"),
+    Vector("20240102000000 200 CCCC3333"),
+    Vector("20240103000000 - DDDD4444", "20240103010000 503 EEEE5555"))
+
+  private var server: HttpServer = _
+  private var endpoint: String = _
+  @volatile private var requests = List.empty[String]
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/cdx", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        requests ::= q
+        val params = q.split("&").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val body =
+          if (params.get("showNumPages").contains("true")) s"${pages.size}\n"
+          else pages(params("page").toInt).mkString("", "\n", "\n")
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/cdx"
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  private def scan(maxPages: Option[Int] = None) = {
+    val r = TestSpark.spark.read.format(graft.sources.CdxSource.Name)
+      .option("endpoint", endpoint)
+      .option("url", "http://example.com/")
+    maxPages.fold(r)(m => r.option("maxPages", m.toString)).load()
+  }
+
+  test("http scan: one partition per server page, rows in stream order") {
+    val df = scan()
+    assert(df.rdd.getNumPartitions == pages.size, "one InputPartition per CDX page")
+    val rows = df.orderBy("seq").collect()
+    assert(rows.length == pages.map(_.size).sum)
+    assert(rows.forall(_.getString(0) == "http://example.com/"),
+      "url column is the scan key for fl-projected lines")
+    assert(rows.map(_.getString(1)).toSeq == pages.flatten.map(_.split(" ")(0)).toSeq,
+      "timestamps in page-major stream order")
+    // seq encodes (page, offset): page 1's first line follows page 0's last
+    assert(rows.map(_.getLong(4)).toSeq == rows.map(_.getLong(4)).sorted.toSeq)
+  }
+
+  test("http scan: server receives the reference's query params") {
+    requests = Nil
+    scan().collect()
+    assert(requests.exists(_.contains("showNumPages=true")), "page-count probe sent")
+    assert(requests.exists(q => q.contains("fl=timestamp,statuscode,digest") && q.contains("page=0")),
+      "per-page GET carries the fl= projection")
+  }
+
+  test("http scan honors the reference's page cap") {
+    assert(scan(maxPages = Some(2)).rdd.getNumPartitions == 2)
+    assert(scan(maxPages = Some(2)).count() == pages.take(2).map(_.size).sum)
+  }
+
+  test("file mode still plans and reads (regression guard on the split reader)") {
+    val dir = java.nio.file.Files.createTempDirectory("cdx_http_spec_").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "page-000"), "UTF-8")
+    w.println("u1 20240101000000 200 FFFF6666"); w.close()
+    val df = TestSpark.spark.read.format(graft.sources.CdxSource.Name)
+      .option("path", dir.getPath).load()
+    assert(df.count() == 1 && df.head().getString(0) == "u1")
+    dir.listFiles().foreach(_.delete()); dir.delete()
+  }
+}
