@@ -961,6 +961,28 @@ object Oracle {
          |)
          |ORDER BY doc_id""".stripMargin,
 
+    "doc_boilerplate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |),
+         |segs AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(words[(i*${graft.operators.Corpus.SegmentWords}+1):(i*${graft.operators.Corpus.SegmentWords}+${graft.operators.Corpus.SegmentWords})], ' ') AS seg
+         |  FROM w, unnest(range((len(words) - 1) // ${graft.operators.Corpus.SegmentWords} + 1)) t(i)
+         |),
+         |dfreq AS (
+         |  SELECT seg, count(*) AS seg_df
+         |  FROM (SELECT DISTINCT seg, doc_id FROM segs) GROUP BY seg
+         |)
+         |SELECT s.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(sum(CASE WHEN seg_df >= ${graft.operators.Corpus.BoilerplateDf} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN seg_df < ${graft.operators.Corpus.BoilerplateDf} THEN s.seg END, ' ' ORDER BY s.seg_idx), '') AS clean_text,
+         |  sum(CASE WHEN seg_df >= ${graft.operators.Corpus.BoilerplateDf} THEN 1 ELSE 0 END) > 0 AS is_modified
+         |FROM segs s JOIN dfreq USING (seg)
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+
     "corpus_vocab" ->
       s"""WITH pd AS (
          |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS cnt

@@ -477,6 +477,10 @@ object Queries {
   def docDecontaminate(s: SparkSession, dir: String): DataFrame =
     Corpus.decontaminate(docs(s, dir)).orderBy("doc_id")
 
+  /** Corpus-level boilerplate removal (segment-df scrub) with audit. */
+  def docBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Corpus.stripBoilerplate(docs(s, dir)).orderBy("doc_id")
+
   /** Corpus vocabulary: top-100 words by document frequency. */
   def corpusVocab(s: SparkSession, dir: String): DataFrame =
     Corpus.vocab(docs(s, dir)).orderBy("rank")
@@ -736,6 +740,7 @@ object Queries {
     "doc_keep_mask" -> (docKeepMask _),
     "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_decontaminate" -> (docDecontaminate _),
+    "doc_boilerplate" -> (docBoilerplate _),
     "corpus_vocab" -> (corpusVocab _),
     "doc_tfidf" -> (docTfidf _),
     "doc_sample" -> (docSample _),

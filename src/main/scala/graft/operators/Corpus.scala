@@ -162,6 +162,51 @@ object Corpus {
         (contamination >= ContaminationThreshold).as("contaminated"))
   }
 
+  /** [[stripBoilerplate]] segment width (words) and the document
+    * frequency at which a segment counts as boilerplate.
+    */
+  val SegmentWords = 8
+  val BoilerplateDf = 4
+
+  /** Corpus-level boilerplate removal: segment every document into
+    * fixed 8-word chunks, count each distinct segment's document
+    * frequency across the corpus, and strip segments appearing in >=
+    * [[BoilerplateDf]] documents (headers, footers, license blurbs,
+    * template text — the cross-document repetition a per-doc quality
+    * score cannot see). Returns per-doc audit counts and the cleaned
+    * text with surviving segments in original order.
+    *
+    * Scale shape: segments explode once (corpus x ~tokens/8 rows), the
+    * df table is one segment-keyed hash agg with map-side combine, and
+    * the flagging join is keyed by segment — never all-pairs, no
+    * driver state. The re-assembly groupBy carries one row per segment
+    * back to its doc; `sort_array` over the collected (idx, seg)
+    * structs makes reconstruction order explicit, not partition-luck.
+    */
+  def stripBoilerplate(docs: DataFrame): DataFrame = {
+    val k = SegmentWords
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(w) - 1) div $k), i -> concat_ws(' ', slice(w, i * $k + 1, $k)))"))
+        .as(Seq("seg_idx", "seg")))
+    val dfreq = segs
+      .select(col("seg"), col("doc_id")).distinct()
+      .groupBy("seg")
+      .agg(count(lit(1)).as("seg_df"))
+    segs
+      .join(dfreq, "seg")
+      .withColumn("dropped", col("seg_df") >= BoilerplateDf)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          expr("transform(filter(sort_array(collect_list(struct(seg_idx, dropped, seg))), s -> NOT s.dropped), s -> s.seg)"),
+          " ").as("clean_text"))
+      .withColumn("is_modified", col("n_dropped") > 0)
+  }
+
   val VocabTopK = 100
 
   /** Corpus vocabulary: the top-k words by document frequency (ties:

@@ -151,6 +151,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L) == (("low_quality", false)))
   }
 
+  test("stripBoilerplate: a shared header segment is scrubbed, unique tails survive in order") {
+    // 8-word header shared by 4 docs (= BoilerplateDf) + a unique
+    // 8-word tail per doc; one doc with no shared content at all.
+    val header = "terms of service apply all rights reserved inc"
+    def tail(i: Int) = s"unique$i body$i words$i here$i stay$i put$i ok$i fine$i"
+    val docs = docsDf(
+      (1 to 4).map(i => (i.toLong, s"$header ${tail(i)}", "en", "web")) :+
+        (9L, "nothing shared in this entirely singular document text", "en", "web"))
+    val out = Corpus.stripBoilerplate(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (1 to 4).foreach { i =>
+      val r = out(i.toLong)
+      assert(r.getLong(1) == 2L && r.getLong(2) == 1L, s"doc $i: header segment dropped")
+      assert(r.getString(3) == tail(i), s"doc $i keeps its unique tail")
+      assert(r.getBoolean(4))
+    }
+    val solo = out(9L)
+    assert(solo.getLong(2) == 0L && !solo.getBoolean(4))
+    assert(solo.getString(3) == "nothing shared in this entirely singular document text")
+  }
+
   test("stats: per-(lang,source) counts and exact median") {
     val out = Corpus.stats(docsDf(Seq(
       (1L, "aa", "en", "web"),      // 2 chars
