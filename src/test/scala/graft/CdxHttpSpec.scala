@@ -79,6 +79,26 @@ class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan(maxPages = Some(2)).count() == pages.take(2).map(_.size).sum)
   }
 
+  test("SRC4 probe: redirect chain yields one header block per hop") {
+    val port = server.getAddress.getPort
+    server.createContext("/hop-a", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getResponseHeaders.add("Location", s"http://127.0.0.1:$port/hop-b")
+        ex.sendResponseHeaders(301, -1); ex.close()
+      }
+    })
+    server.createContext("/hop-b", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getResponseHeaders.add("X-Probe", "final")
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    val blocks = graft.sources.Probe.respHeaders(s"http://127.0.0.1:$port/hop-a")
+    assert(blocks.size == 2, s"expected 2 hops, got ${blocks.size}")
+    assert(blocks.head.startsWith("HTTP 301") && blocks.head.contains("/hop-b"))
+    assert(blocks(1).startsWith("HTTP 200") && blocks(1).toLowerCase.contains("x-probe: final"))
+  }
+
   test("file mode still plans and reads (regression guard on the split reader)") {
     val dir = java.nio.file.Files.createTempDirectory("cdx_http_spec_").toFile
     val w = new java.io.PrintWriter(new java.io.File(dir, "page-000"), "UTF-8")
