@@ -1183,6 +1183,16 @@ object Oracle {
         |  ON l.url = r.url AND l.day >= r.rday
         |ORDER BY l.url, l.day""".stripMargin),
 
+    "asof_join_strict" -> withDaily(
+      """, chg AS (
+        |  SELECT url, day AS rday, day AS chg_day, digest AS chg_digest
+        |  FROM daily WHERE content = 'Changed'
+        |)
+        |SELECT l.url, l.day, l.specimen, r.chg_day, r.chg_digest
+        |FROM daily l ASOF LEFT JOIN chg r
+        |  ON l.url = r.url AND l.day > r.rday
+        |ORDER BY l.url, l.day""".stripMargin),
+
     "transitions" -> withDensified(
       s""", $transitionsCtes
          |SELECT g.url, g.src, g.tgt, CAST(coalesce(t2.n, 0) AS BIGINT) AS cnt

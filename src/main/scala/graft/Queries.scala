@@ -230,6 +230,26 @@ object Queries {
       .orderBy("url", "day")
   }
 
+  /** Strictly-before variant: a change on the day itself is invisible
+    * ("previous state" semantics) — each url's first observed day, being
+    * its own change, carries null payload. Twin uses DuckDB ASOF with
+    * `>` instead of `>=`.
+    */
+  def asofJoinStrict(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyDf(s, dir)
+    val left = daily.select(col("url"), col("day"), col("specimen"))
+    val right = daily.filter(col("content") === "Changed")
+      .select(
+        col("url"),
+        col("day").as("rday"),
+        col("day").as("chg_day"),
+        col("digest").as("chg_digest"))
+    graft.operators.AsOf
+      .asofJoin(left, right, Seq("url"), "day", "rday", Seq("chg_day", "chg_digest"),
+        strict = true)
+      .orderBy("url", "day")
+  }
+
   // ------------------------------------------------------------ A11/A12/J4
   /** 4x4 specimen transition matrix over the densified series with the
     * reference's skip + first-row-deadlock semantics (main.py:232-246).
@@ -713,6 +733,7 @@ object Queries {
     "fill_closest" -> (fillClosest _),
     "fill_identical" -> (fillIdentical _),
     "asof_join" -> (asofJoin _),
+    "asof_join_strict" -> (asofJoinStrict _),
     "transitions" -> (transitions _),
     "run_segments" -> (runSegments _),
     "fixity_counts" -> (fixityCounts _),

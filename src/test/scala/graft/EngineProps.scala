@@ -141,4 +141,35 @@ object EngineProps extends Properties("graft") {
       Prop(got == want) :|
         s"cluster labels != union-find [docs=${docsSeq.length} pairs=${pairs.length}]\n got=$got\n want=$want"
     }
+
+  /** Random corpora mixing a shared 8-word header (boilerplate once
+    * enough docs carry it) with unique per-doc bodies of varying
+    * segment counts (including partial last segments).
+    */
+  private val genBoilerCorpus: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(1, 8)
+    withHeader <- Gen.listOfN(n, Gen.oneOf(true, false))
+  } yield withHeader.zipWithIndex.map { case (h, i) =>
+    val body = (0 until (i % 3) * 8 + 5).map(w => s"d${i}w$w").mkString(" ")
+    val header = "shared header words common to many docs here"
+    (i.toLong, if (h) s"$header $body" else body)
+  }
+
+  property("stripBoilerplate equals a local recomputation on random corpora") =
+    forAll(genBoilerCorpus) { docsSeq =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val k = graft.operators.Corpus.SegmentWords
+      def segs(t: String) = t.split(" ").grouped(k).map(_.mkString(" ")).toVector
+      val segDf = docsSeq.flatMap { case (_, t) => segs(t).distinct }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = docsSeq.map { case (id, t) =>
+        val ss = segs(t)
+        val kept = ss.filter(s => segDf(s) < graft.operators.Corpus.BoilerplateDf)
+        id -> ((ss.length.toLong, (ss.length - kept.length).toLong, kept.mkString(" ")))
+      }.toMap
+      val got = graft.operators.Corpus.stripBoilerplate(docsSeq.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      Prop(got == want) :| s"boilerplate scrub != local twin\n got=$got\n want=$want"
+    }
 }
