@@ -107,6 +107,18 @@ object ScaleBench {
       val csec = (System.nanoTime() - t1) / 1e9
       println(
         s"""{"metric":"cluster_scale","docs":${summary.getLong(0)},"dups_dropped":${summary.getLong(1)},"max_cluster":${summary.getLong(2)},"sec":$csec}""")
+      // simhash banding probe: the round-4 8-bit scheme went
+      // O(n^2/1024) here; 16-bit bands must stay near-linear, with a
+      // bucket keyspace that keeps growing alongside the corpus
+      graft.operators.CacheScope.releaseAll()
+      val t2 = System.nanoTime()
+      val shPairs = graft.operators.Dedup.simhashPairs(documents(spark, nDocs)).count()
+      val ssec = (System.nanoTime() - t2) / 1e9
+      val keys = graft.operators.Dedup
+        .simhashBanded(graft.operators.Dedup.simhash(documents(spark, nDocs)))
+        .select("band", "key").distinct().count()
+      println(
+        s"""{"metric":"simhash_scale","docs":$nDocs,"pairs":$shPairs,"distinct_band_keys":$keys,"sec":$ssec}""")
     }
     spark.stop()
   }
