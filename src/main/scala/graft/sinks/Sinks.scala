@@ -81,6 +81,51 @@ object Sinks {
     }
   }
 
+  /** Cross-job TTL result cache — the reference's
+    * `st.cache_data(ttl=3600, persist=True)` on load_cdx (main.py:129):
+    * a keyed materialization that survives the session. If `path/key`
+    * holds a materialization younger than `ttlSeconds`, read it;
+    * otherwise compute `produce`, write it (atomically: write to a
+    * `.tmp_<nonce>` directory, then rename — readers never see a half
+    * cache), stamp `_graft_fresh_at`, and read that. The stamp is
+    * written AFTER the data commits, so a crash mid-write leaves a
+    * stale-but-complete previous entry or an unstamped (= never fresh)
+    * partial, never a fresh-looking torn one.
+    *
+    * `now` is injected for the same reason the engine's "today" is
+    * (SURVEY §7.4-4): freshness must be testable without wall-clock
+    * races.
+    */
+  def cached(
+      spark: SparkSession,
+      path: String,
+      key: String,
+      ttlSeconds: Long,
+      now: () => Long = () => System.currentTimeMillis() / 1000)(
+      produce: () => DataFrame): DataFrame = {
+    val dir = new Path(path, key)
+    val stamp = new Path(dir, "_graft_fresh_at")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.exists(stamp) && {
+      val in = fs.open(stamp)
+      val at =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      now() - at < ttlSeconds
+    }
+    if (!fresh) {
+      val tmp = new Path(path, s"$key.tmp_${java.util.UUID.randomUUID()}")
+      produce().write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dir, true)
+      fs.rename(tmp, dir)
+      val out = fs.create(stamp, true)
+      out.write(now().toString.getBytes(StandardCharsets.UTF_8))
+      out.close()
+    }
+    spark.read.parquet(dir.toString)
+  }
+
   /** Wire the incremental scorer into an append-only parquet dataset
     * with exactly-once checkpointing — the streaming serving path: each
     * closed day's scores land durably as they finalize.

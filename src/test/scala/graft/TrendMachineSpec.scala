@@ -66,6 +66,37 @@ class TrendMachineSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL cache: fresh entries are read back without recompute; expiry recomputes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl_").toString
+    var clock = 1000L
+    var computes = 0
+    def produce(): org.apache.spark.sql.DataFrame = {
+      computes += 1
+      Seq((1L, s"v$computes")).toDF("id", "v")
+    }
+    try {
+      val first = graft.sinks.Sinks.cached(spark, dir, "daily", ttlSeconds = 3600,
+        now = () => clock)(produce _)
+      assert(first.head().getString(1) == "v1" && computes == 1)
+      // within TTL: served from disk, produce not called
+      clock += 3599
+      val second = graft.sinks.Sinks.cached(spark, dir, "daily", ttlSeconds = 3600,
+        now = () => clock)(produce _)
+      assert(second.head().getString(1) == "v1" && computes == 1,
+        "fresh cache must not recompute")
+      // past TTL: recomputed and restamped
+      clock += 2
+      val third = graft.sinks.Sinks.cached(spark, dir, "daily", ttlSeconds = 3600,
+        now = () => clock)(produce _)
+      assert(third.head().getString(1) == "v2" && computes == 2,
+        "expired cache must recompute")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("streaming scored sink lands closed days durably in parquet") {
     val spark = TestSpark.spark
     import spark.implicits._
