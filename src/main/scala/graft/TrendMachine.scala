@@ -85,5 +85,7 @@ object TrendMachine {
     Corpus.tfidf(docs).createOrReplaceTempView(s"${prefix}_tfidf")
     Corpus.stratifiedSample(docs).createOrReplaceTempView(s"${prefix}_sample")
     Corpus.stats(docs).createOrReplaceTempView(s"${prefix}_stats")
+    Corpus.stripBoilerplate(docs).createOrReplaceTempView(s"${prefix}_boilerplate")
+    Corpus.decontaminate(docs).createOrReplaceTempView(s"${prefix}_decontaminated")
   }
 }

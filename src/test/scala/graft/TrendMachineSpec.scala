@@ -154,5 +154,8 @@ class TrendMachineSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM cv_vocab").head().getLong(0) > 0)
     assert(spark.sql(
       "SELECT count(*) FROM cv_stats WHERE lang = 'en'").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM cv_boilerplate WHERE NOT is_modified")
+      .head().getLong(0) == 3L, "no segment reaches df>=4 in a 3-doc corpus")
+    assert(spark.sql("SELECT count(*) FROM cv_decontaminated").head().getLong(0) > 0)
   }
 }
