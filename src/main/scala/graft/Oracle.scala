@@ -983,6 +983,24 @@ object Oracle {
          |GROUP BY s.doc_id
          |ORDER BY s.doc_id""".stripMargin,
 
+    "doc_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    md5('pack' || CAST(doc_id AS VARCHAR)) AS ord
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens,
+         |  cum_excl // ${graft.operators.Corpus.PackBudget} AS seq_id,
+         |  cum_excl % ${graft.operators.Corpus.PackBudget} AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "corpus_vocab" ->
       s"""WITH pd AS (
          |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS cnt

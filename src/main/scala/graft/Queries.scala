@@ -501,6 +501,12 @@ object Queries {
   def docBoilerplate(s: SparkSession, dir: String): DataFrame =
     Corpus.stripBoilerplate(docs(s, dir)).orderBy("doc_id")
 
+  /** Sequence packing: doc -> (seq_id, seq_offset) in 256-token
+    * training sequences via distributed prefix sum.
+    */
+  def docPack(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(docs(s, dir)).orderBy("doc_id")
+
   /** Corpus vocabulary: top-100 words by document frequency. */
   def corpusVocab(s: SparkSession, dir: String): DataFrame =
     Corpus.vocab(docs(s, dir)).orderBy("rank")
@@ -762,6 +768,7 @@ object Queries {
     "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_decontaminate" -> (docDecontaminate _),
     "doc_boilerplate" -> (docBoilerplate _),
+    "doc_pack" -> (docPack _),
     "corpus_vocab" -> (corpusVocab _),
     "doc_tfidf" -> (docTfidf _),
     "doc_sample" -> (docSample _),

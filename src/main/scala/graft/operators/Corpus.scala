@@ -207,6 +207,54 @@ object Corpus {
       .withColumn("is_modified", col("n_dropped") > 0)
   }
 
+  /** [[packSequences]] token budget per training sequence. */
+  val PackBudget = 256L
+  private val PackBuckets = 256
+
+  /** Sequence packing: assign every document a position in the stream
+    * of fixed-budget training sequences — (seq_id, seq_offset) such
+    * that documents, taken in a deterministic hash order, fill each
+    * 256-token sequence before the next begins (a doc may straddle a
+    * boundary; where to split it is the tokenizer's concern — this
+    * operator decides WHERE each doc starts, which is the
+    * shuffle-heavy part of batch assembly).
+    *
+    * The global running token count is a distributed two-level prefix
+    * sum: the hash order's first two hex chars define 256 buckets whose
+    * numeric order equals the hash's lexicographic order, so per-bucket
+    * window cumsums (parallel, one shuffle) plus a broadcast 256-row
+    * exclusive-offset table reconstruct the exact global cumsum — the
+    * single global window an engine would naively use (and the DuckDB
+    * twin legitimately does) would funnel the whole corpus through one
+    * partition.
+    */
+  def packSequences(docs: DataFrame): DataFrame = {
+    val t = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      md5(concat(lit("pack"), col("doc_id").cast("string"))).as("ord"))
+      .withColumn("bucket", expr("CAST(conv(substr(ord, 1, 2), 16, 10) AS INT)"))
+    val wb = Window.partitionBy("bucket").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = t.withColumn("bucket_cum", sum("n_tokens").over(wb))
+    // 256-row exclusive prefix over bucket totals: the tiny frame where
+    // a single-partition window is the right plan, then broadcast
+    val wo = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = t.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_total"))
+      .withColumn("bucket_offset", sum("bucket_total").over(wo) - col("bucket_total"))
+      .select("bucket", "bucket_offset")
+    withCum
+      .join(broadcast(offsets), "bucket")
+      .withColumn("cum_excl", col("bucket_offset") + col("bucket_cum") - col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr(s"cum_excl div $PackBudget").as("seq_id"),
+        expr(s"cum_excl % $PackBudget").as("seq_offset"))
+  }
+
   val VocabTopK = 100
 
   /** Corpus vocabulary: the top-k words by document frequency (ties:

@@ -172,6 +172,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(solo.getString(3) == "nothing shared in this entirely singular document text")
   }
 
+  test("packSequences: positions tile the token stream with no gaps or overlaps") {
+    val docs = docsDf((1L to 40L).map(i =>
+      (i, (0 until (i % 7 + 1).toInt * 3).map(w => s"d${i}w$w").mkString(" "), "en", "web")))
+    val out = Corpus.packSequences(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 40)
+    assert(out.forall { case (_, _, _, off) => off >= 0 && off < Corpus.PackBudget })
+    // global positions reconstruct a contiguous tiling: sorted by
+    // position, each doc starts exactly where the previous one ended
+    val positions = out
+      .map { case (_, n, seq, off) => (seq * Corpus.PackBudget + off, n) }
+      .sortBy(_._1)
+    assert(positions.head._1 == 0L, "stream starts at position 0")
+    positions.sliding(2).foreach {
+      case Array((p1, n1), (p2, _)) => assert(p2 == p1 + n1, s"gap/overlap at $p2")
+      case _ => ()
+    }
+  }
+
   test("stats: per-(lang,source) counts and exact median") {
     val out = Corpus.stats(docsDf(Seq(
       (1L, "aa", "en", "web"),      // 2 chars
