@@ -1001,6 +1001,21 @@ object Oracle {
          |  cum_excl % ${graft.operators.Corpus.PackBudget} AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    "doc_logprob" ->
+      """WITH wrd AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |),
+        |freq AS (SELECT word, CAST(count(*) AS BIGINT) AS wf FROM wrd GROUP BY word),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS wtotal FROM wrd),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(wf AS DOUBLE) / CAST(wtotal AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+        |  FROM wrd JOIN freq USING (word) CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "corpus_vocab" ->
       s"""WITH pd AS (
          |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS cnt

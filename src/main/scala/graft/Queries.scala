@@ -507,6 +507,10 @@ object Queries {
   def docPack(s: SparkSession, dir: String): DataFrame =
     Corpus.packSequences(docs(s, dir)).orderBy("doc_id")
 
+  /** Unigram-LM mean log-prob per doc (perplexity-filter stand-in). */
+  def docLogProb(s: SparkSession, dir: String): DataFrame =
+    Corpus.unigramLogProb(docs(s, dir)).orderBy("doc_id")
+
   /** Corpus vocabulary: top-100 words by document frequency. */
   def corpusVocab(s: SparkSession, dir: String): DataFrame =
     Corpus.vocab(docs(s, dir)).orderBy("rank")
@@ -769,6 +773,7 @@ object Queries {
     "doc_decontaminate" -> (docDecontaminate _),
     "doc_boilerplate" -> (docBoilerplate _),
     "doc_pack" -> (docPack _),
+    "doc_logprob" -> (docLogProb _),
     "corpus_vocab" -> (corpusVocab _),
     "doc_tfidf" -> (docTfidf _),
     "doc_sample" -> (docSample _),

@@ -313,6 +313,38 @@ object Corpus {
       .select("doc_id", "word", "tf", "df", "tfidf", "rn")
   }
 
+  /** Unigram LM score: mean log-probability of the document's words
+    * under the corpus unigram distribution — the perplexity-filter
+    * stand-in (docs with improbable word streams are noise/garble; a
+    * trained KenLM slots in as a better probability table without
+    * changing the shape). The word-frequency side is one word-keyed
+    * aggregate joined back by word; the corpus total arrives broadcast.
+    *
+    * Determinism: each word's log-prob is quantized to 1e-6 fixed-point
+    * BEFORE the per-doc sum, so the aggregation is an exact integer sum
+    * — order-free across shuffles and engines (the [[Ann
+    * .labelCentroids]] pattern; raw double sums would differ by
+    * reduce order).
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val freq = words.groupBy("word").agg(count(lit(1)).as("wf"))
+    val total = words.agg(count(lit(1)).as("wtotal"))
+    words
+      .join(freq, "word")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "lp",
+        round(log(col("wf").cast("double") / col("wtotal").cast("double")) * 1000000).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("lp").as("lp_sum"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(col("lp_sum").cast("double") / (col("n_words").cast("double") * 1000000.0), 6)
+          .as("mean_logprob"))
+  }
+
   /** Keep 1 in SampleDenom documents per stratum in
     * [[stratifiedSample]] (integer arithmetic only — a fractional rate
     * would multiply a DOUBLE on the Spark side against a DECIMAL literal

@@ -191,6 +191,18 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramLogProb: rare words drag the mean log-prob down; common-only docs rank higher") {
+    val out = Corpus.unigramLogProb(docsDf(Seq(
+      (1L, "the quick the quick the quick", "en", "web"),
+      (2L, "the quick the quick the zzzzz", "en", "web"),
+      (3L, "the the the the the the", "en", "web"))))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.values.forall(_._1 == 6L))
+    assert(out.values.forall(_._2 < 0.0), "log-probs are negative")
+    assert(out(3L)._2 > out(1L)._2, "all-modal doc scores highest")
+    assert(out(1L)._2 > out(2L)._2, "a hapax drags the mean down")
+  }
+
   test("stats: per-(lang,source) counts and exact median") {
     val out = Corpus.stats(docsDf(Seq(
       (1L, "aa", "en", "web"),      // 2 chars
