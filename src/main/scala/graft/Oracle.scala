@@ -1086,6 +1086,14 @@ object Oracle {
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "streaming_near_dup" ->
+      s"""WITH $shinglesCte,
+         |$minhashCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INTEGER) AS band
+         |FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
+         |                   AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b, band""".stripMargin,
+
     "corpus_stats" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

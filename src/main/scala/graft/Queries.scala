@@ -725,6 +725,13 @@ object Queries {
   def streamingDedup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming.batchDedup(docs(s, dir)).toDF().orderBy("doc_id")
 
+  /** The streaming LSH candidate fold over bounded input — must equal
+    * the band-bucket self-join (one row per colliding band per pair).
+    */
+  def streamingNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchNearDupCandidates(docs(s, dir))
+      .toDF().orderBy("doc_a", "doc_b", "band")
+
   // ------------------------------------------------------------- registry
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdx_parse" -> (cdxParse _),
@@ -796,6 +803,7 @@ object Queries {
     "streaming_daily" -> (streamingDaily _),
     "streaming_scored" -> (streamingScored _),
     "streaming_dedup" -> (streamingDedup _),
+    "streaming_near_dup" -> (streamingNearDup _),
     "report_daily" -> (reportDaily _),
     "cdx_source_scan" -> (cdxSourceScan _),
     "transitions_chart" -> (transitionsChart _),

@@ -111,6 +111,32 @@ object Dedup {
     mh.selectExpr("doc_id", s"stack($Bands, $stack) as (band, sig)")
   }
 
+  /** [[bandSignatures]] computed with scalar HOFs only — per-row
+    * shingling, per-perm `array_min`, no aggregation. Bit-identical to
+    * the aggregated form (lexicographic `array_min` over fixed-width
+    * hex == the groupBy `min`; spec-pinned), but usable where a
+    * pre-stateful-stage aggregation is impossible: Structured Streaming
+    * feeds each arriving document straight into the band-bucket state
+    * ([[graft.streaming.Streaming.nearDupCandidateStream]]). Batch
+    * pipelines keep the aggregated form — one shuffle of shingle rows
+    * with map-side combine beats per-row 16x HOF evaluation when the
+    * shingle explode is shared with the verify step anyway.
+    */
+  def rowBandSignatures(docs: DataFrame): DataFrame = {
+    val gram = "concat(w[i], ' ', w[i+1], ' ', w[i+2])"
+    val mhCols = (0 until Perms).map(p =>
+      expr(s"array_min(transform(sh, s -> substring(md5(concat('$p|', s)), 1, 8)))").as(s"mh$p"))
+    val withMh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("sh", expr(
+        s"""CASE WHEN size(w) >= 3
+           |THEN array_distinct(transform(sequence(0, size(w) - 3), i -> $gram))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .filter(size(col("sh")) > 0) // shingle-less docs have no signature rows in the aggregated form either
+      .select((col("doc_id") +: mhCols): _*)
+    bandStack(withMh)
+  }
+
   /** Near-dup candidate pairs via LSH bucket self-join, verified with
     * exact shingle-set Jaccard. Output is every candidate pair with its
     * true similarity — thresholding is the caller's policy decision.

@@ -548,4 +548,70 @@ object Streaming {
       .groupByKey(_.h)
       .flatMapGroups((h: String, rows: Iterator[DocKeyed]) => runBatchDedup(h, rows))
   }
+
+  // --------------------------------------- streaming near-dup candidates
+  /** One (doc, band, signature) bucket row entering the LSH stream. */
+  case class BandKeyed(doc_id: Long, band: Int, sig: String)
+
+  /** A band-bucket collision: doc_a < doc_b share `sig` in `band`. A
+    * pair colliding in several bands emits once per band (state is
+    * per-bucket; global dedup is the downstream verify join's first
+    * step, exactly as in the batch pipeline).
+    */
+  case class CandidateOut(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Per-bucket fold shared by the stream and its batch harness: each
+    * doc joining the bucket pairs with every member already there.
+    * State is the member list — the honest cost of streaming LSH (the
+    * batch self-join holds the same bucket in memory); a pathological
+    * bucket is a giant duplicate cluster, whose pair list is the
+    * answer, not overhead.
+    */
+  private def bucketFold(
+      rows: Iterator[BandKeyed],
+      prior: Vector[Long]): (Vector[Long], Vector[CandidateOut]) = {
+    var members = prior
+    val out = Vector.newBuilder[CandidateOut]
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      if (!members.contains(r.doc_id)) {
+        members.foreach(m =>
+          out += CandidateOut(math.min(m, r.doc_id), math.max(m, r.doc_id), r.band))
+        members = members :+ r.doc_id
+      }
+    }
+    (members, out.result())
+  }
+
+  /** Streaming MinHash-LSH candidate generation: documents arrive, their
+    * per-row band signatures ([[graft.operators.Dedup
+    * .rowBandSignatures]] — scalar HOFs, so no aggregation precedes the
+    * stateful stage) key them into band buckets, and each bucket's
+    * GroupState emits collision pairs as later members arrive. The
+    * streaming face of the dedup modality: candidates surface while the
+    * crawl is still running, instead of after a full-corpus scan.
+    */
+  def nearDupCandidateStream(docs: org.apache.spark.sql.DataFrame): Dataset[CandidateOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.Dedup.rowBandSignatures(docs).as[BandKeyed]
+      .groupByKey(r => s"${r.band}|${r.sig}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[BandKeyed], state: GroupState[Vector[Long]]) =>
+          val (members, out) = bucketFold(rows, state.getOption.getOrElse(Vector.empty))
+          state.update(members)
+          out.iterator
+      }
+  }
+
+  /** The candidate stream's fold over bounded input — the oracle-
+    * checkable batch twin (equals the band-bucket self-join).
+    */
+  def batchNearDupCandidates(docs: org.apache.spark.sql.DataFrame): Dataset[CandidateOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.Dedup.rowBandSignatures(docs).as[BandKeyed]
+      .groupByKey(r => s"${r.band}|${r.sig}")
+      .flatMapGroups((key: String, rows: Iterator[BandKeyed]) =>
+        bucketFold(rows, Vector.empty)._2.iterator)
+  }
 }

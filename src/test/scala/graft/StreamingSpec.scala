@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.Capture
-import graft.operators.Daily
+import graft.operators.{Daily, Dedup}
 import graft.streaming.Streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -375,5 +375,57 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.operators.Dedup.exact(docs)
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
     assert(folded == batch)
+  }
+
+  /** Near-dup corpus: docs 1-3 share identical text (identical shingle
+    * sets collide in every band — collisions guaranteed, unlike a
+    * one-word perturbation, which only *probably* collides), doc 7 is
+    * unrelated.
+    */
+  private val lshDocs = {
+    val base = (0 until 12).map(w => s"t$w").mkString(" ")
+    Seq(1L -> base, 2L -> base, 3L -> base,
+      7L -> (0 until 12).map(w => s"z$w").mkString(" "))
+  }
+
+  test("per-row band signatures equal the aggregated minhash signatures") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = lshDocs.toDF("doc_id", "text")
+    val agg = Dedup.bandSignatures(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val row = Dedup.rowBandSignatures(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(row == agg, "HOF signatures must be bit-identical to the groupBy form")
+  }
+
+  test("streaming LSH candidates across micro-batches equal the batch bucket join") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, String)]
+    val query = Streaming.nearDupCandidateStream(stream.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lsh_stream")
+      .outputMode("append").start()
+    // doc 3 arrives two batches after its near-dups — the bucket state
+    // must still pair it with both
+    stream.addData(lshDocs.take(2))
+    query.processAllAvailable()
+    stream.addData(Seq(lshDocs(3)))
+    query.processAllAvailable()
+    stream.addData(Seq(lshDocs(2)))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("lsh_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Streaming.batchNearDupCandidates(lshDocs.toDF("doc_id", "text"))
+      .collect().map(c => (c.doc_a, c.doc_b, c.band)).toSet
+    assert(streamed == batch, "arrival order must not change the candidate set")
+    val pairs = streamed.map { case (a, b, _) => (a, b) }
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "all template variants must collide")
+    assert(!pairs.exists { case (a, b) => a == 7L || b == 7L }, "unrelated doc stays out")
   }
 }
