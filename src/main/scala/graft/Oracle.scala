@@ -1080,6 +1080,19 @@ object Oracle {
         |)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
+    "emb_quantize" ->
+      """SELECT vec_id, CAST(g.i AS INTEGER) AS pos,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(round(CAST(embedding[CAST(g.i + 1 AS INTEGER)] AS DOUBLE) / scale, 0) AS BIGINT)
+        |  END AS code,
+        |  scale
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    round(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0, 9) AS scale
+        |  FROM embeddings
+        |), LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+        |ORDER BY vec_id, pos""".stripMargin,
+
     "streaming_dedup" ->
       """SELECT doc_id, md5(text) AS h,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical,

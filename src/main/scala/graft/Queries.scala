@@ -592,6 +592,10 @@ object Queries {
   def annClassify(s: SparkSession, dir: String): DataFrame =
     Ann.knnClassify(embs(s, dir)).orderBy("q_id")
 
+  /** Symmetric int8 embedding quantization (long format). */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Ann.quantizeInt8(embs(s, dir)).orderBy("vec_id", "pos")
+
   /** Per-label centroid embeddings (long format). */
   def embCentroids(s: SparkSession, dir: String): DataFrame =
     Ann.labelCentroids(embs(s, dir)).orderBy("label", "pos")
@@ -793,6 +797,7 @@ object Queries {
     "ann_ivf_lists" -> (annIvfLists _),
     "emb_near_dup" -> (embNearDup _),
     "emb_centroids" -> (embCentroids _),
+    "emb_quantize" -> (embQuantize _),
     "ann_buckets" -> (annBuckets _),
     "ann_classify" -> (annClassify _),
     "mm_features" -> (mmFeatures _),

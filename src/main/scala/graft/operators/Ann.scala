@@ -261,6 +261,43 @@ object Ann {
       .withColumn("correct", col("predicted") === col("true_label"))
   }
 
+  /** Symmetric int8 quantization of the embedding column: per-vector
+    * scale = max|v|/127, codes = round(v/scale) — the memory-side half
+    * of a disk ANN index (4x smaller vectors; recall preserved,
+    * IvfRecallSpec-style spec pins it). Long format (vec_id, pos, code,
+    * scale) so the oracle hash-compares scalars, not nested arrays.
+    * Pure per-row projection + posexplode: no shuffle, scales with the
+    * scan.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, abs(CAST(v AS DOUBLE))))")
+          .as("maxabs"))
+      .withColumn("scale", col("maxabs") / 127.0)
+      .select(
+        col("vec_id"),
+        round(col("scale"), 9).as("scale"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn(
+        "code",
+        when(col("scale") === 0.0, 0L)
+          .otherwise(round(col("v").cast("double") / col("scale")).cast("long")))
+      .select("vec_id", "pos", "code", "scale")
+
+  /** Dequantized view of [[quantizeInt8]] — reconstructs Array[Float]
+    * vectors for recall checks and downstream scoring.
+    */
+  def dequantize(codes: DataFrame): DataFrame =
+    codes
+      .groupBy("vec_id")
+      .agg(expr(
+        """transform(
+          |  array_sort(collect_list(struct(pos, CAST(code * scale AS FLOAT) AS v))),
+          |  s -> s.v)""".stripMargin).as("embedding"))
+
   /** Per-label centroid embeddings in long format (label, pos, n_vecs,
     * centroid) — the class-prototype / k-means-step building block.
     *

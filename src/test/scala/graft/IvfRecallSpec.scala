@@ -36,6 +36,18 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"IVF recall $recall%.3f < 0.8 (${exact.size} true neighbors)")
   }
 
+  test("int8 quantization preserves brute-force top-5 recall >= 0.9 (sf0.01)") {
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.cosineTopK(emb))
+    val dq = Ann.dequantize(Ann.quantizeInt8(emb))
+    val quantized = pairs(Ann.cosineTopK(dq, Ann.defaultQueries(dq)))
+    val recall = (exact intersect quantized).size.toDouble / exact.size
+    assert(recall >= 0.9, f"int8 recall $recall%.3f < 0.9")
+  }
+
   test("trained codebook beats the deterministic first-K stand-in on clustered data") {
     val emb = plantedClusters
     def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
