@@ -604,12 +604,16 @@ object Streaming {
   }
 
   /** The candidate stream's fold over bounded input — the oracle-
-    * checkable batch twin (equals the band-bucket self-join).
+    * checkable batch twin (equals the band-bucket self-join). Feeds the
+    * fold from the AGGREGATED signatures: on bounded input the shuffle-
+    * combined minhash beats 16x per-row HOF evaluation, and StreamingSpec
+    * pins the two signature forms bit-equal, so the fold under test is
+    * identical to the stream's.
     */
   def batchNearDupCandidates(docs: org.apache.spark.sql.DataFrame): Dataset[CandidateOut] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.operators.Dedup.rowBandSignatures(docs).as[BandKeyed]
+    graft.operators.Dedup.bandSignatures(docs).as[BandKeyed]
       .groupByKey(r => s"${r.band}|${r.sig}")
       .flatMapGroups((key: String, rows: Iterator[BandKeyed]) =>
         bucketFold(rows, Vector.empty)._2.iterator)

@@ -48,6 +48,14 @@ class PlanSpec extends AnyFunSuite {
     assert(distinctKeys > 1200, s"band keyspace degenerate: $distinctKeys distinct (band, key)")
   }
 
+  test("doc_pack: corpus cumsum partitions by bucket; offsets broadcast") {
+    val p = plan("doc_pack")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"per-bucket window must hash-partition, not single-partition, the corpus:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), "the 256-row offset table must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ann_topk broadcasts the query side (small x big, never shuffle)") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
