@@ -590,6 +590,15 @@ object Streaming {
     * streaming face of the dedup modality: candidates surface while the
     * crawl is still running, instead of after a full-corpus scan.
     */
+  /** State bound: exact candidates require remembering every bucket
+    * member for the stream's lifetime (total state == one long per
+    * (band, doc) = 4x corpus ids — small per doc, unbounded over an
+    * endless crawl). A production deployment bounds it with state-store
+    * TTL (`spark.sql.streaming.stateStore.ttl`-style retention or a
+    * ProcessingTimeTimeout eviction pass), trading cross-epoch dup
+    * detection for bounded state; the exact variant here is the
+    * oracle-checkable semantics.
+    */
   def nearDupCandidateStream(docs: org.apache.spark.sql.DataFrame): Dataset[CandidateOut] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -428,4 +428,5 @@ class StreamingSpec extends AnyFunSuite {
       "all template variants must collide")
     assert(!pairs.exists { case (a, b) => a == 7L || b == 7L }, "unrelated doc stays out")
   }
+
 }
