@@ -1001,6 +1001,14 @@ object Oracle {
          |  cum_excl % ${graft.operators.Corpus.PackBudget} AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    "doc_chunk" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+         |SELECT doc_id, CAST(t.i AS INTEGER) AS chunk_idx,
+         |  CAST(least(${TextStats.ChunkWords}, len(words) - t.i * ${TextStats.ChunkStride}) AS BIGINT) AS n_chunk_words,
+         |  array_to_string(words[(t.i*${TextStats.ChunkStride}+1):(t.i*${TextStats.ChunkStride}+${TextStats.ChunkWords})], ' ') AS chunk_text
+         |FROM w, unnest(range((greatest(len(words) - ${TextStats.ChunkWords}, 0) + ${TextStats.ChunkStride - 1}) // ${TextStats.ChunkStride} + 1)) t(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "doc_logprob" ->
       """WITH wrd AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

@@ -483,6 +483,10 @@ object Queries {
   def docRepetition(s: SparkSession, dir: String): DataFrame =
     TextStats.repetition(docs(s, dir)).orderBy("doc_id")
 
+  /** Overlapping fixed-window chunking (8-word windows, stride 6). */
+  def docChunk(s: SparkSession, dir: String): DataFrame =
+    TextStats.chunk(docs(s, dir)).orderBy("doc_id", "chunk_idx")
+
   /** Composite keep/drop verdict (dup > too_short > low_quality). */
   def docKeepMask(s: SparkSession, dir: String): DataFrame =
     TextStats.keepMask(docs(s, dir)).orderBy("doc_id")
@@ -780,6 +784,7 @@ object Queries {
     "doc_pii_scrub" -> (docPiiScrub _),
     "doc_repetition" -> (docRepetition _),
     "doc_keep_mask" -> (docKeepMask _),
+    "doc_chunk" -> (docChunk _),
     "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_decontaminate" -> (docDecontaminate _),
     "doc_boilerplate" -> (docBoilerplate _),

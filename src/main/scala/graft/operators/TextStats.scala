@@ -229,4 +229,34 @@ object TextStats {
         col("n_norm_chars"),
         coalesce(col("bottom3"), lit("")).as("bottom3"))
   }
+
+  /** [[chunk]] window (words per chunk) and stride (stride < window =
+    * overlapping chunks, the RAG-retrieval default).
+    */
+  val ChunkWords = 8
+  val ChunkStride = 6
+
+  /** Overlapping fixed-window chunking: split each document into
+    * [[ChunkWords]]-word windows every [[ChunkStride]] words — the
+    * context-window chunker every retrieval / pretraining-sequence
+    * pipeline runs before embedding. Enough windows are generated to
+    * cover the tail (the last chunk may be short); a doc at or under
+    * one window is a single chunk. Pure per-row `posexplode` — no
+    * shuffle, scales with the scan.
+    */
+  def chunk(docs: DataFrame): DataFrame = {
+    val (k, s) = (ChunkWords, ChunkStride)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, (greatest(size(w) - $k, 0) + $s - 1) div $s),
+           |  i -> concat_ws(' ', slice(w, i * $s + 1, $k)))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        least(lit(k), size(col("w")) - col("chunk_idx") * s).cast("long").as("n_chunk_words"),
+        col("chunk_text"))
+  }
 }

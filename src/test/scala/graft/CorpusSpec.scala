@@ -191,6 +191,27 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk: overlapping windows cover every word; short docs are one chunk") {
+    val out = graft.operators.TextStats.chunk(docsDf(Seq(
+      (1L, (1 to 9).map(i => s"w$i").mkString(" "), "en", "web"),
+      (2L, "a b c", "en", "web"),
+      (3L, (1 to 15).map(i => s"v$i").mkString(" "), "en", "web"))))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getString(3))).toSeq)
+      .toMap
+    assert(out(2L) == Seq((3L, "a b c")), "doc under one window is a single chunk")
+    assert(out(1L) == Seq(
+      (8L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (3L, (7 to 9).map(i => s"w$i").mkString(" "))),
+      "9 words -> full window + overlapping 3-word tail")
+    assert(out(3L).map(_._1) == Seq(8L, 8L, 3L), "15 words -> windows at 0, 6, 12")
+    // stride-6 windows of width 8: chunk i starts at word 6i+1, so
+    // every word index is inside some window (coverage, no holes)
+    val covered = out(3L).zipWithIndex.flatMap { case ((n, _), i) => (6 * i + 1) to (6 * i + n.toInt) }
+    assert(covered.toSet == (1 to 15).toSet)
+  }
+
   test("unigramLogProb: rare words drag the mean log-prob down; common-only docs rank higher") {
     val out = Corpus.unigramLogProb(docsDf(Seq(
       (1L, "the quick the quick the quick", "en", "web"),
