@@ -997,8 +997,8 @@ object Oracle {
          |  FROM t
          |)
          |SELECT doc_id, n_tokens,
-         |  cum_excl // ${graft.operators.Corpus.PackBudget} AS seq_id,
-         |  cum_excl % ${graft.operators.Corpus.PackBudget} AS seq_offset
+         |  CAST(cum_excl // ${graft.operators.Corpus.PackBudget} AS BIGINT) AS seq_id,
+         |  CAST(cum_excl % ${graft.operators.Corpus.PackBudget} AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_chunk" ->
