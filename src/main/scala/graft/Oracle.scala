@@ -1091,7 +1091,8 @@ object Oracle {
     "emb_quantize" ->
       """SELECT vec_id, CAST(g.i AS INTEGER) AS pos,
         |  CASE WHEN scale = 0 THEN 0
-        |       ELSE CAST(round(CAST(embedding[CAST(g.i + 1 AS INTEGER)] AS DOUBLE) / scale, 0) AS BIGINT)
+        |       ELSE least(127, greatest(-127,
+        |         CAST(round(CAST(embedding[CAST(g.i + 1 AS INTEGER)] AS DOUBLE) / scale, 0) AS BIGINT)))
         |  END AS code,
         |  scale
         |FROM (

@@ -283,8 +283,14 @@ object Ann {
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn(
         "code",
+        // clamp to [-127, 127]: scale is rounded to 9 decimals BEFORE the
+        // division, so for tiny-magnitude vectors (max|v| < ~1.6e-5) the
+        // rounding can shrink scale enough that round(v/scale) = ±128 —
+        // legal in this long-format BIGINT column but an overflow for any
+        // consumer that stores codes as a true int8
         when(col("scale") === 0.0, 0L)
-          .otherwise(round(col("v").cast("double") / col("scale")).cast("long")))
+          .otherwise(least(lit(127L), greatest(lit(-127L),
+            round(col("v").cast("double") / col("scale")).cast("long")))))
       .select("vec_id", "pos", "code", "scale")
 
   /** Dequantized view of [[quantizeInt8]] — reconstructs Array[Float]

@@ -23,11 +23,47 @@ import org.apache.spark.storage.StorageLevel
 object CacheScope {
   private val registered = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist `df` (MEMORY_AND_DISK) and register it for scoped release. */
+  // Innermost-first stack of active lexical scopes on this thread.
+  // Plan construction (where persist() is called) is driver-side and
+  // single-threaded per query, so a thread-local is the right owner.
+  private val scopes =
+    new ThreadLocal[List[java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]] {
+      override def initialValue: List[java.util.concurrent.ConcurrentLinkedQueue[DataFrame]] = Nil
+    }
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for scoped release:
+    * into the innermost active [[withScope]] block if one is open on
+    * this thread, else into the session-global registry drained by
+    * [[releaseAll]].
+    */
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    registered.add(p)
+    scopes.get.headOption.getOrElse(registered).add(p)
     p
+  }
+
+  /** Run `body` with a fresh release scope: every [[persist]] issued
+    * inside it (on this thread) is unpersisted when the block exits,
+    * success or failure. This is how NON-harness callers — long-lived
+    * library sessions that never call [[releaseAll]] — get the same
+    * no-accumulation guarantee the Bench/Verify harnesses get, and how
+    * an operator can drop its own heavyweight intermediates the moment
+    * a cheap materialized artifact (e.g. a checkpointed edge list)
+    * supersedes them, instead of holding storage memory until the whole
+    * query finishes.
+    */
+  def withScope[T](body: => T): T = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    scopes.set(q :: scopes.get)
+    try body
+    finally {
+      scopes.set(scopes.get.tail)
+      var df = q.poll()
+      while (df != null) {
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        df = q.poll()
+      }
+    }
   }
 
   /** Unpersist every registered frame (non-blocking). Safe at any point:

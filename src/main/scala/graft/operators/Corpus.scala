@@ -27,6 +27,17 @@ object Corpus {
     */
   val ClusterJaccard = 0.5
 
+  /** Lineage truncation that survives the deployment it runs in:
+    * reliable `checkpoint()` (HDFS/object store) when the session has a
+    * checkpoint dir configured — on a real cluster a localCheckpoint
+    * block lost with its executor is unrecoverable because the lineage
+    * is gone — and `localCheckpoint` otherwise (tests, single-JVM
+    * benches, where losing the JVM loses the job anyway).
+    */
+  private def truncate(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
   /** Duplicate-cluster resolution: connected components over the
     * near-dup pair graph, by iterative min-label propagation. Every
     * document gets the smallest doc_id reachable through near-dup edges
@@ -46,17 +57,36 @@ object Corpus {
     *
     * Convergence test is one scalar action per round — and it is the
     * SAME action that materializes the round's checkpoint (lazy
-    * `localCheckpoint` + the sum aggregate run in one job): labels only
+    * checkpoint + the sum aggregate run in one job): labels only
     * ever decrease, so the label sum is a strictly decreasing
     * monovariant and an unchanged sum IS the fixpoint.
+    *
+    * The edge list is EAGERLY checkpointed before the loop, severing
+    * the iteration's lineage from the 5-join LSH pipeline that produced
+    * it. Without this, every post-pipeline consumer (each round's join,
+    * the final write) depends on the pipeline only through lazy cache
+    * entries — and under storage-memory pressure in a long multi-query
+    * session an evicted entry silently re-runs the multi-second
+    * pipeline once per consumer (the round-5 driver-bench 3x blowup).
+    * With it, the pipeline runs at most once BY CONSTRUCTION, and the
+    * pipeline's own scoped persists (shingles, minhash, verified pairs)
+    * are released the moment the checkpoint materializes instead of
+    * occupying storage memory through the whole query.
     */
   def dedupClusters(docs: DataFrame): DataFrame = {
-    val pairs = Dedup.nearDupPairs(docs)
-      .filter(col("jaccard") >= ClusterJaccard)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = CacheScope.persist(pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("e_src", "e_dst"))
+    // One job: materialize the (tiny) symmetric edge list off the LSH
+    // pipeline, then drop every pipeline persist. `truncate` uses
+    // reliable checkpoint() when the session has a checkpoint dir (a
+    // real cluster must survive executor loss), localCheckpoint in
+    // single-JVM harnesses.
+    val edges = CacheScope.withScope {
+      val pairs = Dedup.nearDupPairs(docs)
+        .filter(col("jaccard") >= ClusterJaccard)
+        .select(col("doc_a"), col("doc_b"))
+      truncate(
+        pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("e_src", "e_dst"),
+        eager = true)
+    }
 
     // Only nodes with an edge can ever change label — iterate over the
     // edge subgraph (near-dup nodes, a sliver of the corpus) and union
@@ -67,11 +97,12 @@ object Corpus {
     // init IS the first propagation round: label = min(self, neighbors)
     // comes out of one groupBy over the edge list, so the loop below
     // starts from round-1 state instead of paying a round to reach it
-    var labels = edges
-      .groupBy(col("e_src"))
-      .agg(min("e_dst").as("nbr"))
-      .select(col("e_src").as("doc_id"), least(col("e_src"), col("nbr")).as("cluster"))
-      .localCheckpoint(eager = false)
+    var labels = truncate(
+      edges
+        .groupBy(col("e_src"))
+        .agg(min("e_dst").as("nbr"))
+        .select(col("e_src").as("doc_id"), least(col("e_src"), col("nbr")).as("cluster")),
+      eager = false)
     var prevSum = Long.MinValue
     var curSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
     while (curSum != prevSum) {
@@ -81,19 +112,17 @@ object Corpus {
         .agg(min("cluster").as("nbr"))
       // inner join: every subgraph node has >= 1 edge, so nbrMin covers
       // all of them; least() keeps the node's own (possibly smaller) label
-      val next = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("e_src"))
-        .select(labels("doc_id"), least(col("cluster"), col("nbr")).as("cluster"))
-        .localCheckpoint(eager = false)
+      val next = truncate(
+        labels
+          .join(nbrMin, labels("doc_id") === nbrMin("e_src"))
+          .select(labels("doc_id"), least(col("cluster"), col("nbr")).as("cluster")),
+        eager = false)
       labels = next
       prevSum = curSum
       // one job per round: the sum action materializes the lazy
-      // checkpoint as a side effect (lineage still truncates; on a real
-      // cluster this becomes reliable checkpoint())
+      // checkpoint as a side effect (lineage still truncates each round)
       curSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
     }
-    // edges stays persisted until the harness releases the scope: the
-    // singleton anti-join below still reads it.
 
     val singletons = docs
       .join(nodes, Seq("doc_id"), "left_anti")

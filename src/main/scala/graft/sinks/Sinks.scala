@@ -116,9 +116,20 @@ object Sinks {
     }
     if (!fresh) {
       val tmp = new Path(path, s"$key.tmp_${java.util.UUID.randomUUID()}")
-      produce().write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dir, true)
-      fs.rename(tmp, dir)
+      // the tmp dir must never outlive a failed refresh (orphaned
+      // tmp_<uuid> dirs accumulate forever), and a failed rename must
+      // never be followed by the stamp (a dir holding only
+      // _graft_fresh_at reads as fresh but fails spark.read.parquet)
+      try {
+        produce().write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dir, true)
+        if (!fs.rename(tmp, dir))
+          throw new java.io.IOException(s"cache refresh rename $tmp -> $dir failed")
+      } catch {
+        case e: Throwable =>
+          try fs.delete(tmp, true) catch { case _: Throwable => () }
+          throw e
+      }
       val out = fs.create(stamp, true)
       out.write(now().toString.getBytes(StandardCharsets.UTF_8))
       out.close()

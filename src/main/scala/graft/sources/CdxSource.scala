@@ -199,9 +199,17 @@ class CdxScan(
       // the reference's page-count probe (showNumPages=true,
       // main.py:114-116): one tiny driver-side GET, then the pages
       // themselves are fetched by executors
-      val probe = CdxHttp.readLines(
-        CdxHttp.pageCountUrl(endpoint.get, urlKey))
-      val n = try probe.readLine().trim.toInt finally probe.close()
+      val probeUrl = CdxHttp.pageCountUrl(endpoint.get, urlKey)
+      val probe = CdxHttp.readLines(probeUrl)
+      // guard the response: an empty body would NPE on readLine(), junk
+      // would throw an opaque NumberFormatException — name the endpoint
+      val n =
+        try {
+          val body = Option(probe.readLine()).map(_.trim).filter(_.nonEmpty)
+          body.flatMap(_.toIntOption).getOrElse(throw new java.io.IOException(
+            s"cdx page-count probe $probeUrl returned " +
+              body.fold("an empty body")(b => s"a non-numeric body: '$b'")))
+        } finally probe.close()
       (0 until math.min(n, maxPages)).map(i =>
         CdxHttpPagePartition(endpoint.get, urlKey, i): InputPartition).toArray
   }

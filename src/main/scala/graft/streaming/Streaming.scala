@@ -567,13 +567,18 @@ object Streaming {
     * bucket is a giant duplicate cluster, whose pair list is the
     * answer, not overhead.
     */
-  private def bucketFold(
+  private[graft] def bucketFold(
       rows: Iterator[BandKeyed],
       prior: Vector[Long]): (Vector[Long], Vector[CandidateOut]) = {
+    // membership probes go through a Set (O(1)); the Vector stays the
+    // arrival-ordered state representation. Without the Set, a giant
+    // bucket pays O(n) per arrival ON TOP of the inherent O(n²) pair
+    // emission — the avoidable half of the quadratic.
     var members = prior
+    val seen = scala.collection.mutable.HashSet.from(prior)
     val out = Vector.newBuilder[CandidateOut]
     rows.toSeq.sortBy(_.doc_id).foreach { r =>
-      if (!members.contains(r.doc_id)) {
+      if (seen.add(r.doc_id)) {
         members.foreach(m =>
           out += CandidateOut(math.min(m, r.doc_id), math.max(m, r.doc_id), r.band))
         members = members :+ r.doc_id

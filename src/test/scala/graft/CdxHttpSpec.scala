@@ -20,14 +20,16 @@ class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var server: HttpServer = _
   private var endpoint: String = _
-  @volatile private var requests = List.empty[String]
+  // executor request threads record concurrently: a read-modify-write on
+  // a List var can lose entries, making the query-param assertions flaky
+  private val requests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/cdx", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-        requests ::= q
+        requests.add(q)
         val params = q.split("&").map(_.split("=", 2)).collect {
           case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
         }.toMap
@@ -67,10 +69,12 @@ class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("http scan: server receives the reference's query params") {
-    requests = Nil
+    requests.clear()
     scan().collect()
-    assert(requests.exists(_.contains("showNumPages=true")), "page-count probe sent")
-    assert(requests.exists(q => q.contains("fl=timestamp,statuscode,digest") && q.contains("page=0")),
+    import scala.jdk.CollectionConverters._
+    val seen = requests.asScala.toList
+    assert(seen.exists(_.contains("showNumPages=true")), "page-count probe sent")
+    assert(seen.exists(q => q.contains("fl=timestamp,statuscode,digest") && q.contains("page=0")),
       "per-page GET carries the fl= projection")
   }
 

@@ -52,6 +52,45 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupClusters: a configured checkpoint dir routes lineage truncation to reliable storage") {
+    val spark = TestSpark.spark
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    assert(sc.getCheckpointDir.isEmpty, "no other test may leave a checkpoint dir set")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val out = Corpus.dedupClusters(docsDf(clusterFixture)).collect()
+      assert(out.length == 5, "results unchanged under reliable checkpointing")
+      val written = java.nio.file.Files.walk(dir).filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0, "reliable checkpoint files written under the configured dir")
+    } finally {
+      // restore the shared session: SparkContext has no public unset,
+      // and every later dedupClusters test should run on localCheckpoint
+      val f = classOf[org.apache.spark.SparkContext].getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+    }
+  }
+
+  test("CacheScope.withScope: scoped persists release on exit, outer persists survive") {
+    import graft.operators.CacheScope
+    import org.apache.spark.storage.StorageLevel
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val outer = CacheScope.persist(Seq(1, 2).toDF("x"))
+    outer.count()
+    val inner = CacheScope.withScope {
+      val df = CacheScope.persist(Seq(3, 4).toDF("y"))
+      df.count()
+      assert(df.storageLevel != StorageLevel.NONE, "persisted inside the scope")
+      df
+    }
+    assert(inner.storageLevel == StorageLevel.NONE, "scope exit unpersists its frames")
+    assert(outer.storageLevel != StorageLevel.NONE, "outer registration untouched by the scope")
+    CacheScope.releaseAll()
+    assert(outer.storageLevel == StorageLevel.NONE)
+  }
+
   test("decontaminate: an exact copy of a benchmark doc is fully contaminated") {
     // doc 29 is benchmark (29 % 29 == 0); doc 30 copies it verbatim,
     // doc 31 shares nothing, doc 32 is too short to shingle.

@@ -429,4 +429,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 7L || b == 7L }, "unrelated doc stays out")
   }
 
+  test("bucketFold: membership probes stay O(1) on a giant bucket") {
+    // 20k-member bucket state, then a batch of arrivals that are ALL
+    // already members: pair emission is zero, so the only cost is the
+    // membership probe — quadratic scanning (the pre-fix Vector.contains)
+    // would take seconds here, the Set-backed probe milliseconds. The
+    // inherent O(n^2) pair emission for genuinely-new members is the
+    // answer (a giant bucket IS a giant dup cluster), not overhead.
+    val prior = (1L to 20000L).toVector
+    val arrivals = (1L to 20000L by 4).map(i => Streaming.BandKeyed(i, 0, "sig"))
+    val t0 = System.nanoTime()
+    val (members, out) = Streaming.bucketFold(arrivals.iterator, prior)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(out.isEmpty, "re-arrivals of existing members emit no pairs")
+    assert(members == prior, "state unchanged by duplicate arrivals")
+    assert(ms < 2000, s"membership probing must be sub-quadratic (took $ms ms)")
+    // fresh members still pair with everyone already present
+    val (m2, o2) = Streaming.bucketFold(
+      Iterator(Streaming.BandKeyed(30000L, 0, "sig")), prior)
+    assert(o2.size == prior.size && m2.size == prior.size + 1)
+  }
+
 }
