@@ -102,13 +102,15 @@ object Dedup {
 
   /** Band stack over a minhash frame — a narrow projection, so callers
     * holding a persisted minhash pay no extra shuffle per read.
+    * `passthrough` columns ride along unchanged (e.g. the event-time
+    * column a watermarked stream needs beside each signature row).
     */
-  private def bandStack(mh: DataFrame): DataFrame = {
+  private def bandStack(mh: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val stack = (0 until Bands).map { b =>
       val cols = (b * Perms / Bands until (b + 1) * Perms / Bands).map(p => s"mh$p")
       s"$b, concat_ws('_', ${cols.mkString(", ")})"
     }.mkString(", ")
-    mh.selectExpr("doc_id", s"stack($Bands, $stack) as (band, sig)")
+    mh.selectExpr(("doc_id" +: passthrough) :+ s"stack($Bands, $stack) as (band, sig)": _*)
   }
 
   /** [[bandSignatures]] computed with scalar HOFs only — per-row
@@ -122,19 +124,19 @@ object Dedup {
     * with map-side combine beats per-row 16x HOF evaluation when the
     * shingle explode is shared with the verify step anyway.
     */
-  def rowBandSignatures(docs: DataFrame): DataFrame = {
+  def rowBandSignatures(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val gram = "concat(w[i], ' ', w[i+1], ' ', w[i+2])"
     val mhCols = (0 until Perms).map(p =>
       expr(s"array_min(transform(sh, s -> substring(md5(concat('$p|', s)), 1, 8)))").as(s"mh$p"))
     val withMh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id") +: passthrough.map(col) :+ split(col("text"), " ").as("w"): _*)
       .withColumn("sh", expr(
         s"""CASE WHEN size(w) >= 3
            |THEN array_distinct(transform(sequence(0, size(w) - 3), i -> $gram))
            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
       .filter(size(col("sh")) > 0) // shingle-less docs have no signature rows in the aggregated form either
-      .select((col("doc_id") +: mhCols): _*)
-    bandStack(withMh)
+      .select(col("doc_id") +: passthrough.map(col) :++ mhCols: _*)
+    bandStack(withMh, passthrough)
   }
 
   /** Near-dup candidate pairs via LSH bucket self-join, verified with

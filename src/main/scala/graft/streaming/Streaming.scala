@@ -598,10 +598,9 @@ object Streaming {
   /** State bound: exact candidates require remembering every bucket
     * member for the stream's lifetime (total state == one long per
     * (band, doc) = 4x corpus ids — small per doc, unbounded over an
-    * endless crawl). A production deployment bounds it with state-store
-    * TTL (`spark.sql.streaming.stateStore.ttl`-style retention or a
-    * ProcessingTimeTimeout eviction pass), trading cross-epoch dup
-    * detection for bounded state; the exact variant here is the
+    * endless crawl). [[nearDupCandidateStreamTtl]] is the bounded-state
+    * production variant — event-time TTL eviction, trading cross-epoch
+    * dup detection for bounded state; the exact variant here is the
     * oracle-checkable semantics.
     */
   def nearDupCandidateStream(docs: org.apache.spark.sql.DataFrame): Dataset[CandidateOut] = {
@@ -614,6 +613,60 @@ object Streaming {
           val (members, out) = bucketFold(rows, state.getOption.getOrElse(Vector.empty))
           state.update(members)
           out.iterator
+      }
+  }
+
+  /** A band-bucket signature row carrying its document's event time —
+    * the input shape of the TTL-evicting stream.
+    */
+  case class BandKeyedTs(doc_id: Long, band: Int, sig: String, event_ts: java.sql.Timestamp)
+
+  /** [[nearDupCandidateStream]] with a REAL state bound: each band
+    * bucket lives `ttlSeconds` of EVENT time past its newest member,
+    * then its state is evicted, so total state is proportional to one
+    * TTL window of the stream, not its lifetime. The trade is explicit:
+    * a duplicate arriving after its bucket closed pairs with nothing —
+    * cross-epoch dup detection is what bounded state costs.
+    *
+    * The clock is deterministic by construction: eviction is driven by
+    * the event-time WATERMARK (data decides when time advances), not the
+    * wall clock — a ProcessingTimeTimeout variant cannot even be tested
+    * under `processAllAvailable`, which never lets processing time
+    * settle. `docs` needs an `event_ts` timestamp column;
+    * `watermarkDelay` is the usual out-of-order bound (rows later than
+    * watermark − delay are dropped by the engine before the state ever
+    * sees them).
+    *
+    * Timeout bookkeeping: every batch that touches a bucket re-arms its
+    * timeout to max(event_ts in batch) + TTL, so an active bucket keeps
+    * living (sliding idle-timeout semantics — matching state-store TTL
+    * retention); when the watermark passes the armed timestamp the
+    * group fires with `hasTimedOut` and the state is removed.
+    */
+  def nearDupCandidateStreamTtl(
+      docs: org.apache.spark.sql.DataFrame,
+      watermarkDelay: String,
+      ttlSeconds: Long): Dataset[CandidateOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.Dedup.rowBandSignatures(docs, passthrough = Seq("event_ts"))
+      .withWatermark("event_ts", watermarkDelay)
+      .select("doc_id", "band", "sig", "event_ts").as[BandKeyedTs]
+      .groupByKey(r => s"${r.band}|${r.sig}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[BandKeyedTs], state: GroupState[Vector[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // the bucket's epoch is over; a later arrival starts a fresh one
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            val (members, out) = bucketFold(
+              batch.iterator.map(r => BandKeyed(r.doc_id, r.band, r.sig)),
+              state.getOption.getOrElse(Vector.empty))
+            state.update(members)
+            state.setTimeoutTimestamp(batch.map(_.event_ts.getTime).max + ttlSeconds * 1000L)
+            out.iterator
+          }
       }
   }
 

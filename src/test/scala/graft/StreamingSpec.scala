@@ -429,6 +429,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 7L || b == 7L }, "unrelated doc stays out")
   }
 
+  test("TTL-evicted LSH stream: a closed bucket stops cross-epoch candidates") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val dupText = lshDocs.head._2 // docs sharing it collide in every band
+    val noise = (0 until 12).map(w => s"n$w").mkString(" ")
+    val noise2 = (0 until 12).map(w => s"m$w").mkString(" ")
+
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val query = Streaming.nearDupCandidateStreamTtl(
+      stream.toDS().toDF("doc_id", "text", "event_ts"),
+      watermarkDelay = "0 seconds", ttlSeconds = 60)
+      .writeStream.format("memory").queryName("lsh_ttl")
+      .outputMode("append").start()
+
+    def pairs() = spark.table("lsh_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // epoch 1: two dups at 10:00 pair; a third INSIDE the TTL still pairs
+    stream.addData(Seq((1L, dupText, ts(0)), (2L, dupText, ts(0))))
+    query.processAllAvailable()
+    stream.addData(Seq((3L, dupText, ts(1)))) // 10:01 < 10:00 + 60s re-armed to 10:01+TTL
+    query.processAllAvailable()
+    assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "within-TTL arrivals still see the bucket")
+
+    // advance the event clock: watermark reaches 10:05 AFTER this batch
+    stream.addData(Seq((50L, noise, ts(5))))
+    query.processAllAvailable()
+    // next batch runs with watermark 10:05 > 10:02 armed timeout -> evict
+    stream.addData(Seq((51L, noise2, ts(6))))
+    query.processAllAvailable()
+
+    // epoch 2: a fourth dup arrives after the bucket closed — no pairs
+    stream.addData(Seq((4L, dupText, ts(7))))
+    query.processAllAvailable()
+    query.stop()
+    assert(!pairs().exists { case (a, b) => a == 4L || b == 4L },
+      "cross-epoch candidates stop once the bucket's state is evicted")
+    assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)), "epoch-1 output unchanged")
+  }
+
   test("bucketFold: membership probes stay O(1) on a giant bucket") {
     // 20k-member bucket state, then a batch of arrivals that are ALL
     // already members: pair emission is zero, so the only cost is the
