@@ -319,6 +319,55 @@ object Oracle {
        |  JOIN cnts cb ON pr.doc_b = cb.doc_id
        |)""".stripMargin
 
+  /** Connected-component label CTEs over `nd` (the [[nearDupCtes]]
+    * chain): transitive closure + min-over-component — equivalent to
+    * the engine's iterative min-propagation fixpoint. Requires `WITH
+    * RECURSIVE`. Shared by the cluster twin and the `doc_pipeline`
+    * composite so the two can never disagree on a label.
+    */
+  val clusterLabelCtes: String =
+    s"""e AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM nd WHERE jaccard >= ${graft.operators.Corpus.ClusterJaccard}
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM nd WHERE jaccard >= ${graft.operators.Corpus.ClusterJaccard}
+       |),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+       |),
+       |lab AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM lab GROUP BY cluster)""".stripMargin
+
+  /** Decontamination CTEs over `sh` ([[shinglesCte]]) ending in
+    * `dec(doc_id, n_shingles, n_matched, contamination, contaminated)` —
+    * shared by `doc_decontaminate` and the `doc_pipeline` composite.
+    */
+  val decontCtes: String =
+    s"""bsh AS (SELECT DISTINCT shingle FROM sh
+       |        WHERE doc_id % ${graft.operators.Corpus.BenchmarkMod} = 0),
+       |csh AS (SELECT doc_id, shingle FROM sh
+       |        WHERE doc_id % ${graft.operators.Corpus.BenchmarkMod} <> 0),
+       |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+       |      FROM csh GROUP BY doc_id),
+       |mt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+       |       FROM csh JOIN bsh USING (shingle) GROUP BY doc_id),
+       |dec AS (
+       |  SELECT doc_id, n_shingles, n_matched,
+       |    round(CAST(n_matched AS DOUBLE) / greatest(n_shingles, 1), 6) AS contamination,
+       |    round(CAST(n_matched AS DOUBLE) / greatest(n_shingles, 1), 6)
+       |      >= ${graft.operators.Corpus.ContaminationThreshold} AS contaminated
+       |  FROM (
+       |    SELECT d.doc_id, coalesce(c.n_shingles, 0) AS n_shingles,
+       |           coalesce(mt.n_matched, 0) AS n_matched
+       |    FROM documents d
+       |    LEFT JOIN c USING (doc_id)
+       |    LEFT JOIN mt USING (doc_id)
+       |    WHERE d.doc_id % ${graft.operators.Corpus.BenchmarkMod} <> 0
+       |  )
+       |)""".stripMargin
+
   /** A11/A12/J4 CTEs twin of [[graft.operators.Report.transitions]]:
     * consecutive-valid pairs with the first-row-deadlock guard, then the
     * static 4x4 grid completion.
@@ -760,13 +809,21 @@ object Oracle {
          |FROM best b JOIN embeddings e ON b.q_id = e.vec_id
          |WHERE b.vr = 1 ORDER BY q_id""".stripMargin,
 
+    // DuckDB cannot assemble binary container headers, so the twin
+    // recomputes what a CORRECT header parse must return from the same
+    // source fields the synth encoded: format from the doc_id parity
+    // that picked the container, decoded dims equal to the metadata
+    // dims the synth wrote into IHDR/SOF0, n_bytes = body + header size
+    // (33-byte PNG sig+IHDR, 21-byte JPEG SOI+SOF0). A parse reading
+    // the wrong bytes diverges from this and fails the hash.
     "mm_features" ->
       """SELECT doc_id, 'image' AS modality,
         |  n_chars % 64 + 16 AS width,
         |  n_chars * 7 % 64 + 16 AS height,
-        |  CAST(length(p) AS BIGINT) AS n_bytes,
-        |  CAST(list_sum(list_transform(range(least(16, length(p))),
-        |    i -> ascii(substr(p, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT) AS header_sum,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  n_chars % 64 + 16 AS decoded_w,
+        |  n_chars * 7 % 64 + 16 AS decoded_h,
+        |  CAST(length(p) + CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 21 END AS BIGINT) AS n_bytes,
         |  round(CAST(n_chars % 64 + 16 AS DOUBLE) / (n_chars * 7 % 64 + 16), 6) AS aspect
         |FROM (SELECT *, regexp_replace(text, '[^\x20-\x7e]', '_', 'g') AS p
         |      FROM documents) ORDER BY doc_id""".stripMargin,
@@ -919,19 +976,7 @@ object Oracle {
     // converges exactly to min-over-component.
     "doc_dedup_clusters" ->
       s"""WITH RECURSIVE $nearDupCtes,
-         |e AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM nd WHERE jaccard >= ${graft.operators.Corpus.ClusterJaccard}
-         |  UNION ALL
-         |  SELECT doc_b AS a, doc_a AS b FROM nd WHERE jaccard >= ${graft.operators.Corpus.ClusterJaccard}
-         |),
-         |reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
-         |),
-         |lab AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
-         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
-         |       FROM lab GROUP BY cluster)
+         |$clusterLabelCtes
          |SELECT l.doc_id, l.cluster, sz.cluster_size,
          |       l.doc_id = l.cluster AS is_canonical
          |FROM lab l JOIN sz USING (cluster)
@@ -939,26 +984,23 @@ object Oracle {
 
     "doc_decontaminate" ->
       s"""WITH $shinglesCte,
-         |bsh AS (SELECT DISTINCT shingle FROM sh
-         |        WHERE doc_id % ${graft.operators.Corpus.BenchmarkMod} = 0),
-         |csh AS (SELECT doc_id, shingle FROM sh
-         |        WHERE doc_id % ${graft.operators.Corpus.BenchmarkMod} <> 0),
-         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
-         |      FROM csh GROUP BY doc_id),
-         |mt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
-         |       FROM csh JOIN bsh USING (shingle) GROUP BY doc_id)
-         |SELECT doc_id, n_shingles, n_matched,
-         |  round(CAST(n_matched AS DOUBLE) / greatest(n_shingles, 1), 6) AS contamination,
-         |  round(CAST(n_matched AS DOUBLE) / greatest(n_shingles, 1), 6)
-         |    >= ${graft.operators.Corpus.ContaminationThreshold} AS contaminated
-         |FROM (
-         |  SELECT d.doc_id, coalesce(c.n_shingles, 0) AS n_shingles,
-         |         coalesce(mt.n_matched, 0) AS n_matched
-         |  FROM documents d
-         |  LEFT JOIN c USING (doc_id)
-         |  LEFT JOIN mt USING (doc_id)
-         |  WHERE d.doc_id % ${graft.operators.Corpus.BenchmarkMod} <> 0
-         |)
+         |$decontCtes
+         |SELECT doc_id, n_shingles, n_matched, contamination, contaminated
+         |FROM dec
+         |ORDER BY doc_id""".stripMargin,
+
+    // the one-job curation composite: same label and contamination CTEs
+    // as the standalone twins, joined — the Spark side shares one
+    // shingle explode across both operators
+    "doc_pipeline" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         |$clusterLabelCtes,
+         |$decontCtes
+         |SELECT l.doc_id, l.cluster, sz.cluster_size,
+         |       l.doc_id = l.cluster AS is_canonical,
+         |       dec.n_shingles, dec.n_matched, dec.contamination, dec.contaminated,
+         |       (l.doc_id = l.cluster AND NOT dec.contaminated) AS keep
+         |FROM lab l JOIN sz USING (cluster) JOIN dec USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "doc_boilerplate" ->

@@ -501,6 +501,12 @@ object Queries {
   def docDecontaminate(s: SparkSession, dir: String): DataFrame =
     Corpus.decontaminate(docs(s, dir)).orderBy("doc_id")
 
+  /** One-job curation composite: clustering + decontamination off ONE
+    * shared shingle explode, with the combined keep verdict.
+    */
+  def docPipeline(s: SparkSession, dir: String): DataFrame =
+    Corpus.docPipeline(docs(s, dir)).orderBy("doc_id")
+
   /** Corpus-level boilerplate removal (segment-df scrub) with audit. */
   def docBoilerplate(s: SparkSession, dir: String): DataFrame =
     Corpus.stripBoilerplate(docs(s, dir)).orderBy("doc_id")
@@ -787,6 +793,7 @@ object Queries {
     "doc_chunk" -> (docChunk _),
     "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_decontaminate" -> (docDecontaminate _),
+    "doc_pipeline" -> (docPipeline _),
     "doc_boilerplate" -> (docBoilerplate _),
     "doc_pack" -> (docPack _),
     "doc_logprob" -> (docLogProb _),

@@ -58,9 +58,29 @@ object CacheScope {
     try body
     finally {
       scopes.set(scopes.get.tail)
+      // `Dataset.unpersist` evicts from the CacheManager by PLAN
+      // equality, not by Dataset identity — and operators deliberately
+      // share cache entries across registrations (decontaminate's
+      // shingles persist dedupes with the one nearDupPairs creates over
+      // the same input). If a plan-equal frame is still registered in
+      // the session-global queue or an outer scope, unpersisting ours
+      // would silently evict theirs too, re-introducing exactly the
+      // cross-operator recompute scoping exists to prevent — so those
+      // frames are skipped here and released by their own owner.
+      import scala.jdk.CollectionConverters._
+      val survivors =
+        (registered.iterator().asScala ++
+          scopes.get.iterator.flatMap(_.iterator().asScala)).toVector
       var df = q.poll()
       while (df != null) {
-        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        val d = df
+        val sharedElsewhere = survivors.exists { s =>
+          try s.queryExecution.analyzed.sameResult(d.queryExecution.analyzed)
+          catch { case _: Throwable => false }
+        }
+        if (!sharedElsewhere) {
+          try d.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
         df = q.poll()
       }
     }

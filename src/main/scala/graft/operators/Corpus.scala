@@ -33,10 +33,43 @@ object Corpus {
     * block lost with its executor is unrecoverable because the lineage
     * is gone — and `localCheckpoint` otherwise (tests, single-JVM
     * benches, where losing the JVM loses the job anyway).
+    *
+    * The reliable path persists first and materializes inside this
+    * call: `Dataset.checkpoint` does not cache, so without the persist
+    * the checkpoint-write job (which runs AFTER the materializing job)
+    * would recompute the whole lineage a second time — doubling every
+    * round of an iterative caller. Persist → eager checkpoint (write
+    * reads the cached partitions) → unpersist keeps the cache lifetime
+    * contained here; `eager` only matters on the local path, where lazy
+    * checkpoints piggyback on the caller's next action.
     */
   private def truncate(df: DataFrame, eager: Boolean): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try p.checkpoint(eager = true)
+      finally p.unpersist(blocking = false)
+    } else df.localCheckpoint(eager)
+
+  /** The reliable-checkpoint directory backing `df` (None on the
+    * localCheckpoint path): walk the executed RDD's dependency chain to
+    * the checkpointed RDD. Iterative callers use it to delete a
+    * superseded round's files — `spark.cleaner.referenceTracking
+    * .cleanCheckpoints` is off by default, so without explicit cleanup
+    * every round of every clustering query leaks a directory into
+    * reliable storage for the life of the session.
+    */
+  private def checkpointFile(df: DataFrame): Option[String] = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Option[String] =
+      r.getCheckpointFile.orElse(r.dependencies.headOption.flatMap(d => walk(d.rdd)))
+    walk(df.queryExecution.toRdd)
+  }
+
+  private def deleteCheckpoint(df: DataFrame, path: String): Unit = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+    } catch { case _: Throwable => () } // cleanup is best-effort; never fail the query
+  }
 
   /** Duplicate-cluster resolution: connected components over the
     * near-dup pair graph, by iterative min-label propagation. Every
@@ -73,14 +106,24 @@ object Corpus {
     * are released the moment the checkpoint materializes instead of
     * occupying storage memory through the whole query.
     */
-  def dedupClusters(docs: DataFrame): DataFrame = {
+  def dedupClusters(docs: DataFrame): DataFrame = CacheScope.withScope {
+    // the scope releases the LSH pipeline's persists the moment the
+    // edge checkpoint inside dedupClustersFromPairs materializes
+    dedupClustersFromPairs(docs, Dedup.nearDupPairs(docs))
+  }
+
+  /** [[dedupClusters]] over an already-computed near-dup pair frame
+    * (`doc_a`, `doc_b`, `jaccard`) — the shared-pipeline entry point:
+    * [[docPipeline]] feeds it the pair set whose shingle explode is
+    * shared with decontamination.
+    */
+  def dedupClustersFromPairs(docs: DataFrame, nearDup: DataFrame): DataFrame = {
     // One job: materialize the (tiny) symmetric edge list off the LSH
-    // pipeline, then drop every pipeline persist. `truncate` uses
-    // reliable checkpoint() when the session has a checkpoint dir (a
-    // real cluster must survive executor loss), localCheckpoint in
-    // single-JVM harnesses.
-    val edges = CacheScope.withScope {
-      val pairs = Dedup.nearDupPairs(docs)
+    // pipeline. `truncate` uses reliable checkpoint() when the session
+    // has a checkpoint dir (a real cluster must survive executor loss),
+    // localCheckpoint in single-JVM harnesses.
+    val edges = {
+      val pairs = nearDup
         .filter(col("jaccard") >= ClusterJaccard)
         .select(col("doc_a"), col("doc_b"))
       truncate(
@@ -103,6 +146,10 @@ object Corpus {
         .agg(min("e_dst").as("nbr"))
         .select(col("e_src").as("doc_id"), least(col("e_src"), col("nbr")).as("cluster")),
       eager = false)
+    // reliable-mode bookkeeping: each round's checkpoint supersedes the
+    // previous round's files, which would otherwise accumulate in the
+    // checkpoint dir for the life of the session (None on the local path)
+    var prevCp = checkpointFile(labels)
     var prevSum = Long.MinValue
     var curSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
     while (curSum != prevSum) {
@@ -117,11 +164,16 @@ object Corpus {
           .join(nbrMin, labels("doc_id") === nbrMin("e_src"))
           .select(labels("doc_id"), least(col("cluster"), col("nbr")).as("cluster")),
         eager = false)
+      val nextCp = checkpointFile(next)
       labels = next
       prevSum = curSum
-      // one job per round: the sum action materializes the lazy
-      // checkpoint as a side effect (lineage still truncates each round)
+      // one job per round on the local path: the sum action materializes
+      // the lazy localCheckpoint as a side effect. On the reliable path
+      // truncate already materialized eagerly, so the sum just reads the
+      // checkpoint files — and the superseded round's files can go.
       curSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
+      prevCp.foreach(deleteCheckpoint(labels, _))
+      prevCp = nextCp
     }
 
     val singletons = docs
@@ -158,13 +210,18 @@ object Corpus {
     * shingles here reuse [[Dedup.shingles]] so one explode feeds dedup
     * and decontamination alike.
     */
-  def decontaminate(docs: DataFrame): DataFrame = {
+  def decontaminate(docs: DataFrame): DataFrame =
     // same persist rationale as nearDupPairs: the corpus-wide
     // tokenize+explode feeds three branches (benchmark set, per-doc
     // counts, match join) and must run once, not per branch — and
     // CacheManager dedupes this entry with the one nearDupPairs creates
     // over the same input
-    val sh = CacheScope.persist(Dedup.shingles(docs))
+    decontaminateFromShingles(docs, CacheScope.persist(Dedup.shingles(docs)))
+
+  /** [[decontaminate]] over an already-persisted (doc_id, shingle)
+    * frame — the shared-explode entry point.
+    */
+  def decontaminateFromShingles(docs: DataFrame, sh: DataFrame): DataFrame = {
     val benchSh = sh.filter(col("doc_id") % BenchmarkMod === 0)
       .select("shingle").distinct()
     val corpusSh = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
@@ -189,6 +246,37 @@ object Corpus {
         col("n_matched"),
         contamination.as("contamination"),
         (contamination >= ContaminationThreshold).as("contaminated"))
+  }
+
+  /** One-job curation pipeline: near-dup clustering AND benchmark
+    * decontamination fed from a SINGLE persisted shingle explode, plus
+    * the combined keep verdict (canonical in its cluster and not
+    * contaminated). Running the operators standalone pays the
+    * corpus-wide tokenize+explode once EACH — the explode is the
+    * dominant cost of every shingle consumer at 100 TB, so a curation
+    * job that needs several must share it. Benchmark documents are
+    * excluded from the verdict, exactly as in [[decontaminate]].
+    *
+    * The individual registry queries stay isolated (each oracle row
+    * exercises one operator); this is the composition a production
+    * pipeline would actually run.
+    */
+  def docPipeline(docs: DataFrame): DataFrame = {
+    val sh = CacheScope.persist(Dedup.shingles(docs))
+    val clusters = dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+    val decon = decontaminateFromShingles(docs, sh)
+    // inner join: decontaminate already excludes benchmark docs
+    clusters.join(decon, "doc_id")
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("cluster_size"),
+        col("is_canonical"),
+        col("n_shingles"),
+        col("n_matched"),
+        col("contamination"),
+        col("contaminated"),
+        (col("is_canonical") && !col("contaminated")).as("keep"))
   }
 
   /** [[stripBoilerplate]] segment width (words) and the document

@@ -142,16 +142,27 @@ object Dedup {
   /** Near-dup candidate pairs via LSH bucket self-join, verified with
     * exact shingle-set Jaccard. Output is every candidate pair with its
     * true similarity — thresholding is the caller's policy decision.
+    *
+    * The shingle explode is persisted via CacheScope: scoped to the
+    * operator invocation, so a multi-query harness can release it
+    * between queries instead of letting 60+ queries' intermediates pile
+    * up in storage memory. Pipelines running several shingle consumers
+    * in one job (dedup + decontamination + clustering — [[graft
+    * .operators.Corpus.docPipeline]]) call [[nearDupPairsFromShingles]]
+    * with their own persisted frame so the corpus-wide explode is paid
+    * ONCE for the whole pipeline, not once per operator.
     */
-  def nearDupPairs(docs: DataFrame): DataFrame = {
-    // Persist both self-joined intermediates: without it the whole
+  def nearDupPairs(docs: DataFrame): DataFrame =
+    nearDupPairsFromShingles(CacheScope.persist(shingles(docs)))
+
+  /** [[nearDupPairs]] over an already-persisted (doc_id, shingle)
+    * frame — the shared-explode entry point.
+    */
+  def nearDupPairsFromShingles(sh: DataFrame): DataFrame = {
+    // Persist the self-joined intermediate: without it the whole
     // 16-perm minhash pipeline runs once per join side (and the shingle
     // explode three times). At warehouse scale these would be bucketed
     // intermediate tables; persist is the single-job equivalent.
-    // Registered with CacheScope: scoped to the operator invocation, so
-    // a multi-query harness can release them between queries instead of
-    // letting 60+ queries' intermediates pile up in storage memory.
-    val sh = CacheScope.persist(shingles(docs))
     // the minhash aggregate reads the PERSISTED shingles — the explode
     // runs once — and is itself persisted: the band stack (narrow) reads
     // it twice for the self-join, and the Jaccard denominators are its

@@ -6,14 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque `binary` payloads with typed
   * metadata, processed by a partition-batched typed stage — the shape a
   * real image/audio pipeline needs (schema, partitioning, batch
-  * iteration), with the codec itself STUBBED.
+  * iteration).
   *
-  * The decode step below is a DETERMINISTIC FAKE: this container has no
-  * image/audio libraries, so `decodeStub` computes features from the raw
-  * bytes (length, 16-byte header checksum). A production deployment
-  * swaps `decodeStub` for a real codec (JPEG/PNG/PCM) — everything
-  * around it (binary column, metadata struct, mapPartitions batching,
-  * per-partition decoder reuse) is real and tested.
+  * The FEATURE path is a real header decode: payloads are synthesized
+  * with genuine PNG / baseline-JPEG container headers (magic bytes,
+  * IHDR / SOF0 dimension fields, real CRC32 on the PNG chunk) and
+  * [[extractFeatures]] parses them the way a codec would — signature
+  * check, big-endian dimension reads, JPEG marker-segment scan. Full
+  * pixel decode (the part that needs an image library this container
+  * doesn't have) is the one piece still out of scope: the synthetic
+  * "entropy data" after the header is ASCII-projected text so the
+  * frame/resize twins can verify their byte-level plumbing through
+  * DuckDB, which cannot construct binary headers.
   *
   * Scale notes: payloads stay on executors (no collect); the typed stage
   * processes one partition's rows as a streamed iterator, so memory is
@@ -25,14 +29,19 @@ object Multimodal {
   /** One multimodal row: payload + typed metadata. */
   case class MmRow(doc_id: Long, modality: String, width: Long, height: Long, payload: Array[Byte])
 
-  /** Extracted features. */
+  /** Extracted features: container format + dimensions parsed from the
+    * payload HEADER BYTES (not copied from metadata — `decoded_w/h`
+    * equal to `width/height` is the decode verifying the ingest).
+    */
   case class MmFeatures(
       doc_id: Long,
       modality: String,
       width: Long,
       height: Long,
+      format: String,
+      decoded_w: Long,
+      decoded_h: Long,
       n_bytes: Long,
-      header_sum: Long,
       aspect: Double)
 
   /** Attach a binary payload + metadata to the documents table. The
@@ -50,22 +59,88 @@ object Multimodal {
       (col("n_chars") * 7 % 64 + 16).as("height"),
       encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", "_"), "utf-8").as("payload"))
 
-  /** STUB decode: a real implementation would parse the codec header and
-    * decode pixel/sample data here. The fake reads raw byte length and a
-    * 16-byte header checksum — deterministic, so the oracle can verify
-    * the plumbing end-to-end.
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG header (33 bytes): 8-byte signature + IHDR chunk (length, type,
+    * 13-byte data with big-endian width/height, real CRC32 over
+    * type+data) — what `file`/libpng would accept as a valid PNG start.
     */
-  private def decodeStub(payload: Array[Byte]): (Long, Long) = {
-    var sum = 0L
-    var i = 0
-    val n = math.min(16, payload.length)
-    while (i < n) { sum += payload(i) & 0xff; i += 1 }
-    (payload.length.toLong, sum)
+  private[graft] def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val typeAndData = "IHDR".getBytes("US-ASCII") ++
+      be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeAndData)
+    PngSig ++ be32(13) ++ typeAndData ++ be32(crc.getValue.toInt)
   }
 
-  /** Feature extraction: partition-batched typed stage. One "decoder"
-    * (here: nothing to initialize) is set up per partition, then rows
-    * stream through it — the mapPartitions shape a real codec needs so
+  /** Baseline-JPEG header (21 bytes): SOI + SOF0 segment with 16-bit
+    * big-endian height/width and three component specs — the fields a
+    * dimension probe reads before any entropy-coded data.
+    */
+  private[graft] def jpegHeader(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08) ++
+      be16(h) ++ be16(w) ++
+      Array[Byte](0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+
+  private def readBe32(p: Array[Byte], off: Int): Long =
+    ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+      ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+  private def readBe16(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+
+  /** Real container-header parse: (format, width, height) from the
+    * payload bytes. PNG: signature + IHDR dimension fields. JPEG: SOI,
+    * then a marker-segment scan to the first SOF0/SOF2 frame header
+    * (skipping APPn/quant/Huffman segments by their length fields, as a
+    * dimension probe does). Unrecognized bytes -> ("unknown", 0, 0) —
+    * never throws, a corrupt payload is data, not a job failure.
+    */
+  private[graft] def parseHeader(p: Array[Byte]): (String, Long, Long) = {
+    if (p.length >= 24 && p.startsWith(PngSig) &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+      ("png", readBe32(p, 16), readBe32(p, 20))
+    else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 <= p.length && (p(i) & 0xff) == 0xff) {
+        val marker = p(i + 1) & 0xff
+        if (marker == 0xc0 || marker == 0xc2)
+          return ("jpeg", readBe16(p, i + 7).toLong, readBe16(p, i + 5).toLong)
+        i += 2 + readBe16(p, i + 2) // next marker: skip segment incl. its length field
+      }
+      ("jpeg", 0L, 0L) // SOI but no frame header in range
+    } else ("unknown", 0L, 0L)
+  }
+
+  /** Encoded-payload synth: a REAL container header (PNG for even
+    * doc_ids, baseline JPEG for odd) carrying the metadata dimensions,
+    * followed by the ASCII-projected text standing in for entropy data.
+    * Header assembly is a typed partition stage — byte-level container
+    * construction is imperative ingest work, not relational.
+    */
+  def withEncodedPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      (col("n_chars") % 64 + 16).as("width"),
+      (col("n_chars") * 7 % 64 + 16).as("height"),
+      encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", "_"), "utf-8").as("body"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, w, h, body) =>
+        val header = if (id % 2 == 0) pngHeader(w.toInt, h.toInt) else jpegHeader(w.toInt, h.toInt)
+        MmRow(id, "image", w, h, header ++ body)
+      })
+      .toDF()
+  }
+
+  /** Feature extraction: partition-batched typed stage. The decoder is
+    * [[parseHeader]] — a real magic-byte + dimension-field parse; rows
+    * stream through it in the mapPartitions shape a full codec needs so
     * per-image library setup isn't paid per row.
     */
   def extractFeatures(withPayloadDf: DataFrame): Dataset[MmFeatures] = {
@@ -74,14 +149,16 @@ object Multimodal {
     withPayloadDf.as[MmRow].mapPartitions { rows =>
       // per-partition decoder init would go here
       rows.map { r =>
-        val (nBytes, headerSum) = decodeStub(r.payload)
+        val (format, dw, dh) = parseHeader(r.payload)
         MmFeatures(
           doc_id = r.doc_id,
           modality = r.modality,
           width = r.width,
           height = r.height,
-          n_bytes = nBytes,
-          header_sum = headerSum,
+          format = format,
+          decoded_w = dw,
+          decoded_h = dh,
+          n_bytes = r.payload.length.toLong,
           // HALF_UP to match both Spark's round() and DuckDB's round()
           aspect = BigDecimal(r.width.toDouble / r.height)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -89,8 +166,11 @@ object Multimodal {
     }
   }
 
-  /** documents -> payloads -> features, the full plumbing. */
-  def features(docs: DataFrame): Dataset[MmFeatures] = extractFeatures(withPayload(docs))
+  /** documents -> encoded payloads -> parsed features, the full
+    * plumbing: `decoded_w/h` coming back equal to the metadata is the
+    * round-trip proof the header parse reads the right bytes.
+    */
+  def features(docs: DataFrame): Dataset[MmFeatures] = extractFeatures(withEncodedPayload(docs))
 
   /** One sampled frame of a payload. */
   case class MmFrame(doc_id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)

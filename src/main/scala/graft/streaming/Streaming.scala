@@ -621,6 +621,15 @@ object Streaming {
     */
   case class BandKeyedTs(doc_id: Long, band: Int, sig: String, event_ts: java.sql.Timestamp)
 
+  /** TTL-bucket state: arrival-ordered members plus the newest member
+    * event time ever observed. The timeout re-arms from `newestTs`, NOT
+    * from the current batch's max — a valid late-but-in-watermark
+    * arrival older than the bucket's newest member must extend nothing
+    * but also shrink nothing (re-arming from the batch max would move
+    * the armed timestamp BACKWARD and evict early).
+    */
+  case class TtlBucket(members: Vector[Long], newestTs: Long)
+
   /** [[nearDupCandidateStream]] with a REAL state bound: each band
     * bucket lives `ttlSeconds` of EVENT time past its newest member,
     * then its state is evicted, so total state is proportional to one
@@ -638,10 +647,12 @@ object Streaming {
     * sees them).
     *
     * Timeout bookkeeping: every batch that touches a bucket re-arms its
-    * timeout to max(event_ts in batch) + TTL, so an active bucket keeps
-    * living (sliding idle-timeout semantics — matching state-store TTL
-    * retention); when the watermark passes the armed timestamp the
-    * group fires with `hasTimedOut` and the state is removed.
+    * timeout to (newest member event time ever seen) + TTL, so an
+    * active bucket keeps living (sliding idle-timeout semantics —
+    * matching state-store TTL retention) and a late-but-in-watermark
+    * arrival can never move the armed timestamp backward; when the
+    * watermark passes the armed timestamp the group fires with
+    * `hasTimedOut` and the state is removed.
     */
   def nearDupCandidateStreamTtl(
       docs: org.apache.spark.sql.DataFrame,
@@ -654,17 +665,19 @@ object Streaming {
       .select("doc_id", "band", "sig", "event_ts").as[BandKeyedTs]
       .groupByKey(r => s"${r.band}|${r.sig}")
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: String, rows: Iterator[BandKeyedTs], state: GroupState[Vector[Long]]) =>
+        (key: String, rows: Iterator[BandKeyedTs], state: GroupState[TtlBucket]) =>
           if (state.hasTimedOut) {
             state.remove() // the bucket's epoch is over; a later arrival starts a fresh one
             Iterator.empty
           } else {
             val batch = rows.toVector
+            val prior = state.getOption.getOrElse(TtlBucket(Vector.empty, Long.MinValue))
             val (members, out) = bucketFold(
               batch.iterator.map(r => BandKeyed(r.doc_id, r.band, r.sig)),
-              state.getOption.getOrElse(Vector.empty))
-            state.update(members)
-            state.setTimeoutTimestamp(batch.map(_.event_ts.getTime).max + ttlSeconds * 1000L)
+              prior.members)
+            val newest = math.max(prior.newestTs, batch.map(_.event_ts.getTime).max)
+            state.update(TtlBucket(members, newest))
+            state.setTimeoutTimestamp(newest + ttlSeconds * 1000L)
             out.iterator
           }
       }

@@ -63,6 +63,19 @@ class CorpusSpec extends AnyFunSuite {
       assert(out.length == 5, "results unchanged under reliable checkpointing")
       val written = java.nio.file.Files.walk(dir).filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(written > 0, "reliable checkpoint files written under the configured dir")
+      // superseded per-round label checkpoints are deleted as the loop
+      // advances (cleanCheckpoints is off by default, so without this
+      // every clustering query would leak O(rounds) dirs for the life
+      // of the session): only the edge list and the final labels remain
+      val rddDirs = java.nio.file.Files.list(dir).iterator()
+      val remaining = Iterator.continually(rddDirs)
+        .takeWhile(_.hasNext).map(_.next())
+        .flatMap(d => {
+          val it = java.nio.file.Files.list(d).iterator()
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        })
+        .count(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(remaining <= 2, s"superseded round checkpoints must be deleted (found $remaining rdd-* dirs)")
     } finally {
       // restore the shared session: SparkContext has no public unset,
       // and every later dedupClusters test should run on localCheckpoint
@@ -91,6 +104,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(outer.storageLevel == StorageLevel.NONE)
   }
 
+  test("CacheScope.withScope: a plan-equal frame registered elsewhere survives scope exit") {
+    import graft.operators.CacheScope
+    import org.apache.spark.storage.StorageLevel
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // The decontaminate/nearDupPairs sharing scenario: a globally
+    // registered persist and a scoped persist over the SAME plan share
+    // one CacheManager entry (unpersist evicts by plan equality, not
+    // Dataset identity) — scope exit must not evict the shared entry.
+    val base = Seq(1, 2, 3).toDF("x")
+    val global = CacheScope.persist(base.select((col("x") * 2).as("y")))
+    global.count()
+    CacheScope.withScope {
+      val scoped = CacheScope.persist(base.select((col("x") * 2).as("y")))
+      scoped.count()
+      assert(scoped.storageLevel != StorageLevel.NONE)
+    }
+    assert(global.storageLevel != StorageLevel.NONE,
+      "scope exit must not evict a plan-equal globally-registered entry")
+    CacheScope.releaseAll()
+    assert(global.storageLevel == StorageLevel.NONE)
+  }
+
   test("decontaminate: an exact copy of a benchmark doc is fully contaminated") {
     // doc 29 is benchmark (29 % 29 == 0); doc 30 copies it verbatim,
     // doc 31 shares nothing, doc 32 is too short to shingle.
@@ -105,6 +141,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(30L).getDouble(3) == 1.0 && out(30L).getBoolean(4))
     assert(out(31L).getLong(2) == 0L && !out(31L).getBoolean(4))
     assert(out(32L).getLong(1) == 0L && out(32L).getDouble(3) == 0.0 && !out(32L).getBoolean(4))
+  }
+
+  test("docPipeline: one shared explode yields cluster labels, contamination, and keep verdict") {
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val out = Corpus.docPipeline(docsDf(clusterFixture ++ Seq(
+      (29L, txt, "en", "web"), // benchmark doc (29 % 29 == 0)
+      (30L, txt, "en", "web")))) // verbatim copy -> contaminated AND clustered with 29
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(29L), "benchmark docs are excluded from the verdict")
+    // cluster side agrees with the standalone operator
+    assert(out(1L).getLong(1) == 1L && out(1L).getBoolean(3))
+    assert(out(2L).getLong(1) == 1L && !out(2L).getBoolean(3))
+    assert(out(3L).getLong(1) == 1L)
+    assert(out(30L).getLong(1) == 29L && !out(30L).getBoolean(3),
+      "the benchmark doc still participates in clustering even though it is excluded from output")
+    // contamination side agrees with the standalone operator
+    assert(out(30L).getBoolean(7), "verbatim benchmark copy flagged contaminated")
+    assert(!out(1L).getBoolean(7))
+    // combined verdict: canonical AND clean
+    assert(out(1L).getBoolean(8) && out(7L).getBoolean(8) && out(9L).getBoolean(8))
+    assert(!out(2L).getBoolean(8) && !out(3L).getBoolean(8) && !out(30L).getBoolean(8))
   }
 
   test("vocab: rank 1 is the highest-document-frequency word; ranks are dense") {

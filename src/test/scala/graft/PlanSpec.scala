@@ -26,7 +26,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("near-dup and ANN queries plan no cartesian products") {
-    for (q <- Seq("doc_near_dup", "doc_simhash_pairs", "ann_lsh", "emb_near_dup", "doc_boilerplate")) {
+    for (q <- Seq("doc_near_dup", "doc_simhash_pairs", "ann_lsh", "emb_near_dup", "doc_boilerplate", "doc_pipeline")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

@@ -94,6 +94,16 @@ def loose(t):
 def values_equal(a, b):
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    # NULL-int decay: pandas materialization (.df()) turns a NULL-bearing
+    # integer column into float64 with NaN, while the Spark side stays
+    # int/None. For the TOLERANT diagnostic diff these are the same
+    # value — the hash still fails (conservatively: a twin emitting NULL
+    # in an int column is a portability bug to fix in the twin), but the
+    # report must say "type slip", not "wrong answer".
+    if a is None or b is None:
+        def nullish(x):
+            return x is None or x == "NaN"
+        return nullish(a) and nullish(b)
     if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
             and not isinstance(a, bool) and not isinstance(b, bool):
         fa, fb = float(a), float(b)
@@ -173,6 +183,13 @@ def main():
                     print(f"  cols:   {sc}")
                     print(f"  spark:  {a}")
                     print(f"  oracle: {b}")
+                    pairs = list(zip(a, b))
+                    if any(x == ("n",) and y == ("f", "NaN") for x, y in pairs) or \
+                       any(y == ("n",) and x == ("f", "NaN") for x, y in pairs):
+                        print("  hint: NULL in an integer column decays to NaN/float64 "
+                              "through pandas — rewrite the oracle twin (and the Spark "
+                              "side) with COALESCE or CAST(... AS DOUBLE) so no int "
+                              "column is nullable")
                     break
         else:
             i, a, b = bad
