@@ -137,43 +137,66 @@ object Corpus {
     // is the difference between shuffling the corpus per round and
     // shuffling the duplicate set per round.
     val nodes = edges.select(col("e_src").as("doc_id")).distinct()
-    // init IS the first propagation round: label = min(self, neighbors)
-    // comes out of one groupBy over the edge list, so the loop below
-    // starts from round-1 state instead of paying a round to reach it
-    var labels = truncate(
-      edges
-        .groupBy(col("e_src"))
-        .agg(min("e_dst").as("nbr"))
-        .select(col("e_src").as("doc_id"), least(col("e_src"), col("nbr")).as("cluster")),
-      eager = false)
-    // reliable-mode bookkeeping: each round's checkpoint supersedes the
-    // previous round's files, which would otherwise accumulate in the
-    // checkpoint dir for the life of the session (None on the local path)
-    var prevCp = checkpointFile(labels)
-    var prevSum = Long.MinValue
-    var curSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
-    while (curSum != prevSum) {
-      val nbrMin = edges
-        .join(labels, edges("e_dst") === labels("doc_id"))
-        .groupBy(col("e_src"))
-        .agg(min("cluster").as("nbr"))
-      // inner join: every subgraph node has >= 1 edge, so nbrMin covers
-      // all of them; least() keeps the node's own (possibly smaller) label
-      val next = truncate(
-        labels
-          .join(nbrMin, labels("doc_id") === nbrMin("e_src"))
-          .select(labels("doc_id"), least(col("cluster"), col("nbr")).as("cluster")),
+
+    // Loop shuffles are sized by AQE from the DATA, not the session
+    // default: label frames hold one row per subgraph node, and with
+    // coalescePartitions.parallelismFirst (default true) AQE refuses to
+    // coalesce below the core count — so every one of the O(rounds x 6)
+    // loop stages schedules |shuffle.partitions| near-empty tasks and
+    // the loop cost is pure task overhead. parallelismFirst=false lets
+    // AQE shrink each round's exchanges toward the advisory size: a
+    // test corpus runs the loop on 1-2 partitions, a 100 TB subgraph
+    // still earns hundreds — data-driven either way. Scoped to the
+    // loop and restored: outside it, CACHED wide frames (shingles,
+    // minhash) must keep full parallelism for the CPU-bound stages
+    // reading them.
+    val conf = docs.sparkSession.conf
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val prevPf = scala.util.Try(conf.get(pfKey)).toOption
+    conf.set(pfKey, "false")
+    val labels = try {
+      // init IS the first propagation round: label = min(self, neighbors)
+      // comes out of one groupBy over the edge list, so the loop below
+      // starts from round-1 state instead of paying a round to reach it
+      var cur = truncate(
+        edges
+          .groupBy(col("e_src"))
+          .agg(min("e_dst").as("nbr"))
+          .select(col("e_src").as("doc_id"), least(col("e_src"), col("nbr")).as("cluster")),
         eager = false)
-      val nextCp = checkpointFile(next)
-      labels = next
-      prevSum = curSum
-      // one job per round on the local path: the sum action materializes
-      // the lazy localCheckpoint as a side effect. On the reliable path
-      // truncate already materialized eagerly, so the sum just reads the
-      // checkpoint files — and the superseded round's files can go.
-      curSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
-      prevCp.foreach(deleteCheckpoint(labels, _))
-      prevCp = nextCp
+      // reliable-mode bookkeeping: each round's checkpoint supersedes the
+      // previous round's files, which would otherwise accumulate in the
+      // checkpoint dir for the life of the session (None on the local path)
+      var prevCp = checkpointFile(cur)
+      var prevSum = Long.MinValue
+      var curSum = cur.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
+      while (curSum != prevSum) {
+        val nbrMin = edges
+          .join(cur, edges("e_dst") === cur("doc_id"))
+          .groupBy(col("e_src"))
+          .agg(min("cluster").as("nbr"))
+        // inner join: every subgraph node has >= 1 edge, so nbrMin covers
+        // all of them; least() keeps the node's own (possibly smaller) label
+        val next = truncate(
+          cur
+            .join(nbrMin, cur("doc_id") === nbrMin("e_src"))
+            .select(cur("doc_id"), least(col("cluster"), col("nbr")).as("cluster")),
+          eager = false)
+        val nextCp = checkpointFile(next)
+        cur = next
+        prevSum = curSum
+        // one job per round on the local path: the sum action materializes
+        // the lazy localCheckpoint as a side effect. On the reliable path
+        // truncate already materialized eagerly, so the sum just reads the
+        // checkpoint files — and the superseded round's files can go.
+        curSum = cur.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
+        prevCp.foreach(deleteCheckpoint(cur, _))
+        prevCp = nextCp
+      }
+      cur
+    } finally prevPf match {
+      case Some(v) => conf.set(pfKey, v)
+      case None => conf.unset(pfKey)
     }
 
     val singletons = docs

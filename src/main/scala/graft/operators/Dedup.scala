@@ -56,9 +56,44 @@ object Dedup {
              |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as(outCol))
   }
 
-  /** Distinct word 3-shingles per document. */
-  def shingles(docs: DataFrame): DataFrame =
-    ngramRows(docs, 3, "shingle").distinct()
+  /** Distinct word 3-shingles per document — deduped with a per-row
+    * `array_distinct` BEFORE the explode, not a `.distinct()` after it.
+    * Every shingle row carries its doc_id, so global distinct equals
+    * per-document distinct, and the per-row form replaces a full
+    * hash-exchange + aggregate of the engine's largest intermediate
+    * (|corpus| x ~tokens rows) with free per-row work. Same
+    * construction as [[rowBandSignatures]]' inline shingling, which is
+    * spec-pinned equal to the aggregated form.
+    *
+    * The ONE shuffle kept is an explicit doc_id repartition — and it is
+    * a strict improvement over the `.distinct()` it replaces, whose
+    * (doc_id, shingle) hash aligned nothing: every consumer of the
+    * (persisted) shingle frame keys by doc_id (minhash aggregation,
+    * Jaccard-verify joins, per-doc counts, fingerprint sketch), so they
+    * all reuse this partitioning instead of each re-exchanging. It also
+    * sets the CACHED frame's parallelism: without it the persist
+    * inherits the scan's file partitioning, and on a corpus packed into
+    * few files every downstream stage reads a near-serial cache.
+    *
+    * The partition COUNT is pinned to spark.sql.shuffle.partitions:
+    * a bare `repartition(col)` is REPARTITION_BY_COL, which AQE may
+    * coalesce toward the 64 MB advisory size — correct for a frame
+    * that is written out, wrong for one that is CACHED and then
+    * CPU-crunched (a 17-function minhash aggregate over 2-3 coalesced
+    * partitions leaves the rest of the cluster idle).
+    */
+  def shingles(docs: DataFrame): DataFrame = {
+    val gram = "concat(w[i], ' ', w[i+1], ' ', w[i+2])"
+    val n = scala.util.Try(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(w) >= 3
+           |THEN array_distinct(transform(sequence(0, size(w) - 3), i -> $gram))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("shingle"))
+      .repartition(n, col("doc_id"))
+  }
 
   /** MinHash signatures: PERMS md5-derived hash functions; the per-doc
     * minimum of `substr(md5(perm || '|' || shingle), 1, 8)` per perm.
