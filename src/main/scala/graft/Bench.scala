@@ -23,6 +23,16 @@ object Bench {
     // query, not first-call classloading.
     try SparkEntry.queries("daily_counts")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Warm the shingle/minhash codegen path separately: the wide
+    // 17-function minhash aggregate costs several seconds of ONE-TIME
+    // whole-stage compilation that would otherwise land on whichever
+    // shingle query the alphabetical sweep hits first and skew its
+    // first iteration.
+    try graft.operators.Dedup.nearDupPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(64))
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    finally graft.operators.CacheScope.releaseAll()
     // min of N iterations per query: single local-JVM runs have +-20%
     // GC/scheduling noise that would drown real regressions.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt

@@ -77,29 +77,32 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
 object FloatDot {
   val Name = "float_dot"
 
+  private[graft] val identifier = FunctionIdentifier(Name)
+  private[graft] val info = new ExpressionInfo(classOf[FloatDot].getName, Name)
+  private[graft] val builder: Seq[Expression] => Expression =
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> Name,
+            "expectedNum" -> "2",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      FloatDot(children.head, children(1))
+    }
+
   /** Idempotently register `float_dot` with a session's function
     * registry so SQL strings (`expr("float_dot(a, b)")`) resolve it —
     * registration-per-session because the driver harness builds its own
-    * SparkSession (no SparkSessionExtensions hook available there).
+    * SparkSession without the [[graft.GraftExtensions]] conf. Cluster
+    * deploys set `spark.sql.extensions=graft.GraftExtensions` instead
+    * and never call this.
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier(Name)
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[FloatDot].getName, Name),
-        (children: Seq[Expression]) => {
-          if (children.length != 2)
-            throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-              messageParameters = Map(
-                "functionName" -> Name,
-                "expectedNum" -> "2",
-                "actualNum" -> children.length.toString,
-                "docroot" -> "https://spark.apache.org/docs/latest"))
-          FloatDot(children.head, children(1))
-        })
+    if (!registry.functionExists(identifier)) {
+      registry.registerFunction(identifier, info, builder)
     }
   }
 }

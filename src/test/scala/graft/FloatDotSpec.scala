@@ -16,6 +16,31 @@ class FloatDotSpec extends AnyFunSuite {
     """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
 
+  test("GraftExtensions injects float_dot at session construction (spark.sql.extensions path)") {
+    import org.apache.spark.sql.SparkSession
+    val shared = TestSpark.spark
+    // build a sibling session over the same SparkContext with the
+    // extension applied at CONSTRUCTION — the cluster-deploy path; the
+    // builder returns the active session unless both slots are cleared
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions().apply(_))
+        .getOrCreate()
+      // NOTE: never s2.stop() — that stops the SHARED SparkContext and
+      // kills every later suite; the session wrapper itself is cheap
+      assert(s2 ne shared, "a fresh session must be constructed for the extension to apply")
+      import s2.implicits._
+      val out = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
+        .select(expr("float_dot(a, b)")).head().getDouble(0)
+      assert(out == 11.0, "float_dot must resolve with no per-session register call")
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("float_dot equals the built-in fold bit-for-bit on random vectors") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -33,6 +33,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle frame pins an explicit-width doc_id repartition (AQE must not coalesce the cache narrow)") {
+    // REPARTITION_BY_COL lets AQE coalesce toward the 64 MB advisory
+    // size — correct for written output, wrong for a cached frame that
+    // the minhash aggregate and verify joins then CPU-crunch on 2-3
+    // partitions. The explicit count compiles to REPARTITION_BY_NUM,
+    // which AQE leaves alone.
+    val p = plan("doc_near_dup")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "shingles must pin an explicit doc_id repartition width")
+  }
+
   test("simhash band keys grow with the corpus (no degenerate bucket keyspace)") {
     // The round-4 scale-killer: 8-bit band keys cap at 4x256 = 1,024
     // distinct (band, key) values TOTAL, independent of corpus size, so
