@@ -477,6 +477,57 @@ object Oracle {
     """list_sum(list_transform(list_zip(q.qe, v.embedding),
       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (q.qnorm * v.norm)""".stripMargin
 
+  /** Subspace squared-L2 for the PQ twins: `m.m` is the subspace index
+    * in scope, `c` the codebook row — a strict j-ascending left fold
+    * matching the Spark side's `aggregate` bit-for-bit (the
+    * [[cosSql]] precedent). DuckDB lists are 1-based: note the +1.
+    */
+  private def pqD2Sql(v: String): String = {
+    val s = graft.operators.Ann.PqSub
+    s"""list_sum(list_transform(range($s), j ->
+       |      (CAST($v[m.m * $s + j + 1] AS DOUBLE) - CAST(c.ce[m.m * $s + j + 1] AS DOUBLE))
+       |      * (CAST($v[m.m * $s + j + 1] AS DOUBLE) - CAST(c.ce[m.m * $s + j + 1] AS DOUBLE))))""".stripMargin
+  }
+
+  /** PQ codebook + per-vector codes, twin of [[graft.operators.Ann
+    * .pqCodebook]]/[[graft.operators.Ann.pqEncode]]: ends in
+    * `pq_codes(vec_id, m, code)`.
+    */
+  private val pqCtes: String = {
+    val m = graft.operators.Ann.PqM
+    val k = graft.operators.Ann.PqK
+    s"""pqc AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $k),
+       |pq_d AS (
+       |  SELECT e.vec_id, m.m AS m, c.c_id AS k, ${pqD2Sql("e.embedding")} AS d
+       |  FROM embeddings e, range($m) m(m), pqc c
+       |),
+       |pq_codes AS (
+       |  SELECT vec_id, CAST(m AS INT) AS m, CAST(k AS INT) AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn FROM pq_d)
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** [[pqCtes]] extended with the query side: distance tables in 1e-9
+    * fixed point (exact, order-free sums — the labelCentroids pattern)
+    * and the full ADC distance relation `pq_dist(q_id, vec_id, dist_q)`.
+    */
+  private val pqAdcCtes: String =
+    s"""$pqCtes,
+       |pq_q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |         WHERE vec_id % ${graft.operators.Ann.QueryMod} = 0),
+       |pq_qdt AS (
+       |  SELECT q.q_id, m.m AS m, c.c_id AS k,
+       |    CAST(round(${pqD2Sql("q.qe")} * 1000000000) AS BIGINT) AS dq
+       |  FROM pq_q q, range(${graft.operators.Ann.PqM}) m(m), pqc c
+       |),
+       |pq_dist AS (
+       |  SELECT pq_qdt.q_id, pq_codes.vec_id, CAST(sum(pq_qdt.dq) AS BIGINT) AS dist_q
+       |  FROM pq_codes JOIN pq_qdt ON pq_qdt.m = pq_codes.m AND pq_qdt.k = pq_codes.code
+       |  WHERE pq_qdt.q_id <> pq_codes.vec_id
+       |  GROUP BY pq_qdt.q_id, pq_codes.vec_id
+       |)""".stripMargin
+
   private def annTopkSql(bucketed: Boolean): String = {
     val corpus =
       if (bucketed)
@@ -763,6 +814,55 @@ object Oracle {
          |$ivfCtes
          |SELECT c_id, CAST(count(*) AS BIGINT) AS n_vecs
          |FROM asg GROUP BY c_id ORDER BY c_id""".stripMargin,
+
+    // PQ twin: same stand-in codebook (first PqK corpus vectors), same
+    // strict j-ascending subspace L2 fold (list_sum = Spark's aggregate
+    // left fold, the cosSql precedent), same argmin/rank tie-breaks,
+    // same 1e-9 fixed-point ADC sums (exact integers, order-free).
+    // DuckDB lists are 1-based, hence the +1 on every subvector index.
+    "ann_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, m, code FROM pq_codes ORDER BY vec_id, m""".stripMargin,
+
+    "ann_pq_topk" ->
+      s"""WITH $pqAdcCtes,
+         |pq_rk AS (
+         |  SELECT q_id, vec_id, dist_q,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS INTEGER) AS rn
+         |  FROM pq_dist
+         |)
+         |SELECT q_id, rn, vec_id,
+         |  round(CAST(dist_q AS DOUBLE) / 1000000000, 6) AS dist
+         |FROM pq_rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
+
+    // shortlist-by-ADC + exact-L2 rerank: the production PQ pipeline
+    // (coarse codes collapse tight neighborhoods onto one ADC plateau;
+    // the exact pass over |queries| x shortlist rows recovers the true
+    // order without corpus-sized float math)
+    "ann_pq_rerank" -> {
+      val dims = graft.operators.Ann.PqM * graft.operators.Ann.PqSub
+      s"""WITH $pqAdcCtes,
+         |pq_sl AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS srn
+         |    FROM pq_dist)
+         |  WHERE srn <= ${graft.operators.Ann.PqShortlist}
+         |),
+         |pq_ex AS (
+         |  SELECT sl.q_id, sl.vec_id,
+         |    list_sum(list_transform(range($dims), j ->
+         |      (CAST(q.qe[j + 1] AS DOUBLE) - CAST(e.embedding[j + 1] AS DOUBLE))
+         |      * (CAST(q.qe[j + 1] AS DOUBLE) - CAST(e.embedding[j + 1] AS DOUBLE)))) AS l2_raw
+         |  FROM pq_sl sl
+         |  JOIN embeddings e ON e.vec_id = sl.vec_id
+         |  JOIN pq_q q ON q.q_id = sl.q_id
+         |)
+         |SELECT q_id, rn, vec_id, round(l2_raw, 6) AS l2 FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2_raw, vec_id) AS INTEGER) AS rn
+         |  FROM pq_ex)
+         |WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
+    },
 
     "emb_near_dup" ->
       s"""WITH $vecNormCte,

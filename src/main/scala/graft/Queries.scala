@@ -587,6 +587,24 @@ object Queries {
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("c_id")
 
+  /** PQ codes in long format (vec_id, m, code) — the compressed
+    * corpus representation.
+    */
+  def annPqCodes(s: SparkSession, dir: String): DataFrame =
+    Ann.pqEncode(embs(s, dir))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .orderBy("vec_id", "m")
+
+  /** PQ top-K by asymmetric distance computation (table lookups, no
+    * corpus float math).
+    */
+  def annPqTopK(s: SparkSession, dir: String): DataFrame =
+    Ann.pqTopK(embs(s, dir)).orderBy("q_id", "rn")
+
+  /** PQ shortlist + exact-L2 rerank — the production PQ pipeline. */
+  def annPqRerank(s: SparkSession, dir: String): DataFrame =
+    Ann.pqRerankTopK(embs(s, dir)).orderBy("q_id", "rn")
+
   /** Embedding-cosine near-dup pairs (LSH-bucketed, cos >= 0.3). */
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     Ann.embNearDup(embs(s, dir)).orderBy("vec_a", "vec_b")
@@ -807,6 +825,9 @@ object Queries {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_ivf_lists" -> (annIvfLists _),
+    "ann_pq_codes" -> (annPqCodes _),
+    "ann_pq_topk" -> (annPqTopK _),
+    "ann_pq_rerank" -> (annPqRerank _),
     "emb_near_dup" -> (embNearDup _),
     "emb_centroids" -> (embCentroids _),
     "emb_quantize" -> (embQuantize _),

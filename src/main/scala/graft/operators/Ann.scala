@@ -261,6 +261,134 @@ object Ann {
       .withColumn("correct", col("predicted") === col("true_label"))
   }
 
+  // ------------------------------------------------- product quantization
+  /** PQ geometry: 64-dim vectors split into [[PqM]] subspaces of
+    * [[PqSub]] dims, [[PqK]] centroids per subspace — so a vector
+    * compresses to 8 small codes (32 KB of codebook reconstructs
+    * approximate distances for any corpus size). PQ is the third leg of
+    * the disk-index stack next to IVF (candidate pruning) and int8
+    * (exact-dot compression): at 100 TB the codes table is ~1/32 the
+    * corpus and queries scan it with table LOOKUPS instead of float
+    * multiplies.
+    */
+  val PqM = 8
+  val PqK = 16
+  val PqSub = 8
+  private val PqFix = 1000000000L // 1e-9 fixed point for order-free distance sums
+
+  /** Stand-in PQ codebook: the first [[PqK]] corpus vectors, packed
+    * into ONE row as a c_id-sorted (c_id, ce) array so encode/query can
+    * broadcast it and index subvectors inside a per-row expression —
+    * the same deterministic-codebook trick as [[firstKCentroids]]
+    * (replayable by the DuckDB oracle; a trained codebook slots into
+    * the same overloads).
+    */
+  def pqCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < PqK)
+      .agg(expr("array_sort(collect_list(struct(vec_id AS c_id, embedding AS ce)))").as("cents"))
+
+  /** Squared L2 between subvector m of `v` and centroid k's subvector —
+    * a strict j-ascending left fold in double, so DuckDB's `list_sum`
+    * twin reproduces it bit-for-bit.
+    */
+  private def pqD2(v: String): String =
+    s"""aggregate(sequence(0, ${PqSub - 1}), CAST(0 AS DOUBLE), (acc, j) ->
+       |  acc + (CAST($v[m * $PqSub + j] AS DOUBLE) - CAST(cents[k].ce[m * $PqSub + j] AS DOUBLE))
+       |      * (CAST($v[m * $PqSub + j] AS DOUBLE) - CAST(cents[k].ce[m * $PqSub + j] AS DOUBLE)))""".stripMargin
+
+  /** PQ encode: per subspace, the argmin-L2 centroid id (ties -> smaller
+    * id, via lexicographic `array_min` over (d, k) structs). Pure
+    * per-row expression against the broadcast one-row codebook — zero
+    * shuffle, scales with the scan.
+    */
+  def pqEncode(emb: DataFrame): DataFrame = pqEncode(emb, pqCodebook(emb))
+
+  def pqEncode(emb: DataFrame, codebook: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+           |  CAST(array_min(transform(sequence(0, ${PqK - 1}), k ->
+           |    struct(${pqD2("embedding")} AS d, k AS k))).k AS INT))""".stripMargin).as("codes"))
+
+  /** PQ top-K by asymmetric distance computation (ADC): each query
+    * precomputes an 8x16 table of subspace distances to every centroid,
+    * and a corpus vector's approximate distance is 8 table LOOKUPS —
+    * no float math against the corpus at all. Table entries are 1e-9
+    * fixed-point BIGINTs so the 8-term sum is exact and order-free
+    * (the [[labelCentroids]] determinism pattern), and ranking uses the
+    * exact integer distance (ties -> smaller vec_id).
+    */
+  def pqTopK(emb: DataFrame): DataFrame = pqTopK(emb, defaultQueries(emb))
+
+  def pqTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("dist_q").asc, col("vec_id"))
+    pqAdcScores(emb, queries)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(
+        col("q_id"),
+        col("rn"),
+        col("vec_id"),
+        round(col("dist_q").cast("double") / PqFix, 6).as("dist"))
+  }
+
+  /** The ADC scan shared by [[pqTopK]] and [[pqRerankTopK]]:
+    * (q_id, vec_id, dist_q) for every query x corpus pair, dist_q the
+    * fixed-point table-lookup distance.
+    */
+  private def pqAdcScores(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val codebook = pqCodebook(emb)
+    val codes = pqEncode(emb, codebook)
+    val probes = queries.select(col("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(codebook))
+      .select(col("q_id"), expr(
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+           |  transform(sequence(0, ${PqK - 1}), k ->
+           |    CAST(round(${pqD2("qe")} * $PqFix) AS BIGINT)))""".stripMargin).as("dtable"))
+    codes
+      .join(broadcast(probes), col("q_id") =!= col("vec_id"))
+      .withColumn("dist_q", expr(
+        s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS BIGINT), (acc, m) ->
+           |  acc + dtable[m][codes[m]])""".stripMargin))
+      .select("q_id", "vec_id", "dist_q")
+  }
+
+  /** ADC shortlist size for the rerank stage — comfortably larger than
+    * any code-collision plateau a query's neighborhood produces.
+    */
+  val PqShortlist = 64
+
+  /** The production PQ pipeline: ADC SHORTLIST + exact rerank. Coarse
+    * codes collapse near-identical vectors onto one distance plateau
+    * (same codes -> same ADC distance), so rank-5-by-ADC alone is
+    * arbitrary within a tight neighborhood; taking a [[PqShortlist]]
+    * shortlist by ADC and reranking just those rows with the exact
+    * squared L2 recovers the true top-K while still never computing
+    * exact distances against the full corpus. The rerank join touches
+    * |queries| x shortlist rows — nothing corpus-sized.
+    */
+  def pqRerankTopK(emb: DataFrame): DataFrame = pqRerankTopK(emb, defaultQueries(emb))
+
+  def pqRerankTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val ws = Window.partitionBy("q_id").orderBy(col("dist_q").asc, col("vec_id"))
+    val shortlist = pqAdcScores(emb, queries)
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= PqShortlist)
+      .select("q_id", "vec_id")
+    val l2 =
+      s"""aggregate(sequence(0, ${PqM * PqSub - 1}), CAST(0 AS DOUBLE), (acc, j) ->
+         |  acc + (CAST(qe[j] AS DOUBLE) - CAST(embedding[j] AS DOUBLE))
+         |      * (CAST(qe[j] AS DOUBLE) - CAST(embedding[j] AS DOUBLE)))""".stripMargin
+    val wr = Window.partitionBy("q_id").orderBy(col("l2_raw").asc, col("vec_id"))
+    shortlist
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("embedding").as("qe"))), "q_id")
+      .withColumn("l2_raw", expr(l2))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("l2_raw"), 6).as("l2"))
+  }
+
   /** Symmetric int8 quantization of the embedding column: per-vector
     * scale = max|v|/127, codes = round(v/scale) — the memory-side half
     * of a disk ANN index (4x smaller vectors; recall preserved,

@@ -48,6 +48,46 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"int8 recall $recall%.3f < 0.9")
   }
 
+  test("PQ ADC finds the right neighborhood; shortlist+rerank recovers the exact top-5") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val emb = plantedClusters
+    val queries = Ann.defaultQueries(emb)
+
+    // Property 1 — ADC alone lands in the true NEIGHBORHOOD: coarse
+    // codes collapse a tight cluster onto one distance plateau, so the
+    // 5 ADC picks are arbitrary WITHIN the cluster but must be the
+    // right cluster (what a candidate generator is for).
+    val labels = emb.select(col("vec_id"), col("label"))
+    val adc = Ann.pqTopK(emb, queries)
+      .join(labels, "vec_id")
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+    val agree = adc.filter(col("label") === col("q_label")).count().toDouble / adc.count()
+    assert(agree >= 0.95, f"ADC same-cluster agreement $agree%.3f < 0.95")
+
+    // Property 2 — the production pipeline (ADC shortlist 64 + exact
+    // rerank) recovers the true exact-L2 top-5: the shortlist is wider
+    // than the plateau, so the exact pass sees every true neighbor.
+    val exactL2 = emb
+      .join(broadcast(queries.select(col("q_id"), col("embedding").as("qe"))),
+        col("q_id") =!= col("vec_id"))
+      .withColumn("d", expr(
+        """aggregate(zip_with(qe, embedding,
+          |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d").asc, col("vec_id"))))
+      .filter(col("rn") <= Ann.K)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(exactL2)
+    val reranked = pairs(Ann.pqRerankTopK(emb, queries))
+    val recall = (exact intersect reranked).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      f"PQ shortlist+rerank recall $recall%.3f < 0.9 (${exact.size} true neighbors)")
+  }
+
   test("trained codebook beats the deterministic first-K stand-in on clustered data") {
     val emb = plantedClusters
     def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
