@@ -1204,6 +1204,35 @@ object Oracle {
          |WHERE rn <= ${graft.operators.Corpus.TfidfTopK}
          |ORDER BY doc_id, rn""".stripMargin,
 
+    // BM25 twin: constants written as the same ARITHMETIC as the Spark
+    // side ((1.2 + 1.0), not 2.2 — the computed sum and the literal can
+    // differ in the last ulp), casts and association mirrored term by
+    // term so the rounded score is bit-identical.
+    "doc_bm25" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |pd AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, word),
+         |l AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM pd GROUP BY doc_id),
+         |d AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY word),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM l),
+         |s AS (
+         |  SELECT pd.doc_id, pd.word, pd.tf, d.df,
+         |    round(
+         |      ln((CAST(t.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+         |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(pd.tf AS DOUBLE) * (${graft.operators.Corpus.Bm25K1} + 1.0))
+         |      / (CAST(pd.tf AS DOUBLE) + ${graft.operators.Corpus.Bm25K1}
+         |         * (1.0 - ${graft.operators.Corpus.Bm25B} + ${graft.operators.Corpus.Bm25B}
+         |            * CAST(l.dl AS DOUBLE) * CAST(t.n_docs AS DOUBLE) / CAST(t.total_dl AS DOUBLE))),
+         |      6) AS bm25
+         |  FROM pd JOIN l USING (doc_id) JOIN d USING (word) CROSS JOIN t
+         |)
+         |SELECT doc_id, word, tf, df, bm25, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |              ORDER BY bm25 DESC, word ASC) AS INTEGER) AS rn
+         |  FROM s)
+         |WHERE rn <= ${graft.operators.Corpus.Bm25TopK}
+         |ORDER BY doc_id, rn""".stripMargin,
+
     "doc_sample" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, md5('s' || CAST(doc_id AS VARCHAR)) AS skey

@@ -529,6 +529,10 @@ object Queries {
   def docTfidf(s: SparkSession, dir: String): DataFrame =
     Corpus.tfidf(docs(s, dir)).orderBy("doc_id", "rn")
 
+  /** Per-document top-3 BM25 index terms (Robertson k1=1.2, b=0.75). */
+  def docBm25(s: SparkSession, dir: String): DataFrame =
+    Corpus.bm25Top(docs(s, dir)).orderBy("doc_id", "rn")
+
   /** Deterministic hash-stratified 1-in-5 sample per language. */
   def docSample(s: SparkSession, dir: String): DataFrame =
     Corpus.stratifiedSample(docs(s, dir)).orderBy("doc_id")
@@ -817,6 +821,7 @@ object Queries {
     "doc_logprob" -> (docLogProb _),
     "corpus_vocab" -> (corpusVocab _),
     "doc_tfidf" -> (docTfidf _),
+    "doc_bm25" -> (docBm25 _),
     "doc_sample" -> (docSample _),
     "corpus_stats" -> (corpusStats _),
     "periodic_samples_approx" -> (periodicSamplesApprox _),

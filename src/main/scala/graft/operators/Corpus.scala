@@ -453,6 +453,54 @@ object Corpus {
       .select("doc_id", "word", "tf", "df", "tfidf", "rn")
   }
 
+  /** BM25 parameters (the standard Robertson defaults) and the per-doc
+    * top-k cut for the registered query.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 3
+
+  /** Per-(doc, word) BM25 index weights — what an inverted index stores
+    * and a retrieval query sums. Lucene-style smoothed idf
+    * (`ln((N - df + 0.5)/(df + 0.5) + 1)`, always positive) with
+    * length normalization against the corpus mean.
+    *
+    * Shapes: one (doc, word) aggregate with map-side combine feeds both
+    * tf and dl; df is a word-keyed aggregate joined back by word; the
+    * corpus totals (N, avgdl) arrive as ONE broadcast row — integer
+    * sums, so exact and order-free. The score is rounded to 6 places
+    * BEFORE ranking (the [[tfidf]] determinism contract) and returned
+    * as the per-doc top-[[Bm25TopK]] terms, ties by word asc.
+    */
+  def bm25Top(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val perDoc = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val lens = perDoc.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfs = perDoc.groupBy("word").agg(count(lit(1)).as("df"))
+    val totals = lens.agg(
+      count(lit(1)).as("n_docs"),
+      sum("dl").as("total_dl"))
+    val idf = log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val norm = col("tf").cast("double") + lit(Bm25K1) *
+      (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl").cast("double") *
+        col("n_docs").cast("double") / col("total_dl").cast("double"))
+    val score = round(
+      idf * (col("tf").cast("double") * (Bm25K1 + 1.0)) / norm, 6)
+    perDoc
+      .join(lens, "doc_id")
+      .join(dfs, "word")
+      .crossJoin(broadcast(totals))
+      .withColumn("bm25", score)
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("bm25").desc, col("word").asc)))
+      .filter(col("rn") <= Bm25TopK)
+      .select("doc_id", "word", "tf", "df", "bm25", "rn")
+  }
+
   /** Unigram LM score: mean log-probability of the document's words
     * under the corpus unigram distribution — the perplexity-filter
     * stand-in (docs with improbable word streams are noise/garble; a

@@ -189,6 +189,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(shared.getDouble(4) == 0.0)
   }
 
+  test("bm25Top: rare terms outrank ubiquitous ones; longer docs are length-penalized") {
+    val out = Corpus.bm25Top(docsDf(Seq(
+      (1L, "shared shared unique", "en", "web"),
+      (2L, "shared shared common", "en", "web"),
+      (3L, "shared shared common", "en", "web"))))
+      .collect().map(r => (r.getLong(0), r.getInt(5)) -> (r.getString(1), r.getDouble(4))).toMap
+    assert(out((1L, 1))._1 == "unique", "the hapax must top its document")
+    assert(out((1L, 1))._2 > out((1L, 2))._2)
+    // df=3-of-3 'shared' gets the smallest (but still positive) idf
+    val shared = out((1L, 2))
+    assert(shared._1 == "shared" && shared._2 > 0.0, s"got $shared")
+
+    // length normalization: same term, same tf, longer doc -> lower
+    // score (3 distinct words keep 'term' inside the top-3 cut)
+    val ln = Corpus.bm25Top(docsDf(Seq(
+      (1L, "term alpha", "en", "web"),
+      (2L, "term beta beta beta gamma gamma", "en", "web"))))
+      .collect().filter(_.getString(1) == "term").map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(ln(1L) > ln(2L), s"length penalty missing: $ln")
+  }
+
   test("stratifiedSample: deterministic, per-stratum ceil(n/5), subset of input") {
     val spark = TestSpark.spark
     import spark.implicits._
