@@ -489,16 +489,30 @@ object Oracle {
        |      * (CAST($v[m.m * $s + j + 1] AS DOUBLE) - CAST(c.ce[m.m * $s + j + 1] AS DOUBLE))))""".stripMargin
   }
 
+  /** Subspace dot product for the PQ encode twin — the same strict
+    * j-ascending widen-to-double fold as the Spark side's codegen'd
+    * `float_dot` over a subvector slice (the cosSql precedent).
+    */
+  private def pqDotSql(a: String, b: String): String = {
+    val s = graft.operators.Ann.PqSub
+    s"""list_sum(list_transform(range($s), j ->
+       |      CAST($a[m.m * $s + j + 1] AS DOUBLE) * CAST($b[m.m * $s + j + 1] AS DOUBLE)))""".stripMargin
+  }
+
   /** PQ codebook + per-vector codes, twin of [[graft.operators.Ann
     * .pqCodebook]]/[[graft.operators.Ann.pqEncode]]: ends in
-    * `pq_codes(vec_id, m, code)`.
+    * `pq_codes(vec_id, m, code)`. The argmin key mirrors the engine's
+    * `c.c - 2 v.c` formulation exactly (same dots, same subtraction
+    * order) so near-tie argmins cannot diverge between engines.
     */
   private val pqCtes: String = {
     val m = graft.operators.Ann.PqM
     val k = graft.operators.Ann.PqK
     s"""pqc AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $k),
        |pq_d AS (
-       |  SELECT e.vec_id, m.m AS m, c.c_id AS k, ${pqD2Sql("e.embedding")} AS d
+       |  SELECT e.vec_id, m.m AS m, c.c_id AS k,
+       |    ${pqDotSql("c.ce", "c.ce")}
+       |      - CAST(2 AS DOUBLE) * ${pqDotSql("e.embedding", "c.ce")} AS d
        |  FROM embeddings e, range($m) m(m), pqc c
        |),
        |pq_codes AS (

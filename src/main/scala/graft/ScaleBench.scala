@@ -59,6 +59,21 @@ object ScaleBench {
           substring(md5(idx.cast("string")), 1, 8)
         }: _*).as("text"))
 
+  /** Synthetic embedding corpus for the ANN scale probe: 64 planted
+    * cosine clusters (center by `id % 64`, md5-derived per-dim values
+    * in [-1, 1], 0.15 noise per (id, dim)) — generated distributedly,
+    * no driver loops, deterministic.
+    */
+  def embeddings(spark: SparkSession, n: Long) =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr(
+        """transform(sequence(0, 63), j -> CAST(
+          |  (CAST(conv(substr(md5(concat(CAST(id % 64 AS STRING), '_', CAST(j AS STRING))), 1, 6), 16, 10) AS DOUBLE) / 8388607.5 - 1.0)
+          |  + 0.15 * (CAST(conv(substr(md5(concat(CAST(id AS STRING), '|', CAST(j AS STRING))), 1, 6), 16, 10) AS DOUBLE) / 8388607.5 - 1.0)
+          |  AS FLOAT))""".stripMargin).as("embedding"),
+      (col("id") % 64).as("label"))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val steps = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "1000000x200,4000000x800,10000000x2000")
@@ -119,6 +134,39 @@ object ScaleBench {
         .select("band", "key").distinct().count()
       println(
         s"""{"metric":"simhash_scale","docs":$nDocs,"pairs":$shPairs,"distinct_band_keys":$keys,"sec":$ssec}""")
+    }
+    // ANN scale probe: 32 queries against N synthetic clustered vectors
+    // — brute-force cosine vs PQ ADC vs PQ shortlist+rerank. PQ's
+    // encode pass (the index build) is timed separately from the
+    // queries it amortizes over.
+    sys.env.get("SPARK_GRAFT_ANN_VECS").map(_.toLong).foreach { nVecs =>
+      val emb = embeddings(spark, nVecs)
+      val queries = emb
+        .filter(col("vec_id") % (nVecs / 32) === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      def time(body: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = body
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      import graft.operators.Ann
+      val codebook = Ann.pqCodebook(emb)
+      // index build (one-time, amortized over every query batch) — the
+      // persist makes the query timings measure the ADC scan, exactly
+      // how a PQ index is used
+      val codes = Ann.pqEncode(emb, codebook)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (encSec, _) = time(codes.count())
+      val (bruteSec, bruteRows) = time(Ann.cosineTopK(emb, queries).count())
+      val (pqSec, pqRows) = time(Ann.pqTopKIndexed(codes, codebook, queries).count())
+      val (rerankSec, rerankRows) =
+        time(Ann.pqRerankTopKIndexed(codes, codebook, emb, queries).count())
+      codes.unpersist(blocking = false)
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"ann_scale","vectors":$nVecs,"queries":32,"encode_sec":$encSec,""" +
+          s""""brute_sec":$bruteSec,"pq_query_sec":$pqSec,"rerank_query_sec":$rerankSec,""" +
+          s""""rows":{"brute":$bruteRows,"pq":$pqRows,"rerank":$rerankRows}}""")
     }
     spark.stop()
   }

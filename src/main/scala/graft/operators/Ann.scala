@@ -297,18 +297,60 @@ object Ann {
        |      * (CAST($v[m * $PqSub + j] AS DOUBLE) - CAST(cents[k].ce[m * $PqSub + j] AS DOUBLE)))""".stripMargin
 
   /** PQ encode: per subspace, the argmin-L2 centroid id (ties -> smaller
-    * id, via lexicographic `array_min` over (d, k) structs). Pure
-    * per-row expression against the broadcast one-row codebook — zero
-    * shuffle, scales with the scan.
+    * id). The comparison key is `c.c - 2 v.c`, not the full squared L2:
+    * the `v.v` term is constant across k, so the argmin is identical.
+    *
+    * This is a typed `mapPartitions` kernel, not an expression: the
+    * encode is 8 x 16 dot products of PER-ROW numeric loops, and every
+    * declarative formulation leaves the hot path interpreted — a
+    * nested-HOF `aggregate` costs ~1024 interpreted lambda steps per
+    * row, HOF-wrapped `float_dot` calls ~25M interpreted invocations
+    * per 200k rows (both measured; 8-35 s at 200k, vs ~1 s compiled).
+    * The codebook (16 x 64 floats) is index METADATA: collecting it to
+    * the driver and closing over it is the broadcast-constant pattern
+    * [[kmeansCentroids]] already uses for trained centers. The dot is
+    * a strict j-ascending widen-to-double fold — bit-identical to
+    * `float_dot` and to the twin's `list_sum`, so near-tie argmins
+    * cannot diverge.
     */
   def pqEncode(emb: DataFrame): DataFrame = pqEncode(emb, pqCodebook(emb))
 
-  def pqEncode(emb: DataFrame, codebook: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(codebook))
-      .select(col("vec_id"), expr(
-        s"""transform(sequence(0, ${PqM - 1}), m ->
-           |  CAST(array_min(transform(sequence(0, ${PqK - 1}), k ->
-           |    struct(${pqD2("embedding")} AS d, k AS k))).k AS INT))""".stripMargin).as("codes"))
+  def pqEncode(emb: DataFrame, codebook: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents: Array[Array[Float]] = codebook.head().getSeq[org.apache.spark.sql.Row](0)
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray).toArray
+    val (pm, pk, ps) = (PqM, PqK, PqSub)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        // centroid self-dots are constant across rows: hoist per partition
+        val cc = Array.tabulate(pm, pk) { (m, k) =>
+          var acc = 0.0; var j = 0
+          while (j < ps) { val x = cents(k)(m * ps + j).toDouble; acc += x * x; j += 1 }
+          acc
+        }
+        rows.map { case (id, v) =>
+          val codes = new Array[Int](pm)
+          var m = 0
+          while (m < pm) {
+            var best = 0
+            var bestD = Double.PositiveInfinity
+            var k = 0
+            while (k < pk) {
+              var dot = 0.0; var j = 0
+              while (j < ps) { dot += v(m * ps + j).toDouble * cents(k)(m * ps + j).toDouble; j += 1 }
+              val d = cc(m)(k) - 2.0 * dot
+              if (d < bestD) { bestD = d; best = k } // strict <: ties keep the smaller k
+              k += 1
+            }
+            codes(m) = best
+            m += 1
+          }
+          (id, codes)
+        }
+      }
+      .toDF("vec_id", "codes")
+  }
 
   /** PQ top-K by asymmetric distance computation (ADC): each query
     * precomputes an 8x16 table of subspace distances to every centroid,
@@ -321,8 +363,16 @@ object Ann {
   def pqTopK(emb: DataFrame): DataFrame = pqTopK(emb, defaultQueries(emb))
 
   def pqTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val codebook = pqCodebook(emb)
+    pqTopKIndexed(pqEncode(emb, codebook), codebook, queries)
+  }
+
+  /** [[pqTopK]] over an already-built index (codes + codebook) — the
+    * amortized entry point: encode once, query many times.
+    */
+  def pqTopKIndexed(codes: DataFrame, codebook: DataFrame, queries: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("dist_q").asc, col("vec_id"))
-    pqAdcScores(emb, queries)
+    pqAdc(codes, pqProbes(codebook, queries))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
       .select(
@@ -332,26 +382,31 @@ object Ann {
         round(col("dist_q").cast("double") / PqFix, 6).as("dist"))
   }
 
-  /** The ADC scan shared by [[pqTopK]] and [[pqRerankTopK]]:
-    * (q_id, vec_id, dist_q) for every query x corpus pair, dist_q the
-    * fixed-point table-lookup distance.
+  /** Per-query ADC distance tables: dtable[m][k] = fixed-point squared
+    * L2 between the query's subvector m and centroid k.
     */
-  private def pqAdcScores(emb: DataFrame, queries: DataFrame): DataFrame = {
-    val codebook = pqCodebook(emb)
-    val codes = pqEncode(emb, codebook)
-    val probes = queries.select(col("q_id"), col("embedding").as("qe"))
+  private def pqProbes(codebook: DataFrame, queries: DataFrame): DataFrame =
+    queries.select(col("q_id"), col("embedding").as("qe"))
       .crossJoin(broadcast(codebook))
       .select(col("q_id"), expr(
         s"""transform(sequence(0, ${PqM - 1}), m ->
            |  transform(sequence(0, ${PqK - 1}), k ->
            |    CAST(round(${pqD2("qe")} * $PqFix) AS BIGINT)))""".stripMargin).as("dtable"))
+
+  /** The ADC scan: (q_id, vec_id, dist_q) for every query x corpus
+    * pair. The 8-term lookup sum is UNROLLED (dtable[0][codes[0]] +
+    * ...) rather than folded with aggregate(): higher-order functions
+    * evaluate through interpreted lambdas per row, which would put the
+    * one expression the ADC scan exists for outside whole-stage
+    * codegen. Plain nested GetArrayItem stays in the generated code.
+    * Integer adds, so associativity is a non-issue.
+    */
+  private def pqAdc(codes: DataFrame, probes: DataFrame): DataFrame =
     codes
       .join(broadcast(probes), col("q_id") =!= col("vec_id"))
       .withColumn("dist_q", expr(
-        s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS BIGINT), (acc, m) ->
-           |  acc + dtable[m][codes[m]])""".stripMargin))
+        (0 until PqM).map(m => s"dtable[$m][codes[$m]]").mkString(" + ")))
       .select("q_id", "vec_id", "dist_q")
-  }
 
   /** ADC shortlist size for the rerank stage — comfortably larger than
     * any code-collision plateau a query's neighborhood produces.
@@ -370,8 +425,18 @@ object Ann {
   def pqRerankTopK(emb: DataFrame): DataFrame = pqRerankTopK(emb, defaultQueries(emb))
 
   def pqRerankTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val codebook = pqCodebook(emb)
+    pqRerankTopKIndexed(pqEncode(emb, codebook), codebook, emb, queries)
+  }
+
+  /** [[pqRerankTopK]] over an already-built index. */
+  def pqRerankTopKIndexed(
+      codes: DataFrame,
+      codebook: DataFrame,
+      emb: DataFrame,
+      queries: DataFrame): DataFrame = {
     val ws = Window.partitionBy("q_id").orderBy(col("dist_q").asc, col("vec_id"))
-    val shortlist = pqAdcScores(emb, queries)
+    val shortlist = pqAdc(codes, pqProbes(codebook, queries))
       .withColumn("srn", row_number().over(ws))
       .filter(col("srn") <= PqShortlist)
       .select("q_id", "vec_id")
