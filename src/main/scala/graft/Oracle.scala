@@ -878,6 +878,31 @@ object Oracle {
          |WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
     },
 
+    // IVF-PQ composition: the coarse-quantizer CTEs (cent/asg/probes)
+    // prune to NProbe lists per query, the ADC tables score only those
+    // lists' codes (pq_dist from pqAdcCtes goes unreferenced and is
+    // pruned by the optimizer)
+    "ann_ivfpq" ->
+      s"""WITH $vecNormCte,
+         |$ivfCtes,
+         |$pqAdcCtes,
+         |ivfpq AS (
+         |  SELECT p.q_id, a.vec_id, CAST(sum(qd.dq) AS BIGINT) AS dist_q
+         |  FROM probes p
+         |  JOIN asg a USING (c_id)
+         |  JOIN pq_codes pc ON pc.vec_id = a.vec_id
+         |  JOIN pq_qdt qd ON qd.q_id = p.q_id AND qd.m = pc.m AND qd.k = pc.code
+         |  WHERE p.q_id <> a.vec_id
+         |  GROUP BY p.q_id, a.vec_id
+         |)
+         |SELECT q_id, rn, vec_id,
+         |  round(CAST(dist_q AS DOUBLE) / 1000000000, 6) AS dist
+         |FROM (
+         |  SELECT q_id, vec_id, dist_q,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS INTEGER) AS rn
+         |  FROM ivfpq)
+         |WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
+
     "emb_near_dup" ->
       s"""WITH $vecNormCte,
          |vb AS (SELECT vn.*, $bucketExpr AS bucket FROM vn)

@@ -609,6 +609,10 @@ object Queries {
   def annPqRerank(s: SparkSession, dir: String): DataFrame =
     Ann.pqRerankTopK(embs(s, dir)).orderBy("q_id", "rn")
 
+  /** IVF-PQ: coarse-quantizer list pruning + ADC over probed lists. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    Ann.ivfPqTopK(embs(s, dir)).orderBy("q_id", "rn")
+
   /** Embedding-cosine near-dup pairs (LSH-bucketed, cos >= 0.3). */
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     Ann.embNearDup(embs(s, dir)).orderBy("vec_a", "vec_b")
@@ -833,6 +837,7 @@ object Queries {
     "ann_pq_codes" -> (annPqCodes _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_pq_rerank" -> (annPqRerank _),
+    "ann_ivfpq" -> (annIvfPq _),
     "emb_near_dup" -> (embNearDup _),
     "emb_centroids" -> (embCentroids _),
     "emb_quantize" -> (embQuantize _),

@@ -218,6 +218,48 @@ object Ann {
     topK(scored)
   }
 
+  /** IVF-PQ top-K: the two scale mechanisms composed the way a disk
+    * vector index lays them out — the coarse quantizer prunes the
+    * candidate set to the NProbe nearest inverted lists, and the ADC
+    * table-lookup scan ranks ONLY those lists' codes. Per query the
+    * scan touches ~NProbe/IvfK of the corpus codes and does no float
+    * math against it; the rerank pattern ([[pqRerankTopKIndexed]])
+    * composes on top the same way when exact order matters.
+    * (Codes are over raw vectors, not list residuals — residual
+    * encoding sharpens distances but needs a per-list codebook; the
+    * stand-in keeps one oracle-replayable codebook.)
+    */
+  def ivfPqTopK(emb: DataFrame): DataFrame = ivfPqTopK(emb, defaultQueries(emb))
+
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val codebook = pqCodebook(emb)
+    val codes = pqEncode(emb, codebook)
+    val cents = firstKCentroids(emb)
+    val lists = ivfAssign(emb, cents).select("vec_id", "c_id")
+    val wq = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+    val probeLists = probeSide(queries)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(dot("qe", "ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= NProbe)
+      .select(col("q_id"), col("c_id"))
+    val probes = probeLists.join(pqProbes(codebook, queries), "q_id")
+    val w = Window.partitionBy("q_id").orderBy(col("dist_q").asc, col("vec_id"))
+    codes
+      .join(lists, "vec_id")
+      .join(broadcast(probes), Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dist_q", expr(
+        (0 until PqM).map(m => s"dtable[$m][codes[$m]]").mkString(" + ")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(
+        col("q_id"),
+        col("rn"),
+        col("vec_id"),
+        round(col("dist_q").cast("double") / PqFix, 6).as("dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join
     * (same no-all-pairs shape as text MinHash), exact cosine verify,
     * high threshold. The fifth dedup modality — catches semantic

@@ -88,6 +88,19 @@ class IvfRecallSpec extends AnyFunSuite {
       f"PQ shortlist+rerank recall $recall%.3f < 0.9 (${exact.size} true neighbors)")
   }
 
+  test("IVF-PQ lands in the true neighborhood on clustered data") {
+    import org.apache.spark.sql.functions._
+    val emb = plantedClusters
+    val queries = Ann.defaultQueries(emb)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val out = Ann.ivfPqTopK(emb, queries)
+      .join(labels, "vec_id")
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+    val agree = out.filter(col("label") === col("q_label")).count().toDouble / out.count()
+    assert(agree >= 0.9,
+      f"IVF-PQ same-cluster agreement $agree%.3f < 0.9 — probed lists must cover the query's cluster")
+  }
+
   test("trained codebook beats the deterministic first-K stand-in on clustered data") {
     val emb = plantedClusters
     def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
