@@ -141,9 +141,11 @@ object ScaleBench {
     // queries it amortizes over.
     sys.env.get("SPARK_GRAFT_ANN_VECS").map(_.toLong).foreach { nVecs =>
       val emb = embeddings(spark, nVecs)
+      val stride = math.max(1L, nVecs / 32) // % 0 is NULL in non-ANSI mode: zero queries, silently
       val queries = emb
-        .filter(col("vec_id") % (nVecs / 32) === 0)
+        .filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("q_id"), col("embedding"))
+      val nQueries = queries.count()
       def time(body: => Long): (Double, Long) = {
         val t0 = System.nanoTime()
         val rows = body
@@ -164,7 +166,7 @@ object ScaleBench {
       codes.unpersist(blocking = false)
       graft.operators.CacheScope.releaseAll()
       println(
-        s"""{"metric":"ann_scale","vectors":$nVecs,"queries":32,"encode_sec":$encSec,""" +
+        s"""{"metric":"ann_scale","vectors":$nVecs,"queries":$nQueries,"encode_sec":$encSec,""" +
           s""""brute_sec":$bruteSec,"pq_query_sec":$pqSec,"rerank_query_sec":$rerankSec,""" +
           s""""rows":{"brute":$bruteRows,"pq":$pqRows,"rerank":$rerankRows}}""")
     }

@@ -362,7 +362,13 @@ object Ann {
     import spark.implicits._
     val cents: Array[Array[Float]] = codebook.head().getSeq[org.apache.spark.sql.Row](0)
       .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray).toArray
-    val (pm, pk, ps) = (PqM, PqK, PqSub)
+    // the codebook holds whatever centroid vectors the corpus actually
+    // provides (a filtered/re-keyed table can carry fewer than PqK):
+    // iterate the REAL count — the oracle twin's `vec_id < PqK` set
+    // shrinks identically — instead of indexing past the array
+    require(cents.nonEmpty,
+      s"PQ codebook is empty: the corpus has no vectors with vec_id < $PqK to serve as centroids")
+    val (pm, pk, ps) = (PqM, cents.length, PqSub)
     emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { rows =>
         // centroid self-dots are constant across rows: hoist per partition

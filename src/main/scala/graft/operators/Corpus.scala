@@ -116,6 +116,14 @@ object Corpus {
     * (`doc_a`, `doc_b`, `jaccard`) — the shared-pipeline entry point:
     * [[docPipeline]] feeds it the pair set whose shingle explode is
     * shared with decontamination.
+    *
+    * Concurrency caveat: the propagation loop temporarily sets the
+    * SESSION-scoped AQE conf `coalescePartitions.parallelismFirst`
+    * (restored on exit). A query planned on the same SparkSession
+    * while the loop runs would have its exchanges coalesced toward the
+    * advisory size too. Single-query-at-a-time sessions — the harness
+    * model and the common batch-job shape — are unaffected; concurrent
+    * schedulers should give clustering its own session.
     */
   def dedupClustersFromPairs(docs: DataFrame, nearDup: DataFrame): DataFrame = {
     // One job: materialize the (tiny) symmetric edge list off the LSH
@@ -286,7 +294,15 @@ object Corpus {
     */
   def docPipeline(docs: DataFrame): DataFrame = {
     val sh = CacheScope.persist(Dedup.shingles(docs))
-    val clusters = dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+    // scope the clustering stage exactly as dedupClusters does: the
+    // minhash and verified-pair persists release the moment the edge
+    // checkpoint materializes instead of pinning storage memory through
+    // decontamination and the final join. The shared `sh` is registered
+    // GLOBALLY (above, outside the scope), so scope exit leaves it
+    // cached for the decontamination branch.
+    val clusters = CacheScope.withScope {
+      dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+    }
     val decon = decontaminateFromShingles(docs, sh)
     // inner join: decontaminate already excludes benchmark docs
     clusters.join(decon, "doc_id")

@@ -44,17 +44,23 @@ object Dedup {
     * lambda — splitting inside the transform would re-tokenize per
     * element (O(tokens^2) per doc).
     */
-  def ngramRows(docs: DataFrame, k: Int, outCol: String): DataFrame = {
+  /** The k-gram ARRAY expression over a `w` (split words) column — the
+    * single construction [[ngramRows]], [[shingles]], and
+    * [[rowBandSignatures]] all derive from, so tokenization/joining can
+    * never drift between consumers (or from [[graft.Oracle.ngramCte]],
+    * its SQL twin).
+    */
+  private def ngramArrayExpr(k: Int): String = {
     val gram = (0 until k).map(j => s"w[i+$j]").mkString("concat(", ", ' ', ", ")")
+    s"""CASE WHEN size(w) >= $k
+       |THEN transform(sequence(0, size(w) - $k), i -> $gram)
+       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+  }
+
+  def ngramRows(docs: DataFrame, k: Int, outCol: String): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(
-        col("doc_id"),
-        explode(expr(
-          s"""CASE WHEN size(w) >= $k
-             |THEN transform(sequence(0, size(w) - $k), i -> $gram)
-             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as(outCol))
-  }
+      .select(col("doc_id"), explode(expr(ngramArrayExpr(k))).as(outCol))
 
   /** Distinct word 3-shingles per document — deduped with a per-row
     * `array_distinct` BEFORE the explode, not a `.distinct()` after it.
@@ -83,15 +89,13 @@ object Dedup {
     * partitions leaves the rest of the cluster idle).
     */
   def shingles(docs: DataFrame): DataFrame = {
-    val gram = "concat(w[i], ' ', w[i+1], ' ', w[i+2])"
     val n = scala.util.Try(
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(w) >= 3
-           |THEN array_distinct(transform(sequence(0, size(w) - 3), i -> $gram))
-           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("shingle"))
+      .select(
+        col("doc_id"),
+        explode(expr(s"array_distinct(${ngramArrayExpr(3)})")).as("shingle"))
       .repartition(n, col("doc_id"))
   }
 
@@ -160,15 +164,11 @@ object Dedup {
     * shingle explode is shared with the verify step anyway.
     */
   def rowBandSignatures(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
-    val gram = "concat(w[i], ' ', w[i+1], ' ', w[i+2])"
     val mhCols = (0 until Perms).map(p =>
       expr(s"array_min(transform(sh, s -> substring(md5(concat('$p|', s)), 1, 8)))").as(s"mh$p"))
     val withMh = docs
       .select(col("doc_id") +: passthrough.map(col) :+ split(col("text"), " ").as("w"): _*)
-      .withColumn("sh", expr(
-        s"""CASE WHEN size(w) >= 3
-           |THEN array_distinct(transform(sequence(0, size(w) - 3), i -> $gram))
-           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("sh", expr(s"array_distinct(${ngramArrayExpr(3)})"))
       .filter(size(col("sh")) > 0) // shingle-less docs have no signature rows in the aggregated form either
       .select(col("doc_id") +: passthrough.map(col) :++ mhCols: _*)
     bandStack(withMh, passthrough)

@@ -106,11 +106,27 @@ object Multimodal {
       ("png", readBe32(p, 16), readBe32(p, 20))
     else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
       var i = 2
-      while (i + 9 <= p.length && (p(i) & 0xff) == 0xff) {
-        val marker = p(i + 1) & 0xff
-        if (marker == 0xc0 || marker == 0xc2)
-          return ("jpeg", readBe16(p, i + 7).toLong, readBe16(p, i + 5).toLong)
-        i += 2 + readBe16(p, i + 2) // next marker: skip segment incl. its length field
+      while (i < p.length && (p(i) & 0xff) == 0xff) {
+        // 0xff runs are legal fill before any marker: j = the marker byte
+        var j = i
+        while (j < p.length && (p(j) & 0xff) == 0xff) j += 1
+        if (j >= p.length) return ("jpeg", 0L, 0L)
+        val marker = p(j) & 0xff
+        if (marker == 0xc0 || marker == 0xc2) {
+          // SOF0/SOF2: length(2) precision(1) height(2) width(2) ...
+          return if (j + 8 <= p.length)
+            ("jpeg", readBe16(p, j + 6).toLong, readBe16(p, j + 4).toLong)
+          else ("jpeg", 0L, 0L)
+        } else if (marker == 0xd9) {
+          return ("jpeg", 0L, 0L) // EOI before any frame header
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+          i = j + 1 // TEM/RSTn/SOI are standalone: no length field follows
+        } else {
+          if (j + 3 > p.length) return ("jpeg", 0L, 0L)
+          val len = readBe16(p, j + 1)
+          if (len < 2) return ("jpeg", 0L, 0L) // malformed length would stall the scan
+          i = j + 1 + len // next marker's 0xff
+        }
       }
       ("jpeg", 0L, 0L) // SOI but no frame header in range
     } else ("unknown", 0L, 0L)

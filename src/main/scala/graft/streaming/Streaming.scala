@@ -653,6 +653,11 @@ object Streaming {
     * arrival can never move the armed timestamp backward; when the
     * watermark passes the armed timestamp the group fires with
     * `hasTimedOut` and the state is removed.
+    *
+    * State-schema note: the state type is [[TtlBucket]] (members +
+    * newest event time); a checkpoint written by a pre-TtlBucket build
+    * (bare member vector) cannot be restored by this version — restart
+    * such a stream from a fresh checkpoint.
     */
   def nearDupCandidateStreamTtl(
       docs: org.apache.spark.sql.DataFrame,

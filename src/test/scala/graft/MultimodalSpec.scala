@@ -25,6 +25,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseHeader(p) == (("jpeg", 320L, 200L)))
   }
 
+  test("parseHeader handles JPEG fill bytes and standalone markers") {
+    val sof = Multimodal.jpegHeader(320, 200).drop(2) // FFC0 segment without SOI
+    // legal 0xff fill padding between SOI and the frame header
+    val fill = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++ sof
+    assert(Multimodal.parseHeader(fill) == (("jpeg", 320L, 200L)))
+    // a standalone TEM marker (no length field) before the frame header
+    val tem = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x01) ++ sof
+    assert(Multimodal.parseHeader(tem) == (("jpeg", 320L, 200L)))
+    // EOI before any frame header: dimensions unavailable, no crash
+    val eoi = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)
+    assert(Multimodal.parseHeader(eoi) == (("jpeg", 0L, 0L)))
+    // malformed zero segment length must not stall the scan
+    val bad = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 0x00, 0x00)
+    assert(Multimodal.parseHeader(bad) == (("jpeg", 0L, 0L)))
+  }
+
   test("parseHeader degrades on corrupt or truncated payloads, never throws") {
     assert(Multimodal.parseHeader("definitely not an image payload".getBytes)._1 == "unknown")
     assert(Multimodal.parseHeader(Array.empty[Byte]) == (("unknown", 0L, 0L)))
