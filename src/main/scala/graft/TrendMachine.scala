@@ -72,9 +72,11 @@ object TrendMachine {
     * n_chars) as temp views — `<prefix>_dedup`, `<prefix>_clusters`,
     * `<prefix>_quality`, `<prefix>_vocab`, `<prefix>_tfidf`,
     * `<prefix>_sample`, `<prefix>_stats`. Same laziness contract as
-    * [[registerViews]] with one exception: the clustering view's
-    * label-propagation loop runs actions at registration time (its
-    * fixpoint cannot be expressed as a single lazy plan).
+    * [[registerViews]] with one exception: the clustering and pipeline
+    * views' label-propagation loop runs actions at registration time
+    * (its fixpoint cannot be expressed as a single lazy plan). Also
+    * registered: `<prefix>_boilerplate`, `<prefix>_decontaminated`,
+    * `<prefix>_bm25`, `<prefix>_pipeline`.
     */
   def registerCorpusViews(docs: DataFrame, prefix: String = "corpus"): Unit = {
     docs.createOrReplaceTempView(s"${prefix}_documents")
@@ -87,5 +89,10 @@ object TrendMachine {
     Corpus.stats(docs).createOrReplaceTempView(s"${prefix}_stats")
     Corpus.stripBoilerplate(docs).createOrReplaceTempView(s"${prefix}_boilerplate")
     Corpus.decontaminate(docs).createOrReplaceTempView(s"${prefix}_decontaminated")
+    Corpus.bm25Top(docs).createOrReplaceTempView(s"${prefix}_bm25")
+    // the one-job curation composite (shares one shingle explode across
+    // clustering + decontamination); like the clusters view, its loop
+    // runs actions at registration time
+    Corpus.docPipeline(docs).createOrReplaceTempView(s"${prefix}_pipeline")
   }
 }
