@@ -60,7 +60,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Durable artifact alongside stdout: a tail-capture of the sbt log
+    // can truncate mid-JSON (it lost the 13 ann_*/asof_* rows of one
+    // whole round), so the same line is written atomically to a file
+    // the harness can pick up whole.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.local.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -464,6 +464,22 @@ object Oracle {
       |  FROM embeddings
       |)""".stripMargin
 
+  /** One 16-bit band key of the near-dup hyperplane signature — twin of
+    * [[graft.operators.Ann.nearDupSignature]]'s key b: sign bits of the
+    * md5-derived planes [16b, 16b+16), same strict d-ascending
+    * widen-to-double fold as `float_dot`, so signs agree bit-for-bit.
+    */
+  private def nearDupKeySql(b: Int): String = {
+    val planes = graft.operators.Ann.NearDupBandPlanes
+    (0 until planes).map { p =>
+      val i = b * planes + p
+      s"""(CASE WHEN list_sum(list_transform(range(64), d ->
+         |    (CASE WHEN CAST(('0x' || substr(md5('${i}_' || CAST(d AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+         |          THEN 1.0 ELSE -1.0 END)
+         |    * CAST(embedding[d + 1] AS DOUBLE))) >= 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString("\n  + ")
+  }
+
   /** md5-derived LSH bucket twin of [[graft.operators.Ann.withBucket]]. */
   val bucketExpr: String =
     """CAST(list_sum(list_transform(range(8), p ->
@@ -508,7 +524,12 @@ object Oracle {
   private val pqCtes: String = {
     val m = graft.operators.Ann.PqM
     val k = graft.operators.Ann.PqK
-    s"""pqc AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < $k),
+    // c_id is the centroid's POSITION in the vec_id-sorted set, not its
+    // vec_id: the Spark kernel emits argmin positions into the sorted
+    // centroid array, so on a filtered corpus whose surviving vec_ids
+    // are non-contiguous the labels still agree between engines
+    s"""pqc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, embedding AS ce
+       |        FROM embeddings WHERE vec_id < $k),
        |pq_d AS (
        |  SELECT e.vec_id, m.m AS m, c.c_id AS k,
        |    ${pqDotSql("c.ce", "c.ce")}
@@ -903,14 +924,34 @@ object Oracle {
          |  FROM ivfpq)
          |WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
 
-    "emb_near_dup" ->
+    // banded hyperplane LSH: same 4x16-plane signature, band-keyed
+    // self-join, exact-cosine verify, DISTINCT over multi-band
+    // collisions — mirrors embNearDup stage for stage
+    "emb_near_dup" -> {
+      val bands = graft.operators.Ann.NearDupBands
+      val keyCols = (0 until bands)
+        .map(b => s"${nearDupKeySql(b)} AS k$b").mkString(",\n  ")
+      val keyCase = "CASE band " +
+        (0 until bands - 1).map(b => s"WHEN $b THEN k$b").mkString(" ") +
+        s" ELSE k${bands - 1} END"
       s"""WITH $vecNormCte,
-         |vb AS (SELECT vn.*, $bucketExpr AS bucket FROM vn)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  round(${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")}, 6) AS cos
-         |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")} >= ${graft.operators.Ann.NearDupCos}
-         |ORDER BY vec_a, vec_b""".stripMargin,
+         |sig AS (SELECT vec_id, embedding, norm,
+         |  $keyCols
+         |  FROM vn),
+         |banded AS (
+         |  SELECT vec_id, embedding, norm, band, $keyCase AS key
+         |  FROM sig, unnest(range($bands)) t(band)
+         |),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")} AS cos_raw
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+         |)
+         |SELECT DISTINCT vec_a, vec_b, round(cos_raw, 6) AS cos
+         |FROM cand WHERE cos_raw >= ${graft.operators.Ann.NearDupCos}
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "ann_topk" ->
       s"""${annTopkSql(bucketed = false)}

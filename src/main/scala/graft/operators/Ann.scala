@@ -90,9 +90,15 @@ object Ann {
     * md5(s"$plane_$dim") is even — identical derivation in the oracle
     * SQL, so buckets agree bit-for-bit.
     */
-  def planeWeights: Seq[Seq[Double]] = {
+  def planeWeights: Seq[Seq[Double]] = planeWeightsN(Planes)
+
+  /** [[planeWeights]] for the first `n` plane indices — the near-dup
+    * banding draws 64 planes from the same md5 stream, so plane p is
+    * identical wherever it appears.
+    */
+  def planeWeightsN(n: Int): Seq[Seq[Double]] = {
     val md = MessageDigest.getInstance("MD5")
-    (0 until Planes).map { p =>
+    (0 until n).map { p =>
       (0 until 64).map { d =>
         md.reset()
         val hex = md.digest(s"${p}_$d".getBytes(StandardCharsets.UTF_8))
@@ -260,26 +266,82 @@ object Ann {
         round(col("dist_q").cast("double") / PqFix, 6).as("dist"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join
-    * (same no-all-pairs shape as text MinHash), exact cosine verify,
-    * high threshold. The fifth dedup modality — catches semantic
+  /** Embedding-cosine near-duplicate pairs: BANDED hyperplane-LSH
+    * self-join (same no-all-pairs shape as text MinHash / SimHash),
+    * exact cosine verify. The fifth dedup modality — catches semantic
     * near-dups that text shingles miss.
+    *
+    * Band width is the SCALE lever (the [[Dedup.simhashPairs]]
+    * lesson): [[NearDupBands]] independent bands of
+    * [[NearDupBandPlanes]] planes give 65,536 keys PER BAND, so the
+    * per-band keyspace keeps growing with the corpus — where a single
+    * 8-plane bucket caps at 256 buckets TOTAL and the within-bucket
+    * self-join goes quadratic past ~10⁶ vectors (a spec pins the
+    * cardinality so that shape cannot return). Bands count is the
+    * RECALL lever: a pair at cosine c collides on one 16-plane band
+    * with probability (1 − θ/π)¹⁶, so near-identical vectors
+    * (cos ≥ 0.99) are found with ≥99% probability at 4 bands while
+    * unrelated vectors almost never collide — the candidate set stays
+    * linear in the corpus. AnnSpec pins the planted-dup recall.
     */
   val NearDupCos = 0.3
+  val NearDupBands = 4
+  val NearDupBandPlanes = 16
+
+  /** (vec_id, embedding, norm, k0..k3): one 16-bit key per band, key b
+    * = sign bits of planes [16b, 16b+16). The 64 CASE/float_dot terms
+    * are UNROLLED (no higher-order functions): `float_dot` is a
+    * codegen'd expression, so the whole signature stays inside
+    * whole-stage codegen — an `aggregate()` fold here would run 64
+    * interpreted lambda steps per row.
+    */
+  def nearDupSignature(emb: DataFrame): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val planes = typedLit(
+      planeWeightsN(NearDupBands * NearDupBandPlanes).map(_.map(_.toFloat)))
+    val keys = (0 until NearDupBands).map { b =>
+      val terms = (0 until NearDupBandPlanes).map { p =>
+        val i = b * NearDupBandPlanes + p
+        s"(CASE WHEN float_dot(element_at(planes, ${i + 1}), embedding) >= 0 " +
+          s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      expr(terms).as(s"k$b")
+    }
+    emb
+      .withColumn("planes", planes)
+      .select(Seq(col("vec_id"), col("embedding"), col("norm")) ++ keys: _*)
+  }
+
+  /** (vec_id, band, key) bucket rows of [[nearDupSignature]] — the
+    * spec pins that the (band, key) cardinality grows with the corpus.
+    */
+  def nearDupBanded(emb: DataFrame): DataFrame =
+    nearDupSignature(withNorm(emb)).select(
+      col("vec_id"),
+      posexplode(array((0 until NearDupBands).map(b => col(s"k$b")): _*))
+        .as(Seq("band", "key")))
 
   def embNearDup(emb: DataFrame): DataFrame = {
-    val corpus = withBucket(withNorm(emb))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"))
-    corpus.as("a")
-      .join(corpus.as("b"), expr("a.bucket = b.bucket AND a.vec_id < b.vec_id"))
+    val sig = CacheScope.persist(nearDupSignature(withNorm(emb)))
+    val banded = sig.select(
+      col("vec_id"),
+      col("embedding"),
+      col("norm"),
+      posexplode(array((0 until NearDupBands).map(b => col(s"k$b")): _*))
+        .as(Seq("band", "key")))
+    banded.as("a")
+      .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id"))
       .withColumn(
         "cos_raw",
         expr("float_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")))
+      // cos is a pure function of the pair, so filtering BEFORE the
+      // dedup shuffle is equivalent — and ships only the near-dup pairs
       .filter(col("cos_raw") >= NearDupCos)
       .select(
         col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
         round(col("cos_raw"), 6).as("cos"))
+      .distinct()
   }
 
   /** k-NN label vote on the brute-force neighbors: majority label of the
@@ -364,8 +426,10 @@ object Ann {
       .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray).toArray
     // the codebook holds whatever centroid vectors the corpus actually
     // provides (a filtered/re-keyed table can carry fewer than PqK):
-    // iterate the REAL count — the oracle twin's `vec_id < PqK` set
-    // shrinks identically — instead of indexing past the array
+    // iterate the REAL count instead of indexing past the array. Codes
+    // are POSITIONS into the c_id-sorted centroid array on both
+    // engines (the oracle twin ranks its centroid set the same way),
+    // so labels agree even when the surviving c_ids are non-contiguous
     require(cents.nonEmpty,
       s"PQ codebook is empty: the corpus has no vectors with vec_id < $PqK to serve as centroids")
     val (pm, pk, ps) = (PqM, cents.length, PqSub)
@@ -436,9 +500,12 @@ object Ann {
   private def pqProbes(codebook: DataFrame, queries: DataFrame): DataFrame =
     queries.select(col("q_id"), col("embedding").as("qe"))
       .crossJoin(broadcast(codebook))
+      // size(cents), not the PqK constant: a filtered/re-keyed corpus
+      // can carry fewer centroids, and the dtable must stay positional
+      // over the REAL array (codes index it) — never past its end
       .select(col("q_id"), expr(
         s"""transform(sequence(0, ${PqM - 1}), m ->
-           |  transform(sequence(0, ${PqK - 1}), k ->
+           |  transform(sequence(0, size(cents) - 1), k ->
            |    CAST(round(${pqD2("qe")} * $PqFix) AS BIGINT)))""".stripMargin).as("dtable"))
 
   /** The ADC scan: (q_id, vec_id, dist_q) for every query x corpus

@@ -51,6 +51,13 @@ object CacheScope {
     * a cheap materialized artifact (e.g. a checkpointed edge list)
     * supersedes them, instead of holding storage memory until the whole
     * query finishes.
+    *
+    * The scope-exit survivor check sees only frames registered THROUGH
+    * CacheScope: a plan-equal DataFrame the caller persisted directly
+    * (plain `.persist()`) is not protected — `Dataset.unpersist` evicts
+    * by plan equality, so scope exit would drop the caller's cache
+    * entry too. Callers mixing raw persists with scoped operators
+    * should register those frames via [[persist]] instead.
     */
   def withScope[T](body: => T): T = {
     val q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

@@ -160,7 +160,10 @@ object Corpus {
     // reading them.
     val conf = docs.sparkSession.conf
     val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    val prevPf = scala.util.Try(conf.get(pfKey)).toOption
+    // getAll holds only EXPLICITLY-set session confs (conf.get would
+    // resolve the registered default, so restore could never unset): an
+    // unset key is restored to unset, a set key to its exact value
+    val prevPf = conf.getAll.get(pfKey)
     conf.set(pfKey, "false")
     val labels = try {
       // init IS the first propagation round: label = min(self, neighbors)

@@ -101,6 +101,29 @@ class IvfRecallSpec extends AnyFunSuite {
       f"IVF-PQ same-cluster agreement $agree%.3f < 0.9 — probed lists must cover the query's cluster")
   }
 
+  test("banded near-dup LSH finds planted near-identical pairs") {
+    // The recall contract of embNearDup's 4x16-plane banding: a pair at
+    // cosine c collides on one 16-plane band with probability
+    // (1 - theta/pi)^16, so near-identical vectors (cos >= 0.999, the
+    // semantic-dup shape the operator exists for) are found with >= 99%
+    // probability while unrelated gaussian vectors almost never collide.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(300, 64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 300).map(i => (i.toLong, base(i), 0L)) ++
+      (0 until 300).map { i =>
+        val copy = base(i).map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+        ((1000 + i).toLong, copy, 0L)
+      }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val found = Ann.embNearDup(emb).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 300).map(i => (i.toLong, (1000 + i).toLong)).toSet
+    val recall = (planted intersect found).size.toDouble / planted.size
+    assert(recall >= 0.8, f"banded LSH planted-dup recall $recall%.3f < 0.8")
+  }
+
   test("trained codebook beats the deterministic first-K stand-in on clustered data") {
     val emb = plantedClusters
     def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {

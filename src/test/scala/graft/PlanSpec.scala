@@ -59,6 +59,19 @@ class PlanSpec extends AnyFunSuite {
     assert(distinctKeys > 1200, s"band keyspace degenerate: $distinctKeys distinct (band, key)")
   }
 
+  test("emb near-dup band keys grow with the corpus (no 256-bucket ceiling)") {
+    // The same scale-killer class as the round-4 simhash fix: a single
+    // 8-plane bucket caps at 256 buckets TOTAL, independent of corpus
+    // size, so the within-bucket self-join goes quadratic past ~10^6
+    // vectors. Four 16-plane bands give 65,536 keys per band; 500
+    // vectors must spread past any 8-bit scheme's mathematical ceiling
+    // of 4 x 256 = 1,024 (band, key) values.
+    val emb = TestSpark.spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val distinctKeys = graft.operators.Ann.nearDupBanded(emb)
+      .select("band", "key").distinct().count()
+    assert(distinctKeys > 1024, s"band keyspace degenerate: $distinctKeys distinct (band, key)")
+  }
+
   test("doc_pack: corpus cumsum partitions by bucket; offsets broadcast") {
     val p = plan("doc_pack")
     assert(p.contains("hashpartitioning(bucket"),
