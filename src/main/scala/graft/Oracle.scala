@@ -400,8 +400,13 @@ object Oracle {
     * shared by `doc_quality` and the `doc_keep_mask` composite so the
     * two can never disagree on a document's score.
     */
-  private val qualitySelect: String =
-    """SELECT doc_id, n_chars,
+  private val qualitySelect: String = {
+    // stopword counts generated from the SAME vocabulary the Spark
+    // operator broadcasts, so the two sides cannot drift
+    val nstop = TextStats.StopWords
+      .map(w => s"len(list_filter(string_split(text, ' '), x -> x = '$w'))")
+      .mkString("\n    + ")
+    s"""SELECT doc_id, n_chars,
       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
       |  round(CAST(nstop AS DOUBLE) / ntok, 6) AS stopword_ratio,
       |  round(CAST(punct AS DOUBLE) / length(text), 6) AS punct_ratio,
@@ -411,17 +416,12 @@ object Oracle {
       |        * least(1.0, CAST(nstop AS DOUBLE) / ntok * 5 + 0.5), 6) AS quality
       |FROM (
       |  SELECT *, len(string_split(text, ' ')) AS ntok,
-      |    len(list_filter(string_split(text, ' '), x -> x = 'the'))
-      |    + len(list_filter(string_split(text, ' '), x -> x = 'a'))
-      |    + len(list_filter(string_split(text, ' '), x -> x = 'of'))
-      |    + len(list_filter(string_split(text, ' '), x -> x = 'and'))
-      |    + len(list_filter(string_split(text, ' '), x -> x = 'is'))
-      |    + len(list_filter(string_split(text, ' '), x -> x = 'to'))
-      |    + len(list_filter(string_split(text, ' '), x -> x = 'in')) AS nstop,
+      |    $nstop AS nstop,
       |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS punct,
       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
       |  FROM documents
       |)""".stripMargin
+  }
 
   /** Language-ID twin generated from the SAME marker table the Spark
     * operator uses, so the two sides cannot drift.
@@ -1167,6 +1167,31 @@ object Oracle {
          |$decontCtes
          |SELECT doc_id, n_shingles, n_matched, contamination, contaminated
          |FROM dec
+         |ORDER BY doc_id""".stripMargin,
+
+    // external-benchmark variant: the benchmark is its own frame (the
+    // `% ExtBenchMod` slice stands in for an eval-suite table; slicing
+    // the per-doc shingles == shingling the slice), and the corpus is
+    // the FULL documents table — benchmark members score 1.0
+    "doc_decontaminate_ext" ->
+      s"""WITH $shinglesCte,
+         |bsh AS (SELECT DISTINCT shingle FROM sh
+         |        WHERE doc_id % ${Queries.ExtBenchMod} = 0),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |      FROM sh GROUP BY doc_id),
+         |mt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+         |       FROM sh JOIN bsh USING (shingle) GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_matched,
+         |  round(CAST(n_matched AS DOUBLE) / greatest(n_shingles, 1), 6) AS contamination,
+         |  round(CAST(n_matched AS DOUBLE) / greatest(n_shingles, 1), 6)
+         |    >= ${graft.operators.Corpus.ContaminationThreshold} AS contaminated
+         |FROM (
+         |  SELECT d.doc_id, coalesce(c.n_shingles, 0) AS n_shingles,
+         |         coalesce(mt.n_matched, 0) AS n_matched
+         |  FROM documents d
+         |  LEFT JOIN c USING (doc_id)
+         |  LEFT JOIN mt USING (doc_id)
+         |)
          |ORDER BY doc_id""".stripMargin,
 
     // the one-job curation composite: same label and contamination CTEs

@@ -27,14 +27,6 @@ object TextStats {
       round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("w")), 6).as("avg_token_len"),
       round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6).as("ttr"))
 
-  /** Occurrence count of one marker word in a pre-split words column —
-    * the array is materialized ONCE per row (projected as `w`); counting
-    * against `split(text, ...)` inline would re-tokenize per marker
-    * (20 splits/row in [[langId]]).
-    */
-  private def occurrences(word: String): Column =
-    size(expr(s"filter(w, x -> x = '$word')"))
-
   /** Marker words per language for the n-gram-heuristic language ID.
     * Tiny by design: the operator shape (score -> argmax) is what
     * matters; swap in real frequency tables for production corpora.
@@ -45,16 +37,44 @@ object TextStats {
     "es" -> Seq("el", "los", "de", "y", "es"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
+  /** Per-doc occurrence counts of a marker vocabulary, as one
+    * words-explode + BROADCAST marker join + doc-keyed pivot — the
+    * [[Corpus.unigramLogProb]] shape. A per-row HOF `filter(w, x -> x =
+    * marker)` per marker evaluates interpreted lambdas outside
+    * whole-stage codegen, and its cost multiplies by the marker count —
+    * 20 lambdas/row at this toy table, hundreds at a production
+    * frequency table. Here the text tokenizes once, the join is a
+    * broadcast hash probe per word, and the aggregate combines
+    * map-side, so the marker-table size costs nothing per row.
+    *
+    * Returns one row per doc that contains >= 1 marker: (doc_id,
+    * cnt_<group> for each marker group). Docs with no markers are
+    * absent — callers left-join and coalesce to 0.
+    */
+  private def markerCounts(docs: DataFrame, groups: Seq[(String, Seq[String])]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = groups.flatMap { case (g, ws) => ws.map(w => (w, g)) }.toDF("word", "mgroup")
+    val aggs = groups.map { case (g, _) =>
+      sum(when(col("mgroup") === g, 1).otherwise(0)).cast("int").as(s"cnt_$g")
+    }
+    docs.select(col("doc_id"), explode(words).as("word"))
+      .join(broadcast(markers), "word")
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Language ID: per-language marker-occurrence scores and the argmax
     * (ties resolve in Markers order; all-zero -> "und" = undetermined).
     */
   def langId(docs: DataFrame): DataFrame = {
-    val scored = Markers.foldLeft(
-      docs.select(col("doc_id"), words.as("w"), col("lang"))) {
-      case (df, (lang, ms)) =>
-        df.withColumn(s"score_$lang", ms.map(occurrences).reduce(_ + _))
-    }
     val langs = Markers.map(_._1)
+    val counts = markerCounts(docs, Markers)
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(
+        Seq(col("doc_id"), col("lang")) ++
+          langs.map(l => coalesce(col(s"cnt_$l"), lit(0)).as(s"score_$l")): _*)
     val predicted = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), acc) =>
       val beatsLater = langs.drop(i + 1).map(o => col(s"score_$lang") >= col(s"score_$o"))
       val cond = (col(s"score_$lang") > 0) && beatsLater.foldLeft(lit(true))(_ && _)
@@ -67,28 +87,35 @@ object TextStats {
           col("predicted") :+ (col("predicted") === col("lang")).as("agrees"): _*)
   }
 
+  /** Stopword vocabulary for [[quality]]'s stopword ratio. */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
   /** Quality scoring: length, punctuation/digit/stopword ratios, and a
     * composite [0,1] score (longer, cleaner, stopword-bearing text
-    * scores higher — the usual pretraining heuristics).
+    * scores higher — the usual pretraining heuristics). The stopword
+    * count rides the same compiled [[markerCounts]] shape as [[langId]]
+    * (one explode + broadcast join), not 7 interpreted HOF filters per
+    * row; the char-class ratios stay pure per-row regex projections.
     */
   def quality(docs: DataFrame): DataFrame = {
     val nTokens = size(col("w"))
-    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
-    val nStop = stop.map(occurrences).reduce(_ + _)
+    val nStop = coalesce(col("cnt_stop"), lit(0))
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
     val digits = length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
-    docs.select(col("doc_id"), col("n_chars"), col("text"), words.as("w")).select(
-      col("doc_id"),
-      col("n_chars"),
-      nTokens.as("n_tokens"),
-      round(nStop.cast("double") / nTokens, 6).as("stopword_ratio"),
-      round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
-      round(digits.cast("double") / length(col("text")), 6).as("digit_ratio"),
-      round(
-        least(lit(1.0), nTokens.cast("double") / 50) *
-          (lit(1.0) - punct.cast("double") / length(col("text"))) *
-          least(lit(1.0), nStop.cast("double") / nTokens * 5 + 0.5),
-        6).as("quality"))
+    docs.select(col("doc_id"), col("n_chars"), col("text"), words.as("w"))
+      .join(markerCounts(docs, Seq("stop" -> StopWords)), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        nTokens.as("n_tokens"),
+        round(nStop.cast("double") / nTokens, 6).as("stopword_ratio"),
+        round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
+        round(digits.cast("double") / length(col("text")), 6).as("digit_ratio"),
+        round(
+          least(lit(1.0), nTokens.cast("double") / 50) *
+            (lit(1.0) - punct.cast("double") / length(col("text"))) *
+            least(lit(1.0), nStop.cast("double") / nTokens * 5 + 0.5),
+          6).as("quality"))
   }
 
   /** Deterministic dataset splitting: hash-bucket each document by
