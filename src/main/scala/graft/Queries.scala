@@ -501,6 +501,24 @@ object Queries {
   def docDecontaminate(s: SparkSession, dir: String): DataFrame =
     Corpus.decontaminate(docs(s, dir)).orderBy("doc_id")
 
+  /** Every ExtBenchMod-th document plays the EXTERNAL benchmark table
+    * in [[docDecontaminateExt]] — deliberately a different slice than
+    * the stand-in path's `% 29`, so the two registry rows exercise
+    * different overlap sets.
+    */
+  val ExtBenchMod = 7
+
+  /** Decontamination against an external benchmark frame (the
+    * production shape: eval suites are their own table). The corpus is
+    * the FULL documents table — corpus members of the benchmark come
+    * back contamination 1.0, the leak the operator exists to flag.
+    */
+  def docDecontaminateExt(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Corpus.decontaminate(d, d.filter(col("doc_id") % ExtBenchMod === 0))
+      .orderBy("doc_id")
+  }
+
   /** One-job curation composite: clustering + decontamination off ONE
     * shared shingle explode, with the combined keep verdict.
     */
@@ -819,6 +837,7 @@ object Queries {
     "doc_chunk" -> (docChunk _),
     "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_decontaminate" -> (docDecontaminate _),
+    "doc_decontaminate_ext" -> (docDecontaminateExt _),
     "doc_pipeline" -> (docPipeline _),
     "doc_boilerplate" -> (docBoilerplate _),
     "doc_pack" -> (docPack _),

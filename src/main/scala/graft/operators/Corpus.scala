@@ -253,12 +253,47 @@ object Corpus {
     decontaminateFromShingles(docs, CacheScope.persist(Dedup.shingles(docs)))
 
   /** [[decontaminate]] over an already-persisted (doc_id, shingle)
-    * frame — the shared-explode entry point.
+    * frame — the shared-explode entry point. The `% BenchmarkMod` split
+    * carves the stand-in benchmark out of the corpus itself; the
+    * overlap math is [[decontaminateAgainst]], shared with the
+    * external-table path.
     */
   def decontaminateFromShingles(docs: DataFrame, sh: DataFrame): DataFrame = {
     val benchSh = sh.filter(col("doc_id") % BenchmarkMod === 0)
       .select("shingle").distinct()
-    val corpusSh = sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+    decontaminateAgainst(
+      docs.filter(col("doc_id") % BenchmarkMod =!= 0),
+      sh.filter(col("doc_id") % BenchmarkMod =!= 0),
+      benchSh)
+  }
+
+  /** Decontamination against a REAL external benchmark table — what a
+    * production pipeline runs: eval suites are their own tables, not a
+    * doc_id slice of the corpus. `benchDocs` needs (doc_id, text); it
+    * is shingled with the same [[Dedup.shingles]] construction as the
+    * corpus, so overlap is apples-to-apples. Every document of `docs`
+    * is scored (no `% BenchmarkMod` carve-out — a corpus doc that IS a
+    * benchmark doc comes back contamination 1.0, which is exactly the
+    * leak the operator exists to flag).
+    *
+    * Same scale shape as the stand-in path: the distinct benchmark
+    * shingle set is tiny relative to the corpus (eval suites are MBs,
+    * corpora are TBs), so it broadcasts and the corpus side never
+    * shuffles for the probe.
+    */
+  def decontaminate(docs: DataFrame, benchDocs: DataFrame): DataFrame =
+    decontaminateAgainst(
+      docs,
+      CacheScope.persist(Dedup.shingles(docs)),
+      Dedup.shingles(benchDocs).select("shingle").distinct())
+
+  /** The shared overlap math: per-doc shingle counts, matches against
+    * the broadcast benchmark shingle set, contamination ratio + flag.
+    */
+  private def decontaminateAgainst(
+      corpusDocs: DataFrame,
+      corpusSh: DataFrame,
+      benchSh: DataFrame): DataFrame = {
     val counts = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val matched = corpusSh
       .join(broadcast(benchSh), "shingle")
@@ -266,7 +301,7 @@ object Corpus {
       .agg(count(lit(1)).as("n_matched"))
     val contamination = round(
       col("n_matched").cast("double") / greatest(col("n_shingles"), lit(1L)), 6)
-    docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+    corpusDocs
       .select(col("doc_id"))
       .join(counts, Seq("doc_id"), "left")
       .join(matched, Seq("doc_id"), "left")

@@ -143,6 +143,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(32L).getLong(1) == 0L && out(32L).getDouble(3) == 0.0 && !out(32L).getBoolean(4))
   }
 
+  test("decontaminate(docs, benchDocs): external path agrees with the corpus-derived stand-in") {
+    // Splitting the same fixture by `% BenchmarkMod` and feeding the
+    // two halves through the external-table overload must reproduce the
+    // stand-in path exactly — the overlap math is shared, only the
+    // benchmark's origin differs.
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val all = docsDf(Seq(
+      (29L, txt, "en", "web"),
+      (30L, txt, "en", "web"),
+      (31L, "completely different words with zero overlap whatsoever here now", "en", "web"),
+      (32L, "to short", "en", "web")))
+    val mod = Corpus.BenchmarkMod
+    val standIn = Corpus.decontaminate(all)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val external = Corpus.decontaminate(
+      all.filter(col("doc_id") % mod =!= 0),
+      all.filter(col("doc_id") % mod === 0))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(external == standIn)
+  }
+
+  test("decontaminate(docs, benchDocs): a corpus doc that IS a benchmark doc scores 1.0") {
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = docsDf(Seq(
+      (1L, txt, "en", "web"),
+      (2L, "completely different words with zero overlap whatsoever here now", "en", "web")))
+    val bench = docsDf(Seq((100L, txt, "en", "web")))
+    val out = Corpus.decontaminate(docs, bench)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 1.0 && out(1L).getBoolean(4))
+    assert(out(2L).getLong(2) == 0L && !out(2L).getBoolean(4))
+  }
+
   test("docPipeline: one shared explode yields cluster labels, contamination, and keep verdict") {
     val txt = "the quick brown fox jumps over the lazy dog again and again"
     val out = Corpus.docPipeline(docsDf(clusterFixture ++ Seq(
