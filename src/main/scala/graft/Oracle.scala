@@ -796,12 +796,21 @@ object Oracle {
     s"""list_sum(list_transform(list_zip($a, $b),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / ($na * $nb)""".stripMargin
 
-  /** IVF CTEs twin of [[graft.operators.Ann.ivfAssign]]/ivfTopK. */
-  private val ivfCtes: String =
+  /** The deterministic stand-in codebook CTE (first IvfK corpus
+    * vectors) — twin of [[graft.operators.Ann.firstKCentroids]].
+    */
+  private val firstKCentCte: String =
     s"""cent AS (
        |  SELECT vec_id AS c_id, embedding AS ce, norm AS cnorm
        |  FROM vn WHERE vec_id < ${graft.operators.Ann.IvfK}
-       |),
+       |)""".stripMargin
+
+  /** IVF CTEs twin of [[graft.operators.Ann.ivfAssign]]/ivfTopK,
+    * parameterized by the codebook CTE so the trained-codebook twin
+    * ([[annIvfKmeansSql]]) shares the assignment/probe logic.
+    */
+  private def ivfCtes(centCte: String = firstKCentCte): String =
+    s"""$centCte,
        |asg AS (
        |  SELECT vec_id, embedding, norm, c_id FROM (
        |    SELECT vn.vec_id, vn.embedding, vn.norm, c.c_id,
@@ -830,7 +839,7 @@ object Oracle {
 
     "ann_ivf" ->
       s"""WITH $vecNormCte,
-         |$ivfCtes,
+         |${ivfCtes()},
          |scored AS (
          |  SELECT p.q_id, a.vec_id,
          |    ${cosSql("p.qe", "a.embedding", "p.qnorm", "a.norm")} AS cos_raw
@@ -846,7 +855,7 @@ object Oracle {
 
     "ann_ivf_lists" ->
       s"""WITH $vecNormCte,
-         |$ivfCtes
+         |${ivfCtes()}
          |SELECT c_id, CAST(count(*) AS BIGINT) AS n_vecs
          |FROM asg GROUP BY c_id ORDER BY c_id""".stripMargin,
 
@@ -905,7 +914,7 @@ object Oracle {
     // pruned by the optimizer)
     "ann_ivfpq" ->
       s"""WITH $vecNormCte,
-         |$ivfCtes,
+         |${ivfCtes()},
          |$pqAdcCtes,
          |ivfpq AS (
          |  SELECT p.q_id, a.vec_id, CAST(sum(qd.dq) AS BIGINT) AS dist_q
@@ -1207,6 +1216,52 @@ object Oracle {
          |       (l.doc_id = l.cluster AND NOT dec.contaminated) AS keep
          |FROM lab l JOIN sz USING (cluster) JOIN dec USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // the complete curation verdict: label/contamination CTEs shared
+    // with the standalone twins, quality from qualitySelect, PII and
+    // repetition inlined — reason precedence mirrored branch for branch
+    "doc_pipeline_full" -> {
+      val email = TextStats.EmailRe
+      val num = TextStats.LongNumRe
+      val reason =
+        s"""CASE WHEN l.doc_id <> l.cluster THEN 'dup'
+           |       WHEN dec.contaminated THEN 'contaminated'
+           |       WHEN q.n_tokens < ${TextStats.MinTokens} THEN 'too_short'
+           |       WHEN q.quality < ${TextStats.QualityMin} THEN 'low_quality'
+           |       WHEN rep.top_bigram_frac >= ${graft.operators.Corpus.RepetitionMax} THEN 'repetitive'
+           |       ELSE 'keep' END""".stripMargin
+      s"""WITH RECURSIVE $nearDupCtes,
+         |$clusterLabelCtes,
+         |$decontCtes,
+         |q AS ($qualitySelect),
+         |pii AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+         |    CAST(len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num')) AS INTEGER) AS n_longnums
+         |  FROM documents
+         |),
+         |${ngramCte(2, "bg", "bigram", distinct = false)},
+         |bgc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM bg GROUP BY doc_id, bigram),
+         |rep AS (
+         |  SELECT d.doc_id,
+         |    round(CAST(coalesce(a.top, 0) AS DOUBLE)
+         |          / greatest(coalesce(a.nb, 0), 1), 6) AS top_bigram_frac
+         |  FROM documents d LEFT JOIN (
+         |    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nb, CAST(max(cnt) AS BIGINT) AS top
+         |    FROM bgc GROUP BY doc_id) a USING (doc_id)
+         |)
+         |SELECT l.doc_id, l.cluster, sz.cluster_size,
+         |  l.doc_id = l.cluster AS is_canonical,
+         |  dec.contamination, dec.contaminated,
+         |  q.n_tokens, q.quality, pii.n_emails, pii.n_longnums,
+         |  rep.top_bigram_frac,
+         |  $reason AS reason,
+         |  ($reason) = 'keep' AS keep
+         |FROM lab l JOIN sz USING (cluster) JOIN dec USING (doc_id)
+         |JOIN q USING (doc_id) JOIN pii USING (doc_id) JOIN rep USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "doc_boilerplate" ->
       s"""WITH w AS (
@@ -1633,4 +1688,48 @@ object Oracle {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
   )
+
+  /** Twins that depend on RUNTIME artifacts — today the trained KMeans
+    * codebook, which no static SQL can reproduce. Verify merges these
+    * over [[all]] when dumping oracle_sql.json: the trained centers are
+    * collected once per (session, dir) ([[Queries.kmeansCenters]]) and
+    * the SAME literal floats reach the Spark plan and the VALUES table
+    * here, so even the trained path gets a real hash row.
+    */
+  def dynamic(spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, String] =
+    Map("ann_ivf_kmeans" -> annIvfKmeansSql(Queries.kmeansCenters(spark, dir)))
+
+  /** The ann_ivf twin over a literal trained codebook. Center floats
+    * are serialized with Float.toString (shortest decimal that
+    * round-trips to the identical float, which DuckDB's DOUBLE-parse +
+    * FLOAT-cast reproduces); cnorm is recomputed with the same strict
+    * left fold as the Spark side's `sqrt(float_dot(ce, ce))`.
+    */
+  private def annIvfKmeansSql(centers: Array[(Long, Array[Float])]): String = {
+    val values = centers.map { case (id, ce) =>
+      ce.map(_.toString).mkString(s"($id, [", ", ", "]::FLOAT[])")
+    }.mkString(",\n    ")
+    val cent =
+      s"""cent AS (
+         |  SELECT c_id, ce,
+         |    sqrt(list_sum(list_transform(ce,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnorm
+         |  FROM (VALUES
+         |    $values) t(c_id, ce)
+         |)""".stripMargin
+    s"""WITH $vecNormCte,
+       |${ivfCtes(cent)},
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    ${cosSql("p.qe", "a.embedding", "p.qnorm", "a.norm")} AS cos_raw
+       |  FROM probes p JOIN asg a ON p.c_id = a.c_id AND p.q_id <> a.vec_id
+       |),
+       |rk AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |              ORDER BY cos_raw DESC, vec_id) AS INTEGER) AS rn
+       |  FROM scored
+       |)
+       |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
+       |FROM rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
+  }
 }

@@ -525,6 +525,12 @@ object Queries {
   def docPipeline(s: SparkSession, dir: String): DataFrame =
     Corpus.docPipeline(docs(s, dir)).orderBy("doc_id")
 
+  /** The complete curation verdict: clustering + decontamination +
+    * quality + PII + repetition, one reason-coded keep decision per doc.
+    */
+  def docPipelineFull(s: SparkSession, dir: String): DataFrame =
+    Corpus.docPipelineFull(docs(s, dir)).orderBy("doc_id")
+
   /** Corpus-level boilerplate removal (segment-df scrub) with audit. */
   def docBoilerplate(s: SparkSession, dir: String): DataFrame =
     Corpus.stripBoilerplate(docs(s, dir)).orderBy("doc_id")
@@ -579,6 +585,28 @@ object Queries {
 
   private def embs(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 
+  /** Trained-codebook cache: the KMeans fit is seeded, but the SAME
+    * literal centers must reach both the Spark query and the DuckDB
+    * twin (Oracle.dynamic materializes them as a VALUES table) — a
+    * refit under different parallelism could drift in the last ulp and
+    * flip a near-tie assignment. Collected once per (session, dir):
+    * K vectors, index metadata, not data. Same WeakHashMap keying as
+    * the daily cache (session identity; entries die with the session).
+    */
+  private val kmeansCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[(Long, Array[Float])]]]()
+
+  def kmeansCenters(s: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    kmeansCache.synchronized {
+      val perSession = kmeansCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, Array[(Long, Array[Float])]])
+      perSession.getOrElseUpdate(
+        dir,
+        Ann.kmeansCentroids(embs(s, dir)).select("c_id", "ce").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1))
+    }
+
   /** Brute-force cosine top-K: broadcast query set vs corpus. */
   def annTopK(s: SparkSession, dir: String): DataFrame =
     Ann.cosineTopK(embs(s, dir)).orderBy("q_id", "rn")
@@ -592,13 +620,18 @@ object Queries {
     Ann.ivfTopK(embs(s, dir)).orderBy("q_id", "rn")
 
   /** IVF with an MLlib-KMeans-trained codebook — the production path
-    * (the deterministic first-K stand-in keeps the oracle row;
-    * IvfRecallSpec pins this path's recall against brute force).
-    * Rows-only: a trained model has no cross-engine SQL twin.
+    * (IvfRecallSpec pins its recall against brute force). The trained
+    * centers are collected once ([[kmeansCenters]]) and replayed into
+    * the plan AND into the DuckDB twin as a literal VALUES table
+    * (Oracle.dynamic), so even the trained path hash-matches.
     */
   def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FloatDot.register(s)
     val emb = embs(s, dir)
-    Ann.ivfTopK(emb, Ann.defaultQueries(emb), Ann.kmeansCentroids(emb))
+    import s.implicits._
+    val cents = kmeansCenters(s, dir).toSeq.toDF("c_id", "ce")
+      .withColumn("cnorm", expr("sqrt(float_dot(ce, ce))"))
+    Ann.ivfTopK(emb, Ann.defaultQueries(emb), cents)
       .orderBy("q_id", "rn")
   }
 
@@ -839,6 +872,7 @@ object Queries {
     "doc_decontaminate" -> (docDecontaminate _),
     "doc_decontaminate_ext" -> (docDecontaminateExt _),
     "doc_pipeline" -> (docPipeline _),
+    "doc_pipeline_full" -> (docPipelineFull _),
     "doc_boilerplate" -> (docBoilerplate _),
     "doc_pack" -> (docPack _),
     "doc_logprob" -> (docLogProb _),

@@ -356,6 +356,70 @@ object Corpus {
         (col("is_canonical") && !col("contaminated")).as("keep"))
   }
 
+  /** [[docPipelineFull]] drops a document whose dominant bigram claims
+    * at least this share of its bigrams. Production pipelines run
+    * ~0.18 (the Gopher repetition filter); 0.1 here so the branch is
+    * actually exercised on the synthetic corpus (whose worst doc sits
+    * at 0.17).
+    */
+  val RepetitionMax = 0.1
+
+  /** The COMPLETE keep verdict a pretraining curation job runs, as one
+    * composed plan: near-dup clustering + benchmark decontamination
+    * (both off the ONE persisted shingle explode, as [[docPipeline]]),
+    * plus quality/too-short, PII counts, and the repetition signal —
+    * one row per non-benchmark document with the verdict and the FIRST
+    * failing reason (precedence: dup > contaminated > too_short >
+    * low_quality > repetitive).
+    *
+    * The per-doc signals (quality, PII, repetition) are per-row
+    * projections or doc-keyed aggregates — they compose as plans, so
+    * Catalyst shares the documents scan across them; the expensive
+    * corpus-wide explode is the shingle one, paid once. The individual
+    * registry queries stay isolated (each oracle row exercises one
+    * operator); this is the job a production pipeline actually
+    * schedules.
+    */
+  def docPipelineFull(docs: DataFrame): DataFrame = {
+    val sh = CacheScope.persist(Dedup.shingles(docs))
+    // same scoping as docPipeline: the clustering stage's minhash and
+    // verified-pair persists release when the edge checkpoint
+    // materializes; the shared `sh` is registered globally above
+    val clusters = CacheScope.withScope {
+      dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+    }
+    val decon = decontaminateFromShingles(docs, sh)
+      .select(col("doc_id"), col("contamination"), col("contaminated"))
+    val q = TextStats.quality(docs).select(col("doc_id"), col("n_tokens"), col("quality"))
+    val pii = TextStats.piiScrub(docs).select(col("doc_id"), col("n_emails"), col("n_longnums"))
+    val rep = TextStats.repetition(docs).select(col("doc_id"), col("top_bigram_frac"))
+    val reason = when(!col("is_canonical"), "dup")
+      .when(col("contaminated"), "contaminated")
+      .when(col("n_tokens") < TextStats.MinTokens, "too_short")
+      .when(col("quality") < TextStats.QualityMin, "low_quality")
+      .when(col("top_bigram_frac") >= RepetitionMax, "repetitive")
+      .otherwise("keep")
+    // inner join to decon: benchmark docs are excluded from the verdict
+    clusters.join(decon, "doc_id")
+      .join(q, "doc_id")
+      .join(pii, "doc_id")
+      .join(rep, "doc_id")
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("cluster_size"),
+        col("is_canonical"),
+        col("contamination"),
+        col("contaminated"),
+        col("n_tokens"),
+        col("quality"),
+        col("n_emails"),
+        col("n_longnums"),
+        col("top_bigram_frac"),
+        reason.as("reason"),
+        (reason === "keep").as("keep"))
+  }
+
   /** [[stripBoilerplate]] segment width (words) and the document
     * frequency at which a segment counts as boilerplate.
     */

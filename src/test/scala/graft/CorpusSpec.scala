@@ -197,6 +197,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(!out(2L).getBoolean(8) && !out(3L).getBoolean(8) && !out(30L).getBoolean(8))
   }
 
+  test("docPipelineFull: the complete verdict applies reason precedence per document") {
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val out = Corpus.docPipelineFull(docsDf(clusterFixture ++ Seq(
+      (29L, txt, "en", "web"), // benchmark doc (29 % 29 == 0)
+      (30L, txt, "en", "web")))) // verbatim copy: dup AND contaminated -> dup wins
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(29L), "benchmark docs are excluded from the verdict")
+    def reason(id: Long) = out(id).getString(out(id).fieldIndex("reason"))
+    def keep(id: Long) = out(id).getBoolean(out(id).fieldIndex("keep"))
+    assert(reason(2L) == "dup" && !keep(2L))
+    assert(reason(3L) == "dup")
+    assert(reason(30L) == "dup", "dup precedes contaminated in the precedence order")
+    assert(out(30L).getBoolean(out(30L).fieldIndex("contaminated")))
+    assert(reason(9L) == "too_short", "'tiny' is 1 token")
+    // canonical, clean, long-enough docs with no stopwords fail quality
+    // (the composite runs every signal, not just the shingle-fed ones)
+    assert(reason(1L) == "low_quality" && !keep(1L))
+    assert(out.values.forall(r =>
+      r.getBoolean(r.fieldIndex("keep")) == (r.getString(r.fieldIndex("reason")) == "keep")))
+  }
+
   test("vocab: rank 1 is the highest-document-frequency word; ranks are dense") {
     val out = Corpus.vocab(docsDf(Seq(
       (1L, "apple banana", "en", "web"),
