@@ -515,6 +515,16 @@ object Oracle {
        |      CAST($a[m.m * $s + j + 1] AS DOUBLE) * CAST($b[m.m * $s + j + 1] AS DOUBLE)))""".stripMargin
   }
 
+  /** Subspace squared-L2 between two named lists (the residual-PQ
+    * dtable twin) — same fold shape as [[pqD2Sql]].
+    */
+  private def pqD2Sql2(a: String, b: String): String = {
+    val s = graft.operators.Ann.PqSub
+    s"""list_sum(list_transform(range($s), j ->
+       |      (CAST($a[m.m * $s + j + 1] AS DOUBLE) - CAST($b[m.m * $s + j + 1] AS DOUBLE))
+       |      * (CAST($a[m.m * $s + j + 1] AS DOUBLE) - CAST($b[m.m * $s + j + 1] AS DOUBLE))))""".stripMargin
+  }
+
   /** PQ codebook + per-vector codes, twin of [[graft.operators.Ann
     * .pqCodebook]]/[[graft.operators.Ann.pqEncode]]: ends in
     * `pq_codes(vec_id, m, code)`. The argmin key mirrors the engine's
@@ -932,6 +942,64 @@ object Oracle {
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS INTEGER) AS rn
          |  FROM ivfpq)
          |WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
+
+    // residual IVF-PQ: per-list codebooks over v - centroid (stand-in:
+    // each list's first PqK members' residuals, code = rank), corpus
+    // codes argmin'd against their OWN list's codebook, per-(query,
+    // probed list) dtables over the query residual — every stage
+    // mirrors ivfPqResidualTopK with the same folds and tie-breaks
+    "ann_ivfpq_residual" -> {
+      val k = graft.operators.Ann.PqK
+      val m = graft.operators.Ann.PqM
+      s"""WITH $vecNormCte,
+         |${ivfCtes()},
+         |res AS (
+         |  SELECT a.vec_id, a.c_id,
+         |    list_transform(range(64), j -> a.embedding[j + 1] - c.ce[j + 1]) AS rv
+         |  FROM asg a JOIN cent c USING (c_id)
+         |),
+         |rcb AS (
+         |  SELECT c_id, CAST(rn - 1 AS INT) AS k, rv AS cb FROM (
+         |    SELECT c_id, rv, row_number() OVER (PARTITION BY c_id ORDER BY vec_id) AS rn
+         |    FROM res)
+         |  WHERE rn <= $k
+         |),
+         |rd AS (
+         |  SELECT r.vec_id, r.c_id, m.m AS m, b.k,
+         |    ${pqDotSql("b.cb", "b.cb")}
+         |      - CAST(2 AS DOUBLE) * ${pqDotSql("r.rv", "b.cb")} AS d
+         |  FROM res r JOIN rcb b USING (c_id), range($m) m(m)
+         |),
+         |rcodes AS (
+         |  SELECT vec_id, c_id, m, k AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn FROM rd)
+         |  WHERE rn = 1
+         |),
+         |qres AS (
+         |  SELECT p.q_id, p.c_id,
+         |    list_transform(range(64), j -> p.qe[j + 1] - c.ce[j + 1]) AS qr
+         |  FROM probes p JOIN cent c USING (c_id)
+         |),
+         |qdt AS (
+         |  SELECT q.q_id, q.c_id, m.m AS m, b.k,
+         |    CAST(round(${pqD2Sql2("q.qr", "b.cb")} * 1000000000) AS BIGINT) AS dq
+         |  FROM qres q JOIN rcb b USING (c_id), range($m) m(m)
+         |),
+         |rdist AS (
+         |  SELECT qdt.q_id, rcodes.vec_id, CAST(sum(qdt.dq) AS BIGINT) AS dist_q
+         |  FROM rcodes
+         |  JOIN qdt ON qdt.c_id = rcodes.c_id AND qdt.m = rcodes.m AND qdt.k = rcodes.code
+         |  WHERE qdt.q_id <> rcodes.vec_id
+         |  GROUP BY qdt.q_id, rcodes.vec_id
+         |)
+         |SELECT q_id, rn, vec_id,
+         |  round(CAST(dist_q AS DOUBLE) / 1000000000, 6) AS dist
+         |FROM (
+         |  SELECT q_id, vec_id, dist_q,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS INTEGER) AS rn
+         |  FROM rdist)
+         |WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
+    },
 
     // banded hyperplane LSH: same 4x16-plane signature, band-keyed
     // self-join, exact-cosine verify, DISTINCT over multi-band

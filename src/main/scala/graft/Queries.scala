@@ -664,6 +664,12 @@ object Queries {
   def annIvfPq(s: SparkSession, dir: String): DataFrame =
     Ann.ivfPqTopK(embs(s, dir)).orderBy("q_id", "rn")
 
+  /** IVF-PQ with per-list RESIDUAL codebooks — codes quantize
+    * v − centroid, ADC tables build over the query residual.
+    */
+  def annIvfPqResidual(s: SparkSession, dir: String): DataFrame =
+    Ann.ivfPqResidualTopK(embs(s, dir)).orderBy("q_id", "rn")
+
   /** Embedding-cosine near-dup pairs (LSH-bucketed, cos >= 0.3). */
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     Ann.embNearDup(embs(s, dir)).orderBy("vec_a", "vec_b")
@@ -891,6 +897,7 @@ object Queries {
     "ann_pq_topk" -> (annPqTopK _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "emb_near_dup" -> (embNearDup _),
     "emb_centroids" -> (embCentroids _),
     "emb_quantize" -> (embQuantize _),

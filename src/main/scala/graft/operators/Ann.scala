@@ -266,6 +266,145 @@ object Ann {
         round(col("dist_q").cast("double") / PqFix, 6).as("dist"))
   }
 
+  // --------------------------------------------- residual (per-list) PQ
+  /** Per-list RESIDUAL codebooks: each inverted list quantizes v −
+    * centroid instead of the raw vector. Residuals are what make IVF-PQ
+    * distances sharp at high compression — the coarse quantizer already
+    * explains the between-list variance, so the 4-bit codes spend their
+    * budget on the within-list detail a shared raw codebook wastes on
+    * list offsets. Stand-in derivation (the [[firstKCentroids]]
+    * pattern): each list's codebook is the residuals of its first
+    * [[PqK]] members by vec_id, code = rank position — deterministic,
+    * so the DuckDB twin replays it and the row hash-matches; a trained
+    * per-list KMeans slots into the same (c_id, k, cb) shape.
+    *
+    * Residual elements are FLOAT subtraction (`x - y` on float is IEEE
+    * on both engines), so the residual arrays are bit-identical across
+    * engines before any double math starts.
+    */
+  def pqResidualCodebooks(lists: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("c_id").orderBy("vec_id")
+    lists
+      .join(broadcast(cents.select(col("c_id"), col("ce"))), "c_id")
+      .withColumn("rv", expr("zip_with(embedding, ce, (x, y) -> x - y)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PqK)
+      .select(col("c_id"), (col("rn") - 1).cast("int").as("k"), col("rv").as("cb"))
+  }
+
+  /** Residual-PQ encode: each vector's residual against its OWN list's
+    * centroid, argmin-coded against its OWN list's codebook (ties ->
+    * smaller k, the `c.c - 2 v.c` key of [[pqEncode]]). Same compiled
+    * `mapPartitions` kernel rationale as [[pqEncode]]; the per-list
+    * codebooks (IvfK x PqK x dims floats) and centroids are index
+    * METADATA closed over like a broadcast constant.
+    */
+  def pqEncodeResidual(lists: DataFrame, cents: DataFrame, codebooks: DataFrame): DataFrame = {
+    val spark = lists.sparkSession
+    import spark.implicits._
+    val centMap: Map[Long, Array[Float]] = cents.select("c_id", "ce").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cbMap: Map[Long, Array[Array[Float]]] = codebooks.select("c_id", "k", "cb").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1)
+      .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3) }
+    require(centMap.nonEmpty, "residual PQ needs a non-empty coarse codebook")
+    val (pm, ps) = (PqM, PqSub)
+    lists.select(col("vec_id"), col("embedding"), col("c_id"))
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions { rows =>
+        // per-list centroid self-dots are constant: hoist per partition
+        val cc: Map[Long, Array[Array[Double]]] = cbMap.map { case (c, cb) =>
+          c -> Array.tabulate(pm, cb.length) { (m, k) =>
+            var acc = 0.0; var j = 0
+            while (j < ps) { val x = cb(k)(m * ps + j).toDouble; acc += x * x; j += 1 }
+            acc
+          }
+        }
+        rows.map { case (id, v, c) =>
+          val ce = centMap(c)
+          val cb = cbMap(c)
+          val ccm = cc(c)
+          val r = new Array[Float](v.length)
+          var j = 0
+          while (j < v.length) { r(j) = v(j) - ce(j); j += 1 }
+          val codes = new Array[Int](pm)
+          var m = 0
+          while (m < pm) {
+            var best = 0
+            var bestD = Double.PositiveInfinity
+            var k = 0
+            while (k < cb.length) {
+              var vc = 0.0; var j2 = 0
+              while (j2 < ps) { vc += r(m * ps + j2).toDouble * cb(k)(m * ps + j2).toDouble; j2 += 1 }
+              val d = ccm(m)(k) - 2.0 * vc
+              if (d < bestD) { bestD = d; best = k } // strict <: ties keep the smaller k
+              k += 1
+            }
+            codes(m) = best
+            m += 1
+          }
+          (id, c, codes)
+        }
+      }
+      .toDF("vec_id", "c_id", "codes")
+  }
+
+  /** IVF-PQ with residual encoding — the sharp disk-index layout:
+    * coarse lists prune candidates ([[ivfPqTopK]]'s shape), and the ADC
+    * tables are built per (query, probed list) over the QUERY RESIDUAL
+    * against that list's codebook, so the approximate distance is
+    * ||q − centroid − code(v − centroid)||² instead of the raw-space
+    * version. Per query the scan still touches ~NProbe/IvfK of the
+    * corpus codes with zero float math against it. IvfRecallSpec pins
+    * residual >= raw neighborhood agreement at equal NProbe.
+    */
+  def ivfPqResidualTopK(emb: DataFrame): DataFrame =
+    ivfPqResidualTopK(emb, defaultQueries(emb))
+
+  def ivfPqResidualTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val cents = firstKCentroids(emb)
+    val lists = ivfAssign(emb, cents)
+    val codebooks = pqResidualCodebooks(lists, cents)
+    val codes = pqEncodeResidual(lists, cents, codebooks)
+    // one packed codebook row per list (the pqCodebook trick), so the
+    // per-(query, list) dtable builds inside one expression
+    val packed = codebooks
+      .groupBy("c_id")
+      .agg(expr("array_sort(collect_list(struct(k, cb)))").as("cents"))
+    val wq = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+    val probeLists = probeSide(queries)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(dot("qe", "ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= NProbe)
+      .select(col("q_id"), col("qe"), col("c_id"), col("ce"))
+      .withColumn("qr", expr("zip_with(qe, ce, (x, y) -> x - y)"))
+    val rd2 =
+      s"""aggregate(sequence(0, ${PqSub - 1}), CAST(0 AS DOUBLE), (acc, j) ->
+         |  acc + (CAST(qr[m * $PqSub + j] AS DOUBLE) - CAST(cents[k].cb[m * $PqSub + j] AS DOUBLE))
+         |      * (CAST(qr[m * $PqSub + j] AS DOUBLE) - CAST(cents[k].cb[m * $PqSub + j] AS DOUBLE)))""".stripMargin
+    val probes = probeLists
+      .join(broadcast(packed), "c_id")
+      .select(col("q_id"), col("c_id"), expr(
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+           |  transform(sequence(0, size(cents) - 1), k ->
+           |    CAST(round($rd2 * $PqFix) AS BIGINT)))""".stripMargin).as("dtable"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist_q").asc, col("vec_id"))
+    codes
+      .join(broadcast(probes), Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dist_q", expr(
+        (0 until PqM).map(m => s"dtable[$m][codes[$m]]").mkString(" + ")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(
+        col("q_id"),
+        col("rn"),
+        col("vec_id"),
+        round(col("dist_q").cast("double") / PqFix, 6).as("dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: BANDED hyperplane-LSH
     * self-join (same no-all-pairs shape as text MinHash / SimHash),
     * exact cosine verify. The fifth dedup modality — catches semantic

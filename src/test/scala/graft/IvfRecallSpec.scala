@@ -101,6 +101,25 @@ class IvfRecallSpec extends AnyFunSuite {
       f"IVF-PQ same-cluster agreement $agree%.3f < 0.9 — probed lists must cover the query's cluster")
   }
 
+  test("residual IVF-PQ neighborhood agreement >= raw IVF-PQ at equal NProbe") {
+    // Residual codebooks spend the code budget on within-list detail
+    // the coarse quantizer can't express; on clustered data that must
+    // be at least as good a candidate ranking as raw-space codes.
+    import org.apache.spark.sql.functions._
+    val emb = plantedClusters
+    val queries = Ann.defaultQueries(emb)
+    val labels = emb.select(col("vec_id"), col("label"))
+    def agreement(df: org.apache.spark.sql.DataFrame): Double = {
+      val j = df.join(labels, "vec_id")
+        .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+      j.filter(col("label") === col("q_label")).count().toDouble / j.count()
+    }
+    val raw = agreement(Ann.ivfPqTopK(emb, queries))
+    val residual = agreement(Ann.ivfPqResidualTopK(emb, queries))
+    assert(residual >= raw,
+      f"residual agreement $residual%.3f < raw $raw%.3f at equal NProbe")
+  }
+
   test("banded near-dup LSH finds planted near-identical pairs") {
     // The recall contract of embNearDup's 4x16-plane banding: a pair at
     // cosine c collides on one 16-plane band with probability

@@ -26,7 +26,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("near-dup and ANN queries plan no cartesian products") {
-    for (q <- Seq("doc_near_dup", "doc_simhash_pairs", "ann_lsh", "emb_near_dup", "doc_boilerplate", "doc_pipeline")) {
+    for (q <- Seq("doc_near_dup", "doc_simhash_pairs", "ann_lsh", "emb_near_dup", "doc_boilerplate", "doc_pipeline", "doc_pipeline_full")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
@@ -70,6 +70,15 @@ class PlanSpec extends AnyFunSuite {
     val distinctKeys = graft.operators.Ann.nearDupBanded(emb)
       .select("band", "key").distinct().count()
     assert(distinctKeys > 1024, s"band keyspace degenerate: $distinctKeys distinct (band, key)")
+  }
+
+  test("ann_ivfpq_residual: codes scan only probed lists; no corpus-sized cartesian") {
+    // the only nested-loop join allowed is the deliberate 16-row
+    // centroid broadcast cross (the ann_topk pattern); the codes join
+    // must be a c_id-keyed broadcast hash join, never all-pairs
+    val p = plan("ann_ivfpq_residual")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    assert(p.contains("BroadcastHashJoin"), s"probe dtables must broadcast:\n${p.take(2000)}")
   }
 
   test("doc_pack: corpus cumsum partitions by bucket; offsets broadcast") {
