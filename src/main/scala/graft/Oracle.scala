@@ -480,6 +480,33 @@ object Oracle {
     }.mkString("\n  + ")
   }
 
+  /** Banded near-dup candidate CTEs ending in `cand(vec_a, vec_b,
+    * cos_raw)` — shared by the pair twin and the semantic-cluster twin
+    * so the two can never disagree on an edge.
+    */
+  private val embNearDupCtes: String = {
+    val bands = graft.operators.Ann.NearDupBands
+    val keyCols = (0 until bands)
+      .map(b => s"${nearDupKeySql(b)} AS k$b").mkString(",\n  ")
+    val keyCase = "CASE band " +
+      (0 until bands - 1).map(b => s"WHEN $b THEN k$b").mkString(" ") +
+      s" ELSE k${bands - 1} END"
+    s"""$vecNormCte,
+       |sig AS (SELECT vec_id, embedding, norm,
+       |  $keyCols
+       |  FROM vn),
+       |banded AS (
+       |  SELECT vec_id, embedding, norm, band, $keyCase AS key
+       |  FROM sig, unnest(range($bands)) t(band)
+       |),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")} AS cos_raw
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |)""".stripMargin
+  }
+
   /** md5-derived LSH bucket twin of [[graft.operators.Ann.withBucket]]. */
   val bucketExpr: String =
     """CAST(list_sum(list_transform(range(8), p ->
@@ -1004,31 +1031,37 @@ object Oracle {
     // banded hyperplane LSH: same 4x16-plane signature, band-keyed
     // self-join, exact-cosine verify, DISTINCT over multi-band
     // collisions — mirrors embNearDup stage for stage
-    "emb_near_dup" -> {
-      val bands = graft.operators.Ann.NearDupBands
-      val keyCols = (0 until bands)
-        .map(b => s"${nearDupKeySql(b)} AS k$b").mkString(",\n  ")
-      val keyCase = "CASE band " +
-        (0 until bands - 1).map(b => s"WHEN $b THEN k$b").mkString(" ") +
-        s" ELSE k${bands - 1} END"
-      s"""WITH $vecNormCte,
-         |sig AS (SELECT vec_id, embedding, norm,
-         |  $keyCols
-         |  FROM vn),
-         |banded AS (
-         |  SELECT vec_id, embedding, norm, band, $keyCase AS key
-         |  FROM sig, unnest(range($bands)) t(band)
-         |),
-         |cand AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")} AS cos_raw
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-         |)
+    "emb_near_dup" ->
+      s"""WITH $embNearDupCtes
          |SELECT DISTINCT vec_a, vec_b, round(cos_raw, 6) AS cos
          |FROM cand WHERE cos_raw >= ${graft.operators.Ann.NearDupCos}
-         |ORDER BY vec_a, vec_b""".stripMargin
-    },
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // semantic dup-cluster twin: the same transitive-closure fixpoint
+    // as doc_dedup_clusters, over the banded embedding pair graph
+    "emb_dedup_clusters" ->
+      s"""WITH RECURSIVE $embNearDupCtes,
+         |prs AS (
+         |  SELECT DISTINCT vec_a, vec_b FROM cand
+         |  WHERE cos_raw >= ${graft.operators.Ann.NearDupCos}
+         |),
+         |e AS (
+         |  SELECT vec_a AS a, vec_b AS b FROM prs
+         |  UNION ALL
+         |  SELECT vec_b AS a, vec_a AS b FROM prs
+         |),
+         |reach(src, dst) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         |),
+         |lab AS (SELECT src AS vec_id, min(dst) AS cluster FROM reach GROUP BY src),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY cluster)
+         |SELECT l.vec_id, l.cluster, sz.cluster_size,
+         |       l.vec_id = l.cluster AS is_canonical
+         |FROM lab l JOIN sz USING (cluster)
+         |ORDER BY vec_id""".stripMargin,
 
     "ann_topk" ->
       s"""${annTopkSql(bucketed = false)}

@@ -670,9 +670,13 @@ object Queries {
   def annIvfPqResidual(s: SparkSession, dir: String): DataFrame =
     Ann.ivfPqResidualTopK(embs(s, dir)).orderBy("q_id", "rn")
 
-  /** Embedding-cosine near-dup pairs (LSH-bucketed, cos >= 0.3). */
+  /** Embedding-cosine near-dup pairs (banded LSH, cos >= 0.3). */
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     Ann.embNearDup(embs(s, dir)).orderBy("vec_a", "vec_b")
+
+  /** Semantic dup-cluster resolution over the embedding pair graph. */
+  def embDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Ann.embDedupClusters(embs(s, dir)).orderBy("vec_id")
 
   /** LSH bucket histogram (bucketing sanity + skew visibility). */
   def annBuckets(s: SparkSession, dir: String): DataFrame =
@@ -899,6 +903,7 @@ object Queries {
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "emb_near_dup" -> (embNearDup _),
+    "emb_dedup_clusters" -> (embDedupClusters _),
     "emb_centroids" -> (embCentroids _),
     "emb_quantize" -> (embQuantize _),
     "ann_buckets" -> (annBuckets _),

@@ -74,6 +74,25 @@ object ScaleBench {
           |  AS FLOAT))""".stripMargin).as("embedding"),
       (col("id") % 64).as("label"))
 
+  /** Synthetic embedding corpus for the NEAR-DUP scale probe: base
+    * values md5-derived per (id, dim) so unrelated vectors are
+    * essentially orthogonal (no accidental pairs), and every 10th
+    * vector copies its predecessor with 2% deterministic noise
+    * (cos ~ 0.9998) — n/10 - 1 planted near-dup pairs the banded LSH
+    * must surface. Generated distributedly, no driver loops.
+    */
+  def nearDupEmbeddings(spark: SparkSession, n: Long) =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr(
+        """transform(sequence(0, 63), j -> CAST(
+          |  (CAST(conv(substr(md5(concat(CAST(CASE WHEN id % 10 = 0 AND id > 0 THEN id - 1 ELSE id END AS STRING), '_', CAST(j AS STRING))), 1, 6), 16, 10) AS DOUBLE) / 8388607.5 - 1.0)
+          |  + CASE WHEN id % 10 = 0 AND id > 0
+          |    THEN 0.02 * (CAST(conv(substr(md5(concat(CAST(id AS STRING), '|', CAST(j AS STRING))), 1, 6), 16, 10) AS DOUBLE) / 8388607.5 - 1.0)
+          |    ELSE CAST(0.0 AS DOUBLE) END
+          |  AS FLOAT))""".stripMargin).as("embedding"),
+      lit(0L).as("label"))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val steps = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "1000000x200,4000000x800,10000000x2000")
@@ -135,6 +154,48 @@ object ScaleBench {
       println(
         s"""{"metric":"simhash_scale","docs":$nDocs,"pairs":$shPairs,"distinct_band_keys":$keys,"sec":$ssec}""")
     }
+    // embedding near-dup scale probe: banded hyperplane LSH + exact
+    // cosine verify over planted near-copies, then semantic cluster
+    // resolution over the surfaced pairs. The pre-banding single
+    // 8-plane bucket went O(n^2/512) here; the 4x16-plane bands must
+    // stay near-linear with a keyspace that grows alongside the corpus.
+    sys.env.get("SPARK_GRAFT_EMB_NEARDUP_VECS").map(_.toLong).foreach { nVecs =>
+      val emb = nearDupEmbeddings(spark, nVecs)
+      val t0 = System.nanoTime()
+      // pairs at the registry threshold (0.3) AND at a production
+      // near-dup threshold (0.9) in one pass: at 64 dims the cos >= 0.3
+      // tail of RANDOM pairs is itself quadratic in the corpus (the
+      // result set, not the algorithm), so the planted-copy recall is
+      // judged at 0.9 where the true set is linear
+      val byThreshold = graft.operators.Ann.embNearDup(emb)
+        .agg(
+          count(lit(1)).as("pairs"),
+          sum(when(col("cos") >= 0.9, 1L).otherwise(0L)).as("pairs90"))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.operators.CacheScope.releaseAll()
+      val keys = graft.operators.Ann.nearDupBanded(emb)
+        .select("band", "key").distinct().count()
+      println(
+        s"""{"metric":"emb_neardup_scale","vectors":$nVecs,"planted":${nVecs / 10 - 1},""" +
+          s""""pairs":${byThreshold.getLong(0)},"pairs_cos90":${byThreshold.getLong(1)},""" +
+          s""""distinct_band_keys":$keys,"sec":$sec}""")
+      // semantic cluster resolution over the HIGH-threshold edges (the
+      // production dedup decision); the 0.3 tail would weld random
+      // chains into giant components — a threshold pathology, not a
+      // clustering benchmark
+      val t1 = System.nanoTime()
+      val dups = graft.operators.Corpus.clustersFromEdges(
+        emb.select(col("vec_id").as("doc_id")),
+        graft.operators.Ann.embNearDup(emb).filter(col("cos") >= 0.9)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .filter(!col("is_canonical")).count()
+      val csec = (System.nanoTime() - t1) / 1e9
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"emb_cluster_scale","vectors":$nVecs,"dups_dropped":$dups,"sec":$csec}""")
+    }
+
     // ANN scale probe: 32 queries against N synthetic clustered vectors
     // — brute-force cosine vs PQ ADC vs PQ shortlist+rerank. PQ's
     // encode pass (the index build) is timed separately from the

@@ -483,6 +483,24 @@ object Ann {
       .distinct()
   }
 
+  /** Semantic duplicate-cluster resolution (the SemDeDup shape):
+    * connected components over the banded embedding near-dup pair
+    * graph, min-vec_id label per component, canonical survivor = the
+    * member equal to the label. Rides [[Corpus.clustersFromEdges]] —
+    * the same min-propagation loop (edge-subgraph iteration, lineage
+    * truncation, AQE-sized rounds) the text modality uses, so every
+    * similarity modality resolves clusters identically.
+    */
+  def embDedupClusters(emb: DataFrame): DataFrame =
+    Corpus.clustersFromEdges(
+      emb.select(col("vec_id").as("doc_id")),
+      embNearDup(emb).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(
+        col("doc_id").as("vec_id"),
+        col("cluster"),
+        col("cluster_size"),
+        col("is_canonical"))
+
   /** k-NN label vote on the brute-force neighbors: majority label of the
     * top-K (ties -> smaller label), compared against the query's own
     * label.

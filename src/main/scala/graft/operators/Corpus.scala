@@ -125,19 +125,30 @@ object Corpus {
     * model and the common batch-job shape — are unaffected; concurrent
     * schedulers should give clustering its own session.
     */
-  def dedupClustersFromPairs(docs: DataFrame, nearDup: DataFrame): DataFrame = {
+  def dedupClustersFromPairs(docs: DataFrame, nearDup: DataFrame): DataFrame =
+    clustersFromEdges(
+      docs,
+      nearDup
+        .filter(col("jaccard") >= ClusterJaccard)
+        .select(col("doc_a"), col("doc_b")))
+
+  /** Connected components over an ARBITRARY pair frame: `ids` carries
+    * one `doc_id` per node, `pairs` (doc_a, doc_b) the already-
+    * thresholded edges. This is the propagation engine behind
+    * [[dedupClustersFromPairs]] (text near-dups) and
+    * [[Ann.embDedupClusters]] (embedding near-dups) — any similarity
+    * modality that produces a pair stream resolves clusters through the
+    * same loop.
+    */
+  def clustersFromEdges(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val docs = ids
     // One job: materialize the (tiny) symmetric edge list off the LSH
     // pipeline. `truncate` uses reliable checkpoint() when the session
     // has a checkpoint dir (a real cluster must survive executor loss),
     // localCheckpoint in single-JVM harnesses.
-    val edges = {
-      val pairs = nearDup
-        .filter(col("jaccard") >= ClusterJaccard)
-        .select(col("doc_a"), col("doc_b"))
-      truncate(
-        pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("e_src", "e_dst"),
-        eager = true)
-    }
+    val edges = truncate(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("e_src", "e_dst"),
+      eager = true)
 
     // Only nodes with an edge can ever change label — iterate over the
     // edge subgraph (near-dup nodes, a sliver of the corpus) and union

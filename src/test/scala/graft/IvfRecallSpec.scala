@@ -143,6 +143,29 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"banded LSH planted-dup recall $recall%.3f < 0.8")
   }
 
+  test("embDedupClusters: planted near-identical copies collapse to min-id clusters") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val base = Array.fill(50, 64)(rnd.nextGaussian().toFloat)
+    // 50 originals, each with a near-copy at id+1000 (cos ~ 0.9998)
+    val rows = (0 until 50).map(i => (i.toLong, base(i), 0L)) ++
+      (0 until 50).map { i =>
+        ((1000 + i).toLong, base(i).map(x => x + 0.02f * rnd.nextGaussian().toFloat), 0L)
+      }
+    val out = graft.operators.Ann.embDedupClusters(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size == 100)
+    // near-copies that the banded LSH surfaced must carry their
+    // original's id as the cluster label; originals are canonical
+    val found = out.count { case (id, (cluster, size, canonical)) =>
+      id >= 1000 && cluster == id - 1000 && size == 2L && !canonical
+    }
+    assert(found >= 40, s"only $found/50 planted copies clustered with their originals")
+    assert((0 until 50).forall(i => out(i.toLong)._3),
+      "originals (the component minima) stay canonical")
+  }
+
   test("trained codebook beats the deterministic first-K stand-in on clustered data") {
     val emb = plantedClusters
     def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
