@@ -1509,6 +1509,36 @@ object Oracle {
          |WHERE rn <= (n_lang + ${graft.operators.Corpus.SampleDenom - 1}) // ${graft.operators.Corpus.SampleDenom}
          |ORDER BY doc_id""".stripMargin,
 
+    // source-mixture resampling twin: same integer-only allocation
+    // (K = min_s(n_s*W // w_s), k_s = K*w_s // W) and md5('m'||id) rank
+    "doc_mixture_sample" ->
+      """WITH w AS (
+        |  SELECT source, CAST(CAST(substr(source, 4) AS INTEGER) % 3 + 1 AS BIGINT) AS weight
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents GROUP BY source),
+        |wt AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM w WHERE weight > 0),
+        |caps AS (
+        |  SELECT n.source, w.weight, n.n_src, n.n_src * wt.w_total // w.weight AS cap
+        |  FROM n JOIN w ON n.source = w.source AND w.weight > 0, wt
+        |),
+        |kt AS (SELECT min(cap) AS k_mix FROM caps),
+        |quota AS (
+        |  SELECT caps.source, caps.weight, caps.n_src,
+        |    kt.k_mix * caps.weight // wt.w_total AS k_src
+        |  FROM caps, kt, wt
+        |),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('m' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.source, q.weight, r.rn, q.n_src, q.k_src
+        |FROM r JOIN quota q ON r.source = q.source
+        |WHERE r.rn <= q.k_src
+        |ORDER BY r.doc_id""".stripMargin,
+
     "emb_centroids" ->
       """SELECT label, CAST(pos AS INTEGER) AS pos,
         |  CAST(count(*) AS BIGINT) AS n_vecs,

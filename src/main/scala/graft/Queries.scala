@@ -561,6 +561,10 @@ object Queries {
   def docSample(s: SparkSession, dir: String): DataFrame =
     Corpus.stratifiedSample(docs(s, dir)).orderBy("doc_id")
 
+  /** Source-mixture resampling to the default integer-weight spec. */
+  def docMixtureSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.mixtureSampleDefault(docs(s, dir)).orderBy("doc_id")
+
   /** Corpus composition audit per (lang, source). */
   def corpusStats(s: SparkSession, dir: String): DataFrame =
     Corpus.stats(docs(s, dir)).orderBy("lang", "source")
@@ -890,6 +894,7 @@ object Queries {
     "doc_tfidf" -> (docTfidf _),
     "doc_bm25" -> (docBm25 _),
     "doc_sample" -> (docSample _),
+    "doc_mixture_sample" -> (docMixtureSample _),
     "corpus_stats" -> (corpusStats _),
     "periodic_samples_approx" -> (periodicSamplesApprox _),
     "ann_topk" -> (annTopK _),

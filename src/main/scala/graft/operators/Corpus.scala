@@ -702,4 +702,67 @@ object Corpus {
         sum("n_chars").as("total_chars"),
         round(avg("n_chars"), 6).as("avg_chars"),
         expr("percentile(n_chars, 0.5)").as("median_chars"))
+
+  /** Source-mixture resampling: downsample the corpus so the kept
+    * documents match a TARGET mixture of sources — the data-mixing step
+    * every pretraining run does (webtext : books : code : wiki at fixed
+    * ratios) before packing.
+    *
+    * Weights are INTEGER parts (web=5, books=3, ...): with W = Σw, the
+    * largest total K whose allocation fits every source without
+    * replacement is K = min_s(n_s · W div w_s), and source s keeps its
+    * first k_s = K · w_s div W documents by md5-hash rank. Integer
+    * division only — a fractional rate would multiply engine-side
+    * DOUBLEs against a SQL DECIMAL and diverge at floor boundaries (the
+    * [[SampleDenom]] lesson), while integer div is exact everywhere.
+    * The kept set is a pure function of (source, doc_id, weights):
+    * stable under reruns, repartitioning, and engine choice, which is
+    * what makes a mixture auditable.
+    *
+    * Scale shape: the corpus-sized work is ONE hash-rank window per
+    * source (same bound as [[stratifiedSample]] — a skewed source costs
+    * one window partition); everything mixture-global rides two
+    * broadcast one-row/one-per-source aggregates (W and K), never a
+    * driver round-trip baked into the plan.
+    */
+  def mixtureSample(docs: DataFrame, weights: DataFrame): DataFrame = {
+    // per-source capacity n_s·W div w_s; K = min over sources. Sources
+    // with no weight row (or weight 0) take no part in the mixture.
+    val srcN = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val wSum = weights.filter(col("weight") > 0)
+      .agg(sum("weight").cast("long").as("w_total"))
+    val caps = srcN
+      .join(broadcast(weights.filter(col("weight") > 0)), "source")
+      .crossJoin(broadcast(wSum))
+      .withColumn("cap", expr("n_src * w_total div weight"))
+    val kTotal = caps.agg(min("cap").as("k_mix"))
+    val quota = caps
+      .crossJoin(broadcast(kTotal))
+      .select(
+        col("source"),
+        col("weight"),
+        col("n_src"),
+        expr("k_mix * weight div w_total").as("k_src"))
+    val mkey = md5(concat(lit("m"), col("doc_id").cast("string")))
+    docs
+      .select(col("doc_id"), col("source"), mkey.as("mkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("mkey"), col("doc_id"))))
+      .join(broadcast(quota), "source")
+      .filter(col("rn") <= col("k_src"))
+      .select("doc_id", "source", "weight", "rn", "n_src", "k_src")
+  }
+
+  /** Registry default mixture: weight (suffix mod 3) + 1 per source —
+    * derivable from the source name alone, so the DuckDB twin
+    * regenerates the identical spec. Production callers pass their own
+    * (source, weight) table to [[mixtureSample]].
+    */
+  def mixtureSampleDefault(docs: DataFrame): DataFrame =
+    mixtureSample(
+      docs,
+      docs.select("source").distinct()
+        .withColumn(
+          "weight",
+          expr("CAST(substring(source, 4) AS INT) % 3 + 1").cast("long")))
 }

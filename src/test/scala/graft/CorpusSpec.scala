@@ -279,6 +279,29 @@ class CorpusSpec extends AnyFunSuite {
     a.foreach(r => assert(r.getInt(2) <= (r.getLong(3) + 4) / 5))
   }
 
+  test("mixtureSample: kept counts hit the integer-weight allocation; partition-invariant") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a=30, b=60, c=10 docs; target weights a=1, b=2, c=1 (W=4).
+    // caps: a 30*4/1=120, b 60*4/2=120, c 10*4/1=40 -> K=40;
+    // quotas: a 40*1/4=10, b 40*2/4=20, c 40*1/4=10.
+    val docs = docsDf((1L to 100L).map { i =>
+      val src = if (i <= 30) "a" else if (i <= 90) "b" else "c"
+      (i, s"text body number $i", "en", src)
+    })
+    val weights = Seq(("a", 1L), ("b", 2L), ("c", 1L)).toDF("source", "weight")
+    val out = Corpus.mixtureSample(docs, weights).collect()
+    val bySrc = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 10, "b" -> 20, "c" -> 10), s"allocation off: $bySrc")
+    val again = Corpus.mixtureSample(docs.repartition(7), weights).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq,
+      "mixture must not depend on partitioning")
+    // zero-weight and spec-absent sources take no part
+    val w2 = Seq(("a", 1L), ("b", 0L)).toDF("source", "weight")
+    val out2 = Corpus.mixtureSample(docs, w2).collect()
+    assert(out2.forall(_.getString(1) == "a"), "only weighted sources may be sampled")
+  }
+
   test("piiScrub: planted emails and digit runs are redacted and counted") {
     import graft.operators.TextStats
     val out = TextStats.piiScrub(docsDf(Seq(
