@@ -454,15 +454,18 @@ object Oracle {
   }
 
   /** Embedding corpus with per-vector L2 norm (left-fold in index order,
-    * matching Spark's `aggregate`).
+    * matching Spark's `aggregate`). `src` lets a twin run the same CTEs
+    * over an augmented corpus relation.
     */
-  val vecNormCte: String =
-    """vn AS (
-      |  SELECT vec_id, label, embedding,
-      |    sqrt(list_sum(list_transform(embedding,
-      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-      |  FROM embeddings
-      |)""".stripMargin
+  def vecNormCteFrom(src: String): String =
+    s"""vn AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+       |  FROM $src
+       |)""".stripMargin
+
+  val vecNormCte: String = vecNormCteFrom("embeddings")
 
   /** One 16-bit band key of the near-dup hyperplane signature — twin of
     * [[graft.operators.Ann.nearDupSignature]]'s key b: sign bits of the
@@ -484,14 +487,14 @@ object Oracle {
     * cos_raw)` — shared by the pair twin and the semantic-cluster twin
     * so the two can never disagree on an edge.
     */
-  private val embNearDupCtes: String = {
+  private def embNearDupCtesFrom(src: String): String = {
     val bands = graft.operators.Ann.NearDupBands
     val keyCols = (0 until bands)
       .map(b => s"${nearDupKeySql(b)} AS k$b").mkString(",\n  ")
     val keyCase = "CASE band " +
       (0 until bands - 1).map(b => s"WHEN $b THEN k$b").mkString(" ") +
       s" ELSE k${bands - 1} END"
-    s"""$vecNormCte,
+    s"""${vecNormCteFrom(src)},
        |sig AS (SELECT vec_id, embedding, norm,
        |  $keyCols
        |  FROM vn),
@@ -506,6 +509,8 @@ object Oracle {
        |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
        |)""".stripMargin
   }
+
+  private val embNearDupCtes: String = embNearDupCtesFrom("embeddings")
 
   /** md5-derived LSH bucket twin of [[graft.operators.Ann.withBucket]]. */
   val bucketExpr: String =
@@ -1036,6 +1041,61 @@ object Oracle {
          |SELECT DISTINCT vec_a, vec_b, round(cos_raw, 6) AS cos
          |FROM cand WHERE cos_raw >= ${graft.operators.Ann.NearDupCos}
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // k-NN graph twin: the SAME banded candidate CTEs (cand), distinct
+    // undirected pairs flipped to directed, rank per vector
+    "ann_knn_join" ->
+      s"""WITH $embNearDupCtes,
+         |und AS (SELECT DISTINCT vec_a, vec_b, cos_raw FROM cand),
+         |dir AS (
+         |  SELECT vec_a AS vec_id, vec_b AS nn, cos_raw FROM und
+         |  UNION ALL
+         |  SELECT vec_b AS vec_id, vec_a AS nn, cos_raw FROM und
+         |),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY cos_raw DESC, nn) AS INTEGER) AS rn
+         |  FROM dir
+         |)
+         |SELECT vec_id, rn, nn, round(cos_raw, 6) AS cos
+         |FROM rk WHERE rn <= ${graft.operators.Ann.KnnJoinK}
+         |ORDER BY vec_id, rn""".stripMargin,
+
+    // multi-probe banded query top-K twin: corpus augmented with exact
+    // twins of the query vectors (vec_id + 100000 — the registry query
+    // must demonstrably RETRIEVE: on the isotropic sf corpora a 16-bit
+    // band key almost never collides, so the unaugmented row would be
+    // a vacuous 0-row hash match); probe rows are the banded signature
+    // filtered to the original query ids, candidates = band-key
+    // collisions across all 4 bands (DISTINCT over multi-band hits),
+    // exact-cosine rank (cand goes unreferenced and is pruned)
+    "ann_topk_banded" ->
+      s"""WITH embx AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + ${graft.Queries.BandedTwinOffset}, label, embedding
+         |  FROM embeddings WHERE vec_id % ${graft.operators.Ann.QueryMod} = 0
+         |),
+         |${embNearDupCtesFrom("embx")},
+         |qb AS (
+         |  SELECT vec_id AS q_id, embedding AS qe, norm AS qnorm, band, key
+         |  FROM banded
+         |  WHERE vec_id % ${graft.operators.Ann.QueryMod} = 0
+         |    AND vec_id < ${graft.Queries.BandedTwinOffset}
+         |),
+         |sc AS (
+         |  SELECT DISTINCT qb.q_id, a.vec_id,
+         |    ${cosSql("qb.qe", "a.embedding", "qb.qnorm", "a.norm")} AS cos_raw
+         |  FROM banded a JOIN qb
+         |    ON a.band = qb.band AND a.key = qb.key AND qb.q_id <> a.vec_id
+         |),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos_raw DESC, vec_id) AS INTEGER) AS rn
+         |  FROM sc
+         |)
+         |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
+         |FROM rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
 
     // semantic dup-cluster twin: the same transitive-closure fixpoint
     // as doc_dedup_clusters, over the banded embedding pair graph

@@ -678,6 +678,32 @@ object Queries {
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     Ann.embNearDup(embs(s, dir)).orderBy("vec_a", "vec_b")
 
+  /** Corpus-wide approximate k-NN graph over banded-LSH candidates. */
+  def annKnnJoin(s: SparkSession, dir: String): DataFrame =
+    Ann.knnJoin(embs(s, dir)).orderBy("vec_id", "rn")
+
+  /** Twin ids in [[annTopkBanded]]'s augmented corpus sit above every
+    * real vec_id (sf embeddings are dense from 0).
+    */
+  val BandedTwinOffset = 100000L
+
+  /** Multi-probe banded query top-K (the lshTopK scale successor). The
+    * registered corpus is augmented with exact twins of the query
+    * vectors (vec_id + [[BandedTwinOffset]]): the sf embeddings are
+    * isotropic-random, where 16-bit band keys almost never collide, so
+    * the unaugmented row would be a vacuous 0-row hash match — with
+    * twins planted, the row proves each query RETRIEVES its duplicate
+    * through the band join (cos 1.0) plus any real collisions.
+    */
+  def annTopkBanded(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val twins = e.filter(col("vec_id") % Ann.QueryMod === 0)
+      .select((col("vec_id") + BandedTwinOffset).as("vec_id"), col("label"), col("embedding"))
+    Ann.bandedTopK(e.select("vec_id", "label", "embedding").unionByName(twins),
+        Ann.defaultQueries(e))
+      .orderBy("q_id", "rn")
+  }
+
   /** Semantic dup-cluster resolution over the embedding pair graph. */
   def embDedupClusters(s: SparkSession, dir: String): DataFrame =
     Ann.embDedupClusters(embs(s, dir)).orderBy("vec_id")
@@ -908,6 +934,8 @@ object Queries {
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "emb_near_dup" -> (embNearDup _),
+    "ann_knn_join" -> (annKnnJoin _),
+    "ann_topk_banded" -> (annTopkBanded _),
     "emb_dedup_clusters" -> (embDedupClusters _),
     "emb_centroids" -> (embCentroids _),
     "emb_quantize" -> (embQuantize _),

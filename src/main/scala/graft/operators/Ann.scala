@@ -460,14 +460,20 @@ object Ann {
       posexplode(array((0 until NearDupBands).map(b => col(s"k$b")): _*))
         .as(Seq("band", "key")))
 
-  def embNearDup(emb: DataFrame): DataFrame = {
-    val sig = CacheScope.persist(nearDupSignature(withNorm(emb)))
-    val banded = sig.select(
+  /** [[nearDupSignature]] rows exploded to one (band, key) bucket row
+    * per band, carrying the vector + norm for the verify stage.
+    */
+  private def explodeBands(sig: DataFrame): DataFrame =
+    sig.select(
       col("vec_id"),
       col("embedding"),
       col("norm"),
       posexplode(array((0 until NearDupBands).map(b => col(s"k$b")): _*))
         .as(Seq("band", "key")))
+
+  def embNearDup(emb: DataFrame): DataFrame = {
+    val sig = CacheScope.persist(nearDupSignature(withNorm(emb)))
+    val banded = explodeBands(sig)
     banded.as("a")
       .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id"))
       .withColumn(
@@ -481,6 +487,82 @@ object Ann {
         col("b.vec_id").as("vec_b"),
         round(col("cos_raw"), 6).as("cos"))
       .distinct()
+  }
+
+  /** Neighbors kept per vector in the [[knnJoin]] k-NN graph. */
+  val KnnJoinK = 3
+
+  /** Corpus-wide approximate k-NN GRAPH (self-join): every vector's
+    * top-k cosine neighbors among its banded-LSH candidates — the
+    * building block semantic clustering, diversity filtering, and
+    * graph-based curation (SemDeDup-family methods) consume. Where
+    * [[embNearDup]] emits the pairs above a threshold, this ranks each
+    * vector's neighborhood, threshold-free.
+    *
+    * Scale shape: candidates come ONLY from band-key collisions (the
+    * 4×16-plane signature — per-band keyspace grows with the corpus,
+    * never all-pairs); cosines are computed once per undirected pair
+    * and flipped, so the ranking window sees 2·|candidate pairs| rows
+    * partitioned by vector — the same per-key bound as every window in
+    * the engine. Recall follows the banding contract: near-identical
+    * vectors collide on ≥1 band with ≥98% probability; distant ones
+    * rarely produce candidates at all (their true rank is meaningless
+    * for a near-neighbor graph anyway).
+    */
+  def knnJoin(emb: DataFrame): DataFrame = knnJoin(emb, KnnJoinK)
+
+  def knnJoin(emb: DataFrame, k: Int): DataFrame = {
+    val sig = CacheScope.persist(nearDupSignature(withNorm(emb)))
+    val banded = explodeBands(sig)
+    val und = banded.as("a")
+      .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id"))
+      .withColumn(
+        "cos_raw",
+        expr("float_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_raw"))
+      // cos is a pure function of the pair: distinct collapses
+      // multi-band collisions before the pair count doubles
+      .distinct()
+    val dir = und.select(col("vec_a").as("vec_id"), col("vec_b").as("nn"), col("cos_raw"))
+      .unionAll(und.select(col("vec_b").as("vec_id"), col("vec_a").as("nn"), col("cos_raw")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_raw").desc, col("nn"))
+    dir
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("nn"), round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** Multi-probe BANDED query top-K — [[lshTopK]]'s scale successor:
+    * queries take the union of candidates across [[NearDupBands]]
+    * 16-plane bands instead of one 8-plane bucket, then exact-cosine
+    * rank. Two structural wins over the single-bucket path: the
+    * per-band keyspace (65,536 keys) grows with the corpus where the
+    * 8-plane bucket caps at 256 total, and a near-identical neighbor
+    * colliding on ANY of the 4 bands is found (≥98% for cos ≥ 0.99 vs
+    * ~80% for one 8-plane bucket) — multi-probe recall at bounded
+    * candidate cost.
+    */
+  def bandedTopK(emb: DataFrame): DataFrame = bandedTopK(emb, defaultQueries(emb))
+
+  def bandedTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val corpus = explodeBands(nearDupSignature(withNorm(emb)))
+    val probes = explodeBands(nearDupSignature(withNorm(
+      queries.select(col("q_id").as("vec_id"), col("embedding")))))
+      .select(
+        col("vec_id").as("q_id"),
+        col("embedding").as("qe"),
+        col("norm").as("qnorm"),
+        col("band"),
+        col("key"))
+    val scored = corpus
+      .join(probes, Seq("band", "key"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        (expr("float_dot(qe, embedding)") / (col("qnorm") * col("norm"))).as("cos_raw"))
+      .distinct()
+    topK(scored)
   }
 
   /** Semantic duplicate-cluster resolution (the SemDeDup shape):

@@ -143,6 +143,57 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"banded LSH planted-dup recall $recall%.3f < 0.8")
   }
 
+  test("knnJoin: planted near-copies rank their twin as the first neighbor") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val base = Array.fill(200, 64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 200).map(i => (i.toLong, base(i), 0L)) ++
+      (0 until 200).map { i =>
+        val copy = base(i).map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+        ((1000 + i).toLong, copy, 0L)
+      }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val top1 = Ann.knnJoin(emb).filter(org.apache.spark.sql.functions.col("rn") === 1)
+      .select("vec_id", "nn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def twin(id: Long): Long = if (id >= 1000) id - 1000 else id + 1000
+    val hits = (rows.map(_._1)).count(id => top1.get(id).contains(twin(id)))
+    val recall = hits.toDouble / rows.size
+    assert(recall >= 0.9, f"kNN-graph twin recall $recall%.3f < 0.9")
+  }
+
+  test("bandedTopK multi-probe recall beats the single-bucket lshTopK path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = Array.fill(200, 64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 200).map(i => (i.toLong, base(i), 0L)) ++
+      (0 until 200).map { i =>
+        val copy = base(i).map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+        ((1000 + i).toLong, copy, 0L)
+      }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 1000)
+      .select(
+        org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    // does the query's near-identical twin (cos >= ~0.999) surface in
+    // the top-5? One 8-plane bucket finds it iff all 8 signs agree
+    // (~80%); the union over four 16-plane bands needs only one band
+    // to agree (~98%+).
+    def twinRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val found = df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0 until 200).count(i => found((i.toLong, (1000 + i).toLong))).toDouble / 200
+    }
+    val banded = twinRecall(Ann.bandedTopK(emb, queries))
+    val single = twinRecall(Ann.lshTopK(emb, queries))
+    assert(banded >= 0.9, f"banded multi-probe twin recall $banded%.3f < 0.9")
+    assert(banded >= single,
+      f"multi-probe banding ($banded%.3f) must not trail the single bucket ($single%.3f)")
+  }
+
   test("embDedupClusters: planted near-identical copies collapse to min-id clusters") {
     val spark = TestSpark.spark
     import spark.implicits._
