@@ -563,15 +563,26 @@ object Oracle {
     * `c.c - 2 v.c` formulation exactly (same dots, same subtraction
     * order) so near-tie argmins cannot diverge between engines.
     */
-  private val pqCtes: String = {
-    val m = graft.operators.Ann.PqM
-    val k = graft.operators.Ann.PqK
-    // c_id is the centroid's POSITION in the vec_id-sorted set, not its
-    // vec_id: the Spark kernel emits argmin positions into the sorted
-    // centroid array, so on a filtered corpus whose surviving vec_ids
-    // are non-contiguous the labels still agree between engines
+  // c_id is the centroid's POSITION in the vec_id-sorted set, not its
+  // vec_id: the Spark kernel emits argmin positions into the sorted
+  // centroid array, so on a filtered corpus whose surviving vec_ids
+  // are non-contiguous the labels still agree between engines
+  private val pqcStandIn: String =
     s"""pqc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, embedding AS ce
-       |        FROM embeddings WHERE vec_id < $k),
+       |        FROM embeddings WHERE vec_id < ${graft.operators.Ann.PqK})""".stripMargin
+
+  /** [[pqcStandIn]]'s shape over a literal (trained) codebook. */
+  private def pqcValues(centers: Array[(Long, Array[Float])]): String = {
+    val values = centers.map { case (id, ce) =>
+      ce.map(_.toString).mkString(s"($id, [", ", ", "]::FLOAT[])")
+    }.mkString(",\n    ")
+    s"""pqc AS (SELECT c_id, ce FROM (VALUES
+       |    $values) t(c_id, ce))""".stripMargin
+  }
+
+  private def pqCtesWith(pqc: String): String = {
+    val m = graft.operators.Ann.PqM
+    s"""$pqc,
        |pq_d AS (
        |  SELECT e.vec_id, m.m AS m, c.c_id AS k,
        |    ${pqDotSql("c.ce", "c.ce")}
@@ -585,12 +596,14 @@ object Oracle {
        |)""".stripMargin
   }
 
+  private val pqCtes: String = pqCtesWith(pqcStandIn)
+
   /** [[pqCtes]] extended with the query side: distance tables in 1e-9
     * fixed point (exact, order-free sums — the labelCentroids pattern)
     * and the full ADC distance relation `pq_dist(q_id, vec_id, dist_q)`.
     */
-  private val pqAdcCtes: String =
-    s"""$pqCtes,
+  private def pqAdcCtesWith(pqc: String): String =
+    s"""${pqCtesWith(pqc)},
        |pq_q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
        |         WHERE vec_id % ${graft.operators.Ann.QueryMod} = 0),
        |pq_qdt AS (
@@ -604,6 +617,24 @@ object Oracle {
        |  WHERE pq_qdt.q_id <> pq_codes.vec_id
        |  GROUP BY pq_qdt.q_id, pq_codes.vec_id
        |)""".stripMargin
+
+  private val pqAdcCtes: String = pqAdcCtesWith(pqcStandIn)
+
+  /** The ann_pq_topk twin over a literal TRAINED codebook (packed
+    * per-subspace k-means centers — [[graft.operators.Ann
+    * .pqTrainedCodebook]]); float literals via Float.toString, the
+    * round-trip-exact serialization [[annIvfKmeansSql]] uses.
+    */
+  def annPqTrainedSql(centers: Array[(Long, Array[Float])]): String =
+    s"""WITH ${pqAdcCtesWith(pqcValues(centers))},
+       |pq_rk AS (
+       |  SELECT q_id, vec_id, dist_q,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS INTEGER) AS rn
+       |  FROM pq_dist
+       |)
+       |SELECT q_id, rn, vec_id,
+       |  round(CAST(dist_q AS DOUBLE) / 1000000000, 6) AS dist
+       |FROM pq_rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
 
   private def annTopkSql(bucketed: Boolean): String = {
     val corpus =
@@ -1888,7 +1919,9 @@ object Oracle {
     * here, so even the trained path gets a real hash row.
     */
   def dynamic(spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, String] =
-    Map("ann_ivf_kmeans" -> annIvfKmeansSql(Queries.kmeansCenters(spark, dir)))
+    Map(
+      "ann_ivf_kmeans" -> annIvfKmeansSql(Queries.kmeansCenters(spark, dir)),
+      "ann_pq_trained" -> annPqTrainedSql(Queries.pqTrainedCents(spark, dir)))
 
   /** The ann_ivf twin over a literal trained codebook. Center floats
     * are serialized with Float.toString (shortest decimal that

@@ -611,6 +611,38 @@ object Queries {
           .sortBy(_._1))
     }
 
+  /** Trained-PQ codebook cache — same contract as [[kmeansCenters]]:
+    * collected once per (session, dir) so the identical literal floats
+    * reach the Spark plan and the DuckDB VALUES twin.
+    */
+  private val pqTrainedCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[(Long, Array[Float])]]]()
+
+  def pqTrainedCents(s: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    pqTrainedCache.synchronized {
+      val perSession = pqTrainedCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, Array[(Long, Array[Float])]])
+      perSession.getOrElseUpdate(
+        dir,
+        Ann.pqTrainedCodebook(embs(s, dir)).head()
+          .getSeq[org.apache.spark.sql.Row](0)
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toArray)
+    }
+
+  /** PQ ADC top-K over the TRAINED per-subspace codebook — the
+    * production encode path, oracle-pinned by materializing the packed
+    * centers into the twin (the [[annIvfKmeans]] pattern).
+    */
+  def annPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    import s.implicits._
+    val cb = pqTrainedCents(s, dir).toSeq.toDF("c_id", "ce")
+      .agg(expr("array_sort(collect_list(struct(c_id, ce)))").as("cents"))
+    Ann.pqTopKIndexed(Ann.pqEncode(e, cb), cb, Ann.defaultQueries(e))
+      .orderBy("q_id", "rn")
+  }
+
   /** Brute-force cosine top-K: broadcast query set vs corpus. */
   def annTopK(s: SparkSession, dir: String): DataFrame =
     Ann.cosineTopK(embs(s, dir)).orderBy("q_id", "rn")
@@ -929,6 +961,7 @@ object Queries {
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_ivf_lists" -> (annIvfLists _),
     "ann_pq_codes" -> (annPqCodes _),
+    "ann_pq_trained" -> (annPqTrained _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivfpq" -> (annIvfPq _),

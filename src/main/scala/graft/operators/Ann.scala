@@ -630,6 +630,56 @@ object Ann {
     emb.filter(col("vec_id") < PqK)
       .agg(expr("array_sort(collect_list(struct(vec_id AS c_id, embedding AS ce)))").as("cents"))
 
+  /** TRAINED PQ codebook: per-subspace k-means (the real PQ training —
+    * each of the [[PqM]] subspaces gets its own k centroids over that
+    * subspace's subvectors, Euclidean geometry because ADC ranks by
+    * squared L2). The per-subspace centers pack COLUMN-WISE into PqK
+    * synthetic full vectors (synthetic centroid j = concat over m of
+    * subspace-m centroid j): [[pqEncode]]/[[pqProbes]] only ever slice
+    * subvector m of centroid k, so the packed frame expresses fully
+    * independent per-subspace codebooks through the unchanged stand-in
+    * surface. M·[[PqTrainRestarts]] small fits whose centers come back
+    * to the driver (M·k·PqSub floats — index metadata, the
+    * [[kmeansCentroids]] broadcast-constant pattern). At corpus scale
+    * the training input is a SAMPLE (as every production PQ trainer
+    * does) — k·PqSub-dim centroids need thousands of rows, not the
+    * corpus.
+    */
+  val PqTrainRestarts = 5
+
+  def pqTrainedCodebook(emb: DataFrame, k: Int = PqK): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subCenters: Array[Array[Array[Float]]] = (0 until PqM).toArray.map { m =>
+      val sub = emb.select(
+        array_to_vector(
+          expr(s"CAST(slice(embedding, ${m * PqSub + 1}, $PqSub) AS ARRAY<DOUBLE>)"))
+          .as("features"))
+        .persist()
+      // k tight clusters + k centers is the k-means init trap (one
+      // kmeans|| draw can land 2 centers in one cluster, 0 in another,
+      // and Lloyd cannot escape — measured 2x the achievable SSE on
+      // planted clusters): best-of-R restarts by training cost
+      try (0 until PqTrainRestarts)
+        .map(r => new KMeans()
+          .setK(k).setSeed(42L + 997L * (m * PqTrainRestarts + r)).setMaxIter(20)
+          .fit(sub))
+        .minBy(_.summary.trainingCost)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+      finally { sub.unpersist(); () }
+    }
+    // a degenerate subspace (fewer distinct points than k) can come
+    // back with fewer centers; the packed codebook is as deep as the
+    // shallowest subspace so every code indexes a real centroid
+    val kEff = subCenters.map(_.length).min
+    (0 until kEff)
+      .map(j => (j.toLong, subCenters.flatMap(_(j))))
+      .toDF("c_id", "ce")
+      .agg(expr("array_sort(collect_list(struct(c_id, ce)))").as("cents"))
+  }
+
   /** Squared L2 between subvector m of `v` and centroid k's subvector —
     * a strict j-ascending left fold in double, so DuckDB's `list_sum`
     * twin reproduces it bit-for-bit.

@@ -217,6 +217,33 @@ class IvfRecallSpec extends AnyFunSuite {
       "originals (the component minima) stay canonical")
   }
 
+  test("trained PQ codebook reconstructs with lower distortion than the first-K stand-in") {
+    import org.apache.spark.sql.Row
+    val emb = plantedClusters
+    // mean squared reconstruction error ||v - decode(encode(v))||^2:
+    // per-subspace k-means minimizes exactly this objective, so the
+    // trained codebook must not lose to 16 arbitrary corpus vectors
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cents = cb.head().getSeq[Row](0)
+        .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray).toArray
+      val codes = Ann.pqEncode(emb, cb).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+      val vecs = emb.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      vecs.map { case (id, v) =>
+        val c = codes(id)
+        (0 until v.length).map { j =>
+          val d = v(j).toDouble - cents(c(j / Ann.PqSub))(j)
+          d * d
+        }.sum
+      }.sum / vecs.length
+    }
+    val standIn = distortion(Ann.pqCodebook(emb))
+    val trained = distortion(Ann.pqTrainedCodebook(emb))
+    assert(trained <= standIn,
+      f"trained PQ distortion $trained%.4f > stand-in $standIn%.4f")
+  }
+
   test("trained codebook beats the deterministic first-K stand-in on clustered data") {
     val emb = plantedClusters
     def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
