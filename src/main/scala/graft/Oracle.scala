@@ -636,6 +636,72 @@ object Oracle {
        |  round(CAST(dist_q AS DOUBLE) / 1000000000, 6) AS dist
        |FROM pq_rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
 
+  /** The residual IVF-PQ twin over a pluggable per-list codebook CTE
+    * `rcb(c_id, k, cb)` — the deterministic stand-in (each list's first
+    * PqK members' residuals) and the distributed-Lloyd-trained books
+    * ([[annIvfPqResidualTrainedSql]]) replay through identical
+    * encode/ADC/rank CTEs.
+    */
+  private def annIvfPqResidualSqlWith(rcb: String): String = {
+    val m = graft.operators.Ann.PqM
+    s"""WITH $vecNormCte,
+       |${ivfCtes()},
+       |res AS (
+       |  SELECT a.vec_id, a.c_id,
+       |    list_transform(range(64), j -> a.embedding[j + 1] - c.ce[j + 1]) AS rv
+       |  FROM asg a JOIN cent c USING (c_id)
+       |),
+       |$rcb,
+       |rd AS (
+       |  SELECT r.vec_id, r.c_id, m.m AS m, b.k,
+       |    ${pqDotSql("b.cb", "b.cb")}
+       |      - CAST(2 AS DOUBLE) * ${pqDotSql("r.rv", "b.cb")} AS d
+       |  FROM res r JOIN rcb b USING (c_id), range($m) m(m)
+       |),
+       |rcodes AS (
+       |  SELECT vec_id, c_id, m, k AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn FROM rd)
+       |  WHERE rn = 1
+       |),
+       |qres AS (
+       |  SELECT p.q_id, p.c_id,
+       |    list_transform(range(64), j -> p.qe[j + 1] - c.ce[j + 1]) AS qr
+       |  FROM probes p JOIN cent c USING (c_id)
+       |),
+       |qdt AS (
+       |  SELECT q.q_id, q.c_id, m.m AS m, b.k,
+       |    CAST(round(${pqD2Sql2("q.qr", "b.cb")} * 1000000000) AS BIGINT) AS dq
+       |  FROM qres q JOIN rcb b USING (c_id), range($m) m(m)
+       |),
+       |rdist AS (
+       |  SELECT qdt.q_id, rcodes.vec_id, CAST(sum(qdt.dq) AS BIGINT) AS dist_q
+       |  FROM rcodes
+       |  JOIN qdt ON qdt.c_id = rcodes.c_id AND qdt.m = rcodes.m AND qdt.k = rcodes.code
+       |  WHERE qdt.q_id <> rcodes.vec_id
+       |  GROUP BY qdt.q_id, rcodes.vec_id
+       |)
+       |SELECT q_id, rn, vec_id,
+       |  round(CAST(dist_q AS DOUBLE) / 1000000000, 6) AS dist
+       |FROM (
+       |  SELECT q_id, vec_id, dist_q,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS INTEGER) AS rn
+       |  FROM rdist)
+       |WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** [[annIvfPqResidualSqlWith]] over LITERAL trained per-list books
+    * (c_id, k, cb) — 256 rows of 64 floats, Float.toString round-trip
+    * serialization as in [[annIvfKmeansSql]].
+    */
+  def annIvfPqResidualTrainedSql(books: Array[(Long, Int, Array[Float])]): String = {
+    val values = books.sortBy(b => (b._1, b._2)).map { case (c, k, cb) =>
+      cb.map(_.toString).mkString(s"($c, $k, [", ", ", "]::FLOAT[])")
+    }.mkString(",\n    ")
+    annIvfPqResidualSqlWith(
+      s"""rcb AS (SELECT c_id, CAST(k AS INT) AS k, cb FROM (VALUES
+         |    $values) t(c_id, k, cb))""".stripMargin)
+  }
+
   private def annTopkSql(bucketed: Boolean): String = {
     val corpus =
       if (bucketed)
@@ -1011,58 +1077,13 @@ object Oracle {
     // codes argmin'd against their OWN list's codebook, per-(query,
     // probed list) dtables over the query residual — every stage
     // mirrors ivfPqResidualTopK with the same folds and tie-breaks
-    "ann_ivfpq_residual" -> {
-      val k = graft.operators.Ann.PqK
-      val m = graft.operators.Ann.PqM
-      s"""WITH $vecNormCte,
-         |${ivfCtes()},
-         |res AS (
-         |  SELECT a.vec_id, a.c_id,
-         |    list_transform(range(64), j -> a.embedding[j + 1] - c.ce[j + 1]) AS rv
-         |  FROM asg a JOIN cent c USING (c_id)
-         |),
-         |rcb AS (
+    "ann_ivfpq_residual" -> annIvfPqResidualSqlWith(
+      s"""rcb AS (
          |  SELECT c_id, CAST(rn - 1 AS INT) AS k, rv AS cb FROM (
          |    SELECT c_id, rv, row_number() OVER (PARTITION BY c_id ORDER BY vec_id) AS rn
          |    FROM res)
-         |  WHERE rn <= $k
-         |),
-         |rd AS (
-         |  SELECT r.vec_id, r.c_id, m.m AS m, b.k,
-         |    ${pqDotSql("b.cb", "b.cb")}
-         |      - CAST(2 AS DOUBLE) * ${pqDotSql("r.rv", "b.cb")} AS d
-         |  FROM res r JOIN rcb b USING (c_id), range($m) m(m)
-         |),
-         |rcodes AS (
-         |  SELECT vec_id, c_id, m, k AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn FROM rd)
-         |  WHERE rn = 1
-         |),
-         |qres AS (
-         |  SELECT p.q_id, p.c_id,
-         |    list_transform(range(64), j -> p.qe[j + 1] - c.ce[j + 1]) AS qr
-         |  FROM probes p JOIN cent c USING (c_id)
-         |),
-         |qdt AS (
-         |  SELECT q.q_id, q.c_id, m.m AS m, b.k,
-         |    CAST(round(${pqD2Sql2("q.qr", "b.cb")} * 1000000000) AS BIGINT) AS dq
-         |  FROM qres q JOIN rcb b USING (c_id), range($m) m(m)
-         |),
-         |rdist AS (
-         |  SELECT qdt.q_id, rcodes.vec_id, CAST(sum(qdt.dq) AS BIGINT) AS dist_q
-         |  FROM rcodes
-         |  JOIN qdt ON qdt.c_id = rcodes.c_id AND qdt.m = rcodes.m AND qdt.k = rcodes.code
-         |  WHERE qdt.q_id <> rcodes.vec_id
-         |  GROUP BY qdt.q_id, rcodes.vec_id
-         |)
-         |SELECT q_id, rn, vec_id,
-         |  round(CAST(dist_q AS DOUBLE) / 1000000000, 6) AS dist
-         |FROM (
-         |  SELECT q_id, vec_id, dist_q,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS INTEGER) AS rn
-         |  FROM rdist)
-         |WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
-    },
+         |  WHERE rn <= ${graft.operators.Ann.PqK}
+         |)""".stripMargin),
 
     // banded hyperplane LSH: same 4x16-plane signature, band-keyed
     // self-join, exact-cosine verify, DISTINCT over multi-band
@@ -1921,7 +1942,9 @@ object Oracle {
   def dynamic(spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, String] =
     Map(
       "ann_ivf_kmeans" -> annIvfKmeansSql(Queries.kmeansCenters(spark, dir)),
-      "ann_pq_trained" -> annPqTrainedSql(Queries.pqTrainedCents(spark, dir)))
+      "ann_pq_trained" -> annPqTrainedSql(Queries.pqTrainedCents(spark, dir)),
+      "ann_ivfpq_residual_trained" ->
+        annIvfPqResidualTrainedSql(Queries.residualTrainedBooks(spark, dir)))
 
   /** The ann_ivf twin over a literal trained codebook. Center floats
     * are serialized with Float.toString (shortest decimal that

@@ -643,6 +643,42 @@ object Queries {
       .orderBy("q_id", "rn")
   }
 
+  /** Trained per-list residual book cache — same (session, dir)
+    * memoization contract as [[kmeansCenters]]/[[pqTrainedCents]].
+    */
+  private val resTrainedCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[(Long, Int, Array[Float])]]]()
+
+  def residualTrainedBooks(s: SparkSession, dir: String): Array[(Long, Int, Array[Float])] =
+    resTrainedCache.synchronized {
+      val perSession = resTrainedCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, Array[(Long, Int, Array[Float])]])
+      perSession.getOrElseUpdate(
+        dir, {
+          val e = embs(s, dir)
+          val cents = Ann.firstKCentroids(e)
+          try Ann.pqResidualCodebooksTrained(Ann.ivfAssign(e, cents), cents)
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+            .sortBy(b => (b._1, b._2))
+          finally graft.operators.CacheScope.releaseAll()
+        })
+    }
+
+  /** Residual IVF-PQ over TRAINED per-list codebooks (distributed
+    * Lloyd — all IvfK x PqM books fit simultaneously), oracle-pinned by
+    * materializing the books into the twin (the [[annIvfKmeans]]
+    * pattern).
+    */
+  def annIvfPqResidualTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    import s.implicits._
+    val cb = residualTrainedBooks(s, dir).toSeq.toDF("c_id", "k", "cb")
+    val cents = Ann.firstKCentroids(e)
+    Ann.ivfPqResidualRank(Ann.ivfAssign(e, cents), cents, cb, Ann.defaultQueries(e))
+      .orderBy("q_id", "rn")
+  }
+
   /** Brute-force cosine top-K: broadcast query set vs corpus. */
   def annTopK(s: SparkSession, dir: String): DataFrame =
     Ann.cosineTopK(embs(s, dir)).orderBy("q_id", "rn")
@@ -966,6 +1002,7 @@ object Queries {
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
+    "ann_ivfpq_residual_trained" -> (annIvfPqResidualTrained _),
     "emb_near_dup" -> (embNearDup _),
     "ann_knn_join" -> (annKnnJoin _),
     "ann_topk_banded" -> (annTopkBanded _),

@@ -194,6 +194,22 @@ object ScaleBench {
       graft.operators.CacheScope.releaseAll()
       println(
         s"""{"metric":"emb_cluster_scale","vectors":$nVecs,"dups_dropped":$dups,"sec":$csec}""")
+      // k-NN graph probe over the same planted corpus: every vector's
+      // top-3 banded neighbors in one self-join — the planted copy
+      // (cos ~0.9998) must surface as its twin's rank-1 neighbor in
+      // BOTH directions wherever a band collides (>= 98% of pairs)
+      val t2 = System.nanoTime()
+      val twinTop1 = graft.operators.Ann.knnJoin(emb)
+        .filter(col("rn") === 1)
+        .filter(
+          (col("vec_id") % 10 === 0 && col("vec_id") > 0 && col("nn") === col("vec_id") - 1) ||
+            (col("nn") === col("vec_id") + 1 && col("nn") % 10 === 0 && col("nn") > 0))
+        .count()
+      val ksec = (System.nanoTime() - t2) / 1e9
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"knn_graph_scale","vectors":$nVecs,"planted_directed":${2 * (nVecs / 10 - 1)},""" +
+          s""""twin_top1":$twinTop1,"sec":$ksec}""")
     }
 
     // ANN scale probe: 32 queries against N synthetic clustered vectors

@@ -292,6 +292,89 @@ object Ann {
       .select(col("c_id"), (col("rn") - 1).cast("int").as("k"), col("rv").as("cb"))
   }
 
+  /** Lloyd rounds for [[pqResidualCodebooksTrained]]. */
+  val ResidualTrainIters = 5
+
+  /** TRAINED per-list residual codebooks — all IvfK × PqM books fit
+    * SIMULTANEOUSLY by distributed Lloyd iterations (where a
+    * driver-side trainer would run 128 separate k-means jobs, this
+    * runs `iters` Spark jobs total, each assigning every residual
+    * subvector to its (list, subspace) book's nearest centroid and
+    * re-averaging — the shape that trains any number of lists on any
+    * corpus size in bounded passes).
+    *
+    * Init is the deterministic stand-in ([[pqResidualCodebooks]]), so
+    * every Lloyd round can only LOWER each book's SSE — trained ≤
+    * stand-in distortion by construction (spec-pinned). Centroid
+    * updates are 1e-6 fixed-point means (exact, order-free integer
+    * sums — the [[labelCentroids]] pattern) and argmin ties break to
+    * the smaller k, so the whole fit is bit-deterministic across runs
+    * and partitionings. Empty cells keep their previous centroid.
+    * Per round the state that moves is (IvfK · PqM · k) centroids —
+    * index metadata collected to the driver and re-broadcast, never
+    * corpus-sized.
+    */
+  def pqResidualCodebooksTrained(
+      lists: DataFrame,
+      cents: DataFrame,
+      iters: Int = ResidualTrainIters): DataFrame = {
+    val spark = lists.sparkSession
+    import spark.implicits._
+    // residual subvectors exploded once per subspace (row count = N·PqM)
+    val resSub = CacheScope.persist(
+      lists
+        .join(broadcast(cents.select(col("c_id"), col("ce"))), "c_id")
+        .withColumn("rv", expr("zip_with(embedding, ce, (x, y) -> x - y)"))
+        .select(
+          col("vec_id"),
+          col("c_id"),
+          posexplode(expr(
+            s"transform(sequence(0, ${PqM - 1}), m -> slice(rv, m * $PqSub + 1, $PqSub))"))
+            .as(Seq("m", "rvm"))))
+    // (c_id, m, k) -> 8-dim centroid, seeded from the stand-in books
+    var centers: Map[(Long, Int, Int), Array[Float]] =
+      pqResidualCodebooks(lists, cents).collect().flatMap { r =>
+        val c = r.getLong(0); val k = r.getInt(1)
+        val cb = r.getSeq[Float](2).toArray
+        (0 until PqM).map(m => ((c, m, k), cb.slice(m * PqSub, (m + 1) * PqSub)))
+      }.toMap
+    // unrolled 8-term squared L2 — stays inside whole-stage codegen
+    // (an aggregate() fold would interpret 16 lambdas per candidate)
+    val d2 = (0 until PqSub)
+      .map(j => s"pow(CAST(rvm[$j] AS DOUBLE) - CAST(cb[$j] AS DOUBLE), 2)")
+      .mkString(" + ")
+    for (_ <- 0 until iters) {
+      val cdf = centers.toSeq.map { case ((c, m, k), cb) => (c, m, k, cb) }
+        .toDF("c_id", "m", "k", "cb")
+      val updated = resSub
+        .join(broadcast(cdf), Seq("c_id", "m"))
+        .withColumn("d", expr(d2))
+        .groupBy("vec_id", "c_id", "m")
+        // lexicographic struct min: nearest centroid, ties -> smaller k
+        .agg(min(struct(col("d"), col("k"))).getField("k").as("k"), first("rvm").as("rvm"))
+        .select(col("c_id"), col("m"), col("k"), posexplode(col("rvm")).as(Seq("pos", "v")))
+        .groupBy("c_id", "m", "k", "pos")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("v").cast("double") * 1000000).cast("long")).as("sq"))
+        .withColumn("cv",
+          (col("sq").cast("double") / (col("n").cast("double") * 1000000.0)).cast("float"))
+        .groupBy("c_id", "m", "k")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cb"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getSeq[Float](3).toArray))
+        .toMap
+      centers = centers.map { case (key, old) => key -> updated.getOrElse(key, old) }
+    }
+    // pack back to the (c_id, k, cb64) shape pqEncodeResidual consumes:
+    // full-vector centroid (c, k) = concat over m of the (c, m, k) book
+    centers.keys.map { case (c, _, k) => (c, k) }.toSeq.distinct
+      .map { case (c, k) =>
+        (c, k, (0 until PqM).flatMap(m => centers((c, m, k))).toArray)
+      }
+      .toDF("c_id", "k", "cb")
+  }
+
   /** Residual-PQ encode: each vector's residual against its OWN list's
     * centroid, argmin-coded against its OWN list's codebook (ties ->
     * smaller k, the `c.c - 2 v.c` key of [[pqEncode]]). Same compiled
@@ -365,7 +448,18 @@ object Ann {
   def ivfPqResidualTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
     val cents = firstKCentroids(emb)
     val lists = ivfAssign(emb, cents)
-    val codebooks = pqResidualCodebooks(lists, cents)
+    ivfPqResidualRank(lists, cents, pqResidualCodebooks(lists, cents), queries)
+  }
+
+  /** [[ivfPqResidualTopK]] over an explicit per-list codebook frame
+    * (c_id, k, cb) — the stand-in and the [[pqResidualCodebooksTrained]]
+    * trained books rank through the same path.
+    */
+  def ivfPqResidualRank(
+      lists: DataFrame,
+      cents: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame): DataFrame = {
     val codes = pqEncodeResidual(lists, cents, codebooks)
     // one packed codebook row per list (the pqCodebook trick), so the
     // per-(query, list) dtable builds inside one expression

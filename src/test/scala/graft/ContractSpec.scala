@@ -16,14 +16,19 @@ class ContractSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracle keys without queries: $dangling")
   }
 
-  /** Queries whose outputs are engine-specific by nature — sketch
-    * estimates (HLL) and trained-model paths (MLlib k-means codebook) —
-    * so no DuckDB twin can hash-match and the driver records the
-    * documented weaker rows-only check for exactly these. Each has a
-    * targeted spec instead (ContractSpec's registry alignment,
-    * IvfRecallSpec's recall bound).
+  /** Queries absent from the STATIC oracle map by design. The HLL row
+    * is genuinely rows-only (sketch estimates are engine-specific; a
+    * targeted spec covers it instead). The trained-model paths DO get
+    * hash twins — Verify merges Oracle.dynamic, which materializes the
+    * fitted centers/books as literal VALUES tables — they just cannot
+    * appear in the static map because the literals only exist after a
+    * fit runs in a live session.
     */
-  private val rowsOnlyByDesign = Set("periodic_samples_approx", "ann_ivf_kmeans")
+  private val rowsOnlyByDesign = Set(
+    "periodic_samples_approx",
+    "ann_ivf_kmeans",
+    "ann_pq_trained",
+    "ann_ivfpq_residual_trained")
 
   test("every registered query has an oracle twin (or is rows-only by design)") {
     val rowsOnly =

@@ -244,6 +244,38 @@ class IvfRecallSpec extends AnyFunSuite {
       f"trained PQ distortion $trained%.4f > stand-in $standIn%.4f")
   }
 
+  test("distributed-Lloyd residual books never distort worse than their stand-in init") {
+    import org.apache.spark.sql.Row
+    val emb = plantedClusters
+    val cents = Ann.firstKCentroids(emb)
+    val lists = Ann.ivfAssign(emb, cents)
+    val centMap = cents.select("c_id", "ce").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val vecs = lists.select("vec_id", "embedding", "c_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    // mean ||(v - centroid) - book[code]||^2: Lloyd is seeded FROM the
+    // stand-in books and each round only lowers per-book SSE, so
+    // trained <= stand-in holds by construction — this pins it
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val books = cb.collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+      val codes = Ann.pqEncodeResidual(lists, cents, cb).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2).toArray))).toMap
+      vecs.map { case (id, v, c) =>
+        val (cAssigned, code) = codes(id)
+        val ce = centMap(cAssigned)
+        (0 until v.length).map { j =>
+          val d = (v(j) - ce(j)).toDouble - books((cAssigned, code(j / Ann.PqSub)))(j)
+          d * d
+        }.sum
+      }.sum / vecs.length
+    }
+    val standIn = distortion(Ann.pqResidualCodebooks(lists, cents))
+    val trained = distortion(Ann.pqResidualCodebooksTrained(lists, cents))
+    assert(trained <= standIn,
+      f"trained residual distortion $trained%.4f > stand-in $standIn%.4f")
+  }
+
   test("trained codebook beats the deterministic first-K stand-in on clustered data") {
     val emb = plantedClusters
     def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
