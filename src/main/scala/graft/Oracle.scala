@@ -1339,6 +1339,38 @@ object Oracle {
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // fuller Gopher battery twin: one (doc, n, gram) count per n,
+    // identical integer ratios rounded at 6
+    "doc_ngram_repetition" -> {
+      val aggs = (2 to 4).map { n =>
+        s"""a$n AS (
+           |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
+           |         CAST(max(cnt) AS BIGINT) AS topc,
+           |         CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dupc
+           |  FROM (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM g$n GROUP BY doc_id, gram)
+           |  GROUP BY doc_id
+           |)""".stripMargin
+      }
+      val cols = (2 to 4).map { n =>
+        s"""  round(CAST(coalesce(a$n.topc, 0) AS DOUBLE)
+           |        / greatest(coalesce(a$n.total, 0), 1), 6) AS top${n}_frac,
+           |  round(CAST(coalesce(a$n.dupc, 0) AS DOUBLE)
+           |        / greatest(coalesce(a$n.total, 0), 1), 6) AS dup${n}_frac""".stripMargin
+      }
+      s"""WITH ${ngramCte(2, "g2", "gram", distinct = false)},
+         |${ngramCte(3, "g3", "gram", distinct = false)},
+         |${ngramCte(4, "g4", "gram", distinct = false)},
+         |${aggs.mkString(",\n")}
+         |SELECT d.doc_id,
+         |${cols.mkString(",\n")}
+         |FROM documents d
+         |LEFT JOIN a2 USING (doc_id)
+         |LEFT JOIN a3 USING (doc_id)
+         |LEFT JOIN a4 USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     // keep-mask twin: quality from the shared qualitySelect; is_dup via
     // the window-min formulation, provably equal to doc_exact_dedup's
     // group-min canonical (same per-hash minimum)

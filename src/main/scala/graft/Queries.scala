@@ -483,6 +483,12 @@ object Queries {
   def docRepetition(s: SparkSession, dir: String): DataFrame =
     TextStats.repetition(docs(s, dir)).orderBy("doc_id")
 
+  /** The fuller Gopher battery: top/duplicated n-gram fractions for
+    * n in 2..4.
+    */
+  def docNgramRepetition(s: SparkSession, dir: String): DataFrame =
+    TextStats.ngramRepetition(docs(s, dir)).orderBy("doc_id")
+
   /** Overlapping fixed-window chunking (8-word windows, stride 6). */
   def docChunk(s: SparkSession, dir: String): DataFrame =
     TextStats.chunk(docs(s, dir)).orderBy("doc_id", "chunk_idx")
@@ -974,6 +980,7 @@ object Queries {
     "doc_normalize" -> (docNormalize _),
     "doc_pii_scrub" -> (docPiiScrub _),
     "doc_repetition" -> (docRepetition _),
+    "doc_ngram_repetition" -> (docNgramRepetition _),
     "doc_keep_mask" -> (docKeepMask _),
     "doc_chunk" -> (docChunk _),
     "doc_dedup_clusters" -> (docDedupClusters _),

@@ -147,6 +147,50 @@ object TextStats {
       length(cleaned).as("n_chars_norm"))
   }
 
+  /** The FULLER Gopher n-gram repetition battery extending
+    * [[repetition]]'s bigram signal: for n ∈ {2, 3, 4}, the dominant
+    * n-gram's share of all n-gram occurrences (`top{n}_frac` — catches
+    * a single looping phrase) and the share of occurrences belonging
+    * to any REPEATED n-gram (`dup{n}_frac` — catches diffuse
+    * boilerplate that no single n-gram dominates). Curation filters
+    * threshold these per n (longer n-grams repeat less naturally, so
+    * their thresholds sit lower).
+    *
+    * Shape: the three explodes union into ONE (doc, n, gram) aggregate
+    * with map-side combine, one per-(doc, n) rollup, and a per-doc
+    * conditional-pivot — everything keyed by doc, no corpus windows.
+    * Fractions are integer-count ratios rounded at 6, so the twin
+    * divides the identical integers.
+    */
+  def ngramRepetition(docs: DataFrame): DataFrame = {
+    val grams = (2 to 4)
+      .map(n => Dedup.ngramRows(docs, n, "gram").withColumn("n", lit(n)))
+      .reduce(_ unionByName _)
+    val per = grams
+      .groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n")
+      .agg(
+        sum("cnt").as("total"),
+        max("cnt").as("topc"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dupc"))
+    val fracs = (2 to 4).flatMap { n =>
+      Seq(
+        round(
+          max(when(col("n") === n, col("topc"))).cast("double") /
+            greatest(max(when(col("n") === n, col("total"))), lit(1L)).cast("double"),
+          6).as(s"top${n}_frac"),
+        round(
+          max(when(col("n") === n, col("dupc"))).cast("double") /
+            greatest(max(when(col("n") === n, col("total"))), lit(1L)).cast("double"),
+          6).as(s"dup${n}_frac"))
+    }
+    val wide = per.groupBy("doc_id").agg(fracs.head, fracs.tail: _*)
+    docs.select(col("doc_id"))
+      .join(wide, Seq("doc_id"), "left")
+      .na.fill(0.0)
+  }
+
   /** Within-document repetition (the Gopher-style quality signal):
     * bigram counts per doc, the dominant bigram's share of all bigrams,
     * and the distinct-bigram ratio. Highly repetitive docs (boilerplate,

@@ -317,6 +317,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L).getBoolean(4) && out(3L).getString(3) == "nothing sensitive here at all")
   }
 
+  test("ngramRepetition: loops dominate at every n; clean and short docs are zero") {
+    import graft.operators.TextStats
+    val out = TextStats.ngramRepetition(docsDf(Seq(
+      // "spam spam ..." x 8: every n-gram is the same -> top = dup = 1 at n=2..4
+      (1L, Seq.fill(8)("spam").mkString(" "), "en", "web"),
+      // all distinct words: no repeated n-gram at any n
+      (2L, "one two three four five six seven eight", "en", "web"),
+      // an 8-word doc repeated twice: bigrams repeat (the seam bigram
+      // differs) but dup4 also fires on the repeated 4-gram windows
+      (3L, ("alpha beta gamma delta " * 2).trim, "en", "web"),
+      // shorter than n=4: that column must be zero, not null/NaN
+      (9L, "tiny doc here", "en", "web"))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val loop = out(1L)
+    assert(loop.getDouble(1) == 1.0 && loop.getDouble(2) == 1.0, s"n=2 loop: $loop")
+    assert(loop.getDouble(5) == 1.0 && loop.getDouble(6) == 1.0, s"n=4 loop: $loop")
+    val clean = out(2L)
+    // all-distinct doc: every DUP fraction is 0; TOP fractions are
+    // 1/total (a single occurrence is still the max), so just small
+    Seq(2, 4, 6).foreach(i => assert(clean.getDouble(i) == 0.0, s"clean doc col $i: $clean"))
+    Seq(1, 3, 5).foreach(i => assert(clean.getDouble(i) < 0.3, s"clean doc col $i: $clean"))
+    val rep = out(3L)
+    assert(rep.getDouble(2) > 0.5, s"repeated doc dup2_frac: $rep")
+    assert(rep.getDouble(6) > 0.0, s"repeated doc dup4_frac: $rep")
+    val short = out(9L)
+    assert(short.getDouble(5) == 0.0 && short.getDouble(6) == 0.0, s"short doc n=4: $short")
+    assert(short.getDouble(2) == 0.0, s"short doc has no repeated bigram: $short")
+  }
+
   test("repetition: a looping doc shows bigram dominance; short docs are zero") {
     import graft.operators.TextStats
     val out = TextStats.repetition(docsDf(Seq(
