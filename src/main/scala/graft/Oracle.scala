@@ -702,6 +702,35 @@ object Oracle {
          |    $values) t(c_id, k, cb))""".stripMargin)
   }
 
+  /** IVF-PQ twin: coarse-quantizer CTEs (cent/asg/probes) prune to
+    * NProbe lists per query, ADC tables score only those lists' codes
+    * (pq_dist from pqAdcCtes goes unreferenced and is pruned by the
+    * optimizer). Shared by the in-memory query and the serving-layout
+    * path, which must compute the identical result.
+    */
+  // lazy: references CTE vals declared further down the object — an
+  // eager init would interpolate their still-null values into the SQL
+  private lazy val annIvfPqSql: String =
+    s"""WITH $vecNormCte,
+       |${ivfCtes()},
+       |$pqAdcCtes,
+       |ivfpq AS (
+       |  SELECT p.q_id, a.vec_id, CAST(sum(qd.dq) AS BIGINT) AS dist_q
+       |  FROM probes p
+       |  JOIN asg a USING (c_id)
+       |  JOIN pq_codes pc ON pc.vec_id = a.vec_id
+       |  JOIN pq_qdt qd ON qd.q_id = p.q_id AND qd.m = pc.m AND qd.k = pc.code
+       |  WHERE p.q_id <> a.vec_id
+       |  GROUP BY p.q_id, a.vec_id
+       |)
+       |SELECT q_id, rn, vec_id,
+       |  round(CAST(dist_q AS DOUBLE) / 1000000000, 6) AS dist
+       |FROM (
+       |  SELECT q_id, vec_id, dist_q,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS INTEGER) AS rn
+       |  FROM ivfpq)
+       |WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
+
   private def annTopkSql(bucketed: Boolean): String = {
     val corpus =
       if (bucketed)
@@ -1051,26 +1080,12 @@ object Oracle {
     // prune to NProbe lists per query, the ADC tables score only those
     // lists' codes (pq_dist from pqAdcCtes goes unreferenced and is
     // pruned by the optimizer)
-    "ann_ivfpq" ->
-      s"""WITH $vecNormCte,
-         |${ivfCtes()},
-         |$pqAdcCtes,
-         |ivfpq AS (
-         |  SELECT p.q_id, a.vec_id, CAST(sum(qd.dq) AS BIGINT) AS dist_q
-         |  FROM probes p
-         |  JOIN asg a USING (c_id)
-         |  JOIN pq_codes pc ON pc.vec_id = a.vec_id
-         |  JOIN pq_qdt qd ON qd.q_id = p.q_id AND qd.m = pc.m AND qd.k = pc.code
-         |  WHERE p.q_id <> a.vec_id
-         |  GROUP BY p.q_id, a.vec_id
-         |)
-         |SELECT q_id, rn, vec_id,
-         |  round(CAST(dist_q AS DOUBLE) / 1000000000, 6) AS dist
-         |FROM (
-         |  SELECT q_id, vec_id, dist_q,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS INTEGER) AS rn
-         |  FROM ivfpq)
-         |WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
+    "ann_ivfpq" -> annIvfPqSql,
+
+    // the SERVING-layout path computes the identical IVF-PQ result —
+    // parquet round-trips the codes/centroids exactly, so the on-disk
+    // index shares the in-memory twin verbatim
+    "ann_index_topk" -> annIvfPqSql,
 
     // residual IVF-PQ: per-list codebooks over v - centroid (stand-in:
     // each list's first PqK members' residuals, code = rank), corpus

@@ -742,6 +742,36 @@ object Queries {
   def annIvfPq(s: SparkSession, dir: String): DataFrame =
     Ann.ivfPqTopK(embs(s, dir)).orderBy("q_id", "rn")
 
+  /** Serving-layout index fixtures, one per (JVM, dir) — the
+    * cdx_source_scan pattern: the write is fixture setup, the operator
+    * under test is the partition-pruned disk read.
+    */
+  private val annIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** IVF-PQ through the SERVING layout: codes in c_id-partitioned
+    * parquet (one directory per inverted list), probes pruning at the
+    * storage layer — must equal the in-memory `ann_ivfpq` bit-for-bit
+    * (shared oracle twin).
+    */
+  def annIndexTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val idxPath = annIndexCache.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_ann_index_").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+          ()
+        }
+        rm(d)
+      }))
+      graft.sinks.Sinks.writeAnnIndex(e, d.getPath)
+      d.getPath
+    })
+    graft.sinks.Sinks.readAnnIndexTopK(s, idxPath, Ann.defaultQueries(e))
+      .orderBy("q_id", "rn")
+  }
+
   /** IVF-PQ with per-list RESIDUAL codebooks — codes quantize
     * v − centroid, ADC tables build over the query residual.
     */
@@ -1008,6 +1038,7 @@ object Queries {
     "ann_pq_topk" -> (annPqTopK _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_index_topk" -> (annIndexTopK _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_ivfpq_residual_trained" -> (annIvfPqResidualTrained _),
     "emb_near_dup" -> (embNearDup _),

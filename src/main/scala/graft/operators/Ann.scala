@@ -239,9 +239,24 @@ object Ann {
 
   def ivfPqTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
     val codebook = pqCodebook(emb)
-    val codes = pqEncode(emb, codebook)
     val cents = firstKCentroids(emb)
-    val lists = ivfAssign(emb, cents).select("vec_id", "c_id")
+    val codes = pqEncode(emb, codebook)
+      .join(ivfAssign(emb, cents).select("vec_id", "c_id"), "vec_id")
+    ivfPqRank(codes, cents, codebook, queries)
+  }
+
+  /** The IVF-PQ probe/ADC/rank tail over an already-built index —
+    * (vec_id, codes, c_id) rows plus centroid and codebook metadata.
+    * [[ivfPqTopK]] feeds it in-memory frames;
+    * [[graft.sinks.Sinks.readAnnIndexTopK]] feeds it the parquet
+    * serving layout, where the same broadcast join on c_id lets the
+    * scan prune to the probed lists' partition directories.
+    */
+  def ivfPqRank(
+      codes: DataFrame,
+      cents: DataFrame,
+      codebook: DataFrame,
+      queries: DataFrame): DataFrame = {
     val wq = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
     val probeLists = probeSide(queries)
       .crossJoin(broadcast(cents))
@@ -252,7 +267,6 @@ object Ann {
     val probes = probeLists.join(pqProbes(codebook, queries), "q_id")
     val w = Window.partitionBy("q_id").orderBy(col("dist_q").asc, col("vec_id"))
     codes
-      .join(lists, "vec_id")
       .join(broadcast(probes), Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("dist_q", expr(
@@ -264,6 +278,75 @@ object Ann {
         col("rn"),
         col("vec_id"),
         round(col("dist_q").cast("double") / PqFix, 6).as("dist"))
+  }
+
+  /** Assign + encode against FROZEN index metadata (centroids +
+    * codebook closed over as driver-side arrays) — one stateless
+    * compiled kernel per row, usable on a STREAMING Dataset (windows
+    * and aggregates are not; and an ingest path must encode against
+    * the index's frozen geometry anyway, not refit it per batch).
+    * Assignment replays [[ivfAssign]] bit-for-bit: the cosine is the
+    * same strict index-order widen-to-double fold as `float_dot`, ties
+    * to the smaller c_id; codes replay [[pqEncode]]'s `c.c − 2 v.c`
+    * argmin.
+    */
+  def encodeForIndex(
+      vecs: DataFrame,
+      cents: Array[(Long, Array[Float])],
+      cb: Array[Array[Float]]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty && cb.nonEmpty, "index metadata must be non-empty")
+    val (pm, pk, ps) = (PqM, cb.length, PqSub)
+    val sorted = cents.sortBy(_._1)
+    vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cnorm = sorted.map { case (_, ce) =>
+          var acc = 0.0; var j = 0
+          while (j < ce.length) { acc += ce(j).toDouble * ce(j).toDouble; j += 1 }
+          math.sqrt(acc)
+        }
+        val cc = Array.tabulate(pm, pk) { (m, k) =>
+          var acc = 0.0; var j = 0
+          while (j < ps) { val x = cb(k)(m * ps + j).toDouble; acc += x * x; j += 1 }
+          acc
+        }
+        rows.map { case (id, v) =>
+          var vn = 0.0
+          var j = 0
+          while (j < v.length) { vn += v(j).toDouble * v(j).toDouble; j += 1 }
+          val norm = math.sqrt(vn)
+          var bestC = 0
+          var bestCos = Double.NegativeInfinity
+          var ci = 0
+          while (ci < sorted.length) {
+            val ce = sorted(ci)._2
+            var d = 0.0; var j2 = 0
+            while (j2 < v.length) { d += v(j2).toDouble * ce(j2).toDouble; j2 += 1 }
+            val cos = d / (norm * cnorm(ci))
+            if (cos > bestCos) { bestCos = cos; bestC = ci } // strict >: ties keep smaller c_id
+            ci += 1
+          }
+          val codes = new Array[Int](pm)
+          var m = 0
+          while (m < pm) {
+            var best = 0
+            var bestD = Double.PositiveInfinity
+            var k = 0
+            while (k < pk) {
+              var dot2 = 0.0; var j3 = 0
+              while (j3 < ps) { dot2 += v(m * ps + j3).toDouble * cb(k)(m * ps + j3).toDouble; j3 += 1 }
+              val d = cc(m)(k) - 2.0 * dot2
+              if (d < bestD) { bestD = d; best = k }
+              k += 1
+            }
+            codes(m) = best
+            m += 1
+          }
+          (id, codes, sorted(bestC)._1)
+        }
+      }
+      .toDF("vec_id", "codes", "c_id")
   }
 
   // --------------------------------------------- residual (per-list) PQ

@@ -151,4 +151,97 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  // ------------------------------------------------------- ANN index layout
+  /** Persist an IVF-PQ index for serving: the codes table lands
+    * PARTITIONED BY c_id — one directory per inverted list, which is
+    * the disk analog of the probes join (a query touching NProbe of
+    * IvfK lists reads NProbe/IvfK of the directories; partition
+    * pruning does at the storage layer what list pruning does in
+    * memory). Centroids and the packed codebook ride alongside as
+    * metadata parquet — kilobytes that reconstruct approximate
+    * distances for any corpus size. List count — not corpus size —
+    * bounds the directory count.
+    */
+  def writeAnnIndex(emb: DataFrame, path: String): Unit = {
+    import graft.operators.Ann
+    val cents = Ann.firstKCentroids(emb)
+    val codebook = Ann.pqCodebook(emb)
+    Ann.pqEncode(emb, codebook)
+      .join(Ann.ivfAssign(emb, cents).select("vec_id", "c_id"), "vec_id")
+      .repartition(col("c_id"))
+      .write.partitionBy("c_id").mode("overwrite").parquet(s"$path/codes")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** All code rows of the index: the batch-built base segment plus, if
+    * a stream has appended one, the `codes_delta` segment ([[
+    * appendAnnIndex]] — a separate directory because the streaming
+    * parquet sink's `_spark_metadata` log would otherwise shadow every
+    * batch-written file in the same path; base + delta segments with
+    * periodic compaction is the layout disk indexes use anyway). The
+    * c_id partition value parses back as INT — normalized to the
+    * index's LONG list ids here, once, so no consumer joins across a
+    * type coercion.
+    */
+  def readAnnIndexCodes(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/codes")
+    val deltaPath = new Path(s"$path/codes_delta")
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      if (fs.exists(deltaPath)) base.unionByName(spark.read.parquet(deltaPath.toString))
+      else base
+    all.withColumn("c_id", col("c_id").cast("long"))
+  }
+
+  /** Query the on-disk index: same probe/ADC/rank tail as the
+    * in-memory [[graft.operators.Ann.ivfPqTopK]] (bit-identical
+    * results — parquet round-trips floats and ints exactly), with the
+    * broadcast probes join on the c_id PARTITION column so the codes
+    * scan prunes to the probed lists' directories.
+    */
+  def readAnnIndexTopK(spark: SparkSession, path: String, queries: DataFrame): DataFrame =
+    graft.operators.Ann.ivfPqRank(
+      readAnnIndexCodes(spark, path),
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebook"),
+      queries)
+
+  /** The probed lists' code rows, pruned by a literal c_id filter —
+    * PartitionFilters in the scan, no other directory is opened.
+    */
+  def readAnnIndexLists(spark: SparkSession, path: String, cIds: Seq[Long]): DataFrame =
+    readAnnIndexCodes(spark, path).filter(col("c_id").isin(cIds: _*))
+
+  /** STREAMING index ingestion: new vectors append into the index's
+    * delta segment in the same c_id-partitioned layout, encoded
+    * against the index's FROZEN metadata (centroids + codebook
+    * collected once at stream start and closed over in the stateless
+    * [[graft.operators.Ann.encodeForIndex]] kernel — an ingest path
+    * must never refit the geometry per batch, or codes stop being
+    * comparable across the corpus). Exactly-once via the parquet sink
+    * checkpoint; each micro-batch's rows land in their list's
+    * directory.
+    */
+  def appendAnnIndex(
+      vecs: DataFrame,
+      path: String,
+      checkpoint: String): StreamingQuery = {
+    val spark = vecs.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("c_id", "ce").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cb = spark.read.parquet(s"$path/codebook").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray).toArray
+    graft.operators.Ann.encodeForIndex(vecs, cents, cb)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$path/codes_delta")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("c_id")
+      .outputMode("append")
+      .start()
+  }
 }
