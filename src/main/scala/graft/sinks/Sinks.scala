@@ -244,4 +244,36 @@ object Sinks {
       .outputMode("append")
       .start()
   }
+
+  /** Fold the delta segment back into the base — the periodic
+    * compaction every base+delta layout needs (each micro-batch adds a
+    * file per touched list; left alone, file count grows with batch
+    * count, the thing that kills object stores). The merged codes are
+    * rewritten list-partitioned into a temp dir and swapped in, so a
+    * failure mid-compact leaves the old base+delta intact. Run BETWEEN
+    * ingest sessions, and start the next ingest with a FRESH
+    * checkpoint — the old checkpoint's sink metadata describes the
+    * deleted delta files.
+    */
+  def compactAnnIndex(spark: SparkSession, path: String): Unit = {
+    val delta = new Path(s"$path/codes_delta")
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delta)) return
+    val tmp = new Path(s"$path/codes_compact_${java.util.UUID.randomUUID()}")
+    try {
+      readAnnIndexCodes(spark, path)
+        .repartition(col("c_id"))
+        .write.partitionBy("c_id").mode("overwrite").parquet(tmp.toString)
+      val base = new Path(s"$path/codes")
+      fs.delete(base, true)
+      if (!fs.rename(tmp, base))
+        throw new java.io.IOException(s"compaction rename $tmp -> $base failed")
+      fs.delete(delta, true)
+      ()
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, true) catch { case _: Throwable => () }
+        throw e
+    }
+  }
 }

@@ -81,5 +81,16 @@ class AnnIndexSpec extends AnyFunSuite {
     val got = codes.filter(col("vec_id") >= 320)
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSet
     assert(got == expected, "streamed codes diverged from batch encode")
+
+    // compaction folds the delta into the base: same rows, same query
+    // result, delta directory gone
+    val preCompact = Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb))
+      .collect().map(_.toSeq).toSet
+    Sinks.compactAnnIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/codes_delta").exists(), "delta must be removed")
+    assert(Sinks.readAnnIndexCodes(spark, dir).count() == before + late.length)
+    val postCompact = Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb))
+      .collect().map(_.toSeq).toSet
+    assert(postCompact == preCompact, "compaction changed the query result")
   }
 }
