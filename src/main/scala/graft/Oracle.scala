@@ -1438,6 +1438,16 @@ object Oracle {
          |FROM dec
          |ORDER BY doc_id""".stripMargin,
 
+    // the ingest-time kernel computes the identical verdict per doc
+    // (same distinct-shingle counts, same integer ratio), so the
+    // streaming path shares the batch twin verbatim
+    "streaming_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |$decontCtes
+         |SELECT doc_id, n_shingles, n_matched, contamination, contaminated
+         |FROM dec
+         |ORDER BY doc_id""".stripMargin,
+
     // external-benchmark variant: the benchmark is its own frame (the
     // `% ExtBenchMod` slice stands in for an eval-suite table; slicing
     // the per-doc shingles == shingling the slice), and the corpus is

@@ -967,6 +967,13 @@ object Queries {
     graft.streaming.Streaming.batchNearDupCandidates(docs(s, dir))
       .toDF().orderBy("doc_a", "doc_b", "band")
 
+  /** The ingest-time decontamination kernel over bounded input — must
+    * equal doc_decontaminate row for row (shared twin).
+    */
+  def streamingDecontaminate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchDecontaminate(docs(s, dir))
+      .toDF().orderBy("doc_id")
+
   // ------------------------------------------------------------- registry
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdx_parse" -> (cdxParse _),
@@ -1015,6 +1022,7 @@ object Queries {
     "doc_chunk" -> (docChunk _),
     "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_decontaminate" -> (docDecontaminate _),
+    "streaming_decontaminate" -> (streamingDecontaminate _),
     "doc_decontaminate_ext" -> (docDecontaminateExt _),
     "doc_pipeline" -> (docPipeline _),
     "doc_pipeline_full" -> (docPipelineFull _),

@@ -703,4 +703,73 @@ object Streaming {
       .flatMapGroups((key: String, rows: Iterator[BandKeyed]) =>
         bucketFold(rows, Vector.empty)._2.iterator)
   }
+
+  // ---------------------------------------------- streaming decontamination
+  /** One decontamination verdict per arriving document. */
+  case class DecontOut(
+      doc_id: Long,
+      n_shingles: Long,
+      n_matched: Long,
+      contamination: Double,
+      contaminated: Boolean)
+
+  /** The per-document overlap kernel shared by the stream and its
+    * batch harness: distinct word 3-shingles (the exact
+    * [[graft.operators.Dedup.shingles]] construction — `split(text,
+    * ' ')` keeps empty tokens, docs under 3 words shingle to nothing),
+    * membership-counted against the benchmark set, ratio rounded
+    * HALF_UP at 6 like the batch operator's `round(..., 6)`.
+    */
+  def decontScore(id: Long, text: String, bench: Set[String]): DecontOut = {
+    val w = text.split(" ", -1)
+    var total = 0L
+    var matched = 0L
+    if (w.length >= 3) {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      var i = 0
+      while (i <= w.length - 3) {
+        val sh = w(i) + " " + w(i + 1) + " " + w(i + 2)
+        if (seen.add(sh)) {
+          total += 1
+          if (bench(sh)) matched += 1
+        }
+        i += 1
+      }
+    }
+    val frac = BigDecimal(matched.toDouble / math.max(total, 1L).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    DecontOut(id, total, matched, frac, frac >= graft.operators.Corpus.ContaminationThreshold)
+  }
+
+  /** Decontamination AT INGEST: each arriving document scores its
+    * benchmark overlap against a FROZEN benchmark shingle set — the
+    * [[graft.sinks.Sinks.appendAnnIndex]] pattern on the text side
+    * (eval suites are megabytes, frozen for a crawl; the set collects
+    * once at stream start and ships in a broadcast). Stateless
+    * per-row kernel, so the stream needs no watermark, no state store,
+    * and scales with the scan; bit-equal to the batch
+    * [[graft.operators.Corpus.decontaminate]] because both count the
+    * same distinct-shingle set and divide the same integers
+    * (StreamingSpec pins MemoryStream == batch).
+    */
+  def decontaminateStream(
+      docs: org.apache.spark.sql.DataFrame,
+      benchDocs: org.apache.spark.sql.DataFrame): Dataset[DecontOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bench = spark.sparkContext.broadcast(
+      graft.operators.Dedup.shingles(benchDocs)
+        .select("shingle").distinct().as[String].collect().toSet)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => decontScore(id, t, bench.value) })
+  }
+
+  /** The stream kernel over bounded input with the registry's stand-in
+    * `% BenchmarkMod` split — must equal `doc_decontaminate` row for
+    * row (shared oracle twin).
+    */
+  def batchDecontaminate(docs: org.apache.spark.sql.DataFrame): Dataset[DecontOut] =
+    decontaminateStream(
+      docs.filter(col("doc_id") % graft.operators.Corpus.BenchmarkMod =!= 0),
+      docs.filter(col("doc_id") % graft.operators.Corpus.BenchmarkMod === 0))
 }

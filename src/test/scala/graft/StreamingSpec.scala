@@ -518,6 +518,63 @@ class StreamingSpec extends AnyFunSuite {
       "late arrival shrank the TTL window — bucket evicted before newest-member + TTL")
   }
 
+  test("streaming decontamination over micro-batches equals the batch operator") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // benchmark = two docs; corpus docs overlap them to varying degrees
+    val bench = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta"),
+      (1001L, "one two three four")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // full overlap -> 1.0
+      (2L, "alpha beta gamma something else here entirely now"), // partial
+      (3L, "totally unrelated content with many words inside"), // none
+      (4L, "ab"), // under 3 words -> 0 shingles
+      (5L, "one two three four five six seven")) // partial
+    val expected = graft.streaming.Streaming
+      .decontaminateStream(corpus.toDF("doc_id", "text"), bench)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(expected(1L).contamination == 1.0 && expected(1L).contaminated)
+    assert(expected(3L).n_matched == 0L && !expected(3L).contaminated)
+    assert(expected(4L).n_shingles == 0L && expected(4L).contamination == 0.0)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming
+      .decontaminateStream(stream.toDS().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decont_stream")
+      .outputMode("append").start()
+    stream.addData(corpus.take(2))
+    q.processAllAvailable()
+    stream.addData(corpus.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("decont_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSet
+    val batch = expected.values
+      .map(r => (r.doc_id, r.n_shingles, r.n_matched, r.contamination, r.contaminated))
+      .toSet
+    assert(streamed == batch, "streamed verdicts diverged from the bounded-batch kernel")
+  }
+
+  test("streaming decontamination batch harness equals the declarative operator") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // on the registry's stand-in split, the kernel must reproduce
+    // Corpus.decontaminate exactly — same counts, ratio, and flag
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kernel = graft.streaming.Streaming.batchDecontaminate(docs)
+      .collect().map(r => (r.doc_id, r.n_shingles, r.n_matched, r.contamination, r.contaminated))
+      .toSet
+    val declarative = graft.operators.Corpus.decontaminate(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSet
+    graft.operators.CacheScope.releaseAll()
+    assert(kernel == declarative, "kernel and declarative decontamination diverged")
+  }
+
   test("bucketFold: membership probes stay O(1) on a giant bucket") {
     // 20k-member bucket state, then a batch of arrivals that are ALL
     // already members: pair emission is zero, so the only cost is the
