@@ -996,7 +996,13 @@ object Oracle {
        |  ) WHERE qrn <= ${graft.operators.Ann.NProbe}
        |)""".stripMargin
 
-  val all: Map[String, String] = Map(
+  val all: Map[String, String] = allBase +
+    // the ingest-time keep verdict over bounded input computes the
+    // batch keepMask verdict exactly (min-per-hash dup, same quality
+    // kernel) — shared twin
+    ("streaming_keep_mask" -> allBase("doc_keep_mask"))
+
+  private lazy val allBase: Map[String, String] = Map(
     "span_metrics" -> withDensified(spanMetricsSql, fillPolicy = Some("forward")),
 
     "score_series" -> scoreSeriesSql,

@@ -974,6 +974,13 @@ object Queries {
     graft.streaming.Streaming.batchDecontaminate(docs(s, dir))
       .toDF().orderBy("doc_id")
 
+  /** The ingest-time keep verdict over bounded input — must equal
+    * doc_keep_mask row for row (shared twin).
+    */
+  def streamingKeepMask(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchKeep(docs(s, dir))
+      .toDF().orderBy("doc_id")
+
   // ------------------------------------------------------------- registry
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdx_parse" -> (cdxParse _),
@@ -1023,6 +1030,7 @@ object Queries {
     "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_decontaminate" -> (docDecontaminate _),
     "streaming_decontaminate" -> (streamingDecontaminate _),
+    "streaming_keep_mask" -> (streamingKeepMask _),
     "doc_decontaminate_ext" -> (docDecontaminateExt _),
     "doc_pipeline" -> (docPipeline _),
     "doc_pipeline_full" -> (docPipelineFull _),

@@ -772,4 +772,120 @@ object Streaming {
     decontaminateStream(
       docs.filter(col("doc_id") % graft.operators.Corpus.BenchmarkMod =!= 0),
       docs.filter(col("doc_id") % graft.operators.Corpus.BenchmarkMod === 0))
+
+  // ------------------------------------------------ streaming keep verdict
+  /** One ingest-time keep decision per arriving document. */
+  case class KeepOut(
+      doc_id: Long,
+      n_tokens: Int,
+      quality: Double,
+      is_dup: Boolean,
+      reason: String,
+      keep: Boolean)
+
+  /** (doc, content hash, per-row quality signals) entering the keep
+    * stream.
+    */
+  case class QKeyed(doc_id: Long, h: String, n_tokens: Int, quality: Double)
+
+  private val StopSet: Set[String] = graft.operators.TextStats.StopWords.toSet
+
+  /** The per-row half of [[graft.operators.TextStats.quality]] as a
+    * kernel — byte-identical semantics: ASCII-only char classes (the
+    * batch regexes are `[A-Za-z0-9 ]`, NOT Unicode classes), all-
+    * occurrence stopword counts over `split(text, ' ')` tokens (empty
+    * tokens kept), the same left-associated double arithmetic, HALF_UP
+    * rounding at 6 (Spark's `round`). StreamingSpec pins kernel ==
+    * declarative on real data.
+    */
+  def qualityScore(text: String): (Int, Double) = {
+    val w = text.split(" ", -1)
+    val nTokens = w.length
+    var nStop = 0
+    var i = 0
+    while (i < w.length) {
+      if (StopSet.contains(w(i))) nStop += 1
+      i += 1
+    }
+    var punct = 0
+    var j = 0
+    while (j < text.length) {
+      val c = text.charAt(j)
+      val clean =
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' '
+      if (!clean) punct += 1
+      j += 1
+    }
+    if (text.isEmpty) (nTokens, Double.NaN)
+    else {
+      val q = math.min(1.0, nTokens.toDouble / 50) *
+        (1.0 - punct.toDouble / text.length) *
+        math.min(1.0, nStop.toDouble / nTokens * 5 + 0.5)
+      (nTokens, BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  private def qKeyed(docs: org.apache.spark.sql.DataFrame): Dataset[QKeyed] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), md5(col("text")).as("h"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, h, t) =>
+        val (n, q) = qualityScore(t)
+        QKeyed(id, h, n, q)
+      })
+  }
+
+  /** The keep fold over one hash group: canonical = prior state or the
+    * group minimum (bounded == [[graft.operators.TextStats.keepMask]]'s
+    * min-per-hash is_dup), reason precedence dup > too_short >
+    * low_quality, identical to the batch verdict.
+    */
+  private def keepFold(rows: Iterator[QKeyed], prior: Option[Long]): (Long, Vector[KeepOut]) = {
+    val sorted = rows.toSeq.sortBy(_.doc_id)
+    val canonical = prior.getOrElse(sorted.head.doc_id)
+    (canonical, sorted.iterator.map { d =>
+      val isDup = d.doc_id != canonical
+      val reason =
+        if (isDup) "dup"
+        else if (d.n_tokens < graft.operators.TextStats.MinTokens) "too_short"
+        else if (d.quality < graft.operators.TextStats.QualityMin) "low_quality"
+        else "keep"
+      KeepOut(d.doc_id, d.n_tokens, d.quality, isDup, reason, reason == "keep")
+    }.toVector)
+  }
+
+  /** The COMPLETE per-document keep verdict AT INGEST — what a crawler
+    * actually runs online: per-row quality + length signals computed in
+    * a stateless kernel, composed with the [[dedupStream]] hash state
+    * (ONE long per seen hash) for the duplicate reason. Dup semantics
+    * are first-ARRIVAL across batches (the streaming-native canonical,
+    * as in [[dedupStream]]) and min-per-hash within a bounded input,
+    * where the verdict equals the batch [[graft.operators.TextStats
+    * .keepMask]] row for row — the registered bounded run shares
+    * doc_keep_mask's oracle twin.
+    */
+  def keepStream(docs: org.apache.spark.sql.DataFrame): Dataset[KeepOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    qKeyed(docs)
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h: String, rows: Iterator[QKeyed], state: GroupState[Long]) =>
+          val (canonical, out) = keepFold(rows, state.getOption)
+          state.update(canonical)
+          out.iterator
+      }
+  }
+
+  /** [[keepStream]]'s fold over bounded input — the oracle-checkable
+    * batch harness (equals keepMask).
+    */
+  def batchKeep(docs: org.apache.spark.sql.DataFrame): Dataset[KeepOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    qKeyed(docs)
+      .groupByKey(_.h)
+      .flatMapGroups((h: String, rows: Iterator[QKeyed]) => keepFold(rows, None)._2.iterator)
+  }
 }

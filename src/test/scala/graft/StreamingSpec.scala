@@ -575,6 +575,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(kernel == declarative, "kernel and declarative decontamination diverged")
   }
 
+  test("streaming keep verdict: first arrival keeps, later identical content drops as dup") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val good = "the quick brown fox jumps over the lazy dog and then rests in the shade"
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming.keepStream(stream.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("keep_stream")
+      .outputMode("append").start()
+    stream.addData(Seq((10L, good), (11L, "x y")))
+    q.processAllAvailable()
+    // batch 2: smaller id with identical content still defers (first arrival won)
+    stream.addData(Seq((3L, good), (12L, "@@@ ### $$$ %%% ^^^ &&& *** !!!")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("keep_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getString(4), r.getBoolean(5)))).toMap
+    assert(out(10L) == (("keep", true)), s"good doc must keep: $out")
+    assert(out(3L) == (("dup", false)), "later-arriving smaller id must be the dup")
+    assert(out(11L) == (("too_short", false)))
+    assert(out(12L)._1 == "low_quality", s"symbol soup must be low_quality: ${out(12L)}")
+  }
+
+  test("streaming keep verdict over bounded input equals the batch keepMask") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kernel = graft.streaming.Streaming.batchKeep(docs)
+      .collect().map(r => (r.doc_id, r.n_tokens, r.quality, r.is_dup, r.reason, r.keep))
+      .toSet
+    val declarative = graft.operators.TextStats.keepMask(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3), r.getString(4), r.getBoolean(5)))
+      .toSet
+    assert(kernel == declarative, "ingest keep kernel diverged from batch keepMask")
+  }
+
   test("bucketFold: membership probes stay O(1) on a giant bucket") {
     // 20k-member bucket state, then a batch of arrivals that are ALL
     // already members: pair emission is zero, so the only cost is the
