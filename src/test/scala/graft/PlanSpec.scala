@@ -26,11 +26,45 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("near-dup and ANN queries plan no cartesian products") {
-    for (q <- Seq("doc_near_dup", "doc_simhash_pairs", "ann_lsh", "emb_near_dup", "doc_boilerplate", "doc_pipeline", "doc_pipeline_full")) {
+    for (q <- Seq(
+        "doc_near_dup", "doc_simhash_pairs", "ann_lsh", "emb_near_dup",
+        "doc_boilerplate", "doc_pipeline", "doc_pipeline_full",
+        "ann_knn_join", "ann_topk_banded")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
     }
+  }
+
+  test("doc_mixture_sample: quota joins broadcast; the corpus pays one rank window") {
+    val p = plan("doc_mixture_sample")
+    // the corpus-sized side: exactly one source-keyed window exchange
+    assert(p.contains("Window"), "mixture rank window missing")
+    // the mixture arithmetic (weights, W, K, quotas) must reach the
+    // corpus by broadcast — never a shuffled join against doc rows
+    assert(!p.contains("SortMergeJoin"),
+      s"mixture quota join degraded to sort-merge:\n${p.take(2000)}")
+  }
+
+  test("serving index: the probes join prunes the codes scan to the probed c_id lists") {
+    // the disk layout's point: a query must NOT read every list
+    // directory. The broadcast probes join on the partition column
+    // plants a dynamic pruning subquery in the codes scan.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
+    val emb = (0 until 400).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat), (i % 16).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files.createTempDirectory("plan_ann_idx_").toString
+    graft.sinks.Sinks.writeAnnIndex(emb, idx)
+    val p = graft.sinks.Sinks
+      .readAnnIndexTopK(spark, idx, graft.operators.Ann.defaultQueries(emb))
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"codes scan lacks a dynamic partition-pruning subquery on c_id:\n${p.take(3000)}")
   }
 
   test("shingle frame pins an explicit-width doc_id repartition (AQE must not coalesce the cache narrow)") {
