@@ -246,6 +246,17 @@ object ScaleBench {
         s"""{"metric":"ann_scale","vectors":$nVecs,"queries":$nQueries,"encode_sec":$encSec,""" +
           s""""brute_sec":$bruteSec,"pq_query_sec":$pqSec,"rerank_query_sec":$rerankSec,""" +
           s""""rows":{"brute":$bruteRows,"pq":$pqRows,"rerank":$rerankRows}}""")
+      // serving-layout probe: the SAME queries through the on-disk
+      // c_id-partitioned index — build (write) timed separately from
+      // the partition-pruned query scan it amortizes over
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_scale_ann_idx_").toString
+      val (writeSec, _) = time { graft.sinks.Sinks.writeAnnIndex(emb, idxDir); 0L }
+      val (diskSec, diskRows) = time(
+        graft.sinks.Sinks.readAnnIndexTopK(spark, idxDir, queries).count())
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"ann_index_scale","vectors":$nVecs,"queries":$nQueries,""" +
+          s""""index_write_sec":$writeSec,"disk_query_sec":$diskSec,"rows":$diskRows}""")
     }
     spark.stop()
   }
