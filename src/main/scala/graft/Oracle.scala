@@ -1763,6 +1763,64 @@ object Oracle {
 
     "doc_quality" -> s"$qualitySelect\nORDER BY doc_id",
 
+    // Twin of TextStats.entropy: identical quantize-before-sum — each
+    // (doc, word) term rounds to integer micro-units before the per-doc
+    // sum, so summation order can never move the hash.
+    "doc_entropy" ->
+      """WITH wrd AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM wrd GROUP BY doc_id),
+        |c AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        |  FROM wrd GROUP BY doc_id, word
+        |),
+        |t AS (
+        |  SELECT c.doc_id, n.n_tokens,
+        |    CAST(round(-(CAST(c AS DOUBLE) / n_tokens) * ln(CAST(c AS DOUBLE) / n_tokens) * 1000000) AS BIGINT) AS term_micro
+        |  FROM c JOIN n USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  max(n_tokens) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(term_micro) AS BIGINT) AS entropy_micro,
+        |  round(CAST(sum(term_micro) AS DOUBLE) / 1e6, 6) AS entropy,
+        |  CASE WHEN count(*) > 1
+        |       THEN round(CAST(sum(term_micro) AS DOUBLE) / 1e6 / ln(count(*)), 6)
+        |       ELSE 0.0 END AS norm_entropy
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Twin of TextStats.qualityModel: the stand-in weight table
+    // regenerates from each bucket's own md5, weights stay integer
+    // milli-units through the per-doc sum, and only the final logit /
+    // sigmoid touch doubles.
+    "doc_quality_model" ->
+      s"""WITH wt AS (
+         |  SELECT CAST(i AS BIGINT) AS bucket,
+         |    CAST(('0x' || substr(md5('qm' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000 AS weight_milli
+         |  FROM unnest(range(${graft.operators.TextStats.ModelBuckets})) t(i)
+         |),
+         |wrd AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % ${graft.operators.TextStats.ModelBuckets} AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(weight_milli) AS BIGINT) AS feat_milli
+         |  FROM wrd JOIN wt USING (bucket) GROUP BY doc_id
+         |),
+         |lg AS (
+         |  SELECT doc_id, n_tokens, feat_milli,
+         |    CAST(round(CAST(feat_milli AS DOUBLE) * 1000.0 / n_tokens) AS BIGINT)
+         |      + ${graft.operators.TextStats.ModelBiasMilli * 1000L} AS logit_micro
+         |  FROM agg
+         |)
+         |SELECT doc_id, n_tokens, feat_milli, logit_micro,
+         |  round(1.0 / (1.0 + exp(-(CAST(logit_micro AS DOUBLE) / 1e6))), 6) AS model_score,
+         |  logit_micro >= 0 AS keep
+         |FROM lg ORDER BY doc_id""".stripMargin,
+
     "doc_fingerprint" ->
       s"""WITH $shinglesCte,
          |bt AS (

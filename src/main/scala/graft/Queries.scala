@@ -463,6 +463,14 @@ object Queries {
   def docQuality(s: SparkSession, dir: String): DataFrame =
     TextStats.quality(docs(s, dir)).orderBy("doc_id")
 
+  /** Word-distribution entropy (gibberish / repetition detector). */
+  def docEntropy(s: SparkSession, dir: String): DataFrame =
+    TextStats.entropy(docs(s, dir)).orderBy("doc_id")
+
+  /** Hashed-feature linear quality classifier (fasttext-style). */
+  def docQualityModel(s: SparkSession, dir: String): DataFrame =
+    TextStats.qualityModel(docs(s, dir)).orderBy("doc_id")
+
   /** Content fingerprints (md5 + bottom-3 shingle sketch). */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprint(docs(s, dir)).orderBy("doc_id")
@@ -1019,6 +1027,8 @@ object Queries {
     "doc_token_stats" -> (docTokenStats _),
     "doc_lang_id" -> (docLangId _),
     "doc_quality" -> (docQuality _),
+    "doc_entropy" -> (docEntropy _),
+    "doc_quality_model" -> (docQualityModel _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_normalize" -> (docNormalize _),

@@ -330,4 +330,99 @@ object TextStats {
         least(lit(k), size(col("w")) - col("chunk_idx") * s).cast("long").as("n_chunk_words"),
         col("chunk_text"))
   }
+
+  /** Per-document word-distribution entropy — the gibberish /
+    * keyboard-mash detector quality heuristics miss: natural text has
+    * mid-range entropy, a single repeated token scores ~0, random
+    * unique tokens score ln(n). `norm_entropy` = H / ln(n_types)
+    * rescales to [0,1] so thresholds survive varying doc lengths.
+    *
+    * Determinism: each (doc, word) term -(c/n)·ln(c/n) is quantized to
+    * an integer (×1e6, HALF_UP) BEFORE the per-doc sum — integer sums
+    * are order-free, so partitioning cannot change the hash (the
+    * [[Corpus.unigramLogProb]] recipe). Shape: one explode, one
+    * (doc, word) agg with map-side combine, one doc-keyed agg; the
+    * token-count join is keyed by doc_id — no corpus windows.
+    */
+  def entropy(docs: DataFrame): DataFrame = {
+    val wrd = docs.select(col("doc_id"), explode(words).as("word"))
+    val n = docs.select(col("doc_id"), size(words).cast("long").as("n_tokens"))
+    wrd
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("c"))
+      .join(n, "doc_id")
+      .withColumn(
+        "term_micro",
+        round(-(col("c") / col("n_tokens")) * log(col("c") / col("n_tokens")) * 1000000)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum("term_micro").as("entropy_micro"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_types"),
+        col("entropy_micro"),
+        round(col("entropy_micro") / 1e6, 6).as("entropy"),
+        when(col("n_types") > 1,
+          round(col("entropy_micro") / 1e6 / log(col("n_types")), 6))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+  }
+
+  /** [[qualityModel]] hashing-trick dimensionality and logit bias
+    * (milli-units: all weights are exact multiples of 1/1000).
+    */
+  val ModelBuckets = 1024
+  val ModelBiasMilli = -200L
+
+  /** Fasttext-style linear quality classifier: every word hashes into
+    * one of [[ModelBuckets]] feature buckets, the doc's logit is the
+    * mean bucket weight plus a bias, and the score is its sigmoid —
+    * the model-based filter (as opposed to [[quality]]'s heuristics)
+    * production curation runs at the front of the funnel.
+    *
+    * The weight table here is a deterministic stand-in (weight derived
+    * from the bucket's own md5, so the DuckDB twin regenerates it
+    * exactly); a trained model drops in as the same (bucket,
+    * weight_milli) frame. Scale shape: the table is kilobytes and
+    * BROADCAST — scoring is one explode, a broadcast hash probe per
+    * word, and a doc-keyed integer sum with map-side combine; per-doc
+    * cost is independent of model size, and milli-weight integer sums
+    * are order-free exact.
+    */
+  def qualityModel(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val weights = spark.range(ModelBuckets.toLong).toDF("bucket").select(
+      col("bucket"),
+      (expr("CAST(conv(substr(md5(concat('qm', CAST(bucket AS STRING))), 1, 8), 16, 10) AS BIGINT)") % 2001 - 1000)
+        .as("weight_milli"))
+    val wrd = docs
+      .select(col("doc_id"), explode(words).as("word"))
+      .withColumn(
+        "bucket",
+        expr(s"CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT) % $ModelBuckets"))
+    // Integer micro-unit logit: the mean weight rounds to integer
+    // micro BEFORE the bias add, so the only double math is the final
+    // sigmoid of an identical integer — a round(…, 6) of feat/n
+    // directly lands on half-boundaries (observed: -0.4536375) where
+    // engines' binary representations disagree.
+    val logitMicro =
+      round(col("feat_milli") * 1000.0 / col("n_tokens")).cast("long") +
+        lit(ModelBiasMilli * 1000L)
+    val logit = col("logit_micro") / 1e6
+    wrd
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("weight_milli").as("feat_milli"))
+      .withColumn("logit_micro", logitMicro)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("feat_milli"),
+        col("logit_micro"),
+        round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("model_score"),
+        (col("logit_micro") >= 0L).as("keep"))
+  }
 }
