@@ -1686,6 +1686,47 @@ object Oracle {
 
     // source-mixture resampling twin: same integer-only allocation
     // (K = min_s(n_s*W // w_s), k_s = K*w_s // W) and md5('m'||id) rank
+    // Twin of Dedup.incrementalDedup: same md5 coin flip for base vs
+    // delta, same fp-keyed probes.
+    "doc_dedup_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    CAST(('0x' || substr(md5('inc' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS b
+        |  FROM documents
+        |),
+        |base AS (SELECT DISTINCT fp FROM t WHERE b = 0),
+        |delta AS (SELECT doc_id, fp FROM t WHERE b = 1),
+        |fd AS (SELECT fp, min(doc_id) AS first_delta FROM delta GROUP BY fp)
+        |SELECT d.doc_id, d.fp,
+        |  (base.fp IS NOT NULL) AS dup_of_base,
+        |  d.doc_id > fd.first_delta AS dup_in_delta,
+        |  (base.fp IS NULL AND d.doc_id = fd.first_delta) AS is_new
+        |FROM delta d LEFT JOIN base ON d.fp = base.fp JOIN fd ON d.fp = fd.fp
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Twin of Corpus.budgetSelect: the single per-source window the
+    // Spark side deliberately decomposes into banded partial cumsums —
+    // hash equality proves the decomposition exact.
+    "doc_budget_select" ->
+      s"""WITH q AS ($qualitySelect),
+         |s AS (
+         |  SELECT q.doc_id, d.source,
+         |    CAST(round(q.quality * 1e6) AS BIGINT) AS q_micro,
+         |    CAST(q.n_tokens AS BIGINT) AS n_tokens
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+         |),
+         |c AS (
+         |  SELECT doc_id, source, q_micro, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY q_micro DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM s
+         |)
+         |SELECT doc_id, source, q_micro, n_tokens,
+         |  CAST(cum_excl AS BIGINT) AS cum_excl,
+         |  cum_excl + n_tokens <= ${graft.operators.Corpus.BudgetTokens} AS selected
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "doc_mixture_sample" ->
       """WITH w AS (
         |  SELECT source, CAST(CAST(substr(source, 4) AS INTEGER) % 3 + 1 AS BIGINT) AS weight

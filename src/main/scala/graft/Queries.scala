@@ -571,6 +571,14 @@ object Queries {
   def docBm25(s: SparkSession, dir: String): DataFrame =
     Corpus.bm25Top(docs(s, dir)).orderBy("doc_id", "rn")
 
+  /** Incremental batch-vs-base exact dedup verdict. */
+  def docDedupIncremental(s: SparkSession, dir: String): DataFrame =
+    Dedup.incrementalDedup(docs(s, dir)).orderBy("doc_id")
+
+  /** Per-source token-budget selection (best-quality-first). */
+  def docBudgetSelect(s: SparkSession, dir: String): DataFrame =
+    Corpus.budgetSelect(docs(s, dir)).orderBy("doc_id")
+
   /** Deterministic hash-stratified 1-in-5 sample per language. */
   def docSample(s: SparkSession, dir: String): DataFrame =
     Corpus.stratifiedSample(docs(s, dir)).orderBy("doc_id")
@@ -1051,6 +1059,8 @@ object Queries {
     "doc_tfidf" -> (docTfidf _),
     "doc_bm25" -> (docBm25 _),
     "doc_sample" -> (docSample _),
+    "doc_dedup_incremental" -> (docDedupIncremental _),
+    "doc_budget_select" -> (docBudgetSelect _),
     "doc_mixture_sample" -> (docMixtureSample _),
     "corpus_stats" -> (corpusStats _),
     "periodic_samples_approx" -> (periodicSamplesApprox _),

@@ -689,6 +689,62 @@ object Corpus {
       .select("doc_id", "lang", "rn", "n_lang")
   }
 
+  /** [[budgetSelect]] token budget per source and the q_micro width of
+    * one coarse quality band (1e6 / 1e5 = 11 bands over [0, 1]).
+    */
+  val BudgetTokens = 800L
+  private val BudgetBandWidth = 100000L
+
+  /** Per-source token-budget selection: take documents best-quality-
+    * first within each source until the source's token budget fills —
+    * the data-mixing step that turns "we want N tokens of src_k" into a
+    * concrete keep set. A doc is selected iff everything strictly
+    * better (quality desc, doc_id asc) fits under the budget WITH it.
+    *
+    * Scale shape: the naive plan is one window per source — with few
+    * sources that funnels corpus/|sources| rows through single
+    * partitions. Instead the exclusive running token count decomposes
+    * like [[packSequences]]: quality (already an exact 6-decimal
+    * integer, q_micro) quantizes into coarse bands; per-(source, band)
+    * window cumsums run in parallel, and a broadcast (source, band)
+    * exclusive-offset table — cumulated over the TINY band table, not
+    * the corpus — reconstructs the exact per-source cumsum. The DuckDB
+    * twin legitimately uses the single per-source window; equality IS
+    * the decomposition proof.
+    */
+  def budgetSelect(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val scored = graft.operators.TextStats.quality(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("quality") * 1e6).cast("long").as("q_micro"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("band", expr(s"q_micro div $BudgetBandWidth"))
+    val within = scored.withColumn(
+      "within_excl",
+      sum("n_tokens").over(
+        Window.partitionBy("source", "band")
+          .orderBy(col("q_micro").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tokens"))
+    val bandTotals = scored.groupBy("source", "band")
+      .agg(sum("n_tokens").as("band_tokens"))
+      .withColumn(
+        "band_excl",
+        sum("band_tokens").over(
+          Window.partitionBy("source").orderBy(col("band").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("band_tokens"))
+      .select("source", "band", "band_excl")
+    within
+      .join(broadcast(bandTotals), Seq("source", "band"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("q_micro"),
+        col("n_tokens"),
+        (col("band_excl") + col("within_excl")).as("cum_excl"),
+        (col("band_excl") + col("within_excl") + col("n_tokens") <= BudgetTokens)
+          .as("selected"))
+  }
+
   /** Per-(lang, source) corpus composition: document counts, char
     * volume, mean and exact median lengths. The shape every ingest
     * audit starts from; exact `percentile` matches the engine-wide

@@ -312,4 +312,50 @@ object Dedup {
       .withColumn("key", expr(
         """CASE WHEN band < 2 THEN shiftright(sim_lo, band * 16) & 65535
           |ELSE shiftright(sim_hi, (band - 2) * 16) & 65535 END""".stripMargin))
+
+  /** Incremental (cross-snapshot) exact dedup: a new crawl batch
+    * arrives against an already-deduped base corpus, and each delta
+    * document is flagged as a duplicate OF THE BASE, a duplicate of an
+    * earlier document WITHIN the delta, or genuinely new — the verdict
+    * an append-only ingest needs (re-running global dedup over base +
+    * delta re-shuffles the whole corpus per batch).
+    *
+    * The base/delta split here is a deterministic md5 coin flip on
+    * doc_id so the oracle can replay it; production passes its own two
+    * frames through [[incrementalDedupAgainst]]. Scale shape: both
+    * probes are fp-keyed — a semi-style left join against the base's
+    * distinct fingerprints and a min-aggregate within the delta (map-
+    * side combine), never base×delta pairs. A base persisted bucketed
+    * by fp (Sinks.writeBucketed) makes the base side shuffle-free per
+    * batch.
+    */
+  def incrementalDedup(docs: DataFrame): DataFrame = {
+    val tagged = docs.select(
+      col("doc_id"),
+      md5(col("text")).as("fp"),
+      expr("CAST(conv(substr(md5(concat('inc', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2")
+        .as("b"))
+    incrementalDedupAgainst(
+      tagged.filter(col("b") === 0).select("doc_id", "fp"),
+      tagged.filter(col("b") === 1).select("doc_id", "fp"))
+  }
+
+  /** The general form of [[incrementalDedup]]: `base` and `delta` are
+    * (doc_id, fp) frames; returns one row per delta doc with its
+    * dup-of-base / dup-in-delta / is_new verdict.
+    */
+  def incrementalDedupAgainst(base: DataFrame, delta: DataFrame): DataFrame = {
+    val baseFps = base.select("fp").distinct().withColumn("in_base", lit(true))
+    val firstDelta = delta.groupBy("fp").agg(min("doc_id").as("first_delta"))
+    delta
+      .join(baseFps, Seq("fp"), "left")
+      .join(firstDelta, "fp")
+      .select(
+        col("doc_id"),
+        col("fp"),
+        coalesce(col("in_base"), lit(false)).as("dup_of_base"),
+        (col("doc_id") > col("first_delta")).as("dup_in_delta"),
+        (coalesce(col("in_base"), lit(false)) === false &&
+          col("doc_id") === col("first_delta")).as("is_new"))
+  }
 }

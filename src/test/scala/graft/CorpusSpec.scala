@@ -447,6 +447,56 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1L)._2 > out(2L)._2, "a hapax drags the mean down")
   }
 
+  test("budgetSelect: banded distributed cumsum equals the naive per-source window") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 60 docs, 3 sources, adversarial quality ties across band borders
+    val rows = (1L to 60L).map { i =>
+      val words = Seq.fill((i % 7 + 2).toInt)("w" + (i % 5)) :+ ("the a of and is".split(" ")(i.toInt % 5))
+      (i, words.mkString(" "), "en", s"s${i % 3}")
+    }
+    val df = docsDf(rows)
+    val out = Corpus.budgetSelect(df)
+    // naive form: one window per source over the same ordering
+    import org.apache.spark.sql.expressions.Window
+    val naive = graft.operators.TextStats.quality(df)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("quality") * 1e6).cast("long").as("q_micro"))
+      .join(df.select("doc_id", "source"), "doc_id")
+      .withColumn("cum_excl",
+        sum("n_tokens").over(Window.partitionBy("source")
+          .orderBy(col("q_micro").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tokens"))
+    val got = out.select("doc_id", "cum_excl").as[(Long, Long)].collect().toMap
+    val want = naive.select("doc_id", "cum_excl").as[(Long, Long)].collect().toMap
+    assert(got == want, "banded decomposition diverged from the single-window cumsum")
+    // greedy semantics: within a source the selected set is a prefix of the quality order
+    val bySrc = out.select("source", "q_micro", "doc_id", "selected")
+      .as[(String, Long, Long, Boolean)].collect()
+      .groupBy(_._1).values
+    bySrc.foreach { docs =>
+      val ordered = docs.sortBy(d => (-d._2, d._3)).map(_._4)
+      assert(!ordered.dropWhile(identity).contains(true), "selected set is not a quality-prefix")
+    }
+  }
+
+  test("incrementalDedupAgainst: verdict partition and first-wins within delta") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val baseF = Seq((1L, "A"), (2L, "B")).toDF("doc_id", "fp")
+    val delta = Seq((10L, "B"), (11L, "C"), (12L, "C"), (13L, "D")).toDF("doc_id", "fp")
+    val out = graft.operators.Dedup.incrementalDedupAgainst(baseF, delta)
+      .as[(Long, String, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(out(10L) == ((true, false, false)), "dup of base")
+    assert(out(11L) == ((false, false, true)), "first C is new")
+    assert(out(12L) == ((false, true, false)), "second C dups within delta")
+    assert(out(13L) == ((false, false, false)) || out(13L) == ((false, false, true)))
+    assert(out(13L)._3, "D is new")
+    // is_new iff neither dup flag
+    out.values.foreach { case (b, d, n) => assert(n == (!b && !d)) }
+  }
+
   test("stats: per-(lang,source) counts and exact median") {
     val out = Corpus.stats(docsDf(Seq(
       (1L, "aa", "en", "web"),      // 2 chars
