@@ -1618,6 +1618,39 @@ object Oracle {
          |       word, df, tf
          |FROM top ORDER BY rank""".stripMargin,
 
+    // Twin of Corpus.pmiTop: identical integer counts, identical
+    // fixed-shape double expression for PMI, rounded before ranking.
+    "corpus_pmi" ->
+      s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |uni AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(w) AS word FROM w) GROUP BY word
+         |),
+         |nw AS (SELECT CAST(sum(c) AS BIGINT) AS nw FROM uni),
+         |bi AS (
+         |  SELECT w[i] AS a, w[i+1] AS b
+         |  FROM w, unnest(range(1, len(w))) t(i)
+         |  WHERE len(w) >= 2
+         |),
+         |bcnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY a, b),
+         |nb AS (SELECT CAST(sum(cab) AS BIGINT) AS nb FROM bcnt),
+         |scored AS (
+         |  SELECT bcnt.a, bcnt.b, cab, ua.c AS ca, ub.c AS cb,
+         |    round(ln(CAST(cab AS DOUBLE) * CAST(nw AS DOUBLE) * CAST(nw AS DOUBLE)
+         |             / (CAST(nb AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 6) AS pmi
+         |  FROM bcnt
+         |  JOIN uni ua ON bcnt.a = ua.word
+         |  JOIN uni ub ON bcnt.b = ub.word
+         |  CROSS JOIN nw CROSS JOIN nb
+         |  WHERE cab >= ${graft.operators.Corpus.PmiMinCount}
+         |),
+         |top AS (SELECT * FROM scored
+         |        ORDER BY pmi DESC, a ASC, b ASC
+         |        LIMIT ${graft.operators.Corpus.PmiTopK})
+         |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS INTEGER) AS rank,
+         |       a, b, cab, ca, cb, pmi
+         |FROM top ORDER BY rank""".stripMargin,
+
     "doc_tfidf" ->
       s"""WITH pd AS (
          |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf

@@ -563,6 +563,10 @@ object Queries {
   def corpusVocab(s: SparkSession, dir: String): DataFrame =
     Corpus.vocab(docs(s, dir)).orderBy("rank")
 
+  /** Top bigram collocations by PMI (count floor 5). */
+  def corpusPmi(s: SparkSession, dir: String): DataFrame =
+    Corpus.pmiTop(docs(s, dir)).orderBy("rank")
+
   /** Per-document top-3 TF-IDF terms. */
   def docTfidf(s: SparkSession, dir: String): DataFrame =
     Corpus.tfidf(docs(s, dir)).orderBy("doc_id", "rn")
@@ -1056,6 +1060,7 @@ object Queries {
     "doc_pack" -> (docPack _),
     "doc_logprob" -> (docLogProb _),
     "corpus_vocab" -> (corpusVocab _),
+    "corpus_pmi" -> (corpusPmi _),
     "doc_tfidf" -> (docTfidf _),
     "doc_bm25" -> (docBm25 _),
     "doc_sample" -> (docSample _),

@@ -549,6 +549,56 @@ object Corpus {
       .select("rank", "word", "df", "tf")
   }
 
+  /** [[pmiTop]] result size and the minimum pair count below which PMI
+    * is noise (the classic Church-Hanks cutoff).
+    */
+  val PmiTopK = 50
+  val PmiMinCount = 5L
+
+  /** Corpus-level bigram PMI: pointwise mutual information
+    * ln(p(a,b) / (p(a)p(b))) over adjacent word pairs, top-K strongest
+    * collocations with count floor [[PmiMinCount]] — the association
+    * statistic tokenizer/vocab builders use to decide what deserves to
+    * be one token ("new york") versus chance adjacency.
+    *
+    * Scale shape: one bigram explode (per-row `transform`, no shuffle)
+    * into a (a, b)-keyed count with map-side combine; unigram counts
+    * join back word-keyed (vocab-sized, never corpus-sized); both
+    * totals arrive as broadcast one-row aggregates; final top-K is
+    * orderBy+limit — TakeOrderedAndProject, per-partition heaps, no
+    * global sort. All counts are exact integers; PMI is one fixed-shape
+    * double expression of five integers, rounded at 6 BEFORE ranking so
+    * the ordering key is engine-stable.
+    */
+  def pmiTop(docs: DataFrame): DataFrame = {
+    val w = docs.select(split(col("text"), " ").as("w"))
+    val uni = w.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val nw = uni.agg(sum("c").as("nw"))
+    val bi = w.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bcnt = bi.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val nb = bcnt.agg(sum("cab").as("nb"))
+    val pmi = round(log(
+      col("cab").cast("double") * col("nw").cast("double") * col("nw").cast("double") /
+        (col("nb").cast("double") * col("ca").cast("double") * col("cb").cast("double"))), 6)
+    val order = Seq(col("pmi").desc, col("a").asc, col("b").asc)
+    bcnt
+      .filter(col("cab") >= PmiMinCount)
+      .join(uni.select(col("word").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("word").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(nw))
+      .crossJoin(broadcast(nb))
+      .withColumn("pmi", pmi)
+      .select("a", "b", "cab", "ca", "cb", "pmi")
+      .orderBy(order: _*)
+      .limit(PmiTopK)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .select("rank", "a", "b", "cab", "ca", "cb", "pmi")
+  }
+
   val TfidfTopK = 3
 
   /** Per-document top TF-IDF terms: tf = in-doc count, idf = ln(N/df),
