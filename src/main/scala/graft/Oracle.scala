@@ -1000,7 +1000,10 @@ object Oracle {
     // the ingest-time keep verdict over bounded input computes the
     // batch keepMask verdict exactly (min-per-hash dup, same quality
     // kernel) — shared twin
-    ("streaming_keep_mask" -> allBase("doc_keep_mask"))
+    ("streaming_keep_mask" -> allBase("doc_keep_mask")) +
+    // the stateless ingest-time lang-ID kernel over bounded input
+    // computes the batch doc_lang_id rows exactly — shared twin
+    ("streaming_lang_id" -> allBase("doc_lang_id"))
 
   private lazy val allBase: Map[String, String] = Map(
     "span_metrics" -> withDensified(spanMetricsSql, fillPolicy = Some("forward")),

@@ -1001,6 +1001,13 @@ object Queries {
     graft.streaming.Streaming.batchKeep(docs(s, dir))
       .toDF().orderBy("doc_id")
 
+  /** Ingest-time language ID: the stateless kernel over bounded input
+    * computes the batch doc_lang_id rows exactly — shared twin.
+    */
+  def streamingLangId(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.langIdStream(docs(s, dir))
+      .toDF().orderBy("doc_id")
+
   // ------------------------------------------------------------- registry
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdx_parse" -> (cdxParse _),
@@ -1053,6 +1060,7 @@ object Queries {
     "doc_decontaminate" -> (docDecontaminate _),
     "streaming_decontaminate" -> (streamingDecontaminate _),
     "streaming_keep_mask" -> (streamingKeepMask _),
+    "streaming_lang_id" -> (streamingLangId _),
     "doc_decontaminate_ext" -> (docDecontaminateExt _),
     "doc_pipeline" -> (docPipeline _),
     "doc_pipeline_full" -> (docPipelineFull _),

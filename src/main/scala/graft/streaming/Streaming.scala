@@ -888,4 +888,67 @@ object Streaming {
       .groupByKey(_.h)
       .flatMapGroups((h: String, rows: Iterator[QKeyed]) => keepFold(rows, None)._2.iterator)
   }
+
+  case class LangOut(
+      doc_id: Long,
+      lang: String,
+      score_en: Int,
+      score_de: Int,
+      score_es: Int,
+      score_fr: Int,
+      predicted: String,
+      agrees: Boolean)
+
+  private val LangNames: IndexedSeq[String] =
+    graft.operators.TextStats.Markers.map(_._1).toIndexedSeq
+  private val MarkerGroup: Map[String, Int] =
+    graft.operators.TextStats.Markers.zipWithIndex
+      .flatMap { case ((_, ws), i) => ws.map(_ -> i) }.toMap
+
+  /** The per-row half of [[graft.operators.TextStats.langId]] as a
+    * compiled kernel: all-occurrence marker counts over `split(text,
+    * ' ')` tokens (note: a marker in two groups would double-count in
+    * the batch broadcast join — the marker table is disjoint by
+    * construction) and the identical first-wins argmax (first language
+    * in [[graft.operators.TextStats.Markers]] order whose score is
+    * positive and >= every LATER score; all-zero -> "und").
+    */
+  def langIdScore(doc_id: Long, lang: String, text: String): LangOut = {
+    val s = new Array[Int](LangNames.length)
+    val w = text.split(" ", -1)
+    var i = 0
+    while (i < w.length) {
+      MarkerGroup.get(w(i)) match {
+        case Some(g) => s(g) += 1
+        case None    =>
+      }
+      i += 1
+    }
+    var predicted = "und"
+    var k = 0
+    var done = false
+    while (k < s.length && !done) {
+      if (s(k) > 0 && (k + 1 until s.length).forall(j => s(k) >= s(j))) {
+        predicted = LangNames(k); done = true
+      }
+      k += 1
+    }
+    LangOut(doc_id, lang, s(0), s(1), s(2), s(3), predicted, predicted == lang)
+  }
+
+  /** Ingest-time language ID: [[langIdScore]] as a STATELESS streaming
+    * map — language identification needs no corpus state, so the
+    * operator is a pure per-row kernel that composes into any ingest
+    * stream (the [[keepStream]] verdict chain) without adding a
+    * stateful stage or a shuffle. Works identically on a streaming or
+    * batch frame; the registered bounded run shares doc_lang_id's
+    * oracle twin (StreamingSpec pins kernel == declarative).
+    */
+  def langIdStream(docs: org.apache.spark.sql.DataFrame): Dataset[LangOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, t) => langIdScore(id, lang, t) })
+  }
 }

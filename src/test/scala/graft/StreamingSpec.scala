@@ -614,6 +614,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(kernel == declarative, "ingest keep kernel diverged from batch keepMask")
   }
 
+  test("streaming lang-ID kernel over bounded input equals the declarative doc_lang_id") {
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kernel = graft.streaming.Streaming.langIdStream(docs)
+      .collect().map(r => (r.doc_id, r.lang, r.score_en, r.score_de, r.score_es, r.score_fr, r.predicted, r.agrees))
+      .toSet
+    val declarative = graft.operators.TextStats.langId(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getString(6), r.getBoolean(7)))
+      .toSet
+    assert(kernel == declarative, "ingest lang-ID kernel diverged from batch langId")
+  }
+
+  test("streaming lang-ID is stateless: per-batch rows identical to per-row kernel calls") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.Streaming.langIdStream(stream.toDS().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("langid_stream")
+      .outputMode("append").start()
+    stream.addData(Seq(
+      (1L, "en", "the the der a of"),      // en 4 vs de 1
+      (2L, "de", "der die und ist das"),   // pure de
+      (3L, "fr", "zzz qqq"),               // no markers -> und
+      (4L, "es", "de y de y")))            // "de" the word is an es marker, not a de-language one
+    q.processAllAvailable()
+    stream.addData(Seq((5L, "en", "the a")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("langid_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getString(6), r.getBoolean(7)))).toMap
+    assert(out(2L) == (("de", true)))
+    assert(out(3L) == (("und", false)))
+    assert(out(5L) == (("en", true)))
+    // cross-batch independence: re-scoring doc 1 standalone gives the same verdict
+    assert(out(1L)._1 == graft.streaming.Streaming.langIdScore(1L, "en", "the the der a of").predicted)
+  }
+
   test("bucketFold: membership probes stay O(1) on a giant bucket") {
     // 20k-member bucket state, then a batch of arrivals that are ALL
     // already members: pair emission is zero, so the only cost is the
