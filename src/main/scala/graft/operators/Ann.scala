@@ -397,14 +397,12 @@ object Ann {
     * index metadata collected to the driver and re-broadcast, never
     * corpus-sized.
     */
-  def pqResidualCodebooksTrained(
-      lists: DataFrame,
-      cents: DataFrame,
-      iters: Int = ResidualTrainIters): DataFrame = {
-    val spark = lists.sparkSession
-    import spark.implicits._
-    // residual subvectors exploded once per subspace (row count = N·PqM)
-    val resSub = CacheScope.persist(
+  /** Residual subvectors exploded once per subspace (row count =
+    * N·PqM) — the shared training frame for [[pqResidualCodebooksTrained]]
+    * and [[pqResidualTrainCurve]].
+    */
+  private def residualSubvectors(lists: DataFrame, cents: DataFrame): DataFrame =
+    CacheScope.persist(
       lists
         .join(broadcast(cents.select(col("c_id"), col("ce"))), "c_id")
         .withColumn("rv", expr("zip_with(embedding, ce, (x, y) -> x - y)"))
@@ -414,41 +412,91 @@ object Ann {
           posexplode(expr(
             s"transform(sequence(0, ${PqM - 1}), m -> slice(rv, m * $PqSub + 1, $PqSub))"))
             .as(Seq("m", "rvm"))))
+
+  // unrolled 8-term squared L2 — stays inside whole-stage codegen
+  // (an aggregate() fold would interpret 16 lambdas per candidate)
+  // lazy: PqSub is declared later in this object — an eager val here
+  // would initialize from PqSub=0 and build an empty expression
+  private lazy val ResidualD2 = (0 until PqSub)
+    .map(j => s"pow(CAST(rvm[$j] AS DOUBLE) - CAST(cb[$j] AS DOUBLE), 2)")
+    .mkString(" + ")
+
+  /** Stand-in books as the (list, subspace, k) -> 8-dim centroid map
+    * Lloyd iterates over.
+    */
+  private def residualInitCenters(
+      lists: DataFrame,
+      cents: DataFrame): Map[(Long, Int, Int), Array[Float]] =
+    pqResidualCodebooks(lists, cents).collect().flatMap { r =>
+      val c = r.getLong(0); val k = r.getInt(1)
+      val cb = r.getSeq[Float](2).toArray
+      (0 until PqM).map(m => ((c, m, k), cb.slice(m * PqSub, (m + 1) * PqSub)))
+    }.toMap
+
+  /** Every residual subvector joined to its book's candidate centroids
+    * with the unrolled distance — the per-round assignment frame.
+    */
+  private def residualAssign(
+      resSub: DataFrame,
+      centers: Map[(Long, Int, Int), Array[Float]]): DataFrame = {
+    val spark = resSub.sparkSession
+    import spark.implicits._
+    val cdf = centers.toSeq.map { case ((c, m, k), cb) => (c, m, k, cb) }
+      .toDF("c_id", "m", "k", "cb")
+    resSub
+      .join(broadcast(cdf), Seq("c_id", "m"))
+      .withColumn("d", expr(ResidualD2))
+  }
+
+  /** One distributed Lloyd round: nearest-centroid assignment (ties ->
+    * smaller k) and 1e-6 fixed-point mean re-centering. Empty cells
+    * keep their previous centroid.
+    */
+  private def lloydRound(
+      resSub: DataFrame,
+      centers: Map[(Long, Int, Int), Array[Float]]): Map[(Long, Int, Int), Array[Float]] = {
+    val updated = residualAssign(resSub, centers)
+      .groupBy("vec_id", "c_id", "m")
+      // lexicographic struct min: nearest centroid, ties -> smaller k
+      .agg(min(struct(col("d"), col("k"))).getField("k").as("k"), first("rvm").as("rvm"))
+      .select(col("c_id"), col("m"), col("k"), posexplode(col("rvm")).as(Seq("pos", "v")))
+      .groupBy("c_id", "m", "k", "pos")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("v").cast("double") * 1000000).cast("long")).as("sq"))
+      .withColumn("cv",
+        (col("sq").cast("double") / (col("n").cast("double") * 1000000.0)).cast("float"))
+      .groupBy("c_id", "m", "k")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cb"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getSeq[Float](3).toArray))
+      .toMap
+    centers.map { case (key, old) => key -> updated.getOrElse(key, old) }
+  }
+
+  /** Total assignment SSE under `centers`, in exact 1e-6 fixed-point:
+    * each subvector's min distance quantizes to an integer BEFORE the
+    * global sum, so the figure is bit-stable across partitionings.
+    */
+  private def residualSseMicro(
+      resSub: DataFrame,
+      centers: Map[(Long, Int, Int), Array[Float]]): Long =
+    residualAssign(resSub, centers)
+      .groupBy("vec_id", "c_id", "m")
+      .agg(min("d").as("dmin"))
+      .agg(sum(round(col("dmin") * 1000000).cast("long")))
+      .head().getLong(0)
+
+  def pqResidualCodebooksTrained(
+      lists: DataFrame,
+      cents: DataFrame,
+      iters: Int = ResidualTrainIters): DataFrame = {
+    val spark = lists.sparkSession
+    import spark.implicits._
+    val resSub = residualSubvectors(lists, cents)
     // (c_id, m, k) -> 8-dim centroid, seeded from the stand-in books
-    var centers: Map[(Long, Int, Int), Array[Float]] =
-      pqResidualCodebooks(lists, cents).collect().flatMap { r =>
-        val c = r.getLong(0); val k = r.getInt(1)
-        val cb = r.getSeq[Float](2).toArray
-        (0 until PqM).map(m => ((c, m, k), cb.slice(m * PqSub, (m + 1) * PqSub)))
-      }.toMap
-    // unrolled 8-term squared L2 — stays inside whole-stage codegen
-    // (an aggregate() fold would interpret 16 lambdas per candidate)
-    val d2 = (0 until PqSub)
-      .map(j => s"pow(CAST(rvm[$j] AS DOUBLE) - CAST(cb[$j] AS DOUBLE), 2)")
-      .mkString(" + ")
-    for (_ <- 0 until iters) {
-      val cdf = centers.toSeq.map { case ((c, m, k), cb) => (c, m, k, cb) }
-        .toDF("c_id", "m", "k", "cb")
-      val updated = resSub
-        .join(broadcast(cdf), Seq("c_id", "m"))
-        .withColumn("d", expr(d2))
-        .groupBy("vec_id", "c_id", "m")
-        // lexicographic struct min: nearest centroid, ties -> smaller k
-        .agg(min(struct(col("d"), col("k"))).getField("k").as("k"), first("rvm").as("rvm"))
-        .select(col("c_id"), col("m"), col("k"), posexplode(col("rvm")).as(Seq("pos", "v")))
-        .groupBy("c_id", "m", "k", "pos")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(round(col("v").cast("double") * 1000000).cast("long")).as("sq"))
-        .withColumn("cv",
-          (col("sq").cast("double") / (col("n").cast("double") * 1000000.0)).cast("float"))
-        .groupBy("c_id", "m", "k")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cb"))
-        .collect()
-        .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getSeq[Float](3).toArray))
-        .toMap
-      centers = centers.map { case (key, old) => key -> updated.getOrElse(key, old) }
-    }
+    var centers = residualInitCenters(lists, cents)
+    for (_ <- 0 until iters) centers = lloydRound(resSub, centers)
     // pack back to the (c_id, k, cb64) shape pqEncodeResidual consumes:
     // full-vector centroid (c, k) = concat over m of the (c, m, k) book
     centers.keys.map { case (c, _, k) => (c, k) }.toSeq.distinct
@@ -456,6 +504,30 @@ object Ann {
         (c, k, (0 until PqM).flatMap(m => centers((c, m, k))).toArray)
       }
       .toDF("c_id", "k", "cb")
+  }
+
+  /** Training convergence curve: total fixed-point SSE after each Lloyd
+    * round, iter 0 = the stand-in init. The monotone non-increase is
+    * k-means' contract — a broken descent means the assignment and the
+    * re-centering disagree on the metric (spec-pinned in
+    * IvfRecallSpec); ops dashboards use the curve's plateau to pick
+    * [[ResidualTrainIters]].
+    */
+  def pqResidualTrainCurve(
+      lists: DataFrame,
+      cents: DataFrame,
+      iters: Int = ResidualTrainIters): DataFrame = {
+    val spark = lists.sparkSession
+    import spark.implicits._
+    val resSub = residualSubvectors(lists, cents)
+    var centers = residualInitCenters(lists, cents)
+    val curve = Seq.newBuilder[(Int, Long)]
+    curve += ((0, residualSseMicro(resSub, centers)))
+    for (i <- 1 to iters) {
+      centers = lloydRound(resSub, centers)
+      curve += ((i, residualSseMicro(resSub, centers)))
+    }
+    curve.result().toDF("iter", "sse_micro")
   }
 
   /** Residual-PQ encode: each vector's residual against its OWN list's

@@ -276,6 +276,25 @@ class IvfRecallSpec extends AnyFunSuite {
       f"trained residual distortion $trained%.4f > stand-in $standIn%.4f")
   }
 
+  test("Lloyd convergence curve: SSE descends monotonically from the stand-in init") {
+    val emb = plantedClusters
+    val cents = Ann.firstKCentroids(emb)
+    val lists = Ann.ivfAssign(emb, cents)
+    val curve = Ann.pqResidualTrainCurve(lists, cents, iters = 3)
+      .orderBy("iter").collect().map(r => (r.getInt(0), r.getLong(1)))
+    graft.operators.CacheScope.releaseAll()
+    assert(curve.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    // exact-mean Lloyd never increases SSE; the 1e-6 fixed-point
+    // re-centering can wobble at most a hair at the plateau, so allow
+    // 0.01% per step but demand a real overall descent
+    curve.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b <= a + a / 10000,
+        s"SSE rose beyond quantization wobble: $a -> $b (curve ${curve.toSeq})")
+    }
+    assert(curve.last._2 < curve.head._2,
+      s"training produced no descent at all: ${curve.toSeq}")
+  }
+
   test("trained codebook beats the deterministic first-K stand-in on clustered data") {
     val emb = plantedClusters
     def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
