@@ -1209,6 +1209,25 @@ object Oracle {
          |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
          |FROM rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
 
+    // Twin of Ann.cosineTopKFiltered: the brute chain with the label
+    // equality folded into the join condition.
+    "ann_filtered_topk" ->
+      s"""WITH $vecNormCte,
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qnorm, label AS q_label
+         |      FROM vn WHERE vec_id % ${graft.operators.Ann.QueryMod} = 0),
+         |scored AS (
+         |  SELECT q.q_id, v.vec_id,
+         |    $cosExpr AS cos_raw
+         |  FROM q JOIN vn v ON q.q_id <> v.vec_id AND v.label = q.q_label
+         |),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos_raw DESC, vec_id) AS INTEGER) AS rn
+         |  FROM scored
+         |)
+         |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
+         |FROM rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
+
     "ann_buckets" ->
       s"""WITH b AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings)
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs
@@ -1295,6 +1314,18 @@ object Oracle {
     "doc_simhash" ->
       s"""WITH $simhashCtes
          |SELECT doc_id, sim_hi, sim_lo FROM sim ORDER BY doc_id""".stripMargin,
+
+    // Twin of Dedup.containmentPairs: the nd chain plus two ratio
+    // projections over the same integers.
+    "doc_containment" ->
+      s"""WITH $nearDupCtes
+         |SELECT doc_a, doc_b, n_a, n_b, n_common, jaccard,
+         |  round(CAST(n_common AS DOUBLE) / n_a, 6) AS containment_a,
+         |  round(CAST(n_common AS DOUBLE) / n_b, 6) AS containment_b,
+         |  greatest(round(CAST(n_common AS DOUBLE) / n_a, 6),
+         |           round(CAST(n_common AS DOUBLE) / n_b, 6)) >= ${graft.operators.Dedup.ContainmentMin}
+         |    AND jaccard < ${graft.operators.Corpus.ClusterJaccard} AS subset_only_dup
+         |FROM nd ORDER BY doc_a, doc_b""".stripMargin,
 
     "doc_simhash_pairs" ->
       s"""WITH $simhashCtes,

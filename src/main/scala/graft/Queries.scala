@@ -575,6 +575,10 @@ object Queries {
   def docBm25(s: SparkSession, dir: String): DataFrame =
     Corpus.bm25Top(docs(s, dir)).orderBy("doc_id", "rn")
 
+  /** Containment similarity over LSH candidates (subset-dup catcher). */
+  def docContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
+
   /** Incremental batch-vs-base exact dedup verdict. */
   def docDedupIncremental(s: SparkSession, dir: String): DataFrame =
     Dedup.incrementalDedup(docs(s, dir)).orderBy("doc_id")
@@ -708,6 +712,10 @@ object Queries {
   /** Brute-force cosine top-K: broadcast query set vs corpus. */
   def annTopK(s: SparkSession, dir: String): DataFrame =
     Ann.cosineTopK(embs(s, dir)).orderBy("q_id", "rn")
+
+  /** Label-filtered top-K (metadata predicate + similarity). */
+  def annFilteredTopK(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineTopKFiltered(embs(s, dir)).orderBy("q_id", "rn")
 
   /** LSH-bucketed cosine top-K (the scale path). */
   def annLsh(s: SparkSession, dir: String): DataFrame =
@@ -1072,12 +1080,14 @@ object Queries {
     "doc_tfidf" -> (docTfidf _),
     "doc_bm25" -> (docBm25 _),
     "doc_sample" -> (docSample _),
+    "doc_containment" -> (docContainment _),
     "doc_dedup_incremental" -> (docDedupIncremental _),
     "doc_budget_select" -> (docBudgetSelect _),
     "doc_mixture_sample" -> (docMixtureSample _),
     "corpus_stats" -> (corpusStats _),
     "periodic_samples_approx" -> (periodicSamplesApprox _),
     "ann_topk" -> (annTopK _),
+    "ann_filtered_topk" -> (annFilteredTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),

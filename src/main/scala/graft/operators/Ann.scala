@@ -86,6 +86,29 @@ object Ann {
     topK(scored)
   }
 
+  /** Label-filtered vector search: each query retrieves its top-K
+    * among corpus vectors sharing its label — the "filtered ANN" every
+    * serving stack needs (metadata predicate AND vector similarity in
+    * one query). The filter rides the broadcast-join CONDITION, so
+    * non-matching corpus rows drop before any distance math, and a
+    * label-partitioned corpus layout would prune at the scan; the
+    * general predicate form is a caller-side `emb.filter(...)` into
+    * [[cosineTopK]] — this entry pins the per-query (label equality)
+    * shape, which no pre-filter can express.
+    */
+  def cosineTopKFiltered(emb: DataFrame): DataFrame = {
+    val q = withNorm(emb.filter(col("vec_id") % QueryMod === 0))
+      .select(
+        col("vec_id").as("q_id"),
+        col("embedding").as("qe"),
+        col("norm").as("qnorm"),
+        col("label").as("q_label"))
+    val scored = withNorm(emb)
+      .join(broadcast(q), col("q_id") =!= col("vec_id") && col("label") === col("q_label"))
+      .withColumn("cos_raw", expr(dotExpr) / (col("qnorm") * col("norm")))
+    topK(scored)
+  }
+
   /** Deterministic ±1 hyperplane weights: +1 iff the first hex digit of
     * md5(s"$plane_$dim") is even — identical derivation in the oracle
     * SQL, so buckets agree bit-for-bit.

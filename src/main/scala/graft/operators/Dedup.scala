@@ -313,6 +313,38 @@ object Dedup {
         """CASE WHEN band < 2 THEN shiftright(sim_lo, band * 16) & 65535
           |ELSE shiftright(sim_hi, (band - 2) * 16) & 65535 END""".stripMargin))
 
+  /** Containment flag threshold for [[containmentPairs]]. */
+  val ContainmentMin = 0.9
+
+  /** Containment similarity over the SAME LSH candidate pairs as
+    * [[nearDupPairs]]: |A∩B| / |A| and |A∩B| / |B| alongside Jaccard.
+    * Jaccard-threshold dedup misses subset/superset duplication — a
+    * short doc pasted whole into a much longer one has Jaccard
+    * n_common / (n_a + n_b - n_common) ≈ n_a/n_b (small) but
+    * containment_a ≈ 1. `subset_only_dup` marks exactly those pairs:
+    * containment evidence ([[ContainmentMin]]) without Jaccard
+    * evidence ([[Corpus.ClusterJaccard]]).
+    *
+    * Scale shape: everything rides the banded candidate join — the
+    * containment ratios are two extra projections over the integer
+    * counts the near-dup verify already computed; no new shuffle.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val ca = round(col("n_common").cast("double") / col("n_a"), 6)
+    val cb = round(col("n_common").cast("double") / col("n_b"), 6)
+    nearDupPairs(docs).select(
+      col("doc_a"),
+      col("doc_b"),
+      col("n_a"),
+      col("n_b"),
+      col("n_common"),
+      col("jaccard"),
+      ca.as("containment_a"),
+      cb.as("containment_b"),
+      (greatest(ca, cb) >= ContainmentMin &&
+        col("jaccard") < graft.operators.Corpus.ClusterJaccard).as("subset_only_dup"))
+  }
+
   /** Incremental (cross-snapshot) exact dedup: a new crawl batch
     * arrives against an already-deduped base corpus, and each delta
     * document is flagged as a duplicate OF THE BASE, a duplicate of an
