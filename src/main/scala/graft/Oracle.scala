@@ -1833,6 +1833,37 @@ object Oracle {
         |)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
+    // Twin of Ann.embOutliers: same rounded centroids, same
+    // quantize-before-sum distance terms, exact median over integers.
+    "emb_outliers" ->
+      s"""WITH cent AS (
+         |  SELECT label, pos,
+         |    round(CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0), 6) AS centroid
+         |  FROM (
+         |    SELECT label, g.i AS pos,
+         |      CAST(round(CAST(embedding[CAST(g.i + 1 AS INTEGER)] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+         |    FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+         |  )
+         |  GROUP BY label, pos
+         |),
+         |terms AS (
+         |  SELECT e.vec_id, e.label,
+         |    CAST(round(pow(CAST(e.embedding[CAST(g.i + 1 AS INTEGER)] AS DOUBLE) - c.centroid, 2) * 1000000, 0) AS BIGINT) AS term_micro
+         |  FROM embeddings e, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+         |  JOIN cent c ON c.label = e.label AND c.pos = g.i
+         |),
+         |d2 AS (
+         |  SELECT vec_id, label, CAST(sum(term_micro) AS BIGINT) AS d2_micro
+         |  FROM terms GROUP BY vec_id, label
+         |),
+         |med AS (SELECT label, quantile_cont(d2_micro, 0.5) AS med_micro FROM d2 GROUP BY label)
+         |SELECT vec_id, d2.label, d2_micro,
+         |  round(CAST(d2_micro AS DOUBLE) / 1e6, 6) AS d2,
+         |  round(CAST(d2_micro AS DOUBLE) / med_micro, 6) AS dist_ratio,
+         |  d2_micro > med_micro * ${graft.operators.Ann.OutlierRatio} AS is_outlier
+         |FROM d2 JOIN med ON d2.label = med.label
+         |ORDER BY vec_id""".stripMargin,
+
     "emb_quantize" ->
       """SELECT vec_id, CAST(g.i AS INTEGER) AS pos,
         |  CASE WHEN scale = 0 THEN 0

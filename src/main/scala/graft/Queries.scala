@@ -717,6 +717,10 @@ object Queries {
   def annFilteredTopK(s: SparkSession, dir: String): DataFrame =
     Ann.cosineTopKFiltered(embs(s, dir)).orderBy("q_id", "rn")
 
+  /** Embedding outliers by centroid-distance median ratio. */
+  def embOutliers(s: SparkSession, dir: String): DataFrame =
+    Ann.embOutliers(embs(s, dir)).orderBy("vec_id")
+
   /** LSH-bucketed cosine top-K (the scale path). */
   def annLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(embs(s, dir)).orderBy("q_id", "rn")
@@ -1105,6 +1109,7 @@ object Queries {
     "ann_topk_banded" -> (annTopkBanded _),
     "emb_dedup_clusters" -> (embDedupClusters _),
     "emb_centroids" -> (embCentroids _),
+    "emb_outliers" -> (embOutliers _),
     "emb_quantize" -> (embQuantize _),
     "ann_buckets" -> (annBuckets _),
     "ann_classify" -> (annClassify _),

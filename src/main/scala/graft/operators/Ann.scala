@@ -1202,4 +1202,49 @@ object Ann {
         col("n_vecs"),
         round(col("sq").cast("double") / (col("n_vecs").cast("double") * 1000000.0), 6)
           .as("centroid"))
+
+  /** [[embOutliers]] flag threshold: a vector is an outlier when its
+    * squared distance to its label's centroid exceeds this multiple of
+    * the label's median squared distance.
+    */
+  val OutlierRatio = 4L
+
+  /** Embedding sanity filter: distance of every vector to its OWN
+    * label's centroid, flagged against the label's median distance —
+    * the "is this embedding garbage" check (zeroed rows, corrupt
+    * encodes, mislabeled points) a pipeline runs before letting vectors
+    * into an index. Median-ratio rather than z-score: distances are
+    * heavy-tailed and the median is robust to the very outliers being
+    * hunted.
+    *
+    * Determinism: per-(vec, dim) squared-diff terms against the ROUNDED
+    * [[labelCentroids]] centroid quantize to integer micro BEFORE the
+    * per-vec sum (order-free exact); the per-label median is an exact
+    * percentile over those integers. Scale shape: centroids are
+    * |labels|·dims rows (kilobytes, broadcast), the explode joins them
+    * per (label, pos), and everything else is vec- or label-keyed aggs
+    * with map-side combine — no corpus windows, no all-pairs.
+    */
+  def embOutliers(emb: DataFrame): DataFrame = {
+    val cent = labelCentroids(emb).select(col("label"), col("pos"), col("centroid"))
+    val d2 = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(broadcast(cent), Seq("label", "pos"))
+      .withColumn(
+        "term_micro",
+        round(pow(col("v").cast("double") - col("centroid"), 2) * 1000000).cast("long"))
+      .groupBy("vec_id", "label")
+      .agg(sum("term_micro").as("d2_micro"))
+    val med = d2.groupBy("label")
+      .agg(expr("percentile(d2_micro, 0.5)").as("med_micro"))
+    d2
+      .join(broadcast(med), "label")
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("d2_micro"),
+        round(col("d2_micro") / 1e6, 6).as("d2"),
+        round(col("d2_micro") / col("med_micro"), 6).as("dist_ratio"),
+        (col("d2_micro") > col("med_micro") * OutlierRatio).as("is_outlier"))
+  }
 }

@@ -169,4 +169,47 @@ class PlanSpec extends AnyFunSuite {
       s"N must join in by broadcast:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("doc_quality_model: the weight table probes by broadcast hash join") {
+    val p = plan("doc_quality_model")
+    // model size must cost a broadcast, not a corpus shuffle: the
+    // word->bucket explode joins a kilobyte weight table
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight table must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("doc_budget_select: windows run per (source, band), never per source alone") {
+    val p = plan("doc_budget_select")
+    // the corpus-sized window must carry the band in its partition
+    // spec — a source-only window is the skew funnel the banding exists
+    // to avoid. The tiny band-offset window IS source-only; it runs
+    // over |sources|x|bands| rows, after an aggregate.
+    val windowSpecs = "Window .*windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty, s"no window in plan:\n${p.take(2000)}")
+    val corpusWindows = windowSpecs.filter(s => !s.contains("band_tokens"))
+    assert(corpusWindows.forall(s => s.contains("band")),
+      s"corpus window lost its band key:\n$windowSpecs")
+  }
+
+  test("ann_filtered_topk: label predicate rides the broadcast join, no cartesian") {
+    val p = plan("ann_filtered_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "filtered ANN must never degrade to all-pairs")
+  }
+
+  test("doc_containment: rides the banded candidate join, no cartesian") {
+    val p = plan("doc_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("corpus_pmi: totals broadcast and top-k is a distributed heap take") {
+    val p = plan("corpus_pmi")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the top-k:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "totals must arrive by broadcast nested-loop (1 row), not cartesian")
+  }
 }
