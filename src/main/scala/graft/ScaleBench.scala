@@ -258,6 +258,29 @@ object ScaleBench {
         s"""{"metric":"ann_index_scale","vectors":$nVecs,"queries":$nQueries,""" +
           s""""index_write_sec":$writeSec,"disk_query_sec":$diskSec,"rows":$diskRows}""")
     }
+    // curation-filter throughput probe: the per-doc quality battery —
+    // hashed-feature model classifier (broadcast weight probe), word
+    // entropy (quantize-before-sum), and the banded token-budget
+    // selection — each over N synthetic ~40-word docs. These are the
+    // front-of-funnel filters that see EVERY crawled doc, so docs/sec
+    // here is the number that matters at 100 TB.
+    sys.env.get("SPARK_GRAFT_CURATION_DOCS").map(_.toLong).foreach { nDocs =>
+      val docs = documents(spark, nDocs)
+        .withColumn("lang", lit("en"))
+        .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string")))
+        .withColumn("n_chars", length(col("text")))
+      def time[A](f: => A): (Double, A) = {
+        val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+      }
+      val (qmSec, qmRows) = time(graft.operators.TextStats.qualityModel(docs).count())
+      val (enSec, enRows) = time(graft.operators.TextStats.entropy(docs).count())
+      val (bsSec, bsKept) = time(
+        graft.operators.Corpus.budgetSelect(docs).filter(col("selected")).count())
+      println(
+        s"""{"metric":"curation_scale","docs":$nDocs,"quality_model_sec":$qmSec,""" +
+          s""""entropy_sec":$enSec,"budget_select_sec":$bsSec,""" +
+          s""""docs_per_sec_model":${(qmRows / qmSec).toLong},"budget_kept":$bsKept}""")
+    }
     spark.stop()
   }
 

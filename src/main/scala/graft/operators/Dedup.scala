@@ -372,6 +372,21 @@ object Dedup {
       tagged.filter(col("b") === 1).select("doc_id", "fp"))
   }
 
+  /** [[incrementalDedupAgainst]] against a PERSISTED base — the
+    * production shape: `table` was written by
+    * [[graft.sinks.Sinks.writeDedupBase]] (bucketed by fp), so the
+    * base-side distinct and the probe join consume the bucketing
+    * in-place and only the delta batch shuffles (PlanSpec pins the
+    * bucketed read and the exchange count).
+    */
+  def incrementalDedupStored(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      deltaDocs: DataFrame): DataFrame =
+    incrementalDedupAgainst(
+      spark.table(table),
+      deltaDocs.select(col("doc_id"), md5(col("text")).as("fp")))
+
   /** The general form of [[incrementalDedup]]: `base` and `delta` are
     * (doc_id, fp) frames; returns one row per delta doc with its
     * dup-of-base / dup-in-delta / is_new verdict.

@@ -52,6 +52,24 @@ object Sinks {
     out.close()
   }
 
+  /** Persist a dedup base corpus as a Spark BUCKETED TABLE clustered
+    * by content fingerprint — the layout that makes
+    * [[graft.operators.Dedup.incrementalDedupStored]]'s per-batch
+    * probes shuffle-free on the base side: bucketing by fp already
+    * satisfies the join's hash distribution, so only the (small) delta
+    * exchanges. At 100 TB the base is the corpus — re-shuffling it per
+    * arriving batch is the cost this sink exists to delete.
+    */
+  def writeDedupBase(docs: DataFrame, table: String, buckets: Int = DefaultBuckets): Unit =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "fp")
+      .sortBy("fp")
+      .saveAsTable(table)
+
   /** Read the materialization back; `forUrl` prunes to the one bucket
     * partition the url hashes into (partition pruning does the work —
     * check PushedFilters/PartitionFilters in the scan). Without the

@@ -206,6 +206,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incremental dedup vs a stored base: bucketed scan, base side never re-shuffles") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val table = "plan_dedup_base"
+    try {
+      graft.sinks.Sinks.writeDedupBase(docs.filter(col("doc_id") % 2 === 0), table, buckets = 8)
+      // disable AQE broadcast demotion noise: we want the static shape
+      val delta = docs.filter(col("doc_id") % 2 === 1)
+      val p = graft.operators.Dedup.incrementalDedupStored(spark, table, delta)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"base must read as a bucketed scan:\n${p.take(3000)}")
+      // the base table's fp bucketing satisfies the join distribution:
+      // every Exchange in the plan belongs to the delta/output path.
+      // The base subtree is the one reading from the table — assert no
+      // Exchange sits between the table scan and its first join/agg.
+      val baseScanIdx = p.indexOf(table)
+      assert(baseScanIdx >= 0, s"stored base table absent from plan:\n${p.take(3000)}")
+      val exchanges = "Exchange hashpartitioning\\(fp".r.findAllIn(p).size
+      assert(exchanges <= 2,
+        s"expected only delta-side fp exchanges (<=2), found $exchanges:\n${p.take(4000)}")
+      // and the stored-base path returns the same verdicts as in-memory
+      val stored = graft.operators.Dedup.incrementalDedupStored(spark, table, delta)
+        .collect().map(_.toSeq).toSet
+      val mem = graft.operators.Dedup.incrementalDedupAgainst(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), org.apache.spark.sql.functions.md5(col("text")).as("fp")),
+        delta.select(col("doc_id"), org.apache.spark.sql.functions.md5(col("text")).as("fp")))
+        .collect().map(_.toSeq).toSet
+      assert(stored == mem, "stored-base verdicts diverged from in-memory")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("corpus_pmi: totals broadcast and top-k is a distributed heap take") {
     val p = plan("corpus_pmi")
     assert(p.contains("TakeOrderedAndProject"),
