@@ -265,10 +265,16 @@ object ScaleBench {
     // front-of-funnel filters that see EVERY crawled doc, so docs/sec
     // here is the number that matters at 100 TB.
     sys.env.get("SPARK_GRAFT_CURATION_DOCS").map(_.toLong).foreach { nDocs =>
+      // persist the synthetic corpus before timing: the generator runs
+      // 40 md5s per row per REFERENCE, and the operators under test
+      // reference `docs` 2-4x — unpersisted, the probe times the
+      // generator, not the operator (a real corpus is a parquet scan)
       val docs = documents(spark, nDocs)
         .withColumn("lang", lit("en"))
         .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string")))
         .withColumn("n_chars", length(col("text")))
+        .persist()
+      docs.count()
       def time[A](f: => A): (Double, A) = {
         val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
       }
@@ -280,6 +286,7 @@ object ScaleBench {
         s"""{"metric":"curation_scale","docs":$nDocs,"quality_model_sec":$qmSec,""" +
           s""""entropy_sec":$enSec,"budget_select_sec":$bsSec,""" +
           s""""docs_per_sec_model":${(qmRows / qmSec).toLong},"budget_kept":$bsKept}""")
+      docs.unpersist(blocking = false)
     }
     spark.stop()
   }
