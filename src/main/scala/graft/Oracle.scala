@@ -1736,6 +1736,74 @@ object Oracle {
          |WHERE rn <= ${graft.operators.Corpus.Bm25TopK}
          |ORDER BY doc_id, rn""".stripMargin,
 
+    // Retrieval twin: the doc_bm25 weight pipeline verbatim, then the
+    // same 1e6 fixed-point per-doc sum (exact integer, order-free) and
+    // the same top-k cut. Term list interpolated from the one constant.
+    "corpus_search" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |pd AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, word),
+         |l AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM pd GROUP BY doc_id),
+         |d AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY word),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM l),
+         |s AS (
+         |  SELECT pd.doc_id, pd.word,
+         |    round(
+         |      ln((CAST(t.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+         |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(pd.tf AS DOUBLE) * (${graft.operators.Corpus.Bm25K1} + 1.0))
+         |      / (CAST(pd.tf AS DOUBLE) + ${graft.operators.Corpus.Bm25K1}
+         |         * (1.0 - ${graft.operators.Corpus.Bm25B} + ${graft.operators.Corpus.Bm25B}
+         |            * CAST(l.dl AS DOUBLE) * CAST(t.n_docs AS DOUBLE) / CAST(t.total_dl AS DOUBLE))),
+         |      6) AS bm25
+         |  FROM pd JOIN l USING (doc_id) JOIN d USING (word) CROSS JOIN t
+         |  WHERE pd.word IN (${graft.operators.Corpus.SearchTerms.mkString("'", "', '", "'")})
+         |),
+         |g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(CAST(round(bm25 * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+         |  FROM s GROUP BY doc_id
+         |),
+         |top AS (
+         |  SELECT doc_id, n_terms,
+         |    round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score
+         |  FROM g ORDER BY score DESC, doc_id ASC
+         |  LIMIT ${graft.operators.Corpus.SearchTopK})
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+         |       doc_id, n_terms, score
+         |FROM top ORDER BY rank""".stripMargin,
+
+    // Inverted-index twin: same weights, same impact cut (w_micro desc,
+    // doc asc), postings assembled with string_agg ORDER BY rn — the
+    // deterministic order the Spark side reproduces via sort_array on
+    // (rn, posting) structs.
+    "corpus_inverted_index" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |pd AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, word),
+         |l AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM pd GROUP BY doc_id),
+         |d AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY word),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM l),
+         |s AS (
+         |  SELECT pd.doc_id, pd.word, d.df,
+         |    CAST(round(round(
+         |      ln((CAST(t.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+         |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(pd.tf AS DOUBLE) * (${graft.operators.Corpus.Bm25K1} + 1.0))
+         |      / (CAST(pd.tf AS DOUBLE) + ${graft.operators.Corpus.Bm25K1}
+         |         * (1.0 - ${graft.operators.Corpus.Bm25B} + ${graft.operators.Corpus.Bm25B}
+         |            * CAST(l.dl AS DOUBLE) * CAST(t.n_docs AS DOUBLE) / CAST(t.total_dl AS DOUBLE))),
+         |      6) * 1000000) AS BIGINT) AS w_micro
+         |  FROM pd JOIN l USING (doc_id) JOIN d USING (word) CROSS JOIN t
+         |),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY word
+         |              ORDER BY w_micro DESC, doc_id ASC) AS INTEGER) AS rn
+         |  FROM s
+         |)
+         |SELECT word, max(df) AS df, CAST(count(*) AS BIGINT) AS n_postings,
+         |  string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(w_micro AS VARCHAR), ',' ORDER BY rn) AS postings
+         |FROM rk WHERE rn <= ${graft.operators.Corpus.IndexTopPostings}
+         |GROUP BY word ORDER BY word""".stripMargin,
+
     "doc_sample" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, md5('s' || CAST(doc_id AS VARCHAR)) AS skey

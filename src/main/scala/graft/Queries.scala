@@ -575,6 +575,14 @@ object Queries {
   def docBm25(s: SparkSession, dir: String): DataFrame =
     Corpus.bm25Top(docs(s, dir)).orderBy("doc_id", "rn")
 
+  /** BM25 retrieval over the fixed default term query (top-10 hits). */
+  def corpusSearch(s: SparkSession, dir: String): DataFrame =
+    Corpus.searchBm25(docs(s, dir)).orderBy("rank")
+
+  /** Impact-ordered inverted index: df + top-5 postings per term. */
+  def corpusInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    Corpus.invertedIndex(docs(s, dir)).orderBy("word")
+
   /** Containment similarity over LSH candidates (subset-dup catcher). */
   def docContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
@@ -1083,6 +1091,8 @@ object Queries {
     "corpus_pmi" -> (corpusPmi _),
     "doc_tfidf" -> (docTfidf _),
     "doc_bm25" -> (docBm25 _),
+    "corpus_search" -> (corpusSearch _),
+    "corpus_inverted_index" -> (corpusInvertedIndex _),
     "doc_sample" -> (docSample _),
     "doc_containment" -> (docContainment _),
     "doc_dedup_incremental" -> (docDedupIncremental _),

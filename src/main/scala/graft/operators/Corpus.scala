@@ -647,11 +647,12 @@ object Corpus {
     * Shapes: one (doc, word) aggregate with map-side combine feeds both
     * tf and dl; df is a word-keyed aggregate joined back by word; the
     * corpus totals (N, avgdl) arrive as ONE broadcast row — integer
-    * sums, so exact and order-free. The score is rounded to 6 places
-    * BEFORE ranking (the [[tfidf]] determinism contract) and returned
-    * as the per-doc top-[[Bm25TopK]] terms, ties by word asc.
+    * sums, so exact and order-free. The score is rounded to 6 places at
+    * birth (the [[tfidf]] determinism contract), so every consumer —
+    * per-doc ranking, retrieval sums, index truncation — orders and
+    * adds an engine-stable value.
     */
-  def bm25Top(docs: DataFrame): DataFrame = {
+  def bm25Weights(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val perDoc = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val lens = perDoc.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -672,13 +673,95 @@ object Corpus {
       .join(dfs, "word")
       .crossJoin(broadcast(totals))
       .withColumn("bm25", score)
+      .select("doc_id", "word", "tf", "df", "bm25")
+  }
+
+  /** Per-doc top-[[Bm25TopK]] BM25 terms (ties by word asc) — the
+    * registered audit view over [[bm25Weights]].
+    */
+  def bm25Top(docs: DataFrame): DataFrame =
+    bm25Weights(docs)
       .withColumn(
         "rn",
         row_number().over(
           Window.partitionBy("doc_id").orderBy(col("bm25").desc, col("word").asc)))
       .filter(col("rn") <= Bm25TopK)
       .select("doc_id", "word", "tf", "df", "bm25", "rn")
+
+  /** The fixed term set the registered [[searchBm25]] query retrieves
+    * for, and how many hits it returns.
+    */
+  val SearchTerms: Seq[String] = Seq("hash", "join", "merge", "window")
+  val SearchTopK = 10
+
+  /** BM25 retrieval: score every document against a term query by
+    * summing its [[bm25Weights]] over the query terms, return the
+    * top-[[SearchTopK]] hits with per-term match count — the read path
+    * of the inverted index, run corpus-side (how you'd batch-score
+    * candidates for retrieval-augmented training data).
+    *
+    * Scale shape: the query-term filter is an `IN` over a literal
+    * handful of terms, pushed into the (doc, word) aggregate's output
+    * before any join fan-out; only matching postings survive. Per-term
+    * weights are already exact 6-decimal values, so the per-doc sum is
+    * done in 1e6 fixed point — an exact integer sum, order-free across
+    * partitions and engines. The final cut is orderBy+limit —
+    * `TakeOrderedAndProject`, per-partition heaps — with the rank
+    * window running over the k taken rows only (the [[vocab]] pattern),
+    * never a corpus-wide window.
+    */
+  def searchBm25(docs: DataFrame): DataFrame = {
+    val order = Seq(col("score").desc, col("doc_id").asc)
+    bm25Weights(docs)
+      .filter(col("word").isin(SearchTerms: _*))
+      .withColumn("bm25_micro", round(col("bm25") * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("bm25_micro").as("score_micro"))
+      .withColumn("score", round(col("score_micro").cast("double") / 1e6, 6))
+      .select("doc_id", "n_terms", "score")
+      .orderBy(order: _*)
+      .limit(SearchTopK)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .select("rank", "doc_id", "n_terms", "score")
   }
+
+  /** Posting-list truncation depth for [[invertedIndex]]: keep the
+    * [[IndexTopPostings]] highest-impact postings per term.
+    */
+  val IndexTopPostings = 5
+
+  /** Impact-ordered inverted index: per term, the document frequency
+    * and the top-[[IndexTopPostings]] postings by BM25 weight, encoded
+    * as a `doc:weight_micro` string in impact order — the serving
+    * artifact a retrieval layer memory-maps. Truncating postings at
+    * index-build time (impact ordering) is what bounds a term's serving
+    * cost when a stopword-ish term matches the whole corpus.
+    *
+    * Scale shape: the impact cut is a per-word window — vocab-keyed, so
+    * parallel across terms, and each partition holds one term's
+    * postings at most (the skew bound of any per-key window); df comes
+    * from the same word-keyed aggregate that feeds the weights, not a
+    * second corpus pass. The postings string is assembled by sorting
+    * the ≤[[IndexTopPostings]] collected structs per term —
+    * `sort_array` on (rn, posting) — so the result is deterministic
+    * under any shuffle order.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    bm25Weights(docs)
+      .withColumn("w_micro", round(col("bm25") * 1e6).cast("long"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("word").orderBy(col("w_micro").desc, col("doc_id").asc)))
+      .filter(col("rn") <= IndexTopPostings)
+      .groupBy("word")
+      .agg(
+        max(col("df")).as("df"),
+        count(lit(1)).as("n_postings"),
+        array_join(
+          expr("transform(sort_array(collect_list(struct(rn AS r, concat(doc_id, ':', w_micro) AS p))), x -> x.p)"),
+          ",").as("postings"))
+      .select("word", "df", "n_postings", "postings")
 
   /** Unigram LM score: mean log-probability of the document's words
     * under the corpus unigram distribution — the perplexity-filter

@@ -264,6 +264,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(ln(1L) > ln(2L), s"length penalty missing: $ln")
   }
 
+  test("searchBm25: no-match docs absent; rank order; score is the exact fixed-point term sum") {
+    val fixture = Seq(
+      (1L, "hash join merge window", "en", "web"),
+      (2L, "hash hash hash other other", "en", "web"),
+      (3L, "alpha beta gamma delta", "en", "web"),
+      (4L, "join window filler filler filler", "en", "web"))
+    val out = Corpus.searchBm25(docsDf(fixture)).orderBy("rank").collect()
+    assert(!out.map(_.getLong(1)).contains(3L), "doc without query terms must not hit")
+    val scores = out.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "rank must follow score")
+    val d1 = out.find(_.getLong(1) == 1L).get
+    assert(d1.getLong(2) == 4L, "doc 1 matches all four query terms")
+    // the reported score is exactly the 1e6 fixed-point sum of the
+    // per-term index weights — retrieval reads the same numbers the
+    // index stores
+    val micro = Corpus.bm25Weights(docsDf(fixture))
+      .filter(col("word").isin(Corpus.SearchTerms: _*))
+      .collect().filter(_.getLong(0) == 1L)
+      .map(r => math.round(r.getDouble(4) * 1e6)).sum
+    assert(d1.getDouble(3) == micro / 1e6)
+  }
+
+  test("invertedIndex: impact-ordered truncated postings; df counts past the cut") {
+    val docs = docsDf((1L to 8L).map(i =>
+      (i, (Seq.fill(i.toInt)("common") :+ s"word$i").mkString(" "), "en", "web")))
+    val out = Corpus.invertedIndex(docs).collect().map(r => r.getString(0) -> r).toMap
+    val c = out("common")
+    assert(c.getLong(1) == 8L, "df must count all matching docs, not just kept postings")
+    assert(c.getLong(2) == Corpus.IndexTopPostings.toLong, "postings truncated at the cut")
+    val postings = c.getString(3).split(",")
+    assert(postings.length == Corpus.IndexTopPostings)
+    val ws = postings.map(_.split(":")(1).toLong)
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, s"impact order violated: ${c.getString(3)}")
+    val h = out("word3")
+    assert(h.getLong(1) == 1L && h.getString(3).startsWith("3:"))
+  }
+
   test("stratifiedSample: deterministic, per-stratum ceil(n/5), subset of input") {
     val spark = TestSpark.spark
     import spark.implicits._
