@@ -2257,7 +2257,40 @@ object Oracle {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+
+    // Sessionization twin: session_window's merge semantics re-expressed
+    // as gap islands — a break where the inter-event gap EXCEEDS the
+    // gap (diff == gap still merges: Spark closes the window at
+    // last+gap inclusive of a touching next event — pinned in
+    // SessionsSpec). Bounds in epoch micros (exact integers); value
+    // sum through DECIMAL(18,2).
+    "event_sessions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v
+         |  FROM events
+         |),
+         |d AS (
+         |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+         |                   > ${graft.operators.Sessions.SessionGapHours}::BIGINT * 3600 * 1000000
+         |            THEN 1 ELSE 0 END AS brk
+         |  FROM e
+         |),
+         |s AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+         |              ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM d
+         |),
+         |g AS (
+         |  SELECT user_id, sid,
+         |    CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,
+         |    CAST(count(*) AS BIGINT) AS n_events, CAST(sum(v) AS DOUBLE) AS sum_value
+         |  FROM s GROUP BY user_id, sid
+         |)
+         |SELECT user_id,
+         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_us) AS INTEGER) AS session_seq,
+         |  start_us, end_us, n_events, sum_value
+         |FROM g ORDER BY user_id, session_seq""".stripMargin
   )
 
   /** Twins that depend on RUNTIME artifacts — today the trained KMeans

@@ -432,6 +432,11 @@ object Queries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("day", "event_type")
 
+  /** Gap-based sessionization (12 h gap) via native session_window. */
+  def eventSessions(s: SparkSession, dir: String): DataFrame =
+    operators.Sessions.sessionize(Cdx.readEvents(s, dir))
+      .orderBy("user_id", "session_seq")
+
   // --------------------------------------------- training-data pipeline ops
   private def docs(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
 
@@ -1059,6 +1064,7 @@ object Queries {
     "revenue_by_nation" -> (revenueByNation _),
     "top_orders_per_cust" -> (topOrdersPerCustomer _),
     "event_daily_windows" -> (eventDailyWindows _),
+    "event_sessions" -> (eventSessions _),
     "doc_exact_dedup" -> (docExactDedup _),
     "doc_near_dup" -> (docNearDup _),
     "doc_simhash" -> (docSimhash _),

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Sessions
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event row for MemoryStream encoders (top-level for Encoder derivation). */
+case class SessEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Gap-based sessionization: session_window merge semantics at the gap
+  * boundary, and streaming ≡ batch on watermark-closed sessions.
+  */
+class SessionsSpec extends AnyFunSuite {
+
+  private def ts(h: Long, m: Long = 0): java.sql.Timestamp =
+    new java.sql.Timestamp(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli + (h * 60 + m) * 60000)
+
+  test("sessionize: exactly-gap merges (inclusive close), over-gap splits; exact sums and bounds") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val evs = Seq(
+      SessEv(1L, ts(0), 1.25),
+      SessEv(1L, ts(12), 2.50), // exactly 12 h after prev: still merges (inclusive)
+      SessEv(1L, ts(24, 1), 0.25), // 12h01 after prev -> new session
+      SessEv(2L, ts(5), 4.00))
+    val out = Sessions.sessionize(evs.toDF()).orderBy("user_id", "session_seq").collect()
+    assert(out.length == 3, out.mkString("; "))
+    val s1 = out(0)
+    assert(s1.getLong(0) == 1L && s1.getInt(1) == 1 && s1.getLong(4) == 2L)
+    assert(s1.getDouble(5) == 3.75)
+    assert(s1.getLong(2) == ts(0).getTime * 1000 && s1.getLong(3) == ts(12).getTime * 1000,
+      "bounds must be the min/max event timestamps, not the open window end")
+    assert(out(1).getInt(1) == 2 && out(1).getLong(4) == 1L)
+    assert(out(2).getLong(0) == 2L && out(2).getInt(1) == 1)
+  }
+
+  test("streaming sessionization equals batch on watermark-closed sessions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val evs = (0 until 400).map { _ =>
+      SessEv(rnd.nextInt(5).toLong, ts(rnd.nextInt(200).toLong, rnd.nextInt(60).toLong),
+        rnd.nextInt(1000) / 100.0)
+    }.sortBy(_.ts.getTime)
+    // far-future sentinel pushes the watermark past every real session
+    val sentinel = SessEv(99L, ts(100000), 0.0)
+
+    val stream = MemoryStream[SessEv]
+    val q = Sessions.sessionizeStream(stream.toDS().toDF(), "0 seconds")
+      .writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
+    try {
+      Seq(evs.take(150), evs.drop(150), Seq(sentinel)).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("sess_stream").filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+    val batch = Sessions.sessionize(evs.toDF())
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value")
+      .orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"streamed ${streamed.length} vs batch ${batch.length} sessions")
+  }
+}
