@@ -1736,6 +1736,49 @@ object Oracle {
          |WHERE rn <= ${graft.operators.Corpus.Bm25TopK}
          |ORDER BY doc_id, rn""".stripMargin,
 
+    // Sparse-retrieval twin: the doc_tfidf weight formula quantized to
+    // 1e6 fixed point at birth; dot products and norms are exact
+    // integer sums (order-free); the cosine is one fixed-shape double
+    // expression of three integers, rounded before ranking.
+    "doc_tfidf_topk" ->
+      s"""WITH pd AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY doc_id, word
+         |),
+         |dfs AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY word),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |w AS (
+         |  SELECT pd.doc_id, pd.word,
+         |    CAST(round(round(pd.tf * ln(CAST(n.n_docs AS DOUBLE) / dfs.df), 6) * 1000000) AS BIGINT) AS w_micro
+         |  FROM pd JOIN dfs USING (word) CROSS JOIN n
+         |),
+         |nrm AS (SELECT doc_id, CAST(sum(w_micro * w_micro) AS BIGINT) AS norm2 FROM w GROUP BY doc_id),
+         |q AS (
+         |  SELECT doc_id AS doc_a, word, w_micro AS wa,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY w_micro DESC, word ASC) AS qrn
+         |  FROM w WHERE doc_id % ${graft.operators.Corpus.SimQueryMod} = 0
+         |),
+         |c AS (
+         |  SELECT q.doc_a, w.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared,
+         |    CAST(sum(q.wa * w.w_micro) AS BIGINT) AS dot_fp
+         |  FROM q JOIN w USING (word)
+         |  WHERE q.qrn <= ${graft.operators.Corpus.SimQueryTerms} AND q.doc_a <> w.doc_id
+         |  GROUP BY q.doc_a, doc_b
+         |),
+         |s AS (
+         |  SELECT c.doc_a, c.doc_b, c.n_shared,
+         |    round(CAST(c.dot_fp AS DOUBLE)
+         |          / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6) AS cos
+         |  FROM c JOIN nrm a ON c.doc_a = a.doc_id JOIN nrm b ON c.doc_b = b.doc_id
+         |)
+         |SELECT doc_a, doc_b, n_shared, cos, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_a
+         |              ORDER BY cos DESC, doc_b ASC) AS INTEGER) AS rn
+         |  FROM s)
+         |WHERE rn <= ${graft.operators.Corpus.SimTopK}
+         |ORDER BY doc_a, rn""".stripMargin,
+
     // Retrieval twin: the doc_bm25 weight pipeline verbatim, then the
     // same 1e6 fixed-point per-doc sum (exact integer, order-free) and
     // the same top-k cut. Term list interpolated from the one constant.

@@ -580,6 +580,10 @@ object Queries {
   def docBm25(s: SparkSession, dir: String): DataFrame =
     Corpus.bm25Top(docs(s, dir)).orderBy("doc_id", "rn")
 
+  /** Sparse lexical top-5 retrieval per query doc (prefix-filtered). */
+  def docTfidfTopK(s: SparkSession, dir: String): DataFrame =
+    Corpus.tfidfTopK(docs(s, dir)).orderBy("doc_a", "rn")
+
   /** BM25 retrieval over the fixed default term query (top-10 hits). */
   def corpusSearch(s: SparkSession, dir: String): DataFrame =
     Corpus.searchBm25(docs(s, dir)).orderBy("rank")
@@ -1098,6 +1102,7 @@ object Queries {
     "doc_tfidf" -> (docTfidf _),
     "doc_bm25" -> (docBm25 _),
     "corpus_search" -> (corpusSearch _),
+    "doc_tfidf_topk" -> (docTfidfTopK _),
     "corpus_inverted_index" -> (corpusInvertedIndex _),
     "doc_sample" -> (docSample _),
     "doc_containment" -> (docContainment _),

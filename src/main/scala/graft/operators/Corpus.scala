@@ -632,6 +632,90 @@ object Corpus {
       .select("doc_id", "word", "tf", "df", "tfidf", "rn")
   }
 
+  /** Sparse lexical retrieval parameters: which docs act as queries
+    * (every [[SimQueryMod]]-th id — a deterministic stand-in for an
+    * arriving query batch), how many of a query's terms participate
+    * (prefix filtering at [[SimQueryTerms]] top-weight terms), and the
+    * per-query result cut.
+    */
+  val SimQueryMod = 97L
+  val SimQueryTerms = 8
+  val SimTopK = 5
+
+  /** Per-(doc, word) TF-IDF weights in exact 1e6 fixed point — the
+    * sparse vector both [[tfidf]]'s audit view and [[tfidfTopK]]'s
+    * retrieval read. Same formula as [[tfidf]], quantized at birth so
+    * every downstream dot product and norm is an exact integer sum.
+    */
+  def tfidfWeights(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val dfs = perDoc.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    perDoc
+      .join(dfs, "word")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "w_micro",
+        round(round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6) * 1e6)
+          .cast("long"))
+      .select("doc_id", "word", "tf", "df", "w_micro")
+  }
+
+  /** Sparse lexical top-k retrieval: for each query doc, the
+    * [[SimTopK]] most cosine-similar corpus docs under TF-IDF
+    * weighting, candidates generated by prefix filtering — only the
+    * query's top-[[SimQueryTerms]] terms join the corpus postings, the
+    * standard all-pairs-similarity bound (DISCO/prefix-filter family):
+    * candidate volume is Σ over the query's kept terms of df(term),
+    * linear in the corpus per query, never corpus × corpus. The
+    * reported `cos` uses the TRUNCATED query vector against the full
+    * document norm — the impact-truncation trade the inverted index
+    * makes, stated rather than hidden.
+    *
+    * Scale shape: the query posting set (queries × 8 terms) and the
+    * query norms broadcast; the corpus posting stream joins them
+    * word-keyed without shuffling the corpus side; the only shuffles
+    * are the (doc_a, doc_b) candidate aggregate (exact integer dot in
+    * 1e6² fixed point) and the doc_b-keyed norm join. The per-query
+    * rank window partitions by query — k rows each, no global window.
+    */
+  def tfidfTopK(docs: DataFrame): DataFrame = {
+    val w = tfidfWeights(docs)
+    val norms = w.groupBy("doc_id").agg(sum(expr("w_micro * w_micro")).as("norm2"))
+    val qw = w
+      .filter(col("doc_id") % SimQueryMod === 0L)
+      .withColumn(
+        "qrn",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("w_micro").desc, col("word").asc)))
+      .filter(col("qrn") <= SimQueryTerms)
+      .select(col("doc_id").as("doc_a"), col("word"), col("w_micro").as("wa"))
+    val qnorms = norms
+      .filter(col("doc_id") % SimQueryMod === 0L)
+      .select(col("doc_id").as("doc_a"), col("norm2").as("na"))
+    broadcast(qw)
+      .join(w.select(col("doc_id").as("doc_b"), col("word"), col("w_micro").as("wb")), "word")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"), sum(col("wa") * col("wb")).as("dot_fp"))
+      .join(broadcast(qnorms), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("nb")), "doc_b")
+      .withColumn(
+        "cos",
+        round(
+          col("dot_fp").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("doc_a").orderBy(col("cos").desc, col("doc_b").asc)))
+      .filter(col("rn") <= SimTopK)
+      .select("doc_a", "doc_b", "n_shared", "cos", "rn")
+  }
+
   /** BM25 parameters (the standard Robertson defaults) and the per-doc
     * top-k cut for the registered query.
     */

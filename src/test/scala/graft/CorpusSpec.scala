@@ -264,6 +264,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(ln(1L) > ln(2L), s"length penalty missing: $ln")
   }
 
+  test("tfidfTopK: identical small docs hit at cos 1; disjoint docs absent; only query docs rank") {
+    val out = Corpus.tfidfTopK(docsDf(Seq(
+      (0L, "alpha beta gamma delta", "en", "web"),
+      (1L, "alpha beta gamma delta", "en", "web"),
+      (2L, "alpha beta epsilon zeta", "en", "web"),
+      (3L, "one two three four", "en", "web"))))
+      .collect()
+    assert(out.map(_.getLong(0)).distinct.toSeq == Seq(0L), "only doc 0 is a query (0 % 97)")
+    assert(!out.map(_.getLong(1)).contains(3L), "no shared words -> no candidate")
+    val top = out.find(_.getInt(4) == 1).get
+    assert(top.getLong(1) == 1L && top.getLong(2) == 4L && top.getDouble(3) == 1.0,
+      s"identical doc must top at cos 1, got $top")
+    val second = out.find(_.getInt(4) == 2).get
+    assert(second.getLong(1) == 2L && second.getDouble(3) > 0 && second.getDouble(3) < 1)
+  }
+
   test("searchBm25: no-match docs absent; rank order; score is the exact fixed-point term sum") {
     val fixture = Seq(
       (1L, "hash join merge window", "en", "web"),
