@@ -1847,6 +1847,47 @@ object Oracle {
          |FROM rk WHERE rn <= ${graft.operators.Corpus.IndexTopPostings}
          |GROUP BY word ORDER BY word""".stripMargin,
 
+    // Duplicated-span twin: identical positional grams (explicit word
+    // concat, no slice-semantics ambiguity), identical running-max
+    // island merge. Touching spans (s = prev max e) merge on both
+    // sides.
+    "doc_substring_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM w),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+         |  FROM w, unnest(range(0, len(w) - ${graft.operators.Dedup.SubstrGramN - 1})) t(i)
+         |  WHERE len(w) >= ${graft.operators.Dedup.SubstrGramN}
+         |),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+         |sp AS (
+         |  SELECT doc_id, pos AS s, pos + ${graft.operators.Dedup.SubstrGramN} AS e
+         |  FROM g JOIN d USING (gram)
+         |),
+         |m AS (
+         |  SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM sp
+         |),
+         |b AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM m),
+         |isl AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+         |              ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM b
+         |),
+         |ms AS (SELECT doc_id, grp, min(s) AS ss, max(e) AS ee FROM isl GROUP BY doc_id, grp),
+         |pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(ee - ss) AS BIGINT) AS dup_words
+         |  FROM ms GROUP BY doc_id
+         |)
+         |SELECT nw.doc_id, nw.n_words,
+         |  COALESCE(pd.n_spans, 0) AS n_spans,
+         |  COALESCE(pd.dup_words, 0) AS dup_words,
+         |  nw.n_words - COALESCE(pd.dup_words, 0) AS kept_words
+         |FROM nw LEFT JOIN pd USING (doc_id) ORDER BY nw.doc_id""".stripMargin,
+
     "doc_sample" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, md5('s' || CAST(doc_id AS VARCHAR)) AS skey

@@ -596,6 +596,10 @@ object Queries {
   def docContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
 
+  /** Cross-doc duplicated-span report (exact substring dedup shape). */
+  def docSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(docs(s, dir)).orderBy("doc_id")
+
   /** Incremental batch-vs-base exact dedup verdict. */
   def docDedupIncremental(s: SparkSession, dir: String): DataFrame =
     Dedup.incrementalDedup(docs(s, dir)).orderBy("doc_id")
@@ -1106,6 +1110,7 @@ object Queries {
     "corpus_inverted_index" -> (corpusInvertedIndex _),
     "doc_sample" -> (docSample _),
     "doc_containment" -> (docContainment _),
+    "doc_substring_dedup" -> (docSubstringDedup _),
     "doc_dedup_incremental" -> (docDedupIncremental _),
     "doc_budget_select" -> (docBudgetSelect _),
     "doc_mixture_sample" -> (docMixtureSample _),

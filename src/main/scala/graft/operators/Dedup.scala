@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines: exact
@@ -391,6 +392,68 @@ object Dedup {
     * (doc_id, fp) frames; returns one row per delta doc with its
     * dup-of-base / dup-in-delta / is_new verdict.
     */
+  /** Word-gram width for [[substringDedup]]: spans of [[SubstrGramN]]
+    * consecutive words that appear verbatim in more than one document
+    * count as cross-document duplicated text. (Production exact-
+    * substring dedup uses 50-token windows — Lee et al.'s suffix-array
+    * formulation; 3 fits this corpus's ~30-word vocabulary while
+    * exercising the identical span algebra.)
+    */
+  val SubstrGramN = 3
+
+  /** Cross-document duplicated-span report — the aggregate-level
+    * equivalent of exact substring deduplication: every positional
+    * [[SubstrGramN]]-word gram that occurs in >1 distinct document
+    * marks its span duplicated; overlapping/touching spans merge; the
+    * report is per-doc span count, duplicated word count, and what
+    * survives. (A remove step is `slice` over the kept ranges; the
+    * expensive, scale-critical part — finding and merging the spans —
+    * is all here.)
+    *
+    * Scale shape: positional grams are a per-row explode (no shuffle);
+    * the duplicated-gram set is one gram-keyed distinct-doc aggregate;
+    * marking is a semi join back on gram. Span merging is the classic
+    * running-max island scan — two doc-keyed windows over DUPLICATED
+    * positions only (not all positions), bounded by doc length, fully
+    * parallel across docs. No pairwise doc comparison anywhere: cost
+    * is linear in total grams + duplicated grams, never docs².
+    */
+  def substringDedup(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val nWords = w.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+    val grams = w
+      .filter(size(col("w")) >= SubstrGramN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $SubstrGramN), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(w, i + 1, $SubstrGramN)) AS gram))")).as("g"))
+      .select(col("doc_id"), col("g.pos").cast("long").as("pos"), col("g.gram").as("gram"))
+    val dupGrams = grams
+      .groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select("gram")
+    val docW = Window.partitionBy("doc_id").orderBy("s")
+    val spans = grams
+      .join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + SubstrGramN).as("e"))
+      .withColumn("pme", max("e").over(docW.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk", when(col("pme").isNull || col("s") > col("pme"), 1L).otherwise(0L))
+      .withColumn("grp", sum("brk").over(docW.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg(min("s").as("ss"), max("e").as("ee"))
+    val perDoc = spans
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("ee") - col("ss")).as("dup_words"))
+    nWords
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        (col("n_words") - coalesce(col("dup_words"), lit(0L))).as("kept_words"))
+  }
+
   def incrementalDedupAgainst(base: DataFrame, delta: DataFrame): DataFrame = {
     val baseFps = base.select("fp").distinct().withColumn("in_base", lit(true))
     val firstDelta = delta.groupBy("fp").agg(min("doc_id").as("first_delta"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Corpus
+import graft.operators.{Corpus, Dedup}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -262,6 +262,24 @@ class CorpusSpec extends AnyFunSuite {
       (2L, "term beta beta beta gamma gamma", "en", "web"))))
       .collect().filter(_.getString(1) == "term").map(r => r.getLong(0) -> r.getDouble(4)).toMap
     assert(ln(1L) > ln(2L), s"length penalty missing: $ln")
+  }
+
+  test("substringDedup: overlapping spans merge, touching spans merge, within-doc repeats don't count") {
+    val out = Dedup.substringDedup(docsDf(Seq(
+      (1L, "a b c d e f", "en", "web"), //        dup grams abc,bcd -> [0,4)
+      (2L, "a b c d x y", "en", "web"), //        same -> [0,4)
+      (3L, "z z z q r s", "en", "web"), //        nothing shared -> clean
+      (4L, "a b c q q q b c d", "en", "web"), //  abc@0, bcd@6 -> two spans
+      (5L, "m n o p q r", "en", "web"), //        mno@0, pqr@3 touch -> one span [0,6)
+      (6L, "m n o x x x p q r", "en", "web")))) //mno@0, pqr@6 -> two spans
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((6L, 1L, 4L, 2L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((6L, 1L, 4L, 2L)))
+    assert(out(3L) == ((6L, 0L, 0L, 6L)), "unshared grams (incl. within-doc repeats) must not mark")
+    assert(out(4L) == ((9L, 2L, 6L, 3L)))
+    assert(out(5L) == ((6L, 1L, 6L, 0L)), "touching spans [0,3)+[3,6) must merge to one")
+    assert(out(6L) == ((9L, 2L, 6L, 3L)))
   }
 
   test("tfidfTopK: identical small docs hit at cos 1; disjoint docs absent; only query docs rank") {
