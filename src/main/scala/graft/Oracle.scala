@@ -1815,6 +1815,74 @@ object Oracle {
          |       doc_id, n_terms, score
          |FROM top ORDER BY rank""".stripMargin,
 
+    // Hybrid-retrieval twin: the corpus_search lexical chain and the
+    // ann_topk cosine chain for the one fixed query vector, fused by
+    // reciprocal rank — each leg's 1/(k+rank) contribution rounds to
+    // integer micro units before the sum (small exact integers in, so
+    // the double division is bit-identical across engines).
+    "corpus_hybrid_search" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |pd AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, word),
+         |l AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM pd GROUP BY doc_id),
+         |d AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY word),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM l),
+         |s AS (
+         |  SELECT pd.doc_id, pd.word,
+         |    round(
+         |      ln((CAST(t.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+         |         / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(pd.tf AS DOUBLE) * (${graft.operators.Corpus.Bm25K1} + 1.0))
+         |      / (CAST(pd.tf AS DOUBLE) + ${graft.operators.Corpus.Bm25K1}
+         |         * (1.0 - ${graft.operators.Corpus.Bm25B} + ${graft.operators.Corpus.Bm25B}
+         |            * CAST(l.dl AS DOUBLE) * CAST(t.n_docs AS DOUBLE) / CAST(t.total_dl AS DOUBLE))),
+         |      6) AS bm25
+         |  FROM pd JOIN l USING (doc_id) JOIN d USING (word) CROSS JOIN t
+         |  WHERE pd.word IN (${graft.operators.Corpus.SearchTerms.mkString("'", "', '", "'")})
+         |),
+         |g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    CAST(sum(CAST(round(bm25 * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+         |  FROM s GROUP BY doc_id
+         |),
+         |ltop AS (
+         |  SELECT doc_id,
+         |    round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score
+         |  FROM g ORDER BY score DESC, doc_id ASC
+         |  LIMIT ${graft.operators.Corpus.SearchTopK}),
+         |lex AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS lex_rank,
+         |         doc_id
+         |  FROM ltop),
+         |$vecNormCte,
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qnorm
+         |      FROM vn WHERE vec_id = ${graft.operators.Corpus.HybridQueryVec}),
+         |sc AS (
+         |  SELECT v.vec_id,
+         |    $cosExpr AS cos_raw
+         |  FROM q JOIN vn v ON q.q_id <> v.vec_id
+         |),
+         |vrk AS (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS INTEGER) AS vec_rank
+         |  FROM sc
+         |),
+         |vtop AS (SELECT * FROM vrk WHERE vec_rank <= ${graft.operators.Ann.K}),
+         |f AS (
+         |  SELECT coalesce(lex.doc_id, vtop.doc_id) AS doc_id,
+         |    CAST(coalesce(lex.lex_rank, 0) AS INTEGER) AS lex_rank,
+         |    CAST(coalesce(vtop.vec_rank, 0) AS INTEGER) AS vec_rank,
+         |    coalesce(CAST(round(1000000.0 / (${graft.operators.Corpus.RrfK} + lex.lex_rank)) AS BIGINT), CAST(0 AS BIGINT))
+         |    + coalesce(CAST(round(1000000.0 / (${graft.operators.Corpus.RrfK} + vtop.vec_rank)) AS BIGINT), CAST(0 AS BIGINT))
+         |      AS rrf_micro
+         |  FROM lex FULL OUTER JOIN vtop ON lex.doc_id = vtop.doc_id
+         |),
+         |ftop AS (
+         |  SELECT * FROM f ORDER BY rrf_micro DESC, doc_id ASC
+         |  LIMIT ${graft.operators.Corpus.HybridTopK})
+         |SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS INTEGER) AS rank,
+         |       doc_id, lex_rank, vec_rank, rrf_micro
+         |FROM ftop ORDER BY rank""".stripMargin,
+
     // Inverted-index twin: same weights, same impact cut (w_micro desc,
     // doc asc), postings assembled with string_agg ORDER BY rn — the
     // deterministic order the Spark side reproduces via sort_array on
@@ -2159,6 +2227,36 @@ object Oracle {
 
     "chaos_daily" -> withDaily(
       "SELECT url, day, chaos, chaosn FROM daily ORDER BY url, day"),
+
+    // Anomaly twin: the flag is pure integer arithmetic (dev² > k²·varnum
+    // over exact window sums), so engines can never disagree on it; the
+    // reported mean/z are single IEEE divisions of those integers.
+    "daily_anomalies" -> withDaily(
+      s""", t AS (SELECT url, day, c2xx + c3xx + c4xx + c5xx AS call FROM daily),
+         |w AS (
+         |  SELECT url, day, call,
+         |    CAST(count(*) OVER win AS BIGINT) AS win_n,
+         |    CAST(coalesce(sum(call) OVER win, 0) AS BIGINT) AS win_sum,
+         |    CAST(coalesce(sum(call * call) OVER win, 0) AS BIGINT) AS win_sumsq
+         |  FROM t
+         |  WINDOW win AS (PARTITION BY url ORDER BY day
+         |                 ROWS BETWEEN ${graft.operators.Metrics.AnomalyWin} PRECEDING
+         |                 AND 1 PRECEDING)),
+         |f AS (
+         |  SELECT url, day, call, win_n, win_sum,
+         |    call * win_n - win_sum AS dev,
+         |    win_n * win_sumsq - win_sum * win_sum AS varnum
+         |  FROM w)
+         |SELECT url, day, call, win_n,
+         |  CASE WHEN win_n > 0
+         |       THEN round(CAST(win_sum AS DOUBLE) / win_n, 6) ELSE 0.0 END AS win_mean,
+         |  CASE WHEN varnum > 0
+         |       THEN round(CAST(dev AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE)), 6)
+         |       ELSE 0.0 END AS z,
+         |  win_n >= ${graft.operators.Metrics.AnomalyMinWin}
+         |    AND dev * dev > ${graft.operators.Metrics.AnomalyZ * graft.operators.Metrics.AnomalyZ} * varnum
+         |    AS is_anomaly
+         |FROM f ORDER BY url, day""".stripMargin),
 
     "periodic_samples" -> withCaptures(
       """SELECT url,

@@ -97,6 +97,10 @@ object Queries {
       .select(col("url"), col("day"), col("content"))
       .orderBy("url", "day")
 
+  /** Trailing-window capture-volume anomaly flags per (url, day). */
+  def dailyAnomalies(s: SparkSession, dir: String): DataFrame =
+    Metrics.dailyAnomalies(dailyDf(s, dir)).orderBy("url", "day")
+
   // --------------------------------------------------------------- W1/W2
   /** Per-day chaos snapshots (cumulative + last-1000-capture window). */
   def chaosDaily(s: SparkSession, dir: String): DataFrame =
@@ -592,6 +596,10 @@ object Queries {
   def corpusInvertedIndex(s: SparkSession, dir: String): DataFrame =
     Corpus.invertedIndex(docs(s, dir)).orderBy("word")
 
+  /** Hybrid retrieval: RRF fusion of BM25 and vector-cosine top-k. */
+  def corpusHybridSearch(s: SparkSession, dir: String): DataFrame =
+    Corpus.hybridSearch(docs(s, dir), embs(s, dir)).orderBy("rank")
+
   /** Containment similarity over LSH candidates (subset-dup catcher). */
   def docContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
@@ -1049,6 +1057,7 @@ object Queries {
     "daily_specimen" -> (dailySpecimen _),
     "daily_content" -> (dailyContent _),
     "chaos_daily" -> (chaosDaily _),
+    "daily_anomalies" -> (dailyAnomalies _),
     "periodic_samples" -> (periodicSamples _),
     "monthly_rollup" -> (monthlyRollup _),
     "totals_unpivot" -> (totalsUnpivot _),
@@ -1108,6 +1117,7 @@ object Queries {
     "corpus_search" -> (corpusSearch _),
     "doc_tfidf_topk" -> (docTfidfTopK _),
     "corpus_inverted_index" -> (corpusInvertedIndex _),
+    "corpus_hybrid_search" -> (corpusHybridSearch _),
     "doc_sample" -> (docSample _),
     "doc_containment" -> (docContainment _),
     "doc_substring_dedup" -> (docSubstringDedup _),

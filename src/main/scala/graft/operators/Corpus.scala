@@ -847,6 +847,60 @@ object Corpus {
           ",").as("postings"))
       .select("word", "df", "n_postings", "postings")
 
+  /** Reciprocal-rank-fusion constant (the standard k=60 from the RRF
+    * paper) and the fused list depth for [[hybridSearch]].
+    */
+  val RrfK = 60
+  val HybridTopK = 10
+
+  /** The embedding query [[hybridSearch]] retrieves against: vec_id 0
+    * stands in for "the encoded form of the text query" (the synthetic
+    * corpus has no text↔embedding alignment to encode with).
+    */
+  val HybridQueryVec = 0L
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    * top-[[SearchTopK]] ([[searchBm25]], fixed [[SearchTerms]]) and the
+    * embedding-cosine top-K for [[HybridQueryVec]] ([[Ann.cosineTopK]]
+    * with an explicit one-row query set) — the fusion every hybrid
+    * serving stack (sparse + dense retriever) runs. A doc's fused score
+    * is Σ 1/([[RrfK]] + rank) over the lists it appears in, held in
+    * exact integer micro units (`round(1e6/(k+rank))` of small exact
+    * integers — bit-identical across engines), so ranking never
+    * compares accumulated doubles.
+    *
+    * Scale shape: all the work is in the two retrieval legs, each
+    * already scale-shaped (BM25: fixed-term postings filter + heap
+    * top-k; vector: broadcast probe, never corpus×corpus). The fusion
+    * itself joins two ≤k-row lists — a driver-trivial full-outer join
+    * Spark executes as a broadcast; list depth, not corpus size, is
+    * its cost at any scale.
+    */
+  def hybridSearch(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val lex = searchBm25(docs).select(col("doc_id"), col("rank").as("lex_rank"))
+    val q = emb
+      .filter(col("vec_id") === HybridQueryVec)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val vec = Ann
+      .cosineTopK(emb, q)
+      .select(col("vec_id").as("doc_id"), col("rn").as("vec_rank"))
+    val rrf = (rank: org.apache.spark.sql.Column) =>
+      coalesce(round(lit(1e6) / (lit(RrfK) + rank)).cast("long"), lit(0L))
+    val order = Seq(col("rrf_micro").desc, col("doc_id").asc)
+    lex
+      .join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro", rrf(col("lex_rank")) + rrf(col("vec_rank")))
+      // rank 0 = "not retrieved by this leg" — keeps both rank columns
+      // non-nullable integers (a NULL int decays to float through the
+      // oracle compare's pandas path)
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0)))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0)))
+      .orderBy(order: _*)
+      .limit(HybridTopK)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .select("rank", "doc_id", "lex_rank", "vec_rank", "rrf_micro")
+  }
+
   /** Unigram LM score: mean log-probability of the document's words
     * under the corpus unigram distribution — the perplexity-filter
     * stand-in (docs with improbable word streams are noise/garble; a

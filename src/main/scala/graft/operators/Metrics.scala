@@ -115,4 +115,59 @@ object Metrics {
       round(col("chaosn"), 6).as("chaosn"),
       urim(col("datetime"), col("url")).as("urim"))
   }
+
+  /** Trailing-window length, minimum history, and z threshold for
+    * [[dailyAnomalies]].
+    */
+  val AnomalyWin = 7
+  val AnomalyMinWin = 3
+  val AnomalyZ = 3L
+
+  /** Capture-volume anomaly detection — the monitoring read on the
+    * daily series: flag days whose capture count sits more than
+    * [[AnomalyZ]] population standard deviations from the trailing
+    * [[AnomalyWin]]-day mean (a crawl outage or a crawl storm). Cold
+    * start: fewer than [[AnomalyMinWin]] trailing days never flags.
+    *
+    * Determinism: the window carries only exact integer sums (count,
+    * Σx, Σx²), and the FLAG is pure integer arithmetic — z² > k² ⇔
+    * dev² > k²·varnum with dev = x·n − Σx and varnum = n·Σx² − (Σx)²
+    * (both longs) — so the decision never touches floating point. The
+    * REPORTED mean and z are single divisions/sqrts of those exact
+    * integers, IEEE-identical across engines, rounded at birth. A
+    * zero-variance history reports z = 0 but still flags any deviation
+    * (z is infinite there; the integer rule needs no limit).
+    *
+    * Scale shape: one shuffle on url (the window partition key), frames
+    * bounded at [[AnomalyWin]] rows — no global window, no self-join;
+    * per-url day counts are bounded (calendar length), so no skew.
+    */
+  def dailyAnomalies(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("url").orderBy("day").rowsBetween(-AnomalyWin, -1)
+    daily
+      .select(
+        col("url"),
+        col("day"),
+        (col("c2xx") + col("c3xx") + col("c4xx") + col("c5xx")).as("call"))
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum", coalesce(sum("call").over(w), lit(0L)))
+      .withColumn("win_sumsq", coalesce(sum(col("call") * col("call")).over(w), lit(0L)))
+      .withColumn("dev", col("call") * col("win_n") - col("win_sum"))
+      .withColumn("varnum", col("win_n") * col("win_sumsq") - col("win_sum") * col("win_sum"))
+      .withColumn(
+        "win_mean",
+        when(col("win_n") > 0, round(col("win_sum").cast("double") / col("win_n"), 6))
+          .otherwise(0.0))
+      .withColumn(
+        "z",
+        when(
+          col("varnum") > 0,
+          round(col("dev").cast("double") / sqrt(col("varnum").cast("double")), 6))
+          .otherwise(0.0))
+      .withColumn(
+        "is_anomaly",
+        col("win_n") >= AnomalyMinWin &&
+          (col("dev") * col("dev") > lit(AnomalyZ * AnomalyZ) * col("varnum")))
+      .select("url", "day", "call", "win_n", "win_mean", "z", "is_anomaly")
+  }
 }

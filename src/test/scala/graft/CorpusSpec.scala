@@ -320,6 +320,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(d1.getDouble(3) == micro / 1e6)
   }
 
+  test("hybridSearch: both-list docs fuse ahead of single-list leaders; absent legs add zero") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // lexical leg: 10 matches all four SearchTerms (lex rank 1), 20 one
+    // term (lex rank 2), 30 none (absent from the lexical list)
+    val docs = docsDf(Seq(
+      (10L, "hash join merge window hash join", "en", "web"),
+      (20L, "hash filler filler filler filler filler", "en", "web"),
+      (30L, "nothing relevant here at all okay", "en", "web")))
+    // vector leg for query vec 0: 20 near-parallel (vec rank 1),
+    // 30 at 45° (rank 2), 10 orthogonal (rank 3)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (10L, Array(0f, 1f, 0f, 0f), 0),
+      (20L, Array(0.99f, 0.1f, 0f, 0f), 0),
+      (30L, Array(0.5f, 0.5f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Corpus.hybridSearch(docs, emb).orderBy("rank").collect()
+      .map(r => r.getLong(1) -> ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    // micro contributions: round(1e6/61)=16393, /62=16129, /63=15873
+    assert(out(20L) == ((2, 1, 16129L + 16393L)), "lex#2+vec#1 fuses highest")
+    assert(out(10L) == ((1, 3, 16393L + 15873L)), "lex#1+vec#3 second")
+    assert(out(30L) == ((0, 2, 16129L)), "absent lexical leg reports rank 0 and adds nothing")
+    val fusedOrder = Corpus.hybridSearch(docs, emb).orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq
+    assert(fusedOrder.take(2) == Seq(20L, 10L))
+  }
+
   test("invertedIndex: impact-ordered truncated postings; df counts past the cut") {
     val docs = docsDf((1L to 8L).map(i =>
       (i, (Seq.fill(i.toInt)("common") :+ s"word$i").mkString(" "), "en", "web")))

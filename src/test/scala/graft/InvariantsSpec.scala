@@ -217,4 +217,27 @@ class InvariantsSpec extends AnyFunSuite {
     assert(math.abs(last.getAs[Double]("chaosn") - 0.999) < 1e-12)
     assert(math.abs(last.getAs[Double]("chaos") - 1.0) < 1e-12)
   }
+
+  test("dailyAnomalies: spikes over flat history flag at z=0; cold start and empty windows never flag") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows =
+      (1 to 7).map(i => ("a", f"2024-01-$i%02d", 10L)) ++ Seq(
+        ("a", "2024-01-08", 30L), // zero-variance history, dev != 0
+        ("a", "2024-01-09", 10L)) ++
+        Seq(("b", "2024-01-01", 50L), ("b", "2024-01-02", 0L)) // win_n < 3
+    val daily = rows.toDF("url", "day", "c2xx")
+      .withColumn("c3xx", lit(0L)).withColumn("c4xx", lit(0L)).withColumn("c5xx", lit(0L))
+    val out = Metrics.dailyAnomalies(daily).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    // flat 7x10 history, x=30: variance 0 so z reports 0.0, but the
+    // integer rule (dev^2 > 9*0) still flags
+    assert(out(("a", "2024-01-08")) == ((7L, 10.0, 0.0, true)))
+    // next day: window {10x6, 30}, x=10 -> dev=-20, varnum=2400: inside 3 sigma
+    val (n9, _, z9, f9) = out(("a", "2024-01-09"))
+    assert(n9 == 7L && !f9 && z9 < 0)
+    assert(!out(("b", "2024-01-02"))._4, "two-day history is below the minimum window")
+    assert(out(("a", "2024-01-01")) == ((0L, 0.0, 0.0, false)), "empty trailing window")
+  }
 }
