@@ -2472,7 +2472,32 @@ object Oracle {
          |SELECT user_id,
          |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_us) AS INTEGER) AS session_seq,
          |  start_us, end_us, n_events, sum_value
-         |FROM g ORDER BY user_id, session_seq""".stripMargin
+         |FROM g ORDER BY user_id, session_seq""".stripMargin,
+
+    // Retention twin: distinct user-days make count(*) the distinct-user
+    // count per cell; cohort sizes are the offset-0 cells.
+    "event_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |  FROM events
+        |),
+        |c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM a),
+        |o AS (
+        |  SELECT user_id, cohort_day,
+        |    CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE)) AS BIGINT)
+        |      AS day_offset
+        |  FROM c
+        |),
+        |r AS (
+        |  SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM o GROUP BY cohort_day, day_offset
+        |),
+        |sz AS (SELECT cohort_day, n_users AS n_cohort FROM r WHERE day_offset = 0)
+        |SELECT r.cohort_day, r.day_offset, r.n_users, sz.n_cohort,
+        |  round(CAST(r.n_users AS DOUBLE) * 100 / sz.n_cohort, 6) AS pct
+        |FROM r JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin
   )
 
   /** Twins that depend on RUNTIME artifacts — today the trained KMeans

@@ -441,6 +441,11 @@ object Queries {
     operators.Sessions.sessionize(Cdx.readEvents(s, dir))
       .orderBy("user_id", "session_seq")
 
+  /** Cohort retention matrix (first-active-day cohorts). */
+  def eventRetention(s: SparkSession, dir: String): DataFrame =
+    operators.Sessions.retention(Cdx.readEvents(s, dir))
+      .orderBy("cohort_day", "day_offset")
+
   // --------------------------------------------- training-data pipeline ops
   private def docs(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
 
@@ -1082,6 +1087,7 @@ object Queries {
     "top_orders_per_cust" -> (topOrdersPerCustomer _),
     "event_daily_windows" -> (eventDailyWindows _),
     "event_sessions" -> (eventSessions _),
+    "event_retention" -> (eventRetention _),
     "doc_exact_dedup" -> (docExactDedup _),
     "doc_near_dup" -> (docNearDup _),
     "doc_simhash" -> (docSimhash _),

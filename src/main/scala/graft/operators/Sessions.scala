@@ -71,4 +71,45 @@ object Sessions {
     */
   def sessionizeStream(events: DataFrame, watermarkDelay: String): DataFrame =
     sessionAgg(events.withWatermark("ts", watermarkDelay))
+
+  /** Cohort retention matrix — the product-analytics read on the event
+    * stream: users cohort by first-active day; each (cohort_day,
+    * day_offset) cell counts how many of that cohort were active
+    * day_offset days later, with the percentage against the cohort's
+    * size (its offset-0 cell — every user is active on their first
+    * day by construction).
+    *
+    * Scale shape: the (user, day) distinct is one shuffle with map-side
+    * combine; the cohort day is a per-user window min (user-keyed
+    * shuffle — bounded rows per user, no skew); the cell aggregate
+    * re-keys by (cohort, offset). Cohort sizes are one row per calendar
+    * day — kilobytes — and join back by broadcast. Counts are exact
+    * integers; the one division rounds at birth.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val act = events
+      .select(
+        col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val withCohort = act
+      .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
+      .withColumn(
+        "day_offset",
+        datediff(to_date(col("day")), to_date(col("cohort_day"))).cast("long"))
+    // rows are distinct (user, day), so each user hits a cell at most
+    // once — count(*) IS the distinct-user count
+    val cells = withCohort
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cells
+      .filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("n_cohort"))
+    cells
+      .join(broadcast(sizes), "cohort_day")
+      .withColumn(
+        "pct",
+        round(col("n_users").cast("double") * 100 / col("n_cohort"), 6))
+      .select("cohort_day", "day_offset", "n_users", "n_cohort", "pct")
+  }
 }

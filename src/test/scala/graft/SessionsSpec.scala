@@ -65,4 +65,25 @@ class SessionsSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streamed ${streamed.length} vs batch ${batch.length} sessions")
   }
+
+  test("retention: first-day cohorts; one hit per user per cell; pct against cohort size") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def dayTs(d: Int, h: Long = 0): java.sql.Timestamp = ts((d - 1) * 24L + h)
+    // users 1,2 cohort Jan 1; user 3 cohort Jan 2.
+    // user 1 active d1, d3 (twice — must count once); user 2 only d1;
+    // user 3 active d2 and d3.
+    val evs = Seq(
+      SessEv(1L, dayTs(1), 0), SessEv(1L, dayTs(3), 0), SessEv(1L, dayTs(3, 5), 0),
+      SessEv(2L, dayTs(1, 2), 0),
+      SessEv(3L, dayTs(2), 0), SessEv(3L, dayTs(3), 0))
+    val out = Sessions.retention(evs.toDF()).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("2024-01-01", 0L)) == ((2L, 2L, 100.0)))
+    assert(out(("2024-01-01", 2L)) == ((1L, 2L, 50.0)), "user 1's double-event day counts once")
+    assert(out(("2024-01-02", 0L)) == ((1L, 1L, 100.0)))
+    assert(out(("2024-01-02", 1L)) == ((1L, 1L, 100.0)))
+    assert(!out.contains(("2024-01-01", 1L)), "no Jan-1 user was active on day 2")
+  }
 }
