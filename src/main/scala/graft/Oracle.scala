@@ -1471,6 +1471,29 @@ object Oracle {
          |FROM lab l JOIN sz USING (cluster)
          |ORDER BY doc_id""".stripMargin,
 
+    // Export twin: same label fixpoint; the provenance string caps at
+    // ProvenanceCap members (rank before aggregation, ORDER BY inside
+    // string_agg for the deterministic join order).
+    "doc_dedup_export" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         |$clusterLabelCtes,
+         |m AS (
+         |  SELECT cluster, doc_id,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY doc_id) AS rn
+         |  FROM lab
+         |),
+         |g AS (
+         |  SELECT cluster,
+         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+         |  FROM m WHERE rn <= ${graft.operators.Corpus.ProvenanceCap}
+         |  GROUP BY cluster
+         |)
+         |SELECT g.cluster AS doc_id, d.lang, d.source, d.n_chars,
+         |  sz.cluster_size AS n_members, g.members
+         |FROM g JOIN sz USING (cluster)
+         |JOIN documents d ON d.doc_id = g.cluster
+         |ORDER BY doc_id""".stripMargin,
+
     "doc_decontaminate" ->
       s"""WITH $shinglesCte,
          |$decontCtes

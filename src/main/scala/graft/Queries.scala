@@ -525,6 +525,10 @@ object Queries {
   def docDedupClusters(s: SparkSession, dir: String): DataFrame =
     Corpus.dedupClusters(docs(s, dir)).orderBy("doc_id")
 
+  /** Deduplicated corpus export: canonical rows + capped provenance. */
+  def docDedupExport(s: SparkSession, dir: String): DataFrame =
+    Corpus.dedupExport(docs(s, dir)).orderBy("doc_id")
+
   /** Benchmark decontamination: shingle overlap vs the held-out set. */
   def docDecontaminate(s: SparkSession, dir: String): DataFrame =
     Corpus.decontaminate(docs(s, dir)).orderBy("doc_id")
@@ -1106,6 +1110,7 @@ object Queries {
     "doc_keep_mask" -> (docKeepMask _),
     "doc_chunk" -> (docChunk _),
     "doc_dedup_clusters" -> (docDedupClusters _),
+    "doc_dedup_export" -> (docDedupExport _),
     "doc_decontaminate" -> (docDecontaminate _),
     "streaming_decontaminate" -> (streamingDecontaminate _),
     "streaming_keep_mask" -> (streamingKeepMask _),

@@ -112,6 +112,46 @@ object Corpus {
     dedupClustersFromPairs(docs, Dedup.nearDupPairs(docs))
   }
 
+  /** Provenance-list cap for [[dedupExport]]: a boilerplate mega-cluster
+    * must not funnel an unbounded member list through one aggregation
+    * buffer; the exact size is still reported.
+    */
+  val ProvenanceCap = 100
+
+  /** Deduplicated corpus export — what actually ships after near-dup
+    * resolution: one row per cluster canonical with the surviving doc's
+    * metadata, the EXACT cluster size, and a provenance list of the
+    * first [[ProvenanceCap]] member doc_ids (sorted, comma-joined) so
+    * removed duplicates stay auditable.
+    *
+    * Scale shape: the member cut is a per-cluster window (rank by
+    * doc_id, filter) BEFORE the collect, so the aggregation buffer
+    * holds ≤[[ProvenanceCap]] ids regardless of cluster skew — the
+    * spillable window sort absorbs a mega-cluster, its collect_list
+    * never does. Canonical metadata joins doc-keyed; `sort_array`
+    * makes the list shuffle-order deterministic.
+    */
+  def dedupExport(docs: DataFrame): DataFrame = {
+    val labels = dedupClusters(docs)
+    val members = labels
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("cluster").orderBy("doc_id")))
+      .filter(col("rn") <= ProvenanceCap)
+      .groupBy("cluster")
+      .agg(
+        array_join(
+          expr("transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING))"),
+          ",").as("members"))
+      .select(col("cluster").as("doc_id"), col("members"))
+    labels
+      .filter(col("is_canonical"))
+      .select(col("doc_id"), col("cluster_size").as("n_members"))
+      .join(members, "doc_id")
+      .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+      .select("doc_id", "lang", "source", "n_chars", "n_members", "members")
+  }
+
   /** [[dedupClusters]] over an already-computed near-dup pair frame
     * (`doc_a`, `doc_b`, `jaccard`) — the shared-pipeline entry point:
     * [[docPipeline]] feeds it the pair set whose shingle explode is

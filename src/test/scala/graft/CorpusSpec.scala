@@ -37,6 +37,14 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(9L) == ((9L, 1L, true)))
   }
 
+  test("dedupExport: one row per canonical with exact size and sorted provenance") {
+    val out = Corpus.dedupExport(docsDf(clusterFixture)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getString(5)))).toMap
+    assert(out.keySet == Set(1L, 7L, 9L), "only canonicals survive the export")
+    assert(out(1L) == ((3L, "1,2,3")), "near-dup trio exports under min-id with full provenance")
+    assert(out(7L) == ((1L, "7")) && out(9L) == ((1L, "9")), "singletons export themselves")
+  }
+
   test("dedupClusters: every cluster label is a member doc_id and the component min") {
     val rows = Corpus.dedupClusters(docsDf(clusterFixture)).collect()
     val ids = rows.map(_.getLong(0)).toSet
