@@ -2107,6 +2107,17 @@ object Oracle {
          |FROM d2 JOIN med ON d2.label = med.label
          |ORDER BY vec_id""".stripMargin,
 
+    // J-L projection twin: same md5 ±1 derivation as the Spark matrix
+    // (seed proj_<j>_<d>), same strict d-ascending fold as float_dot.
+    "emb_project" ->
+      s"""SELECT vec_id, CAST(t.j AS INTEGER) AS j,
+         |  round(list_sum(list_transform(range(64), d ->
+         |    (CASE WHEN CAST(('0x' || substr(md5('proj_' || CAST(t.j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+         |          THEN 1.0 ELSE -1.0 END)
+         |    * CAST(embedding[d + 1] AS DOUBLE))) / sqrt(${graft.operators.Ann.ProjDims}), 6) AS v
+         |FROM embeddings, unnest(range(${graft.operators.Ann.ProjDims})) t(j)
+         |ORDER BY vec_id, j""".stripMargin,
+
     "emb_quantize" ->
       """SELECT vec_id, CAST(g.i AS INTEGER) AS pos,
         |  CASE WHEN scale = 0 THEN 0

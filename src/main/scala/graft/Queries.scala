@@ -897,6 +897,10 @@ object Queries {
   def embQuantize(s: SparkSession, dir: String): DataFrame =
     Ann.quantizeInt8(embs(s, dir)).orderBy("vec_id", "pos")
 
+  /** J-L ±1 random projection to 8 dims (long format). */
+  def embProject(s: SparkSession, dir: String): DataFrame =
+    Ann.project(embs(s, dir)).orderBy("vec_id", "j")
+
   /** Per-label centroid embeddings (long format). */
   def embCentroids(s: SparkSession, dir: String): DataFrame =
     Ann.labelCentroids(embs(s, dir)).orderBy("label", "pos")
@@ -1158,6 +1162,7 @@ object Queries {
     "emb_centroids" -> (embCentroids _),
     "emb_outliers" -> (embOutliers _),
     "emb_quantize" -> (embQuantize _),
+    "emb_project" -> (embProject _),
     "ann_buckets" -> (annBuckets _),
     "ann_classify" -> (annClassify _),
     "mm_features" -> (mmFeatures _),

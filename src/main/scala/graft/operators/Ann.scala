@@ -1130,6 +1130,54 @@ object Ann {
       .select(col("q_id"), col("rn"), col("vec_id"), round(col("l2_raw"), 6).as("l2"))
   }
 
+  /** Target dimensionality of [[project]]. */
+  val ProjDims = 8
+
+  /** Deterministic ±1 Johnson–Lindenstrauss rows, drawn from their own
+    * md5 stream (seed `proj_<j>_<d>`) so they are independent of the
+    * LSH planes that share the construction.
+    */
+  def projWeights: Seq[Seq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until ProjDims).map { j =>
+      (0 until 64).map { d =>
+        md.reset()
+        val hex = md.digest(s"proj_${j}_$d".getBytes(StandardCharsets.UTF_8))
+        if (((hex(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Random-projection dimensionality reduction (the J-L sketch):
+    * 64-dim embeddings down to [[ProjDims]] via the signed ±1 matrix,
+    * scaled 1/√k so squared norms are preserved in expectation — the
+    * cheap first stage before indexing when the raw dimensionality is
+    * the cost driver. Long format (vec_id, j, v) for scalar hashing.
+    *
+    * Determinism: the ±1 rows are exact in float, each output is ONE
+    * [[graft.functions.FloatDot]] fold (strict d-ascending, bit-equal
+    * to the twin's list_sum fold) scaled and rounded at birth.
+    *
+    * Scale shape: pure per-row projection — no shuffle, scales with
+    * the scan; the k×64 matrix is a plan literal (kilobytes). A
+    * TRAINED matrix (PCA/OPQ rotation) slots into the same shape as a
+    * broadcast literal without changing the plan.
+    */
+  def project(emb: DataFrame): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val rows = typedLit(projWeights.map(_.map(_.toFloat)))
+    emb
+      .withColumn("proj_rows", rows)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        posexplode(col("proj_rows")).as(Seq("j", "r")))
+      .select(
+        col("vec_id"),
+        col("j"),
+        round(expr("float_dot(r, embedding)") / math.sqrt(ProjDims), 6).as("v"))
+  }
+
   /** Symmetric int8 quantization of the embedding column: per-vector
     * scale = max|v|/127, codes = round(v/scale) — the memory-side half
     * of a disk ANN index (4x smaller vectors; recall preserved,

@@ -310,4 +310,37 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(trained >= standIn,
       f"trained codebook recall $trained%.3f < stand-in $standIn%.3f")
   }
+
+  test("project: norms preserved in expectation; perturbed twins stay nearest in sketch space") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 100).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // twin j+1000 = base j plus a tiny perturbation
+    val twins = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (base ++ twins).map { case (i, v) => (i, v, 0L) }
+      .toDF("vec_id", "embedding", "label")
+    val proj: Map[Long, Array[Double]] = Ann.project(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3) }
+    def n2(a: Array[Double]) = a.map(x => x * x).sum
+    // E[||Pv||^2] = ||v||^2 for +-1 rows scaled 1/sqrt(k); mean over 100
+    // vectors concentrates tightly around 1
+    val meanRatio = base.map { case (i, v) =>
+      n2(proj(i)) / v.map(x => x.toDouble * x).sum
+    }.sum / base.size
+    assert(meanRatio > 0.7 && meanRatio < 1.4, f"mean norm ratio $meanRatio%.3f")
+    // each perturbed twin's nearest sketch (among all OTHER points) is
+    // its partner for nearly every vector
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val hits = base.count { case (i, _) =>
+      val nearest = proj.keys.filter(_ != i + 1000L)
+        .minBy(k => d2(proj(k), proj(i + 1000L)))
+      nearest == i
+    }
+    assert(hits >= 90, s"only $hits/100 twins kept their partner as sketch-nearest")
+  }
 }
