@@ -1204,6 +1204,14 @@ object Oracle {
          |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
          |FROM rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
 
+    // Range twin: the same scored stream, thresholded on the RAW cosine
+    // (both engines compute it bit-identically) — no rank window.
+    "ann_range_search" ->
+      s"""${annTopkSql(bucketed = false)}
+         |SELECT q_id, vec_id, round(cos_raw, 6) AS cos
+         |FROM scored WHERE cos_raw >= ${graft.operators.Ann.RangeTau}
+         |ORDER BY q_id, vec_id""".stripMargin,
+
     "ann_lsh" ->
       s"""${annTopkSql(bucketed = true)}
          |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos

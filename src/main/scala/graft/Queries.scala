@@ -755,6 +755,10 @@ object Queries {
   def annFilteredTopK(s: SparkSession, dir: String): DataFrame =
     Ann.cosineTopKFiltered(embs(s, dir)).orderBy("q_id", "rn")
 
+  /** Cosine range search (threshold companion to top-K). */
+  def annRangeSearch(s: SparkSession, dir: String): DataFrame =
+    Ann.rangeSearch(embs(s, dir)).orderBy("q_id", "vec_id")
+
   /** Embedding outliers by centroid-distance median ratio. */
   def embOutliers(s: SparkSession, dir: String): DataFrame =
     Ann.embOutliers(embs(s, dir)).orderBy("vec_id")
@@ -1142,6 +1146,7 @@ object Queries {
     "corpus_stats" -> (corpusStats _),
     "periodic_samples_approx" -> (periodicSamplesApprox _),
     "ann_topk" -> (annTopK _),
+    "ann_range_search" -> (annRangeSearch _),
     "ann_filtered_topk" -> (annFilteredTopK _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),

@@ -109,6 +109,32 @@ object Ann {
     topK(scored)
   }
 
+  /** Cosine threshold for [[rangeSearch]] (≈2σ above isotropic noise
+    * at 64 dims, so matches are sparse but non-vacuous on the sf
+    * corpora).
+    */
+  val RangeTau = 0.25
+
+  /** Range search — the threshold companion to top-K: every corpus
+    * vector with cosine ≥ [[RangeTau]] of each query, however many
+    * there are (the "all sufficiently similar" read a near-dup audit
+    * or a recall sweep wants, where a fixed K would truncate). Cheaper
+    * than top-K at the plan level: the threshold filters the scored
+    * stream directly — no per-query rank window at all.
+    *
+    * Scale shape: identical to the brute top-K spine (broadcast query
+    * set, never corpus×corpus); the banded signature path bounds
+    * candidates the same way when the query set grows.
+    */
+  def rangeSearch(emb: DataFrame): DataFrame = rangeSearch(emb, defaultQueries(emb))
+
+  def rangeSearch(emb: DataFrame, queries: DataFrame): DataFrame =
+    withNorm(emb)
+      .join(broadcast(probeSide(queries)), col("q_id") =!= col("vec_id"))
+      .withColumn("cos_raw", expr(dotExpr) / (col("qnorm") * col("norm")))
+      .filter(col("cos_raw") >= RangeTau)
+      .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cos"))
+
   /** Deterministic ±1 hyperplane weights: +1 iff the first hex digit of
     * md5(s"$plane_$dim") is even — identical derivation in the oracle
     * SQL, so buckets agree bit-for-bit.

@@ -194,6 +194,27 @@ class IvfRecallSpec extends AnyFunSuite {
       f"multi-probe banding ($banded%.3f) must not trail the single bucket ($single%.3f)")
   }
 
+  test("rangeSearch returns everything above tau — a superset of the thresholded top-K") {
+    import org.apache.spark.sql.functions._
+    val emb = plantedClusters
+    val range = Ann.rangeSearch(emb).collect()
+    assert(range.nonEmpty, "planted clusters must produce range matches")
+    // every row honors the threshold
+    assert(range.forall(_.getAs[Double]("cos") >= Ann.RangeTau - 1e-6))
+    val rangePairs = range.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // consistency with brute force: any exact top-K pair above tau is in range output
+    val topAboveTau = Ann.cosineTopK(emb).filter(col("cos") >= Ann.RangeTau)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topAboveTau.subsetOf(rangePairs),
+      s"${(topAboveTau diff rangePairs).size} thresholded top-K pairs missing from range output")
+    // the point of range search: with ~62 tight cluster-mates per query,
+    // matches per query must exceed the fixed K a top-K would truncate to
+    val perQuery = range.groupBy(_.getLong(0)).map(_._2.length)
+    assert(perQuery.exists(_ > Ann.K),
+      s"no query matched more than K=${Ann.K} vectors; threshold semantics untested")
+  }
+
   test("embDedupClusters: planted near-identical copies collapse to min-id clusters") {
     val spark = TestSpark.spark
     import spark.implicits._
