@@ -2516,6 +2516,67 @@ object Oracle {
          |  start_us, end_us, n_events, sum_value
          |FROM g ORDER BY user_id, session_seq""".stripMargin,
 
+    // Funnel twin: the same two running-min window passes — strict
+    // (run < us) step qualification makes timestamp ties irrelevant on
+    // both engines.
+    "event_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+         |),
+         |s1 AS (
+         |  SELECT *, min(CASE WHEN event_type = '${operators.Sessions.FunnelSteps(0)}' THEN us END)
+         |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS run_v
+         |  FROM e
+         |),
+         |s2 AS (
+         |  SELECT *, CASE WHEN event_type = '${operators.Sessions.FunnelSteps(1)}' AND run_v < us
+         |                 THEN us END AS q_click
+         |  FROM s1
+         |),
+         |s3 AS (
+         |  SELECT *, min(q_click)
+         |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS run_c
+         |  FROM s2
+         |),
+         |s4 AS (
+         |  SELECT *, CASE WHEN event_type = '${operators.Sessions.FunnelSteps(2)}' AND run_c < us
+         |                 THEN us END AS q_pur
+         |  FROM s3
+         |),
+         |g AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN event_type = '${operators.Sessions.FunnelSteps(0)}' THEN us END) AS step1_us,
+         |    min(q_click) AS step2_us,
+         |    min(q_pur) AS step3_us
+         |  FROM s4 GROUP BY user_id
+         |)
+         |SELECT user_id,
+         |  CAST(CASE WHEN step3_us IS NOT NULL THEN 3
+         |            WHEN step2_us IS NOT NULL THEN 2
+         |            WHEN step1_us IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS steps_completed,
+         |  step1_us, step2_us, step3_us
+         |FROM g ORDER BY user_id""".stripMargin,
+
+    // Markov twin: lag per user, count per (prev, cur), row totals as a
+    // window over the transition rows.
+    "event_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+        |),
+        |t AS (
+        |  SELECT event_type AS cur_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |  FROM e
+        |),
+        |c AS (
+        |  SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, cur_type
+        |)
+        |SELECT prev_type, cur_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_prev,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM c ORDER BY prev_type, cur_type""".stripMargin,
+
     // Retention twin: distinct user-days make count(*) the distinct-user
     // count per cell; cohort sizes are the offset-0 cells.
     "event_retention" ->

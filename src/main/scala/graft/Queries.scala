@@ -446,6 +446,15 @@ object Queries {
     operators.Sessions.retention(Cdx.readEvents(s, dir))
       .orderBy("cohort_day", "day_offset")
 
+  /** Ordered view→click→purchase funnel, first-touch chain per user. */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    operators.Sessions.funnel(Cdx.readEvents(s, dir)).orderBy("user_id")
+
+  /** First-order event-type Markov transition matrix. */
+  def eventMarkov(s: SparkSession, dir: String): DataFrame =
+    operators.Sessions.markovTransitions(Cdx.readEvents(s, dir))
+      .orderBy("prev_type", "cur_type")
+
   // --------------------------------------------- training-data pipeline ops
   private def docs(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
 
@@ -1100,6 +1109,8 @@ object Queries {
     "event_daily_windows" -> (eventDailyWindows _),
     "event_sessions" -> (eventSessions _),
     "event_retention" -> (eventRetention _),
+    "event_funnel" -> (eventFunnel _),
+    "event_markov" -> (eventMarkov _),
     "doc_exact_dedup" -> (docExactDedup _),
     "doc_near_dup" -> (docNearDup _),
     "doc_simhash" -> (docSimhash _),

@@ -86,6 +86,99 @@ object Sessions {
     * day — kilobytes — and join back by broadcast. Counts are exact
     * integers; the one division rounds at birth.
     */
+  /** The ordered conversion funnel's step sequence: a user "converts"
+    * through step i+1 only with an event STRICTLY after their first
+    * qualifying step-i event. First-touch semantics — the funnel
+    * timestamps are the earliest chain, not any chain.
+    */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered funnel conversion — the other bread-and-butter event
+    * analytic next to sessionization: per user, the earliest
+    * view → click → purchase chain where each step happens strictly
+    * after the previous step's earliest qualifying event.
+    *
+    * Spark-first shape: no self-joins (the naive three-way
+    * events×events×events join explodes quadratically on active
+    * users). Two running-min window passes over the SAME (user_id,
+    * ordered by time) sort — Catalyst plans one exchange + one sort
+    * and stacks both Window nodes on it — then one per-user aggregate.
+    * Cost at 100 TB: a single user-keyed shuffle, linear in each
+    * user's events, same bound as sessionize.
+    *
+    * Determinism: step qualification compares event-time micros
+    * strictly (`run_min < us`), so rows tying on timestamp cannot
+    * change the outcome whatever their sort order; the window
+    * tie-break on event_id makes the intermediate frames themselves
+    * stable too. Bounds are exact integer micros.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val runFrame = Window
+      .partitionBy("user_id")
+      .orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = events.select(
+      col("user_id"),
+      col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      col("event_type"))
+    val qualified = e
+      .withColumn(
+        "run_v",
+        min(when(col("event_type") === FunnelSteps(0), col("us"))).over(runFrame))
+      .withColumn(
+        "q_click",
+        when(col("event_type") === FunnelSteps(1) && col("run_v") < col("us"), col("us")))
+      .withColumn("run_c", min(col("q_click")).over(runFrame))
+      .withColumn(
+        "q_pur",
+        when(col("event_type") === FunnelSteps(2) && col("run_c") < col("us"), col("us")))
+    qualified
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === FunnelSteps(0), col("us"))).as("step1_us"),
+        min(col("q_click")).as("step2_us"),
+        min(col("q_pur")).as("step3_us"))
+      .withColumn(
+        "steps_completed",
+        when(col("step3_us").isNotNull, 3)
+          .when(col("step2_us").isNotNull, 2)
+          .when(col("step1_us").isNotNull, 1)
+          .otherwise(0)
+          .cast("int"))
+      .select("user_id", "steps_completed", "step1_us", "step2_us", "step3_us")
+  }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: how often event type A is immediately followed by B
+    * (within the same user's stream), with the row-normalized
+    * probability — the user-journey read that powers "what happens
+    * after an error" questions and next-event models.
+    *
+    * Scale shape: one user-keyed window (lag) — the only shuffle that
+    * sees event volume — then a (prev, cur)-keyed count with map-side
+    * combine into at most |types|² rows; the row totals are a window
+    * over those few rows, not a second pass over events. Counts exact,
+    * the one division rounds at 6.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val counts = events
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("n_prev", sum("n").over(Window.partitionBy("prev_type")))
+      .withColumn("p", round(col("n").cast("double") / col("n_prev"), 6))
+      .select("prev_type", "cur_type", "n", "n_prev", "p")
+  }
+
   def retention(events: DataFrame): DataFrame = {
     val act = events
       .select(

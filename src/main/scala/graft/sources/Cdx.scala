@@ -49,11 +49,8 @@ object Cdx {
     * stream from the same parquet, so every expression here has a
     * lexically-identical SQL twin.
     */
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * 4's reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Reading with an
-    * explicit LongType schema takes the raw INT64 nanos, which we convert
-    * losslessly with integer arithmetic — no session conf needed, so the
-    * driver's own SparkSession works too.
+  /** Raw-nanos read schema for [[readEvents]]'s fallback path (see
+    * there).
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -63,9 +60,30 @@ object Cdx {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events.parquet has shipped with `ts` in two encodings across
+    * driver testdata generations: TIMESTAMP(NANOS), which Spark 4's
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]), and plain
+    * TIMESTAMP(MICROS). Decide from the file FOOTER (schema inference
+    * throws on nanos — never from the values, which would make the
+    * reader data-dependent): micros files read natively with the
+    * NTZ→LTZ cast resolving under the session's pinned UTC zone, nanos
+    * files read as raw INT64 and convert losslessly with integer
+    * arithmetic. No session conf needed either way, so the driver's
+    * own SparkSession works too.
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val microsFooter =
+      scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
+        .toOption.exists(t => t == TimestampType || t == TimestampNTZType)
+    if (microsFooter)
+      spark.read.parquet(path)
+        .withColumn("ts", col("ts").cast(TimestampType))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    else
+      spark.read.schema(eventsSchema).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
     fromEventsDf(readEvents(spark, sfDir))

@@ -8,6 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Event row for MemoryStream encoders (top-level for Encoder derivation). */
 case class SessEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
+/** Typed event row for funnel/markov tests (needs type + id columns). */
+case class FunEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp, event_type: String)
+
 /** Gap-based sessionization: session_window merge semantics at the gap
   * boundary, and streaming ≡ batch on watermark-closed sessions.
   */
@@ -85,5 +88,46 @@ class SessionsSpec extends AnyFunSuite {
     assert(out(("2024-01-02", 0L)) == ((1L, 1L, 100.0)))
     assert(out(("2024-01-02", 1L)) == ((1L, 1L, 100.0)))
     assert(!out.contains(("2024-01-01", 1L)), "no Jan-1 user was active on day 2")
+  }
+
+  test("funnel: strictly-after chain; ties don't qualify; first-touch timestamps") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def us(h: Long): Long = ts(h).getTime * 1000
+    val evs = Seq(
+      // user 1: click tying the first view must NOT qualify (strict >);
+      // the purchase before any qualified click must not either.
+      FunEv(1L, 1L, ts(0), "view"),
+      FunEv(1L, 2L, ts(0), "click"),
+      FunEv(1L, 3L, ts(1), "purchase"),
+      FunEv(1L, 4L, ts(2), "click"),
+      FunEv(1L, 5L, ts(3), "purchase"),
+      // user 2: click precedes the first view -> stuck at step 1
+      FunEv(2L, 6L, ts(0), "click"),
+      FunEv(2L, 7L, ts(1), "view"),
+      // user 3: never views -> zero steps
+      FunEv(3L, 8L, ts(0), "purchase"))
+    val out = Sessions.funnel(evs.toDF()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out(1L) == ((3, Some(us(0)), Some(us(2)), Some(us(3)))),
+      "earliest strictly-ordered chain: view@0 -> click@2 -> purchase@3")
+    assert(out(2L) == ((1, Some(us(1)), None, None)))
+    assert(out(3L) == ((0, None, None, None)))
+  }
+
+  test("markov: lag within user only; exact counts; row-normalized p") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val evs = Seq(
+      FunEv(1L, 1L, ts(0), "a"), FunEv(1L, 2L, ts(1), "b"), FunEv(1L, 3L, ts(2), "b"),
+      FunEv(2L, 4L, ts(0), "b"), FunEv(2L, 5L, ts(1), "a"))
+    val out = Sessions.markovTransitions(evs.toDF()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size == 3, "user boundary must not create a cross-user transition")
+    assert(out(("a", "b")) == ((1L, 1L, 1.0)))
+    assert(out(("b", "b")) == ((1L, 2L, 0.5)))
+    assert(out(("b", "a")) == ((1L, 2L, 0.5)))
   }
 }
