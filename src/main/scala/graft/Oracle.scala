@@ -567,9 +567,16 @@ object Oracle {
   // vec_id: the Spark kernel emits argmin positions into the sorted
   // centroid array, so on a filtered corpus whose surviving vec_ids
   // are non-contiguous the labels still agree between engines
-  private val pqcStandIn: String =
+  private def pqcStandInFrom(src: String): String =
     s"""pqc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, embedding AS ce
-       |        FROM embeddings WHERE vec_id < ${graft.operators.Ann.PqK})""".stripMargin
+       |        FROM $src WHERE vec_id < ${graft.operators.Ann.PqK})""".stripMargin
+
+  private val pqcStandIn: String = pqcStandInFrom("embeddings")
+
+  /** The vec_id the `ann_pq_codes_gap` fixture removes — inside the
+    * stand-in codebook range, so the surviving ids are non-contiguous.
+    */
+  val PqGapId = 3L
 
   /** [[pqcStandIn]]'s shape over a literal (trained) codebook. */
   private def pqcValues(centers: Array[(Long, Array[Float])]): String = {
@@ -580,14 +587,14 @@ object Oracle {
        |    $values) t(c_id, ce))""".stripMargin
   }
 
-  private def pqCtesWith(pqc: String): String = {
+  private def pqCtesWith(pqc: String, src: String = "embeddings"): String = {
     val m = graft.operators.Ann.PqM
     s"""$pqc,
        |pq_d AS (
        |  SELECT e.vec_id, m.m AS m, c.c_id AS k,
        |    ${pqDotSql("c.ce", "c.ce")}
        |      - CAST(2 AS DOUBLE) * ${pqDotSql("e.embedding", "c.ce")} AS d
-       |  FROM embeddings e, range($m) m(m), pqc c
+       |  FROM $src e, range($m) m(m), pqc c
        |),
        |pq_codes AS (
        |  SELECT vec_id, CAST(m AS INT) AS m, CAST(k AS INT) AS code FROM (
@@ -1043,6 +1050,16 @@ object Oracle {
     // DuckDB lists are 1-based, hence the +1 on every subvector index.
     "ann_pq_codes" ->
       s"""WITH $pqCtes
+         |SELECT vec_id, m, code FROM pq_codes ORDER BY vec_id, m""".stripMargin,
+
+    // the non-contiguous-id edge: drop one vec_id < PqK from the
+    // corpus so the surviving codebook ids are 0,1,2,4..15 — codes are
+    // POSITIONS into the vec_id-sorted survivor set on both engines,
+    // so labels must agree even though position != vec_id from slot 3
+    // on (pins the pqEncode/pqcStandIn label contract)
+    "ann_pq_codes_gap" ->
+      s"""WITH eg AS (SELECT * FROM embeddings WHERE vec_id <> ${PqGapId}),
+         |${pqCtesWith(pqcStandInFrom("eg"), "eg")}
          |SELECT vec_id, m, code FROM pq_codes ORDER BY vec_id, m""".stripMargin,
 
     "ann_pq_topk" ->

@@ -811,6 +811,16 @@ object Queries {
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
       .orderBy("vec_id", "m")
 
+  /** [[annPqCodes]] over a corpus with one codebook-range vec_id
+    * removed (the non-contiguous-id edge): codes are positions into
+    * the vec_id-sorted SURVIVING centroid set on both engines, so the
+    * labels must still hash-match when position != vec_id.
+    */
+  def annPqCodesGap(s: SparkSession, dir: String): DataFrame =
+    Ann.pqEncode(embs(s, dir).filter(col("vec_id") =!= Oracle.PqGapId))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .orderBy("vec_id", "m")
+
   /** PQ top-K by asymmetric distance computation (table lookups, no
     * corpus float math).
     */
@@ -1164,6 +1174,7 @@ object Queries {
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_ivf_lists" -> (annIvfLists _),
     "ann_pq_codes" -> (annPqCodes _),
+    "ann_pq_codes_gap" -> (annPqCodesGap _),
     "ann_pq_trained" -> (annPqTrained _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_pq_rerank" -> (annPqRerank _),

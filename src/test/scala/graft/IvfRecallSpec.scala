@@ -364,4 +364,71 @@ class IvfRecallSpec extends AnyFunSuite {
     }
     assert(hits >= 90, s"only $hits/100 twins kept their partner as sketch-nearest")
   }
+
+  test("PQ code labels survive a non-contiguous codebook-id corpus (gap fixture)") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    // drop one vec_id inside the stand-in codebook range: the
+    // surviving codebook ids are 0,1,2,4..15, so POSITION != vec_id
+    // from slot 3 on — the edge the ann_pq_codes_gap oracle row pins
+    val gap = Oracle.PqGapId
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= gap)
+    val cbDf = Ann.pqCodebook(emb)
+    val cents: Array[(Long, Array[Float])] = cbDf.head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toArray
+    assert(cents.length == Ann.PqK - 1, s"expected ${Ann.PqK - 1} survivors")
+    assert(cents.map(_._1).toSeq == (0L until Ann.PqK.toLong).filter(_ != gap),
+      "codebook ids must be the non-contiguous survivor set")
+
+    val codes: Map[Long, Array[Int]] = Ann.pqEncode(emb, cbDf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+    // replay the twin: codebook ranked by vec_id, code = argmin
+    // POSITION by the same `c.c - 2 v.c` key, ties -> smaller position
+    val (pm, ps) = (Ann.PqM, Ann.PqSub)
+    def twinCodes(v: Array[Float]): Array[Int] =
+      Array.tabulate(pm) { m =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var k = 0
+        while (k < cents.length) {
+          val ce = cents(k)._2
+          var cc = 0.0
+          var dot = 0.0
+          var j = 0
+          while (j < ps) {
+            val c = ce(m * ps + j).toDouble
+            cc += c * c
+            dot += v(m * ps + j).toDouble * c
+            j += 1
+          }
+          val d = cc - 2.0 * dot
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        best
+      }
+    vecs.foreach { case (id, v) =>
+      assert(codes(id).toSeq == twinCodes(v).toSeq, s"label divergence at vec_id=$id")
+    }
+    // the fixture must actually exercise the edge: some vector's argmin
+    // lands at or past the gap, where position != centroid vec_id
+    assert(codes.values.exists(_.exists(_ >= gap)),
+      "no code at/past the gap slot — fixture does not exercise the edge")
+
+    // the ingest-path kernel encodes against the same frozen metadata
+    // and must agree code-for-code with the batch encode
+    val cb = cents.map(_._2)
+    val fromIndex = Ann.encodeForIndex(emb, cents, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    vecs.foreach { case (id, _) =>
+      assert(fromIndex(id).toSeq == codes(id).toSeq,
+        s"encodeForIndex diverged from pqEncode at vec_id=$id")
+    }
+  }
 }
