@@ -35,12 +35,22 @@ object CacheScope {
     * into the innermost active [[withScope]] block if one is open on
     * this thread, else into the session-global registry drained by
     * [[releaseAll]].
+    *
+    * Consults the session cache registry first (`Dataset.storageLevel`
+    * reads the CacheManager entry for this plan): if a plan-equal
+    * entry ALREADY exists — the caller's own raw `.persist()` — our
+    * persist would dedupe onto it, and a scope-exit unpersist would
+    * evict the caller's entry too (eviction is by plan equality). Such
+    * frames stay unregistered: they belong to whoever created them,
+    * and within-scope reuse still hits the caller's cache entry.
     */
-  def persist(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    scopes.get.headOption.getOrElse(registered).add(p)
-    p
-  }
+  def persist(df: DataFrame): DataFrame =
+    if (df.storageLevel != StorageLevel.NONE) df
+    else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      scopes.get.headOption.getOrElse(registered).add(p)
+      p
+    }
 
   /** Run `body` with a fresh release scope: every [[persist]] issued
     * inside it (on this thread) is unpersisted when the block exits,
@@ -52,12 +62,16 @@ object CacheScope {
     * supersedes them, instead of holding storage memory until the whole
     * query finishes.
     *
-    * The scope-exit survivor check sees only frames registered THROUGH
-    * CacheScope: a plan-equal DataFrame the caller persisted directly
-    * (plain `.persist()`) is not protected — `Dataset.unpersist` evicts
-    * by plan equality, so scope exit would drop the caller's cache
-    * entry too. Callers mixing raw persists with scoped operators
-    * should register those frames via [[persist]] instead.
+    * External (raw `.persist()`) cache entries: one that exists BEFORE
+    * the scoped operator persists a plan-equal frame is protected —
+    * [[persist]] consults the session CacheManager and leaves
+    * pre-existing entries unregistered, so scope exit never evicts
+    * them. The one remaining gap is the REVERSE order: a caller who
+    * raw-persists a plan-equal frame AFTER the scope already registered
+    * its own dedupes onto the scope's cache entry, which scope exit
+    * then drops (the CacheManager keeps one entry per plan, with no
+    * owner count to consult). Callers mixing raw persists with scoped
+    * operators should register those frames via [[persist]] instead.
     */
   def withScope[T](body: => T): T = {
     val q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

@@ -205,23 +205,27 @@ object Corpus {
     // the loop cost is pure task overhead. parallelismFirst=false lets
     // AQE shrink each round's exchanges toward the advisory size: a
     // test corpus runs the loop on 1-2 partitions, a 100 TB subgraph
-    // still earns hundreds — data-driven either way. Scoped to the
-    // loop and restored: outside it, CACHED wide frames (shingles,
-    // minhash) must keep full parallelism for the CPU-bound stages
-    // reading them.
-    val conf = docs.sparkSession.conf
-    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    // getAll holds only EXPLICITLY-set session confs (conf.get would
-    // resolve the registered default, so restore could never unset): an
-    // unset key is restored to unset, a set key to its exact value
-    val prevPf = conf.getAll.get(pfKey)
-    conf.set(pfKey, "false")
-    val labels = try {
+    // still earns hundreds — data-driven either way.
+    //
+    // The override lives on a CHILD session (shared SparkContext,
+    // cache, and checkpoint dir; private SQLConf): nothing planned on
+    // the caller's session — including concurrently, mid-loop — ever
+    // observes the flipped conf, and outside the loop CACHED wide
+    // frames (shingles, minhash) keep full parallelism for the
+    // CPU-bound stages reading them. The already-checkpointed edge
+    // list crosses sessions through its materialized RDD, so no
+    // lineage recomputes on the way in or out.
+    val parent = docs.sparkSession
+    val loopSession = parent.newSession()
+    loopSession.conf.set(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    val loopEdges = loopSession.createDataFrame(edges.rdd, edges.schema)
+    val labels = {
       // init IS the first propagation round: label = min(self, neighbors)
       // comes out of one groupBy over the edge list, so the loop below
       // starts from round-1 state instead of paying a round to reach it
       var cur = truncate(
-        edges
+        loopEdges
           .groupBy(col("e_src"))
           .agg(min("e_dst").as("nbr"))
           .select(col("e_src").as("doc_id"), least(col("e_src"), col("nbr")).as("cluster")),
@@ -233,8 +237,8 @@ object Corpus {
       var prevSum = Long.MinValue
       var curSum = cur.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
       while (curSum != prevSum) {
-        val nbrMin = edges
-          .join(cur, edges("e_dst") === cur("doc_id"))
+        val nbrMin = loopEdges
+          .join(cur, loopEdges("e_dst") === cur("doc_id"))
           .groupBy(col("e_src"))
           .agg(min("cluster").as("nbr"))
         // inner join: every subgraph node has >= 1 edge, so nbrMin covers
@@ -255,10 +259,9 @@ object Corpus {
         prevCp.foreach(deleteCheckpoint(cur, _))
         prevCp = nextCp
       }
-      cur
-    } finally prevPf match {
-      case Some(v) => conf.set(pfKey, v)
-      case None => conf.unset(pfKey)
+      // hand the (checkpoint-backed, one row per subgraph node) result
+      // back to the caller's session for the final union/window
+      parent.createDataFrame(cur.rdd, cur.schema)
     }
 
     val singletons = docs

@@ -60,6 +60,37 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupClusters: the loop's AQE override never touches the caller's session conf") {
+    val spark = TestSpark.spark
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    assert(!spark.conf.getAll.contains(pfKey), "fixture: key must start unset")
+    // poll the CALLER's conf from another thread for the whole run: the
+    // propagation loop plans on a child session, so no mid-loop moment
+    // may show the flipped value here (the leak the old set/restore
+    // pattern had between its set and its finally)
+    @volatile var done = false
+    @volatile var observed = Option.empty[String]
+    val watcher = new Thread(() => {
+      while (!done) {
+        spark.conf.getAll.get(pfKey).foreach(v => observed = Some(v))
+        Thread.sleep(5)
+      }
+    })
+    watcher.start()
+    try {
+      val out = Corpus.dedupClusters(docsDf(clusterFixture)).collect()
+      assert(out.length == 5)
+    } finally { done = true; watcher.join() }
+    assert(observed.isEmpty, s"caller-session conf observed mid-loop: $observed")
+    assert(!spark.conf.getAll.contains(pfKey), "key must end unset")
+    // and an explicitly-set caller value survives the run untouched
+    spark.conf.set(pfKey, "true")
+    try {
+      Corpus.dedupClusters(docsDf(clusterFixture)).collect()
+      assert(spark.conf.get(pfKey) == "true", "explicit caller value clobbered")
+    } finally spark.conf.unset(pfKey)
+  }
+
   test("dedupClusters: a configured checkpoint dir routes lineage truncation to reliable storage") {
     val spark = TestSpark.spark
     val sc = spark.sparkContext
@@ -133,6 +164,33 @@ class CorpusSpec extends AnyFunSuite {
       "scope exit must not evict a plan-equal globally-registered entry")
     CacheScope.releaseAll()
     assert(global.storageLevel == StorageLevel.NONE)
+  }
+
+  test("CacheScope: a pre-existing RAW caller persist survives scope exit and releaseAll") {
+    import graft.operators.CacheScope
+    import org.apache.spark.storage.StorageLevel
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // The residual gap the scaladoc used to only document: the caller
+    // persists a frame OUTSIDE CacheScope, then a scoped operator
+    // persists a plan-equal frame. persist() must consult the
+    // CacheManager, dedupe onto the caller's entry WITHOUT registering
+    // it, and leave it alone at scope exit and releaseAll.
+    val mine = Seq(5, 6, 7).toDF("x").select((col("x") + 1).as("y"))
+    mine.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      mine.count()
+      CacheScope.withScope {
+        val scoped = CacheScope.persist(Seq(5, 6, 7).toDF("x").select((col("x") + 1).as("y")))
+        scoped.count()
+        assert(scoped.storageLevel != StorageLevel.NONE, "reuses the caller's cache entry")
+      }
+      assert(mine.storageLevel != StorageLevel.NONE,
+        "scope exit evicted the caller's raw persist")
+      CacheScope.releaseAll()
+      assert(mine.storageLevel != StorageLevel.NONE,
+        "releaseAll evicted the caller's raw persist")
+    } finally mine.unpersist(blocking = true)
   }
 
   test("decontaminate: an exact copy of a benchmark doc is fully contaminated") {
