@@ -60,29 +60,66 @@ object Cdx {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** [[eventsSchema]] with `ts` kept as TIMESTAMP_NTZ — the explicit
+    * read schema for the micros-NTZ footer case, so the wall clock
+    * reaches the conversion expression untouched by any zone cast.
+    */
+  val eventsNtzSchema: StructType = StructType(
+    eventsSchema.map(f => if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+
+  /** The nanos rejection is the ONE footer-probe failure that routes to
+    * the raw-int64 fallback; anything else (missing path, corrupt
+    * footer, absent `ts` column) is a real error and must surface as
+    * itself instead of resurfacing later as a confusing null-ts shape.
+    */
+  private def isNanosRejection(e: Throwable): Boolean = e match {
+    case a: org.apache.spark.sql.AnalysisException =>
+      val cond = Option(a.getCondition).getOrElse("")
+      cond.contains("PARQUET_TYPE_ILLEGAL") || cond.contains("ILLEGAL_PARQUET_TYPE") ||
+        Option(a.getMessage).exists(_.toLowerCase.contains("illegal parquet type"))
+    case _ => false
+  }
+
   /** events.parquet has shipped with `ts` in two encodings across
     * driver testdata generations: TIMESTAMP(NANOS), which Spark 4's
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]), and plain
-    * TIMESTAMP(MICROS). Decide from the file FOOTER (schema inference
-    * throws on nanos — never from the values, which would make the
-    * reader data-dependent): micros files read natively with the
-    * NTZ→LTZ cast resolving under the session's pinned UTC zone, nanos
-    * files read as raw INT64 and convert losslessly with integer
-    * arithmetic. No session conf needed either way, so the driver's
-    * own SparkSession works too.
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]), and
+    * TIMESTAMP(MICROS) without the UTC-adjusted flag (TIMESTAMP_NTZ to
+    * Spark). Decide from the file FOOTER (schema inference throws on
+    * nanos — never from the values, which would make the reader
+    * data-dependent). Every branch is ZONE-INDEPENDENT — the data
+    * contract is "naive wall clock == UTC instant" (the DuckDB oracle
+    * reads naive timestamps as UTC), and none of the conversions below
+    * consults spark.sql.session.timeZone:
+    *   - TIMESTAMP_NTZ footer: read as NTZ and rebuild epoch micros
+    *     from the wall-clock FIELDS (date/hour/minute/fractional
+    *     second), which NTZ extraction defines without a zone. A plain
+    *     NTZ→LTZ cast here would resolve through the session zone and
+    *     shift every instant under a non-UTC driver session.
+    *   - TIMESTAMP (LTZ) footer: the file stores UTC-adjusted instants;
+    *     the native read is already zone-free.
+    *   - nanos footer: raw INT64 + integer div — zone-free.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
-    val microsFooter =
-      scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
-        .toOption.exists(t => t == TimestampType || t == TimestampNTZType)
-    if (microsFooter)
-      spark.read.parquet(path)
-        .withColumn("ts", col("ts").cast(TimestampType))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    else
-      spark.read.schema(eventsSchema).parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val footerTs: Option[DataType] =
+      try Some(spark.read.parquet(path).schema("ts").dataType)
+      catch { case e: Throwable if isNanosRejection(e) => None }
+    footerTs match {
+      case Some(TimestampNTZType) =>
+        spark.read.schema(eventsNtzSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(
+            expr("unix_date(CAST(ts AS DATE)) * CAST(86400000000 AS BIGINT)" +
+              " + (hour(ts) * 3600 + minute(ts) * 60) * CAST(1000000 AS BIGINT)" +
+              " + CAST(date_part('SECOND', ts) * 1000000 AS BIGINT)")))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      case Some(_) =>
+        spark.read.parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      case None =>
+        spark.read.schema(eventsSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame =

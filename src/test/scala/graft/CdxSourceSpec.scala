@@ -78,4 +78,53 @@ class CdxSourceSpec extends AnyFunSuite {
       .map(r => (r.getString(1), r.getString(2), r.getString(3)))
     assert(viaSource.toSeq == viaParse.toSeq)
   }
+
+  test("readEvents is zone-independent on micros-NTZ files") {
+    val spark = TestSpark.spark
+    val tzKey = "spark.sql.session.timeZone"
+    val utc = graft.sources.Cdx.readEvents(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val prev = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "America/New_York")
+    try {
+      val ny = graft.sources.Cdx.readEvents(spark, "/root/testdata/sf0.001")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // the naive-wall-clock==UTC contract must hold under ANY session
+      // zone: an NTZ→LTZ cast here would shift every instant by -5h/-4h
+      assert(ny.toSeq == utc.toSeq, "ts instants shifted under a non-UTC session zone")
+    } finally spark.conf.set(tzKey, prev)
+  }
+
+  test("readEvents falls back to raw int64 ONLY on the nanos footer; other errors rethrow") {
+    val spark = TestSpark.spark
+    // nanos fixture: TIMESTAMP(NANOS) footer routes to the int64 path
+    val nanosDir = java.nio.file.Files.createTempDirectory("graft-ev-nanos")
+    val res = getClass.getResourceAsStream("/events_nanos.parquet")
+    assert(res != null, "events_nanos.parquet fixture missing from test resources")
+    java.nio.file.Files.copy(res, nanosDir.resolve("events.parquet"))
+    val rows = graft.sources.Cdx.readEvents(spark, nanosDir.toString)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.length == 20)
+    // fixture row i = 2024-01-01T00:00:00Z + i hours, nanos -> exact micros
+    assert(rows(0) == (0L, 1704067200000000L))
+    assert(rows(5) == (5L, 1704067200000000L + 5L * 3600000000L))
+
+    // a corrupt footer must surface as ITSELF, not route silently into
+    // the raw-int64 fallback and fail later with a confusing shape
+    val corruptDir = java.nio.file.Files.createTempDirectory("graft-ev-corrupt")
+    java.nio.file.Files.write(corruptDir.resolve("events.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    // no collect(): the PROBE must throw, proving the error wasn't
+    // swallowed into a lazy fallback that only fails much later
+    intercept[Exception] {
+      graft.sources.Cdx.readEvents(spark, corruptDir.toString)
+    }
+    // a missing path likewise rethrows instead of falling back
+    intercept[Exception] {
+      graft.sources.Cdx.readEvents(spark, "/definitely/not/a/dir")
+    }
+  }
 }
