@@ -655,9 +655,13 @@ object Streaming {
     * `hasTimedOut` and the state is removed.
     *
     * State-schema note: the state type is [[TtlBucket]] (members +
-    * newest event time); a checkpoint written by a pre-TtlBucket build
-    * (bare member vector) cannot be restored by this version — restart
-    * such a stream from a fresh checkpoint.
+    * newest event time, format version [[TtlStateVersion]]); a
+    * checkpoint written by a pre-TtlBucket build (bare member vector)
+    * cannot be restored by this version — restart such a stream from a
+    * fresh checkpoint. Call [[guardTtlCheckpoint]] with the checkpoint
+    * location BEFORE `start()` to turn the raw state-deserialization
+    * failure a stale checkpoint would produce into a clear versioned
+    * error at startup.
     */
   def nearDupCandidateStreamTtl(
       docs: org.apache.spark.sql.DataFrame,
@@ -686,6 +690,57 @@ object Streaming {
             out.iterator
           }
       }
+  }
+
+  /** Format version of the TTL stream's state encoding. History:
+    * v1 = bare `Vector[Long]` member list (no marker file written);
+    * v2 = [[TtlBucket]] (members + newestTs).
+    */
+  val TtlStateVersion = 2
+
+  private val TtlVersionMarker = "graft_ttl_state_version"
+
+  /** Startup guard for [[nearDupCandidateStreamTtl]] checkpoints: call
+    * with the `checkpointLocation` BEFORE `start()`. A state-schema
+    * change (v1's bare member vector → v2's [[TtlBucket]]) makes Spark
+    * fail checkpoint restore deep inside state deserialization with an
+    * error that names neither the cause nor the fix; this check fails
+    * FAST with both instead.
+    *
+    * Protocol: a fresh checkpoint dir gets a version marker file; a
+    * dir that already carries streaming state but no marker predates
+    * versioning (v1 or an unmarked v2) and is refused — restart from a
+    * fresh checkpoint, or create the marker manually if the checkpoint
+    * is known to be TtlBucket-format; a marker with a different version
+    * is refused with both numbers.
+    */
+  def guardTtlCheckpoint(spark: SparkSession, checkpointDir: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, TtlVersionMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      if (found != TtlStateVersion.toString)
+        throw new IllegalStateException(
+          s"TTL near-dup checkpoint at $checkpointDir holds state format v$found, " +
+            s"but this build reads v$TtlStateVersion (TtlBucket). Restoring would fail " +
+            "inside state deserialization — restart the stream from a fresh checkpoint.")
+    } else {
+      val hasState = Seq("offsets", "state")
+        .exists(d => fs.exists(new org.apache.hadoop.fs.Path(dir, d)))
+      if (hasState)
+        throw new IllegalStateException(
+          s"TTL near-dup checkpoint at $checkpointDir predates state-format versioning " +
+            s"(pre-v$TtlStateVersion, likely the bare member-vector format). Restoring " +
+            "would fail inside state deserialization — restart the stream from a fresh " +
+            s"checkpoint, or create $TtlVersionMarker containing '$TtlStateVersion' in " +
+            "the checkpoint dir if it is known to be TtlBucket-format.")
+      val out = fs.create(marker, false)
+      try out.write(s"$TtlStateVersion\n".getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** The candidate stream's fold over bounded input — the oracle-

@@ -689,4 +689,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(o2.size == prior.size && m2.size == prior.size + 1)
   }
 
+  test("guardTtlCheckpoint: fresh dirs get a marker; stale/unversioned state fails clearly") {
+    val spark = TestSpark.spark
+    def tmp() = java.nio.file.Files.createTempDirectory("graft-ttl-ckpt").toString
+
+    // fresh dir: guard writes the marker and passes, idempotently
+    val fresh = tmp()
+    Streaming.guardTtlCheckpoint(spark, fresh)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(fresh, "graft_ttl_state_version")))
+    Streaming.guardTtlCheckpoint(spark, fresh) // marker matches -> no-op
+
+    // a checkpoint with streaming state but NO marker predates
+    // versioning (the pre-r8 bare-vector format): the raw
+    // state-deserialization crash becomes a clear startup error
+    val old = tmp()
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(old, "offsets"))
+    val e1 = intercept[IllegalStateException] {
+      Streaming.guardTtlCheckpoint(spark, old)
+    }
+    assert(e1.getMessage.contains("predates state-format versioning"), e1.getMessage)
+    assert(e1.getMessage.contains("fresh checkpoint"), e1.getMessage)
+
+    // a marker with a DIFFERENT version is refused with both numbers
+    val verd = tmp()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(verd, "graft_ttl_state_version"), "1\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalStateException] {
+      Streaming.guardTtlCheckpoint(spark, verd)
+    }
+    assert(e2.getMessage.contains("v1") &&
+      e2.getMessage.contains(s"v${Streaming.TtlStateVersion}"), e2.getMessage)
+  }
+
 }
