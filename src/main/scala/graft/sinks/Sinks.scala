@@ -201,7 +201,10 @@ object Sinks {
     * periodic compaction is the layout disk indexes use anyway). The
     * c_id partition value parses back as INT — normalized to the
     * index's LONG list ids here, once, so no consumer joins across a
-    * type coercion.
+    * type coercion. Tombstoned ids ([[deleteFromAnnIndex]]) are
+    * excluded via a BROADCAST anti-join — the tombstone set is id-only
+    * and stays kilobytes until compaction drops the rows physically;
+    * the probes join's partition pruning on the scan is untouched.
     */
   def readAnnIndexCodes(spark: SparkSession, path: String): DataFrame = {
     val base = spark.read.parquet(s"$path/codes")
@@ -210,7 +213,34 @@ object Sinks {
     val all =
       if (fs.exists(deltaPath)) base.unionByName(spark.read.parquet(deltaPath.toString))
       else base
-    all.withColumn("c_id", col("c_id").cast("long"))
+    val live = readAnnTombstones(spark, path) match {
+      case Some(dead) => all.join(broadcast(dead), Seq("vec_id"), "left_anti")
+      case None => all
+    }
+    live.withColumn("c_id", col("c_id").cast("long"))
+  }
+
+  private def readAnnTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val tombPath = new Path(s"$path/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombPath)) Some(spark.read.parquet(tombPath.toString).select("vec_id"))
+    else None
+  }
+
+  /** Delete vectors from the serving index by id — the takedown path
+    * (a deduped or redacted document whose embedding must leave the
+    * index). Deletes are TOMBSTONES: an append-only id-set segment that
+    * every read anti-joins (broadcast — ids only), so a delete is one
+    * kilobyte-scale write with no index rewrite; [[compactAnnIndex]]
+    * physically drops tombstoned codes and retires the segment. A
+    * vec_id re-ingested while its tombstone is live stays hidden until
+    * compaction; re-ingestion AFTER compaction resurrects it.
+    */
+  def deleteFromAnnIndex(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("vec_id")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
   }
 
   /** Query the on-disk index: same probe/ADC/rank tail as the
@@ -268,15 +298,20 @@ object Sinks {
     * file per touched list; left alone, file count grows with batch
     * count, the thing that kills object stores). The merged codes are
     * rewritten list-partitioned into a temp dir and swapped in, so a
-    * failure mid-compact leaves the old base+delta intact. Run BETWEEN
-    * ingest sessions, and start the next ingest with a FRESH
+    * failure mid-compact leaves the old base+delta+tombstones intact.
+    * Tombstoned rows are physically dropped by the rewrite (the merge
+    * reads through [[readAnnIndexCodes]]' anti-join) and the tombstone
+    * segment is retired AFTER the swap — a crash between the two
+    * leaves stale tombstones whose anti-join is then a no-op. Run
+    * BETWEEN ingest sessions, and start the next ingest with a FRESH
     * checkpoint — the old checkpoint's sink metadata describes the
     * deleted delta files.
     */
   def compactAnnIndex(spark: SparkSession, path: String): Unit = {
     val delta = new Path(s"$path/codes_delta")
+    val tomb = new Path(s"$path/tombstones")
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(delta)) return
+    if (!fs.exists(delta) && !fs.exists(tomb)) return
     val tmp = new Path(s"$path/codes_compact_${java.util.UUID.randomUUID()}")
     try {
       readAnnIndexCodes(spark, path)
@@ -287,6 +322,7 @@ object Sinks {
       if (!fs.rename(tmp, base))
         throw new java.io.IOException(s"compaction rename $tmp -> $base failed")
       fs.delete(delta, true)
+      fs.delete(tomb, true)
       ()
     } catch {
       case e: Throwable =>

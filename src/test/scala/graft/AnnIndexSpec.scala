@@ -93,4 +93,49 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(postCompact == preCompact, "compaction changed the query result")
   }
+
+  test("tombstone deletes: queries exclude deleted ids; compaction drops them physically") {
+    val spark = TestSpark.spark
+    val emb = clustered(500, 53)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_del_").toString
+    Sinks.writeAnnIndex(emb, dir)
+    val queries = Ann.defaultQueries(emb)
+    val before = Sinks.readAnnIndexTopK(spark, dir, queries)
+      .collect().map(_.toSeq).toSet
+    // delete ids that actually appear in results, so exclusion is observable
+    val hit = before.map(_(2).asInstanceOf[Long]).take(3).toSeq
+    assert(hit.nonEmpty)
+    Sinks.deleteFromAnnIndex(spark, dir, hit)
+
+    val afterDelete = Sinks.readAnnIndexTopK(spark, dir, queries).collect()
+    assert(afterDelete.forall(r => !hit.contains(r.getLong(2))),
+      "deleted ids still surface in top-k")
+    assert(Sinks.readAnnIndexCodes(spark, dir)
+      .filter(col("vec_id").isin(hit: _*)).count() == 0, "tombstoned codes still readable")
+    // re-ranking is stable: the delete only removes rows, so every
+    // surviving (q_id, vec_id) neighbor from before is still reachable
+    val survivors = before.filter(r => !hit.contains(r(2).asInstanceOf[Long]))
+      .map(r => (r(0), r(2))).toSet
+    val afterPairs = afterDelete.map(r => (r.get(0), r.get(2))).toSet
+    assert(survivors.subsetOf(afterPairs), "a surviving neighbor vanished after delete")
+
+    // deletes accumulate across calls
+    val more = afterDelete.map(_.getLong(2)).distinct.take(1).toSeq
+    Sinks.deleteFromAnnIndex(spark, dir, more)
+    val dead = (hit ++ more).toSet
+    val afterSecond = Sinks.readAnnIndexTopK(spark, dir, queries)
+      .collect().map(_.toSeq).toSet
+    assert(afterSecond.forall(r => !dead.contains(r(2).asInstanceOf[Long])))
+
+    // compaction physically drops tombstoned codes, retires the
+    // segment, and leaves the query result unchanged
+    Sinks.compactAnnIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists, "tombstone segment must retire")
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id").isin(dead.toSeq: _*)).count() == 0,
+      "tombstoned codes survived compaction in the base segment")
+    val postCompact = Sinks.readAnnIndexTopK(spark, dir, queries)
+      .collect().map(_.toSeq).toSet
+    assert(postCompact == afterSecond, "compaction changed the query result")
+  }
 }
