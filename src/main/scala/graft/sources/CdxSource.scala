@@ -35,8 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `url` options) is the reference's live ingestion (main.py:112-126):
   * a driver-side `showNumPages` probe plans one partition per page and
   * executors GET their own pages — same planning surface, the reader's
-  * line iterator swapped (see [[CdxLineReader]]). CdxHttpSpec exercises
-  * it against a loopback server (the sandbox has no egress).
+  * line iterator swapped (see [[CdxLineReader]]). A `urls` option
+  * (comma-separated) makes the live scan MULTI-URL: one partition per
+  * (url, page), page-count probes on a bounded driver pool, the
+  * per-url [[MaxPages]] cap, and pushed `url =` equality pruning the
+  * url set before any probe fires. `seq` is then the PER-URL stream
+  * position — exactly what the url-keyed operators window over.
+  * CdxHttpSpec exercises both against a loopback server (the sandbox
+  * has no egress).
   */
 class CdxSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = CdxSource.Schema
@@ -46,10 +52,15 @@ class CdxSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val maxPages = Option(properties.get("maxPages")).map(_.toInt)
       .getOrElse(CdxSource.MaxPages)
+    // `urls` = comma-separated url list (the multi-URL live-ingestion
+    // mode); `url` = single-url shorthand. Both feed the same planner.
+    val urls = Option(properties.get("urls")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     new CdxTable(
       Option(properties.get("path")),
       Option(properties.get("endpoint")),
       Option(properties.get("url")),
+      urls,
       maxPages)
   }
   override def supportsExternalMetadata(): Boolean = false
@@ -67,9 +78,12 @@ object CdxSource {
 
   /** Reference page cap (MAXCDXPAGES, main.py:23): pages beyond the cap
     * are never planned, the limit-like pushdown the reference applies
-    * at the HTTP layer.
+    * at the HTTP layer. In multi-url mode the cap applies PER URL.
     */
   val MaxPages = 2000
+
+  /** Driver-side showNumPages probe concurrency for multi-url scans. */
+  val ProbeParallelism = 16
 }
 
 /** Two ingestion modes behind one planning surface: `path` reads page
@@ -82,6 +96,7 @@ class CdxTable(
     path: Option[String],
     endpoint: Option[String],
     urlOpt: Option[String],
+    urls: Seq[String],
     maxPages: Int) extends Table with SupportsRead {
   require(path.isDefined || endpoint.isDefined, "cdx source needs `path` or `endpoint`")
   override def name(): String = s"cdx(`${path.orElse(endpoint).get}`)"
@@ -89,13 +104,14 @@ class CdxTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdxScanBuilder(path, endpoint, urlOpt, maxPages)
+    new CdxScanBuilder(path, endpoint, urlOpt, urls, maxPages)
 }
 
 class CdxScanBuilder(
     path: Option[String],
     endpoint: Option[String],
     urlOpt: Option[String],
+    urls: Seq[String],
     maxPages: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
@@ -141,7 +157,7 @@ class CdxScanBuilder(
       }
       b.result()
     }
-    new CdxScan(path, endpoint, urlOpt, required, urlFilter, maxPages, hadoopProps)
+    new CdxScan(path, endpoint, urlOpt, urls, required, urlFilter, maxPages, hadoopProps)
   }
 }
 
@@ -166,6 +182,7 @@ class CdxScan(
     path: Option[String],
     endpoint: Option[String],
     urlOpt: Option[String],
+    urls: Seq[String],
     required: StructType,
     urlFilter: Option[String],
     maxPages: Int,
@@ -191,27 +208,58 @@ class CdxScan(
       pages.zipWithIndex.map { case (f, i) => CdxPagePartition(f, i): InputPartition }
     case None =>
       // HTTP mode: the url= predicate is the server-side scan key —
-      // a pushed url filter narrows it exactly like the reference's
-      // url= query param (main.py:115); fall back to the url option.
-      val urlKey = urlFilter.orElse(urlOpt).getOrElse(
-        throw new IllegalArgumentException(
-          "cdx http mode needs a url (option or pushed filter)"))
+      // a pushed url filter narrows the configured url set exactly
+      // like the reference's url= query param (main.py:115). With a
+      // `urls` list the scan is MULTI-URL: one InputPartition per
+      // (url, page), so a million-url crawl fans out across executors
+      // keyed by url the same way the engine's operators are.
+      val configured = if (urls.nonEmpty) urls else urlOpt.toSeq
+      val urlKeys: Seq[String] = urlFilter match {
+        // a pushed equality prunes the url set BEFORE any page probe —
+        // zero HTTP traffic for urls the query filtered away
+        case Some(f) if configured.nonEmpty => configured.filter(_ == f)
+        case Some(f) => Seq(f)
+        case None if configured.nonEmpty => configured
+        case None => throw new IllegalArgumentException(
+          "cdx http mode needs a url (option `url`/`urls` or pushed filter)")
+      }
       // the reference's page-count probe (showNumPages=true,
-      // main.py:114-116): one tiny driver-side GET, then the pages
-      // themselves are fetched by executors
-      val probeUrl = CdxHttp.pageCountUrl(endpoint.get, urlKey)
-      val probe = CdxHttp.readLines(probeUrl)
-      // guard the response: an empty body would NPE on readLine(), junk
-      // would throw an opaque NumberFormatException — name the endpoint
-      val n =
+      // main.py:114-116): one tiny driver-side GET per url, then the
+      // pages themselves are fetched by executors. Probes run on a
+      // bounded pool — page counts are planning metadata (one int per
+      // url), the page BODIES are what must never flow driver-side.
+      def pageCount(urlKey: String): Int = {
+        val probeUrl = CdxHttp.pageCountUrl(endpoint.get, urlKey)
+        val probe = CdxHttp.readLines(probeUrl)
+        // guard the response: an empty body would NPE on readLine(),
+        // junk would throw an opaque NumberFormatException — name the
+        // endpoint
         try {
           val body = Option(probe.readLine()).map(_.trim).filter(_.nonEmpty)
           body.flatMap(_.toIntOption).getOrElse(throw new java.io.IOException(
             s"cdx page-count probe $probeUrl returned " +
               body.fold("an empty body")(b => s"a non-numeric body: '$b'")))
         } finally probe.close()
-      (0 until math.min(n, maxPages)).map(i =>
-        CdxHttpPagePartition(endpoint.get, urlKey, i): InputPartition).toArray
+      }
+      val counts: Seq[(String, Int)] =
+        if (urlKeys.lengthCompare(1) <= 0) urlKeys.map(u => u -> pageCount(u))
+        else {
+          // concurrent probes: driver wall-clock for N urls is
+          // N/parallelism round-trips, not N
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(urlKeys.length, CdxSource.ProbeParallelism))
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          try Await.result(
+            Future.sequence(urlKeys.map(u => Future(u -> pageCount(u)))), Duration.Inf)
+          finally { pool.shutdown(); () }
+        }
+      counts.flatMap { case (u, n) =>
+        // MAXCDXPAGES caps each url's pages, as the reference does per scan
+        (0 until math.min(n, maxPages)).map(i =>
+          CdxHttpPagePartition(endpoint.get, u, i): InputPartition)
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

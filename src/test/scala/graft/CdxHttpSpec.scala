@@ -83,6 +83,69 @@ class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan(maxPages = Some(2)).count() == pages.take(2).map(_.size).sum)
   }
 
+  // per-url page sets for the multi-url mode: distinct page counts so
+  // the (url, page) fan-out is observable in the partition count
+  private val perUrl = Map(
+    "u-a" -> Vector(
+      Vector("20240101000000 200 AA000001", "20240101010000 200 AA000002"),
+      Vector("20240102000000 404 AA000003")),
+    "u-b" -> Vector(
+      Vector("20240101000000 200 BB000001"),
+      Vector("20240102000000 503 BB000002"),
+      Vector("20240103000000 200 BB000003", "20240103010000 - BB000004")),
+    "u-c" -> Vector(
+      Vector("20240101000000 301 CC000001")))
+
+  private def multiScan() =
+    TestSpark.spark.read.format(graft.sources.CdxSource.Name)
+      .option("endpoint", s"$endpoint-multi")
+      .option("urls", "u-a, u-b,u-c")
+      .load()
+
+  test("multi-url http scan: one partition per (url, page), per-url stream order") {
+    server.createContext("/cdx-multi", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        requests.add(q)
+        val params = q.split("&").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val mine = perUrl(params("url"))
+        val body =
+          if (params.get("showNumPages").contains("true")) s"${mine.size}\n"
+          else mine(params("page").toInt).mkString("", "\n", "\n")
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    val df = multiScan()
+    assert(df.rdd.getNumPartitions == perUrl.values.map(_.size).sum,
+      "one InputPartition per (url, page)")
+    val rows = df.collect()
+    assert(rows.length == perUrl.values.flatMap(_.map(_.size)).sum)
+    // per-url ordering: each url's rows sorted by seq replay that
+    // url's pages in page-major line order
+    perUrl.foreach { case (u, ps) =>
+      val mine = rows.filter(_.getString(0) == u).sortBy(_.getLong(4))
+      assert(mine.map(_.getString(1)).toSeq == ps.flatten.map(_.split(" ")(0)).toSeq,
+        s"stream order broken for $u")
+      assert(mine.map(_.getString(3)).toSeq == ps.flatten.map(_.split(" ")(2)).toSeq)
+    }
+
+    // a pushed url= equality prunes the url set BEFORE any probe:
+    // only u-b's pages are planned or fetched
+    requests.clear()
+    val onlyB = multiScan().filter(org.apache.spark.sql.functions.col("url") === "u-b")
+    assert(onlyB.rdd.getNumPartitions == perUrl("u-b").size)
+    assert(onlyB.count() == perUrl("u-b").map(_.size).sum)
+    import scala.jdk.CollectionConverters._
+    val seen = requests.asScala.toList
+    assert(seen.forall(_.contains("url=u-b")),
+      s"filtered scan still probed other urls: $seen")
+  }
+
   test("SRC4 probe: redirect chain yields one header block per hop") {
     val port = server.getAddress.getPort
     server.createContext("/hop-a", new HttpHandler {
