@@ -578,6 +578,53 @@ object Oracle {
     */
   val PqGapId = 3L
 
+  /** Twin of [[graft.operators.Dedup.substringDedup]] at a given
+    * minimum merged-span length: identical positional grams, identical
+    * running-max island merge, the span floor applied to the merged
+    * island exactly where the Spark side filters.
+    */
+  private def substringDedupSql(minSpanWords: Int): String = {
+    val n = graft.operators.Dedup.SubstrGramN
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM w),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+       |  FROM w, unnest(range(0, len(w) - ${n - 1})) t(i)
+       |  WHERE len(w) >= $n
+       |),
+       |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+       |sp AS (
+       |  SELECT doc_id, pos AS s, pos + $n AS e
+       |  FROM g JOIN d USING (gram)
+       |),
+       |m AS (
+       |  SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM sp
+       |),
+       |b AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM m),
+       |isl AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |              ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM b
+       |),
+       |ms AS (
+       |  SELECT doc_id, grp, min(s) AS ss, max(e) AS ee FROM isl GROUP BY doc_id, grp
+       |  HAVING max(e) - min(s) >= $minSpanWords
+       |),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(ee - ss) AS BIGINT) AS dup_words
+       |  FROM ms GROUP BY doc_id
+       |)
+       |SELECT nw.doc_id, nw.n_words,
+       |  COALESCE(pd.n_spans, 0) AS n_spans,
+       |  COALESCE(pd.dup_words, 0) AS dup_words,
+       |  nw.n_words - COALESCE(pd.dup_words, 0) AS kept_words
+       |FROM nw LEFT JOIN pd USING (doc_id) ORDER BY nw.doc_id""".stripMargin
+  }
+
   /** [[pqcStandIn]]'s shape over a literal (trained) codebook. */
   private def pqcValues(centers: Array[(Long, Array[Float])]): String = {
     val values = centers.map { case (id, ce) =>
@@ -1966,43 +2013,13 @@ object Oracle {
     // Duplicated-span twin: identical positional grams (explicit word
     // concat, no slice-semantics ambiguity), identical running-max
     // island merge. Touching spans (s = prev max e) merge on both
-    // sides.
+    // sides. The unfloored row pins the span algebra; the _min row
+    // pins the Lee-et-al minimum-span floor.
     "doc_substring_dedup" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM w),
-         |g AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
-         |  FROM w, unnest(range(0, len(w) - ${graft.operators.Dedup.SubstrGramN - 1})) t(i)
-         |  WHERE len(w) >= ${graft.operators.Dedup.SubstrGramN}
-         |),
-         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
-         |sp AS (
-         |  SELECT doc_id, pos AS s, pos + ${graft.operators.Dedup.SubstrGramN} AS e
-         |  FROM g JOIN d USING (gram)
-         |),
-         |m AS (
-         |  SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s
-         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-         |  FROM sp
-         |),
-         |b AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM m),
-         |isl AS (
-         |  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
-         |              ROWS UNBOUNDED PRECEDING) AS grp
-         |  FROM b
-         |),
-         |ms AS (SELECT doc_id, grp, min(s) AS ss, max(e) AS ee FROM isl GROUP BY doc_id, grp),
-         |pd AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         |    CAST(sum(ee - ss) AS BIGINT) AS dup_words
-         |  FROM ms GROUP BY doc_id
-         |)
-         |SELECT nw.doc_id, nw.n_words,
-         |  COALESCE(pd.n_spans, 0) AS n_spans,
-         |  COALESCE(pd.dup_words, 0) AS dup_words,
-         |  nw.n_words - COALESCE(pd.dup_words, 0) AS kept_words
-         |FROM nw LEFT JOIN pd USING (doc_id) ORDER BY nw.doc_id""".stripMargin,
+      substringDedupSql(graft.operators.Dedup.SubstrGramN),
+
+    "doc_substring_dedup_min" ->
+      substringDedupSql(graft.operators.Dedup.SubstrMinSpanWords),
 
     "doc_sample" ->
       s"""WITH s AS (
@@ -2632,7 +2649,42 @@ object Oracle {
       "ann_ivf_kmeans" -> annIvfKmeansSql(Queries.kmeansCenters(spark, dir)),
       "ann_pq_trained" -> annPqTrainedSql(Queries.pqTrainedCents(spark, dir)),
       "ann_ivfpq_residual_trained" ->
-        annIvfPqResidualTrainedSql(Queries.residualTrainedBooks(spark, dir)))
+        annIvfPqResidualTrainedSql(Queries.residualTrainedBooks(spark, dir)),
+      "doc_quality_model_trained" -> {
+        val (w, bias) = Queries.qualityModelWeights(spark, dir)
+        qualityModelTrainedSql(w, bias)
+      })
+
+  /** The doc_quality_model twin over a literal TRAINED weight table —
+    * same hashed buckets, same integer milli/micro pipeline, the
+    * weights as a VALUES relation (1024 integer rows, the
+    * [[annIvfKmeansSql]] materialization pattern).
+    */
+  private def qualityModelTrainedSql(weights: Array[(Long, Long)], biasMilli: Long): String = {
+    val values = weights.map { case (b, w) => s"($b, $w)" }.mkString(",\n    ")
+    s"""WITH wt AS (SELECT bucket, weight_milli FROM (VALUES
+       |    $values) t(bucket, weight_milli)),
+       |wrd AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % ${graft.operators.TextStats.ModelBuckets} AS bucket
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(weight_milli) AS BIGINT) AS feat_milli
+       |  FROM wrd JOIN wt USING (bucket) GROUP BY doc_id
+       |),
+       |lg AS (
+       |  SELECT doc_id, n_tokens, feat_milli,
+       |    CAST(round(CAST(feat_milli AS DOUBLE) * 1000.0 / n_tokens) AS BIGINT)
+       |      + ${biasMilli * 1000L} AS logit_micro
+       |  FROM agg
+       |)
+       |SELECT doc_id, n_tokens, feat_milli, logit_micro,
+       |  round(1.0 / (1.0 + exp(-(CAST(logit_micro AS DOUBLE) / 1e6))), 6) AS model_score,
+       |  logit_micro >= 0 AS keep
+       |FROM lg ORDER BY doc_id""".stripMargin
+  }
 
   /** The ann_ivf twin over a literal trained codebook. Center floats
     * are serialized with Float.toString (shortest decimal that

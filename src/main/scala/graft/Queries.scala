@@ -494,6 +494,37 @@ object Queries {
   def docQualityModel(s: SparkSession, dir: String): DataFrame =
     TextStats.qualityModel(docs(s, dir)).orderBy("doc_id")
 
+  /** Trained-weight cache — the [[kmeansCenters]] contract: the fitted
+    * (bucket, weight_milli) table and bias are collected once per
+    * (session, dir) so the identical literals reach the Spark plan and
+    * the DuckDB VALUES twin.
+    */
+  private val qmTrainedCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (Array[(Long, Long)], Long)]]()
+
+  def qualityModelWeights(s: SparkSession, dir: String): (Array[(Long, Long)], Long) =
+    qmTrainedCache.synchronized {
+      val perSession = qmTrainedCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, (Array[(Long, Long)], Long)])
+      perSession.getOrElseUpdate(
+        dir,
+        try TextStats.trainQualityWeights(docs(s, dir))
+        finally graft.operators.CacheScope.releaseAll())
+    }
+
+  /** [[docQualityModel]] with TRAINED weights: MLlib logistic
+    * regression distills the heuristic verdict into the hashed linear
+    * model on the deterministic train split, and the fitted milli
+    * weights score through the identical integer pipeline.
+    */
+  def docQualityModelTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w, bias) = qualityModelWeights(s, dir)
+    TextStats.qualityModelWith(
+      docs(s, dir), w.toSeq.toDF("bucket", "weight_milli"), bias)
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprints (md5 + bottom-3 shingle sketch). */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprint(docs(s, dir)).orderBy("doc_id")
@@ -622,8 +653,18 @@ object Queries {
   def docContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
 
-  /** Cross-doc duplicated-span report (exact substring dedup shape). */
+  /** Cross-doc duplicated-span report (exact substring dedup shape) —
+    * the UNFLOORED variant (minSpanWords = gram width): every merged
+    * island counts, the original pin of the span algebra.
+    */
   def docSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(docs(s, dir), minSpanWords = Dedup.SubstrGramN).orderBy("doc_id")
+
+  /** [[docSubstringDedup]] with the production span floor
+    * ([[Dedup.SubstrMinSpanWords]]): idiom-length islands no longer
+    * count, only real copied passages — the Lee-et-al semantics.
+    */
+  def docSubstringDedupMin(s: SparkSession, dir: String): DataFrame =
     Dedup.substringDedup(docs(s, dir)).orderBy("doc_id")
 
   /** Incremental batch-vs-base exact dedup verdict. */
@@ -1130,6 +1171,7 @@ object Queries {
     "doc_quality" -> (docQuality _),
     "doc_entropy" -> (docEntropy _),
     "doc_quality_model" -> (docQualityModel _),
+    "doc_quality_model_trained" -> (docQualityModelTrained _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_normalize" -> (docNormalize _),
@@ -1161,6 +1203,7 @@ object Queries {
     "doc_sample" -> (docSample _),
     "doc_containment" -> (docContainment _),
     "doc_substring_dedup" -> (docSubstringDedup _),
+    "doc_substring_dedup_min" -> (docSubstringDedupMin _),
     "doc_dedup_incremental" -> (docDedupIncremental _),
     "doc_budget_select" -> (docBudgetSelect _),
     "doc_mixture_sample" -> (docMixtureSample _),

@@ -401,10 +401,23 @@ object Dedup {
     */
   val SubstrGramN = 3
 
+  /** Default minimum merged-span length (in words) for
+    * [[substringDedup]]: only islands at least this long count as
+    * duplicated text. Lee et al. key exact substring dedup on ~50-token
+    * spans precisely because short spans saturate on idiom-frequency
+    * n-grams ("of the and" is cross-doc everywhere at web scale) —
+    * the cost stays linear either way, but without a span floor the
+    * SIGNAL degrades until every doc reports dup spans. 8 is the
+    * proportional floor for this corpus's gram width.
+    */
+  val SubstrMinSpanWords = 8
+
   /** Cross-document duplicated-span report — the aggregate-level
     * equivalent of exact substring deduplication: every positional
     * [[SubstrGramN]]-word gram that occurs in >1 distinct document
-    * marks its span duplicated; overlapping/touching spans merge; the
+    * marks its span duplicated; overlapping/touching spans merge;
+    * merged islands shorter than `minSpanWords` are discarded (the
+    * Lee-et-al minimum-match length — see [[SubstrMinSpanWords]]); the
     * report is per-doc span count, duplicated word count, and what
     * survives. (A remove step is `slice` over the kept ranges; the
     * expensive, scale-critical part — finding and merging the spans —
@@ -415,10 +428,12 @@ object Dedup {
     * marking is a semi join back on gram. Span merging is the classic
     * running-max island scan — two doc-keyed windows over DUPLICATED
     * positions only (not all positions), bounded by doc length, fully
-    * parallel across docs. No pairwise doc comparison anywhere: cost
-    * is linear in total grams + duplicated grams, never docs².
+    * parallel across docs; the span floor is a post-merge filter on
+    * the island row, adding nothing to any shuffle. No pairwise doc
+    * comparison anywhere: cost is linear in total grams + duplicated
+    * grams, never docs².
     */
-  def substringDedup(docs: DataFrame): DataFrame = {
+  def substringDedup(docs: DataFrame, minSpanWords: Int = SubstrMinSpanWords): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     val nWords = w.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
     val grams = w
@@ -441,6 +456,7 @@ object Dedup {
       .withColumn("grp", sum("brk").over(docW.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "grp")
       .agg(min("s").as("ss"), max("e").as("ee"))
+      .filter(col("ee") - col("ss") >= minSpanWords)
     val perDoc = spans
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("ee") - col("ss")).as("dup_words"))

@@ -398,6 +398,16 @@ object TextStats {
       col("bucket"),
       (expr("CAST(conv(substr(md5(concat('qm', CAST(bucket AS STRING))), 1, 8), 16, 10) AS BIGINT)") % 2001 - 1000)
         .as("weight_milli"))
+    qualityModelWith(docs, weights, ModelBiasMilli)
+  }
+
+  /** [[qualityModel]]'s scoring pipeline over an ARBITRARY weight
+    * table — the drop-in point for trained weights. `weights` must
+    * cover every bucket (zeros included): the inner join defines
+    * `n_tokens`, so a sparse table would silently shrink the mean's
+    * denominator.
+    */
+  def qualityModelWith(docs: DataFrame, weights: DataFrame, biasMilli: Long): DataFrame = {
     val wrd = docs
       .select(col("doc_id"), explode(words).as("word"))
       .withColumn(
@@ -410,7 +420,7 @@ object TextStats {
     // engines' binary representations disagree.
     val logitMicro =
       round(col("feat_milli") * 1000.0 / col("n_tokens")).cast("long") +
-        lit(ModelBiasMilli * 1000L)
+        lit(biasMilli * 1000L)
     val logit = col("logit_micro") / 1e6
     wrd
       .join(broadcast(weights), "bucket")
@@ -424,5 +434,63 @@ object TextStats {
         col("logit_micro"),
         round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("model_score"),
         (col("logit_micro") >= 0L).as("keep"))
+  }
+
+  /** TRAIN the quality classifier: MLlib LogisticRegression over the
+    * hashed bucket features (x = per-bucket word count / n_tokens —
+    * exactly the mean-weight formulation [[qualityModelWith]] scores),
+    * labels distilled from the HEURISTIC verdict (`quality` >=
+    * [[QualityMin]]) on the deterministic md5 `train` split
+    * ([[trainSplit]] — the eval splits never leak into the fit).
+    * Returns the full [[ModelBuckets]]-row (bucket, weight_milli)
+    * table — zeros included, the join-denominator contract — plus the
+    * fitted bias, both quantized to milli.
+    *
+    * Like [[graft.operators.Ann.kmeansCentroids]], the fitted weights
+    * are index-metadata-sized (1024 longs): callers materialize them
+    * once and feed the identical literals to the Spark plan and the
+    * DuckDB twin. At corpus scale the training input is a SAMPLE of
+    * the train split (a linear model needs thousands of rows, not the
+    * corpus) — the fit cost does not scale with the data.
+    */
+  def trainQualityWeights(docs: DataFrame): (Array[(Long, Long)], Long) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labeled = quality(docs)
+      .select(col("doc_id"), (col("quality") >= QualityMin).cast("double").as("label"))
+    val split = trainSplit(docs).filter(col("split") === "train").select("doc_id")
+    val feats = docs
+      .select(col("doc_id"), explode(words).as("word"))
+      .withColumn(
+        "bucket",
+        expr(s"CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT) % $ModelBuckets"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        collect_list(struct(col("bucket"), col("c"))).as("bc"),
+        sum("c").as("n"))
+    val nb = ModelBuckets
+    val train = feats
+      .join(split, Seq("doc_id"))
+      .join(labeled, Seq("doc_id"))
+      .select(col("label"), col("bc"), col("n"))
+      .as[(Double, Seq[(Long, Long)], Long)]
+      .map { case (label, bc, n) =>
+        val sorted = bc.sortBy(_._1)
+        (label, Vectors.sparse(
+          nb,
+          sorted.map(_._1.toInt).toArray,
+          sorted.map(_._2.toDouble / n).toArray))
+      }
+      .toDF("label", "features")
+    val model = new LogisticRegression()
+      .setMaxIter(100)
+      .setRegParam(1e-4)
+      .setStandardization(false)
+      .fit(train)
+    val w = Array.tabulate(ModelBuckets)(i =>
+      (i.toLong, math.round(model.coefficients(i) * 1000)))
+    (w, math.round(model.intercept * 1000))
   }
 }

@@ -24,11 +24,16 @@ class ContractSpec extends AnyFunSuite {
     * appear in the static map because the literals only exist after a
     * fit runs in a live session.
     */
+  // periodic_samples_approx is the documented HLL approximation (spec-
+  // pinned, no exact twin); the *_trained rows get their twins at
+  // Verify time from Oracle.dynamic — materialized literals of the
+  // fitted model, which a static map cannot carry
   private val rowsOnlyByDesign = Set(
     "periodic_samples_approx",
     "ann_ivf_kmeans",
     "ann_pq_trained",
-    "ann_ivfpq_residual_trained")
+    "ann_ivfpq_residual_trained",
+    "doc_quality_model_trained")
 
   test("every registered query has an oracle twin (or is rows-only by design)") {
     val rowsOnly =

@@ -331,13 +331,14 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("substringDedup: overlapping spans merge, touching spans merge, within-doc repeats don't count") {
-    val out = Dedup.substringDedup(docsDf(Seq(
+    // minSpanWords = gram width: the UNFLOORED span algebra under test
+    val out = Dedup.substringDedup(minSpanWords = Dedup.SubstrGramN, docs = docsDf(Seq(
       (1L, "a b c d e f", "en", "web"), //        dup grams abc,bcd -> [0,4)
       (2L, "a b c d x y", "en", "web"), //        same -> [0,4)
       (3L, "z z z q r s", "en", "web"), //        nothing shared -> clean
       (4L, "a b c q q q b c d", "en", "web"), //  abc@0, bcd@6 -> two spans
       (5L, "m n o p q r", "en", "web"), //        mno@0, pqr@3 touch -> one span [0,6)
-      (6L, "m n o x x x p q r", "en", "web")))) //mno@0, pqr@6 -> two spans
+      (6L, "m n o x x x p q r", "en", "web"))))//mno@0, pqr@6 -> two spans
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(out(1L) == ((6L, 1L, 4L, 2L)), s"doc1: ${out(1L)}")
@@ -346,6 +347,60 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L) == ((9L, 2L, 6L, 3L)))
     assert(out(5L) == ((6L, 1L, 6L, 0L)), "touching spans [0,3)+[3,6) must merge to one")
     assert(out(6L) == ((9L, 2L, 6L, 3L)))
+  }
+
+  test("substringDedup: the span floor drops idiom-length islands, keeps a planted 10-word copy") {
+    val idiom = "of the and" // cross-doc 3-gram — web-scale noise
+    val passage = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10" // a real copied passage
+    val fixture = docsDf(Seq(
+      (1L, s"$idiom aaa bbb ccc ddd eee", "en", "web"),
+      (2L, s"fff ggg $idiom hhh iii jjj", "en", "web"),
+      (3L, s"intro $passage outro1 outro2", "en", "web"),
+      (4L, s"$passage tail1 tail2 tail3", "en", "web"),
+      (5L, "kkk lll mmm nnn ooo ppp", "en", "web")))
+    // unfloored: both the idiom island (3 words) and the copy (10) flag
+    val raw = Dedup.substringDedup(fixture, minSpanWords = Dedup.SubstrGramN)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw(1L) == 1L && raw(2L) == 1L && raw(3L) == 1L && raw(4L) == 1L)
+    // floored (default 8): the idiom no longer flags, the copy still does
+    val floored = Dedup.substringDedup(fixture)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(floored(1L) == ((0L, 0L, 8L)), s"idiom flagged: ${floored(1L)}")
+    assert(floored(2L) == ((0L, 0L, 8L)), s"idiom flagged: ${floored(2L)}")
+    assert(floored(3L) == ((1L, 10L, 3L)), s"copy missed: ${floored(3L)}")
+    assert(floored(4L) == ((1L, 10L, 3L)), s"copy missed: ${floored(4L)}")
+    assert(floored(5L) == ((0L, 0L, 6L)))
+  }
+
+  test("trained quality weights separate planted good/garbage docs at least as well as the stand-in") {
+    import graft.operators.TextStats
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // planted corpus: natural stopword-rich prose (heuristic quality
+    // ~1) vs punctuation/digit spam (heuristic quality < QualityMin) —
+    // ids interleaved so the md5 train split holds both classes
+    val goodText = ("the cat sat on the mat and it was a fine day " * 5).trim
+    val spamText = ("$$$ ### 12345 !!! %% 678 @@ " * 6).trim
+    val fixture = docsDf((0 until 80).map { i =>
+      (i.toLong, if (i % 2 == 0) goodText else spamText, "en", "web")
+    })
+    val (w, bias) = TextStats.trainQualityWeights(fixture)
+    assert(w.length == TextStats.ModelBuckets, "weight table must cover every bucket")
+    def separation(scored: org.apache.spark.sql.DataFrame): Double = {
+      val s = scored.collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      val good = (0 until 80 by 2).map(i => s(i.toLong)).sum / 40
+      val spam = (1 until 80 by 2).map(i => s(i.toLong)).sum / 40
+      good - spam
+    }
+    val trained = separation(
+      TextStats.qualityModelWith(fixture, w.toSeq.toDF("bucket", "weight_milli"), bias))
+    val standIn = separation(TextStats.qualityModel(fixture))
+    assert(trained >= standIn,
+      f"trained separation $trained%.4f < stand-in $standIn%.4f")
+    // and the trained model must actually separate, not just tie a
+    // random-weight stand-in near zero
+    assert(trained > 0.5, f"trained separation $trained%.4f is not a real margin")
   }
 
   test("tfidfTopK: identical small docs hit at cos 1; disjoint docs absent; only query docs rank") {
