@@ -67,6 +67,51 @@ class PlanSpec extends AnyFunSuite {
       s"codes scan lacks a dynamic partition-pruning subquery on c_id:\n${p.take(3000)}")
   }
 
+  test("serving index with tombstones: anti-join broadcasts; DPP on the codes scan survives") {
+    // deletes must stay kilobyte-scale at query time: the tombstone
+    // set rides a broadcast LEFT ANTI join, and its presence must not
+    // knock the dynamic partition pruning out of the codes scan — a
+    // takedown must never turn probes into full-index reads
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
+    val emb = (0 until 400).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat), (i % 16).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = java.nio.file.Files.createTempDirectory("plan_ann_del_").toString
+    graft.sinks.Sinks.writeAnnIndex(emb, idx)
+    graft.sinks.Sinks.deleteFromAnnIndex(spark, idx, Seq(5L, 17L))
+    val p = graft.sinks.Sinks
+      .readAnnIndexTopK(spark, idx, graft.operators.Ann.defaultQueries(emb))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstones must anti-join by broadcast:\n${p.take(3000)}")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"tombstone anti-join knocked DPP out of the codes scan:\n${p.take(3000)}")
+    // (the probe side's BroadcastNestedLoopJoin crosses against the
+    // kilobyte centroid/codebook frames — deliberate, same as the
+    // base serving-index pin)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("doc_quality_model_trained: fitted weights probe by broadcast, no corpus reshuffle") {
+    val p = plan("doc_quality_model_trained")
+    assert(p.contains("BroadcastHashJoin"),
+      s"trained weight table must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("doc_substring_dedup_min: span floor adds no shuffle over the unfloored plan") {
+    def exchanges(s: String) = s.sliding("Exchange".length).count(_ == "Exchange")
+    val floored = plan("doc_substring_dedup_min")
+    val raw = plan("doc_substring_dedup")
+    assert(exchanges(floored) == exchanges(raw),
+      s"the island filter must be a post-merge projection, not a new shuffle " +
+        s"(${exchanges(raw)} -> ${exchanges(floored)})")
+  }
+
   test("shingle frame pins an explicit-width doc_id repartition (AQE must not coalesce the cache narrow)") {
     // REPARTITION_BY_COL lets AQE coalesce toward the 64 MB advisory
     // size — correct for written output, wrong for a cached frame that
