@@ -583,9 +583,13 @@ object Oracle {
     * running-max island merge, the span floor applied to the merged
     * island exactly where the Spark side filters.
     */
-  private def substringDedupSql(minSpanWords: Int): String = {
+  /** The shared span-finding CTE chain: words, doc lengths, positional
+    * grams, cross-doc dup grams, running-max island merge, and the
+    * floored merged spans `ms(doc_id, ss, ee)`.
+    */
+  private def substringSpanCtes(minSpanWords: Int): String = {
     val n = graft.operators.Dedup.SubstrGramN
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM w),
        |g AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -612,7 +616,11 @@ object Oracle {
        |ms AS (
        |  SELECT doc_id, grp, min(s) AS ss, max(e) AS ee FROM isl GROUP BY doc_id, grp
        |  HAVING max(e) - min(s) >= $minSpanWords
-       |),
+       |)""".stripMargin
+  }
+
+  private def substringDedupSql(minSpanWords: Int): String =
+    s"""WITH ${substringSpanCtes(minSpanWords)},
        |pd AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        |    CAST(sum(ee - ss) AS BIGINT) AS dup_words
@@ -623,7 +631,6 @@ object Oracle {
        |  COALESCE(pd.dup_words, 0) AS dup_words,
        |  nw.n_words - COALESCE(pd.dup_words, 0) AS kept_words
        |FROM nw LEFT JOIN pd USING (doc_id) ORDER BY nw.doc_id""".stripMargin
-  }
 
   /** [[pqcStandIn]]'s shape over a literal (trained) codebook. */
   private def pqcValues(centers: Array[(Long, Array[Float])]): String = {
@@ -1095,6 +1102,35 @@ object Oracle {
     // left fold, the cosSql precedent), same argmin/rank tie-breaks,
     // same 1e-9 fixed-point ADC sums (exact integers, order-free).
     // DuckDB lists are 1-based, hence the +1 on every subvector index.
+    // Semantic decontamination twin: same cosine fold as the ann_topk
+    // twin (cosSql ≡ float_dot's strict index-ascending widen-to-double
+    // fold), quantized to 1e-9 fixed point BEFORE the per-vector max so
+    // the aggregate is order-free on both engines.
+    "emb_decontaminate" ->
+      s"""WITH $vecNormCte,
+         |bench AS (
+         |  SELECT vec_id AS b_id, embedding AS be, norm AS bnorm
+         |  FROM vn WHERE vec_id % ${graft.operators.Corpus.BenchmarkMod} = 0
+         |),
+         |corp AS (
+         |  SELECT vec_id, embedding, norm FROM vn
+         |  WHERE vec_id % ${graft.operators.Corpus.BenchmarkMod} <> 0
+         |),
+         |p AS (
+         |  SELECT c.vec_id,
+         |    CAST(round(${cosSql("b.be", "c.embedding", "b.bnorm", "c.norm")} * 1000000000) AS BIGINT) AS cos_fp
+         |  FROM corp c CROSS JOIN bench b
+         |),
+         |agg AS (
+         |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench,
+         |    CAST(max(cos_fp) AS BIGINT) AS max_cos_fp
+         |  FROM p GROUP BY vec_id
+         |)
+         |SELECT vec_id, n_bench, max_cos_fp,
+         |  round(CAST(max_cos_fp AS DOUBLE) / 1e9, 6) AS max_cos,
+         |  max_cos_fp >= ${graft.operators.Ann.EmbContamCosFp} AS contaminated
+         |FROM agg ORDER BY vec_id""".stripMargin,
+
     "ann_pq_codes" ->
       s"""WITH $pqCtes
          |SELECT vec_id, m, code FROM pq_codes ORDER BY vec_id, m""".stripMargin,
@@ -2020,6 +2056,35 @@ object Oracle {
 
     "doc_substring_dedup_min" ->
       substringDedupSql(graft.operators.Dedup.SubstrMinSpanWords),
+
+    // The removal twin: kept positions = all positions minus the
+    // merged floored spans (a range LEFT JOIN; ms spans are disjoint
+    // per doc so no kept position matches twice), text rebuilt with a
+    // pos-ordered string_agg. Empty survivors coalesce to '' exactly
+    // like Spark's concat_ws over an empty array.
+    "doc_substring_scrub" -> {
+      val floor = graft.operators.Dedup.SubstrMinSpanWords
+      s"""WITH ${substringSpanCtes(floor)},
+         |pos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS word
+         |  FROM w, unnest(range(0, len(w))) t(i)
+         |),
+         |kept AS (
+         |  SELECT p.doc_id, p.pos, p.word
+         |  FROM pos p LEFT JOIN ms
+         |    ON ms.doc_id = p.doc_id AND p.pos >= ms.ss AND p.pos < ms.ee
+         |  WHERE ms.doc_id IS NULL
+         |),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_words,
+         |    string_agg(word, ' ' ORDER BY pos) AS scrubbed
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT nw.doc_id, nw.n_words,
+         |  COALESCE(agg.kept_words, 0) AS kept_words,
+         |  COALESCE(agg.scrubbed, '') AS scrubbed
+         |FROM nw LEFT JOIN agg USING (doc_id) ORDER BY nw.doc_id""".stripMargin
+    },
 
     "doc_sample" ->
       s"""WITH s AS (

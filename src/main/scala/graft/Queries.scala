@@ -667,6 +667,12 @@ object Queries {
   def docSubstringDedupMin(s: SparkSession, dir: String): DataFrame =
     Dedup.substringDedup(docs(s, dir)).orderBy("doc_id")
 
+  /** The removal step: documents rebuilt with duplicated spans sliced
+    * out (the floor keeps idiom-length islands intact).
+    */
+  def docSubstringScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringScrub(docs(s, dir)).orderBy("doc_id")
+
   /** Incremental batch-vs-base exact dedup verdict. */
   def docDedupIncremental(s: SparkSession, dir: String): DataFrame =
     Dedup.incrementalDedup(docs(s, dir)).orderBy("doc_id")
@@ -851,6 +857,13 @@ object Queries {
     Ann.pqEncode(embs(s, dir))
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
       .orderBy("vec_id", "m")
+
+  /** Semantic decontamination: training vectors too close (cosine) to
+    * any benchmark vector — the embedding-space face of
+    * doc_decontaminate.
+    */
+  def embDecontaminate(s: SparkSession, dir: String): DataFrame =
+    Ann.embDecontaminate(embs(s, dir)).orderBy("vec_id")
 
   /** [[annPqCodes]] over a corpus with one codebook-range vec_id
     * removed (the non-contiguous-id edge): codes are positions into
@@ -1204,6 +1217,7 @@ object Queries {
     "doc_containment" -> (docContainment _),
     "doc_substring_dedup" -> (docSubstringDedup _),
     "doc_substring_dedup_min" -> (docSubstringDedupMin _),
+    "doc_substring_scrub" -> (docSubstringScrub _),
     "doc_dedup_incremental" -> (docDedupIncremental _),
     "doc_budget_select" -> (docBudgetSelect _),
     "doc_mixture_sample" -> (docMixtureSample _),
@@ -1226,6 +1240,7 @@ object Queries {
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_ivfpq_residual_trained" -> (annIvfPqResidualTrained _),
     "emb_near_dup" -> (embNearDup _),
+    "emb_decontaminate" -> (embDecontaminate _),
     "ann_knn_join" -> (annKnnJoin _),
     "ann_topk_banded" -> (annTopkBanded _),
     "emb_dedup_clusters" -> (embDedupClusters _),

@@ -433,9 +433,13 @@ object Dedup {
     * comparison anywhere: cost is linear in total grams + duplicated
     * grams, never docs².
     */
-  def substringDedup(docs: DataFrame, minSpanWords: Int = SubstrMinSpanWords): DataFrame = {
+  /** The merged, floored duplicated spans per doc — the shared core of
+    * [[substringDedup]] (the report) and [[substringScrub]] (the
+    * removal): (doc_id, ss, ee) with ss inclusive, ee exclusive, spans
+    * disjoint per doc by construction of the island merge.
+    */
+  def substringSpans(docs: DataFrame, minSpanWords: Int = SubstrMinSpanWords): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val nWords = w.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
     val grams = w
       .filter(size(col("w")) >= SubstrGramN)
       .select(col("doc_id"), explode(expr(
@@ -448,7 +452,7 @@ object Dedup {
       .filter(col("nd") > 1)
       .select("gram")
     val docW = Window.partitionBy("doc_id").orderBy("s")
-    val spans = grams
+    grams
       .join(dupGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos").as("s"), (col("pos") + SubstrGramN).as("e"))
       .withColumn("pme", max("e").over(docW.rowsBetween(Window.unboundedPreceding, -1)))
@@ -457,7 +461,13 @@ object Dedup {
       .groupBy("doc_id", "grp")
       .agg(min("s").as("ss"), max("e").as("ee"))
       .filter(col("ee") - col("ss") >= minSpanWords)
-    val perDoc = spans
+      .select("doc_id", "ss", "ee")
+  }
+
+  def substringDedup(docs: DataFrame, minSpanWords: Int = SubstrMinSpanWords): DataFrame = {
+    val nWords = docs.select(
+      col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    val perDoc = substringSpans(docs, minSpanWords)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("ee") - col("ss")).as("dup_words"))
     nWords
@@ -468,6 +478,36 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_words"), lit(0L)).as("dup_words"),
         (col("n_words") - coalesce(col("dup_words"), lit(0L))).as("kept_words"))
+  }
+
+  /** The REMOVAL step [[substringDedup]] only reports: rebuild each
+    * document with its duplicated spans sliced out. Kept positions are
+    * computed per row with HOFs over the doc's own (tiny, usually
+    * empty) span array — no positional explode, no extra shuffle
+    * beyond collecting each doc's spans; cost is words × spans per
+    * doc, linear in the corpus. Docs whose every word is duplicated
+    * scrub to the empty string (they are exact-dedup's kill, not
+    * scrub's).
+    */
+  def substringScrub(docs: DataFrame, minSpanWords: Int = SubstrMinSpanWords): DataFrame = {
+    val spans = substringSpans(docs, minSpanWords)
+      .groupBy("doc_id")
+      .agg(expr("array_sort(collect_list(struct(ss, ee)))").as("spans"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("sp",
+        coalesce(col("spans"), expr("CAST(array() AS ARRAY<STRUCT<ss: BIGINT, ee: BIGINT>>)")))
+      .withColumn("kept", expr(
+        """transform(
+          |  filter(
+          |    transform(w, (x, i) -> struct(x AS x, CAST(i AS BIGINT) AS i)),
+          |    p -> NOT exists(sp, s -> p.i >= s.ss AND p.i < s.ee)),
+          |  p -> p.x)""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("kept")).cast("long").as("kept_words"),
+        concat_ws(" ", col("kept")).as("scrubbed"))
   }
 
   def incrementalDedupAgainst(base: DataFrame, delta: DataFrame): DataFrame = {

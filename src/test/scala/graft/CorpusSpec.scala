@@ -373,6 +373,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(floored(5L) == ((0L, 0L, 6L)))
   }
 
+  test("substringScrub: duplicated spans slice out; kept_words equals the report; floor respected") {
+    val passage = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val fixture = docsDf(Seq(
+      (1L, s"intro $passage outro1 outro2", "en", "web"),
+      (2L, s"$passage tail1 tail2 tail3", "en", "web"),
+      (3L, "of the and aaa bbb ccc ddd eee", "en", "web"),
+      (4L, "fff ggg of the and hhh iii jjj", "en", "web"),
+      (5L, "kkk lll mmm nnn ooo ppp", "en", "web")))
+    val out = Dedup.substringScrub(fixture)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, "intro outro1 outro2")), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, "tail1 tail2 tail3")), s"got ${out(2L)}")
+    // idiom-length islands stay under the floor: text untouched
+    assert(out(3L)._2 == "of the and aaa bbb ccc ddd eee")
+    assert(out(4L)._2 == "fff ggg of the and hhh iii jjj")
+    assert(out(5L)._2 == "kkk lll mmm nnn ooo ppp")
+    // kept_words agrees with the report for every doc
+    val report = Dedup.substringDedup(fixture)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    out.foreach { case (id, (kept, _)) =>
+      assert(kept == report(id), s"scrub/report kept_words disagree at doc $id")
+    }
+  }
+
   test("trained quality weights separate planted good/garbage docs at least as well as the stand-in") {
     import graft.operators.TextStats
     val spark = TestSpark.spark
