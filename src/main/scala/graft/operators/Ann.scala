@@ -135,6 +135,51 @@ object Ann {
       .filter(col("cos_raw") >= RangeTau)
       .select(col("q_id"), col("vec_id"), round(col("cos_raw"), 6).as("cos"))
 
+  /** Cosine at or above which a training vector counts as a semantic
+    * copy of a benchmark item.
+    */
+  val EmbContamCosFp = 900000000L // 0.9 in 1e-9 fixed point
+
+  /** SEMANTIC decontamination — the embedding-space face of
+    * [[graft.operators.Corpus.decontaminate]]'s n-gram overlap check:
+    * flag training vectors whose max cosine against ANY benchmark
+    * vector reaches [[EmbContamCosFp]] (paraphrases and translations
+    * that shingle overlap misses). The stand-in benchmark set is every
+    * [[graft.operators.Corpus.BenchmarkMod]]-th vec_id, mirroring the
+    * text-side stand-in; a real eval suite joins in as its own frame
+    * via the second overload.
+    *
+    * Determinism: each pairwise cosine quantizes to a 1e-9 fixed-point
+    * BIGINT before the per-vector max — integer max is order-free, so
+    * partitioning cannot change the hash. Scale shape: the benchmark
+    * side is small BY NATURE (eval suites, not corpora) and
+    * broadcasts, exactly like decontaminate's shingle set; the corpus
+    * pays one scan and a vec_id-keyed max with map-side combine — no
+    * corpus shuffle, no corpus×corpus pair. If the benchmark set ever
+    * grows past broadcast size, the banded-LSH screen ([[embNearDup]]'s
+    * machinery) prunes candidates first.
+    */
+  def embDecontaminate(emb: DataFrame): DataFrame = {
+    val bench = emb.filter(col("vec_id") % graft.operators.Corpus.BenchmarkMod === 0)
+    embDecontaminate(emb.filter(col("vec_id") % graft.operators.Corpus.BenchmarkMod =!= 0), bench)
+  }
+
+  def embDecontaminate(corpus: DataFrame, bench: DataFrame): DataFrame =
+    withNorm(corpus)
+      .crossJoin(broadcast(
+        withNorm(bench.select(col("vec_id").as("b_id"), col("embedding")))
+          .select(col("b_id"), col("embedding").as("qe"), col("norm").as("qnorm"))))
+      .withColumn("cos_fp",
+        expr(s"CAST(round($dotExpr / (qnorm * norm) * 1000000000) AS BIGINT)"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench"), max("cos_fp").as("max_cos_fp"))
+      .select(
+        col("vec_id"),
+        col("n_bench"),
+        col("max_cos_fp"),
+        round(col("max_cos_fp").cast("double") / 1e9, 6).as("max_cos"),
+        (col("max_cos_fp") >= EmbContamCosFp).as("contaminated"))
+
   /** Deterministic ±1 hyperplane weights: +1 iff the first hex digit of
     * md5(s"$plane_$dim") is even — identical derivation in the oracle
     * SQL, so buckets agree bit-for-bit.

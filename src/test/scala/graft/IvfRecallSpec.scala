@@ -365,6 +365,29 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(hits >= 90, s"only $hits/100 twins kept their partner as sketch-nearest")
   }
 
+  test("embDecontaminate: a planted near-copy of a benchmark vector flags; noise does not") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val benchVec = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val nearCopy = benchVec.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val noise = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val corpus = Seq((1L, nearCopy, 0L), (2L, noise, 0L))
+      .toDF("vec_id", "embedding", "label")
+    val bench = Seq((100L, benchVec, 0L)).toDF("vec_id", "embedding", "label")
+    val out = Ann.embDecontaminate(corpus, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._3, s"near-copy must flag: ${out(1L)}")
+    assert(out(1L)._2 > 0.99)
+    assert(!out(2L)._3 && out(2L)._2 < 0.9, s"noise must not flag: ${out(2L)}")
+    // the stand-in split: benchmark ids never appear on the corpus side
+    val std = Ann.embDecontaminate(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    assert(std.filter(
+      org.apache.spark.sql.functions.col("vec_id") % graft.operators.Corpus.BenchmarkMod === 0)
+      .count() == 0)
+  }
+
   test("PQ code labels survive a non-contiguous codebook-id corpus (gap fixture)") {
     import org.apache.spark.sql.functions.col
     val spark = TestSpark.spark
