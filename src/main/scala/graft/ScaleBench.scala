@@ -288,6 +288,55 @@ object ScaleBench {
           s""""docs_per_sec_model":${(qmRows / qmSec).toLong},"budget_kept":$bsKept}""")
       docs.unpersist(blocking = false)
     }
+    // substring-dedup scale probe: positional-gram span finding + the
+    // scrub rebuild over the planted corpus (docs with id % 10 == 0
+    // share 39 of their predecessor's 40 words — a merged span far
+    // over the floor, so ~2n/10 docs must flag). Cost must stay
+    // linear: grams are a per-row explode, the dup-gram set one
+    // gram-keyed agg, the island merge windows over duplicated
+    // positions only, and the scrub is per-row HOFs.
+    sys.env.get("SPARK_GRAFT_SUBSTR_DOCS").map(_.toLong).foreach { nDocs =>
+      val docs = documents(spark, nDocs).persist()
+      docs.count()
+      def time[A](f: => A): (Double, A) = {
+        val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+      }
+      val (rSec, flagged) = time(
+        graft.operators.Dedup.substringDedup(docs).filter(col("n_spans") > 0).count())
+      graft.operators.CacheScope.releaseAll()
+      val (sSec, keptWords) = time(
+        graft.operators.Dedup.substringScrub(docs)
+          .agg(coalesce(sum("kept_words"), lit(0L))).head().getLong(0))
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"substr_scale","docs":$nDocs,"flagged":$flagged,""" +
+          s""""kept_words":$keptWords,"report_sec":$rSec,"scrub_sec":$sSec,""" +
+          s""""docs_per_sec":${(nDocs / rSec).toLong}}""")
+      docs.unpersist(blocking = false)
+    }
+    // semantic-decontamination scale probe: corpus x broadcast
+    // benchmark cosine max, with a FIXED 1000-vector benchmark (eval
+    // suites do not grow with the corpus — the %29 stand-in does, and
+    // would turn the probe quadratic for no real-world reason). Cost
+    // must be linear in the corpus with a constant |bench| factor.
+    sys.env.get("SPARK_GRAFT_EMB_DECONTAM_VECS").map(_.toLong).foreach { nVecs =>
+      val all = embeddings(spark, nVecs + 1000).persist()
+      all.count()
+      val bench = all.filter(col("vec_id") < 1000L)
+      val corpus = all.filter(col("vec_id") >= 1000L)
+      val t0 = System.nanoTime()
+      val out = graft.operators.Ann.embDecontaminate(corpus, bench)
+        .agg(
+          count(lit(1)).as("rows"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("flagged"))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(
+        s"""{"metric":"emb_decontam_scale","vectors":$nVecs,"bench":1000,""" +
+          s""""rows":${out.getLong(0)},"flagged":${out.getLong(1)},"sec":$sec,""" +
+          s""""vecs_per_sec":${(nVecs / sec).toLong}}""")
+      all.unpersist(blocking = false)
+    }
     spark.stop()
   }
 

