@@ -2263,6 +2263,23 @@ object Oracle {
 
     "doc_quality" -> s"$qualitySelect\nORDER BY doc_id",
 
+    // Curriculum-order twin: the naive single global window over
+    // (band DESC, key, doc_id). The engine runs the banded two-level
+    // decomposition — hash equality IS the decomposition proof (the
+    // budget_select precedent).
+    "doc_epoch_order" ->
+      s"""WITH q AS ($qualitySelect),
+         |t AS (
+         |  SELECT doc_id,
+         |    CAST(least(floor(quality * ${graft.operators.Corpus.EpochBands}),
+         |               ${graft.operators.Corpus.EpochBands - 1}) AS INTEGER) AS band,
+         |    md5('epoch' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |  FROM q
+         |)
+         |SELECT doc_id, band, shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY band DESC, shuffle_key, doc_id) - 1 AS BIGINT) AS order_idx
+         |FROM t ORDER BY doc_id""".stripMargin,
+
     // Twin of TextStats.entropy: identical quantize-before-sum — each
     // (doc, word) term rounds to integer micro-units before the per-doc
     // sum, so summation order can never move the hash.

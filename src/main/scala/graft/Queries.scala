@@ -667,6 +667,12 @@ object Queries {
   def docSubstringDedupMin(s: SparkSession, dir: String): DataFrame =
     Dedup.substringDedup(docs(s, dir)).orderBy("doc_id")
 
+  /** Deterministic curriculum training order: quality bands first,
+    * epoch-stable md5 shuffle within bands, one global order_idx.
+    */
+  def docEpochOrder(s: SparkSession, dir: String): DataFrame =
+    Corpus.epochOrder(docs(s, dir)).orderBy("doc_id")
+
   /** The removal step: documents rebuilt with duplicated spans sliced
     * out (the floor keeps idiom-length islands intact).
     */
@@ -1218,6 +1224,7 @@ object Queries {
     "doc_substring_dedup" -> (docSubstringDedup _),
     "doc_substring_dedup_min" -> (docSubstringDedupMin _),
     "doc_substring_scrub" -> (docSubstringScrub _),
+    "doc_epoch_order" -> (docEpochOrder _),
     "doc_dedup_incremental" -> (docDedupIncremental _),
     "doc_budget_select" -> (docBudgetSelect _),
     "doc_mixture_sample" -> (docMixtureSample _),

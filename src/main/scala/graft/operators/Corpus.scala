@@ -1059,6 +1059,57 @@ object Corpus {
           .as("selected"))
   }
 
+  /** Curriculum band count for [[epochOrder]]: quality deciles. */
+  val EpochBands = 10
+
+  /** Deterministic TRAINING ORDER assignment — the last step before
+    * sequence packing: every document gets a global `order_idx` that is
+    * (a) curriculum-shaped — higher quality bands come first — and
+    * (b) epoch-stable shuffled within each band by an md5 key of the
+    * doc id, so the order is a pure function of the corpus (rerunnable
+    * bit-for-bit on any cluster, the property training reproducibility
+    * actually needs; a `rand()` shuffle changes under retry or
+    * repartition).
+    *
+    * Scale shape: the total order (band DESC, key ASC, doc_id ASC)
+    * decomposes over (band, bucket = first key byte) because the
+    * bucket is a PREFIX of the key — so the corpus pays per-(band,
+    * bucket) rank windows that all run in parallel, plus a broadcast
+    * exclusive-offset table cumulated over the tiny (band, bucket)
+    * frame. No global window ever touches the corpus (the
+    * [[packSequences]]/[[budgetSelect]] two-level prefix pattern); the
+    * DuckDB twin legitimately uses the single global window, and
+    * equality IS the decomposition proof.
+    */
+  def epochOrder(docs: DataFrame): DataFrame = {
+    val t = graft.operators.TextStats.quality(docs)
+      .select(col("doc_id"), col("quality"))
+      .withColumn(
+        "band",
+        least(floor(col("quality") * EpochBands), lit(EpochBands - 1)).cast("int"))
+      .withColumn("shuffle_key", md5(concat(lit("epoch"), col("doc_id").cast("string"))))
+      .withColumn("bucket", expr("CAST(conv(substr(shuffle_key, 1, 2), 16, 10) AS INT)"))
+    val ranked = t.withColumn(
+      "rn",
+      row_number().over(
+        Window.partitionBy("band", "bucket").orderBy("shuffle_key", "doc_id")))
+    val offsets = t.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "offset",
+        sum("n").over(
+          Window.orderBy(col("band").desc, col("bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n"))
+      .select("band", "bucket", "offset")
+    ranked
+      .join(broadcast(offsets), Seq("band", "bucket"))
+      .select(
+        col("doc_id"),
+        col("band"),
+        col("shuffle_key"),
+        (col("offset") + col("rn") - 1).as("order_idx"))
+  }
+
   /** Per-(lang, source) corpus composition: document counts, char
     * volume, mean and exact median lengths. The shape every ingest
     * audit starts from; exact `percentile` matches the engine-wide

@@ -397,6 +397,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("epochOrder: a permutation, curriculum-banded, epoch-stable, banded == naive order") {
+    val good = ("the cat sat on the mat and it was a fine day here " * 5).trim
+    val mid = "one two three four five six seven eight nine ten"
+    val spam = ("$$$ ### !!! %% @@ ## " * 6).trim
+    val fixture = docsDf((0 until 30).map { i =>
+      (i.toLong, i % 3 match { case 0 => good; case 1 => mid; case _ => spam }, "en", "web")
+    })
+    val out = Corpus.epochOrder(fixture).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // order_idx is a permutation of 0..n-1
+    assert(out.map(_._4).sorted.toSeq == (0L until 30L), "not a permutation")
+    // curriculum: every higher-band doc orders before every lower-band doc
+    out.foreach { a => out.foreach { b =>
+      if (a._2 > b._2) assert(a._4 < b._4, s"band ${a._2} doc after band ${b._2} doc")
+    }}
+    // within a band the order is exactly (md5 key, doc_id) — the
+    // banded two-level construction equals the naive global sort
+    val naive = out.sortBy(r => (-r._2, r._3, r._1)).map(_._1).toSeq
+    assert(out.sortBy(_._4).map(_._1).toSeq == naive, "banded != naive order")
+    // epoch-stable: a rerun reproduces the identical assignment
+    val again = Corpus.epochOrder(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    out.foreach { r => assert(again(r._1) == r._4, s"order moved for doc ${r._1}") }
+  }
+
   test("trained quality weights separate planted good/garbage docs at least as well as the stand-in") {
     import graft.operators.TextStats
     val spark = TestSpark.spark

@@ -103,6 +103,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("doc_epoch_order: rank windows run per (band, bucket); offsets broadcast") {
+    val p = plan("doc_epoch_order")
+    // the corpus-sized window must partition by (band, bucket) — a
+    // band-only (let alone global) window would funnel the corpus
+    // through EpochBands partitions
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(winSpecs.contains("band") && winSpecs.contains("bucket"),
+      s"corpus window not keyed by (band, bucket):\n$winSpecs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset table must broadcast:\n${p.take(2000)}")
+  }
+
   test("doc_substring_dedup_min: span floor adds no shuffle over the unfloored plan") {
     def exchanges(s: String) = s.sliding("Exchange".length).count(_ == "Exchange")
     val floored = plan("doc_substring_dedup_min")
