@@ -36,7 +36,12 @@ object Bench {
     // min of N iterations per query: single local-JVM runs have +-20%
     // GC/scheduling noise that would drown real regressions.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter: comma-separated name substrings. Unset
+    // (the driver's mode) benches the full registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

@@ -424,8 +424,16 @@ object Dedup {
     * is all here.)
     *
     * Scale shape: positional grams are a per-row explode (no shuffle);
-    * the duplicated-gram set is one gram-keyed distinct-doc aggregate;
-    * marking is a semi join back on gram. Span merging is the classic
+    * duplicated-gram detection is TWO-LEVEL so the engine's dominant
+    * shuffle never carries gram text: level 1 aggregates distinct-doc
+    * counts keyed on `xxhash64(gram)` — 8 bytes per key instead of the
+    * ~20-30-byte gram string — and semi-joins positions on that hash;
+    * level 2 re-confirms on the actual string over the SURVIVING
+    * candidate subset only, so a 64-bit hash collision between
+    * same-doc-count-1 grams can never fabricate a duplicated span
+    * (bit-identical to the single-level string-keyed form, spec-pinned).
+    * Marking is the level-1 semi join back on the hash. Span merging
+    * is the classic
     * running-max island scan — two doc-keyed windows over DUPLICATED
     * positions only (not all positions), bounded by doc length, fully
     * parallel across docs; the span floor is a post-merge filter on
@@ -446,14 +454,38 @@ object Dedup {
         s"transform(sequence(0, size(w) - $SubstrGramN), " +
           s"i -> struct(i AS pos, concat_ws(' ', slice(w, i + 1, $SubstrGramN)) AS gram))")).as("g"))
       .select(col("doc_id"), col("g.pos").cast("long").as("pos"), col("g.gram").as("gram"))
-    val dupGrams = grams
-      .groupBy("gram")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") > 1)
-      .select("gram")
+      .withColumn("gh", xxhash64(col("gram")))
+    // Level 1: candidate duplicated grams, keyed on the 64-bit hash.
+    // This is the one corpus-sized shuffle in the operator — (gh,
+    // doc_id) per position — and it no longer ships a single byte of
+    // gram text. "Appears in >1 distinct doc" is computed as
+    // min(doc_id) != max(doc_id): identical truth value to
+    // countDistinct > 1, but min/max are plain partial aggregates
+    // where countDistinct needs a map-side dedup pass.
+    val candHashes = grams
+      .select("gh", "doc_id")
+      .groupBy("gh")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("gh")
+    // Candidate positions: the duplicated subset, small relative to
+    // the corpus by construction — the only rows whose gram STRING
+    // ever travels again.
+    val cand = grams.join(candHashes, Seq("gh"), "left_semi")
+    // Level 2: exact string confirmation over survivors only, as a
+    // single (gh, gram)-keyed window — a candidate gram whose rows all
+    // sit in one doc can only have passed level 1 via a 64-bit
+    // collision with a DIFFERENT gram sharing its hash, and such rows
+    // drop here. One shuffle of the candidate subset, no self-join, no
+    // persist; spans stay bit-identical to the string-keyed
+    // single-level formulation (spec-pinned against a driver-side
+    // reference).
+    val candW = Window.partitionBy("gh", "gram")
     val docW = Window.partitionBy("doc_id").orderBy("s")
-    grams
-      .join(dupGrams, Seq("gram"), "left_semi")
+    cand
+      .withColumn("cmn", min("doc_id").over(candW))
+      .withColumn("cmx", max("doc_id").over(candW))
+      .filter(col("cmn") =!= col("cmx"))
       .select(col("doc_id"), col("pos").as("s"), (col("pos") + SubstrGramN).as("e"))
       .withColumn("pme", max("e").over(docW.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("brk", when(col("pme").isNull || col("s") > col("pme"), 1L).otherwise(0L))
@@ -497,6 +529,16 @@ object Dedup {
       .join(spans, Seq("doc_id"), "left")
       .withColumn("sp",
         coalesce(col("spans"), expr("CAST(array() AS ARRAY<STRUCT<ss: BIGINT, ee: BIGINT>>)")))
+      // Codegen note: transform/filter/exists lambdas evaluate
+      // INTERPRETED (Spark has no codegen for higher-order functions),
+      // unlike the unrolled expressions used on hot numeric paths
+      // (e.g. graft.operators.Ann's dot-product unrolling). Acceptable
+      // here by measurement, not oversight: `sp` is empty for the vast
+      // majority of docs (only docs with >= minSpanWords duplicated
+      // islands carry spans), so the exists() scan is O(words x ~0);
+      // the ScaleBench substring probe stays linear through 400k docs.
+      // If span density ever grows (tiny minSpanWords), revisit with a
+      // sorted-span two-pointer rewrite before unrolling.
       .withColumn("kept", expr(
         """transform(
           |  filter(

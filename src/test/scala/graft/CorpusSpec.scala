@@ -373,6 +373,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(floored(5L) == ((0L, 0L, 6L)))
   }
 
+  test("substringSpans: two-level gram-hash filter matches a driver-side reference on a dense corpus") {
+    // 40 docs over an 8-word vocabulary — nearly every 3-gram is
+    // cross-doc duplicated, so the hash-candidate level is saturated
+    // and every code path (candidate semi-join, string confirmation,
+    // island merge, floor) is exercised against an INDEPENDENT
+    // driver-side implementation.
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 40).map(i => i.toLong ->
+      (0 until (6 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val n = Dedup.SubstrGramN
+    val floor = Dedup.SubstrMinSpanWords
+    val allGrams = texts.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      if (w.length < n) Nil
+      else w.sliding(n).zipWithIndex.map { case (g, i) => (id, i, g.mkString(" ")) }.toSeq
+    }
+    val dup = allGrams.groupBy(_._3).filter(_._2.map(_._1).distinct.size > 1).keySet
+    val expected = texts.flatMap { case (id, t) =>
+      val marks = allGrams.collect { case (d, p, g) if d == id && dup(g) => (p.toLong, p.toLong + n) }
+        .sortBy(_._1)
+      val merged = marks.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, (ms, me)) if ms <= e => (s, math.max(e, me)) :: rest
+        case (acc, span) => span :: acc
+      }.reverse
+      merged.filter { case (s, e) => e - s >= floor }.map { case (s, e) => (id, s, e) }
+    }.toSet
+    val got = Dedup.substringSpans(docsDf(texts.map { case (id, t) => (id, t, "en", "web") }))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"two-level spans diverge from reference: extra=${got -- expected} missing=${expected -- got}")
+  }
+
   test("substringScrub: duplicated spans slice out; kept_words equals the report; floor respected") {
     val passage = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     val fixture = docsDf(Seq(

@@ -115,6 +115,14 @@ class PlanSpec extends AnyFunSuite {
       s"offset table must broadcast:\n${p.take(2000)}")
   }
 
+  test("doc_substring_dedup: the corpus-sized duplicated-gram aggregate keys on xxhash64, not gram text") {
+    // Two-level filter (Dedup.substringSpans): the only corpus-sized
+    // shuffle may carry the 8-byte hash; the string-keyed confirmation
+    // aggregate must exist but run over the candidate subset only.
+    val p = plan("doc_substring_dedup")
+    assert(p.contains("xxhash64"), s"level-1 hash aggregate missing:\n${p.take(2000)}")
+  }
+
   test("doc_substring_dedup_min: span floor adds no shuffle over the unfloored plan") {
     def exchanges(s: String) = s.sliding("Exchange".length).count(_ == "Exchange")
     val floored = plan("doc_substring_dedup_min")
