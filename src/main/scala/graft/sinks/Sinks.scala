@@ -202,45 +202,159 @@ object Sinks {
     * c_id partition value parses back as INT — normalized to the
     * index's LONG list ids here, once, so no consumer joins across a
     * type coercion. Tombstoned ids ([[deleteFromAnnIndex]]) are
-    * excluded via a BROADCAST anti-join — the tombstone set is id-only
-    * and stays kilobytes until compaction drops the rows physically;
-    * the probes join's partition pruning on the scan is untouched.
+    * excluded via a BROADCAST anti-join — the tombstone set is
+    * `(vec_id, seg)` pairs and stays kilobytes until compaction drops
+    * the rows physically; the probes join's partition pruning on the
+    * scan is untouched.
     */
   def readAnnIndexCodes(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/codes")
+    val basePath = new Path(s"$path/codes")
+    val oldPath = new Path(s"$path/codes_old")
     val deltaPath = new Path(s"$path/codes_delta")
     val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash-state awareness for [[compactAnnIndex]]'s rename swap:
+    //  - `codes_old` present WITHOUT `codes`  → crash between the two
+    //    renames; `codes_old` IS the pre-compact base (delta+tombstones
+    //    still apply).
+    //  - `codes_old` present WITH `codes`     → crash after the swap
+    //    but before cleanup; `codes` already folded delta−tombstones,
+    //    so reading the stale delta/tombstone segments would double-
+    //    count — ignore both.
+    // Reads never mutate storage; the next compactAnnIndex call
+    // finishes or rolls back the interrupted swap.
+    val baseExists = fs.exists(basePath)
+    val oldExists = fs.exists(oldPath)
+    val postSwapCrash = baseExists && oldExists
+    // Rows carry a SEGMENT number for append-wins upserts: base rows
+    // are segment 0, delta rows the segment they were appended at
+    // (absent column — a pre-segment delta — reads as 0). A tombstone
+    // at segment s hides only rows with a STRICTLY smaller segment, so
+    // [[upsertAnnIndex]]'s same-segment rows outlive their own
+    // tombstone while every older copy dies.
+    val base = spark.read.parquet(
+      (if (baseExists) basePath else oldPath).toString)
+      .withColumn("rseg", lit(0L))
     val all =
-      if (fs.exists(deltaPath)) base.unionByName(spark.read.parquet(deltaPath.toString))
-      else base
-    val live = readAnnTombstones(spark, path) match {
-      case Some(dead) => all.join(broadcast(dead), Seq("vec_id"), "left_anti")
-      case None => all
-    }
-    live.withColumn("c_id", col("c_id").cast("long"))
+      if (!postSwapCrash && fs.exists(deltaPath)) {
+        // mergeSchema: a delta dir can mix pre-segment files (no `seg`
+        // column) with segment-stamped ones; the merge costs footer
+        // reads of the DELTA only (small by construction), and null
+        // seg values read as segment 0.
+        val delta = spark.read.option("mergeSchema", "true").parquet(deltaPath.toString)
+        val withSeg =
+          if (delta.columns.contains("seg"))
+            delta.withColumn("rseg", coalesce(col("seg"), lit(0L))).drop("seg")
+          else delta.withColumn("rseg", lit(0L))
+        base.unionByName(withSeg)
+      } else base
+    val live =
+      if (postSwapCrash) all
+      else readAnnTombstones(spark, path) match {
+        case Some(dead) =>
+          val t = dead.select(col("vec_id").as("t_vec_id"), col("tseg"))
+          all.join(
+            broadcast(t),
+            all("vec_id") === t("t_vec_id") && t("tseg") > all("rseg"),
+            "left_anti")
+        case None => all
+      }
+    live.drop("rseg").withColumn("c_id", col("c_id").cast("long"))
   }
 
+  /** The live tombstone set as `(vec_id, tseg)`. A pre-segment
+    * tombstone file (no `seg` column) reads as `Long.MaxValue` — the
+    * legacy semantics where a tombstone hides every copy of the id,
+    * appended before or after, until compaction.
+    */
   private def readAnnTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val tombPath = new Path(s"$path/tombstones")
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tombPath)) Some(spark.read.parquet(tombPath.toString).select("vec_id"))
-    else None
+    if (!fs.exists(tombPath)) None
+    else {
+      val t = spark.read.parquet(tombPath.toString)
+      val seg =
+        if (t.columns.contains("seg")) coalesce(col("seg"), lit(Long.MaxValue))
+        else lit(Long.MaxValue)
+      Some(t.select(col("vec_id"), seg.as("tseg")))
+    }
+  }
+
+  /** The next free segment number: one past the largest segment any
+    * tombstone or delta row carries (base rows are segment 0).
+    * Metadata-scale reads — the tombstone set is id-only and the delta
+    * max is a parquet-statistics aggregate.
+    */
+  private def nextSeg(spark: SparkSession, path: String): Long = {
+    val deltaPath = new Path(s"$path/codes_delta")
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def maxSeg(p: Path): Long =
+      if (!fs.exists(p)) 0L
+      else {
+        val df = spark.read.parquet(p.toString)
+        if (!df.columns.contains("seg")) 0L
+        else df.agg(max(col("seg"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      }
+    math.max(maxSeg(deltaPath), maxSeg(new Path(s"$path/tombstones"))) + 1L
   }
 
   /** Delete vectors from the serving index by id — the takedown path
     * (a deduped or redacted document whose embedding must leave the
-    * index). Deletes are TOMBSTONES: an append-only id-set segment that
-    * every read anti-joins (broadcast — ids only), so a delete is one
-    * kilobyte-scale write with no index rewrite; [[compactAnnIndex]]
-    * physically drops tombstoned codes and retires the segment. A
-    * vec_id re-ingested while its tombstone is live stays hidden until
-    * compaction; re-ingestion AFTER compaction resurrects it.
+    * index). Deletes are TOMBSTONES: an append-only `(vec_id, seg)`
+    * segment that every read anti-joins (broadcast — ids only), so a
+    * delete is one kilobyte-scale write with no index rewrite;
+    * [[compactAnnIndex]] physically drops tombstoned codes and retires
+    * the segment. The tombstone's segment number is one past every
+    * live row's, so it hides every EXISTING copy of the id — while
+    * rows appended later at a higher segment ([[upsertAnnIndex]])
+    * survive it, giving delete→re-ingest the intuitive append-wins
+    * outcome without waiting for compaction.
     */
   def deleteFromAnnIndex(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
+    val seg = nextSeg(spark, path)
     ids.toDF("vec_id")
+      .withColumn("seg", lit(seg))
       .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** UPSERT into the serving index: re-encode `vecs` against the
+    * index's frozen metadata and make them the LIVE copy of their ids,
+    * whether or not an older copy (base, delta, or tombstoned) exists.
+    * Mechanics: one new segment number s; a tombstone at s (hides
+    * every copy with segment < s) plus the re-encoded rows appended AT
+    * s (strictly-greater anti-join lets same-segment rows through).
+    * Crash order matters: the tombstone lands FIRST, so an interrupted
+    * upsert degrades to a delete — re-running it completes the upsert;
+    * the reverse order would leave two live copies answering queries.
+    * Cost: two kilobyte-scale metadata reads (segment allocation), one
+    * tombstone file, one delta append — no index rewrite, no shuffle
+    * beyond the append's c_id partitioning.
+    */
+  def upsertAnnIndex(spark: SparkSession, path: String, vecs: DataFrame): Unit = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("c_id", "ce").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cb = spark.read.parquet(s"$path/codebook").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray).toArray
+    val seg = nextSeg(spark, path)
+    vecs.select("vec_id").distinct().as[Long].collect().toSeq match {
+      case ids if ids.nonEmpty =>
+        ids.toDF("vec_id")
+          .withColumn("seg", lit(seg))
+          .coalesce(1)
+          .write.mode("append").parquet(s"$path/tombstones")
+      case _ => return
+    }
+    graft.operators.Ann.encodeForIndex(vecs, cents, cb)
+      .withColumn("seg", lit(seg))
+      .repartition(col("c_id"))
+      .write.partitionBy("c_id").mode("append").parquet(s"$path/codes_delta")
   }
 
   /** Query the on-disk index: same probe/ADC/rank tail as the
@@ -283,7 +397,15 @@ object Sinks {
     val cb = spark.read.parquet(s"$path/codebook").head()
       .getSeq[org.apache.spark.sql.Row](0)
       .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray).toArray
+    // One segment number per ingest SESSION, allocated at stream
+    // start: every row this stream appends outlives tombstones written
+    // before the stream started, and dies to tombstones written after.
+    // (Deletes issued WHILE the stream runs use a higher segment and
+    // so also hide rows this stream appends later — a delete-during-
+    // ingest is a takedown, and takedowns win.)
+    val seg = nextSeg(spark, path)
     graft.operators.Ann.encodeForIndex(vecs, cents, cb)
+      .withColumn("seg", lit(seg))
       .writeStream
       .format("parquet")
       .option("path", s"$path/codes_delta")
@@ -297,35 +419,64 @@ object Sinks {
     * compaction every base+delta layout needs (each micro-batch adds a
     * file per touched list; left alone, file count grows with batch
     * count, the thing that kills object stores). The merged codes are
-    * rewritten list-partitioned into a temp dir and swapped in, so a
-    * failure mid-compact leaves the old base+delta+tombstones intact.
-    * Tombstoned rows are physically dropped by the rewrite (the merge
-    * reads through [[readAnnIndexCodes]]' anti-join) and the tombstone
-    * segment is retired AFTER the swap — a crash between the two
-    * leaves stale tombstones whose anti-join is then a no-op. Run
+    * rewritten list-partitioned into a temp dir, then swapped in by
+    * RENAME, never delete-then-rename: `codes`→`codes_old`,
+    * `tmp`→`codes`, cleanup. Every crash point leaves a readable
+    * index — before the first rename the old base+delta+tombstones are
+    * untouched; between the renames `codes_old` is the base (and
+    * [[readAnnIndexCodes]] falls back to it); after the second rename
+    * the new base is live and the stale delta/tombstone segments are
+    * ignored by readers until the next compact call finishes the
+    * cleanup. The only non-atomicity left is the pair of metadata-only
+    * rename ops — there is no window where data must be rewritten to
+    * recover. Tombstoned rows are physically dropped by the rewrite
+    * (the merge reads through [[readAnnIndexCodes]]' anti-join). Run
     * BETWEEN ingest sessions, and start the next ingest with a FRESH
     * checkpoint — the old checkpoint's sink metadata describes the
     * deleted delta files.
     */
   def compactAnnIndex(spark: SparkSession, path: String): Unit = {
+    val base = new Path(s"$path/codes")
+    val baseOld = new Path(s"$path/codes_old")
     val delta = new Path(s"$path/codes_delta")
     val tomb = new Path(s"$path/tombstones")
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Finish or roll back a previous compaction that crashed mid-swap.
+    if (fs.exists(baseOld)) {
+      if (fs.exists(base)) {
+        // Post-swap crash: `codes` already holds the compacted merge —
+        // complete the cleanup the crashed run never reached.
+        fs.delete(delta, true)
+        fs.delete(tomb, true)
+        fs.delete(baseOld, true)
+      } else if (!fs.rename(baseOld, base))
+        // Pre-swap crash: restore the old base and fall through to a
+        // fresh compaction attempt.
+        throw new java.io.IOException(s"recovery rename $baseOld -> $base failed")
+    }
+    // Orphaned temp dirs from crashed runs are dead weight — drop them.
+    Option(fs.globStatus(new Path(s"$path/codes_compact_*")))
+      .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
     if (!fs.exists(delta) && !fs.exists(tomb)) return
     val tmp = new Path(s"$path/codes_compact_${java.util.UUID.randomUUID()}")
     try {
       readAnnIndexCodes(spark, path)
         .repartition(col("c_id"))
         .write.partitionBy("c_id").mode("overwrite").parquet(tmp.toString)
-      val base = new Path(s"$path/codes")
-      fs.delete(base, true)
+      if (!fs.rename(base, baseOld))
+        throw new java.io.IOException(s"compaction rename $base -> $baseOld failed")
       if (!fs.rename(tmp, base))
         throw new java.io.IOException(s"compaction rename $tmp -> $base failed")
       fs.delete(delta, true)
       fs.delete(tomb, true)
+      fs.delete(baseOld, true)
       ()
     } catch {
       case e: Throwable =>
+        // Roll the swap back if it half-happened, then drop the temp.
+        try {
+          if (!fs.exists(base) && fs.exists(baseOld)) fs.rename(baseOld, base)
+        } catch { case _: Throwable => () }
         try fs.delete(tmp, true) catch { case _: Throwable => () }
         throw e
     }

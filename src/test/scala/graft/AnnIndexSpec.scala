@@ -138,4 +138,108 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(postCompact == afterSecond, "compaction changed the query result")
   }
+
+  test("upsert: delete then re-ingest makes the new copy live BEFORE compaction") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = clustered(500, 61)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_upsert_").toString
+    Sinks.writeAnnIndex(emb, dir)
+    val target = 7L
+
+    // takedown, then the id returns with a DIFFERENT vector (a
+    // re-embedded document): append-wins must surface the new codes
+    // with no compaction in between
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(target))
+    assert(Sinks.readAnnIndexCodes(spark, dir)
+      .filter(col("vec_id") === target).count() == 0, "delete did not hide the id")
+
+    val newVec = emb.filter(col("vec_id") === 300L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Sinks.upsertAnnIndex(spark, dir, Seq((target, newVec)).toDF("vec_id", "embedding"))
+
+    val live = Sinks.readAnnIndexCodes(spark, dir).filter(col("vec_id") === target).collect()
+    assert(live.length == 1, s"expected exactly one live copy, got ${live.length}")
+    // the live copy carries the NEW vector's encoding, not the original's
+    val expected = graft.operators.Ann.pqEncode(
+      Seq((target, newVec)).toDF("vec_id", "embedding"),
+      spark.read.parquet(s"$dir/codebook")).head().getSeq[Int](1)
+    assert(live.head.getSeq[Int](1) == expected, "live codes are not the upserted vector's")
+
+    // upsert WITHOUT a prior delete replaces the base copy too
+    val v2 = emb.filter(col("vec_id") === 301L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Sinks.upsertAnnIndex(spark, dir, Seq((11L, v2)).toDF("vec_id", "embedding"))
+    val live11 = Sinks.readAnnIndexCodes(spark, dir).filter(col("vec_id") === 11L).collect()
+    assert(live11.length == 1, "upsert over a base row left two live copies")
+    val expected11 = graft.operators.Ann.pqEncode(
+      Seq((11L, v2)).toDF("vec_id", "embedding"),
+      spark.read.parquet(s"$dir/codebook")).head().getSeq[Int](1)
+    assert(live11.head.getSeq[Int](1) == expected11)
+
+    // a LATER delete still kills an earlier upsert (takedowns win)
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(11L))
+    assert(Sinks.readAnnIndexCodes(spark, dir)
+      .filter(col("vec_id") === 11L).count() == 0, "later delete lost to earlier upsert")
+
+    // compaction collapses segments without changing the live view
+    val preCompact = Sinks.readAnnIndexCodes(spark, dir)
+      .collect().map(_.toSeq).toSet
+    Sinks.compactAnnIndex(spark, dir)
+    val postCompact = Sinks.readAnnIndexCodes(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(postCompact == preCompact, "compaction changed the upserted live view")
+  }
+
+  test("compaction crash states: reads stay correct, the next compact repairs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = clustered(400, 67)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_crash_").toString
+    Sinks.writeAnnIndex(emb, dir)
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(2L, 9L))
+    val v = emb.filter(col("vec_id") === 100L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Sinks.upsertAnnIndex(spark, dir, Seq((900L, v)).toDF("vec_id", "embedding"))
+    val expected = Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+
+    // PRE-SWAP crash: codes renamed away, compacted temp never landed
+    assert(fs.rename(p("codes"), p("codes_old")))
+    assert(Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet == expected,
+      "pre-swap crash state must read the old base + delta − tombstones")
+    // the next compact rolls the rename back and completes normally
+    Sinks.compactAnnIndex(spark, dir)
+    assert(fs.exists(p("codes")) && !fs.exists(p("codes_old")) &&
+      !fs.exists(p("codes_delta")) && !fs.exists(p("tombstones")),
+      "repairing compact left stale segments behind")
+    assert(Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet == expected)
+
+    // POST-SWAP crash: compacted base live, stale delta+tombstones+old
+    // base never cleaned up — rebuild that state by hand
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(4L))
+    Sinks.upsertAnnIndex(spark, dir, Seq((901L, v)).toDF("vec_id", "embedding"))
+    val expected2 = Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet
+    // write the merged view to a temp, swap it in, but "crash" before
+    // deleting delta/tombstones/old base
+    val tmp = p("codes_compact_crashtest")
+    Sinks.readAnnIndexCodes(spark, dir)
+      .repartition(col("c_id"))
+      .write.partitionBy("c_id").parquet(tmp.toString)
+    assert(fs.rename(p("codes"), p("codes_old")))
+    assert(fs.rename(tmp, p("codes")))
+    // stale delta + tombstones still on disk: a read must NOT double-
+    // count the delta or re-apply the tombstones
+    assert(fs.exists(p("codes_delta")) && fs.exists(p("tombstones")))
+    assert(Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet == expected2,
+      "post-swap crash state double-counted delta or re-applied tombstones")
+    // the next compact finishes the cleanup
+    Sinks.compactAnnIndex(spark, dir)
+    assert(!fs.exists(p("codes_old")) && !fs.exists(p("codes_delta")) &&
+      !fs.exists(p("tombstones")), "post-swap repair left stale segments")
+    assert(Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet == expected2)
+  }
 }
