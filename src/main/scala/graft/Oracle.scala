@@ -1118,7 +1118,9 @@ object Oracle {
          |),
          |p AS (
          |  SELECT c.vec_id,
-         |    CAST(round(${cosSql("b.be", "c.embedding", "b.bnorm", "c.norm")} * 1000000000) AS BIGINT) AS cos_fp
+         |    CASE WHEN c.norm = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(round(${cosSql("b.be", "c.embedding", "b.bnorm", "c.norm")} * 1000000000) AS BIGINT)
+         |    END AS cos_fp
          |  FROM corp c CROSS JOIN bench b
          |),
          |agg AS (

@@ -177,14 +177,22 @@ object Ann {
     // widen-to-double dot (float_dot's fold), /(bnorm · norm), ×1e9,
     // then Spark round()'s BigDecimal HALF_UP — so the DuckDB twin
     // hash-matches either formulation.
-    val benchRows = bench.select(col("vec_id"), col("embedding"))
+    val benchCollected = bench.select(col("vec_id"), col("embedding"))
       .collect().sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).toArray)
+    val benchRows = benchCollected.map(_.getSeq[Float](1).toArray)
     require(benchRows.nonEmpty, "benchmark set is empty")
     val bnorm: Array[Double] = benchRows.map { be =>
       var acc = 0.0; var j = 0
       while (j < be.length) { acc += be(j).toDouble * be(j).toDouble; j += 1 }
       math.sqrt(acc)
+    }
+    // A zero-norm BENCHMARK vector is a curation bug (cosine against
+    // it is undefined for every corpus row) — fail fast with the id,
+    // not a NaN-induced NumberFormatException deep inside an executor.
+    bnorm.indices.find(bnorm(_) == 0.0).foreach { i =>
+      throw new IllegalArgumentException(
+        s"benchmark vec_id ${benchCollected(i).getLong(0)} has zero norm; " +
+          "cosine against it is undefined")
     }
     val nb = benchRows.length
     corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -197,12 +205,19 @@ object Ann {
           var best = Long.MinValue
           var k = 0
           while (k < nb) {
-            val be = benchRows(k)
-            var dot = 0.0
-            var j2 = 0
-            while (j2 < v.length) { dot += be(j2).toDouble * v(j2).toDouble; j2 += 1 }
-            val fp = java.math.BigDecimal.valueOf(dot / (bnorm(k) * norm) * 1000000000.0)
-              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            // Cosine against a zero-norm CORPUS vector is defined as 0
+            // (no direction, no similarity) — the oracle twin carries
+            // the same CASE, so the convention is hash-pinned.
+            val fp =
+              if (norm == 0.0) 0L
+              else {
+                val be = benchRows(k)
+                var dot = 0.0
+                var j2 = 0
+                while (j2 < v.length) { dot += be(j2).toDouble * v(j2).toDouble; j2 += 1 }
+                java.math.BigDecimal.valueOf(dot / (bnorm(k) * norm) * 1000000000.0)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+              }
             if (fp > best) best = fp
             k += 1
           }

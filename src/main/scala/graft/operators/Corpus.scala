@@ -157,13 +157,14 @@ object Corpus {
     * [[docPipeline]] feeds it the pair set whose shingle explode is
     * shared with decontamination.
     *
-    * Concurrency caveat: the propagation loop temporarily sets the
-    * SESSION-scoped AQE conf `coalescePartitions.parallelismFirst`
-    * (restored on exit). A query planned on the same SparkSession
-    * while the loop runs would have its exchanges coalesced toward the
-    * advisory size too. Single-query-at-a-time sessions — the harness
-    * model and the common batch-job shape — are unaffected; concurrent
-    * schedulers should give clustering its own session.
+    * Concurrency: the propagation loop's AQE conf override
+    * (`coalescePartitions.parallelismFirst`) is isolated on a child
+    * session inside [[clustersFromEdges]] — the caller's session conf
+    * is never touched, so queries planned concurrently on the caller's
+    * session keep their own coalescing behavior (CorpusSpec pins
+    * this). The only shared state is the SparkContext itself: the
+    * loop's jobs compete for the same executor slots as any
+    * concurrent query, which is ordinary fair-scheduler territory.
     */
   def dedupClustersFromPairs(docs: DataFrame, nearDup: DataFrame): DataFrame =
     clustersFromEdges(

@@ -737,9 +737,26 @@ object Streaming {
             "would fail inside state deserialization — restart the stream from a fresh " +
             s"checkpoint, or create $TtlVersionMarker containing '$TtlStateVersion' in " +
             "the checkpoint dir if it is known to be TtlBucket-format.")
-      val out = fs.create(marker, false)
-      try out.write(s"$TtlStateVersion\n".getBytes("UTF-8"))
-      finally out.close()
+      // Two streams starting concurrently against the same fresh dir
+      // race on the create — the loser re-reads the winner's marker and
+      // treats a matching version as success rather than surfacing a
+      // raw FileAlreadyExistsException.
+      try {
+        val out = fs.create(marker, false)
+        try out.write(s"$TtlStateVersion\n".getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case _: java.io.IOException if fs.exists(marker) =>
+          val in = fs.open(marker)
+          val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          if (found != TtlStateVersion.toString)
+            throw new IllegalStateException(
+              s"TTL near-dup checkpoint at $checkpointDir holds state format v$found, " +
+                s"but this build reads v$TtlStateVersion (TtlBucket). Restoring would " +
+                "fail inside state deserialization — restart the stream from a fresh " +
+                "checkpoint.")
+      }
     }
   }
 
