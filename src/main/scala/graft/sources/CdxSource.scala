@@ -36,10 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * a driver-side `showNumPages` probe plans one partition per page and
   * executors GET their own pages — same planning surface, the reader's
   * line iterator swapped (see [[CdxLineReader]]). A `urls` option
-  * (comma-separated) makes the live scan MULTI-URL: one partition per
-  * (url, page), page-count probes on a bounded driver pool, the
-  * per-url [[MaxPages]] cap, and pushed `url =` equality pruning the
-  * url set before any probe fires. `seq` is then the PER-URL stream
+  * (comma-separated) makes the live scan MULTI-URL, with two planners:
+  * up to [[CdxSource.ProbeParallelism]] urls, page-count probes on a
+  * bounded driver pool plan one partition per (url, page) — full
+  * per-page fan-out; past that (or with `lazyPages=true`) planning is
+  * PROBELESS — `pageStride` strided walk partitions per url whose
+  * readers page forward until out-of-range, so a million-url crawl
+  * plans with zero HTTP round-trips. Both honor the per-url
+  * [[CdxSource.MaxPages]] cap, and pushed `url =` equality prunes the
+  * url set before any request fires. `seq` is then the PER-URL stream
   * position — exactly what the url-keyed operators window over.
   * CdxHttpSpec exercises both against a loopback server (the sandbox
   * has no egress).
@@ -61,7 +66,10 @@ class CdxSource extends TableProvider {
       Option(properties.get("endpoint")),
       Option(properties.get("url")),
       urls,
-      maxPages)
+      maxPages,
+      Option(properties.get("pageStride")).map(_.toInt)
+        .getOrElse(CdxSource.PageStride),
+      Option(properties.get("lazyPages")).map(_.toBoolean))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -82,8 +90,19 @@ object CdxSource {
     */
   val MaxPages = 2000
 
-  /** Driver-side showNumPages probe concurrency for multi-url scans. */
+  /** Driver-side showNumPages probe concurrency for multi-url scans —
+    * and the crossover past which planning goes PROBELESS: above this
+    * many urls the scan switches to lazy strided page walks (zero
+    * page-count round-trips anywhere; see [[CdxHttpUrlWalkPartition]]).
+    */
   val ProbeParallelism = 16
+
+  /** Walk partitions per url in lazy mode: reader r of a url fetches
+    * pages r, r+stride, r+2·stride… until its first out-of-range/empty
+    * page. Intra-url fan-out without a page-count probe; the price is
+    * one terminal "miss" request per walker (stride misses per url).
+    */
+  val PageStride = 4
 }
 
 /** Two ingestion modes behind one planning surface: `path` reads page
@@ -97,14 +116,16 @@ class CdxTable(
     endpoint: Option[String],
     urlOpt: Option[String],
     urls: Seq[String],
-    maxPages: Int) extends Table with SupportsRead {
+    maxPages: Int,
+    pageStride: Int = CdxSource.PageStride,
+    lazyOpt: Option[Boolean] = None) extends Table with SupportsRead {
   require(path.isDefined || endpoint.isDefined, "cdx source needs `path` or `endpoint`")
   override def name(): String = s"cdx(`${path.orElse(endpoint).get}`)"
   override def schema(): StructType = CdxSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdxScanBuilder(path, endpoint, urlOpt, urls, maxPages)
+    new CdxScanBuilder(path, endpoint, urlOpt, urls, maxPages, pageStride, lazyOpt)
 }
 
 class CdxScanBuilder(
@@ -112,7 +133,9 @@ class CdxScanBuilder(
     endpoint: Option[String],
     urlOpt: Option[String],
     urls: Seq[String],
-    maxPages: Int)
+    maxPages: Int,
+    pageStride: Int,
+    lazyOpt: Option[Boolean])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -157,7 +180,8 @@ class CdxScanBuilder(
       }
       b.result()
     }
-    new CdxScan(path, endpoint, urlOpt, urls, required, urlFilter, maxPages, hadoopProps)
+    new CdxScan(path, endpoint, urlOpt, urls, required, urlFilter, maxPages,
+      pageStride, lazyOpt, hadoopProps)
   }
 }
 
@@ -178,6 +202,20 @@ case class CdxPagePartition(file: String, page: Int) extends InputPartition
 case class CdxHttpPagePartition(endpoint: String, urlKey: String, page: Int)
     extends InputPartition
 
+/** PROBELESS planning unit: one strided page WALK over a url. The
+  * reader fetches pages `startPage, startPage+stride, …` (< maxPages)
+  * and stops at its first out-of-range (HTTP 4xx) or line-less page —
+  * no `showNumPages` probe ever fires. `stride` such walkers cover a
+  * url's pages exactly once between them.
+  */
+case class CdxHttpUrlWalkPartition(
+    endpoint: String,
+    urlKey: String,
+    startPage: Int,
+    stride: Int,
+    maxPages: Int)
+    extends InputPartition
+
 class CdxScan(
     path: Option[String],
     endpoint: Option[String],
@@ -186,6 +224,8 @@ class CdxScan(
     required: StructType,
     urlFilter: Option[String],
     maxPages: Int,
+    pageStride: Int,
+    lazyOpt: Option[Boolean],
     hadoopProps: Map[String, String])
     extends Scan
     with Batch {
@@ -222,6 +262,28 @@ class CdxScan(
         case None if configured.nonEmpty => configured
         case None => throw new IllegalArgumentException(
           "cdx http mode needs a url (option `url`/`urls` or pushed filter)")
+      }
+      // PLANNING MODE. Past ProbeParallelism urls (or on request via
+      // `lazyPages=true`) planning goes PROBELESS: no page-count
+      // round-trip runs anywhere — not on the driver, not on an
+      // executor. Each url gets `pageStride` walk partitions; reader r
+      // walks pages r, r+stride, … until its first out-of-range/empty
+      // page (page counts are monotone: every page past the server's
+      // count is empty, so strided walkers terminate independently).
+      // Planning cost is O(urls) local work with ZERO HTTP traffic — a
+      // million-url crawl plans instantly where per-url probes would
+      // serialize 1M/16 round-trips through the driver. The trade:
+      // intra-url fan-out is `pageStride`, not page count, which is
+      // the right shape when parallelism comes from the url set
+      // itself; small url sets keep the probe planner below, where a
+      // lone 2000-page url still fans out across 2000 executor tasks.
+      val lazyMode = lazyOpt.getOrElse(urlKeys.lengthCompare(CdxSource.ProbeParallelism) > 0)
+      if (lazyMode) {
+        val stride = math.max(1, math.min(pageStride, maxPages))
+        return urlKeys.flatMap(u =>
+          (0 until stride).map(r =>
+            CdxHttpUrlWalkPartition(endpoint.get, u, r, stride, maxPages): InputPartition)
+        ).toArray
       }
       // the reference's page-count probe (showNumPages=true,
       // main.py:114-116): one tiny driver-side GET per url, then the
@@ -283,6 +345,29 @@ object CdxHttp {
     new java.io.BufferedReader(
       new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
   }
+
+  /** Open a page for a lazy walk, or signal end-of-pages: a 4xx status
+    * is how CDX servers answer a page index past the count — `None`,
+    * walk over. 5xx and transport errors still THROW (a flaky server
+    * must fail the task for retry, not silently truncate a url's
+    * stream), which is why end-of-pages must be a client error, never
+    * an exception.
+    */
+  def openPageOrEnd(u: String): Option[java.io.BufferedReader] = {
+    val conn = new java.net.URL(u).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(15000)
+    conn.setReadTimeout(120000)
+    val code = conn.getResponseCode
+    if (code >= 400 && code < 500) {
+      conn.disconnect()
+      None
+    } else if (code >= 500) {
+      conn.disconnect()
+      throw new java.io.IOException(s"cdx page fetch $u failed with HTTP $code")
+    } else Some(new java.io.BufferedReader(
+      new java.io.InputStreamReader(conn.getInputStream, "UTF-8")))
+  }
 }
 
 class CdxReaderFactory(
@@ -304,6 +389,9 @@ class CdxReaderFactory(
         new CdxLineReader(
           CdxHttp.readLines(CdxHttp.pageUrl(endpoint, urlKey, page)),
           page, columns, urlFilter, defaultUrl = Some(urlKey))
+      case CdxHttpUrlWalkPartition(endpoint, urlKey, startPage, stride, maxPages) =>
+        new CdxPageWalkReader(endpoint, urlKey, startPage, stride, maxPages,
+          columns, urlFilter)
     }
 }
 
@@ -323,9 +411,15 @@ class CdxLineReader(
 
   private var offset = -1L
   private var row: InternalRow = _
+  // Whether this page carried ANY line at all — the lazy walk's
+  // end-of-pages signal must fire on a truly empty body, not on a page
+  // whose lines were all junk-skipped or filter-rejected.
+  private var anyLine = false
+  def sawAnyLine: Boolean = anyLine
 
   override def next(): Boolean = {
     var line = reader.readLine()
+    if (line != null) anyLine = true
     offset += 1
     while (line != null) {
       val parts = line.split(" ")
@@ -353,4 +447,59 @@ class CdxLineReader(
 
   override def get(): InternalRow = row
   override def close(): Unit = reader.close()
+}
+
+/** The lazy walk: a chain of [[CdxLineReader]]s over pages
+  * `startPage, startPage+stride, …` of one url, stopping at the first
+  * out-of-range (4xx) or empty-bodied page. Composes the single-page
+  * reader rather than re-implementing the parse, so file, probed-HTTP
+  * and walked-HTTP rows are byte-identical — `seq` still encodes
+  * `(page << 32) | offset`, so the per-url stream order is exactly the
+  * probed planner's regardless of which walker carried the page.
+  */
+class CdxPageWalkReader(
+    endpoint: String,
+    urlKey: String,
+    startPage: Int,
+    stride: Int,
+    maxPages: Int,
+    columns: Array[String],
+    urlFilter: Option[String])
+    extends PartitionReader[InternalRow] {
+
+  private var page = startPage - stride // advanced before first open
+  private var current: CdxLineReader = _
+  private var done = false
+
+  private def advance(): Boolean = {
+    if (current != null) { current.close(); current = null }
+    page += stride
+    if (page >= maxPages) { done = true; return false }
+    CdxHttp.openPageOrEnd(CdxHttp.pageUrl(endpoint, urlKey, page)) match {
+      case Some(reader) =>
+        current = new CdxLineReader(
+          reader, page, columns, urlFilter, defaultUrl = Some(urlKey))
+        true
+      case None =>
+        done = true
+        false
+    }
+  }
+
+  override def next(): Boolean = {
+    while (!done) {
+      if (current == null && !advance()) return false
+      if (current.next()) return true
+      // page exhausted: a page with zero LINES is the end of this
+      // url's pages (monotone page counts — everything past it is
+      // empty too); a page whose lines were all junk or filtered
+      // keeps walking
+      if (!current.sawAnyLine) { done = true; current.close(); current = null; return false }
+      current.close(); current = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = current.get()
+  override def close(): Unit = if (current != null) current.close()
 }

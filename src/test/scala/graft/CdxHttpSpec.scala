@@ -146,6 +146,113 @@ class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"filtered scan still probed other urls: $seen")
   }
 
+  // lazy (probeless) planning: url count well above ProbeParallelism.
+  // Page shapes cover every walk-termination signal: a zero-page url
+  // (400 at page 0), a junk-only page that must NOT end the walk, and
+  // an empty-200-body page that must.
+  private val lazyUrls: Map[String, Vector[Vector[String]]] = {
+    def line(u: String, p: Int, i: Int) =
+      f"2024${p + 1}%02d${i + 1}%02d000000 200 ${u.toUpperCase.replace("-", "")}P${p}L$i"
+    (0 until 20).map { n =>
+      val u = f"w-$n%02d"
+      val pages = n match {
+        case 3 => Vector(Vector("garbage", "x y"), Vector(line(u, 1, 0), line(u, 1, 1)))
+        case 7 => Vector(Vector(line(u, 0, 0)), Vector.empty[String]) // empty 200 body ends
+        case _ if n % 5 == 0 => Vector.empty[Vector[String]] // zero pages: 400 at page 0
+        case _ => (0 until (n % 4) + 1).toVector.map(p => Vector(line(u, p, 0), line(u, p, 1)))
+      }
+      u -> pages
+    }.toMap
+  }
+
+  private def expectedTs(u: String): Seq[String] =
+    lazyUrls(u).takeWhile(_.nonEmpty).flatten
+      .filter(_.split(" ").length == 3).map(_.split(" ")(0))
+
+  private def lazyScan(extra: Map[String, String] = Map.empty) = {
+    val r0 = TestSpark.spark.read.format(graft.sources.CdxSource.Name)
+      .option("endpoint", s"$endpoint-lazy")
+      .option("urls", lazyUrls.keys.toSeq.sorted.mkString(","))
+    extra.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("lazy multi-url scan: zero page-count probes, strided walks, per-url order") {
+    server.createContext("/cdx-lazy", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        requests.add("LAZY " + q)
+        val params = q.split("&").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val mine = lazyUrls(params("url"))
+        if (params.get("showNumPages").contains("true")) {
+          // only reachable when planning drops BELOW the lazy
+          // crossover (e.g. a pushed filter pruning to one url) — the
+          // bulk-scan assertions check the requests log saw none
+          val b = s"${mine.size}\n".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length.toLong); ex.getResponseBody.write(b)
+        } else {
+          val page = params("page").toInt
+          if (page >= mine.size) ex.sendResponseHeaders(400, -1)
+          else {
+            val body = mine(page).mkString("", "\n", if (mine(page).isEmpty) "" else "\n")
+            val b = body.getBytes("UTF-8")
+            ex.sendResponseHeaders(200, if (b.isEmpty) -1 else b.length.toLong)
+            if (b.nonEmpty) ex.getResponseBody.write(b)
+          }
+        }
+        ex.close()
+      }
+    })
+    requests.clear()
+    val df = lazyScan()
+    // 20 urls > ProbeParallelism (16) → probeless planning, PageStride
+    // walk partitions per url
+    assert(df.rdd.getNumPartitions ==
+      lazyUrls.size * graft.sources.CdxSource.PageStride,
+      "lazy mode must plan PageStride walk partitions per url")
+    val rows = df.collect()
+    import scala.jdk.CollectionConverters._
+    val probes = requests.asScala.toList.filter(q =>
+      q.startsWith("LAZY") && q.contains("showNumPages"))
+    assert(probes.isEmpty, s"probeless planning still sent page-count probes: $probes")
+
+    lazyUrls.keys.foreach { u =>
+      val mine = rows.filter(_.getString(0) == u).sortBy(_.getLong(4))
+      assert(mine.map(_.getString(1)).toSeq == expectedTs(u),
+        s"per-url stream order or page coverage broken for $u")
+    }
+    // the junk-only page did not terminate w-03's walk; the empty
+    // 200 body DID terminate w-07's
+    assert(rows.count(_.getString(0) == "w-03") == 2)
+    assert(rows.count(_.getString(0) == "w-07") == 1)
+    assert(rows.count(_.getString(0) == "w-00") == 0, "zero-page url must yield no rows")
+
+    // a pushed url= equality prunes the url set before any request —
+    // and dropping to ONE url falls below the lazy crossover, so the
+    // planner deliberately returns to probe mode (a single url wants
+    // per-page fan-out, and one probe is cheap)
+    requests.clear()
+    val only = lazyScan().filter(org.apache.spark.sql.functions.col("url") === "w-09")
+    assert(only.rdd.getNumPartitions == lazyUrls("w-09").size,
+      "a filtered single-url scan should re-enter probe mode's per-page fan-out")
+    assert(only.count() == expectedTs("w-09").size)
+    val fetched = requests.asScala.toList.filter(_.startsWith("LAZY"))
+    assert(fetched.nonEmpty && fetched.forall(_.contains("url=w-09")),
+      s"filtered lazy scan touched other urls: $fetched")
+
+    // lazyPages=true forces probeless planning below the crossover too
+    requests.clear()
+    val forced = TestSpark.spark.read.format(graft.sources.CdxSource.Name)
+      .option("endpoint", s"$endpoint-lazy")
+      .option("urls", "w-04,w-09")
+      .option("lazyPages", "true")
+      .option("pageStride", "2").load()
+    assert(forced.rdd.getNumPartitions == 4) // 2 urls × stride 2
+    assert(forced.count() == (expectedTs("w-04").size + expectedTs("w-09").size))
+    assert(!requests.asScala.exists(q => q.startsWith("LAZY") && q.contains("showNumPages")))
+  }
+
   test("SRC4 probe: redirect chain yields one header block per hop") {
     val port = server.getAddress.getPort
     server.createContext("/hop-a", new HttpHandler {
