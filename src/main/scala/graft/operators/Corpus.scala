@@ -1027,13 +1027,44 @@ object Corpus {
     * twin legitimately uses the single per-source window; equality IS
     * the decomposition proof.
     */
-  def budgetSelect(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val scored = graft.operators.TextStats.quality(docs)
-      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-        round(col("quality") * 1e6).cast("long").as("q_micro"))
-      .join(docs.select("doc_id", "source"), "doc_id")
-      .withColumn("band", expr(s"q_micro div $BudgetBandWidth"))
+  def budgetSelect(docs: DataFrame): DataFrame =
+    budgetSelectCore(
+      graft.operators.TextStats.quality(docs)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("quality") * 1e6).cast("long").as("q_micro"))
+        .join(docs.select("doc_id", "source"), "doc_id"),
+      BudgetTokens)
+
+  /** Token budget for the REAL-token variant: subword tokens run a few
+    * per word, so the budget scales accordingly.
+    */
+  val BudgetTokensBpe = 2500L
+
+  /** [[budgetSelect]] in REAL (trained-subword) tokens: identical
+    * selection machinery, but a doc's cost is its greedy-subword count
+    * through the trained vocab ([[TextStats.tokenStatsSubword]]), not
+    * its whitespace word count. Whitespace budgets systematically
+    * over-admit rare-word documents (each long rare word is one
+    * "token" to whitespace but many to the model); running the budget
+    * in model tokens is what a token-count contract actually means.
+    */
+  def budgetSelectSubword(docs: DataFrame): DataFrame =
+    budgetSelectCore(
+      graft.operators.TextStats.quality(docs)
+        .select(col("doc_id"), round(col("quality") * 1e6).cast("long").as("q_micro"))
+        .join(
+          graft.operators.TextStats.tokenStatsSubword(docs)
+            .select(col("doc_id"), col("n_tokens_bpe").as("n_tokens")),
+          "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id"),
+      BudgetTokensBpe)
+
+  /** The shared banded-cumsum selection engine over a scored frame
+    * `(doc_id, n_tokens, q_micro, source)` — see [[budgetSelect]] for
+    * the decomposition argument.
+    */
+  private def budgetSelectCore(scoredIn: DataFrame, budget: Long): DataFrame = {
+    val scored = scoredIn.withColumn("band", expr(s"q_micro div $BudgetBandWidth"))
     val within = scored.withColumn(
       "within_excl",
       sum("n_tokens").over(
@@ -1056,7 +1087,7 @@ object Corpus {
         col("q_micro"),
         col("n_tokens"),
         (col("band_excl") + col("within_excl")).as("cum_excl"),
-        (col("band_excl") + col("within_excl") + col("n_tokens") <= BudgetTokens)
+        (col("band_excl") + col("within_excl") + col("n_tokens") <= budget)
           .as("selected"))
   }
 

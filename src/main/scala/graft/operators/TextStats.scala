@@ -87,6 +87,115 @@ object TextStats {
           col("predicted") :+ (col("predicted") === col("lang")).as("agrees"): _*)
   }
 
+  // -------------------------------------------------- subword tokenizer
+  /** Substring lengths a subword may span and the trained vocab size.
+    * Single characters are the implicit fallback alphabet (any char
+    * not opening a vocab match is its own token), so tokenization
+    * never fails on OOV text.
+    */
+  val SubwordMinLen = 2
+  val SubwordMaxLen = 6
+  val SubwordVocabK = 200
+
+  /** TRAIN a subword vocabulary: the top-[[SubwordVocabK]] most
+    * frequent word substrings of length [[SubwordMinLen]]..
+    * [[SubwordMaxLen]], frequency = occurrences across all word
+    * positions weighted by word count — the "top-k frequent
+    * substrings" flavor of subword training (one pass, deterministic;
+    * iterative BPE merges converge to a similar vocab but need a
+    * training loop). Ties break on the substring itself, so the vocab
+    * is a pure function of the corpus.
+    *
+    * Scale shape: the substring explode is bounded by
+    * [[SubwordMaxLen]] positions per character (linear in corpus
+    * bytes); frequencies combine map-side into a words-distinct-sized
+    * table; the top-k is a TakeOrdered (distributed heap), never a
+    * global sort of the frequency table.
+    */
+  def subwordVocab(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wordFreq = docs
+      .select(explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+    wordFreq
+      .select(col("wcnt"), explode(expr(
+        s"""flatten(transform(sequence($SubwordMinLen, $SubwordMaxLen), l ->
+           |  CASE WHEN length(word) >= l
+           |    THEN transform(sequence(0, length(word) - l), p -> substring(word, p + 1, l))
+           |    ELSE array() END))""".stripMargin)).as("subword"))
+      .groupBy("subword").agg(sum("wcnt").as("freq"))
+      .orderBy(col("freq").desc, col("subword"))
+      .limit(SubwordVocabK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("subword"))))
+      .select("rank", "subword", "freq")
+  }
+
+  /** The trained vocab as per-length hash sets — collected index
+    * metadata (K strings, kilobytes; the [[Ann]] codebook pattern) the
+    * tokenizer kernel closes over.
+    */
+  private def vocabByLen(docs: DataFrame): Array[Set[String]] = {
+    val entries = subwordVocab(docs).select("subword").collect().map(_.getString(0))
+    val byLen = Array.fill(SubwordMaxLen + 1)(Set.newBuilder[String])
+    entries.foreach(e => byLen(e.length) += e)
+    byLen.map(_.result())
+  }
+
+  /** Greedy longest-match token count for one word: at each position
+    * take the longest vocab entry matching the prefix, else one
+    * character. The DuckDB twin replays this exact walk as a recursive
+    * CTE (longest match = max(length) over prefix-equal vocab rows).
+    */
+  private[graft] def greedyTokenCount(w: String, byLen: Array[Set[String]]): Int = {
+    var pos = 0
+    var n = 0
+    while (pos < w.length) {
+      var took = 1
+      var l = math.min(SubwordMaxLen, w.length - pos)
+      while (took == 1 && l >= SubwordMinLen) {
+        if (byLen(l).contains(w.substring(pos, pos + l))) took = l
+        l -= 1
+      }
+      pos += took
+      n += 1
+    }
+    n
+  }
+
+  /** Per-doc REAL-token statistics through the trained subword vocab:
+    * whitespace count vs greedy-subword count and their ratio — the
+    * difference is exactly what whitespace budgets get wrong (a doc of
+    * rare long words costs far more model tokens than its word count
+    * suggests). Kernel shape: the vocab rides the closure (broadcast
+    * literal), each doc tokenizes in one map pass — no join, no
+    * shuffle beyond the input scan.
+    */
+  def tokenStatsSubword(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byLen = vocabByLen(docs)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val ws = text.split(" ", -1) // -1: keep trailing empties, = Spark split()
+        var bpe = 0L
+        var i = 0
+        while (i < ws.length) {
+          if (ws(i).nonEmpty) bpe += greedyTokenCount(ws(i), byLen).toLong
+          i += 1
+        }
+        (id, ws.length.toLong, bpe)
+      })
+      .toDF("doc_id", "n_tokens_ws", "n_tokens_bpe")
+      .select(
+        col("doc_id"),
+        col("n_tokens_ws"),
+        col("n_tokens_bpe"),
+        round(col("n_tokens_bpe").cast("double") / col("n_tokens_ws"), 6)
+          .as("bpe_per_ws"))
+  }
+
   /** Stopword vocabulary for [[quality]]'s stopword ratio. */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
 

@@ -781,6 +781,56 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("subword tokenizer: whitespace and real-token budgets admit different sets") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // one source, every doc EXACTLY 100 whitespace tokens and quality
+    // pinned to 1.0 (>=50 tokens, zero punctuation, stopword term
+    // saturated by 10+ "the"s) so both budgets admit a doc_id-prefix.
+    // Docs 1-6 are EXPENSIVE in model tokens (90 unique digit-gibberish
+    // words that no trained subword covers); docs 7-20 are CHEAP (all
+    // repeated stopwords the vocab absorbs into 1-token words).
+    val mkExpensive = (i: Long) =>
+      (Seq.fill(10)("the") ++ (1 to 90).map { j =>
+        // md5-hex words: no shared prefixes, 2-grams spread over 256
+        // values — the vocab cannot compress these much below
+        // ~len/2 tokens, unlike any patterned generator
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i/$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+      }).mkString(" ")
+    val mkCheap = (_: Long) => Seq.fill(100)("the").mkString(" ")
+    val rows = (1L to 20L).map(i =>
+      (i, if (i <= 6) mkExpensive(i) else mkCheap(i), "en", "s0"))
+    val df = docsDf(rows)
+
+    // real-token accounting: the cheap doc is ~100 subword tokens, the
+    // expensive one several times that, at IDENTICAL whitespace counts
+    val stats = graft.operators.TextStats.tokenStatsSubword(df)
+      .select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stats.values.forall(_._1 == 100L), "whitespace counts must not differ")
+    val exp = stats(1L)._2
+    val cheap = stats(7L)._2
+    assert(cheap <= 110L, s"vocab failed to absorb repeated stopwords: $cheap")
+    assert(exp >= 3 * cheap, s"rare-word doc must cost several times more: $exp vs $cheap")
+
+    // whitespace budget (800) admits docs 1-8 regardless of content;
+    // the real-token budget runs out inside the expensive prefix — the
+    // two contracts select DIFFERENT sets on identical quality order
+    val wsSel = Corpus.budgetSelect(df).filter(col("selected"))
+      .select("doc_id").as[Long].collect().toSet
+    val bpeSel = Corpus.budgetSelectSubword(df).filter(col("selected"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(wsSel == (1L to 8L).toSet, s"whitespace budget: $wsSel")
+    assert(wsSel != bpeSel, "budgets in different token units must diverge here")
+    assert(bpeSel.size < wsSel.size,
+      s"expensive docs must exhaust the real-token budget sooner: $bpeSel")
+    assert(bpeSel.nonEmpty && bpeSel.forall(_ <= bpeSel.max) &&
+      (1L to bpeSel.max).forall(bpeSel.contains),
+      s"real-token selection must still be a quality-prefix: $bpeSel")
+  }
+
   test("incrementalDedupAgainst: verdict partition and first-wins within delta") {
     val spark = TestSpark.spark
     import spark.implicits._
