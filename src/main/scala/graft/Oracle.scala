@@ -1025,6 +1025,142 @@ object Oracle {
     s"""list_sum(list_transform(list_zip($a, $b),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / ($na * $nb)""".stripMargin
 
+  /** dHash twin CTEs ([[graft.operators.Multimodal.perceptualHash]]):
+    * the ASCII-projected payload replayed char-by-char — bucket index
+    * by integer division, adjacent-average compare by integer
+    * cross-multiplication, exactly the kernel's arithmetic (no float
+    * anywhere). Ends in `ph(doc_id, ph_hi, ph_lo)`; docs with zero set
+    * bits are absent — callers LEFT JOIN and coalesce to 0. An empty
+    * bucket (short doc) forms no adjacent pair here and compares false
+    * in the kernel — same bit either way.
+    */
+  private val docPaySql: String =
+    "SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7e]', '_', 'g') AS s FROM documents"
+
+  /** Text payloads plus the planted smooth signals and their strided
+    * copies ([[graft.operators.Multimodal.plantedResampledPayloads]]):
+    * md5-keyed level blocks rendered with chr(), resample by substr —
+    * the same bytes the Spark generator emits.
+    */
+  private val plantedPaySql: String = {
+    val every = graft.operators.Multimodal.PlantEvery
+    val minLen = graft.operators.Multimodal.PlantMinLen
+    val blocks = graft.operators.Multimodal.PlantBlocks
+    val stride = graft.operators.Multimodal.ResizeStride
+    val genSelect =
+      s"""SELECT doc_id + ${graft.operators.Multimodal.PlantIdBase} AS doc_id,
+         |      list_aggregate(list_transform(range($minLen + doc_id), j ->
+         |        chr(CAST(32 + CAST(('0x' || substr(md5(doc_id || ':' || ((j * $blocks) // ($minLen + doc_id))), 1, 2)) AS INTEGER) % 64 AS INTEGER))),
+         |        'string_agg', '') AS s
+         |    FROM documents WHERE doc_id % $every = 0""".stripMargin
+    s"""$docPaySql
+       |  UNION ALL
+       |  $genSelect
+       |  UNION ALL
+       |  SELECT p.doc_id
+       |      + ${graft.operators.Multimodal.PlantStrideIdBase - graft.operators.Multimodal.PlantIdBase} AS doc_id,
+       |    list_aggregate(list_transform(range((length(p.s) + ${stride - 1}) // $stride), i ->
+       |      substr(p.s, CAST(i * $stride + 1 AS INTEGER), 1)), 'string_agg', '') AS s
+       |  FROM ($genSelect) p""".stripMargin
+  }
+
+  private def phashCtes(paySql: String): String =
+    s"""pay AS (
+       |  $paySql
+       |),
+       |ch AS (
+       |  SELECT doc_id, unnest(range(length(s))) AS i, s FROM pay
+       |),
+       |bk AS (
+       |  SELECT doc_id,
+       |    (i * ${graft.operators.Multimodal.PhashBuckets}) // length(s) AS b,
+       |    CAST(sum(ord(substr(s, CAST(i + 1 AS INTEGER), 1))) AS BIGINT) AS sv,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ch GROUP BY doc_id, b
+       |),
+       |bits AS (
+       |  SELECT b0.doc_id, b0.b AS bit
+       |  FROM bk b0 JOIN bk b1 ON b1.doc_id = b0.doc_id AND b1.b = b0.b + 1
+       |  WHERE b1.sv * b0.cnt > b0.sv * b1.cnt
+       |),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit >= 32 THEN (1::BIGINT << CAST(bit - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_hi,
+       |    CAST(sum(CASE WHEN bit < 32 THEN (1::BIGINT << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_lo
+       |  FROM bits GROUP BY doc_id
+       |),
+       |full_ph AS (
+       |  SELECT p.doc_id,
+       |    CAST(COALESCE(h.ph_hi, 0) AS BIGINT) AS ph_hi,
+       |    CAST(COALESCE(h.ph_lo, 0) AS BIGINT) AS ph_lo
+       |  FROM pay p LEFT JOIN ph h USING (doc_id)
+       |)""".stripMargin
+
+  /** Subword-vocab TRAINING twin
+    * ([[graft.operators.TextStats.subwordVocab]]): word frequencies,
+    * the bounded substring explode, and the deterministic top-k. Ends
+    * in `sw_vocab(rank, subword, freq)`. Where the Spark side collects
+    * this table and closes over it (the materialized-metadata
+    * pattern), the twin derives it in place — training AND use replay
+    * in one statement.
+    */
+  private val subwordVocabCtes: String = {
+    val lo = graft.operators.TextStats.SubwordMinLen
+    val hi = graft.operators.TextStats.SubwordMaxLen
+    s"""sw_words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |),
+       |sw_wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM sw_words
+       |  WHERE length(word) > 0 GROUP BY word
+       |),
+       |sw_subs AS (
+       |  SELECT substr(word, CAST(p + 1 AS INTEGER), CAST(l AS INTEGER)) AS subword, wcnt
+       |  FROM sw_wf,
+       |    LATERAL unnest(range($lo, ${hi + 1})) tl(l),
+       |    LATERAL unnest(range(0, greatest(length(word) - l + 1, 0))) tp(p)
+       |),
+       |sw_freq AS (
+       |  SELECT subword, CAST(sum(wcnt) AS BIGINT) AS freq FROM sw_subs GROUP BY subword
+       |),
+       |sw_vocab AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY freq DESC, subword) AS INTEGER) AS rank,
+       |    subword, freq
+       |  FROM sw_freq ORDER BY freq DESC, subword
+       |  LIMIT ${graft.operators.TextStats.SubwordVocabK}
+       |)""".stripMargin
+  }
+
+  /** Greedy longest-match tokenization twin
+    * ([[graft.operators.TextStats.greedyTokenCount]]) as a RECURSIVE
+    * CTE: each distinct word walks position→position, each step
+    * consuming the longest `sw_vocab` entry matching the prefix (max
+    * over prefix-equal rows) or one character. Callers must open with
+    * `WITH RECURSIVE` and include [[subwordVocabCtes]] first. Ends in
+    * `sw_doctok(doc_id, n_tokens_bpe)`.
+    */
+  private val subwordTokenCtes: String =
+    s"""sw_docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |),
+       |sw_dw AS (SELECT DISTINCT w FROM sw_docw WHERE length(w) > 0),
+       |sw_step(w, pos, ntok) AS (
+       |  SELECT w, 1, 0 FROM sw_dw
+       |  UNION ALL
+       |  SELECT s.w,
+       |    CAST(s.pos + coalesce(
+       |      (SELECT max(length(v.subword)) FROM sw_vocab v
+       |       WHERE substr(s.w, s.pos, length(v.subword)) = v.subword), 1) AS INTEGER),
+       |    s.ntok + 1
+       |  FROM sw_step s WHERE s.pos <= length(s.w)
+       |),
+       |sw_wtok AS (SELECT w, ntok FROM sw_step WHERE pos > length(w)),
+       |sw_doctok AS (
+       |  SELECT dw.doc_id, CAST(sum(coalesce(t.ntok, 0)) AS BIGINT) AS n_tokens_bpe
+       |  FROM sw_docw dw LEFT JOIN sw_wtok t ON dw.w = t.w
+       |  GROUP BY dw.doc_id
+       |)""".stripMargin
+
   /** The deterministic stand-in codebook CTE (first IvfK corpus
     * vectors) — twin of [[graft.operators.Ann.firstKCentroids]].
     */
@@ -1405,6 +1541,28 @@ object Oracle {
          |  FROM p)
          |ORDER BY doc_id""".stripMargin,
 
+    "mm_phash" ->
+      s"""WITH ${phashCtes(docPaySql)}
+         |SELECT doc_id, ph_hi, ph_lo FROM full_ph
+         |ORDER BY doc_id""".stripMargin,
+
+    "mm_near_dup" ->
+      s"""WITH ${phashCtes(plantedPaySql)},
+         |banded AS (
+         |  SELECT doc_id, ph_hi, ph_lo, band,
+         |    CASE WHEN band < 2 THEN (ph_lo >> (band * 16)) & 65535
+         |         ELSE (ph_hi >> ((band - 2) * 16)) & 65535 END AS key
+         |  FROM full_ph, unnest(range(4)) t(band)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+         |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+         |                           AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "doc_exact_dedup" ->
       """WITH g AS (
         |  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS group_size,
@@ -1464,6 +1622,44 @@ object Oracle {
         |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |        / len(string_split(text, ' ')), 6) AS ttr
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_subword_vocab" ->
+      s"""WITH $subwordVocabCtes
+         |SELECT rank, subword, freq FROM sw_vocab ORDER BY rank""".stripMargin,
+
+    "doc_token_stats_bpe" ->
+      s"""WITH RECURSIVE $subwordVocabCtes,
+         |$subwordTokenCtes
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
+         |  a.n_tokens_bpe,
+         |  round(CAST(a.n_tokens_bpe AS DOUBLE)
+         |        / len(string_split(d.text, ' ')), 6) AS bpe_per_ws
+         |FROM documents d JOIN sw_doctok a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "doc_budget_select_bpe" ->
+      s"""WITH RECURSIVE $subwordVocabCtes,
+         |$subwordTokenCtes,
+         |q AS ($qualitySelect),
+         |s AS (
+         |  SELECT q.doc_id, d.source,
+         |    CAST(round(q.quality * 1e6) AS BIGINT) AS q_micro,
+         |    a.n_tokens_bpe AS n_tokens
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+         |         JOIN sw_doctok a ON a.doc_id = q.doc_id
+         |),
+         |c AS (
+         |  SELECT doc_id, source, q_micro, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY q_micro DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM s
+         |)
+         |SELECT doc_id, source, q_micro, n_tokens,
+         |  CAST(cum_excl AS BIGINT) AS cum_excl,
+         |  cum_excl + n_tokens <= ${graft.operators.Corpus.BudgetTokensBpe} AS selected
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_split" ->
       """SELECT doc_id, bucket,

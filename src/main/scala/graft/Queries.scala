@@ -478,6 +478,14 @@ object Queries {
   def docTokenStats(s: SparkSession, dir: String): DataFrame =
     TextStats.tokenStats(docs(s, dir)).orderBy("doc_id")
 
+  /** Trained subword vocabulary (top-k frequent substrings). */
+  def docSubwordVocab(s: SparkSession, dir: String): DataFrame =
+    TextStats.subwordVocab(docs(s, dir)).orderBy("rank")
+
+  /** Real-token statistics through the trained subword vocab. */
+  def docTokenStatsBpe(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenStatsSubword(docs(s, dir)).orderBy("doc_id")
+
   /** Marker-scoring language ID. */
   def docLangId(s: SparkSession, dir: String): DataFrame =
     TextStats.langId(docs(s, dir)).orderBy("doc_id")
@@ -686,6 +694,10 @@ object Queries {
   /** Per-source token-budget selection (best-quality-first). */
   def docBudgetSelect(s: SparkSession, dir: String): DataFrame =
     Corpus.budgetSelect(docs(s, dir)).orderBy("doc_id")
+
+  /** Token-budget selection in REAL (trained-subword) tokens. */
+  def docBudgetSelectBpe(s: SparkSession, dir: String): DataFrame =
+    Corpus.budgetSelectSubword(docs(s, dir)).orderBy("doc_id")
 
   /** Deterministic hash-stratified 1-in-5 sample per language. */
   def docSample(s: SparkSession, dir: String): DataFrame =
@@ -1004,6 +1016,24 @@ object Queries {
     Multimodal.resize(Multimodal.withPayload(docs(s, dir)))
       .toDF().orderBy("doc_id")
 
+  /** dHash perceptual fingerprint per payload (integer-exact). */
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHash(Multimodal.withPayload(docs(s, dir)))
+      .toDF().orderBy("doc_id")
+
+  /** Perceptual-hash image near-dup pairs: banded candidates, Hamming
+    * verify — [[Multimodal.mmNearDup]] over the text payloads plus the
+    * planted smooth signals and their stride-resampled copies (the
+    * text rows are realistic negatives; the planted rows are where
+    * scale-invariant pairing is mathematically possible — see
+    * [[Multimodal.plantedResampledPayloads]]).
+    */
+  def mmNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmNearDup(
+      Multimodal.withPayload(docs(s, dir))
+        .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))
+      .orderBy("doc_a", "doc_b")
+
   // ------------------------------------------------------------ P6/P5/P11/P12
   /** Presentation projection of the densified table: the reference's
     * public column set (rename/title-case P6, main.py:230) + URIM (P5).
@@ -1186,6 +1216,8 @@ object Queries {
     "doc_simhash" -> (docSimhash _),
     "doc_simhash_pairs" -> (docSimhashPairs _),
     "doc_token_stats" -> (docTokenStats _),
+    "doc_subword_vocab" -> (docSubwordVocab _),
+    "doc_token_stats_bpe" -> (docTokenStatsBpe _),
     "doc_lang_id" -> (docLangId _),
     "doc_quality" -> (docQuality _),
     "doc_entropy" -> (docEntropy _),
@@ -1227,6 +1259,7 @@ object Queries {
     "doc_epoch_order" -> (docEpochOrder _),
     "doc_dedup_incremental" -> (docDedupIncremental _),
     "doc_budget_select" -> (docBudgetSelect _),
+    "doc_budget_select_bpe" -> (docBudgetSelectBpe _),
     "doc_mixture_sample" -> (docMixtureSample _),
     "corpus_stats" -> (corpusStats _),
     "periodic_samples_approx" -> (periodicSamplesApprox _),
@@ -1260,6 +1293,8 @@ object Queries {
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
+    "mm_phash" -> (mmPhash _),
+    "mm_near_dup" -> (mmNearDup _),
     "span_metrics" -> (spanMetrics _),
     "metrics" -> (metrics _),
     "streaming_daily" -> (streamingDaily _),

