@@ -1021,6 +1021,38 @@ object Oracle {
        |JOIN days lastd ON lastd.url = a.url AND lastd.i = a.mi
        |ORDER BY a.url""".stripMargin
 
+  /** Twin of [[graft.operators.Ann.embDecontaminate]] AND the
+    * ingest-time stream over bounded input (`streaming_emb_
+    * decontaminate`) — both run [[graft.operators.Ann.embContamFp]],
+    * so one SQL covers both rows.
+    */
+  private lazy val embDecontSql: String =
+    s"""WITH $vecNormCte,
+       |bench AS (
+       |  SELECT vec_id AS b_id, embedding AS be, norm AS bnorm
+       |  FROM vn WHERE vec_id % ${graft.operators.Corpus.BenchmarkMod} = 0
+       |),
+       |corp AS (
+       |  SELECT vec_id, embedding, norm FROM vn
+       |  WHERE vec_id % ${graft.operators.Corpus.BenchmarkMod} <> 0
+       |),
+       |p AS (
+       |  SELECT c.vec_id,
+       |    CASE WHEN c.norm = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(round(${cosSql("b.be", "c.embedding", "b.bnorm", "c.norm")} * 1000000000) AS BIGINT)
+       |    END AS cos_fp
+       |  FROM corp c CROSS JOIN bench b
+       |),
+       |agg AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench,
+       |    CAST(max(cos_fp) AS BIGINT) AS max_cos_fp
+       |  FROM p GROUP BY vec_id
+       |)
+       |SELECT vec_id, n_bench, max_cos_fp,
+       |  round(CAST(max_cos_fp AS DOUBLE) / 1e9, 6) AS max_cos,
+       |  max_cos_fp >= ${graft.operators.Ann.EmbContamCosFp} AS contaminated
+       |FROM agg ORDER BY vec_id""".stripMargin
+
   private def cosSql(a: String, b: String, na: String, nb: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / ($na * $nb)""".stripMargin
@@ -1242,32 +1274,11 @@ object Oracle {
     // twin (cosSql ≡ float_dot's strict index-ascending widen-to-double
     // fold), quantized to 1e-9 fixed point BEFORE the per-vector max so
     // the aggregate is order-free on both engines.
-    "emb_decontaminate" ->
-      s"""WITH $vecNormCte,
-         |bench AS (
-         |  SELECT vec_id AS b_id, embedding AS be, norm AS bnorm
-         |  FROM vn WHERE vec_id % ${graft.operators.Corpus.BenchmarkMod} = 0
-         |),
-         |corp AS (
-         |  SELECT vec_id, embedding, norm FROM vn
-         |  WHERE vec_id % ${graft.operators.Corpus.BenchmarkMod} <> 0
-         |),
-         |p AS (
-         |  SELECT c.vec_id,
-         |    CASE WHEN c.norm = 0 THEN CAST(0 AS BIGINT)
-         |      ELSE CAST(round(${cosSql("b.be", "c.embedding", "b.bnorm", "c.norm")} * 1000000000) AS BIGINT)
-         |    END AS cos_fp
-         |  FROM corp c CROSS JOIN bench b
-         |),
-         |agg AS (
-         |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench,
-         |    CAST(max(cos_fp) AS BIGINT) AS max_cos_fp
-         |  FROM p GROUP BY vec_id
-         |)
-         |SELECT vec_id, n_bench, max_cos_fp,
-         |  round(CAST(max_cos_fp AS DOUBLE) / 1e9, 6) AS max_cos,
-         |  max_cos_fp >= ${graft.operators.Ann.EmbContamCosFp} AS contaminated
-         |FROM agg ORDER BY vec_id""".stripMargin,
+    "emb_decontaminate" -> embDecontSql,
+
+    // ingest-time kernel over bounded input == the batch operator row
+    // for row (the stream maps Ann.embContamFp verbatim) — shared twin
+    "streaming_emb_decontaminate" -> embDecontSql,
 
     "ann_pq_codes" ->
       s"""WITH $pqCtes

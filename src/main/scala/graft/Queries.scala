@@ -1161,6 +1161,13 @@ object Queries {
     graft.streaming.Streaming.batchDecontaminate(docs(s, dir))
       .toDF().orderBy("doc_id")
 
+  /** Ingest-time SEMANTIC decontamination over bounded input — must
+    * equal emb_decontaminate row for row (shared twin).
+    */
+  def streamingEmbDecontaminate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchEmbDecontaminate(embs(s, dir))
+      .toDF().orderBy("vec_id")
+
   /** The ingest-time keep verdict over bounded input — must equal
     * doc_keep_mask row for row (shared twin).
     */
@@ -1235,6 +1242,7 @@ object Queries {
     "doc_dedup_export" -> (docDedupExport _),
     "doc_decontaminate" -> (docDecontaminate _),
     "streaming_decontaminate" -> (streamingDecontaminate _),
+    "streaming_emb_decontaminate" -> (streamingEmbDecontaminate _),
     "streaming_keep_mask" -> (streamingKeepMask _),
     "streaming_lang_id" -> (streamingLangId _),
     "doc_decontaminate_ext" -> (docDecontaminateExt _),

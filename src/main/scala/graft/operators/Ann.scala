@@ -164,19 +164,13 @@ object Ann {
     embDecontaminate(emb.filter(col("vec_id") % graft.operators.Corpus.BenchmarkMod =!= 0), bench)
   }
 
-  def embDecontaminate(corpus: DataFrame, bench: DataFrame): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // The benchmark set is INDEX METADATA (an eval suite, kilobytes to
-    // megabytes — not a corpus): collect and close over it, the
-    // [[pqEncode]] broadcast-constant pattern. The per-row kernel runs
-    // |bench| tight compiled dot loops instead of materializing
-    // |corpus| × |bench| joined rows through a broadcast nested-loop
-    // join — measured ~20× on the 50k × 1000 scale probe. Each cosine
-    // replays the declarative form exactly: strict index-ascending
-    // widen-to-double dot (float_dot's fold), /(bnorm · norm), ×1e9,
-    // then Spark round()'s BigDecimal HALF_UP — so the DuckDB twin
-    // hash-matches either formulation.
+  /** Collect the benchmark side as kernel metadata: id-sorted vectors
+    * and their norms — the [[pqEncode]] broadcast-constant pattern.
+    * A zero-norm BENCHMARK vector is a curation bug (cosine against
+    * it is undefined for every corpus row) — fail fast with the id,
+    * not a NaN-induced NumberFormatException deep inside an executor.
+    */
+  private[graft] def collectBench(bench: DataFrame): (Array[Array[Float]], Array[Double]) = {
     val benchCollected = bench.select(col("vec_id"), col("embedding"))
       .collect().sortBy(_.getLong(0))
     val benchRows = benchCollected.map(_.getSeq[Float](1).toArray)
@@ -186,44 +180,66 @@ object Ann {
       while (j < be.length) { acc += be(j).toDouble * be(j).toDouble; j += 1 }
       math.sqrt(acc)
     }
-    // A zero-norm BENCHMARK vector is a curation bug (cosine against
-    // it is undefined for every corpus row) — fail fast with the id,
-    // not a NaN-induced NumberFormatException deep inside an executor.
     bnorm.indices.find(bnorm(_) == 0.0).foreach { i =>
       throw new IllegalArgumentException(
         s"benchmark vec_id ${benchCollected(i).getLong(0)} has zero norm; " +
           "cosine against it is undefined")
     }
+    (benchRows, bnorm)
+  }
+
+  /** The per-vector semantic-contamination kernel: max fixed-point
+    * cosine of `v` against the benchmark set. Each cosine replays the
+    * declarative form exactly — strict index-ascending widen-to-double
+    * dot (float_dot's fold), /(bnorm · norm), ×1e9, then Spark
+    * round()'s BigDecimal HALF_UP — so the DuckDB twin hash-matches
+    * either formulation; cosine against a zero-norm CORPUS vector is
+    * defined as 0 (no direction, no similarity), the same CASE the
+    * twin carries. Shared verbatim by the batch operator and the
+    * ingest-time stream ([[graft.streaming.Streaming
+    * .embDecontaminateStream]]).
+    */
+  private[graft] def embContamFp(
+      v: Array[Float],
+      benchRows: Array[Array[Float]],
+      bnorm: Array[Double]): Long = {
+    var vn = 0.0
+    var j = 0
+    while (j < v.length) { vn += v(j).toDouble * v(j).toDouble; j += 1 }
+    val norm = math.sqrt(vn)
+    var best = Long.MinValue
+    var k = 0
+    while (k < benchRows.length) {
+      val fp =
+        if (norm == 0.0) 0L
+        else {
+          val be = benchRows(k)
+          var dot = 0.0
+          var j2 = 0
+          while (j2 < v.length) { dot += be(j2).toDouble * v(j2).toDouble; j2 += 1 }
+          java.math.BigDecimal.valueOf(dot / (bnorm(k) * norm) * 1000000000.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        }
+      if (fp > best) best = fp
+      k += 1
+    }
+    best
+  }
+
+  def embDecontaminate(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // The benchmark set is INDEX METADATA (an eval suite, kilobytes to
+    // megabytes — not a corpus): collect and close over it. The
+    // per-row kernel runs |bench| tight compiled dot loops instead of
+    // materializing |corpus| × |bench| joined rows through a broadcast
+    // nested-loop join — measured ~20× on the 50k × 1000 scale probe.
+    val (benchRows, bnorm) = collectBench(bench)
     val nb = benchRows.length
     corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .mapPartitions { rows =>
-        rows.map { case (id, v) =>
-          var vn = 0.0
-          var j = 0
-          while (j < v.length) { vn += v(j).toDouble * v(j).toDouble; j += 1 }
-          val norm = math.sqrt(vn)
-          var best = Long.MinValue
-          var k = 0
-          while (k < nb) {
-            // Cosine against a zero-norm CORPUS vector is defined as 0
-            // (no direction, no similarity) — the oracle twin carries
-            // the same CASE, so the convention is hash-pinned.
-            val fp =
-              if (norm == 0.0) 0L
-              else {
-                val be = benchRows(k)
-                var dot = 0.0
-                var j2 = 0
-                while (j2 < v.length) { dot += be(j2).toDouble * v(j2).toDouble; j2 += 1 }
-                java.math.BigDecimal.valueOf(dot / (bnorm(k) * norm) * 1000000000.0)
-                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-              }
-            if (fp > best) best = fp
-            k += 1
-          }
-          (id, nb.toLong, best)
-        }
-      }
+      .mapPartitions(_.map { case (id, v) =>
+        (id, nb.toLong, embContamFp(v, benchRows, bnorm))
+      })
       .toDF("vec_id", "n_bench", "max_cos_fp")
       .select(
         col("vec_id"),

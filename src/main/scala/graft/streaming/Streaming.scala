@@ -845,6 +845,55 @@ object Streaming {
       docs.filter(col("doc_id") % graft.operators.Corpus.BenchmarkMod =!= 0),
       docs.filter(col("doc_id") % graft.operators.Corpus.BenchmarkMod === 0))
 
+  // ------------------------------- streaming semantic decontamination
+  /** One semantic-decontamination verdict per arriving vector — the
+    * embedding-space face of [[DecontOut]].
+    */
+  case class EmbDecontOut(
+      vec_id: Long,
+      n_bench: Long,
+      max_cos_fp: Long,
+      max_cos: Double,
+      contaminated: Boolean)
+
+  /** Semantic decontamination AT INGEST: each arriving embedding
+    * scores its max cosine against a FROZEN benchmark embedding set —
+    * [[decontaminateStream]]'s shape in embedding space. The benchmark
+    * vectors collect once at stream start (eval suites are megabytes,
+    * frozen for a crawl) and ship in a broadcast; the per-row kernel
+    * is [[graft.operators.Ann.embContamFp]] VERBATIM, so stream and
+    * batch verdicts are bit-equal by construction (StreamingSpec pins
+    * MemoryStream == batch). Stateless — no watermark, no state store;
+    * the stream scales with the scan exactly like the batch operator's
+    * one-pass map.
+    */
+  def embDecontaminateStream(
+      vecs: org.apache.spark.sql.DataFrame,
+      benchVecs: org.apache.spark.sql.DataFrame): Dataset[EmbDecontOut] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val (benchRows, bnorm) = graft.operators.Ann.collectBench(benchVecs)
+    val bc = spark.sparkContext.broadcast((benchRows, bnorm))
+    val nb = benchRows.length.toLong
+    vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val (br, bn) = bc.value
+        val fp = graft.operators.Ann.embContamFp(v, br, bn)
+        val cos = BigDecimal(fp.toDouble / 1e9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        EmbDecontOut(id, nb, fp, cos, fp >= graft.operators.Ann.EmbContamCosFp)
+      })
+  }
+
+  /** The stream kernel over bounded input with the registry's stand-in
+    * `% BenchmarkMod` split — must equal the `emb_decontaminate` row
+    * set exactly (shared oracle twin).
+    */
+  def batchEmbDecontaminate(emb: org.apache.spark.sql.DataFrame): Dataset[EmbDecontOut] =
+    embDecontaminateStream(
+      emb.filter(col("vec_id") % graft.operators.Corpus.BenchmarkMod =!= 0),
+      emb.filter(col("vec_id") % graft.operators.Corpus.BenchmarkMod === 0))
+
   // ------------------------------------------------ streaming keep verdict
   /** One ingest-time keep decision per arriving document. */
   case class KeepOut(

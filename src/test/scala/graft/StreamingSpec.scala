@@ -559,6 +559,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "streamed verdicts diverged from the bounded-batch kernel")
   }
 
+  test("streaming semantic decontamination: micro-batches equal batch, kernel equals operator") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mod = graft.operators.Corpus.BenchmarkMod
+    val bench = emb.filter(col("vec_id") % mod === 0)
+    val corpus = emb.filter(col("vec_id") % mod =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+
+    // the stream's verdicts must equal the batch operator's on the
+    // same corpus/benchmark split (same kernel by construction)
+    val batch = graft.operators.Ann.embDecontaminate(
+      emb.filter(col("vec_id") % mod =!= 0), bench)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSet
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Streaming
+      .embDecontaminateStream(stream.toDS().toDF("vec_id", "embedding"), bench)
+      .writeStream.format("memory").queryName("emb_decont_stream")
+      .outputMode("append").start()
+    stream.addData(corpus.take(corpus.size / 2))
+    q.processAllAvailable()
+    stream.addData(corpus.drop(corpus.size / 2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("emb_decont_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSet
+    assert(streamed == batch,
+      "streamed semantic verdicts diverged from the batch operator")
+  }
+
   test("streaming decontamination batch harness equals the declarative operator") {
     val spark = TestSpark.spark
     import spark.implicits._
