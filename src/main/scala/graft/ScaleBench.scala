@@ -337,6 +337,48 @@ object ScaleBench {
           s""""vecs_per_sec":${(nVecs / sec).toLong}}""")
       all.unpersist(blocking = false)
     }
+    // subword-tokenizer scale probe: vocab TRAINING (substring explode
+    // + top-k heap) and the greedy longest-match token count over N
+    // docs — another every-doc front-of-funnel op, so docs/sec is the
+    // 100 TB number. Training cost is one bounded explode; tokenizing
+    // is a closure-vocab map pass, so both must scale linearly.
+    sys.env.get("SPARK_GRAFT_SUBWORD_DOCS").map(_.toLong).foreach { nDocs =>
+      val docs = documents(spark, nDocs).persist()
+      docs.count()
+      def time[A](f: => A): (Double, A) = {
+        val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+      }
+      val (vSec, vRows) = time(graft.operators.TextStats.subwordVocab(docs).count())
+      val (tSec, toks) = time(
+        graft.operators.TextStats.tokenStatsSubword(docs)
+          .agg(coalesce(sum("n_tokens_bpe"), lit(0L))).head().getLong(0))
+      println(
+        s"""{"metric":"subword_scale","docs":$nDocs,"vocab_rows":$vRows,""" +
+          s""""bpe_tokens":$toks,"train_sec":$vSec,"tokenize_sec":$tSec,""" +
+          s""""docs_per_sec":${(nDocs / tSec).toLong}}""")
+      docs.unpersist(blocking = false)
+    }
+    // perceptual-hash near-dup scale probe: dHash + 16-bit banded
+    // pairing over N payloads, with every 10th doc also present as a
+    // stride-resampled copy the banding must pair. Hashing is one
+    // map pass; candidates ride the 4x65,536-key band join — cost must
+    // stay linear with no all-pairs blowup.
+    sys.env.get("SPARK_GRAFT_MM_DOCS").map(_.toLong).foreach { nDocs =>
+      val docs = documents(spark, nDocs)
+        .withColumn("n_chars", length(col("text")))
+        .persist()
+      docs.count()
+      val input = graft.operators.Multimodal.withPayload(docs)
+        .unionByName(graft.operators.Multimodal.plantedResampledPayloads(docs))
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Multimodal.mmNearDup(input).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"mm_phash_scale","docs":$nDocs,"pairs":$pairs,""" +
+          s""""sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
+      docs.unpersist(blocking = false)
+    }
     spark.stop()
   }
 
