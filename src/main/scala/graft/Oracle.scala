@@ -1163,6 +1163,22 @@ object Oracle {
        |)""".stripMargin
   }
 
+  /** Twin of the trained-subword token stats AND the ingest-time
+    * stream over bounded input (`streaming_token_stats_bpe`) — both
+    * run [[graft.operators.TextStats.greedyTokenCount]], so one SQL
+    * covers both rows.
+    */
+  private lazy val subwordStatsSql: String =
+    s"""WITH RECURSIVE $subwordVocabCtes,
+       |$subwordTokenCtes
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
+       |  a.n_tokens_bpe,
+       |  round(CAST(a.n_tokens_bpe AS DOUBLE)
+       |        / len(string_split(d.text, ' ')), 6) AS bpe_per_ws
+       |FROM documents d JOIN sw_doctok a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Greedy longest-match tokenization twin
     * ([[graft.operators.TextStats.greedyTokenCount]]) as a RECURSIVE
     * CTE: each distinct word walks position→position, each step
@@ -1638,16 +1654,30 @@ object Oracle {
       s"""WITH $subwordVocabCtes
          |SELECT rank, subword, freq FROM sw_vocab ORDER BY rank""".stripMargin,
 
-    "doc_token_stats_bpe" ->
+    "doc_token_stats_bpe" -> subwordStatsSql,
+
+    // ingest-time kernel over bounded input, vocab trained on the same
+    // corpus == the batch operator row for row — shared twin
+    "streaming_token_stats_bpe" -> subwordStatsSql,
+
+    "doc_pack_bpe" ->
       s"""WITH RECURSIVE $subwordVocabCtes,
-         |$subwordTokenCtes
-         |SELECT d.doc_id,
-         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
-         |  a.n_tokens_bpe,
-         |  round(CAST(a.n_tokens_bpe AS DOUBLE)
-         |        / len(string_split(d.text, ' ')), 6) AS bpe_per_ws
-         |FROM documents d JOIN sw_doctok a ON d.doc_id = a.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |$subwordTokenCtes,
+         |t AS (
+         |  SELECT doc_id, n_tokens_bpe AS n_tokens,
+         |    md5('pack' || CAST(doc_id AS VARCHAR)) AS ord
+         |  FROM sw_doctok
+         |),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens,
+         |  CAST(cum_excl // ${graft.operators.Corpus.PackBudgetBpe} AS BIGINT) AS seq_id,
+         |  CAST(cum_excl % ${graft.operators.Corpus.PackBudgetBpe} AS BIGINT) AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_budget_select_bpe" ->
       s"""WITH RECURSIVE $subwordVocabCtes,

@@ -621,6 +621,17 @@ object Queries {
   def docPack(s: SparkSession, dir: String): DataFrame =
     Corpus.packSequences(docs(s, dir)).orderBy("doc_id")
 
+  /** Sequence packing in REAL (trained-subword) tokens. */
+  def docPackBpe(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequencesSubword(docs(s, dir)).orderBy("doc_id")
+
+  /** Ingest-time real-token stats over bounded input — must equal
+    * doc_token_stats_bpe row for row (shared twin).
+    */
+  def streamingTokenStatsBpe(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchTokenStatsSubword(docs(s, dir))
+      .toDF().orderBy("doc_id")
+
   /** Unigram-LM mean log-prob per doc (perplexity-filter stand-in). */
   def docLogProb(s: SparkSession, dir: String): DataFrame =
     Corpus.unigramLogProb(docs(s, dir)).orderBy("doc_id")
@@ -1243,6 +1254,7 @@ object Queries {
     "doc_decontaminate" -> (docDecontaminate _),
     "streaming_decontaminate" -> (streamingDecontaminate _),
     "streaming_emb_decontaminate" -> (streamingEmbDecontaminate _),
+    "streaming_token_stats_bpe" -> (streamingTokenStatsBpe _),
     "streaming_keep_mask" -> (streamingKeepMask _),
     "streaming_lang_id" -> (streamingLangId _),
     "doc_decontaminate_ext" -> (docDecontaminateExt _),
@@ -1250,6 +1262,7 @@ object Queries {
     "doc_pipeline_full" -> (docPipelineFull _),
     "doc_boilerplate" -> (docBoilerplate _),
     "doc_pack" -> (docPack _),
+    "doc_pack_bpe" -> (docPackBpe _),
     "doc_logprob" -> (docLogProb _),
     "corpus_vocab" -> (corpusVocab _),
     "corpus_pmi" -> (corpusPmi _),

@@ -541,10 +541,38 @@ object Corpus {
     * twin legitimately does) would funnel the whole corpus through one
     * partition.
     */
-  def packSequences(docs: DataFrame): DataFrame = {
-    val t = docs.select(
+  def packSequences(docs: DataFrame): DataFrame =
+    packSequencesCore(
+      docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      PackBudget)
+
+  /** Sequence budget for REAL-token packing: subword counts run a few
+    * per word, so the window scales accordingly.
+    */
+  val PackBudgetBpe = 640L
+
+  /** [[packSequences]] in REAL (trained-subword) tokens: identical
+    * two-level prefix-sum packing, but each doc's length is its greedy-
+    * subword count through the trained vocab. Whitespace packing
+    * misplaces sequence boundaries on rare-word documents — a packed
+    * window is a MODEL-token contract, so the offsets must be counted
+    * in model tokens.
+    */
+  def packSequencesSubword(docs: DataFrame): DataFrame =
+    packSequencesCore(
+      graft.operators.TextStats.tokenStatsSubword(docs)
+        .select(col("doc_id"), col("n_tokens_bpe").as("n_tokens")),
+      PackBudgetBpe)
+
+  /** The shared packing engine over `(doc_id, n_tokens)` — see
+    * [[packSequences]] for the decomposition argument.
+    */
+  private def packSequencesCore(tokens: DataFrame, budget: Long): DataFrame = {
+    val t = tokens.select(
       col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      col("n_tokens"),
       md5(concat(lit("pack"), col("doc_id").cast("string"))).as("ord"))
       .withColumn("bucket", expr("CAST(conv(substr(ord, 1, 2), 16, 10) AS INT)"))
     val wb = Window.partitionBy("bucket").orderBy("ord", "doc_id")
@@ -564,8 +592,8 @@ object Corpus {
       .select(
         col("doc_id"),
         col("n_tokens"),
-        expr(s"cum_excl div $PackBudget").as("seq_id"),
-        expr(s"cum_excl % $PackBudget").as("seq_offset"))
+        expr(s"cum_excl div $budget").as("seq_id"),
+        expr(s"cum_excl % $budget").as("seq_offset"))
   }
 
   val VocabTopK = 100

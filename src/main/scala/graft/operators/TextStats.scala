@@ -136,7 +136,7 @@ object TextStats {
     * metadata (K strings, kilobytes; the [[Ann]] codebook pattern) the
     * tokenizer kernel closes over.
     */
-  private def vocabByLen(docs: DataFrame): Array[Set[String]] = {
+  private[graft] def vocabByLen(docs: DataFrame): Array[Set[String]] = {
     val entries = subwordVocab(docs).select("subword").collect().map(_.getString(0))
     val byLen = Array.fill(SubwordMaxLen + 1)(Set.newBuilder[String])
     entries.foreach(e => byLen(e.length) += e)

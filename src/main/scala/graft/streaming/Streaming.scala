@@ -894,6 +894,54 @@ object Streaming {
       emb.filter(col("vec_id") % graft.operators.Corpus.BenchmarkMod =!= 0),
       emb.filter(col("vec_id") % graft.operators.Corpus.BenchmarkMod === 0))
 
+  // ---------------------------------------- streaming real-token stats
+  /** One real-token statistic row per arriving document. */
+  case class SubwordOut(
+      doc_id: Long,
+      n_tokens_ws: Long,
+      n_tokens_bpe: Long,
+      bpe_per_ws: Double)
+
+  /** Real-token counting AT INGEST: each arriving document tokenizes
+    * through a subword vocab TRAINED ON A FROZEN REFERENCE CORPUS at
+    * stream start (a tokenizer must never refit per micro-batch, or
+    * token counts stop being comparable across the stream — the
+    * [[graft.sinks.Sinks.appendAnnIndex]] frozen-metadata rule on the
+    * text side). The greedy longest-match kernel is
+    * [[graft.operators.TextStats.greedyTokenCount]] verbatim;
+    * stateless, no watermark, scales with the scan.
+    */
+  def tokenStatsSubwordStream(
+      docs: org.apache.spark.sql.DataFrame,
+      vocabCorpus: org.apache.spark.sql.DataFrame): Dataset[SubwordOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byLen = graft.operators.TextStats.vocabByLen(vocabCorpus)
+    val bc = spark.sparkContext.broadcast(byLen)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val vocab = bc.value
+        val ws = text.split(" ", -1)
+        var bpe = 0L
+        var i = 0
+        while (i < ws.length) {
+          if (ws(i).nonEmpty)
+            bpe += graft.operators.TextStats.greedyTokenCount(ws(i), vocab).toLong
+          i += 1
+        }
+        val ratio = BigDecimal(bpe.toDouble / ws.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        SubwordOut(id, ws.length.toLong, bpe, ratio)
+      })
+  }
+
+  /** The stream kernel over bounded input, vocab trained on the same
+    * corpus — must equal `doc_token_stats_bpe` row for row (shared
+    * oracle twin).
+    */
+  def batchTokenStatsSubword(docs: org.apache.spark.sql.DataFrame): Dataset[SubwordOut] =
+    tokenStatsSubwordStream(docs, docs)
+
   // ------------------------------------------------ streaming keep verdict
   /** One ingest-time keep decision per arriving document. */
   case class KeepOut(

@@ -595,6 +595,37 @@ class StreamingSpec extends AnyFunSuite {
       "streamed semantic verdicts diverged from the batch operator")
   }
 
+  test("streaming real-token stats: frozen vocab, micro-batches equal the batch operator") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+
+    // batch operator = the declarative-side truth
+    val batch = graft.operators.TextStats.tokenStatsSubword(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    // the stream trains its vocab ONCE on the frozen reference corpus
+    // (here: the same docs), then tokenizes arriving docs statelessly
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming
+      .tokenStatsSubwordStream(stream.toDS().toDF("doc_id", "text"), docs)
+      .writeStream.format("memory").queryName("subword_stream")
+      .outputMode("append").start()
+    stream.addData(corpus.take(corpus.size / 2))
+    q.processAllAvailable()
+    stream.addData(corpus.drop(corpus.size / 2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("subword_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch, "streamed real-token stats diverged from the batch operator")
+  }
+
   test("streaming decontamination batch harness equals the declarative operator") {
     val spark = TestSpark.spark
     import spark.implicits._
