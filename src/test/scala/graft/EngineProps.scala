@@ -155,6 +155,62 @@ object EngineProps extends Properties("graft") {
     (i.toLong, if (h) s"$header $body" else body)
   }
 
+  // random corpora over a 4-letter alphabet: substrings repeat heavily,
+  // so the trained vocab is dense and the greedy walk takes real
+  // multi-char steps; occasional double spaces exercise empty tokens
+  private val genTokCorpus: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(2, 25)
+    docs <- Gen.listOfN(n, for {
+      m <- Gen.choose(1, 20)
+      ws <- Gen.listOfN(m, for {
+        l <- Gen.choose(1, 9)
+        cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c', 'd'))
+      } yield cs.mkString)
+      sep <- Gen.frequency(9 -> Gen.const(" "), 1 -> Gen.const("  "))
+    } yield ws.mkString(sep))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("subword tokenization equals a local reference (training + greedy walk)") =
+    forAll(genTokCorpus) { docsSeq =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val ts = graft.operators.TextStats
+      // independent local reference: train the same top-k substring
+      // vocab, then walk each word greedily — none of the engine's
+      // code is reused here
+      val wcnt = docsSeq.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for {
+        (w, c) <- wcnt
+        l <- ts.SubwordMinLen to ts.SubwordMaxLen
+        if w.length >= l
+        p <- 0 to w.length - l
+      } freq(w.substring(p, p + l)) += c
+      val vocab = freq.toSeq.sortBy { case (s, f) => (-f, s) }
+        .take(ts.SubwordVocabK).map(_._1).toSet
+      def count(w: String): Long = {
+        var pos = 0
+        var n = 0L
+        while (pos < w.length) {
+          val step = (math.min(ts.SubwordMaxLen, w.length - pos) to ts.SubwordMinLen by -1)
+            .find(l => vocab(w.substring(pos, pos + l))).getOrElse(1)
+          pos += step
+          n += 1
+        }
+        n
+      }
+      val want = docsSeq.map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        id -> ((ws.length.toLong, ws.filter(_.nonEmpty).map(count).sum))
+      }.toMap
+      val got = ts.tokenStatsSubword(docsSeq.toDF("doc_id", "text")
+        .withColumn("n_chars", org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      Prop(got == want) :| s"subword != local reference\n got=$got\n want=$want"
+    }
+
   property("stripBoilerplate equals a local recomputation on random corpora") =
     forAll(genBoilerCorpus) { docsSeq =>
       val spark = TestSpark.spark
