@@ -277,6 +277,27 @@ class PlanSpec extends AnyFunSuite {
       s"perceptual near-dup must never go all-pairs:\n${p.take(3000)}")
   }
 
+  test("doc_subword_vocab: top-k is a distributed heap take, not a global sort") {
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.TextStats.subwordVocab(docs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-k must be a per-partition heap:\n${p.take(2000)}")
+  }
+
+  test("doc_token_stats_bpe: tokenization is one shuffle-free map pass") {
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the operator itself (registry adds an orderBy for determinism):
+    // vocab is closure metadata, so the scoring plan must be scan ->
+    // kernel with NO Exchange anywhere
+    val p = graft.operators.TextStats.tokenStatsSubword(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"real-token counting must not shuffle:\n${p.take(2000)}")
+  }
+
   test("incremental dedup vs a stored base: bucketed scan, base side never re-shuffles") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions.col
