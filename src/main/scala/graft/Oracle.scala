@@ -663,8 +663,8 @@ object Oracle {
     * fixed point (exact, order-free sums — the labelCentroids pattern)
     * and the full ADC distance relation `pq_dist(q_id, vec_id, dist_q)`.
     */
-  private def pqAdcCtesWith(pqc: String): String =
-    s"""${pqCtesWith(pqc)},
+  private def pqAdcCtesWith(pqc: String, src: String = "embeddings"): String =
+    s"""${pqCtesWith(pqc, src)},
        |pq_q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
        |         WHERE vec_id % ${graft.operators.Ann.QueryMod} = 0),
        |pq_qdt AS (
@@ -770,11 +770,14 @@ object Oracle {
     * path, which must compute the identical result.
     */
   // lazy: references CTE vals declared further down the object — an
-  // eager init would interpolate their still-null values into the SQL
-  private lazy val annIvfPqSql: String =
-    s"""WITH $vecNormCte,
-       |${ivfCtes()},
-       |$pqAdcCtes,
+  // eager init would interpolate their still-null values into the SQL.
+  // `src` = the corpus relation the PQ CODES encode (the upsert twin
+  // encodes the UPDATED corpus; the codebook and query CTEs stay on
+  // `embeddings`, whose relevant rows the upsert rule never touches —
+  // exactly the frozen-metadata contract).
+  private def annIvfPqBodyFrom(src: String): String =
+    s"""${ivfCtes()},
+       |${pqAdcCtesWith(pqcStandIn, src)},
        |ivfpq AS (
        |  SELECT p.q_id, a.vec_id, CAST(sum(qd.dq) AS BIGINT) AS dist_q
        |  FROM probes p
@@ -791,6 +794,36 @@ object Oracle {
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS INTEGER) AS rn
        |  FROM ivfpq)
        |WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
+
+  private lazy val annIvfPqSql: String =
+    s"WITH $vecNormCte,\n${annIvfPqBodyFrom("embeddings")}"
+
+  /** Twin of the serving index's UPSERT path: the logically-updated
+    * corpus — the ids the Spark side re-ingests carry the NEXT id's
+    * embedding — fed through the IDENTICAL frozen-metadata IVF-PQ
+    * CTEs. The upsert id set is derived by a data-only rule (never a
+    * literal list): ids >= 100 keep them out of the stand-in
+    * coarse/PQ codebook ranges (< IvfK/PqK), % QueryMod <> 0 keeps
+    * them off the query side, and the self-join keeps vec_id+1 in
+    * range. Because the codebook CTEs read only those low-id rows,
+    * "trained on the original corpus" and "trained on the updated
+    * corpus" coincide — exactly the frozen-metadata semantics the
+    * index enforces physically.
+    */
+  private lazy val annIndexUpsertSql: String =
+    s"""WITH emb_up AS (
+       |  SELECT v.vec_id, v.label,
+       |    CASE WHEN u.vec_id IS NOT NULL THEN w.embedding ELSE v.embedding END AS embedding
+       |  FROM embeddings v
+       |  LEFT JOIN (
+       |    SELECT a.vec_id FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |    WHERE a.vec_id >= 100 AND a.vec_id % ${graft.operators.Ann.QueryMod} <> 0
+       |      AND a.vec_id % 13 = 7
+       |  ) u ON u.vec_id = v.vec_id
+       |  LEFT JOIN embeddings w ON w.vec_id = v.vec_id + 1
+       |),
+       |${vecNormCteFrom("emb_up")},
+       |${annIvfPqBodyFrom("emb_up")}""".stripMargin
 
   private def annTopkSql(bucketed: Boolean): String = {
     val corpus =
@@ -1360,6 +1393,10 @@ object Oracle {
     // parquet round-trips the codes/centroids exactly, so the on-disk
     // index shares the in-memory twin verbatim
     "ann_index_topk" -> annIvfPqSql,
+
+    // upsert path: tombstone+re-append must equal the in-memory IVF-PQ
+    // over the logically-updated corpus under frozen index metadata
+    "ann_index_upsert_topk" -> annIndexUpsertSql,
 
     // residual IVF-PQ: per-list codebooks over v - centroid (stand-in:
     // each list's first PqK members' residuals, code = rank), corpus

@@ -948,6 +948,39 @@ object Queries {
       .orderBy("q_id", "rn")
   }
 
+  /** The serving index's UPSERT path end-to-end: build, then re-ingest
+    * a data-derived id set (ids >= 100, off the query side, every
+    * 13th) with DIFFERENT vectors — each takes the NEXT id's embedding
+    * — via [[graft.sinks.Sinks.upsertAnnIndex]]'s append-wins
+    * tombstone segments, then query. Must equal the in-memory IVF-PQ
+    * over the logically-updated corpus under the index's FROZEN
+    * coarse/PQ metadata, which the twin derives entirely in SQL.
+    */
+  def annIndexUpsertTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val idxPath = annIndexCache.getOrElseUpdate(s"$dir#upsert", {
+      val d = java.nio.file.Files.createTempDirectory("graft_ann_upsert_").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+          ()
+        }
+        rm(d)
+      }))
+      graft.sinks.Sinks.writeAnnIndex(e, d.getPath)
+      val nxt = e.select((col("vec_id") - 1).as("vec_id"), col("embedding"))
+      val up = e.select("vec_id")
+        .filter(col("vec_id") >= 100 &&
+          col("vec_id") % Ann.QueryMod =!= 0 && col("vec_id") % 13 === 7)
+        .join(nxt, "vec_id") // inner join: drops the id with no successor
+      graft.sinks.Sinks.upsertAnnIndex(s, d.getPath, up)
+      d.getPath
+    })
+    graft.sinks.Sinks.readAnnIndexTopK(s, idxPath, Ann.defaultQueries(e))
+      .orderBy("q_id", "rn")
+  }
+
   /** IVF-PQ with per-list RESIDUAL codebooks — codes quantize
     * v − centroid, ADC tables build over the query residual.
     */
@@ -1298,6 +1331,7 @@ object Queries {
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_index_topk" -> (annIndexTopK _),
+    "ann_index_upsert_topk" -> (annIndexUpsertTopK _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_ivfpq_residual_trained" -> (annIvfPqResidualTrained _),
     "emb_near_dup" -> (embNearDup _),
