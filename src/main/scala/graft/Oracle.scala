@@ -1129,6 +1129,18 @@ object Oracle {
        |  FROM ($genSelect) p""".stripMargin
   }
 
+  /** The perceptual-hash band relation over the planted payload set —
+    * shared by the near-dup pair twin and the cluster twin.
+    */
+  private lazy val mmBandedCtes: String =
+    s"""${phashCtes(plantedPaySql)},
+       |banded AS (
+       |  SELECT doc_id, ph_hi, ph_lo, band,
+       |    CASE WHEN band < 2 THEN (ph_lo >> (band * 16)) & 65535
+       |         ELSE (ph_hi >> ((band - 2) * 16)) & 65535 END AS key
+       |  FROM full_ph, unnest(range(4)) t(band)
+       |)""".stripMargin
+
   private def phashCtes(paySql: String): String =
     s"""pay AS (
        |  $paySql
@@ -1611,13 +1623,7 @@ object Oracle {
          |ORDER BY doc_id""".stripMargin,
 
     "mm_near_dup" ->
-      s"""WITH ${phashCtes(plantedPaySql)},
-         |banded AS (
-         |  SELECT doc_id, ph_hi, ph_lo, band,
-         |    CASE WHEN band < 2 THEN (ph_lo >> (band * 16)) & 65535
-         |         ELSE (ph_hi >> ((band - 2) * 16)) & 65535 END AS key
-         |  FROM full_ph, unnest(range(4)) t(band)
-         |)
+      s"""WITH $mmBandedCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
          |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
@@ -1626,6 +1632,35 @@ object Oracle {
          |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
          |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // perceptual pairs through the same recursive transitive closure
+    // the text and embedding cluster twins replay
+    "mm_dedup_clusters" ->
+      s"""WITH RECURSIVE $mmBandedCtes,
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+         |                             AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |      + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
+         |),
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM prs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM prs
+         |),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM pay
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         |),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY cluster)
+         |SELECT l.doc_id, l.cluster, sz.cluster_size,
+         |       l.doc_id = l.cluster AS is_canonical
+         |FROM lab l JOIN sz USING (cluster)
+         |ORDER BY doc_id""".stripMargin,
 
     "doc_exact_dedup" ->
       """WITH g AS (

@@ -1078,6 +1078,15 @@ object Queries {
         .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))
       .orderBy("doc_a", "doc_b")
 
+  /** Perceptual duplicate clusters over the same payload set — the
+    * shared CC engine's third modality.
+    */
+  def mmDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmDedupClusters(
+      Multimodal.withPayload(docs(s, dir))
+        .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ P6/P5/P11/P12
   /** Presentation projection of the densified table: the reference's
     * public column set (rename/title-case P6, main.py:230) + URIM (P5).
@@ -1350,6 +1359,7 @@ object Queries {
     "mm_resize" -> (mmResize _),
     "mm_phash" -> (mmPhash _),
     "mm_near_dup" -> (mmNearDup _),
+    "mm_dedup_clusters" -> (mmDedupClusters _),
     "span_metrics" -> (spanMetrics _),
     "metrics" -> (metrics _),
     "streaming_daily" -> (streamingDaily _),

@@ -378,6 +378,20 @@ object Multimodal {
       .distinct()
   }
 
+  /** Perceptual duplicate clusters: [[graft.operators.Corpus
+    * .clustersFromEdges]]' connected-components engine over
+    * [[mmNearDup]] pairs — the THIRD modality through the same
+    * propagation loop (text shingles, embedding cosines, now image
+    * signals), which is the point: any similarity modality that
+    * produces a pair stream resolves clusters through one tested
+    * engine, and a multimodal corpus dedups images with exactly the
+    * machinery its text already uses.
+    */
+  def mmDedupClusters(withPayloadDf: DataFrame): DataFrame =
+    Corpus.clustersFromEdges(
+      withPayloadDf.select(col("doc_id")),
+      mmNearDup(withPayloadDf).select(col("doc_a"), col("doc_b")))
+
   /** Resize stub: stride-resample the payload (every ResizeStride-th
     * byte) — a real image resize decodes, scales, re-encodes; the
     * stride keeps the operator deterministic for the oracle while the
