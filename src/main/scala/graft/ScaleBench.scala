@@ -379,6 +379,57 @@ object ScaleBench {
           s""""sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
       docs.unpersist(blocking = false)
     }
+    // CDX planning scale probe: a loopback server records page-count
+    // probes while both planners plan an N-url live scan. The probe
+    // planner pays one HTTP round-trip per url through the bounded
+    // driver pool; the lazy planner must plan with ZERO HTTP traffic —
+    // the difference IS the driver bottleneck a million-url crawl
+    // would hit.
+    sys.env.get("SPARK_GRAFT_CDX_URLS").map(_.toInt).foreach { nUrls =>
+      val hits = new java.util.concurrent.atomic.AtomicLong(0)
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      // non-daemon pool would keep the JVM alive past main — shut it
+      // down with the server
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+      server.setExecutor(pool)
+      server.createContext("/cdx", new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+          if (q.contains("showNumPages")) hits.incrementAndGet()
+          val b = "3\n".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length.toLong)
+          ex.getResponseBody.write(b)
+          ex.close()
+        }
+      })
+      server.start()
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/cdx"
+      val urls = (0 until nUrls).map(i => s"u-$i")
+      def planOnce(lazyMode: Boolean): (Double, Long, Int) = {
+        hits.set(0)
+        val props = new java.util.HashMap[String, String]()
+        props.put("endpoint", endpoint)
+        props.put("urls", urls.mkString(","))
+        props.put("lazyPages", lazyMode.toString)
+        val scan = new graft.sources.CdxSource()
+          .getTable(graft.sources.CdxSource.Schema, Array.empty, props)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(props))
+          .build().toBatch
+        val t0 = System.nanoTime()
+        val parts = scan.planInputPartitions()
+        ((System.nanoTime() - t0) / 1e9, hits.get(), parts.length)
+      }
+      val (lazySec, lazyHttp, lazyParts) = planOnce(lazyMode = true)
+      val (probeSec, probeHttp, probeParts) = planOnce(lazyMode = false)
+      server.stop(0)
+      pool.shutdown()
+      println(
+        s"""{"metric":"cdx_plan_scale","urls":$nUrls,""" +
+          s""""lazy_sec":$lazySec,"lazy_http":$lazyHttp,"lazy_partitions":$lazyParts,""" +
+          s""""probe_sec":$probeSec,"probe_http":$probeHttp,"probe_partitions":$probeParts}""")
+    }
     spark.stop()
   }
 
