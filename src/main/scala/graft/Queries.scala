@@ -924,6 +924,20 @@ object Queries {
     */
   private val annIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** A self-cleaning temp directory for on-disk index fixtures. */
+  private def tempIndexDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+        ()
+      }
+      rm(d)
+    }))
+    d.getPath
+  }
+
   /** IVF-PQ through the SERVING layout: codes in c_id-partitioned
     * parquet (one directory per inverted list), probes pruning at the
     * storage layer — must equal the in-memory `ann_ivfpq` bit-for-bit
@@ -932,17 +946,9 @@ object Queries {
   def annIndexTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val idxPath = annIndexCache.getOrElseUpdate(dir, {
-      val d = java.nio.file.Files.createTempDirectory("graft_ann_index_").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-          ()
-        }
-        rm(d)
-      }))
-      graft.sinks.Sinks.writeAnnIndex(e, d.getPath)
-      d.getPath
+      val p = tempIndexDir("graft_ann_index_")
+      graft.sinks.Sinks.writeAnnIndex(e, p)
+      p
     })
     graft.sinks.Sinks.readAnnIndexTopK(s, idxPath, Ann.defaultQueries(e))
       .orderBy("q_id", "rn")
@@ -959,23 +965,15 @@ object Queries {
   def annIndexUpsertTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val idxPath = annIndexCache.getOrElseUpdate(s"$dir#upsert", {
-      val d = java.nio.file.Files.createTempDirectory("graft_ann_upsert_").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-          ()
-        }
-        rm(d)
-      }))
-      graft.sinks.Sinks.writeAnnIndex(e, d.getPath)
+      val p = tempIndexDir("graft_ann_upsert_")
+      graft.sinks.Sinks.writeAnnIndex(e, p)
       val nxt = e.select((col("vec_id") - 1).as("vec_id"), col("embedding"))
       val up = e.select("vec_id")
         .filter(col("vec_id") >= 100 &&
           col("vec_id") % Ann.QueryMod =!= 0 && col("vec_id") % 13 === 7)
         .join(nxt, "vec_id") // inner join: drops the id with no successor
-      graft.sinks.Sinks.upsertAnnIndex(s, d.getPath, up)
-      d.getPath
+      graft.sinks.Sinks.upsertAnnIndex(s, p, up)
+      p
     })
     graft.sinks.Sinks.readAnnIndexTopK(s, idxPath, Ann.defaultQueries(e))
       .orderBy("q_id", "rn")

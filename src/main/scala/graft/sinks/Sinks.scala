@@ -271,7 +271,11 @@ object Sinks {
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombPath)) None
     else {
-      val t = spark.read.parquet(tombPath.toString)
+      // mergeSchema: a dir mixing pre-segment files (vec_id only) with
+      // seg-stamped ones must not let one legacy footer hide the seg
+      // column — that would read EVERY tombstone as MaxValue and kill
+      // same-segment upsert rows
+      val t = spark.read.option("mergeSchema", "true").parquet(tombPath.toString)
       val seg =
         if (t.columns.contains("seg")) coalesce(col("seg"), lit(Long.MaxValue))
         else lit(Long.MaxValue)
@@ -279,25 +283,89 @@ object Sinks {
     }
   }
 
-  /** The next free segment number: one past the largest segment any
-    * tombstone or delta row carries (base rows are segment 0).
-    * Metadata-scale reads — the tombstone set is id-only and the delta
-    * max is a parquet-statistics aggregate.
+  /** Finish or roll back a [[compactAnnIndex]] swap that crashed —
+    * called by EVERY writer before it touches the delta/tombstone
+    * dirs, so a post-crash index never accumulates new segments that
+    * the post-swap read fallback (and the next compact's cleanup)
+    * would treat as stale. Idempotent; a no-op on a healthy index.
     */
-  private def nextSeg(spark: SparkSession, path: String): Long = {
+  private def repairCrashState(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val base = new Path(s"$path/codes")
+    val baseOld = new Path(s"$path/codes_old")
+    if (fs.exists(baseOld)) {
+      if (fs.exists(base)) {
+        // post-swap crash: `codes` already folded delta−tombstones —
+        // finish the cleanup the crashed run never reached (safe
+        // because writers repair BEFORE appending, so these dirs can
+        // only hold pre-crash segments)
+        fs.delete(new Path(s"$path/codes_delta"), true)
+        fs.delete(new Path(s"$path/tombstones"), true)
+        fs.delete(new Path(s"$path/segments"), true)
+        fs.delete(baseOld, true)
+      } else if (!fs.rename(baseOld, base))
+        throw new java.io.IOException(s"recovery rename $baseOld -> $base failed")
+    }
+    ()
+  }
+
+  /** Allocate a fresh segment number: one past the largest segment any
+    * tombstone/delta row OR allocation marker carries, claimed by an
+    * atomic marker-file create under `segments/` so two concurrent
+    * allocators (a delete racing a stream start, two upserts) can
+    * never share a segment — shared segments would break the
+    * strictly-greater anti-join's append-wins ordering. Metadata-scale
+    * work: the data maxes are parquet-statistics aggregates, the
+    * markers empty files.
+    */
+  private def allocSeg(spark: SparkSession, path: String): Long = {
     val deltaPath = new Path(s"$path/codes_delta")
     val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCrashState(fs, path)
     def maxSeg(p: Path): Long =
       if (!fs.exists(p)) 0L
       else {
-        val df = spark.read.parquet(p.toString)
+        val df = spark.read.option("mergeSchema", "true").parquet(p.toString)
         if (!df.columns.contains("seg")) 0L
         else df.agg(max(col("seg"))).head() match {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
         }
       }
-    math.max(maxSeg(deltaPath), maxSeg(new Path(s"$path/tombstones"))) + 1L
+    val markers = new Path(s"$path/segments")
+    val markerMax =
+      if (!fs.exists(markers)) 0L
+      else Option(fs.listStatus(markers)).getOrElse(Array.empty)
+        .flatMap(s => s.getPath.getName.toLongOption).foldLeft(0L)(math.max)
+    var seg = math.max(
+      math.max(maxSeg(deltaPath), maxSeg(new Path(s"$path/tombstones"))),
+      markerMax) + 1L
+    var claimed = false
+    while (!claimed) {
+      try {
+        fs.create(new Path(markers, seg.toString), false).close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException if fs.exists(new Path(markers, seg.toString)) =>
+          seg += 1L // lost the race — take the next number
+      }
+    }
+    seg
+  }
+
+  /** The index's frozen encode metadata (centroids + packed codebook),
+    * collected once — shared by the streaming append and the upsert
+    * path, which must encode against identical geometry.
+    */
+  private def loadIndexMeta(
+      spark: SparkSession,
+      path: String): (Array[(Long, Array[Float])], Array[Array[Float]]) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("c_id", "ce").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cb = spark.read.parquet(s"$path/codebook").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray).toArray
+    (cents, cb)
   }
 
   /** Delete vectors from the serving index by id — the takedown path
@@ -314,7 +382,7 @@ object Sinks {
     */
   def deleteFromAnnIndex(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
-    val seg = nextSeg(spark, path)
+    val seg = allocSeg(spark, path)
     ids.toDF("vec_id")
       .withColumn("seg", lit(seg))
       .coalesce(1)
@@ -335,22 +403,16 @@ object Sinks {
     * beyond the append's c_id partitioning.
     */
   def upsertAnnIndex(spark: SparkSession, path: String, vecs: DataFrame): Unit = {
-    import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select("c_id", "ce").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val cb = spark.read.parquet(s"$path/codebook").head()
-      .getSeq[org.apache.spark.sql.Row](0)
-      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray).toArray
-    val seg = nextSeg(spark, path)
-    vecs.select("vec_id").distinct().as[Long].collect().toSeq match {
-      case ids if ids.nonEmpty =>
-        ids.toDF("vec_id")
-          .withColumn("seg", lit(seg))
-          .coalesce(1)
-          .write.mode("append").parquet(s"$path/tombstones")
-      case _ => return
-    }
+    // ids stay DISTRIBUTED: a large re-ingest must not funnel its id
+    // set through driver memory just to write a tombstone file
+    val ids = vecs.select("vec_id").distinct()
+    if (ids.isEmpty) return
+    val (cents, cb) = loadIndexMeta(spark, path)
+    val seg = allocSeg(spark, path)
+    ids
+      .withColumn("seg", lit(seg))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
     graft.operators.Ann.encodeForIndex(vecs, cents, cb)
       .withColumn("seg", lit(seg))
       .repartition(col("c_id"))
@@ -391,19 +453,14 @@ object Sinks {
       path: String,
       checkpoint: String): StreamingQuery = {
     val spark = vecs.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select("c_id", "ce").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val cb = spark.read.parquet(s"$path/codebook").head()
-      .getSeq[org.apache.spark.sql.Row](0)
-      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray).toArray
+    val (cents, cb) = loadIndexMeta(spark, path)
     // One segment number per ingest SESSION, allocated at stream
     // start: every row this stream appends outlives tombstones written
     // before the stream started, and dies to tombstones written after.
     // (Deletes issued WHILE the stream runs use a higher segment and
     // so also hide rows this stream appends later — a delete-during-
     // ingest is a takedown, and takedowns win.)
-    val seg = nextSeg(spark, path)
+    val seg = allocSeg(spark, path)
     graft.operators.Ann.encodeForIndex(vecs, cents, cb)
       .withColumn("seg", lit(seg))
       .writeStream
@@ -441,19 +498,9 @@ object Sinks {
     val delta = new Path(s"$path/codes_delta")
     val tomb = new Path(s"$path/tombstones")
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Finish or roll back a previous compaction that crashed mid-swap.
-    if (fs.exists(baseOld)) {
-      if (fs.exists(base)) {
-        // Post-swap crash: `codes` already holds the compacted merge —
-        // complete the cleanup the crashed run never reached.
-        fs.delete(delta, true)
-        fs.delete(tomb, true)
-        fs.delete(baseOld, true)
-      } else if (!fs.rename(baseOld, base))
-        // Pre-swap crash: restore the old base and fall through to a
-        // fresh compaction attempt.
-        throw new java.io.IOException(s"recovery rename $baseOld -> $base failed")
-    }
+    // Finish or roll back a previous compaction that crashed mid-swap
+    // (the same repair every writer runs before appending).
+    repairCrashState(fs, path)
     // Orphaned temp dirs from crashed runs are dead weight — drop them.
     Option(fs.globStatus(new Path(s"$path/codes_compact_*")))
       .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
@@ -469,6 +516,7 @@ object Sinks {
         throw new java.io.IOException(s"compaction rename $tmp -> $base failed")
       fs.delete(delta, true)
       fs.delete(tomb, true)
+      fs.delete(new Path(s"$path/segments"), true)
       fs.delete(baseOld, true)
       ()
     } catch {

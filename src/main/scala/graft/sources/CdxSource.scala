@@ -346,12 +346,13 @@ object CdxHttp {
       new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
   }
 
-  /** Open a page for a lazy walk, or signal end-of-pages: a 4xx status
-    * is how CDX servers answer a page index past the count — `None`,
-    * walk over. 5xx and transport errors still THROW (a flaky server
-    * must fail the task for retry, not silently truncate a url's
-    * stream), which is why end-of-pages must be a client error, never
-    * an exception.
+  /** Open a page for a lazy walk, or signal end-of-pages: ONLY 400 and
+    * 404 — how CDX servers answer a page index past the count — mean
+    * `None`, walk over. Every other status (429 rate-limit, 403, 5xx)
+    * and transport errors THROW: a throttled or flaky server must fail
+    * the task for retry, never silently truncate a url's stream —
+    * treating all of 4xx as end-of-pages would make a rate-limited
+    * crawl return success with missing pages.
     */
   def openPageOrEnd(u: String): Option[java.io.BufferedReader] = {
     val conn = new java.net.URL(u).openConnection()
@@ -359,10 +360,10 @@ object CdxHttp {
     conn.setConnectTimeout(15000)
     conn.setReadTimeout(120000)
     val code = conn.getResponseCode
-    if (code >= 400 && code < 500) {
+    if (code == 400 || code == 404) {
       conn.disconnect()
       None
-    } else if (code >= 500) {
+    } else if (code >= 300) {
       conn.disconnect()
       throw new java.io.IOException(s"cdx page fetch $u failed with HTTP $code")
     } else Some(new java.io.BufferedReader(

@@ -747,9 +747,27 @@ object Streaming {
         finally out.close()
       } catch {
         case _: java.io.IOException if fs.exists(marker) =>
-          val in = fs.open(marker)
-          val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
+          // the winner may have created the file but not yet written
+          // its version bytes — retry briefly before judging, and
+          // treat a still-empty marker as the I/O problem it is, not
+          // as a format mismatch
+          def readMarker(): String = {
+            val in = fs.open(marker)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          }
+          var found = readMarker()
+          var tries = 0
+          while (found.isEmpty && tries < 20) {
+            Thread.sleep(50)
+            found = readMarker()
+            tries += 1
+          }
+          if (found.isEmpty)
+            throw new java.io.IOException(
+              s"TTL near-dup checkpoint marker at $checkpointDir exists but stayed " +
+                "empty — a concurrent writer died mid-write or the filesystem lost " +
+                "the content; inspect the checkpoint dir.")
           if (found != TtlStateVersion.toString)
             throw new IllegalStateException(
               s"TTL near-dup checkpoint at $checkpointDir holds state format v$found, " +

@@ -191,6 +191,46 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(postCompact == preCompact, "compaction changed the upserted live view")
   }
 
+  test("a takedown issued after a post-swap crash is repaired-then-applied, never lost") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = clustered(400, 71)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_crashdel_").toString
+    Sinks.writeAnnIndex(emb, dir)
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(3L))
+    val v = emb.filter(col("vec_id") === 50L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Sinks.upsertAnnIndex(spark, dir, Seq((800L, v)).toDF("vec_id", "embedding"))
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    // simulate the post-swap crash: merged view swapped in, stale
+    // delta/tombstones/old base never cleaned up
+    val tmp = p("codes_compact_crashdel")
+    Sinks.readAnnIndexCodes(spark, dir)
+      .repartition(col("c_id"))
+      .write.partitionBy("c_id").parquet(tmp.toString)
+    assert(fs.rename(p("codes"), p("codes_old")))
+    assert(fs.rename(tmp, p("codes")))
+
+    // a takedown arriving NOW must repair the crash state first — a
+    // tombstone appended into the stale dir would be ignored by reads
+    // and destroyed by the next compact's cleanup
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(7L))
+    assert(!fs.exists(p("codes_old")), "writer must finish the crashed swap before appending")
+    assert(Sinks.readAnnIndexCodes(spark, dir)
+      .filter(col("vec_id") === 7L).count() == 0,
+      "post-crash takedown was ignored by the read path")
+    // and the next compact keeps it hidden (the takedown survives)
+    Sinks.compactAnnIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id").isin(3L, 7L)).count() == 0,
+      "a takedown was lost across crash repair + compaction")
+    assert(Sinks.readAnnIndexCodes(spark, dir)
+      .filter(col("vec_id") === 800L).count() == 1, "the pre-crash upsert must survive")
+  }
+
   test("compaction crash states: reads stay correct, the next compact repairs") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -253,6 +253,34 @@ class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!requests.asScala.exists(q => q.startsWith("LAZY") && q.contains("showNumPages")))
   }
 
+  test("lazy walk: 429 rate-limit fails the task for retry instead of truncating the stream") {
+    server.createContext("/cdx-throttle", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        params("page").toInt match {
+          case 0 =>
+            val b = "20240101000000 200 TTTT0001\n".getBytes("UTF-8")
+            ex.sendResponseHeaders(200, b.length.toLong); ex.getResponseBody.write(b)
+          case 1 => ex.sendResponseHeaders(429, -1) // throttled, NOT end-of-pages
+          case _ => ex.sendResponseHeaders(400, -1)
+        }
+        ex.close()
+      }
+    })
+    val df = TestSpark.spark.read.format(graft.sources.CdxSource.Name)
+      .option("endpoint", s"$endpoint-throttle")
+      .option("urls", "u-t")
+      .option("lazyPages", "true")
+      .option("pageStride", "1").load()
+    val ex = intercept[org.apache.spark.SparkException](df.collect())
+    assert(ex.getMessage.contains("429") ||
+      Option(ex.getCause).exists(_.getMessage.contains("429")),
+      s"throttling must surface as a task failure naming the status: ${ex.getMessage}")
+  }
+
   test("SRC4 probe: redirect chain yields one header block per hop") {
     val port = server.getAddress.getPort
     server.createContext("/hop-a", new HttpHandler {
