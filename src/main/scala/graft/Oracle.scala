@@ -1100,6 +1100,11 @@ object Oracle {
     * in the kernel — same bit either way.
     */
   private val docPaySql: String =
+    // RE2 matches the negated class once per CODEPOINT — and so does
+    // Spark's Java regex (Pattern is codepoint-aware since Java 5), so
+    // a supplementary character becomes ONE '_' on both engines;
+    // MultimodalSpec pins the Spark side. Payload lengths agree on any
+    // input, BMP or astral.
     "SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7e]', '_', 'g') AS s FROM documents"
 
   /** Text payloads plus the planted smooth signals and their strided

@@ -57,6 +57,11 @@ object Multimodal {
       lit("image").as("modality"),
       (col("n_chars") % 64 + 16).as("width"),
       (col("n_chars") * 7 % 64 + 16).as("height"),
+      // Java regex is CODEPOINT-aware (Pattern since Java 5): a
+      // supplementary character is one class match → one '_', exactly
+      // RE2/DuckDB's semantics in the oracle twin — verified by
+      // MultimodalSpec's astral-plane pin, so non-BMP text cannot
+      // diverge payload lengths between the engines.
       encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", "_"), "utf-8").as("payload"))
 
   private val PngSig: Array[Byte] =

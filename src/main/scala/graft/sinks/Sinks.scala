@@ -210,8 +210,15 @@ object Sinks {
   def readAnnIndexCodes(spark: SparkSession, path: String): DataFrame = {
     val basePath = new Path(s"$path/codes")
     val oldPath = new Path(s"$path/codes_old")
-    val deltaPath = new Path(s"$path/codes_delta")
-    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // TWO delta dirs, one per writer kind: `codes_delta` belongs to the
+    // streaming sink (whose `_spark_metadata` log is the source of
+    // truth for that dir — a batch file appended there would be
+    // silently invisible to every read), `codes_delta_batch` to batch
+    // upserts. Keeping them separate is what lets the two writer kinds
+    // interleave without one shadowing the other's rows.
+    val deltaPaths = Seq(
+      new Path(s"$path/codes_delta"), new Path(s"$path/codes_delta_batch"))
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Crash-state awareness for [[compactAnnIndex]]'s rename swap:
     //  - `codes_old` present WITHOUT `codes`  → crash between the two
     //    renames; `codes_old` IS the pre-compact base (delta+tombstones
@@ -234,19 +241,19 @@ object Sinks {
     val base = spark.read.parquet(
       (if (baseExists) basePath else oldPath).toString)
       .withColumn("rseg", lit(0L))
-    val all =
-      if (!postSwapCrash && fs.exists(deltaPath)) {
-        // mergeSchema: a delta dir can mix pre-segment files (no `seg`
-        // column) with segment-stamped ones; the merge costs footer
-        // reads of the DELTA only (small by construction), and null
-        // seg values read as segment 0.
-        val delta = spark.read.option("mergeSchema", "true").parquet(deltaPath.toString)
-        val withSeg =
-          if (delta.columns.contains("seg"))
-            delta.withColumn("rseg", coalesce(col("seg"), lit(0L))).drop("seg")
-          else delta.withColumn("rseg", lit(0L))
-        base.unionByName(withSeg)
-      } else base
+    val liveDeltas = if (postSwapCrash) Seq.empty else deltaPaths.filter(fs.exists)
+    val all = liveDeltas.foldLeft(base) { (acc, deltaPath) =>
+      // mergeSchema: a delta dir can mix pre-segment files (no `seg`
+      // column) with segment-stamped ones; the merge costs footer
+      // reads of the DELTA only (small by construction), and null
+      // seg values read as segment 0.
+      val delta = spark.read.option("mergeSchema", "true").parquet(deltaPath.toString)
+      val withSeg =
+        if (delta.columns.contains("seg"))
+          delta.withColumn("rseg", coalesce(col("seg"), lit(0L))).drop("seg")
+        else delta.withColumn("rseg", lit(0L))
+      acc.unionByName(withSeg)
+    }
     val live =
       if (postSwapCrash) all
       else readAnnTombstones(spark, path) match {
@@ -299,6 +306,7 @@ object Sinks {
         // because writers repair BEFORE appending, so these dirs can
         // only hold pre-crash segments)
         fs.delete(new Path(s"$path/codes_delta"), true)
+        fs.delete(new Path(s"$path/codes_delta_batch"), true)
         fs.delete(new Path(s"$path/tombstones"), true)
         fs.delete(new Path(s"$path/segments"), true)
         fs.delete(baseOld, true)
@@ -316,6 +324,18 @@ object Sinks {
     * strictly-greater anti-join's append-wins ordering. Metadata-scale
     * work: the data maxes are parquet-statistics aggregates, the
     * markers empty files.
+    *
+    * STORAGE CONTRACT: the uniqueness claim rests on
+    * `fs.create(path, overwrite=false)` being an atomic
+    * compare-and-create, which HDFS and local filesystems guarantee
+    * but raw object stores (S3A without a metadata layer) do NOT —
+    * S3A's create is not atomic and listings can lag, so two racing
+    * allocators there could both "win" the same marker. Host the
+    * index on a filesystem with atomic create-exclusive (HDFS, local,
+    * ADLS Gen2, GCS with preconditions, or S3 behind a consistency
+    * layer), or serialize writers externally. Single-writer
+    * deployments are unaffected — the markers then only defend
+    * against re-allocation after partial failures.
     */
   private def allocSeg(spark: SparkSession, path: String): Long = {
     val deltaPath = new Path(s"$path/codes_delta")
@@ -337,7 +357,9 @@ object Sinks {
       else Option(fs.listStatus(markers)).getOrElse(Array.empty)
         .flatMap(s => s.getPath.getName.toLongOption).foldLeft(0L)(math.max)
     var seg = math.max(
-      math.max(maxSeg(deltaPath), maxSeg(new Path(s"$path/tombstones"))),
+      math.max(
+        math.max(maxSeg(deltaPath), maxSeg(new Path(s"$path/codes_delta_batch"))),
+        maxSeg(new Path(s"$path/tombstones"))),
       markerMax) + 1L
     var claimed = false
     while (!claimed) {
@@ -382,8 +404,21 @@ object Sinks {
     */
   def deleteFromAnnIndex(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
+    deleteFromAnnIndex(spark, path, ids.toDF("vec_id"))
+  }
+
+  /** Bulk-delete overload: the id set stays a DISTRIBUTED frame (one
+    * `vec_id` column), so a purge of millions of ids — a GDPR-scale
+    * takedown — never funnels through driver memory the way the Seq
+    * overload's argument does. Same tombstone mechanics; the write is
+    * still a single compacted file because tombstones are read via
+    * broadcast anti-join and must stay metadata-scale — a purge so
+    * large that its ID SET doesn't fit one file should be a compaction
+    * (rewrite the base minus the ids), not a tombstone.
+    */
+  def deleteFromAnnIndex(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     val seg = allocSeg(spark, path)
-    ids.toDF("vec_id")
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
       .withColumn("seg", lit(seg))
       .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
@@ -401,6 +436,14 @@ object Sinks {
     * Cost: two kilobyte-scale metadata reads (segment allocation), one
     * tombstone file, one delta append — no index rewrite, no shuffle
     * beyond the append's c_id partitioning.
+    *
+    * Batch rows land in `codes_delta_batch`, NEVER in the streaming
+    * sink's `codes_delta`: once a stream has written there, its
+    * `_spark_metadata` log is the source of truth for that directory
+    * and batch-appended files are silently invisible to reads — the
+    * upserted rows would vanish while their tombstone still applied,
+    * turning the upsert into a delete. Separate dirs let batch and
+    * streaming writers interleave safely; compaction folds both.
     */
   def upsertAnnIndex(spark: SparkSession, path: String, vecs: DataFrame): Unit = {
     // ids stay DISTRIBUTED: a large re-ingest must not funnel its id
@@ -416,7 +459,7 @@ object Sinks {
     graft.operators.Ann.encodeForIndex(vecs, cents, cb)
       .withColumn("seg", lit(seg))
       .repartition(col("c_id"))
-      .write.partitionBy("c_id").mode("append").parquet(s"$path/codes_delta")
+      .write.partitionBy("c_id").mode("append").parquet(s"$path/codes_delta_batch")
   }
 
   /** Query the on-disk index: same probe/ADC/rank tail as the
@@ -496,6 +539,7 @@ object Sinks {
     val base = new Path(s"$path/codes")
     val baseOld = new Path(s"$path/codes_old")
     val delta = new Path(s"$path/codes_delta")
+    val deltaBatch = new Path(s"$path/codes_delta_batch")
     val tomb = new Path(s"$path/tombstones")
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Finish or roll back a previous compaction that crashed mid-swap
@@ -504,7 +548,7 @@ object Sinks {
     // Orphaned temp dirs from crashed runs are dead weight — drop them.
     Option(fs.globStatus(new Path(s"$path/codes_compact_*")))
       .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
-    if (!fs.exists(delta) && !fs.exists(tomb)) return
+    if (!fs.exists(delta) && !fs.exists(deltaBatch) && !fs.exists(tomb)) return
     val tmp = new Path(s"$path/codes_compact_${java.util.UUID.randomUUID()}")
     try {
       readAnnIndexCodes(spark, path)
@@ -515,6 +559,7 @@ object Sinks {
       if (!fs.rename(tmp, base))
         throw new java.io.IOException(s"compaction rename $tmp -> $base failed")
       fs.delete(delta, true)
+      fs.delete(deltaBatch, true)
       fs.delete(tomb, true)
       fs.delete(new Path(s"$path/segments"), true)
       fs.delete(baseOld, true)

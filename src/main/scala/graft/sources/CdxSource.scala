@@ -346,21 +346,28 @@ object CdxHttp {
       new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
   }
 
-  /** Open a page for a lazy walk, or signal end-of-pages: ONLY 400 and
-    * 404 — how CDX servers answer a page index past the count — mean
-    * `None`, walk over. Every other status (429 rate-limit, 403, 5xx)
-    * and transport errors THROW: a throttled or flaky server must fail
-    * the task for retry, never silently truncate a url's stream —
-    * treating all of 4xx as end-of-pages would make a rate-limited
-    * crawl return success with missing pages.
+  /** Open a page for a lazy walk, or signal end-of-pages: ONLY 404 —
+    * and 400 AFTER a prior page of the same walk succeeded — mean
+    * `None`, walk over (how CDX servers answer a page index past the
+    * count). A 400 on the walk's FIRST request is ambiguous: it is
+    * also the server's generic bad-request answer (malformed url,
+    * failed validation), and reading it as end-of-pages would let a
+    * rejected url yield zero rows and a successful scan — the silent
+    * truncation the probe planner would have surfaced as a failure.
+    * So first-request 400 throws; `priorPageSucceeded` widens it to
+    * end-of-pages once the url itself is proven well-formed. Every
+    * other status (429 rate-limit, 403, 5xx) and transport errors
+    * THROW: a throttled or flaky server must fail the task for retry,
+    * never silently truncate a url's stream.
     */
-  def openPageOrEnd(u: String): Option[java.io.BufferedReader] = {
+  def openPageOrEnd(
+      u: String, priorPageSucceeded: Boolean): Option[java.io.BufferedReader] = {
     val conn = new java.net.URL(u).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(15000)
     conn.setReadTimeout(120000)
     val code = conn.getResponseCode
-    if (code == 400 || code == 404) {
+    if (code == 404 || (code == 400 && priorPageSucceeded)) {
       conn.disconnect()
       None
     } else if (code >= 300) {
@@ -476,7 +483,13 @@ class CdxPageWalkReader(
     if (current != null) { current.close(); current = null }
     page += stride
     if (page >= maxPages) { done = true; return false }
-    CdxHttp.openPageOrEnd(CdxHttp.pageUrl(endpoint, urlKey, page)) match {
+    // `page > 0`: any request past the url's page 0 either follows a
+    // success in THIS walk (stride advances only after one) or belongs
+    // to a strided sibling of the partition that fetches page 0 — and
+    // that sibling surfaces a malformed-url 400 by throwing, failing
+    // the whole task. Only the page-0 request is ambiguous.
+    CdxHttp.openPageOrEnd(
+      CdxHttp.pageUrl(endpoint, urlKey, page), priorPageSucceeded = page > 0) match {
       case Some(reader) =>
         current = new CdxLineReader(
           reader, page, columns, urlFilter, defaultUrl = Some(urlKey))

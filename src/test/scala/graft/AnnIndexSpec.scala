@@ -191,6 +191,82 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(postCompact == preCompact, "compaction changed the upserted live view")
   }
 
+  test("batch upserts survive a streaming sink's _spark_metadata log in either order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = clustered(320, 83)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_mixed_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_idx_mixed_ckpt_").toString
+    Sinks.writeAnnIndex(emb, dir)
+
+    // BATCH FIRST: an upsert lands before any stream exists
+    val v = emb.filter(col("vec_id") === 10L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Sinks.upsertAnnIndex(spark, dir, Seq((700L, v)).toDF("vec_id", "embedding"))
+
+    // THEN STREAMING: the sink creates codes_delta/_spark_metadata —
+    // the log that shadows any batch file sharing its directory. The
+    // earlier upsert must stay live because it lives in its own
+    // codes_delta_batch segment dir.
+    val late = clustered(340, 83).filter(col("vec_id") >= 320)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = Sinks.appendAnnIndex(stream.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    stream.addData(late.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(new java.io.File(s"$dir/codes_delta/_spark_metadata").exists,
+      "fixture failed to create the streaming sink's metadata log")
+    assert(Sinks.readAnnIndexCodes(spark, dir)
+      .filter(col("vec_id") === 700L).count() == 1,
+      "pre-stream upsert vanished once the streaming log existed")
+
+    // BATCH AFTER STREAMING: the data-loss path the separate dir
+    // exists for — an upsert into a dir the log governs would be
+    // invisible to reads while its tombstone still applied (a silent
+    // delete of id 11's base copy here)
+    val v2 = emb.filter(col("vec_id") === 12L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Sinks.upsertAnnIndex(spark, dir, Seq((11L, v2)).toDF("vec_id", "embedding"))
+    val live11 = Sinks.readAnnIndexCodes(spark, dir)
+      .filter(col("vec_id") === 11L).collect()
+    assert(live11.length == 1,
+      s"post-stream upsert of a base id left ${live11.length} live copies")
+    val expected11 = Ann.pqEncode(
+      Seq((11L, v2)).toDF("vec_id", "embedding"),
+      spark.read.parquet(s"$dir/codebook")).head().getSeq[Int](1)
+    assert(live11.head.getSeq[Int](1) == expected11,
+      "post-stream upsert's rows were shadowed; the stale base copy answered")
+
+    // streamed rows and both upserts all survive compaction together
+    val preCompact = Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet
+    Sinks.compactAnnIndex(spark, dir)
+    assert(Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet == preCompact,
+      "compaction changed the mixed-writer live view")
+  }
+
+  test("bulk delete takes a distributed id frame, not a driver Seq") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = clustered(400, 89)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_bulkdel_").toString
+    Sinks.writeAnnIndex(emb, dir)
+    // the purge id set arrives as a DataFrame (e.g. the output of a
+    // dedup or takedown query) — ids 0..99, with duplicates, as a frame
+    val purge = spark.range(0, 100).select(col("id").as("vec_id"))
+      .unionAll(spark.range(0, 50).select(col("id").as("vec_id")))
+    Sinks.deleteFromAnnIndex(spark, dir, purge)
+    val codes = Sinks.readAnnIndexCodes(spark, dir)
+    assert(codes.filter(col("vec_id") < 100).count() == 0, "purged ids still live")
+    assert(codes.count() == 300, "bulk delete removed more than the purge set")
+    // the tombstone write stayed a single compacted file (broadcast-
+    // sized metadata, not a data-scale segment)
+    val tombFiles = new java.io.File(s"$dir/tombstones")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(tombFiles == 1, s"expected one tombstone file, got $tombFiles")
+  }
+
   test("a takedown issued after a post-swap crash is repaired-then-applied, never lost") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -254,7 +330,8 @@ class AnnIndexSpec extends AnyFunSuite {
     // the next compact rolls the rename back and completes normally
     Sinks.compactAnnIndex(spark, dir)
     assert(fs.exists(p("codes")) && !fs.exists(p("codes_old")) &&
-      !fs.exists(p("codes_delta")) && !fs.exists(p("tombstones")),
+      !fs.exists(p("codes_delta")) && !fs.exists(p("codes_delta_batch")) &&
+      !fs.exists(p("tombstones")),
       "repairing compact left stale segments behind")
     assert(Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet == expected)
 
@@ -273,13 +350,14 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fs.rename(tmp, p("codes")))
     // stale delta + tombstones still on disk: a read must NOT double-
     // count the delta or re-apply the tombstones
-    assert(fs.exists(p("codes_delta")) && fs.exists(p("tombstones")))
+    assert(fs.exists(p("codes_delta_batch")) && fs.exists(p("tombstones")))
     assert(Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet == expected2,
       "post-swap crash state double-counted delta or re-applied tombstones")
     // the next compact finishes the cleanup
     Sinks.compactAnnIndex(spark, dir)
     assert(!fs.exists(p("codes_old")) && !fs.exists(p("codes_delta")) &&
-      !fs.exists(p("tombstones")), "post-swap repair left stale segments")
+      !fs.exists(p("codes_delta_batch")) && !fs.exists(p("tombstones")),
+      "post-swap repair left stale segments")
     assert(Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet == expected2)
   }
 }

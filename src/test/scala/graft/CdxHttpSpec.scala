@@ -148,8 +148,10 @@ class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // lazy (probeless) planning: url count well above ProbeParallelism.
   // Page shapes cover every walk-termination signal: a zero-page url
-  // (400 at page 0), a junk-only page that must NOT end the walk, and
-  // an empty-200-body page that must.
+  // (empty 200 body at page 0 — how a CDX server answers a valid url
+  // with no captures; a page-0 400 means BAD REQUEST and throws), a
+  // junk-only page that must NOT end the walk, and an empty-200-body
+  // page that must.
   private val lazyUrls: Map[String, Vector[Vector[String]]] = {
     def line(u: String, p: Int, i: Int) =
       f"2024${p + 1}%02d${i + 1}%02d000000 200 ${u.toUpperCase.replace("-", "")}P${p}L$i"
@@ -158,7 +160,7 @@ class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
       val pages = n match {
         case 3 => Vector(Vector("garbage", "x y"), Vector(line(u, 1, 0), line(u, 1, 1)))
         case 7 => Vector(Vector(line(u, 0, 0)), Vector.empty[String]) // empty 200 body ends
-        case _ if n % 5 == 0 => Vector.empty[Vector[String]] // zero pages: 400 at page 0
+        case _ if n % 5 == 0 => Vector.empty[Vector[String]] // zero pages: empty 200 at page 0
         case _ => (0 until (n % 4) + 1).toVector.map(p => Vector(line(u, p, 0), line(u, p, 1)))
       }
       u -> pages
@@ -193,8 +195,13 @@ class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
           ex.sendResponseHeaders(200, b.length.toLong); ex.getResponseBody.write(b)
         } else {
           val page = params("page").toInt
-          if (page >= mine.size) ex.sendResponseHeaders(400, -1)
-          else {
+          // past-the-count pages answer 400 (the real servers' shape) —
+          // except page 0 of an empty url, where a valid request finds
+          // no captures: empty 200 body, NOT a bad-request 400
+          if (page >= mine.size) {
+            if (page == 0) ex.sendResponseHeaders(200, -1)
+            else ex.sendResponseHeaders(400, -1)
+          } else {
             val body = mine(page).mkString("", "\n", if (mine(page).isEmpty) "" else "\n")
             val b = body.getBytes("UTF-8")
             ex.sendResponseHeaders(200, if (b.isEmpty) -1 else b.length.toLong)
@@ -279,6 +286,44 @@ class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("429") ||
       Option(ex.getCause).exists(_.getMessage.contains("429")),
       s"throttling must surface as a task failure naming the status: ${ex.getMessage}")
+  }
+
+  test("lazy walk: a 400 on a url's FIRST page fails the task (rejected url, not end-of-pages)") {
+    server.createContext("/cdx-badreq", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        if (params("url") == "bad url") ex.sendResponseHeaders(400, -1)
+        else params("page").toInt match {
+          case 0 =>
+            val b = "20240101000000 200 GOOD0001\n".getBytes("UTF-8")
+            ex.sendResponseHeaders(200, b.length.toLong); ex.getResponseBody.write(b)
+          case _ => ex.sendResponseHeaders(400, -1) // past the count AFTER a success: fine
+        }
+        ex.close()
+      }
+    })
+    // the good url's walk ends on its past-the-count 400 (after page 0
+    // succeeded) — but the server-rejected url's page-0 400 must FAIL
+    // the scan, not read as an innocently empty url
+    val df = TestSpark.spark.read.format(graft.sources.CdxSource.Name)
+      .option("endpoint", s"$endpoint-badreq")
+      .option("urls", "good-url,bad url")
+      .option("lazyPages", "true")
+      .option("pageStride", "1").load()
+    val ex = intercept[org.apache.spark.SparkException](df.collect())
+    assert(ex.getMessage.contains("400") ||
+      Option(ex.getCause).exists(_.getMessage.contains("400")),
+      s"a rejected url must surface as a task failure naming the status: ${ex.getMessage}")
+    // the good url alone scans clean — its own 400 is past-the-count
+    val ok = TestSpark.spark.read.format(graft.sources.CdxSource.Name)
+      .option("endpoint", s"$endpoint-badreq")
+      .option("urls", "good-url")
+      .option("lazyPages", "true")
+      .option("pageStride", "1").load()
+    assert(ok.count() == 1)
   }
 
   test("SRC4 probe: redirect chain yields one header block per hop") {

@@ -100,6 +100,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(spurious.isEmpty, s"spurious perceptual pairs: $spurious")
   }
 
+  test("withPayload projects a supplementary codepoint to ONE byte, matching RE2") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // U+1F600 is two UTF-16 code units; Java regex (Pattern is
+    // codepoint-aware since Java 5) must match the negated class ONCE
+    // per codepoint — one '_' — which is exactly RE2/DuckDB's
+    // semantics for the oracle twin's regexp_replace. If this ever
+    // produced two underscores, payload lengths (and so phash bucket
+    // boundaries) would diverge from the oracle on any non-BMP text.
+    val astral = "a" + new String(Character.toChars(0x1F600)) + "b"
+    val docs = Seq((1L, astral)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val payload = Multimodal.withPayload(docs).select("payload").head().getAs[Array[Byte]](0)
+    assert(new String(payload, "UTF-8") == "a_b",
+      s"expected 'a_b', got '${new String(payload, "UTF-8")}'")
+  }
+
   test("perceptualHash is integer-exact: identical payloads share a hash, halves stay non-negative") {
     val spark = TestSpark.spark
     import spark.implicits._
