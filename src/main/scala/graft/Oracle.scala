@@ -1186,11 +1186,11 @@ object Oracle {
     * pattern), the twin derives it in place — training AND use replay
     * in one statement.
     */
-  private val subwordVocabCtes: String = {
+  private def subwordVocabCtes(where: String = ""): String = {
     val lo = graft.operators.TextStats.SubwordMinLen
     val hi = graft.operators.TextStats.SubwordMaxLen
     s"""sw_words AS (
-       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents$where
        |),
        |sw_wf AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM sw_words
@@ -1218,8 +1218,15 @@ object Oracle {
     * run [[graft.operators.TextStats.greedyTokenCount]], so one SQL
     * covers both rows.
     */
-  private lazy val subwordStatsSql: String =
-    s"""WITH RECURSIVE $subwordVocabCtes,
+  private lazy val subwordStatsSql: String = subwordStatsSqlWith("")
+
+  /** [[subwordStatsSql]] with the vocab-training corpus FILTERED —
+    * the stored-artifact row's twin trains on batch 1 (doc_id % 3 = 0)
+    * and tokenizes everything, replaying the persisted-vocab apply
+    * path in one statement.
+    */
+  private def subwordStatsSqlWith(vocabWhere: String): String =
+    s"""WITH RECURSIVE ${subwordVocabCtes(vocabWhere)},
        |$subwordTokenCtes
        |SELECT d.doc_id,
        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
@@ -1728,17 +1735,21 @@ object Oracle {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_subword_vocab" ->
-      s"""WITH $subwordVocabCtes
+      s"""WITH ${subwordVocabCtes()}
          |SELECT rank, subword, freq FROM sw_vocab ORDER BY rank""".stripMargin,
 
     "doc_token_stats_bpe" -> subwordStatsSql,
+
+    // the stored-vocab apply path: train on every third doc, persist,
+    // tokenize the full corpus through the loaded artifact
+    "doc_token_stats_bpe_stored" -> subwordStatsSqlWith(" WHERE doc_id % 3 = 0"),
 
     // ingest-time kernel over bounded input, vocab trained on the same
     // corpus == the batch operator row for row — shared twin
     "streaming_token_stats_bpe" -> subwordStatsSql,
 
     "doc_pack_bpe" ->
-      s"""WITH RECURSIVE $subwordVocabCtes,
+      s"""WITH RECURSIVE ${subwordVocabCtes()},
          |$subwordTokenCtes,
          |t AS (
          |  SELECT doc_id, n_tokens_bpe AS n_tokens,
@@ -1757,7 +1768,7 @@ object Oracle {
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_budget_select_bpe" ->
-      s"""WITH RECURSIVE $subwordVocabCtes,
+      s"""WITH RECURSIVE ${subwordVocabCtes()},
          |$subwordTokenCtes,
          |q AS ($qualitySelect),
          |s AS (

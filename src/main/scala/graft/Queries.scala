@@ -486,6 +486,23 @@ object Queries {
   def docTokenStatsBpe(s: SparkSession, dir: String): DataFrame =
     TextStats.tokenStatsSubword(docs(s, dir)).orderBy("doc_id")
 
+  /** The tokenizer train/apply split end-to-end: a vocab trained on
+    * ONE corpus (every third document — standing in for "batch 1" /
+    * the frozen reference corpus), persisted as a parquet artifact,
+    * loaded back, and applied to a DIFFERENT corpus (all documents —
+    * "batch 2"). The values differ from `doc_token_stats_bpe`
+    * wherever the full corpus's vocab would have: cross-batch token
+    * budgets only mean anything under one frozen vocab.
+    */
+  def docTokenStatsBpeStored(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val vocabDir = java.nio.file.Files.createTempDirectory("graft_vocab_").toString
+    TextStats.saveSubwordVocab(
+      TextStats.subwordVocab(d.filter(col("doc_id") % 3 === 0)), vocabDir)
+    TextStats.tokenStatsWith(d, TextStats.loadSubwordVocab(s, vocabDir))
+      .orderBy("doc_id")
+  }
+
   /** Marker-scoring language ID. */
   def docLangId(s: SparkSession, dir: String): DataFrame =
     TextStats.langId(docs(s, dir)).orderBy("doc_id")
@@ -1276,6 +1293,7 @@ object Queries {
     "doc_token_stats" -> (docTokenStats _),
     "doc_subword_vocab" -> (docSubwordVocab _),
     "doc_token_stats_bpe" -> (docTokenStatsBpe _),
+    "doc_token_stats_bpe_stored" -> (docTokenStatsBpeStored _),
     "doc_lang_id" -> (docLangId _),
     "doc_quality" -> (docQuality _),
     "doc_entropy" -> (docEntropy _),

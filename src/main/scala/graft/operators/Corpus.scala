@@ -561,8 +561,16 @@ object Corpus {
     * in model tokens.
     */
   def packSequencesSubword(docs: DataFrame): DataFrame =
+    packSequencesSubword(docs, graft.operators.TextStats.subwordVocab(docs))
+
+  /** [[packSequencesSubword]] through a SUPPLIED vocab (trained
+    * in-session or [[graft.operators.TextStats.loadSubwordVocab]]'d
+    * from an artifact) — the apply half of the tokenizer split, so a
+    * batch packs in the SAME model tokens every earlier batch used.
+    */
+  def packSequencesSubword(docs: DataFrame, vocab: DataFrame): DataFrame =
     packSequencesCore(
-      graft.operators.TextStats.tokenStatsSubword(docs)
+      graft.operators.TextStats.tokenStatsWith(docs, vocab)
         .select(col("doc_id"), col("n_tokens_bpe").as("n_tokens")),
       PackBudgetBpe)
 
@@ -1077,11 +1085,19 @@ object Corpus {
     * in model tokens is what a token-count contract actually means.
     */
   def budgetSelectSubword(docs: DataFrame): DataFrame =
+    budgetSelectSubword(docs, graft.operators.TextStats.subwordVocab(docs))
+
+  /** [[budgetSelectSubword]] through a SUPPLIED vocab (trained
+    * in-session or [[graft.operators.TextStats.loadSubwordVocab]]'d
+    * from an artifact) — cross-batch budgets only mean anything when
+    * every batch's costs are counted in the same frozen vocab.
+    */
+  def budgetSelectSubword(docs: DataFrame, vocab: DataFrame): DataFrame =
     budgetSelectCore(
       graft.operators.TextStats.quality(docs)
         .select(col("doc_id"), round(col("quality") * 1e6).cast("long").as("q_micro"))
         .join(
-          graft.operators.TextStats.tokenStatsSubword(docs)
+          graft.operators.TextStats.tokenStatsWith(docs, vocab)
             .select(col("doc_id"), col("n_tokens_bpe").as("n_tokens")),
           "doc_id")
         .join(docs.select("doc_id", "source"), "doc_id"),

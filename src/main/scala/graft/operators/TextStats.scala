@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: token statistics,
@@ -132,16 +132,42 @@ object TextStats {
       .select("rank", "subword", "freq")
   }
 
-  /** The trained vocab as per-length hash sets — collected index
-    * metadata (K strings, kilobytes; the [[Ann]] codebook pattern) the
-    * tokenizer kernel closes over.
+  /** Persist a trained vocab as a reusable ARTIFACT — the train/apply
+    * split a production tokenizer needs (train once on a reference
+    * corpus, tokenize every subsequent corpus and stream batch with
+    * the SAME vocab, or token budgets stop being comparable across
+    * batches). The artifact is the (rank, subword, freq) frame as one
+    * parquet file — kilobytes by construction ([[SubwordVocabK]]
+    * rows), the [[graft.sinks.Sinks.writeAnnIndex]] codebook pattern
+    * on the text side.
     */
-  private[graft] def vocabByLen(docs: DataFrame): Array[Set[String]] = {
-    val entries = subwordVocab(docs).select("subword").collect().map(_.getString(0))
+  def saveSubwordVocab(vocab: DataFrame, path: String): Unit =
+    vocab.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a vocab artifact written by [[saveSubwordVocab]]. */
+  def loadSubwordVocab(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** A vocab frame (trained in-session or loaded from an artifact) as
+    * per-length hash sets — collected index metadata (K strings,
+    * kilobytes; the [[Ann]] codebook pattern) the tokenizer kernel
+    * closes over.
+    */
+  private[graft] def vocabByLenFrom(vocab: DataFrame): Array[Set[String]] = {
+    val entries = vocab.select("subword").collect().map(_.getString(0))
+    // the greedy kernel only probes lengths SubwordMinLen..MaxLen; an
+    // artifact trained under different bounds would silently never
+    // match its out-of-range entries — fail loudly instead
+    entries.find(e => e.length < SubwordMinLen || e.length > SubwordMaxLen).foreach(e =>
+      throw new IllegalArgumentException(
+        s"vocab entry '$e' (len ${e.length}) outside [$SubwordMinLen, $SubwordMaxLen]"))
     val byLen = Array.fill(SubwordMaxLen + 1)(Set.newBuilder[String])
     entries.foreach(e => byLen(e.length) += e)
     byLen.map(_.result())
   }
+
+  private[graft] def vocabByLen(docs: DataFrame): Array[Set[String]] =
+    vocabByLenFrom(subwordVocab(docs))
 
   /** Greedy longest-match token count for one word: at each position
     * take the longest vocab entry matching the prefix, else one
@@ -164,18 +190,25 @@ object TextStats {
     n
   }
 
-  /** Per-doc REAL-token statistics through the trained subword vocab:
+  /** Per-doc REAL-token statistics through a TRAINED subword vocab:
     * whitespace count vs greedy-subword count and their ratio — the
     * difference is exactly what whitespace budgets get wrong (a doc of
     * rare long words costs far more model tokens than its word count
     * suggests). Kernel shape: the vocab rides the closure (broadcast
     * literal), each doc tokenizes in one map pass — no join, no
     * shuffle beyond the input scan.
+    *
+    * This is the APPLY half of the train/apply split: `vocab` is a
+    * [[subwordVocab]] frame — trained in-session on any corpus, or
+    * [[loadSubwordVocab]]'d from a persisted artifact — so batch 2
+    * tokenizes with batch 1's vocab, the operation a real mixture
+    * pipeline runs daily. [[tokenStatsSubword]] is the train-on-self
+    * convenience.
     */
-  def tokenStatsSubword(docs: DataFrame): DataFrame = {
+  def tokenStatsWith(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val byLen = vocabByLen(docs)
+    val byLen = vocabByLenFrom(vocab)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val ws = text.split(" ", -1) // -1: keep trailing empties, = Spark split()
@@ -195,6 +228,14 @@ object TextStats {
         round(col("n_tokens_bpe").cast("double") / col("n_tokens_ws"), 6)
           .as("bpe_per_ws"))
   }
+
+  /** [[tokenStatsWith]] with the vocab trained on the input corpus
+    * itself — the self-contained form; cross-corpus/batch use trains
+    * once ([[subwordVocab]] → [[saveSubwordVocab]]) and applies via
+    * [[tokenStatsWith]].
+    */
+  def tokenStatsSubword(docs: DataFrame): DataFrame =
+    tokenStatsWith(docs, subwordVocab(docs))
 
   /** Stopword vocabulary for [[quality]]'s stopword ratio. */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")

@@ -931,10 +931,23 @@ object Streaming {
     */
   def tokenStatsSubwordStream(
       docs: org.apache.spark.sql.DataFrame,
-      vocabCorpus: org.apache.spark.sql.DataFrame): Dataset[SubwordOut] = {
+      vocabCorpus: org.apache.spark.sql.DataFrame): Dataset[SubwordOut] =
+    tokenStatsSubwordStreamWith(
+      docs, graft.operators.TextStats.subwordVocab(vocabCorpus))
+
+  /** [[tokenStatsSubwordStream]] through a SUPPLIED vocab frame — the
+    * apply half of the tokenizer split: a persisted artifact
+    * ([[graft.operators.TextStats.loadSubwordVocab]]) freezes at
+    * stream start, so every micro-batch across every RESTART of the
+    * stream counts tokens identically (re-training on a reference
+    * corpus at each start is only stable while that corpus is).
+    */
+  def tokenStatsSubwordStreamWith(
+      docs: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame): Dataset[SubwordOut] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val byLen = graft.operators.TextStats.vocabByLen(vocabCorpus)
+    val byLen = graft.operators.TextStats.vocabByLenFrom(vocab)
     val bc = spark.sparkContext.broadcast(byLen)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>

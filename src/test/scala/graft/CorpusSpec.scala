@@ -831,6 +831,48 @@ class CorpusSpec extends AnyFunSuite {
       s"real-token selection must still be a quality-prefix: $bpeSel")
   }
 
+  test("tokenizer split: a persisted vocab artifact applies exactly like the in-memory frame") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // batch 1: the reference corpus the vocab trains on; batch 2
+    // introduces words batch 1 never saw (the artifact must not refit)
+    val batch1 = docsDf((1L to 8L).map(i =>
+      (i, Seq.fill(5)(s"shared${i % 3}xx common tokenizer").mkString(" "), "en", "s0")))
+    val batch2 = docsDf((100L to 110L).map(i =>
+      (i, s"common tokenizer unseen${i}vocabulary zzqqjjxx shared${i % 3}xx", "en", "s0")))
+
+    val vocab = graft.operators.TextStats.subwordVocab(batch1)
+    val dir = java.nio.file.Files.createTempDirectory("vocab_artifact_").toString
+    graft.operators.TextStats.saveSubwordVocab(vocab, dir)
+    val loaded = graft.operators.TextStats.loadSubwordVocab(spark, dir)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // stored ≡ in-memory: the artifact round-trip changes nothing
+    assert(
+      rows(graft.operators.TextStats.tokenStatsWith(batch2, loaded)) ==
+        rows(graft.operators.TextStats.tokenStatsWith(batch2, vocab)),
+      "parquet round-trip of the vocab changed tokenization")
+    // train-on-self convenience ≡ explicit train+apply
+    assert(
+      rows(graft.operators.TextStats.tokenStatsSubword(batch1)) ==
+        rows(graft.operators.TextStats.tokenStatsWith(batch1, vocab)),
+      "tokenStatsSubword must be tokenStatsWith over its own vocab")
+    // the split is observable: batch 2 under ITS OWN vocab compresses
+    // its novel words, under batch 1's frozen vocab it cannot
+    val frozen = graft.operators.TextStats.tokenStatsWith(batch2, loaded)
+      .agg(sum("n_tokens_bpe")).head().getLong(0)
+    val refit = graft.operators.TextStats.tokenStatsSubword(batch2)
+      .agg(sum("n_tokens_bpe")).head().getLong(0)
+    assert(frozen > refit,
+      s"batch 2's novel words must cost more under the frozen vocab ($frozen vs $refit)")
+    // an artifact trained under different length bounds fails loudly
+    val bad = Seq((1, "a-subword-way-past-max-len", 1L)).toDF("rank", "subword", "freq")
+    intercept[IllegalArgumentException] {
+      graft.operators.TextStats.vocabByLenFrom(bad)
+    }
+  }
+
   test("incrementalDedupAgainst: verdict partition and first-wins within delta") {
     val spark = TestSpark.spark
     import spark.implicits._
