@@ -587,13 +587,18 @@ object Oracle {
     * grams, cross-doc dup grams, running-max island merge, and the
     * floored merged spans `ms(doc_id, ss, ee)`.
     */
-  private def substringSpanCtes(minSpanWords: Int): String = {
-    val n = graft.operators.Dedup.SubstrGramN
+  private def substringSpanCtes(
+      minSpanWords: Int,
+      gramN: Int = graft.operators.Dedup.SubstrGramN): String = {
+    val n = gramN
+    // the positional gram as an explicit word concat, at ANY width —
+    // no slice-semantics ambiguity, same text Spark's concat_ws builds
+    val gramExpr = (1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM w),
        |g AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-       |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+       |    $gramExpr AS gram
        |  FROM w, unnest(range(0, len(w) - ${n - 1})) t(i)
        |  WHERE len(w) >= $n
        |),
@@ -619,8 +624,10 @@ object Oracle {
        |)""".stripMargin
   }
 
-  private def substringDedupSql(minSpanWords: Int): String =
-    s"""WITH ${substringSpanCtes(minSpanWords)},
+  private def substringDedupSql(
+      minSpanWords: Int,
+      gramN: Int = graft.operators.Dedup.SubstrGramN): String =
+    s"""WITH ${substringSpanCtes(minSpanWords, gramN)},
        |pd AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        |    CAST(sum(ee - ss) AS BIGINT) AS dup_words
@@ -2383,6 +2390,13 @@ object Oracle {
 
     "doc_substring_dedup_min" ->
       substringDedupSql(graft.operators.Dedup.SubstrMinSpanWords),
+
+    // the production-width twin: 20-word grams, 50-word island floor —
+    // the same span algebra at Lee-et-al scale parameters
+    "doc_substring_dedup_wide" ->
+      substringDedupSql(
+        graft.operators.Dedup.SubstrMinSpanWordsWide,
+        graft.operators.Dedup.SubstrGramNWide),
 
     // The removal twin: kept positions = all positions minus the
     // merged floored spans (a range LEFT JOIN; ms spans are disjoint

@@ -703,6 +703,18 @@ object Queries {
   def docSubstringDedupMin(s: SparkSession, dir: String): DataFrame =
     Dedup.substringDedup(docs(s, dir)).orderBy("doc_id")
 
+  /** [[docSubstringDedup]] at PRODUCTION WIDTH: 20-word grams with the
+    * Lee-et-al ~50-word island floor ([[Dedup.SubstrGramNWide]] /
+    * [[Dedup.SubstrMinSpanWordsWide]]) — the parameter point a real
+    * 100-TB run uses, over the same two-level hash filter and span
+    * algebra.
+    */
+  def docSubstringDedupWide(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(
+      docs(s, dir),
+      minSpanWords = Dedup.SubstrMinSpanWordsWide,
+      gramN = Dedup.SubstrGramNWide).orderBy("doc_id")
+
   /** Deterministic curriculum training order: quality bands first,
     * epoch-stable md5 shuffle within bands, one global order_idx.
     */
@@ -1334,6 +1346,7 @@ object Queries {
     "doc_containment" -> (docContainment _),
     "doc_substring_dedup" -> (docSubstringDedup _),
     "doc_substring_dedup_min" -> (docSubstringDedupMin _),
+    "doc_substring_dedup_wide" -> (docSubstringDedupWide _),
     "doc_substring_scrub" -> (docSubstringScrub _),
     "doc_epoch_order" -> (docEpochOrder _),
     "doc_dedup_incremental" -> (docDedupIncremental _),

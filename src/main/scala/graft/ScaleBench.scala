@@ -312,6 +312,22 @@ object ScaleBench {
         s"""{"metric":"substr_scale","docs":$nDocs,"flagged":$flagged,""" +
           s""""kept_words":$keptWords,"report_sec":$rSec,"scrub_sec":$sSec,""" +
           s""""docs_per_sec":${(nDocs / rSec).toLong}}""")
+      // production-width probe: 20-word grams / 50-word floor. Wider
+      // grams mean LONGER strings per exploded row but FEWER candidate
+      // rows past the hash filter (long grams repeat less), so the
+      // two-level design must stay linear here too — the candidate
+      // volume claim, measured.
+      val (wSec, wFlagged) = time(
+        graft.operators.Dedup.substringDedup(
+          docs,
+          minSpanWords = graft.operators.Dedup.SubstrMinSpanWordsWide,
+          gramN = graft.operators.Dedup.SubstrGramNWide)
+          .filter(col("n_spans") > 0).count())
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"substr_wide_scale","docs":$nDocs,"flagged":$wFlagged,""" +
+          s""""gram_n":${graft.operators.Dedup.SubstrGramNWide},""" +
+          s""""report_sec":$wSec,"docs_per_sec":${(nDocs / wSec).toLong}}""")
       docs.unpersist(blocking = false)
     }
     // semantic-decontamination scale probe: corpus x broadcast

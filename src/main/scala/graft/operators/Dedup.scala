@@ -379,14 +379,39 @@ object Dedup {
     * base-side distinct and the probe join consume the bucketing
     * in-place and only the delta batch shuffles (PlanSpec pins the
     * bucketed read and the exchange count).
+    *
+    * Segment-aware: fingerprints appended since the last compaction
+    * ([[graft.sinks.Sinks.appendDedupDelta]]) count as base content
+    * too — probed by a BROADCAST join layered over the bucketed
+    * verdict, so the exchange-free base probe is untouched and the
+    * segment cost is one kilobyte-to-megabyte broadcast (segments are
+    * batch-sized until compaction folds them; unioning them into the
+    * base side instead would discard the bucketing and shuffle the
+    * corpus per batch). Crash states of an interrupted
+    * [[graft.sinks.Sinks.compactDedupBase]] read correctly without
+    * mutating ([[graft.sinks.Sinks.dedupBaseState]]).
     */
   def incrementalDedupStored(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
-      deltaDocs: DataFrame): DataFrame =
-    incrementalDedupAgainst(
-      spark.table(table),
-      deltaDocs.select(col("doc_id"), md5(col("text")).as("fp")))
+      deltaDocs: DataFrame): DataFrame = {
+    val (baseTable, segsLive) = graft.sinks.Sinks.dedupBaseState(spark, table)
+    val batch = deltaDocs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val verdict = incrementalDedupAgainst(spark.table(baseTable), batch)
+    if (!segsLive) verdict
+    else {
+      val segFps = spark.table(s"${table}__delta")
+        .select("fp").distinct().withColumn("in_seg", lit(true))
+      verdict
+        .join(broadcast(segFps), Seq("fp"), "left")
+        .select(
+          col("doc_id"),
+          col("fp"),
+          (col("dup_of_base") || coalesce(col("in_seg"), lit(false))).as("dup_of_base"),
+          col("dup_in_delta"),
+          (col("is_new") && !coalesce(col("in_seg"), lit(false))).as("is_new"))
+    }
+  }
 
   /** The general form of [[incrementalDedup]]: `base` and `delta` are
     * (doc_id, fp) frames; returns one row per delta doc with its
@@ -411,6 +436,16 @@ object Dedup {
     * proportional floor for this corpus's gram width.
     */
   val SubstrMinSpanWords = 8
+
+  /** Production-scale gram width + span floor for the `_wide` row:
+    * Lee-et-al exact-substring dedup keys on ~50-token minimum matches
+    * found via wide windows; 20-word grams with a 50-word island floor
+    * exercise the identical span algebra at realistic width (the
+    * synthetic corpus's planted near-dup docs share verbatim spans
+    * long enough to survive both).
+    */
+  val SubstrGramNWide = 20
+  val SubstrMinSpanWordsWide = 50
 
   /** Cross-document duplicated-span report — the aggregate-level
     * equivalent of exact substring deduplication: every positional
@@ -446,13 +481,16 @@ object Dedup {
     * removal): (doc_id, ss, ee) with ss inclusive, ee exclusive, spans
     * disjoint per doc by construction of the island merge.
     */
-  def substringSpans(docs: DataFrame, minSpanWords: Int = SubstrMinSpanWords): DataFrame = {
+  def substringSpans(
+      docs: DataFrame,
+      minSpanWords: Int = SubstrMinSpanWords,
+      gramN: Int = SubstrGramN): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     val grams = w
-      .filter(size(col("w")) >= SubstrGramN)
+      .filter(size(col("w")) >= gramN)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $SubstrGramN), " +
-          s"i -> struct(i AS pos, concat_ws(' ', slice(w, i + 1, $SubstrGramN)) AS gram))")).as("g"))
+        s"transform(sequence(0, size(w) - $gramN), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(w, i + 1, $gramN)) AS gram))")).as("g"))
       .select(col("doc_id"), col("g.pos").cast("long").as("pos"), col("g.gram").as("gram"))
       .withColumn("gh", xxhash64(col("gram")))
     // Level 1: candidate duplicated grams, keyed on the 64-bit hash.
@@ -486,7 +524,7 @@ object Dedup {
       .withColumn("cmn", min("doc_id").over(candW))
       .withColumn("cmx", max("doc_id").over(candW))
       .filter(col("cmn") =!= col("cmx"))
-      .select(col("doc_id"), col("pos").as("s"), (col("pos") + SubstrGramN).as("e"))
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + gramN).as("e"))
       .withColumn("pme", max("e").over(docW.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("brk", when(col("pme").isNull || col("s") > col("pme"), 1L).otherwise(0L))
       .withColumn("grp", sum("brk").over(docW.rowsBetween(Window.unboundedPreceding, 0)))
@@ -496,10 +534,13 @@ object Dedup {
       .select("doc_id", "ss", "ee")
   }
 
-  def substringDedup(docs: DataFrame, minSpanWords: Int = SubstrMinSpanWords): DataFrame = {
+  def substringDedup(
+      docs: DataFrame,
+      minSpanWords: Int = SubstrMinSpanWords,
+      gramN: Int = SubstrGramN): DataFrame = {
     val nWords = docs.select(
       col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
-    val perDoc = substringSpans(docs, minSpanWords)
+    val perDoc = substringSpans(docs, minSpanWords, gramN)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("ee") - col("ss")).as("dup_words"))
     nWords
@@ -521,8 +562,11 @@ object Dedup {
     * scrub to the empty string (they are exact-dedup's kill, not
     * scrub's).
     */
-  def substringScrub(docs: DataFrame, minSpanWords: Int = SubstrMinSpanWords): DataFrame = {
-    val spans = substringSpans(docs, minSpanWords)
+  def substringScrub(
+      docs: DataFrame,
+      minSpanWords: Int = SubstrMinSpanWords,
+      gramN: Int = SubstrGramN): DataFrame = {
+    val spans = substringSpans(docs, minSpanWords, gramN)
       .groupBy("doc_id")
       .agg(expr("array_sort(collect_list(struct(ss, ee)))").as("spans"))
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))

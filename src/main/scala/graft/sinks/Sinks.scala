@@ -70,6 +70,115 @@ object Sinks {
       .sortBy("fp")
       .saveAsTable(table)
 
+  // ------------------------------------- dedup base segments + compaction
+  // The ANN index's base+delta+compaction layout on the text side
+  // (delta fingerprint segments per verified batch, periodic fold into
+  // the bucketed base, every crash point readable) — in metastore-table
+  // terms, because the base MUST stay a bucketed table for
+  // [[graft.operators.Dedup.incrementalDedupStored]]'s exchange-free
+  // probe. Simpler than the ANN machinery in one way: fingerprints are
+  // add-only (no tombstones, no upserts), so segments carry no
+  // ordering numbers.
+
+  private def dedupDelta(table: String) = s"${table}__delta"
+  private def dedupOld(table: String) = s"${table}__old"
+  private def dedupCompact(table: String) = s"${table}__compact"
+
+  /** Append a batch's fingerprints as a DELTA SEGMENT next to the
+    * base — the write a pipeline issues after
+    * [[graft.operators.Dedup.incrementalDedupStored]] verified the
+    * batch, so the next batch dedups against these docs too without
+    * rewriting the corpus-sized base. Segments accumulate until
+    * [[compactDedupBase]] folds them in; between compactions the probe
+    * reads them via BROADCAST, so keep the compaction cadence ahead of
+    * the delta outgrowing broadcast size (it is batch-sized, the base
+    * is corpus-sized — the same small/large split the ANN delta has).
+    */
+  def appendDedupDelta(docs: DataFrame, table: String): Unit = {
+    val spark = docs.sparkSession
+    repairDedupCrashState(spark, table)
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .write.mode("append").format("parquet").saveAsTable(dedupDelta(table))
+  }
+
+  /** The crash-state view of a dedup base: which table IS the base
+    * right now, and whether the delta segments are live. Mirrors
+    * [[readAnnIndexCodes]]' reasoning:
+    *  - `__old` present WITHOUT the base → crash between the two
+    *    renames; `__old` is the pre-compact base, delta still applies.
+    *  - `__old` present WITH the base → crash after the swap but
+    *    before cleanup; the base already folded the delta, so reading
+    *    the stale segments would double-apply them — ignore.
+    * Reads never mutate the catalog; writers and the next compaction
+    * repair.
+    */
+  private[graft] def dedupBaseState(
+      spark: SparkSession, table: String): (String, Boolean) = {
+    val oldExists = spark.catalog.tableExists(dedupOld(table))
+    val baseExists = spark.catalog.tableExists(table)
+    val deltaLive = !(oldExists && baseExists) &&
+      spark.catalog.tableExists(dedupDelta(table))
+    (if (baseExists) table else dedupOld(table), deltaLive)
+  }
+
+  /** The live fingerprint set (base ∪ delta segments), crash-state
+    * aware — what a full-corpus consumer (an exporter, a stats job)
+    * reads between compactions.
+    */
+  def readDedupBase(spark: SparkSession, table: String): DataFrame = {
+    val (base, deltaLive) = dedupBaseState(spark, table)
+    val b = spark.table(base)
+    if (deltaLive) b.unionByName(spark.table(dedupDelta(table))) else b
+  }
+
+  /** Finish or roll back a [[compactDedupBase]] swap that crashed —
+    * run by every writer before it touches the delta, so a post-crash
+    * base never accumulates segments the cleanup would destroy.
+    * Idempotent; a no-op on a healthy base.
+    */
+  private def repairDedupCrashState(spark: SparkSession, table: String): Unit = {
+    if (spark.catalog.tableExists(dedupOld(table))) {
+      if (spark.catalog.tableExists(table)) {
+        // post-swap crash: the live base already folded the delta —
+        // finish the cleanup (stale segments + old base)
+        spark.sql(s"DROP TABLE IF EXISTS ${dedupDelta(table)}")
+        spark.sql(s"DROP TABLE ${dedupOld(table)}")
+      } else
+        spark.sql(s"ALTER TABLE ${dedupOld(table)} RENAME TO $table")
+    }
+    // an orphaned merge from a crash before the first rename is dead
+    // weight — drop it (its content is still derivable from base+delta)
+    if (spark.catalog.tableExists(dedupCompact(table)))
+      spark.sql(s"DROP TABLE ${dedupCompact(table)}")
+    ()
+  }
+
+  /** Fold the delta segments back into the bucketed base — the
+    * periodic compaction that keeps the broadcast-probed delta small
+    * and the file count bounded by bucket count. Same rename-swap
+    * discipline as [[compactAnnIndex]], in catalog metadata ops:
+    * merged → `__compact`, base → `__old`, `__compact` → base, drop
+    * delta + `__old`. Every crash point leaves a readable base
+    * ([[dedupBaseState]]); the next writer or compaction repairs.
+    */
+  def compactDedupBase(
+      spark: SparkSession, table: String, buckets: Int = DefaultBuckets): Unit = {
+    repairDedupCrashState(spark, table)
+    if (!spark.catalog.tableExists(dedupDelta(table))) return
+    spark.table(table).unionByName(spark.table(dedupDelta(table)))
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "fp")
+      .sortBy("fp")
+      .saveAsTable(dedupCompact(table))
+    spark.sql(s"ALTER TABLE $table RENAME TO ${dedupOld(table)}")
+    spark.sql(s"ALTER TABLE ${dedupCompact(table)} RENAME TO $table")
+    spark.sql(s"DROP TABLE ${dedupDelta(table)}")
+    spark.sql(s"DROP TABLE ${dedupOld(table)}")
+    ()
+  }
+
   /** Read the materialization back; `forUrl` prunes to the one bucket
     * partition the url hashes into (partition pruning does the work —
     * check PushedFilters/PartitionFilters in the scan). Without the

@@ -406,6 +406,55 @@ class CorpusSpec extends AnyFunSuite {
       s"two-level spans diverge from reference: extra=${got -- expected} missing=${expected -- got}")
   }
 
+  test("substringDedup at production width: 20-word grams find a planted 60-word copy in 200-word docs") {
+    // long-document fixture at realistic Lee-et-al parameters: ~200
+    // unique-word docs, a 60-word passage copied between docs 1 and 2
+    // (at different offsets), a 30-word passage shared by docs 3 and 4
+    // that the 50-word floor must drop, and a clean doc 5. Filler
+    // words are doc-unique, so the planted passages are the ONLY
+    // cross-doc grams at any width.
+    val copy60 = (1 to 60).map(i => s"copy$i").mkString(" ")
+    val copy30 = (1 to 30).map(i => s"short$i").mkString(" ")
+    def filler(doc: Int, a: Int, b: Int) = (a until b).map(i => s"d${doc}w$i").mkString(" ")
+    val fixture = docsDf(Seq(
+      (1L, s"${filler(1, 0, 50)} $copy60 ${filler(1, 50, 140)}", "en", "web"),
+      (2L, s"${filler(2, 0, 100)} $copy60 ${filler(2, 100, 140)}", "en", "web"),
+      (3L, s"${filler(3, 0, 80)} $copy30 ${filler(3, 80, 170)}", "en", "web"),
+      (4L, s"$copy30 ${filler(4, 0, 170)}", "en", "web"),
+      (5L, filler(5, 0, 200), "en", "web")))
+    val wide = Dedup.substringSpans(
+      fixture,
+      minSpanWords = Dedup.SubstrMinSpanWordsWide,
+      gramN = Dedup.SubstrGramNWide)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the 60-word copy's grams sit at positions p..p+40, merging to
+    // exactly the planted [offset, offset+60) island; the 30-word
+    // passage never forms a 50-word island and the floor drops it
+    assert(wide == Set((1L, 50L, 110L), (2L, 100L, 160L)),
+      s"wide spans diverge from the planted copies: $wide")
+    // unfloored at the same width, the 30-word passage IS found — the
+    // width finds it, the floor (not the gram) was what dropped it
+    val unfloored = Dedup.substringSpans(
+      fixture,
+      minSpanWords = Dedup.SubstrGramNWide,
+      gramN = Dedup.SubstrGramNWide)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(unfloored.contains((3L, 80L, 110L)) && unfloored.contains((4L, 0L, 30L)),
+      s"30-word passage missed at width 20 unfloored: $unfloored")
+    // and the report/scrub plumbing carries the parameters through
+    val report = Dedup.substringDedup(
+      fixture, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(report(1L) == ((1L, 60L)) && report(2L) == ((1L, 60L)))
+    assert(report(3L) == ((0L, 0L)) && report(5L) == ((0L, 0L)))
+    val scrub = Dedup.substringScrub(
+      fixture, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(scrub(1L) == s"${filler(1, 0, 50)} ${filler(1, 50, 140)}",
+      "wide scrub must slice exactly the planted copy")
+    assert(scrub(3L).contains("short1"), "floored span must survive the scrub")
+  }
+
   test("substringScrub: duplicated spans slice out; kept_words equals the report; floor respected") {
     val passage = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     val fixture = docsDf(Seq(
