@@ -670,9 +670,12 @@ object Oracle {
     * fixed point (exact, order-free sums — the labelCentroids pattern)
     * and the full ADC distance relation `pq_dist(q_id, vec_id, dist_q)`.
     */
-  private def pqAdcCtesWith(pqc: String, src: String = "embeddings"): String =
+  private def pqAdcCtesWith(
+      pqc: String,
+      src: String = "embeddings",
+      qsrc: String = "embeddings"): String =
     s"""${pqCtesWith(pqc, src)},
-       |pq_q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |pq_q AS (SELECT vec_id AS q_id, embedding AS qe FROM $qsrc
        |         WHERE vec_id % ${graft.operators.Ann.QueryMod} = 0),
        |pq_qdt AS (
        |  SELECT q.q_id, m.m AS m, c.c_id AS k,
@@ -703,6 +706,39 @@ object Oracle {
        |SELECT q_id, rn, vec_id,
        |  round(CAST(dist_q AS DOUBLE) / 1000000000, 6) AS dist
        |FROM pq_rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
+
+  /** The ann_pq_trained twin in ROTATED space: the trained rotation as
+    * one literal FLOAT[][] (row i = the direction coordinate i
+    * projects onto), corpus AND query vectors rotated by an ordered
+    * `list_sum` matvec with a REAL cast — bit-identical to the Spark
+    * kernel's j-ascending double fold + toFloat — then the identical
+    * encode/ADC/rank CTEs over the rotated-space trained codebook.
+    */
+  def annPqRotatedSql(
+      rot: Array[Array[Float]],
+      centers: Array[(Long, Array[Float])]): String = {
+    val d = rot.length
+    val rm = rot
+      .map(r => r.map(_.toString).mkString("[", ", ", "]::FLOAT[]"))
+      .mkString("[\n    ", ",\n    ", "]")
+    s"""WITH rotm AS (SELECT $rm AS rm),
+       |rote AS (
+       |  SELECT e.vec_id, list_transform(range($d), ri ->
+       |    CAST(list_sum(list_transform(range($d), rj ->
+       |      CAST(r.rm[CAST(ri AS INTEGER) + 1][CAST(rj AS INTEGER) + 1] AS DOUBLE)
+       |        * CAST(e.embedding[CAST(rj AS INTEGER) + 1] AS DOUBLE))) AS REAL)) AS embedding
+       |  FROM embeddings e, rotm r
+       |),
+       |${pqAdcCtesWith(pqcValues(centers), src = "rote", qsrc = "rote")},
+       |pq_rk AS (
+       |  SELECT q_id, vec_id, dist_q,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS INTEGER) AS rn
+       |  FROM pq_dist
+       |)
+       |SELECT q_id, rn, vec_id,
+       |  round(CAST(dist_q AS DOUBLE) / 1000000000, 6) AS dist
+       |FROM pq_rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin
+  }
 
   /** The residual IVF-PQ twin over a pluggable per-list codebook CTE
     * `rcb(c_id, k, cb)` — the deterministic stand-in (each list's first
@@ -1066,32 +1102,44 @@ object Oracle {
     * decontaminate`) — both run [[graft.operators.Ann.embContamFp]],
     * so one SQL covers both rows.
     */
-  private lazy val embDecontSql: String =
-    s"""WITH $vecNormCte,
-       |bench AS (
+  /** Semantic-decontamination CTE chain (sem_-prefixed so it composes
+    * into the pipeline twin without name collisions), ending in
+    * `semdec(vec_id, n_bench, max_cos_fp, max_cos, contaminated)`.
+    * Callers must include [[vecNormCte]] first.
+    */
+  private lazy val embDecontCtes: String =
+    s"""sem_bench AS (
        |  SELECT vec_id AS b_id, embedding AS be, norm AS bnorm
        |  FROM vn WHERE vec_id % ${graft.operators.Corpus.BenchmarkMod} = 0
        |),
-       |corp AS (
+       |sem_corp AS (
        |  SELECT vec_id, embedding, norm FROM vn
        |  WHERE vec_id % ${graft.operators.Corpus.BenchmarkMod} <> 0
        |),
-       |p AS (
+       |sem_p AS (
        |  SELECT c.vec_id,
        |    CASE WHEN c.norm = 0 THEN CAST(0 AS BIGINT)
        |      ELSE CAST(round(${cosSql("b.be", "c.embedding", "b.bnorm", "c.norm")} * 1000000000) AS BIGINT)
        |    END AS cos_fp
-       |  FROM corp c CROSS JOIN bench b
+       |  FROM sem_corp c CROSS JOIN sem_bench b
        |),
-       |agg AS (
+       |sem_agg AS (
        |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench,
        |    CAST(max(cos_fp) AS BIGINT) AS max_cos_fp
-       |  FROM p GROUP BY vec_id
-       |)
-       |SELECT vec_id, n_bench, max_cos_fp,
-       |  round(CAST(max_cos_fp AS DOUBLE) / 1e9, 6) AS max_cos,
-       |  max_cos_fp >= ${graft.operators.Ann.EmbContamCosFp} AS contaminated
-       |FROM agg ORDER BY vec_id""".stripMargin
+       |  FROM sem_p GROUP BY vec_id
+       |),
+       |semdec AS (
+       |  SELECT vec_id, n_bench, max_cos_fp,
+       |    round(CAST(max_cos_fp AS DOUBLE) / 1e9, 6) AS max_cos,
+       |    max_cos_fp >= ${graft.operators.Ann.EmbContamCosFp} AS contaminated
+       |  FROM sem_agg
+       |)""".stripMargin
+
+  private lazy val embDecontSql: String =
+    s"""WITH $vecNormCte,
+       |$embDecontCtes
+       |SELECT vec_id, n_bench, max_cos_fp, max_cos, contaminated
+       |FROM semdec ORDER BY vec_id""".stripMargin
 
   private def cosSql(a: String, b: String, na: String, nb: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
@@ -2035,6 +2083,71 @@ object Oracle {
          |  ($reason) = 'keep' AS keep
          |FROM lab l JOIN sz USING (cluster) JOIN dec USING (doc_id)
          |JOIN q USING (doc_id) JOIN pii USING (doc_id) JOIN rep USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // the v2 composite: v1's label/contamination/quality/PII/
+    // repetition faces plus the SEMANTIC decontamination CTEs (vn +
+    // sem_*) and the production-width duplicated-span CTEs — reason
+    // precedence mirrored branch for branch, two new codes
+    "doc_pipeline_full_v2" -> {
+      val email = TextStats.EmailRe
+      val num = TextStats.LongNumRe
+      val reason =
+        s"""CASE WHEN l.doc_id <> l.cluster THEN 'dup'
+           |       WHEN dec.contaminated THEN 'contaminated'
+           |       WHEN sem.contaminated THEN 'semantic_contaminated'
+           |       WHEN q.n_tokens < ${TextStats.MinTokens} THEN 'too_short'
+           |       WHEN q.quality < ${TextStats.QualityMin} THEN 'low_quality'
+           |       WHEN rep.top_bigram_frac >= ${graft.operators.Corpus.RepetitionMax} THEN 'repetitive'
+           |       WHEN sd.n_dup_spans > 0 THEN 'dup_spans'
+           |       ELSE 'keep' END""".stripMargin
+      s"""WITH RECURSIVE $nearDupCtes,
+         |$clusterLabelCtes,
+         |$decontCtes,
+         |$vecNormCte,
+         |$embDecontCtes,
+         |${substringSpanCtes(
+            graft.operators.Dedup.SubstrMinSpanWordsWide,
+            graft.operators.Dedup.SubstrGramNWide)},
+         |sd AS (
+         |  SELECT nw.doc_id,
+         |    CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_dup_spans,
+         |    CAST(coalesce(a.dup_words, 0) AS BIGINT) AS dup_words
+         |  FROM nw LEFT JOIN (
+         |    SELECT doc_id, count(*) AS n_spans, sum(ee - ss) AS dup_words
+         |    FROM ms GROUP BY doc_id) a USING (doc_id)
+         |),
+         |q AS ($qualitySelect),
+         |pii AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+         |    CAST(len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num')) AS INTEGER) AS n_longnums
+         |  FROM documents
+         |),
+         |${ngramCte(2, "bg", "bigram", distinct = false)},
+         |bgc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM bg GROUP BY doc_id, bigram),
+         |rep AS (
+         |  SELECT d.doc_id,
+         |    round(CAST(coalesce(a.top, 0) AS DOUBLE)
+         |          / greatest(coalesce(a.nb, 0), 1), 6) AS top_bigram_frac
+         |  FROM documents d LEFT JOIN (
+         |    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nb, CAST(max(cnt) AS BIGINT) AS top
+         |    FROM bgc GROUP BY doc_id) a USING (doc_id)
+         |)
+         |SELECT l.doc_id, l.cluster, sz.cluster_size,
+         |  l.doc_id = l.cluster AS is_canonical,
+         |  dec.contamination, dec.contaminated,
+         |  sem.max_cos, sem.contaminated AS sem_contaminated,
+         |  q.n_tokens, q.quality, pii.n_emails, pii.n_longnums,
+         |  rep.top_bigram_frac, sd.n_dup_spans, sd.dup_words,
+         |  $reason AS reason,
+         |  ($reason) = 'keep' AS keep
+         |FROM lab l JOIN sz USING (cluster) JOIN dec USING (doc_id)
+         |JOIN semdec sem ON sem.vec_id = l.doc_id
+         |JOIN q USING (doc_id) JOIN pii USING (doc_id) JOIN rep USING (doc_id)
+         |JOIN sd USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
 
@@ -3071,6 +3184,10 @@ object Oracle {
     Map(
       "ann_ivf_kmeans" -> annIvfKmeansSql(Queries.kmeansCenters(spark, dir)),
       "ann_pq_trained" -> annPqTrainedSql(Queries.pqTrainedCents(spark, dir)),
+      "ann_pq_rotated" -> {
+        val (rot, centers) = Queries.rotatedPqMeta(spark, dir)
+        annPqRotatedSql(rot, centers)
+      },
       "ann_ivfpq_residual_trained" ->
         annIvfPqResidualTrainedSql(Queries.residualTrainedBooks(spark, dir)),
       "doc_quality_model_trained" -> {

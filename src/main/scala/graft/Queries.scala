@@ -628,6 +628,13 @@ object Queries {
   def docPipelineFull(s: SparkSession, dir: String): DataFrame =
     Corpus.docPipelineFull(docs(s, dir)).orderBy("doc_id")
 
+  /** The complete keep decision plus the semantic-decontamination and
+    * duplicated-span evidence faces — two more reason codes over the
+    * same shared-shingle plan.
+    */
+  def docPipelineFullV2(s: SparkSession, dir: String): DataFrame =
+    Corpus.docPipelineFullV2(docs(s, dir), embs(s, dir)).orderBy("doc_id")
+
   /** Corpus-level boilerplate removal (segment-df scrub) with audit. */
   def docBoilerplate(s: SparkSession, dir: String): DataFrame =
     Corpus.stripBoilerplate(docs(s, dir)).orderBy("doc_id")
@@ -822,6 +829,51 @@ object Queries {
     val cb = pqTrainedCents(s, dir).toSeq.toDF("c_id", "ce")
       .agg(expr("array_sort(collect_list(struct(c_id, ce)))").as("cents"))
     Ann.pqTopKIndexed(Ann.pqEncode(e, cb), cb, Ann.defaultQueries(e))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Trained rotation + rotated-space codebook cache — same (session,
+    * dir) memoization contract as [[pqTrainedCents]]: the SVD runs
+    * once, and the SAME literal floats reach the Spark plan and the
+    * twin's VALUES tables.
+    */
+  private val rotationCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (Array[Array[Float]], Array[(Long, Array[Float])])]]()
+
+  def rotatedPqMeta(
+      s: SparkSession, dir: String): (Array[Array[Float]], Array[(Long, Array[Float])]) =
+    rotationCache.synchronized {
+      val perSession = rotationCache.computeIfAbsent(
+        s,
+        _ => scala.collection.mutable.Map
+          .empty[String, (Array[Array[Float]], Array[(Long, Array[Float])])])
+      perSession.getOrElseUpdate(
+        dir, {
+          val e = embs(s, dir)
+          val rot = Ann.pcaRotation(e)
+          val centers = Ann.pqTrainedCodebook(Ann.rotate(e, rot)).head()
+            .getSeq[org.apache.spark.sql.Row](0)
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+            .sortBy(_._1).toArray
+          (rot, centers)
+        })
+    }
+
+  /** PQ ADC top-K in ROTATED space: the OPQ-style trained rotation
+    * ([[Ann.pcaRotation]] — eigenvalue-allocated principal directions)
+    * applied to corpus and queries before a codebook TRAINED on the
+    * rotated vectors. Equal code budget to `ann_pq_trained`; the
+    * rotation is what the recall improvement rides on
+    * (IvfRecallSpec pins rotated >= unrotated agreement).
+    */
+  def annPqRotated(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    import s.implicits._
+    val (rot, centers) = rotatedPqMeta(s, dir)
+    val re = Ann.rotate(e, rot)
+    val cb = centers.toSeq.toDF("c_id", "ce")
+      .agg(expr("array_sort(collect_list(struct(c_id, ce)))").as("cents"))
+    Ann.pqTopKIndexed(Ann.pqEncode(re, cb), cb, Ann.defaultQueries(re))
       .orderBy("q_id", "rn")
   }
 
@@ -1330,6 +1382,7 @@ object Queries {
     "doc_decontaminate_ext" -> (docDecontaminateExt _),
     "doc_pipeline" -> (docPipeline _),
     "doc_pipeline_full" -> (docPipelineFull _),
+    "doc_pipeline_full_v2" -> (docPipelineFullV2 _),
     "doc_boilerplate" -> (docBoilerplate _),
     "doc_pack" -> (docPack _),
     "doc_pack_bpe" -> (docPackBpe _),
@@ -1365,6 +1418,7 @@ object Queries {
     "ann_pq_codes" -> (annPqCodes _),
     "ann_pq_codes_gap" -> (annPqCodesGap _),
     "ann_pq_trained" -> (annPqTrained _),
+    "ann_pq_rotated" -> (annPqRotated _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivfpq" -> (annIvfPq _),

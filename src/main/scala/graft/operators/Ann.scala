@@ -1092,6 +1092,77 @@ object Ann {
       .agg(expr("array_sort(collect_list(struct(c_id, ce)))").as("cents"))
   }
 
+  // ------------------------------------- trained rotation (OPQ-style)
+  /** TRAINED rotation in front of PQ — the standard recall lever at a
+    * fixed code budget: distances are invariant under any orthogonal
+    * rotation, but the ENCODE error is not, because PQ quantizes each
+    * [[PqSub]]-dim subspace independently and raw axes correlate.
+    * This is OPQ's non-parametric form (Ge et al., CVPR 2013):
+    * principal directions from a distributed SVD, then EIGENVALUE
+    * ALLOCATION — directions assigned greedily (descending variance)
+    * to the subspace with the smallest accumulated log-variance, so
+    * the per-subspace variance PRODUCTS balance. Plain PCA ordering
+    * would do the opposite (pile all variance into subspace 0, whose
+    * [[PqK]] centroids can't absorb it).
+    *
+    * The returned d×d matrix (row i = the direction rotated
+    * coordinate i projects onto) is index METADATA — 4096 floats,
+    * materialized as literals into the Spark plan and the oracle twin
+    * (the [[kmeansCentroids]] pattern). At corpus scale the SVD input
+    * is a SAMPLE: d×d covariance needs thousands of rows, not the
+    * corpus.
+    */
+  def pcaRotation(emb: DataFrame): Array[Array[Float]] = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val d = PqM * PqSub
+    val rows = emb.select("embedding").rdd
+      .map(r => OldVectors.dense(r.getSeq[Float](0).toArray.map(_.toDouble)))
+    val svd = new RowMatrix(rows).computeSVD(d, computeU = false)
+    require(svd.V.numCols == d,
+      s"rotation needs a full-rank direction basis: got ${svd.V.numCols} of $d")
+    val ev = svd.s.toArray.map(s => s * s)
+    val perSub = Array.fill(PqM)(List.empty[Int])
+    val load = Array.fill(PqM)(0.0)
+    // directions arrive variance-descending from the SVD; ties in the
+    // subspace pick resolve to the lowest index (minBy is stable)
+    ev.indices.foreach { i =>
+      val open = (0 until PqM).filter(perSub(_).length < PqSub)
+      val m = open.minBy(load)
+      perSub(m) = perSub(m) :+ i
+      load(m) += math.log(math.max(ev(i), 1e-12))
+    }
+    val perm = perSub.flatMap(identity)
+    Array.tabulate(d)(i => Array.tabulate(d)(j => svd.V(j, perm(i)).toFloat))
+  }
+
+  /** Apply a trained rotation: rotated coordinate i is the strict
+    * j-ascending double fold of row i against the vector, cast back to
+    * float — the [[pqEncode]] compiled-kernel shape (d² multiplies per
+    * row; every HOF formulation leaves this interpreted), bit-matched
+    * by the twin's ordered `list_sum` + REAL cast. One map pass, no
+    * shuffle; the matrix rides the closure.
+    */
+  def rotate(emb: DataFrame, rot: Array[Array[Float]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = rot.length
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val out = new Array[Float](d)
+        var i = 0
+        while (i < d) {
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc += rot(i)(j).toDouble * v(j).toDouble; j += 1 }
+          out(i) = acc.toFloat
+          i += 1
+        }
+        (id, out)
+      })
+      .toDF("vec_id", "embedding")
+  }
+
   /** Squared L2 between subvector m of `v` and centroid k's subvector —
     * a strict j-ascending left fold in double, so DuckDB's `list_sum`
     * twin reproduces it bit-for-bit.

@@ -475,6 +475,83 @@ object Corpus {
         (reason === "keep").as("keep"))
   }
 
+  /** The COMPLETE keep decision, v2: [[docPipelineFull]]'s composite
+    * plus the two evidence faces the engine computes but the v1
+    * verdict never consulted — SEMANTIC decontamination (embedding
+    * cosine vs the frozen benchmark set,
+    * [[graft.operators.Ann.embDecontaminate]]; a paraphrased
+    * benchmark variant shares no shingles, so the n-gram face alone
+    * misses it) and DUPLICATED-SPAN evidence at production width
+    * ([[graft.operators.Dedup.substringDedup]], 20-word grams /
+    * 50-word floor; a doc that is mostly its own text but carries a
+    * verbatim Lee-et-al-scale copied passage is not a near-dup of
+    * anything, so clustering alone misses it).
+    *
+    * Reason precedence extends v1's: dup > contaminated >
+    * semantic_contaminated > too_short > low_quality > repetitive >
+    * dup_spans > keep. `emb` is the doc-aligned embedding table
+    * (vec_id = doc_id); both sides exclude benchmark ids by the same
+    * [[BenchmarkMod]], so the inner joins line up exactly.
+    *
+    * Scale shape: one shared shingle explode feeds clustering AND
+    * n-gram decontamination (v1's plan); the semantic face is a
+    * per-row compiled kernel over a collected benchmark (no join);
+    * the span face is the two-level hash filter whose corpus-sized
+    * shuffle carries 8-byte keys. Nothing here adds a corpus×corpus
+    * pair.
+    */
+  def docPipelineFullV2(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val sh = CacheScope.persist(Dedup.shingles(docs))
+    val clusters = CacheScope.withScope {
+      dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+    }
+    val decon = decontaminateFromShingles(docs, sh)
+      .select(col("doc_id"), col("contamination"), col("contaminated"))
+    val sem = graft.operators.Ann.embDecontaminate(emb)
+      .select(
+        col("vec_id").as("doc_id"),
+        col("max_cos"),
+        col("contaminated").as("sem_contaminated"))
+    val q = TextStats.quality(docs).select(col("doc_id"), col("n_tokens"), col("quality"))
+    val pii = TextStats.piiScrub(docs).select(col("doc_id"), col("n_emails"), col("n_longnums"))
+    val rep = TextStats.repetition(docs).select(col("doc_id"), col("top_bigram_frac"))
+    val spans = Dedup.substringDedup(
+      docs, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
+      .select(col("doc_id"), col("n_spans").as("n_dup_spans"), col("dup_words"))
+    val reason = when(!col("is_canonical"), "dup")
+      .when(col("contaminated"), "contaminated")
+      .when(col("sem_contaminated"), "semantic_contaminated")
+      .when(col("n_tokens") < TextStats.MinTokens, "too_short")
+      .when(col("quality") < TextStats.QualityMin, "low_quality")
+      .when(col("top_bigram_frac") >= RepetitionMax, "repetitive")
+      .when(col("n_dup_spans") > 0, "dup_spans")
+      .otherwise("keep")
+    clusters.join(decon, "doc_id")
+      .join(sem, "doc_id")
+      .join(q, "doc_id")
+      .join(pii, "doc_id")
+      .join(rep, "doc_id")
+      .join(spans, "doc_id")
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("cluster_size"),
+        col("is_canonical"),
+        col("contamination"),
+        col("contaminated"),
+        col("max_cos"),
+        col("sem_contaminated"),
+        col("n_tokens"),
+        col("quality"),
+        col("n_emails"),
+        col("n_longnums"),
+        col("top_bigram_frac"),
+        col("n_dup_spans"),
+        col("dup_words"),
+        reason.as("reason"),
+        (reason === "keep").as("keep"))
+  }
+
   /** [[stripBoilerplate]] segment width (words) and the document
     * frequency at which a segment counts as boilerplate.
     */

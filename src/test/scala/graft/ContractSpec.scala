@@ -32,6 +32,7 @@ class ContractSpec extends AnyFunSuite {
     "periodic_samples_approx",
     "ann_ivf_kmeans",
     "ann_pq_trained",
+    "ann_pq_rotated",
     "ann_ivfpq_residual_trained",
     "doc_quality_model_trained")
 

@@ -265,6 +265,59 @@ class IvfRecallSpec extends AnyFunSuite {
       f"trained PQ distortion $trained%.4f > stand-in $standIn%.4f")
   }
 
+  test("OPQ-style rotation: rotated trained-PQ agreement >= unrotated at equal code budget") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // CORRELATED axes — the data shape rotation exists for: an
+    // anisotropic latent (variance decaying per dim) pushed through a
+    // fixed dense mixing, so raw coordinates share variance and
+    // independent per-subspace quantizers waste their budget. An
+    // isotropic or axis-aligned corpus would show nothing.
+    val rnd = new scala.util.Random(19)
+    val mix = Array.fill(64, 64)((rnd.nextGaussian() * 0.18).toFloat)
+    val emb = (0 until 1200).map { i =>
+      val z = Array.tabulate(64)(j => (rnd.nextGaussian() * math.pow(0.93, j)).toFloat)
+      val v = Array.tabulate(64) { r =>
+        var acc = 0.0; var j = 0
+        while (j < 64) { acc += mix(r)(j).toDouble * z(j).toDouble; j += 1 }
+        acc.toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+
+    // exact squared-L2 top-5 — the ground truth both encoders chase
+    val queries = Ann.defaultQueries(emb)
+    val exact = emb
+      .join(broadcast(queries.select(col("q_id"), col("embedding").as("qe"))),
+        col("q_id") =!= col("vec_id"))
+      .withColumn("d", expr(
+        """aggregate(zip_with(qe, embedding,
+          |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d").asc, col("vec_id"))))
+      .filter(col("rn") <= Ann.K)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def pqPairs(e: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val cb = Ann.pqTrainedCodebook(e)
+      Ann.pqTopKIndexed(Ann.pqEncode(e, cb), cb, Ann.defaultQueries(e))
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val unrotated = pqPairs(emb)
+    val rotated = pqPairs(Ann.rotate(emb, Ann.pcaRotation(emb)))
+    val rWins = (exact intersect rotated).size.toDouble / exact.size
+    val uWins = (exact intersect unrotated).size.toDouble / exact.size
+    info(f"recall vs exact top-5: rotated $rWins%.3f, unrotated $uWins%.3f")
+    assert(rWins >= uWins,
+      f"rotation lost recall at equal budget: rotated $rWins%.3f < unrotated $uWins%.3f")
+    assert(rWins > 0.3, f"rotated recall $rWins%.3f degenerately low — fixture broken?")
+  }
+
   test("distributed-Lloyd residual books never distort worse than their stand-in init") {
     import org.apache.spark.sql.Row
     val emb = plantedClusters
