@@ -639,6 +639,27 @@ object Oracle {
        |  nw.n_words - COALESCE(pd.dup_words, 0) AS kept_words
        |FROM nw LEFT JOIN pd USING (doc_id) ORDER BY nw.doc_id""".stripMargin
 
+  /** Shared stored-dedup twin: the fixture's two md5 coins replayed in
+    * place (base = inc-coin 0; segment = inc 1/seg 0; probe = inc
+    * 1/seg 1), parameterized by the verdict projection so the full
+    * row and the streaming dup_of_base face cannot diverge.
+    */
+  private def storedDedupSql(select: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(text) AS fp,
+       |    CAST(('0x' || substr(md5('inc' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS b,
+       |    CAST(('0x' || substr(md5('seg' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS sc
+       |  FROM documents
+       |),
+       |base AS (SELECT DISTINCT fp FROM t WHERE b = 0),
+       |seg AS (SELECT DISTINCT fp FROM t WHERE b = 1 AND sc = 0),
+       |probe AS (SELECT doc_id, fp FROM t WHERE b = 1 AND sc = 1),
+       |fd AS (SELECT fp, min(doc_id) AS first_delta FROM probe GROUP BY fp)
+       |SELECT $select
+       |FROM probe p LEFT JOIN base ON p.fp = base.fp
+       |LEFT JOIN seg ON p.fp = seg.fp JOIN fd ON p.fp = fd.fp
+       |ORDER BY p.doc_id""".stripMargin
+
   /** [[pqcStandIn]]'s shape over a literal (trained) codebook. */
   private def pqcValues(centers: Array[(Long, Array[Float])]): String = {
     val values = centers.map { case (id, ce) =>
@@ -2559,6 +2580,22 @@ object Oracle {
     // (K = min_s(n_s*W // w_s), k_s = K*w_s // W) and md5('m'||id) rank
     // Twin of Dedup.incrementalDedup: same md5 coin flip for base vs
     // delta, same fp-keyed probes.
+    // Stored-layout twins: the SAME verdict algebra as
+    // doc_dedup_incremental, with the fixture's second coin carving an
+    // already-appended delta segment out of the delta half — base ∪
+    // segment is "seen before", only the probing batch gets verdicts.
+    "doc_dedup_incremental_stored" -> storedDedupSql(
+      "p.doc_id, p.fp, " +
+        "(base.fp IS NOT NULL OR seg.fp IS NOT NULL) AS dup_of_base, " +
+        "p.doc_id > fd.first_delta AS dup_in_delta, " +
+        "(base.fp IS NULL AND seg.fp IS NULL AND p.doc_id = fd.first_delta) AS is_new"),
+
+    // the ingest-time stream-static probe over bounded input: the
+    // dup_of_base face only
+    "streaming_dedup_stored" -> storedDedupSql(
+      "p.doc_id, p.fp, " +
+        "(base.fp IS NOT NULL OR seg.fp IS NOT NULL) AS dup_of_base"),
+
     "doc_dedup_incremental" ->
       """WITH t AS (
         |  SELECT doc_id, md5(text) AS fp,

@@ -738,6 +738,48 @@ object Queries {
   def docDedupIncremental(s: SparkSession, dir: String): DataFrame =
     Dedup.incrementalDedup(docs(s, dir)).orderBy("doc_id")
 
+  /** The STORED incremental-dedup fixture: a deterministic md5
+    * three-way split of the documents table — coin `inc` picks
+    * base (0) vs the rest; among the rest, coin `seg` picks an
+    * already-appended delta segment (0) vs the probing batch (1) —
+    * then the base written as the bucketed table and the segment
+    * appended through [[graft.sinks.Sinks.appendDedupDelta]], so the
+    * registered rows exercise the real storage layout end-to-end and
+    * the DuckDB twin replays the same coins in place. A fresh table
+    * name per invocation keeps repeated runs independent.
+    */
+  private def storedDedupFixture(s: SparkSession, dir: String): (String, DataFrame) = {
+    val coin = (p: String) =>
+      expr(s"CAST(conv(substr(md5(concat('$p', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2")
+    val tagged = docs(s, dir).withColumn("b", coin("inc")).withColumn("sc", coin("seg"))
+    val table =
+      s"dedup_stored_q_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    graft.sinks.Sinks.writeDedupBase(
+      tagged.filter(col("b") === 0).select("doc_id", "text"), table)
+    graft.sinks.Sinks.appendDedupDelta(
+      tagged.filter(col("b") === 1 && col("sc") === 0).select("doc_id", "text"), table)
+    (table, tagged.filter(col("b") === 1 && col("sc") === 1).select("doc_id", "text"))
+  }
+
+  /** Incremental dedup against the PERSISTED base + delta segments —
+    * the full storage path: bucketed base probe (exchange-free) plus
+    * the broadcast segment probe.
+    */
+  def docDedupIncrementalStored(s: SparkSession, dir: String): DataFrame = {
+    val (table, probe) = storedDedupFixture(s, dir)
+    Dedup.incrementalDedupStored(s, table, probe).orderBy("doc_id")
+  }
+
+  /** The ingest-time stored-corpus probe over bounded input — the
+    * stream-static join's expression tree on a batch frame, equal to
+    * the dup_of_base face of [[docDedupIncrementalStored]] (shared
+    * twin semantics; MemoryStream ≡ batch is spec-pinned).
+    */
+  def streamingDedupStored(s: SparkSession, dir: String): DataFrame = {
+    val (table, probe) = storedDedupFixture(s, dir)
+    graft.streaming.Streaming.dedupStoredStream(probe, table).orderBy("doc_id")
+  }
+
   /** Per-source token-budget selection (best-quality-first). */
   def docBudgetSelect(s: SparkSession, dir: String): DataFrame =
     Corpus.budgetSelect(docs(s, dir)).orderBy("doc_id")
@@ -1400,6 +1442,8 @@ object Queries {
     "doc_substring_dedup" -> (docSubstringDedup _),
     "doc_substring_dedup_min" -> (docSubstringDedupMin _),
     "doc_substring_dedup_wide" -> (docSubstringDedupWide _),
+    "doc_dedup_incremental_stored" -> (docDedupIncrementalStored _),
+    "streaming_dedup_stored" -> (streamingDedupStored _),
     "doc_substring_scrub" -> (docSubstringScrub _),
     "doc_epoch_order" -> (docEpochOrder _),
     "doc_dedup_incremental" -> (docDedupIncremental _),

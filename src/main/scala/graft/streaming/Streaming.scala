@@ -530,6 +530,50 @@ object Streaming {
       }
   }
 
+  /** Ingest-time dedup against the PERSISTED corpus: each arriving
+    * document's fingerprint probes the bucketed base table AND its
+    * delta segments ([[graft.sinks.Sinks.appendDedupDelta]]) via a
+    * stream-static join — the production front door of incremental
+    * dedup, where "have we ever crawled this?" must answer against
+    * the full historical corpus, not just this stream's state
+    * ([[dedupStream]] covers the within-stream face; compose both
+    * for the complete ingest verdict).
+    *
+    * Scale shape: the stream side is batch-sized per trigger and
+    * hashes into the static side's bucketing (the base never
+    * re-shuffles); the segment probe is a broadcast of
+    * batch-sized fingerprints. Crash states of an interrupted
+    * compaction read correctly ([[graft.sinks.Sinks.dedupBaseState]]).
+    * The base VIEW is resolved at stream start — run compactions
+    * between ingest sessions, exactly the
+    * [[graft.sinks.Sinks.appendAnnIndex]] discipline.
+    *
+    * The expression tree is input-agnostic: over a bounded batch frame
+    * it IS the dup_of_base face of
+    * [[graft.operators.Dedup.incrementalDedupStored]] (spec-pinned),
+    * which is what gives the stream an oracle-checkable twin.
+    */
+  def dedupStoredStream(
+      docs: org.apache.spark.sql.DataFrame, table: String): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val (baseTable, segsLive) = graft.sinks.Sinks.dedupBaseState(spark, table)
+    val baseFps = spark.table(baseTable)
+      .select("fp").distinct().withColumn("in_base", lit(true))
+    val probed = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(baseFps, Seq("fp"), "left")
+    val withSeg =
+      if (segsLive) {
+        val segFps = spark.table(s"${table}__delta")
+          .select("fp").distinct().withColumn("in_seg", lit(true))
+        probed.join(broadcast(segFps), Seq("fp"), "left")
+      } else probed.withColumn("in_seg", lit(null).cast("boolean"))
+    withSeg.select(
+      col("doc_id"),
+      col("fp"),
+      (coalesce(col("in_base"), lit(false)) || coalesce(col("in_seg"), lit(false)))
+        .as("dup_of_base"))
+  }
+
   /** The dedup stream's fold over one bounded hash group — the batch
     * harness giving the streaming code path an oracle-checkable twin
     * (equals min-per-hash on bounded input).

@@ -626,6 +626,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "streamed real-token stats diverged from the batch operator")
   }
 
+  test("stored-base dedup stream: arriving docs probe base ∪ segments, equal to the batch probe") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "stream_dedup_base"
+    Seq(table, s"${table}__delta", s"${table}__old", s"${table}__compact")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.sinks.Sinks.writeDedupBase(
+        Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), table, buckets = 4)
+      graft.sinks.Sinks.appendDedupDelta(
+        Seq((11L, "gamma")).toDF("doc_id", "text"), table)
+      val probe = Seq(
+        (20L, "alpha"), (21L, "gamma"), (22L, "omega"), (23L, "beta"), (24L, "psi"))
+
+      // batch truth: the SAME expression over a bounded frame, and the
+      // dup_of_base face of the full stored verdict
+      val batchDf = graft.streaming.Streaming
+        .dedupStoredStream(probe.toDF("doc_id", "text"), table)
+      val batch = batchDf.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      val verdict = graft.operators.Dedup
+        .incrementalDedupStored(spark, table, probe.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      assert(batch == verdict,
+        "stream-static expression diverged from incrementalDedupStored's dup_of_base face")
+      assert(batch.count(_._3) == 3, s"alpha/gamma/beta must flag: $batch")
+
+      // streaming: micro-batched arrivals through the stream-static join
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streaming
+        .dedupStoredStream(stream.toDS().toDF("doc_id", "text"), table)
+        .writeStream.format("memory").queryName("dedup_stored_stream")
+        .outputMode("append").start()
+      stream.addData(probe.take(2))
+      q.processAllAvailable()
+      stream.addData(probe.drop(2))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("dedup_stored_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      assert(streamed == batch, "streamed stored-base verdicts diverged from the batch probe")
+    } finally
+      Seq(table, s"${table}__delta", s"${table}__old", s"${table}__compact")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming decontamination batch harness equals the declarative operator") {
     val spark = TestSpark.spark
     import spark.implicits._
