@@ -839,9 +839,16 @@ object Oracle {
   // encodes the UPDATED corpus; the codebook and query CTEs stay on
   // `embeddings`, whose relevant rows the upsert rule never touches —
   // exactly the frozen-metadata contract).
-  private def annIvfPqBodyFrom(src: String): String =
+  // cbsrc: where the stand-in PQ codebook's low-id rows come from —
+  // "embeddings" is correct even for the upsert twin (ids < PqK are
+  // never upserted), but a ROTATED twin must draw codebook vectors
+  // from the rotated source or its geometry is a different index's
+  private def annIvfPqBodyFrom(
+      src: String,
+      qsrc: String = "embeddings",
+      cbsrc: String = "embeddings"): String =
     s"""${ivfCtes()},
-       |${pqAdcCtesWith(pqcStandIn, src)},
+       |${pqAdcCtesWith(pqcStandInFrom(cbsrc), src, qsrc)},
        |ivfpq AS (
        |  SELECT p.q_id, a.vec_id, CAST(sum(qd.dq) AS BIGINT) AS dist_q
        |  FROM probes p
@@ -861,6 +868,29 @@ object Oracle {
 
   private lazy val annIvfPqSql: String =
     s"WITH $vecNormCte,\n${annIvfPqBodyFrom("embeddings")}"
+
+  /** Twin of the ROTATED serving layout: corpus and queries rotated by
+    * the literal matrix (the same floats the Spark side persisted),
+    * then the IDENTICAL stand-in IVF-PQ CTEs over the rotated source —
+    * the firstK/PqK codebook CTEs read from `vn`, so rotating `vn`'s
+    * source rotates the index geometry exactly as the builder does.
+    */
+  def annIndexRotatedSql(rot: Array[Array[Float]]): String = {
+    val d = rot.length
+    val rm = rot
+      .map(r => r.map(_.toString).mkString("[", ", ", "]::FLOAT[]"))
+      .mkString("[\n    ", ",\n    ", "]")
+    s"""WITH rotm AS (SELECT $rm AS rm),
+       |rote AS (
+       |  SELECT e.vec_id, e.label, list_transform(range($d), ri ->
+       |    CAST(list_sum(list_transform(range($d), rj ->
+       |      CAST(r.rm[CAST(ri AS INTEGER) + 1][CAST(rj AS INTEGER) + 1] AS DOUBLE)
+       |        * CAST(e.embedding[CAST(rj AS INTEGER) + 1] AS DOUBLE))) AS REAL)) AS embedding
+       |  FROM embeddings e, rotm r
+       |),
+       |${vecNormCteFrom("rote")},
+       |${annIvfPqBodyFrom("rote", qsrc = "rote", cbsrc = "rote")}""".stripMargin
+  }
 
   /** Twin of the serving index's UPSERT path: the logically-updated
     * corpus — the ids the Spark side re-ingests carry the NEXT id's
@@ -3225,6 +3255,8 @@ object Oracle {
         val (rot, centers) = Queries.rotatedPqMeta(spark, dir)
         annPqRotatedSql(rot, centers)
       },
+      "ann_index_rotated_topk" ->
+        annIndexRotatedSql(Queries.rotatedPqMeta(spark, dir)._1),
       "ann_ivfpq_residual_trained" ->
         annIvfPqResidualTrainedSql(Queries.residualTrainedBooks(spark, dir)),
       "doc_quality_model_trained" -> {

@@ -1077,6 +1077,24 @@ object Queries {
       .orderBy("q_id", "rn")
   }
 
+  /** The ROTATED serving layout end-to-end: the OPQ-style rotation
+    * persisted as index metadata, corpus encoded in rotated space,
+    * queries rotated inside the read path — must equal the in-memory
+    * IVF-PQ over the rotated corpus (the twin rotates via the same
+    * literal matrix).
+    */
+  def annIndexRotatedTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (rot, _) = rotatedPqMeta(s, dir)
+    val idxPath = annIndexCache.getOrElseUpdate(s"$dir#rot", {
+      val p = tempIndexDir("graft_ann_rot_")
+      graft.sinks.Sinks.writeAnnIndexRotated(e, p, rot)
+      p
+    })
+    graft.sinks.Sinks.readAnnIndexTopK(s, idxPath, Ann.defaultQueries(e))
+      .orderBy("q_id", "rn")
+  }
+
   /** The serving index's UPSERT path end-to-end: build, then re-ingest
     * a data-derived id set (ids >= 100, off the query side, every
     * 13th) with DIFFERENT vectors — each takes the NEXT id's embedding
@@ -1463,6 +1481,7 @@ object Queries {
     "ann_pq_codes_gap" -> (annPqCodesGap _),
     "ann_pq_trained" -> (annPqTrained _),
     "ann_pq_rotated" -> (annPqRotated _),
+    "ann_index_rotated_topk" -> (annIndexRotatedTopK _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivfpq" -> (annIvfPq _),

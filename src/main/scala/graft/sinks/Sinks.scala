@@ -302,6 +302,57 @@ object Sinks {
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
   }
 
+  /** [[writeAnnIndex]] with an OPQ-style TRAINED ROTATION
+    * ([[graft.operators.Ann.pcaRotation]]) in front of the encode —
+    * the recall lever at a fixed code budget, as index metadata: the
+    * d×d matrix persists under `rotation/` alongside the centroids
+    * and codebook, the corpus encodes in rotated space, and every
+    * OTHER face of the index applies the artifact automatically —
+    * queries rotate inside [[readAnnIndexTopK]], streamed and
+    * upserted vectors rotate before [[graft.operators.Ann
+    * .encodeForIndex]]. A vector that skipped the rotation would
+    * encode against geometry it doesn't live in, so the artifact
+    * rides the index, not the call sites.
+    */
+  def writeAnnIndexRotated(emb: DataFrame, path: String): Unit =
+    writeAnnIndexRotated(emb, path, graft.operators.Ann.pcaRotation(emb))
+
+  /** [[writeAnnIndexRotated]] over an already-fitted rotation — the
+    * entry point when the matrix is shared with other consumers (a
+    * registry query and its oracle twin must see the SAME literals).
+    */
+  def writeAnnIndexRotated(
+      emb: DataFrame, path: String, rot: Array[Array[Float]]): Unit = {
+    import graft.operators.Ann
+    val spark = emb.sparkSession
+    import spark.implicits._
+    rot.zipWithIndex.toSeq.map { case (r, i) => (i, r) }.toDF("i", "r")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    writeAnnIndex(Ann.rotate(emb, rot), path)
+  }
+
+  /** The index's rotation artifact, if it carries one. Kilobytes
+    * (d×d floats) — collected like the centroids/codebook metadata.
+    */
+  private def loadRotation(
+      spark: SparkSession, path: String): Option[Array[Array[Float]]] = {
+    val p = new Path(s"$path/rotation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(
+      spark.read.parquet(p.toString).collect()
+        .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Rotate an arbitrary (idCol, embedding) frame into the index's
+    * space — shared by the query, streaming-append and upsert paths.
+    */
+  private def rotateFor(
+      df: DataFrame, idCol: String, rot: Array[Array[Float]]): DataFrame =
+    graft.operators.Ann.rotate(
+      df.select(col(idCol).as("vec_id"), col("embedding")), rot)
+      .withColumnRenamed("vec_id", idCol)
+
   /** All code rows of the index: the batch-built base segment plus, if
     * a stream has appended one, the `codes_delta` segment ([[
     * appendAnnIndex]] — a separate directory because the streaming
@@ -565,7 +616,11 @@ object Sinks {
       .withColumn("seg", lit(seg))
       .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
-    graft.operators.Ann.encodeForIndex(vecs, cents, cb)
+    val inSpace = loadRotation(spark, path) match {
+      case Some(rot) => rotateFor(vecs, "vec_id", rot)
+      case None => vecs
+    }
+    graft.operators.Ann.encodeForIndex(inSpace, cents, cb)
       .withColumn("seg", lit(seg))
       .repartition(col("c_id"))
       .write.partitionBy("c_id").mode("append").parquet(s"$path/codes_delta_batch")
@@ -577,12 +632,19 @@ object Sinks {
     * broadcast probes join on the c_id PARTITION column so the codes
     * scan prunes to the probed lists' directories.
     */
-  def readAnnIndexTopK(spark: SparkSession, path: String, queries: DataFrame): DataFrame =
+  def readAnnIndexTopK(spark: SparkSession, path: String, queries: DataFrame): DataFrame = {
+    // a rotated index's geometry lives in rotated space: queries must
+    // rotate through the SAME artifact the corpus encoded under
+    val q = loadRotation(spark, path) match {
+      case Some(rot) => rotateFor(queries, "q_id", rot)
+      case None => queries
+    }
     graft.operators.Ann.ivfPqRank(
       readAnnIndexCodes(spark, path),
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebook"),
-      queries)
+      q)
+  }
 
   /** The probed lists' code rows, pruned by a literal c_id filter —
     * PartitionFilters in the scan, no other directory is opened.
@@ -613,7 +675,14 @@ object Sinks {
     // so also hide rows this stream appends later — a delete-during-
     // ingest is a takedown, and takedowns win.)
     val seg = allocSeg(spark, path)
-    graft.operators.Ann.encodeForIndex(vecs, cents, cb)
+    // the rotation artifact freezes with the rest of the metadata at
+    // stream start; Ann.rotate is a stateless typed map, so it
+    // composes with the streaming frame like the encode kernel does
+    val inSpace = loadRotation(spark, path) match {
+      case Some(rot) => rotateFor(vecs, "vec_id", rot)
+      case None => vecs
+    }
+    graft.operators.Ann.encodeForIndex(inSpace, cents, cb)
       .withColumn("seg", lit(seg))
       .writeStream
       .format("parquet")

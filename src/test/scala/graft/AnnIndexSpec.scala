@@ -191,6 +191,70 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(postCompact == preCompact, "compaction changed the upserted live view")
   }
 
+  test("rotated index: every face applies the rotation artifact — queries, stream, upsert") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = clustered(400, 97)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_rot_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_idx_rot_ckpt_").toString
+    Sinks.writeAnnIndexRotated(emb, dir)
+    assert(new java.io.File(s"$dir/rotation").exists, "rotation artifact missing")
+
+    // disk top-k == the in-memory pipeline in ROTATED space, bit-for-bit
+    val rot = spark.read.parquet(s"$dir/rotation").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    val re = Ann.rotate(emb, rot)
+    val mem = Ann.ivfPqRank(
+      Ann.pqEncode(re, spark.read.parquet(s"$dir/codebook"))
+        .join(Ann.ivfAssign(re, spark.read.parquet(s"$dir/centroids"))
+          .select("vec_id", "c_id"), "vec_id"),
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      Ann.defaultQueries(re))
+      .collect().map(_.toSeq).toSet
+    val disk = Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb))
+      .collect().map(_.toSeq).toSet
+    assert(disk == mem, "rotated disk path diverged from the rotated in-memory pipeline")
+
+    // streamed vectors rotate before encoding: their stored codes must
+    // equal the batch encode of the ROTATED vectors
+    val late = clustered(420, 97).filter(col("vec_id") >= 400)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = Sinks.appendAnnIndex(stream.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    stream.addData(late.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val lateRot = Ann.rotate(late.toSeq.toDF("vec_id", "embedding"), rot)
+    val expected = Ann.pqEncode(lateRot, spark.read.parquet(s"$dir/codebook"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val got = Sinks.readAnnIndexCodes(spark, dir).filter(col("vec_id") >= 400)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(got == expected, "streamed codes were not encoded in rotated space")
+
+    // an upsert rotates too, and a query still reaches the new copy
+    val v = emb.filter(col("vec_id") === 3L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Sinks.upsertAnnIndex(spark, dir, Seq((777L, v)).toDF("vec_id", "embedding"))
+    val up = Sinks.readAnnIndexCodes(spark, dir)
+      .filter(col("vec_id") === 777L).collect()
+    assert(up.length == 1)
+    val expectedUp = Ann.pqEncode(
+      Ann.rotate(Seq((777L, v)).toDF("vec_id", "embedding"), rot),
+      spark.read.parquet(s"$dir/codebook")).head().getSeq[Int](1)
+    assert(up.head.getSeq[Int](1) == expectedUp, "upserted codes skipped the rotation")
+
+    // compaction folds everything without touching the artifact
+    val pre = Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb))
+      .collect().map(_.toSeq).toSet
+    Sinks.compactAnnIndex(spark, dir)
+    assert(new java.io.File(s"$dir/rotation").exists, "compaction destroyed the rotation")
+    val post = Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb))
+      .collect().map(_.toSeq).toSet
+    assert(post == pre, "compaction changed the rotated query result")
+  }
+
   test("batch upserts survive a streaming sink's _spark_metadata log in either order") {
     val spark = TestSpark.spark
     import spark.implicits._

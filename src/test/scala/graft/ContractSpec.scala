@@ -33,6 +33,7 @@ class ContractSpec extends AnyFunSuite {
     "ann_ivf_kmeans",
     "ann_pq_trained",
     "ann_pq_rotated",
+    "ann_index_rotated_topk",
     "ann_ivfpq_residual_trained",
     "doc_quality_model_trained")
 
