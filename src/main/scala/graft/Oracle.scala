@@ -3262,6 +3262,13 @@ object Oracle {
       "doc_quality_model_trained" -> {
         val (w, bias) = Queries.qualityModelWeights(spark, dir)
         qualityModelTrainedSql(w, bias)
+      },
+      "doc_quality_model_stored" -> {
+        // the artifact round-trip happened on the Spark side; the twin
+        // scores with the loaded literals — batch-1-trained weights
+        // applied to the full corpus
+        val (w, bias) = Queries.qualityModelWeightsStored(spark, dir)
+        qualityModelTrainedSql(w, bias)
       })
 
   /** The doc_quality_model twin over a literal TRAINED weight table —

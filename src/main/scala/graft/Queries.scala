@@ -550,6 +550,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** STORED-weights cache: trained on a DIFFERENT corpus (every other
+    * document — "batch 1"), persisted through the parquet artifact and
+    * loaded back, so the registered row proves cross-batch scoring
+    * with a frozen classifier. Same literal-materialization contract
+    * as [[qualityModelWeights]].
+    */
+  def qualityModelWeightsStored(s: SparkSession, dir: String): (Array[(Long, Long)], Long) =
+    qmTrainedCache.synchronized {
+      val perSession = qmTrainedCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, (Array[(Long, Long)], Long)])
+      perSession.getOrElseUpdate(
+        s"$dir#stored", {
+          val (w, b) =
+            try TextStats.trainQualityWeights(docs(s, dir).filter(col("doc_id") % 2 === 0))
+            finally graft.operators.CacheScope.releaseAll()
+          val p = java.nio.file.Files.createTempDirectory("graft_qweights_").toString
+          TextStats.saveQualityWeights(s, p, w, b)
+          TextStats.loadQualityWeights(s, p)
+        })
+    }
+
+  /** [[docQualityModelTrained]] through a PERSISTED weights artifact
+    * trained on batch 1 (every other doc) and applied to the full
+    * corpus — the classifier's train/apply split end-to-end.
+    */
+  def docQualityModelStored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w, bias) = qualityModelWeightsStored(s, dir)
+    TextStats.qualityModelWith(
+      docs(s, dir), w.toSeq.toDF("bucket", "weight_milli"), bias)
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprints (md5 + bottom-3 shingle sketch). */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprint(docs(s, dir)).orderBy("doc_id")
@@ -1423,6 +1456,7 @@ object Queries {
     "doc_entropy" -> (docEntropy _),
     "doc_quality_model" -> (docQualityModel _),
     "doc_quality_model_trained" -> (docQualityModelTrained _),
+    "doc_quality_model_stored" -> (docQualityModelStored _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_normalize" -> (docNormalize _),

@@ -613,6 +613,34 @@ object TextStats {
     * the train split (a linear model needs thousands of rows, not the
     * corpus) — the fit cost does not scale with the data.
     */
+  /** Persist trained quality weights as a reusable ARTIFACT — the
+    * [[saveSubwordVocab]] discipline for the classifier: train once on
+    * a reference corpus, score every subsequent batch with the SAME
+    * weights. One parquet file of (bucket, weight_milli) rows; the
+    * bias rides as the reserved bucket −1 (real buckets are
+    * 0..[[ModelBuckets]]−1).
+    */
+  def saveQualityWeights(
+      spark: SparkSession,
+      path: String,
+      weights: Array[(Long, Long)],
+      biasMilli: Long): Unit = {
+    import spark.implicits._
+    (weights.toSeq :+ ((-1L, biasMilli)))
+      .toDF("bucket", "weight_milli")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a weights artifact written by [[saveQualityWeights]]. */
+  def loadQualityWeights(spark: SparkSession, path: String): (Array[(Long, Long)], Long) = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bias = rows.collectFirst { case (-1L, b) => b }.getOrElse(
+      throw new IllegalArgumentException(
+        s"quality-weights artifact at $path carries no bias row (bucket -1)"))
+    (rows.filter(_._1 >= 0L).sortBy(_._1), bias)
+  }
+
   def trainQualityWeights(docs: DataFrame): (Array[(Long, Long)], Long) = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.linalg.Vectors

@@ -35,7 +35,8 @@ class ContractSpec extends AnyFunSuite {
     "ann_pq_rotated",
     "ann_index_rotated_topk",
     "ann_ivfpq_residual_trained",
-    "doc_quality_model_trained")
+    "doc_quality_model_trained",
+    "doc_quality_model_stored")
 
   test("every registered query has an oracle twin (or is rows-only by design)") {
     val rowsOnly =

@@ -922,6 +922,25 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("quality-weights artifact round-trips exactly; a bias-less artifact fails loudly") {
+    val spark = TestSpark.spark
+    val w = Array.tabulate(graft.operators.TextStats.ModelBuckets)(i =>
+      (i.toLong, (i * 37 % 2001 - 1000).toLong))
+    val dir = java.nio.file.Files.createTempDirectory("qweights_artifact_").toString
+    graft.operators.TextStats.saveQualityWeights(spark, dir, w, -123L)
+    val (lw, lb) = graft.operators.TextStats.loadQualityWeights(spark, dir)
+    assert(lb == -123L && lw.sameElements(w),
+      "parquet round-trip changed the trained weights")
+    // an artifact missing its bias row must not score with a silent 0
+    import spark.implicits._
+    val bad = java.nio.file.Files.createTempDirectory("qweights_bad_").toString
+    w.toSeq.toDF("bucket", "weight_milli")
+      .coalesce(1).write.mode("overwrite").parquet(bad)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextStats.loadQualityWeights(spark, bad)
+    }
+  }
+
   test("incrementalDedupAgainst: verdict partition and first-wins within delta") {
     val spark = TestSpark.spark
     import spark.implicits._
