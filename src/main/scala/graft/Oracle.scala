@@ -639,6 +639,34 @@ object Oracle {
        |  nw.n_words - COALESCE(pd.dup_words, 0) AS kept_words
        |FROM nw LEFT JOIN pd USING (doc_id) ORDER BY nw.doc_id""".stripMargin
 
+  /** The pipeline composites' shared per-doc evidence faces — quality,
+    * PII counts, bigram repetition — as one CTE bundle (q/pii/bg/bgc/
+    * rep), so the v1 and v2 keep-decision twins can never disagree on
+    * a face they both consult.
+    */
+  private lazy val pipelineFaceCtes: String = {
+    val email = TextStats.EmailRe
+    val num = TextStats.LongNumRe
+    s"""q AS ($qualitySelect),
+       |pii AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+       |    CAST(len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num')) AS INTEGER) AS n_longnums
+       |  FROM documents
+       |),
+       |${ngramCte(2, "bg", "bigram", distinct = false)},
+       |bgc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM bg GROUP BY doc_id, bigram),
+       |rep AS (
+       |  SELECT d.doc_id,
+       |    round(CAST(coalesce(a.top, 0) AS DOUBLE)
+       |          / greatest(coalesce(a.nb, 0), 1), 6) AS top_bigram_frac
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nb, CAST(max(cnt) AS BIGINT) AS top
+       |    FROM bgc GROUP BY doc_id) a USING (doc_id)
+       |)""".stripMargin
+  }
+
   /** Shared stored-dedup twin: the fixture's two md5 coins replayed in
     * place (base = inc-coin 0; segment = inc 1/seg 0; probe = inc
     * 1/seg 1), parameterized by the verdict projection so the full
@@ -2095,8 +2123,6 @@ object Oracle {
     // with the standalone twins, quality from qualitySelect, PII and
     // repetition inlined — reason precedence mirrored branch for branch
     "doc_pipeline_full" -> {
-      val email = TextStats.EmailRe
-      val num = TextStats.LongNumRe
       val reason =
         s"""CASE WHEN l.doc_id <> l.cluster THEN 'dup'
            |       WHEN dec.contaminated THEN 'contaminated'
@@ -2107,24 +2133,7 @@ object Oracle {
       s"""WITH RECURSIVE $nearDupCtes,
          |$clusterLabelCtes,
          |$decontCtes,
-         |q AS ($qualitySelect),
-         |pii AS (
-         |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
-         |    CAST(len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num')) AS INTEGER) AS n_longnums
-         |  FROM documents
-         |),
-         |${ngramCte(2, "bg", "bigram", distinct = false)},
-         |bgc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt
-         |        FROM bg GROUP BY doc_id, bigram),
-         |rep AS (
-         |  SELECT d.doc_id,
-         |    round(CAST(coalesce(a.top, 0) AS DOUBLE)
-         |          / greatest(coalesce(a.nb, 0), 1), 6) AS top_bigram_frac
-         |  FROM documents d LEFT JOIN (
-         |    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nb, CAST(max(cnt) AS BIGINT) AS top
-         |    FROM bgc GROUP BY doc_id) a USING (doc_id)
-         |)
+         |$pipelineFaceCtes
          |SELECT l.doc_id, l.cluster, sz.cluster_size,
          |  l.doc_id = l.cluster AS is_canonical,
          |  dec.contamination, dec.contaminated,
@@ -2142,8 +2151,6 @@ object Oracle {
     // sem_*) and the production-width duplicated-span CTEs — reason
     // precedence mirrored branch for branch, two new codes
     "doc_pipeline_full_v2" -> {
-      val email = TextStats.EmailRe
-      val num = TextStats.LongNumRe
       val reason =
         s"""CASE WHEN l.doc_id <> l.cluster THEN 'dup'
            |       WHEN dec.contaminated THEN 'contaminated'
@@ -2169,24 +2176,7 @@ object Oracle {
          |    SELECT doc_id, count(*) AS n_spans, sum(ee - ss) AS dup_words
          |    FROM ms GROUP BY doc_id) a USING (doc_id)
          |),
-         |q AS ($qualitySelect),
-         |pii AS (
-         |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
-         |    CAST(len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num')) AS INTEGER) AS n_longnums
-         |  FROM documents
-         |),
-         |${ngramCte(2, "bg", "bigram", distinct = false)},
-         |bgc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt
-         |        FROM bg GROUP BY doc_id, bigram),
-         |rep AS (
-         |  SELECT d.doc_id,
-         |    round(CAST(coalesce(a.top, 0) AS DOUBLE)
-         |          / greatest(coalesce(a.nb, 0), 1), 6) AS top_bigram_frac
-         |  FROM documents d LEFT JOIN (
-         |    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nb, CAST(max(cnt) AS BIGINT) AS top
-         |    FROM bgc GROUP BY doc_id) a USING (doc_id)
-         |)
+         |$pipelineFaceCtes
          |SELECT l.doc_id, l.cluster, sz.cluster_size,
          |  l.doc_id = l.cluster AS is_canonical,
          |  dec.contamination, dec.contaminated,

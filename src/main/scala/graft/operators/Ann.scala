@@ -1122,18 +1122,37 @@ object Ann {
     require(svd.V.numCols == d,
       s"rotation needs a full-rank direction basis: got ${svd.V.numCols} of $d")
     val ev = svd.s.toArray.map(s => s * s)
+    val perm = eigenvalueAllocation(ev)
+    Array.tabulate(d)(i => Array.tabulate(d)(j => svd.V(j, perm(i)).toFloat))
+  }
+
+  /** Eigenvalue allocation: the permutation placing direction
+    * `perm(i)` at rotated coordinate i, so subspace m holds
+    * `perm(m·PqSub … m·PqSub+PqSub−1)` with balanced variance
+    * products. Greedy balance needs NON-NEGATIVE item weights: raw
+    * log(eigenvalue) goes negative below 1, and a negative first
+    * assignment makes min-load pick the SAME subspace for the next
+    * direction — the permutation degenerates to identity (plain PCA
+    * blocks, the pathology this allocation exists to prevent) on any
+    * corpus whose variances sit under 1. Shifting by the smallest log
+    * makes every weight >= 0 without changing which allocation
+    * minimizes the max log-product (every full subspace gains the
+    * same constant PqSub·shift).
+    */
+  private[graft] def eigenvalueAllocation(ev: Array[Double]): Array[Int] = {
     val perSub = Array.fill(PqM)(List.empty[Int])
     val load = Array.fill(PqM)(0.0)
+    val logs = ev.map(e => math.log(math.max(e, 1e-12)))
+    val shift = logs.min
     // directions arrive variance-descending from the SVD; ties in the
     // subspace pick resolve to the lowest index (minBy is stable)
-    ev.indices.foreach { i =>
+    logs.indices.foreach { i =>
       val open = (0 until PqM).filter(perSub(_).length < PqSub)
       val m = open.minBy(load)
       perSub(m) = perSub(m) :+ i
-      load(m) += math.log(math.max(ev(i), 1e-12))
+      load(m) += logs(i) - shift
     }
-    val perm = perSub.flatMap(identity)
-    Array.tabulate(d)(i => Array.tabulate(d)(j => svd.V(j, perm(i)).toFloat))
+    perSub.flatMap(identity)
   }
 
   /** Apply a trained rotation: rotated coordinate i is the strict

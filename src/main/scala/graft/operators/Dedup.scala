@@ -395,21 +395,20 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       deltaDocs: DataFrame): DataFrame = {
-    val (baseTable, segsLive) = graft.sinks.Sinks.dedupBaseState(spark, table)
+    val (baseTable, _) = graft.sinks.Sinks.dedupBaseState(spark, table)
     val batch = deltaDocs.select(col("doc_id"), md5(col("text")).as("fp"))
     val verdict = incrementalDedupAgainst(spark.table(baseTable), batch)
-    if (!segsLive) verdict
-    else {
-      val segFps = spark.table(s"${table}__delta")
-        .select("fp").distinct().withColumn("in_seg", lit(true))
-      verdict
-        .join(broadcast(segFps), Seq("fp"), "left")
-        .select(
-          col("doc_id"),
-          col("fp"),
-          (col("dup_of_base") || coalesce(col("in_seg"), lit(false))).as("dup_of_base"),
-          col("dup_in_delta"),
-          (col("is_new") && !coalesce(col("in_seg"), lit(false))).as("is_new"))
+    graft.sinks.Sinks.dedupSegmentFps(spark, table) match {
+      case None => verdict
+      case Some(segFps) =>
+        verdict
+          .join(broadcast(segFps), Seq("fp"), "left")
+          .select(
+            col("doc_id"),
+            col("fp"),
+            (col("dup_of_base") || coalesce(col("in_seg"), lit(false))).as("dup_of_base"),
+            col("dup_in_delta"),
+            (col("is_new") && !coalesce(col("in_seg"), lit(false))).as("is_new"))
     }
   }
 

@@ -60,7 +60,7 @@ object Sinks {
     * exchanges. At 100 TB the base is the corpus — re-shuffling it per
     * arriving batch is the cost this sink exists to delete.
     */
-  def writeDedupBase(docs: DataFrame, table: String, buckets: Int = DefaultBuckets): Unit =
+  def writeDedupBase(docs: DataFrame, table: String, buckets: Int = DefaultBuckets): Unit = {
     docs
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .write
@@ -69,6 +69,15 @@ object Sinks {
       .bucketBy(buckets, "fp")
       .sortBy("fp")
       .saveAsTable(table)
+    // a REBUILD retires the previous corpus's whole lifecycle: stale
+    // delta segments (and any crash leftovers) describe the OLD base —
+    // left live, a rebuilt base would inherit ghost fingerprints and
+    // report never-seen documents as dup_of_base
+    val s = docs.sparkSession
+    Seq(dedupDelta(table), dedupOld(table), dedupCompact(table))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    ()
+  }
 
   // ------------------------------------- dedup base segments + compaction
   // The ANN index's base+delta+compaction layout on the text side
@@ -129,6 +138,21 @@ object Sinks {
     val (base, deltaLive) = dedupBaseState(spark, table)
     val b = spark.table(base)
     if (deltaLive) b.unionByName(spark.table(dedupDelta(table))) else b
+  }
+
+  /** The live delta segments' DISTINCT fingerprints flagged `in_seg`,
+    * ready for the broadcast probe — None when no live segments. The
+    * ONE place that knows the segment table's name and probe shape;
+    * [[graft.operators.Dedup.incrementalDedupStored]] and
+    * [[graft.streaming.Streaming.dedupStoredStream]] both ride it, so
+    * a layout change (segment-stamped deltas, say) lands once.
+    */
+  def dedupSegmentFps(spark: SparkSession, table: String): Option[DataFrame] = {
+    val (_, deltaLive) = dedupBaseState(spark, table)
+    if (!deltaLive) None
+    else Some(
+      spark.table(dedupDelta(table))
+        .select("fp").distinct().withColumn("in_seg", lit(true)))
   }
 
   /** Finish or roll back a [[compactDedupBase]] swap that crashed —
@@ -611,12 +635,26 @@ object Sinks {
     val ids = vecs.select("vec_id").distinct()
     if (ids.isEmpty) return
     val (cents, cb) = loadIndexMeta(spark, path)
+    val rotation = loadRotation(spark, path)
+    // VALIDATE BEFORE THE TOMBSTONE: the tombstone-first crash ordering
+    // assumes a failed upsert is re-runnable to completion, but a batch
+    // whose vectors don't fit the index geometry (wrong dimension vs
+    // the rotation / centroids) fails the encode DETERMINISTICALLY —
+    // re-running can never complete, so the tombstone would be a
+    // permanent silent delete. One cheap pass over the (batch-sized)
+    // upsert closes that window.
+    val expectDim = rotation.map(_.length).getOrElse(cents.head._2.length)
+    val badDims = vecs.select(size(col("embedding")).as("d")).distinct()
+      .collect().map(_.getInt(0)).filter(_ != expectDim)
+    if (badDims.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsert batch carries ${badDims.mkString(",")}-dim vectors; index expects $expectDim")
     val seg = allocSeg(spark, path)
     ids
       .withColumn("seg", lit(seg))
       .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
-    val inSpace = loadRotation(spark, path) match {
+    val inSpace = rotation match {
       case Some(rot) => rotateFor(vecs, "vec_id", rot)
       case None => vecs
     }

@@ -69,7 +69,8 @@ class CdxSource extends TableProvider {
       maxPages,
       Option(properties.get("pageStride")).map(_.toInt)
         .getOrElse(CdxSource.PageStride),
-      Option(properties.get("lazyPages")).map(_.toBoolean))
+      Option(properties.get("lazyPages")).map(_.toBoolean),
+      Option(properties.get("page0EmptyOn400")).exists(_.toBoolean))
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -118,14 +119,21 @@ class CdxTable(
     urls: Seq[String],
     maxPages: Int,
     pageStride: Int = CdxSource.PageStride,
-    lazyOpt: Option[Boolean] = None) extends Table with SupportsRead {
+    lazyOpt: Option[Boolean] = None,
+    // opt-in for servers that answer a zero-capture url's page 0 with
+    // 400 ("page out of range" over numPages=0) instead of an empty
+    // 200: treats a FIRST-page 400 as an empty url rather than a
+    // rejected request. Default strict — a rejected url must fail the
+    // scan, not read as innocently empty.
+    page0EmptyOn400: Boolean = false) extends Table with SupportsRead {
   require(path.isDefined || endpoint.isDefined, "cdx source needs `path` or `endpoint`")
   override def name(): String = s"cdx(`${path.orElse(endpoint).get}`)"
   override def schema(): StructType = CdxSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdxScanBuilder(path, endpoint, urlOpt, urls, maxPages, pageStride, lazyOpt)
+    new CdxScanBuilder(
+      path, endpoint, urlOpt, urls, maxPages, pageStride, lazyOpt, page0EmptyOn400)
 }
 
 class CdxScanBuilder(
@@ -135,7 +143,8 @@ class CdxScanBuilder(
     urls: Seq[String],
     maxPages: Int,
     pageStride: Int,
-    lazyOpt: Option[Boolean])
+    lazyOpt: Option[Boolean],
+    page0EmptyOn400: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -181,7 +190,7 @@ class CdxScanBuilder(
       b.result()
     }
     new CdxScan(path, endpoint, urlOpt, urls, required, urlFilter, maxPages,
-      pageStride, lazyOpt, hadoopProps)
+      pageStride, lazyOpt, hadoopProps, page0EmptyOn400)
   }
 }
 
@@ -213,7 +222,8 @@ case class CdxHttpUrlWalkPartition(
     urlKey: String,
     startPage: Int,
     stride: Int,
-    maxPages: Int)
+    maxPages: Int,
+    page0EmptyOn400: Boolean = false)
     extends InputPartition
 
 class CdxScan(
@@ -226,7 +236,8 @@ class CdxScan(
     maxPages: Int,
     pageStride: Int,
     lazyOpt: Option[Boolean],
-    hadoopProps: Map[String, String])
+    hadoopProps: Map[String, String],
+    page0EmptyOn400: Boolean = false)
     extends Scan
     with Batch {
 
@@ -282,7 +293,8 @@ class CdxScan(
         val stride = math.max(1, math.min(pageStride, maxPages))
         return urlKeys.flatMap(u =>
           (0 until stride).map(r =>
-            CdxHttpUrlWalkPartition(endpoint.get, u, r, stride, maxPages): InputPartition)
+            CdxHttpUrlWalkPartition(
+              endpoint.get, u, r, stride, maxPages, page0EmptyOn400): InputPartition)
         ).toArray
       }
       // the reference's page-count probe (showNumPages=true,
@@ -397,9 +409,10 @@ class CdxReaderFactory(
         new CdxLineReader(
           CdxHttp.readLines(CdxHttp.pageUrl(endpoint, urlKey, page)),
           page, columns, urlFilter, defaultUrl = Some(urlKey))
-      case CdxHttpUrlWalkPartition(endpoint, urlKey, startPage, stride, maxPages) =>
+      case CdxHttpUrlWalkPartition(
+          endpoint, urlKey, startPage, stride, maxPages, page0EmptyOn400) =>
         new CdxPageWalkReader(endpoint, urlKey, startPage, stride, maxPages,
-          columns, urlFilter)
+          columns, urlFilter, page0EmptyOn400)
     }
 }
 
@@ -472,7 +485,8 @@ class CdxPageWalkReader(
     stride: Int,
     maxPages: Int,
     columns: Array[String],
-    urlFilter: Option[String])
+    urlFilter: Option[String],
+    page0EmptyOn400: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private var page = startPage - stride // advanced before first open
@@ -489,7 +503,8 @@ class CdxPageWalkReader(
     // that sibling surfaces a malformed-url 400 by throwing, failing
     // the whole task. Only the page-0 request is ambiguous.
     CdxHttp.openPageOrEnd(
-      CdxHttp.pageUrl(endpoint, urlKey, page), priorPageSucceeded = page > 0) match {
+      CdxHttp.pageUrl(endpoint, urlKey, page),
+      priorPageSucceeded = page > 0 || page0EmptyOn400) match {
       case Some(reader) =>
         current = new CdxLineReader(
           reader, page, columns, urlFilter, defaultUrl = Some(urlKey))

@@ -556,17 +556,15 @@ object Streaming {
   def dedupStoredStream(
       docs: org.apache.spark.sql.DataFrame, table: String): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
-    val (baseTable, segsLive) = graft.sinks.Sinks.dedupBaseState(spark, table)
+    val (baseTable, _) = graft.sinks.Sinks.dedupBaseState(spark, table)
     val baseFps = spark.table(baseTable)
       .select("fp").distinct().withColumn("in_base", lit(true))
     val probed = docs.select(col("doc_id"), md5(col("text")).as("fp"))
       .join(baseFps, Seq("fp"), "left")
-    val withSeg =
-      if (segsLive) {
-        val segFps = spark.table(s"${table}__delta")
-          .select("fp").distinct().withColumn("in_seg", lit(true))
-        probed.join(broadcast(segFps), Seq("fp"), "left")
-      } else probed.withColumn("in_seg", lit(null).cast("boolean"))
+    val withSeg = graft.sinks.Sinks.dedupSegmentFps(spark, table) match {
+      case Some(segFps) => probed.join(broadcast(segFps), Seq("fp"), "left")
+      case None => probed.withColumn("in_seg", lit(null).cast("boolean"))
+    }
     withSeg.select(
       col("doc_id"),
       col("fp"),

@@ -324,6 +324,18 @@ class CdxHttpSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("lazyPages", "true")
       .option("pageStride", "1").load()
     assert(ok.count() == 1)
+    // page0EmptyOn400 opts back into the lenient reading for servers
+    // that answer a zero-capture url's page 0 with "page out of range"
+    // 400 (numPages = 0): the rejected url now reads as empty instead
+    // of failing the scan — the caller has declared the ambiguity
+    // resolves to "no captures" on this endpoint
+    val lenient = TestSpark.spark.read.format(graft.sources.CdxSource.Name)
+      .option("endpoint", s"$endpoint-badreq")
+      .option("urls", "good-url,bad url")
+      .option("lazyPages", "true")
+      .option("page0EmptyOn400", "true")
+      .option("pageStride", "1").load()
+    assert(lenient.count() == 1, "lenient mode must yield the good url's rows only")
   }
 
   test("SRC4 probe: redirect chain yields one header block per hop") {

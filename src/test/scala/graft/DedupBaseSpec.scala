@@ -96,6 +96,27 @@ class DedupBaseSpec extends AnyFunSuite {
     } finally dropAll(table)
   }
 
+  test("rebuilding the base retires the previous corpus's segments — no ghost fingerprints") {
+    val spark = TestSpark.spark
+    val table = "dedup_base_rebuild"
+    dropAll(table)
+    try {
+      Sinks.writeDedupBase(docs(Seq((1L, "alpha"))), table, buckets = 4)
+      Sinks.appendDedupDelta(docs(Seq((2L, "ghost"))), table)
+      assert(verdicts(table, Seq((50L, "ghost")))(50L)._1, "fixture: segment must flag")
+      // REBUILD with a new corpus: the old segment describes a corpus
+      // that no longer exists — left live, "ghost" would read as
+      // dup_of_base against a base that never contained it
+      Sinks.writeDedupBase(docs(Seq((3L, "beta"))), table, buckets = 4)
+      assert(!spark.catalog.tableExists(s"${table}__delta"),
+        "rebuild left the previous corpus's delta segments live")
+      val v = verdicts(table, Seq((60L, "ghost"), (61L, "beta")))
+      assert(v(60L) == ((false, false, true)), s"ghost fp survived the rebuild: $v")
+      assert(v(61L) == ((true, false, false)))
+      assert(Sinks.readDedupBase(spark, table).count() == 1)
+    } finally dropAll(table)
+  }
+
   test("compaction crash states: reads stay correct, writers repair before appending") {
     val spark = TestSpark.spark
     val table = "dedup_base_crash"

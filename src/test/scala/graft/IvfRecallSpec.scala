@@ -318,6 +318,28 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(rWins > 0.3, f"rotated recall $rWins%.3f degenerately low — fixture broken?")
   }
 
+  test("eigenvalue allocation balances sub-unit eigenvalues (no identity degeneration)") {
+    // all-variance-below-1 spectrum, descending — raw log weights are
+    // all negative, the case where a naive greedy collapses onto
+    // subspace 0 and the permutation degenerates to identity
+    val ev = Array.tabulate(64)(i => 0.9 * math.pow(0.93, i))
+    val perm = Ann.eigenvalueAllocation(ev)
+    assert(perm.sorted.sameElements(0 until 64), "allocation must be a permutation")
+    // the top PqM directions must land in PqM DIFFERENT subspaces —
+    // the balancing property; identity would put the top PqSub all in
+    // subspace 0
+    val subOf = Array.fill(64)(-1)
+    perm.zipWithIndex.foreach { case (dir, pos) => subOf(dir) = pos / Ann.PqSub }
+    val topSubs = (0 until Ann.PqM).map(subOf(_)).toSet
+    assert(topSubs.size == Ann.PqM,
+      s"top-$${Ann.PqM} directions collapsed into subspaces $topSubs")
+    // and the per-subspace log-variance sums sit within a tight band
+    val sums = (0 until Ann.PqM).map(m =>
+      (0 until Ann.PqSub).map(k => math.log(ev(perm(m * Ann.PqSub + k)))).sum)
+    assert(sums.max - sums.min < math.log(1 / 0.93) * Ann.PqSub,
+      s"subspace variance products unbalanced: $sums")
+  }
+
   test("distributed-Lloyd residual books never distort worse than their stand-in init") {
     import org.apache.spark.sql.Row
     val emb = plantedClusters
