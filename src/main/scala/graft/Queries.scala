@@ -268,7 +268,7 @@ object Queries {
     val densified = GapFill.densify(dailyDf(s, dir), AsOf)
     val w = Window.partitionBy("url").orderBy("day")
     densified
-      .withColumn("changed", (col("specimen") =!= coalesce(lag(col("specimen"), 1).over(w), lit(" "))).cast("long"))
+      .withColumn("changed", (col("specimen") =!= coalesce(lag(col("specimen"), 1).over(w), lit("\u0000"))).cast("long"))
       .withColumn("run_id", sum("changed").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("url", "run_id")
       .agg(
@@ -792,8 +792,10 @@ object Queries {
     * then the base written as the bucketed table and the segment
     * appended through [[graft.sinks.Sinks.appendDedupDelta]], so the
     * registered rows exercise the real storage layout end-to-end and
-    * the DuckDB twin replays the same coins in place. A fresh table
-    * name per invocation keeps repeated runs independent.
+    * the DuckDB twin replays the same coins in place. The UUID-named
+    * fixture is created ONCE per (session, dir) and memoized — both
+    * stored rows and repeated bench sweeps reuse the same table pair
+    * rather than rewriting the corpus (and leaking tables) per call.
     */
   private val storedDedupCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()

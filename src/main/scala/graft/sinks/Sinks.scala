@@ -61,6 +61,18 @@ object Sinks {
     * arriving batch is the cost this sink exists to delete.
     */
   def writeDedupBase(docs: DataFrame, table: String, buckets: Int = DefaultBuckets): Unit = {
+    // a REBUILD retires the previous corpus's whole lifecycle FIRST:
+    // stale delta segments (and any crash leftovers) describe the OLD
+    // base — left live, a rebuilt base would inherit ghost fingerprints
+    // and report never-seen documents as dup_of_base. Dropping BEFORE
+    // the overwrite means a crash between the two steps fail-opens
+    // (the half-rebuilt base under-dedups until re-run) instead of
+    // fail-closing with ghost dups that a later compaction would fold
+    // into the new base permanently.
+    val s = docs.sparkSession
+    (listDedupSegs(s, table) ++
+      Seq(dedupOld(table), dedupCompact(table), dedupManifest(table)))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     docs
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .write
@@ -69,13 +81,6 @@ object Sinks {
       .bucketBy(buckets, "fp")
       .sortBy("fp")
       .saveAsTable(table)
-    // a REBUILD retires the previous corpus's whole lifecycle: stale
-    // delta segments (and any crash leftovers) describe the OLD base —
-    // left live, a rebuilt base would inherit ghost fingerprints and
-    // report never-seen documents as dup_of_base
-    val s = docs.sparkSession
-    Seq(dedupDelta(table), dedupOld(table), dedupCompact(table))
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     ()
   }
 
@@ -86,12 +91,43 @@ object Sinks {
   // terms, because the base MUST stay a bucketed table for
   // [[graft.operators.Dedup.incrementalDedupStored]]'s exchange-free
   // probe. Simpler than the ANN machinery in one way: fingerprints are
-  // add-only (no tombstones, no upserts), so segments carry no
-  // ordering numbers.
+  // add-only (no tombstones, no upserts), so segment NUMBERS carry no
+  // ordering semantics — they exist only so each append is its OWN
+  // table, which is what lets compaction drop exactly the segments it
+  // read while a segment appended mid-compaction survives untouched.
+  //
+  // WRITER-CONCURRENCY CONTRACT: appends are safe to interleave with
+  // each other AND with a running compaction (each append claims a
+  // fresh segment table create-exclusively, and compaction folds only
+  // the read-set it snapshotted into the `__compacting` manifest). At
+  // most ONE compaction may run at a time — two concurrent compactions
+  // would race the rename swap itself; a concurrent append that lands
+  // exactly between the swap's two renames can roll the swap back
+  // (fail-SAFE: the compaction errors, nothing is lost — re-run it).
 
-  private def dedupDelta(table: String) = s"${table}__delta"
   private def dedupOld(table: String) = s"${table}__old"
   private def dedupCompact(table: String) = s"${table}__compact"
+  private def dedupManifest(table: String) = s"${table}__compacting"
+  private def dedupSegTable(table: String, n: Long) = f"${table}__delta_$n%08d"
+
+  /** Every delta segment table currently in the catalog (a legacy
+    * unstamped `__delta`, if one predates the segment layout, reads as
+    * segment 0), name-sorted. Metadata-scale: one metastore LIKE
+    * listing, pattern-pushed.
+    */
+  private def listDedupSegs(spark: SparkSession, table: String): Seq[String] =
+    spark.sql(s"SHOW TABLES LIKE '${table}__delta*'")
+      .select("tableName").collect().map(_.getString(0)).toSeq.sorted
+
+  /** The `__compacting` manifest's segment list — the read-set a
+    * compaction snapshotted before its swap — or None when no manifest
+    * exists (healthy base, or a LEGACY pre-manifest crash where the
+    * compaction had read every segment).
+    */
+  private def manifestSegs(spark: SparkSession, table: String): Option[Seq[String]] =
+    if (!spark.catalog.tableExists(dedupManifest(table))) None
+    else Some(
+      spark.table(dedupManifest(table)).collect().map(_.getString(0)).toSeq)
 
   /** Append a batch's fingerprints as a DELTA SEGMENT next to the
     * base — the write a pipeline issues after
@@ -102,32 +138,62 @@ object Sinks {
     * reads them via BROADCAST, so keep the compaction cadence ahead of
     * the delta outgrowing broadcast size (it is batch-sized, the base
     * is corpus-sized — the same small/large split the ANN delta has).
+    *
+    * Each batch is its OWN table, `table__delta_<n>`, claimed by an
+    * error-if-exists create (the [[allocSeg]] discipline in metastore
+    * terms; the metastore's create is the atomic claim) — so two
+    * concurrent appends never share a segment, and a compaction that
+    * started before this append cannot destroy it: compaction drops
+    * only the segment tables its manifest recorded.
     */
   def appendDedupDelta(docs: DataFrame, table: String): Unit = {
     val spark = docs.sparkSession
     repairDedupCrashState(spark, table)
-    docs.select(col("doc_id"), md5(col("text")).as("fp"))
-      .write.mode("append").format("parquet").saveAsTable(dedupDelta(table))
+    val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    var seg = listDedupSegs(spark, table)
+      .flatMap(n => n.stripPrefix(s"${table}__delta").stripPrefix("_").toLongOption)
+      .foldLeft(0L)(math.max) + 1L
+    var claimed = false
+    while (!claimed) {
+      try {
+        fps.write.mode("errorifexists").format("parquet")
+          .saveAsTable(dedupSegTable(table, seg))
+        claimed = true
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException
+            if spark.catalog.tableExists(dedupSegTable(table, seg)) =>
+          seg += 1L // lost the claim race — take the next number
+      }
+    }
   }
 
   /** The crash-state view of a dedup base: which table IS the base
-    * right now, and whether the delta segments are live. Mirrors
+    * right now, and which delta segment tables are live. Mirrors
     * [[readAnnIndexCodes]]' reasoning:
     *  - `__old` present WITHOUT the base → crash between the two
-    *    renames; `__old` is the pre-compact base, delta still applies.
+    *    renames; `__old` is the pre-compact base, every segment still
+    *    applies.
     *  - `__old` present WITH the base → crash after the swap but
-    *    before cleanup; the base already folded the delta, so reading
-    *    the stale segments would double-apply them — ignore.
+    *    before cleanup; the base already folded the segments the
+    *    crashed compaction READ — exactly the `__compacting`
+    *    manifest's list — so those are stale (double-apply), while
+    *    segments appended after the snapshot are still live. A
+    *    missing manifest is the legacy pre-manifest state: everything
+    *    was read, nothing is live.
     * Reads never mutate the catalog; writers and the next compaction
     * repair.
     */
   private[graft] def dedupBaseState(
-      spark: SparkSession, table: String): (String, Boolean) = {
+      spark: SparkSession, table: String): (String, Seq[String]) = {
     val oldExists = spark.catalog.tableExists(dedupOld(table))
     val baseExists = spark.catalog.tableExists(table)
-    val deltaLive = !(oldExists && baseExists) &&
-      spark.catalog.tableExists(dedupDelta(table))
-    (if (baseExists) table else dedupOld(table), deltaLive)
+    val segs = listDedupSegs(spark, table)
+    val live =
+      if (oldExists && baseExists) {
+        val folded = manifestSegs(spark, table).getOrElse(segs).toSet
+        segs.filterNot(folded)
+      } else segs
+    (if (baseExists) table else dedupOld(table), live)
   }
 
   /** The live fingerprint set (base ∪ delta segments), crash-state
@@ -135,45 +201,60 @@ object Sinks {
     * reads between compactions.
     */
   def readDedupBase(spark: SparkSession, table: String): DataFrame = {
-    val (base, deltaLive) = dedupBaseState(spark, table)
-    val b = spark.table(base)
-    if (deltaLive) b.unionByName(spark.table(dedupDelta(table))) else b
+    val (base, liveSegs) = dedupBaseState(spark, table)
+    liveSegs.foldLeft(spark.table(base))((acc, t) => acc.unionByName(spark.table(t)))
   }
 
   /** The live delta segments' DISTINCT fingerprints flagged `in_seg`,
     * ready for the broadcast probe — None when no live segments. The
-    * ONE place that knows the segment table's name and probe shape;
+    * ONE place that knows the segment tables' names and probe shape;
     * [[graft.operators.Dedup.incrementalDedupStored]] and
     * [[graft.streaming.Streaming.dedupStoredStream]] both ride it, so
-    * a layout change (segment-stamped deltas, say) lands once.
+    * a layout change lands once.
     */
   def dedupSegmentFps(spark: SparkSession, table: String): Option[DataFrame] = {
-    val (_, deltaLive) = dedupBaseState(spark, table)
-    if (!deltaLive) None
-    else Some(
-      spark.table(dedupDelta(table))
-        .select("fp").distinct().withColumn("in_seg", lit(true)))
+    val (_, liveSegs) = dedupBaseState(spark, table)
+    liveSegs match {
+      case Seq() => None
+      case head +: tail =>
+        Some(
+          tail.foldLeft(spark.table(head))((acc, t) => acc.unionByName(spark.table(t)))
+            .select("fp").distinct().withColumn("in_seg", lit(true)))
+    }
   }
 
   /** Finish or roll back a [[compactDedupBase]] swap that crashed —
     * run by every writer before it touches the delta, so a post-crash
     * base never accumulates segments the cleanup would destroy.
-    * Idempotent; a no-op on a healthy base.
+    * Idempotent; a no-op on a healthy base. Deliberately does NOT
+    * clean up an orphaned `__compact` merge or `__compacting`
+    * manifest when no `__old` is present: that state is
+    * indistinguishable from a compaction that is STILL RUNNING (its
+    * long merge write), and a healthy read never consults either —
+    * the next [[compactDedupBase]] overwrites both.
     */
   private def repairDedupCrashState(spark: SparkSession, table: String): Unit = {
     if (spark.catalog.tableExists(dedupOld(table))) {
       if (spark.catalog.tableExists(table)) {
-        // post-swap crash: the live base already folded the delta —
-        // finish the cleanup (stale segments + old base)
-        spark.sql(s"DROP TABLE IF EXISTS ${dedupDelta(table)}")
+        // post-swap crash: the live base folded exactly the manifest's
+        // segments — drop those and ONLY those (a segment appended
+        // after the crashed compaction's snapshot must survive); a
+        // missing manifest is the legacy state where everything was
+        // read. Order matters: segments, then __old, then manifest —
+        // a crash mid-repair leaves the manifest in place to finish
+        // precisely, never a post-swap state without one.
+        manifestSegs(spark, table).getOrElse(listDedupSegs(spark, table))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
         spark.sql(s"DROP TABLE ${dedupOld(table)}")
-      } else
+        spark.sql(s"DROP TABLE IF EXISTS ${dedupManifest(table)}")
+      } else {
+        // mid-swap crash: roll the rename back; the manifest described
+        // a merge that never went live
         spark.sql(s"ALTER TABLE ${dedupOld(table)} RENAME TO $table")
+        spark.sql(s"DROP TABLE IF EXISTS ${dedupManifest(table)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${dedupCompact(table)}")
+      }
     }
-    // an orphaned merge from a crash before the first rename is dead
-    // weight — drop it (its content is still derivable from base+delta)
-    if (spark.catalog.tableExists(dedupCompact(table)))
-      spark.sql(s"DROP TABLE ${dedupCompact(table)}")
     ()
   }
 
@@ -181,15 +262,39 @@ object Sinks {
     * periodic compaction that keeps the broadcast-probed delta small
     * and the file count bounded by bucket count. Same rename-swap
     * discipline as [[compactAnnIndex]], in catalog metadata ops:
+    * snapshot the segment read-set into the `__compacting` manifest,
     * merged → `__compact`, base → `__old`, `__compact` → base, drop
-    * delta + `__old`. Every crash point leaves a readable base
+    * the READ segments + `__old` + manifest. Segments appended while
+    * the merge runs are not in the snapshot and survive — the
+    * manifest is what lets both this cleanup and a crash repair drop
+    * exactly the folded set. Every crash point leaves a readable base
     * ([[dedupBaseState]]); the next writer or compaction repairs.
     */
   def compactDedupBase(
-      spark: SparkSession, table: String, buckets: Int = DefaultBuckets): Unit = {
+      spark: SparkSession, table: String, buckets: Int = DefaultBuckets): Unit =
+    compactDedupBaseHooked(spark, table, buckets, () => ())
+
+  /** [[compactDedupBase]] with a test seam: `afterSnapshot` runs after
+    * the read-set manifest commits and before the merge write — the
+    * window where a concurrent [[appendDedupDelta]] must survive the
+    * fold. Production callers use the public face.
+    */
+  private[graft] def compactDedupBaseHooked(
+      spark: SparkSession,
+      table: String,
+      buckets: Int,
+      afterSnapshot: () => Unit): Unit = {
     repairDedupCrashState(spark, table)
-    if (!spark.catalog.tableExists(dedupDelta(table))) return
-    spark.table(table).unionByName(spark.table(dedupDelta(table)))
+    val segs = listDedupSegs(spark, table)
+    if (segs.isEmpty) return
+    // the read-set SNAPSHOT: everything this compaction will fold —
+    // recorded before the swap so a post-swap crash repair drops
+    // exactly this list and nothing appended after it
+    import spark.implicits._
+    segs.toDF("seg_table").coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(dedupManifest(table))
+    afterSnapshot()
+    segs.foldLeft(spark.table(table))((acc, t) => acc.unionByName(spark.table(t)))
       .write
       .mode("overwrite")
       .format("parquet")
@@ -198,8 +303,9 @@ object Sinks {
       .saveAsTable(dedupCompact(table))
     spark.sql(s"ALTER TABLE $table RENAME TO ${dedupOld(table)}")
     spark.sql(s"ALTER TABLE ${dedupCompact(table)} RENAME TO $table")
-    spark.sql(s"DROP TABLE ${dedupDelta(table)}")
-    spark.sql(s"DROP TABLE ${dedupOld(table)}")
+    segs.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"DROP TABLE IF EXISTS ${dedupOld(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${dedupManifest(table)}")
     ()
   }
 

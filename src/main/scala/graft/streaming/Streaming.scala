@@ -544,9 +544,18 @@ object Streaming {
     * re-shuffles); the segment probe is a broadcast of
     * batch-sized fingerprints. Crash states of an interrupted
     * compaction read correctly ([[graft.sinks.Sinks.dedupBaseState]]).
-    * The base VIEW is resolved at stream start — run compactions
-    * between ingest sessions, exactly the
-    * [[graft.sinks.Sinks.appendAnnIndex]] discipline.
+    *
+    * OPERATIONAL CONTRACT — the base view is resolved ONCE at stream
+    * start: a [[graft.sinks.Sinks.compactDedupBase]] (or a writer's
+    * crash repair) that runs while this stream is live renames/drops
+    * the resolved base and segment tables out from under the running
+    * plan, failing subsequent micro-batches. Run compactions between
+    * ingest sessions, exactly the
+    * [[graft.sinks.Sinks.appendAnnIndex]] discipline; construction
+    * fails fast with a named error when the base is already missing
+    * (rather than an opaque mid-stream AnalysisException), and a
+    * mid-stream disappearance surfaces as the micro-batch error
+    * naming the vanished table.
     *
     * The expression tree is input-agnostic: over a bounded batch frame
     * it IS the dup_of_base face of
@@ -557,6 +566,10 @@ object Streaming {
       docs: org.apache.spark.sql.DataFrame, table: String): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     val (baseTable, _) = graft.sinks.Sinks.dedupBaseState(spark, table)
+    if (!spark.catalog.tableExists(baseTable))
+      throw new IllegalStateException(
+        s"dedup base '$table' does not exist (no '$baseTable' in the catalog) — " +
+          "write it with Sinks.writeDedupBase before starting the ingest stream")
     val baseFps = spark.table(baseTable)
       .select("fp").distinct().withColumn("in_base", lit(true))
     val probed = docs.select(col("doc_id"), md5(col("text")).as("fp"))

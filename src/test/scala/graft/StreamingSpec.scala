@@ -631,7 +631,9 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val table = "stream_dedup_base"
-    Seq(table, s"${table}__delta", s"${table}__old", s"${table}__compact")
+    (spark.sql(s"SHOW TABLES LIKE '${table}__delta*'")
+      .select("tableName").collect().map(_.getString(0)).toSeq ++
+      Seq(table, s"${table}__old", s"${table}__compact", s"${table}__compacting"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     try {
       graft.sinks.Sinks.writeDedupBase(
@@ -669,7 +671,9 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
       assert(streamed == batch, "streamed stored-base verdicts diverged from the batch probe")
     } finally
-      Seq(table, s"${table}__delta", s"${table}__old", s"${table}__compact")
+      (spark.sql(s"SHOW TABLES LIKE '${table}__delta*'")
+        .select("tableName").collect().map(_.getString(0)).toSeq ++
+        Seq(table, s"${table}__old", s"${table}__compact", s"${table}__compacting"))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
