@@ -494,11 +494,13 @@ object Corpus {
     * [[BenchmarkMod]], so the inner joins line up exactly.
     *
     * Scale shape: one shared shingle explode feeds clustering AND
-    * n-gram decontamination (v1's plan); the semantic face is a
-    * per-row compiled kernel over a collected benchmark (no join);
-    * the span face is the two-level hash filter whose corpus-sized
-    * shuffle carries 8-byte keys. Nothing here adds a corpus×corpus
-    * pair.
+    * n-gram decontamination (v1's plan); quality + PII + repetition
+    * fuse into ONE docs scan ([[TextStats.verdictSignals]] — one
+    * persisted projection, one tagged word+bigram explode); the
+    * semantic face is a per-row compiled kernel over a collected
+    * benchmark (no join); the span face is the two-level hash filter
+    * whose corpus-sized shuffle carries 8-byte keys. Nothing here
+    * adds a corpus×corpus pair.
     */
   def docPipelineFullV2(docs: DataFrame, emb: DataFrame): DataFrame = {
     val sh = CacheScope.persist(Dedup.shingles(docs))
@@ -512,9 +514,11 @@ object Corpus {
         col("vec_id").as("doc_id"),
         col("max_cos"),
         col("contaminated").as("sem_contaminated"))
-    val q = TextStats.quality(docs).select(col("doc_id"), col("n_tokens"), col("quality"))
-    val pii = TextStats.piiScrub(docs).select(col("doc_id"), col("n_emails"), col("n_longnums"))
-    val rep = TextStats.repetition(docs).select(col("doc_id"), col("top_bigram_frac"))
+    // quality + PII + repetition fused into one scan of docs
+    // (TextStats.verdictSignals: one persisted projection, one tagged
+    // explode) — bit-equal to the three standalone operators, minus
+    // two corpus scans and a words explode
+    val signals = TextStats.verdictSignals(docs)
     val spans = Dedup.substringDedup(
       docs, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
       .select(col("doc_id"), col("n_spans").as("n_dup_spans"), col("dup_words"))
@@ -528,9 +532,7 @@ object Corpus {
       .otherwise("keep")
     clusters.join(decon, "doc_id")
       .join(sem, "doc_id")
-      .join(q, "doc_id")
-      .join(pii, "doc_id")
-      .join(rep, "doc_id")
+      .join(signals, "doc_id")
       .join(spans, "doc_id")
       .select(
         col("doc_id"),

@@ -437,6 +437,82 @@ object TextStats {
       .withColumn("is_clean", col("n_emails") === 0 && col("n_longnums") === 0)
   }
 
+  /** The keep-verdict's per-doc signal battery — [[quality]]'s
+    * n_tokens + quality, [[piiScrub]]'s redaction counts, and
+    * [[repetition]]'s top_bigram_frac — fused into ONE scan of the
+    * documents table. The standalone operators each scan `docs`; a
+    * composite verdict ([[Corpus.docPipelineFullV2]]) that joined all
+    * three paid three corpus scans for signals that share every
+    * input. Here one persisted projection (per-row counts + the split
+    * words array — the [[Corpus.docPipeline]] shared-explode
+    * discipline) feeds a single tagged explode emitting each word
+    * (t=0, for the stopword count) and each bigram (t=1, for the
+    * repetition stats), aggregated once by doc; the PII and
+    * punctuation counts ride the projection as per-row columns.
+    *
+    * Values are BIT-EQUAL to the standalone operators: the quality
+    * formula is copied term-for-term (same literal order, same
+    * double casts, same round), the stopword total equals
+    * markerCounts' occurrence sum, and the bigram keys use
+    * [[Dedup.ngramRows]]' exact `concat(w[i], ' ', w[i+1])` gram.
+    */
+  def verdictSignals(docs: DataFrame): DataFrame = {
+    val base = CacheScope.persist(docs.select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      length(translate(col("text"), AlnumSpace, "")).as("punct"),
+      size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).as("n_emails"),
+      size(expr(
+        s"regexp_extract_all(regexp_replace(text, '$EmailRe', '<EMAIL>'), '$LongNumRe', 0)"))
+        .as("n_longnums"),
+      words.as("w")))
+    val tagged = base.select(
+      col("doc_id"),
+      explode(expr(
+        """concat(
+          |  transform(w, x -> named_struct('t', 0, 'g', x)),
+          |  CASE WHEN size(w) >= 2
+          |  THEN transform(sequence(0, size(w) - 2),
+          |                 i -> named_struct('t', 1, 'g', concat(w[i], ' ', w[i+1])))
+          |  ELSE CAST(array() AS ARRAY<STRUCT<t: INT, g: STRING>>) END)""".stripMargin))
+        .as("tg"))
+      .select(col("doc_id"), col("tg.t").as("t"), col("tg.g").as("g"))
+      // non-stopword word rows die HERE, before any aggregation state:
+      // the stop count only ever consults the 7-entry list (the same
+      // volume cut markerCounts' broadcast inner join makes), while
+      // every bigram row survives for the repetition stats — without
+      // this filter the fused pass aggregates the whole word stream
+      // and loses to the three separate scans it replaces
+      .filter(col("t") === 1 || col("g").isin(StopWords: _*))
+    val agg = tagged
+      .groupBy("doc_id", "t", "g")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("t") === 0 && col("g").isin(StopWords: _*), col("cnt")))
+          .cast("int").as("cnt_stop"),
+        sum(when(col("t") === 1, col("cnt"))).as("n_bigrams"),
+        max(when(col("t") === 1, col("cnt"))).as("top_bigram_cnt"))
+    val nTokens = size(col("w"))
+    val nStop = coalesce(col("cnt_stop"), lit(0))
+    val punct = col("punct")
+    base.join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        round(
+          least(lit(1.0), nTokens.cast("double") / 50) *
+            (lit(1.0) - punct.cast("double") / col("len")) *
+            least(lit(1.0), nStop.cast("double") / nTokens * 5 + 0.5),
+          6).as("quality"),
+        col("n_emails"),
+        col("n_longnums"),
+        round(
+          coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)),
+          6).as("top_bigram_frac"))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase
     * text, its 8-char prefix, and a bottom-3 sketch of shingle hashes
     * (a deterministic min-hash-style document signature usable for

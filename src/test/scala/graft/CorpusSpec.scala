@@ -263,6 +263,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(!out(2L).getBoolean(8) && !out(3L).getBoolean(8) && !out(30L).getBoolean(8))
   }
 
+  test("verdictSignals: fused single-scan signals bit-equal the three standalone operators") {
+    val spark = TestSpark.spark
+    // fixture spanning the edge cases: stopword-rich prose, zero
+    // stopwords, planted PII, a repetitive doc, a single-word doc
+    // (no bigrams), and punctuation-heavy text
+    val docs = docsDf(clusterFixture ++ Seq(
+      (41L, "the cat and the dog and the cat sat", "en", "web"),
+      (42L, "contact me at bob@example.com or call 12345678 now", "en", "web"),
+      (43L, "spam spam spam spam spam spam spam spam", "en", "web"),
+      (44L, "word", "en", "web"),
+      (45L, "!!! ??? ### $$$ %%% madness... 42!", "en", "web")))
+    import graft.operators.TextStats
+    val fused = TextStats.verdictSignals(docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val expected = TextStats.quality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .join(TextStats.piiScrub(docs).select(col("doc_id"), col("n_emails"), col("n_longnums")), "doc_id")
+      .join(TextStats.repetition(docs).select(col("doc_id"), col("top_bigram_frac")), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fused.keySet == expected.keySet)
+    for ((id, exp) <- expected)
+      assert(fused(id) == exp, s"doc $id: fused ${fused(id)} != standalone $exp")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("docPipelineFull: the complete verdict applies reason precedence per document") {
     val txt = "the quick brown fox jumps over the lazy dog again and again"
     val out = Corpus.docPipelineFull(docsDf(clusterFixture ++ Seq(

@@ -37,6 +37,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("verdict signals: quality + PII + repetition legs scan docs once") {
+    // the fused verdict input (TextStats.verdictSignals): one persisted
+    // projection feeds the per-row counts AND the tagged word+bigram
+    // explode — three standalone operators would scan the documents
+    // parquet three times
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.TextStats.verdictSignals(docs)
+      .queryExecution.executedPlan.toString
+    // every documents FileScan in the rendering must be the CACHED
+    // projection's child (printed once per InMemoryTableScan leaf) —
+    // a direct second scan would print a FileScan with no
+    // InMemoryRelation wrapper
+    val fileScans = "FileScan parquet".r.findAllIn(p).size
+    val cachedRels = "InMemoryRelation".r.findAllIn(p).size
+    assert(fileScans == cachedRels,
+      s"fused verdict signals must scan documents only through the shared cache " +
+        s"($fileScans FileScans vs $cachedRels cached relations):\n${p.take(3000)}")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"both legs must consume the shared projection:\n${p.take(2000)}")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("doc_mixture_sample: quota joins broadcast; the corpus pays one rank window") {
     val p = plan("doc_mixture_sample")
     // the corpus-sized side: exactly one source-keyed window exchange
