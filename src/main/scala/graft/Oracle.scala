@@ -688,10 +688,26 @@ object Oracle {
        |LEFT JOIN seg ON p.fp = seg.fp JOIN fd ON p.fp = fd.fp
        |ORDER BY p.doc_id""".stripMargin
 
+  /** A float literal DuckDB narrows to the IDENTICAL float bits.
+    * `Float.toString` is shortest-round-trip, but a bare decimal
+    * literal in DuckDB parses as DECIMAL, and DECIMAL→FLOAT can land
+    * ONE ULP off the Java parse (measured: `0.021892939::FLOAT` ≠
+    * `'0.021892939'::FLOAT`). The `E0` suffix forces the DOUBLE
+    * parse, whose FLOAT narrowing reproduces Java's `parseFloat`
+    * exactly — without it, every materialized-literal twin (rotation
+    * matrices, codebooks, centroids) carries ulp-level input skew
+    * that surfaces as a hash mismatch whenever a quantized distance
+    * lands on a rounding boundary.
+    */
+  private def floatLit(x: Float): String = {
+    val s = x.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
   /** [[pqcStandIn]]'s shape over a literal (trained) codebook. */
   private def pqcValues(centers: Array[(Long, Array[Float])]): String = {
     val values = centers.map { case (id, ce) =>
-      ce.map(_.toString).mkString(s"($id, [", ", ", "]::FLOAT[])")
+      ce.map(floatLit).mkString(s"($id, [", ", ", "]::FLOAT[])")
     }.mkString(",\n    ")
     s"""pqc AS (SELECT c_id, ce FROM (VALUES
        |    $values) t(c_id, ce))""".stripMargin
@@ -768,7 +784,7 @@ object Oracle {
       centers: Array[(Long, Array[Float])]): String = {
     val d = rot.length
     val rm = rot
-      .map(r => r.map(_.toString).mkString("[", ", ", "]::FLOAT[]"))
+      .map(r => r.map(floatLit).mkString("[", ", ", "]::FLOAT[]"))
       .mkString("[\n    ", ",\n    ", "]")
     s"""WITH rotm AS (SELECT $rm AS rm),
        |rote AS (
@@ -795,9 +811,10 @@ object Oracle {
     * ([[annIvfPqResidualTrainedSql]]) replay through identical
     * encode/ADC/rank CTEs.
     */
-  private def annIvfPqResidualSqlWith(rcb: String): String = {
+  private def annIvfPqResidualSqlWith(
+      rcb: String, pre: Option[String] = None): String = {
     val m = graft.operators.Ann.PqM
-    s"""WITH $vecNormCte,
+    s"""WITH ${pre.getOrElse(vecNormCte)},
        |${ivfCtes()},
        |res AS (
        |  SELECT a.vec_id, a.c_id,
@@ -846,13 +863,41 @@ object Oracle {
     * (c_id, k, cb) — 256 rows of 64 floats, Float.toString round-trip
     * serialization as in [[annIvfKmeansSql]].
     */
-  def annIvfPqResidualTrainedSql(books: Array[(Long, Int, Array[Float])]): String = {
+  private def residualBooksCte(books: Array[(Long, Int, Array[Float])]): String = {
     val values = books.sortBy(b => (b._1, b._2)).map { case (c, k, cb) =>
-      cb.map(_.toString).mkString(s"($c, $k, [", ", ", "]::FLOAT[])")
+      cb.map(floatLit).mkString(s"($c, $k, [", ", ", "]::FLOAT[])")
     }.mkString(",\n    ")
-    annIvfPqResidualSqlWith(
-      s"""rcb AS (SELECT c_id, CAST(k AS INT) AS k, cb FROM (VALUES
-         |    $values) t(c_id, k, cb))""".stripMargin)
+    s"""rcb AS (SELECT c_id, CAST(k AS INT) AS k, cb FROM (VALUES
+       |    $values) t(c_id, k, cb))""".stripMargin
+  }
+
+  def annIvfPqResidualTrainedSql(books: Array[(Long, Int, Array[Float])]): String =
+    annIvfPqResidualSqlWith(residualBooksCte(books))
+
+  /** The rotated-residual twin — [[annPqRotatedSql]]'s literal-matrix
+    * rotation of the corpus (queries and the firstK coarse centroids
+    * ride `vn`, so the whole index geometry rotates exactly as the
+    * Spark side's does), then the IDENTICAL residual encode/ADC/rank
+    * CTEs over the rotated-space trained per-list books.
+    */
+  def annIvfPqResidualRotatedSql(
+      rot: Array[Array[Float]],
+      books: Array[(Long, Int, Array[Float])]): String = {
+    val d = rot.length
+    val rm = rot
+      .map(r => r.map(floatLit).mkString("[", ", ", "]::FLOAT[]"))
+      .mkString("[\n    ", ",\n    ", "]")
+    val pre =
+      s"""rotm AS (SELECT $rm AS rm),
+         |rote AS (
+         |  SELECT e.vec_id, e.label, list_transform(range($d), ri ->
+         |    CAST(list_sum(list_transform(range($d), rj ->
+         |      CAST(r.rm[CAST(ri AS INTEGER) + 1][CAST(rj AS INTEGER) + 1] AS DOUBLE)
+         |        * CAST(e.embedding[CAST(rj AS INTEGER) + 1] AS DOUBLE))) AS REAL)) AS embedding
+         |  FROM embeddings e, rotm r
+         |),
+         |${vecNormCteFrom("rote")}""".stripMargin
+    annIvfPqResidualSqlWith(residualBooksCte(books), Some(pre))
   }
 
   /** IVF-PQ twin: coarse-quantizer CTEs (cent/asg/probes) prune to
@@ -906,7 +951,7 @@ object Oracle {
   def annIndexRotatedSql(rot: Array[Array[Float]]): String = {
     val d = rot.length
     val rm = rot
-      .map(r => r.map(_.toString).mkString("[", ", ", "]::FLOAT[]"))
+      .map(r => r.map(floatLit).mkString("[", ", ", "]::FLOAT[]"))
       .mkString("[\n    ", ",\n    ", "]")
     s"""WITH rotm AS (SELECT $rm AS rm),
        |rote AS (
@@ -3249,6 +3294,10 @@ object Oracle {
         annIndexRotatedSql(Queries.rotatedPqMeta(spark, dir)._1),
       "ann_ivfpq_residual_trained" ->
         annIvfPqResidualTrainedSql(Queries.residualTrainedBooks(spark, dir)),
+      "ann_ivfpq_residual_rotated" -> {
+        val (rot, _) = Queries.rotatedPqMeta(spark, dir)
+        annIvfPqResidualRotatedSql(rot, Queries.residualRotatedBooks(spark, dir))
+      },
       "doc_quality_model_trained" -> {
         val (w, bias) = Queries.qualityModelWeights(spark, dir)
         qualityModelTrainedSql(w, bias)
@@ -3300,7 +3349,7 @@ object Oracle {
     */
   private def annIvfKmeansSql(centers: Array[(Long, Array[Float])]): String = {
     val values = centers.map { case (id, ce) =>
-      ce.map(_.toString).mkString(s"($id, [", ", ", "]::FLOAT[])")
+      ce.map(floatLit).mkString(s"($id, [", ", ", "]::FLOAT[])")
     }.mkString(",\n    ")
     val cent =
       s"""cent AS (

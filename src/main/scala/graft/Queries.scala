@@ -1017,6 +1017,47 @@ object Queries {
       .orderBy("q_id", "rn")
   }
 
+  /** Per-list residual books trained in ROTATED space — the
+    * [[residualTrainedBooks]] fit over the rotated corpus (rotation
+    * from [[rotatedPqMeta]], shared with the plain-PQ rotated row),
+    * memoized under a distinct cache key so the two fits never mix.
+    */
+  def residualRotatedBooks(s: SparkSession, dir: String): Array[(Long, Int, Array[Float])] =
+    resTrainedCache.synchronized {
+      val perSession = resTrainedCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, Array[(Long, Int, Array[Float])]])
+      perSession.getOrElseUpdate(
+        s"$dir#rotated", {
+          val re = Ann.rotate(embs(s, dir), rotatedPqMeta(s, dir)._1)
+          val cents = Ann.firstKCentroids(re)
+          try Ann.pqResidualCodebooksTrained(Ann.ivfAssign(re, cents), cents)
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+            .sortBy(b => (b._1, b._2))
+          finally graft.operators.CacheScope.releaseAll()
+        })
+    }
+
+  /** Residual IVF-PQ in ROTATED space — the best-recall configuration
+    * gets the OPQ benefit: the trained rotation decorrelates
+    * coordinates BEFORE the coarse quantizer and the per-list residual
+    * Lloyd fit, so the finest codes (where OPQ's gain is largest)
+    * spend their budget on balanced subspaces. Same code budget and
+    * NProbe as `ann_ivfpq_residual_trained`; the whole geometry —
+    * coarse centroids, assignments, books, queries — lives in rotated
+    * space, exactly like the rotated serving index
+    * ([[graft.sinks.Sinks]] `rotation/` artifact).
+    */
+  def annIvfPqResidualRotated(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    import s.implicits._
+    val re = Ann.rotate(e, rotatedPqMeta(s, dir)._1)
+    val cb = residualRotatedBooks(s, dir).toSeq.toDF("c_id", "k", "cb")
+    val cents = Ann.firstKCentroids(re)
+    Ann.ivfPqResidualRank(Ann.ivfAssign(re, cents), cents, cb, Ann.defaultQueries(re))
+      .orderBy("q_id", "rn")
+  }
+
   /** Brute-force cosine top-K: broadcast query set vs corpus. */
   def annTopK(s: SparkSession, dir: String): DataFrame =
     Ann.cosineTopK(embs(s, dir)).orderBy("q_id", "rn")
@@ -1552,6 +1593,7 @@ object Queries {
     "ann_index_upsert_topk" -> (annIndexUpsertTopK _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_ivfpq_residual_trained" -> (annIvfPqResidualTrained _),
+    "ann_ivfpq_residual_rotated" -> (annIvfPqResidualRotated _),
     "emb_near_dup" -> (embNearDup _),
     "emb_decontaminate" -> (embDecontaminate _),
     "ann_knn_join" -> (annKnnJoin _),

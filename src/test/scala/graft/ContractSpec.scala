@@ -35,6 +35,7 @@ class ContractSpec extends AnyFunSuite {
     "ann_pq_rotated",
     "ann_index_rotated_topk",
     "ann_ivfpq_residual_trained",
+    "ann_ivfpq_residual_rotated",
     "doc_quality_model_trained",
     "doc_quality_model_stored")
 

@@ -318,6 +318,61 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(rWins > 0.3, f"rotated recall $rWins%.3f degenerately low — fixture broken?")
   }
 
+  test("rotation x residual: rotated-residual agreement >= unrotated at equal NProbe and budget") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the same correlated-anisotropic fixture as the plain-PQ rotation
+    // pin (a different seed so the two tests can't share a lucky
+    // draw): rotation's gain must survive composition with the coarse
+    // quantizer + per-list residual Lloyd fit — the best-recall
+    // configuration is exactly where OPQ should help most
+    val rnd = new scala.util.Random(47)
+    val mix = Array.fill(64, 64)((rnd.nextGaussian() * 0.18).toFloat)
+    val emb = (0 until 1200).map { i =>
+      val z = Array.tabulate(64)(j => (rnd.nextGaussian() * math.pow(0.93, j)).toFloat)
+      val v = Array.tabulate(64) { r =>
+        var acc = 0.0; var j = 0
+        while (j < 64) { acc += mix(r)(j).toDouble * z(j).toDouble; j += 1 }
+        acc.toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+
+    val queries = Ann.defaultQueries(emb)
+    val exact = emb
+      .join(broadcast(queries.select(col("q_id"), col("embedding").as("qe"))),
+        col("q_id") =!= col("vec_id"))
+      .withColumn("d", expr(
+        """aggregate(zip_with(qe, embedding,
+          |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d").asc, col("vec_id"))))
+      .filter(col("rn") <= Ann.K)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def residualPairs(e: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val cents = Ann.firstKCentroids(e)
+      val lists = Ann.ivfAssign(e, cents)
+      val books = Ann.pqResidualCodebooksTrained(lists, cents)
+      try Ann.ivfPqResidualRank(lists, cents, books, Ann.defaultQueries(e))
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally graft.operators.CacheScope.releaseAll()
+    }
+    val unrotated = residualPairs(emb)
+    val rotated = residualPairs(Ann.rotate(emb, Ann.pcaRotation(emb)))
+    val rWins = (exact intersect rotated).size.toDouble / exact.size
+    val uWins = (exact intersect unrotated).size.toDouble / exact.size
+    info(f"residual agreement vs exact top-5: rotated $rWins%.3f, unrotated $uWins%.3f")
+    assert(rWins >= uWins,
+      f"rotated residual lost agreement at equal budget: $rWins%.3f < $uWins%.3f")
+    assert(rWins > 0.3, f"rotated-residual agreement $rWins%.3f degenerately low — fixture broken?")
+  }
+
   test("eigenvalue allocation balances sub-unit eigenvalues (no identity degeneration)") {
     // all-variance-below-1 spectrum, descending — raw log weights are
     // all negative, the case where a naive greedy collapses onto
