@@ -1813,6 +1813,43 @@ object Oracle {
          |SELECT doc_id, ph_hi, ph_lo FROM full_ph
          |ORDER BY doc_id""".stripMargin,
 
+    // The pixel-true twin replays the planted grid from its md5
+    // FORMULA (Multimodal.pxPlantValue) — no codec: grayscale pixels
+    // make BT.601 integer luma the identity ((299+587+114)v/1000 = v),
+    // the 36x32 canvas divides the 9x8 grid exactly so block counts
+    // are equal and plain integer block sums compare, and bit y*8+x
+    // packs into the same hi/lo halves the Spark kernel fills. The
+    // Spark side decodes REAL ImageIO-written PNG bytes; hash equality
+    // against this codec-free replay is the decode proof.
+    "mm_phash_px" -> {
+      val (pe, w, h) = (
+        graft.operators.Multimodal.PxPlantEvery,
+        graft.operators.Multimodal.PxImgW,
+        graft.operators.Multimodal.PxImgH)
+      s"""WITH g AS (
+         |  SELECT d.doc_id, x.x, y.y,
+         |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '_' ||
+         |      CAST(x.x AS VARCHAR) || '_' || CAST(y.y AS VARCHAR)), 1, 2)) AS BIGINT) AS v
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % $pe = 0) d,
+         |       range($w) x(x), range($h) y(y)
+         |),
+         |blk AS (
+         |  SELECT doc_id, CAST(y // ${h / 8} AS INT) AS by, CAST(x // ${w / 9} AS INT) AS bx,
+         |    CAST(sum(v) AS BIGINT) AS s
+         |  FROM g GROUP BY 1, 2, 3
+         |),
+         |bits AS (
+         |  SELECT a.doc_id, a.by * 8 + a.bx AS bi,
+         |    CASE WHEN n.s > a.s THEN 1 ELSE 0 END AS bit
+         |  FROM blk a JOIN blk n ON n.doc_id = a.doc_id AND n.by = a.by AND n.bx = a.bx + 1
+         |  WHERE a.bx < 8
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN bi >= 32 THEN bit * (CAST(1 AS BIGINT) << (bi - 32)) ELSE 0 END) AS BIGINT) AS ph_hi,
+         |  CAST(sum(CASE WHEN bi < 32 THEN bit * (CAST(1 AS BIGINT) << bi) ELSE 0 END) AS BIGINT) AS ph_lo
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "mm_near_dup" ->
       s"""WITH $mmBandedCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1307,6 +1307,17 @@ object Queries {
     Multimodal.perceptualHash(Multimodal.withPayload(docs(s, dir)))
       .toDF().orderBy("doc_id")
 
+  /** PIXEL-TRUE 2-D dHash over real PNG payloads: the fixture plants
+    * actual `javax.imageio`-encoded images whose pixels derive from
+    * md5 metadata ([[Multimodal.plantedPngPayloads]]); the operator
+    * must decode the compressed bytes back to a luma grid to hash,
+    * and the twin replays the grid from the formula codec-free —
+    * equality is the proof the decode path is real.
+    */
+  def mmPhashPx(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHash(Multimodal.plantedPngPayloads(docs(s, dir)))
+      .toDF().orderBy("doc_id")
+
   /** Perceptual-hash image near-dup pairs: banded candidates, Hamming
     * verify — [[Multimodal.mmNearDup]] over the text payloads plus the
     * planted smooth signals and their stride-resampled copies (the
@@ -1609,6 +1620,7 @@ object Queries {
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
     "mm_phash" -> (mmPhash _),
+    "mm_phash_px" -> (mmPhashPx _),
     "mm_near_dup" -> (mmNearDup _),
     "mm_dedup_clusters" -> (mmDedupClusters _),
     "span_metrics" -> (spanMetrics _),

@@ -263,34 +263,119 @@ object Multimodal {
     val spark = withPayloadDf.sparkSession
     import spark.implicits._
     withPayloadDf.as[MmRow].mapPartitions(_.map { r =>
-      val p = r.payload
-      val n = PhashBuckets
-      val L = p.length
-      val sums = new Array[Long](n)
-      val cnts = new Array[Long](n)
-      var i = 0
-      while (i < L) {
-        val b = ((i.toLong * n) / L).toInt
-        sums(b) += (p(i) & 0xff).toLong
-        cnts(b) += 1
-        i += 1
-      }
-      val big = L > (1 << 23) // Long cross-products are exact below this
-      var lo = 0L
-      var hi = 0L
-      var b = 0
-      while (b < n - 1) {
-        val bit =
-          if (big) BigInt(sums(b + 1)) * cnts(b) > BigInt(sums(b)) * cnts(b + 1)
-          else sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1)
-        if (bit) {
-          if (b < 32) lo |= 1L << b
-          else hi |= 1L << (b - 32)
-        }
-        b += 1
-      }
+      val (hi, lo) = phashOf(r.payload)
       MmHash(r.doc_id, hi, lo)
     })
+  }
+
+  /** The ONE perceptual-hash kernel every face rides (batch operator,
+    * registry rows, streaming ingest): payloads that parse as real
+    * images ([[parseHeader]]'s magic-byte classification, then an
+    * actual `javax.imageio` pixel decode) hash as a TRUE 2-D dHash
+    * over the decoded luma grid — robust to re-encoding, the common
+    * case for web-archive duplicates (the same URL captured across
+    * years of quality settings; reference context main.py:118) —
+    * while anything else (text stand-ins, truncated headers, corrupt
+    * bytes) falls back to the byte-stream dHash, so a payload is
+    * always data, never a job failure.
+    */
+  private[graft] def phashOf(p: Array[Byte]): (Long, Long) =
+    pixelDHash(p).getOrElse(byteDHash(p))
+
+  /** 1-D byte-stream dHash (the pre-decode fallback; scaladoc on
+    * [[perceptualHash]] describes the bucket/compare scheme).
+    */
+  private[graft] def byteDHash(p: Array[Byte]): (Long, Long) = {
+    val n = PhashBuckets
+    val L = p.length
+    val sums = new Array[Long](n)
+    val cnts = new Array[Long](n)
+    var i = 0
+    while (i < L) {
+      val b = ((i.toLong * n) / L).toInt
+      sums(b) += (p(i) & 0xff).toLong
+      cnts(b) += 1
+      i += 1
+    }
+    val big = L > (1 << 23) // Long cross-products are exact below this
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < n - 1) {
+      val bit =
+        if (big) BigInt(sums(b + 1)) * cnts(b) > BigInt(sums(b)) * cnts(b + 1)
+        else sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1)
+      if (bit) {
+        if (b < 32) lo |= 1L << b
+        else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** 2-D dHash grid: 9 x 8 luma blocks -> 64 horizontal-adjacent
+    * difference bits (bit y*8+x = block (x+1, y) brighter than
+    * block (x, y)).
+    */
+  val PxGridW = 9
+  val PxGridH = 8
+
+  /** TRUE 2-D dHash over decoded pixels: `javax.imageio` decode (the
+    * standard-library codec — PNG, JPEG, GIF, BMP), box-sum the
+    * BT.601 integer luma into the [[PxGridW]]x[[PxGridH]] grid, then
+    * compare horizontally adjacent block averages by integer
+    * cross-multiplication (no division, no float — the [[byteDHash]]
+    * discipline, so a formula-replaying oracle twin is bit-exact).
+    * None when the payload isn't a decodable raster at least
+    * [[PxGridW]] x [[PxGridH]]: the magic-byte gate keeps ImageIO off
+    * the non-image hot path, and a decode failure on a real-looking
+    * header falls back rather than failing the job.
+    */
+  private[graft] def pixelDHash(p: Array[Byte]): Option[(Long, Long)] = {
+    val fmt = parseHeader(p)._1
+    if (fmt != "png" && fmt != "jpeg") None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null || img.getWidth < PxGridW || img.getHeight < PxGridH) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = Array.ofDim[Long](PxGridH, PxGridW)
+          val cnts = Array.ofDim[Long](PxGridH, PxGridW)
+          var y = 0
+          while (y < h) {
+            val by = ((y.toLong * PxGridH) / h).toInt
+            var x = 0
+            while (x < w) {
+              val bx = ((x.toLong * PxGridW) / w).toInt
+              val rgb = img.getRGB(x, y)
+              val lum = (299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              sums(by)(bx) += lum
+              cnts(by)(bx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var lo = 0L
+          var hi = 0L
+          var b = 0
+          while (b < 64) {
+            val yy = b / (PxGridW - 1)
+            val xx = b % (PxGridW - 1)
+            val bit =
+              sums(yy)(xx + 1) * cnts(yy)(xx) > sums(yy)(xx) * cnts(yy)(xx + 1)
+            if (bit) {
+              if (b < 32) lo |= 1L << b
+              else hi |= 1L << (b - 32)
+            }
+            b += 1
+          }
+          Some((hi, lo))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** (doc_id, band, key) bucket rows: four 16-bit slices of the 64-bit
@@ -364,11 +449,59 @@ object Multimodal {
       .toDF()
   }
 
+  /** Planted REAL PNG payloads for the pixel-true registry row: every
+    * [[PxPlantEvery]]-th doc gets a [[PxImgW]]x[[PxImgH]] grayscale
+    * image whose every pixel derives from md5 METADATA
+    * ([[pxPlantValue]]), encoded through the actual `javax.imageio`
+    * PNG writer — so the Spark side must genuinely DECODE the
+    * compressed bytes back to pixels to hash, while the DuckDB twin
+    * replays the same grid from the formula with no codec at all.
+    * Hash equality between the two is the proof the decode is real.
+    * Dimensions divide the [[PxGridW]]x[[PxGridH]] grid exactly, so
+    * block counts are equal and the twin compares plain integer sums.
+    */
+  val PxPlantEvery = 10L
+  val PxImgW = 36
+  val PxImgH = 32
+
+  private[graft] def pxPlantValue(docId: Long, x: Int, y: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"${docId}_${x}_${y}".getBytes("UTF-8"))
+    h(0) & 0xff
+  }
+
+  def plantedPngPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % PxPlantEvery === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val img = new java.awt.image.BufferedImage(
+          PxImgW, PxImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < PxImgH) {
+          var x = 0
+          while (x < PxImgW) {
+            val v = pxPlantValue(d, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MmRow(d, "image", PxImgW.toLong, PxImgH.toLong, baos.toByteArray)
+      })
+      .toDF()
+  }
+
   /** Perceptual image near-dup pairs: band-bucket equi-join (never
     * all-pairs), Hamming verify over the full 64 bits, threshold
     * [[MmHammingMax]]. The image-modality face of [[Dedup
     * .simhashPairs]]: same candidate shape, same verify, a signal
-    * hash instead of a token hash.
+    * hash instead of a token hash. Payloads that decode as real
+    * images hash pixel-true ([[pixelDHash]]) — two re-encodes of one
+    * photo pair even though their byte streams share nothing.
     */
   def mmNearDup(withPayloadDf: DataFrame): DataFrame = {
     val banded = perceptualBanded(CacheScope.persist(perceptualHash(withPayloadDf).toDF()))

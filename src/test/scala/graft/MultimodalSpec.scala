@@ -130,4 +130,99 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h.forall(x => x.ph_hi >= 0 && x.ph_lo >= 0), "32-bit halves must stay sign-safe")
     assert(h(2).ph_hi == 0 && h(2).ph_lo == 0, "empty payload hashes to zero")
   }
+  // ------------------------------------------------- pixel-true hashing
+
+  private def checkerImage(w: Int, h: Int, block: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (((x / block) + (y / block)) % 2 == 0) 40 else 216
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  private def jpegBytes(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val jw = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = jw.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    jw.setOutput(ios)
+    jw.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    jw.dispose(); ios.close()
+    baos.toByteArray
+  }
+
+  private def hamming(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+
+  test("pixel dHash pairs a PNG with its JPEG re-encode where byte dHash cannot") {
+    // the web-archive common case: one photo served across years of
+    // re-encodes — byte streams share nothing, decoded pixels almost
+    // everything. Strong block contrast (checkerboard, delta 176)
+    // keeps every adjacent-average comparison far above JPEG noise.
+    val img = checkerImage(72, 64, 8)
+    val png = pngBytes(img)
+    val jpg = jpegBytes(img, 0.85f)
+    assert(Multimodal.parseHeader(png)._1 == "png")
+    assert(Multimodal.parseHeader(jpg)._1 == "jpeg")
+    val hp = Multimodal.phashOf(png)
+    val hj = Multimodal.phashOf(jpg)
+    assert(hamming(hp, hj) <= Multimodal.MmHammingMax,
+      s"pixel-true hashes must pair across re-encodes: hamming ${hamming(hp, hj)}")
+    val bp = Multimodal.byteDHash(png)
+    val bj = Multimodal.byteDHash(jpg)
+    assert(hamming(bp, bj) > Multimodal.MmHammingMax,
+      s"fixture too weak: byte streams of different codecs paired at ${hamming(bp, bj)}")
+  }
+
+  test("mmNearDup pairs cross-codec re-encodes of one image through the pixel path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val img = checkerImage(72, 64, 8)
+    val other = checkerImage(72, 64, 16) // coarser board: a different photo
+    val rows = Seq(
+      Multimodal.MmRow(1L, "image", 72L, 64L, pngBytes(img)),
+      Multimodal.MmRow(2L, "image", 72L, 64L, jpegBytes(img, 0.85f)),
+      Multimodal.MmRow(3L, "image", 72L, 64L, pngBytes(other))).toDF()
+    val pairs = Multimodal.mmNearDup(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.CacheScope.releaseAll()
+    assert(pairs.contains((1L, 2L)), s"png/jpeg re-encode pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"a different image paired: $pairs")
+  }
+
+  test("non-image payloads fall back to the byte-stream dHash exactly") {
+    val ascii = "not an image at all, just bytes".getBytes("UTF-8")
+    assert(Multimodal.phashOf(ascii) == Multimodal.byteDHash(ascii))
+    // a real-looking header with garbage after it must fall back, not throw
+    val truncated = Multimodal.pngHeader(640, 480) ++ "entropy text".getBytes
+    assert(Multimodal.phashOf(truncated) == Multimodal.byteDHash(truncated))
+  }
+
+  test("planted PNG rows decode: pixel hash differs from the byte hash of the same payload") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((10L, "x"), (20L, "y"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val planted = Multimodal.plantedPngPayloads(docs)
+      .as[Multimodal.MmRow].collect().sortBy(_.doc_id)
+    assert(planted.map(_.doc_id).toSeq == Seq(10L, 20L))
+    planted.foreach { r =>
+      assert(Multimodal.parseHeader(r.payload)._1 == "png")
+      val px = Multimodal.pixelDHash(r.payload)
+      assert(px.isDefined, s"planted PNG must decode: doc ${r.doc_id}")
+      assert(px.get != Multimodal.byteDHash(r.payload),
+        s"pixel and byte hashes coincided — is the decode real? doc ${r.doc_id}")
+    }
+  }
 }
