@@ -1861,6 +1861,21 @@ object Oracle {
          |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // the ingest-time perceptual fold over bounded input equals the
+    // banded self-join with the Hamming verify, kept per band (each
+    // doc holds one key per band, so a pair appears at most once per
+    // band on both sides)
+    "streaming_mm_near_dup" ->
+      s"""WITH $mmBandedCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INTEGER) AS band,
+         |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+         |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+         |                           AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
+         |ORDER BY doc_a, doc_b, band""".stripMargin,
+
     // perceptual pairs through the same recursive transitive closure
     // the text and embedding cluster twins replay
     "mm_dedup_clusters" ->

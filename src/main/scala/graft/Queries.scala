@@ -1460,6 +1460,18 @@ object Queries {
     graft.streaming.Streaming.batchNearDupCandidates(docs(s, dir))
       .toDF().orderBy("doc_a", "doc_b", "band")
 
+  /** The image modality's ingest-time near-dup face over bounded
+    * input — the per-bucket Hamming-verified fold whose hash kernel
+    * is shared verbatim with `mm_phash` (pixel-true where payloads
+    * decode, byte-stream fallback here on the synthetic corpus); the
+    * twin is the banded self-join the batch operator runs.
+    */
+  def streamingMmNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchMmNearDup(
+      Multimodal.withPayload(docs(s, dir))
+        .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))
+      .toDF().orderBy("doc_a", "doc_b", "band")
+
   /** The ingest-time decontamination kernel over bounded input — must
     * equal doc_decontaminate row for row (shared twin).
     */
@@ -1629,6 +1641,7 @@ object Queries {
     "streaming_scored" -> (streamingScored _),
     "streaming_dedup" -> (streamingDedup _),
     "streaming_near_dup" -> (streamingNearDup _),
+    "streaming_mm_near_dup" -> (streamingMmNearDup _),
     "report_daily" -> (reportDaily _),
     "cdx_source_scan" -> (cdxSourceScan _),
     "transitions_chart" -> (transitionsChart _),

@@ -833,6 +833,98 @@ object Streaming {
     }
   }
 
+  // ------------------------------------ streaming perceptual near-dup
+  /** One perceptual band-bucket row: a 16-bit slice key plus the full
+    * hash halves (the within-bucket Hamming verify needs them).
+    */
+  case class MmBandKeyed(doc_id: Long, band: Int, key: Long, ph_hi: Long, ph_lo: Long)
+
+  /** A verified perceptual collision: doc_a < doc_b share band `band`
+    * and sit within [[graft.operators.Multimodal.MmHammingMax]] bits.
+    */
+  case class MmCandidateOut(doc_a: Long, doc_b: Long, band: Int, hamming: Int)
+
+  /** Per-bucket fold shared by the perceptual stream and its batch
+    * harness — [[bucketFold]]'s shape with the Hamming verify fused in
+    * (state carries each member's hash halves, so a collision verifies
+    * inside the bucket instead of a downstream join).
+    */
+  private[graft] def mmBucketFold(
+      rows: Iterator[MmBandKeyed],
+      prior: Vector[(Long, Long, Long)])
+      : (Vector[(Long, Long, Long)], Vector[MmCandidateOut]) = {
+    var members = prior
+    val seen = scala.collection.mutable.HashSet.from(prior.map(_._1))
+    val out = Vector.newBuilder[MmCandidateOut]
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      if (seen.add(r.doc_id)) {
+        members.foreach { case (m, hi, lo) =>
+          val ham = java.lang.Long.bitCount(hi ^ r.ph_hi) +
+            java.lang.Long.bitCount(lo ^ r.ph_lo)
+          if (ham <= graft.operators.Multimodal.MmHammingMax)
+            out += MmCandidateOut(
+              math.min(m, r.doc_id), math.max(m, r.doc_id), r.band, ham)
+        }
+        members = members :+ ((r.doc_id, r.ph_hi, r.ph_lo))
+      }
+    }
+    (members, out.result())
+  }
+
+  private def mmBandedRows(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmBandKeyed] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    graft.operators.Multimodal
+      .perceptualBanded(graft.operators.Multimodal.perceptualHash(withPayload).toDF())
+      .select(
+        col("doc_id"), col("band").cast("int").as("band"),
+        col("key"), col("ph_hi"), col("ph_lo"))
+      .as[MmBandKeyed]
+  }
+
+  /** The image modality's ingest-time face: arriving payloads hash
+    * through the ONE perceptual kernel
+    * ([[graft.operators.Multimodal.phashOf]] — pixel-true 2-D dHash
+    * when the payload decodes, byte-stream fallback otherwise; shared
+    * verbatim with batch `mmPhash`), band into 16-bit buckets, and
+    * each bucket's GroupState emits Hamming-verified pairs as later
+    * members arrive — a crawler sees an image re-encode paired while
+    * the crawl is still running. Same state bound as
+    * [[nearDupCandidateStream]] (one (id, hash) per (band, doc) for
+    * the stream's lifetime); a TTL variant would follow
+    * [[nearDupCandidateStreamTtl]]'s eviction verbatim if cross-epoch
+    * pairing is expendable.
+    */
+  def mmNearDupStream(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    mmBandedRows(withPayload)
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[MmBandKeyed],
+            state: GroupState[Vector[(Long, Long, Long)]]) =>
+          val (members, out) = mmBucketFold(rows, state.getOption.getOrElse(Vector.empty))
+          state.update(members)
+          out.iterator
+      }
+  }
+
+  /** [[mmNearDupStream]]'s fold over bounded input — the
+    * oracle-checkable batch twin (equals the band-bucket self-join
+    * with the Hamming verify).
+    */
+  def batchMmNearDup(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    mmBandedRows(withPayload)
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroups((key: String, rows: Iterator[MmBandKeyed]) =>
+        mmBucketFold(rows, Vector.empty)._2.iterator)
+  }
+
   /** The candidate stream's fold over bounded input — the oracle-
     * checkable batch twin (equals the band-bucket self-join). Feeds the
     * fold from the AGGREGATED signatures: on bounded input the shuffle-

@@ -429,6 +429,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 7L || b == 7L }, "unrelated doc stays out")
   }
 
+  test("streaming perceptual near-dup across micro-batches equals the batch fold") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // real image bytes through the PIXEL path: a checkerboard photo,
+    // its JPEG re-encode (pairs only because the kernel decodes), and
+    // a coarser board (a different photo — must not pair)
+    def checker(block: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 72) {
+        val v = if (((x / block) + (y / block)) % 2 == 0) 40 else 216
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val jw = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = jw.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.85f)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      jw.setOutput(ios)
+      jw.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      jw.dispose(); ios.close()
+      baos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image", 72L, 64L, png(checker(8))),
+      (2L, "image", 72L, 64L, jpeg(checker(8))),
+      (3L, "image", 72L, 64L, png(checker(16))))
+    val cols = Seq("doc_id", "modality", "width", "height", "payload")
+
+    def run(order: Seq[Int], name: String): Set[(Long, Long, Int, Int)] = {
+      val stream = MemoryStream[(Long, String, Long, Long, Array[Byte])]
+      val q = Streaming.mmNearDupStream(stream.toDS().toDF(cols: _*))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // one row per micro-batch, in the given order — the re-encode
+      // pair must surface whichever side arrives first
+      order.foreach { i =>
+        stream.addData(Seq(rows(i)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    }
+    val fwd = run(Seq(0, 1, 2), "mm_nd_stream_fwd")
+    val rev = run(Seq(2, 1, 0), "mm_nd_stream_rev")
+    val batch = Streaming.batchMmNearDup(rows.toDF(cols: _*))
+      .collect().map(c => (c.doc_a, c.doc_b, c.band, c.hamming)).toSet
+    assert(fwd == batch, "streamed perceptual candidates diverged from the batch fold")
+    assert(rev == batch, "arrival order changed the perceptual candidate set")
+    val pairs = batch.map { case (a, b, _, _) => (a, b) }
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the png/jpeg re-encode pair: $pairs")
+  }
+
   test("TTL-evicted LSH stream: a closed bucket stops cross-epoch candidates") {
     val spark = TestSpark.spark
     import spark.implicits._
