@@ -2040,6 +2040,42 @@ object Oracle {
         |                                  ' +', ' ', 'g'))) AS INTEGER) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // wrap + extract replayed with the same RE2-compatible patterns
+    // (script/style bodies die whole, comments die, tags -> space,
+    // named entities decode with &amp; LAST, whitespace collapses via
+    // the explicit class both engines read identically)
+    "doc_extract_html" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title></title><style type="text/css">body { color: #333; } /* doc '
+        |    || CAST(doc_id AS VARCHAR)
+        |    || ' */</style><script>var n = ' || CAST(doc_id AS VARCHAR)
+        |    || '; if (n < 9 && n > 0) { n = "skip me"; }</script></head><body><!-- crawl '
+        |    || CAST(doc_id AS VARCHAR) || ' --><p class="main">'
+        |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+        |    || '</p></body></html>' AS html
+        |  FROM documents
+        |),
+        |ex AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+        |      '[ \t\n\r\f]+', ' ', 'g')) AS text
+        |  FROM page
+        |)
+        |SELECT doc_id, text,
+        |  CAST(length(html) AS INTEGER) AS n_chars_raw,
+        |  CAST(length(text) AS INTEGER) AS n_chars_text
+        |FROM ex ORDER BY doc_id""".stripMargin,
+
     "doc_lang_id" -> langIdSql,
 
     "doc_repetition" ->

@@ -781,6 +781,16 @@ object Queries {
   def docSubstringScrub(s: SparkSession, dir: String): DataFrame =
     Dedup.substringScrub(docs(s, dir)).orderBy("doc_id")
 
+  /** HTML text extraction over deterministic planted pages: each doc's
+    * text entity-escaped into a chrome-heavy page
+    * ([[TextStats.wrapHtml]] — script/style/comment/attribute tags,
+    * zero visible chrome words), then [[TextStats.extractText]]'s
+    * strip+decode+collapse pipeline recovers it. The twin replays both
+    * the wrap and the extraction with the same RE2 patterns.
+    */
+  def docExtractHtml(s: SparkSession, dir: String): DataFrame =
+    TextStats.extractText(TextStats.wrapHtml(docs(s, dir))).orderBy("doc_id")
+
   /** Incremental batch-vs-base exact dedup verdict. */
   def docDedupIncremental(s: SparkSession, dir: String): DataFrame =
     Dedup.incrementalDedup(docs(s, dir)).orderBy("doc_id")
@@ -1553,6 +1563,7 @@ object Queries {
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_normalize" -> (docNormalize _),
+    "doc_extract_html" -> (docExtractHtml _),
     "doc_pii_scrub" -> (docPiiScrub _),
     "doc_repetition" -> (docRepetition _),
     "doc_ngram_repetition" -> (docNgramRepetition _),

@@ -513,6 +513,73 @@ object TextStats {
           6).as("top_bigram_frac"))
   }
 
+  /** Deterministic HTML page fixture for [[extractText]]'s registry
+    * row: each document's text entity-escaped into a page whose
+    * chrome exercises every strip rule — a style block with a CSS
+    * comment, a script whose body contains `<`, `&&`, and a quoted
+    * string (tag-stripping alone would leak it), an HTML comment, and
+    * tags carrying attributes — while contributing ZERO visible
+    * words, so the extracted text is exactly the original modulo
+    * whitespace collapse (CorpusSpec pins shingle equality on that).
+    * Built from the same expressions on the Spark side and the DuckDB
+    * twin, so the row verifies extraction end-to-end by hash.
+    */
+  def wrapHtml(docs: DataFrame): DataFrame = {
+    val escaped = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    docs.select(
+      col("doc_id"),
+      concat(
+        lit("<html><head><title></title><style type=\"text/css\">body { color: #333; } /* doc "),
+        col("doc_id"),
+        lit(" */</style><script>var n = "),
+        col("doc_id"),
+        lit("; if (n < 9 && n > 0) { n = \"skip me\"; }</script></head><body><!-- crawl "),
+        col("doc_id"),
+        lit(" --><p class=\"main\">"),
+        escaped,
+        lit("</p></body></html>")).as("html"))
+  }
+
+  /** HTML text extraction — the FIRST transform a web-archive
+    * training corpus runs (the reference's entire domain serves HTML;
+    * shingling or quality-scoring raw markup measures the chrome, not
+    * the content). Strip order matters and is the standard one:
+    * script/style blocks WITH their contents (their bodies are code,
+    * and contain literal `<`/quotes that would corrupt a naive tag
+    * pass), HTML comments, then remaining tags (attributes included)
+    * to a space so block boundaries stay word boundaries, then the
+    * named-entity decode with `&amp;` LAST (decoding it first would
+    * double-decode `&amp;lt;`), then whitespace collapse. Every rule
+    * is a per-row regexp projection — no shuffle, codegen'd, the same
+    * RE2-compatible patterns replay in the twin. The extracted column
+    * is named `text`, so the result feeds the whole existing
+    * shingle/quality/dedup pipeline unchanged.
+    */
+  def extractText(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val noScript = regexp_replace(col(htmlCol), "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&nbsp;", " "),
+            "&lt;", "<"),
+          "&gt;", ">"),
+        "&quot;", "\""),
+      "&amp;", "&")
+    // explicit class, not \s: Java's \s includes \x0B, RE2's does not
+    val cleaned = trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+    pages.select(
+      col("doc_id"),
+      cleaned.as("text"),
+      length(col(htmlCol)).as("n_chars_raw"),
+      length(cleaned).as("n_chars_text"))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase
     * text, its 8-char prefix, and a bottom-3 sketch of shingle hashes
     * (a deterministic min-hash-style document signature usable for

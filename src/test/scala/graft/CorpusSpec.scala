@@ -263,6 +263,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(!out(2L).getBoolean(8) && !out(3L).getBoolean(8) && !out(30L).getBoolean(8))
   }
 
+  test("extractText: shingles of extracted HTML match the plain-text equivalent") {
+    val spark = TestSpark.spark
+    import graft.operators.TextStats
+    // entity-bearing prose: the wrap escapes it, the extraction must
+    // decode it back — and the page chrome (script with '<' and a
+    // quoted string, style with a CSS comment, HTML comment,
+    // attribute-bearing tags) must contribute no words at all
+    val docs = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "web"),
+      (2L, "profit & loss < revenue > cost said the report", "en", "web"),
+      (3L, "one two three four five six seven", "en", "web")))
+    val extracted = TextStats.extractText(TextStats.wrapHtml(docs))
+      .withColumn("n_chars", length(col("text")))
+    val exRows = extracted.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exRows(1L) == "alpha beta gamma delta epsilon zeta eta theta")
+    assert(exRows(2L) == "profit & loss < revenue > cost said the report",
+      s"entities must decode back: '${exRows(2L)}'")
+    assert(!exRows.values.exists(t => t.contains("skip me") || t.contains("color")),
+      "script/style bodies leaked into extracted text")
+    val shEx = Dedup.shingles(extracted)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val shPlain = Dedup.shingles(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(shEx == shPlain,
+      "shingles of extracted pages must equal the plain-text shingles")
+  }
+
   test("verdictSignals: fused single-scan signals bit-equal the three standalone operators") {
     val spark = TestSpark.spark
     // fixture spanning the edge cases: stopword-rich prose, zero
