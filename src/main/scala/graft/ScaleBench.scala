@@ -257,6 +257,18 @@ object ScaleBench {
       println(
         s"""{"metric":"ann_index_scale","vectors":$nVecs,"queries":$nQueries,""" +
           s""""index_write_sec":$writeSec,"disk_query_sec":$diskSec,"rows":$diskRows}""")
+      // ROTATED serving-layout probe: the OPQ rotation rides the build
+      // (SVD fit + one extra matvec pass over the corpus) and every
+      // query (a d x d matvec per query vector) — the overhead the
+      // rotation's recall gain must price against
+      val rotDir = java.nio.file.Files.createTempDirectory("graft_scale_ann_rot_").toString
+      val (rotWriteSec, _) = time { graft.sinks.Sinks.writeAnnIndexRotated(emb, rotDir); 0L }
+      val (rotQuerySec, rotRows) = time(
+        graft.sinks.Sinks.readAnnIndexTopK(spark, rotDir, queries).count())
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"ann_index_rotated_scale","vectors":$nVecs,"queries":$nQueries,""" +
+          s""""index_write_sec":$rotWriteSec,"disk_query_sec":$rotQuerySec,"rows":$rotRows}""")
     }
     // curation-filter throughput probe: the per-doc quality battery —
     // hashed-feature model classifier (broadcast weight probe), word
