@@ -59,6 +59,28 @@ object ScaleBench {
           substring(md5(idx.cast("string")), 1, 8)
         }: _*).as("text"))
 
+  /** Wide corpus for the PRODUCTION-WIDTH substring probe: ~200
+    * md5-derived words per doc; every 10th doc copies a 60-word span
+    * (slots 50-109) verbatim from its predecessor — long enough to
+    * survive the 50-word Lee-et-al floor at 20-word grams, so the
+    * wide path must FLAG ~2n/10 docs, not just stay cheap. Same
+    * spread-vocabulary discipline as [[documents]].
+    */
+  def wideDocuments(spark: SparkSession, n: Long) =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 200).map { w =>
+          val copied = w >= 50 && w < 110
+          val base =
+            if (copied)
+              when(col("id") % 10 === 0 && col("id") > 0, col("id") - 1)
+                .otherwise(col("id"))
+            else col("id")
+          val idx = pmod(base * 2654435761L + w * 40503, lit(2147483647L))
+          substring(md5(idx.cast("string")), 1, 8)
+        }: _*).as("text"))
+
   /** Synthetic embedding corpus for the ANN scale probe: 64 planted
     * cosine clusters (center by `id % 64`, md5-derived per-dim values
     * in [-1, 1], 0.15 noise per (id, dim)) — generated distributedly,
@@ -324,23 +346,31 @@ object ScaleBench {
         s"""{"metric":"substr_scale","docs":$nDocs,"flagged":$flagged,""" +
           s""""kept_words":$keptWords,"report_sec":$rSec,"scrub_sec":$sSec,""" +
           s""""docs_per_sec":${(nDocs / rSec).toLong}}""")
-      // production-width probe: 20-word grams / 50-word floor. Wider
-      // grams mean LONGER strings per exploded row but FEWER candidate
-      // rows past the hash filter (long grams repeat less), so the
-      // two-level design must stay linear here too — the candidate
-      // volume claim, measured.
+      // production-width probe: 20-word grams / 50-word floor over a
+      // corpus of 200-word docs planting 60-word verbatim copies —
+      // long enough to survive the floor, so the wide path proves
+      // RECALL (~2n/10 docs flag), not just cost. Wider grams mean
+      // LONGER strings per exploded row but FEWER candidate rows past
+      // the hash filter (long grams repeat less), so the two-level
+      // design must stay linear here too — the candidate volume
+      // claim, measured. n/4 docs keeps total word volume comparable
+      // to the narrow probe (200 vs ~40 words per doc).
+      docs.unpersist(blocking = false)
+      val wideN = math.max(nDocs / 4, 1000L)
+      val wideDocs = wideDocuments(spark, wideN).persist()
+      wideDocs.count()
       val (wSec, wFlagged) = time(
         graft.operators.Dedup.substringDedup(
-          docs,
+          wideDocs,
           minSpanWords = graft.operators.Dedup.SubstrMinSpanWordsWide,
           gramN = graft.operators.Dedup.SubstrGramNWide)
           .filter(col("n_spans") > 0).count())
+      wideDocs.unpersist(blocking = false)
       graft.operators.CacheScope.releaseAll()
       println(
-        s"""{"metric":"substr_wide_scale","docs":$nDocs,"flagged":$wFlagged,""" +
+        s"""{"metric":"substr_wide_scale","docs":$wideN,"flagged":$wFlagged,""" +
           s""""gram_n":${graft.operators.Dedup.SubstrGramNWide},""" +
-          s""""report_sec":$wSec,"docs_per_sec":${(nDocs / wSec).toLong}}""")
-      docs.unpersist(blocking = false)
+          s""""report_sec":$wSec,"docs_per_sec":${(wideN / wSec).toLong}}""")
     }
     // semantic-decontamination scale probe: corpus x broadcast
     // benchmark cosine max, with a FIXED 1000-vector benchmark (eval

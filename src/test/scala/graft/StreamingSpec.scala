@@ -429,6 +429,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 7L || b == 7L }, "unrelated doc stays out")
   }
 
+  test("HTML extraction streams as-is: the projection over MemoryStream equals batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // extractText is a pure per-row expression tree — the ingest-time
+    // face IS the batch operator applied to the streaming frame; this
+    // pins that it composes with a stream (no aggregation sneaks in)
+    // and yields identical rows
+    val pages = Seq(
+      (1L, "<html><head><script>var x = \"hidden\";</script></head>" +
+        "<body><p>alpha &amp; beta</p></body></html>"),
+      (2L, "<div class=\"x\">plain <b>bold</b> words</div>"))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.TextStats
+      .extractText(stream.toDS().toDF("doc_id", "html"))
+      .writeStream.format("memory").queryName("html_stream")
+      .outputMode("append").start()
+    stream.addData(pages)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("html_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.operators.TextStats.extractText(pages.toDF("doc_id", "html"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(batch == Set((1L, "alpha & beta"), (2L, "plain bold words")), s"$batch")
+  }
+
   test("streaming perceptual near-dup across micro-batches equals the batch fold") {
     val spark = TestSpark.spark
     import spark.implicits._
