@@ -384,10 +384,10 @@ object Multimodal {
     * capping bucket counts.
     */
   def perceptualBanded(hash: DataFrame): DataFrame =
+    // col("*") passthrough: extra columns (an event_ts riding a
+    // streaming frame) survive the banding untouched
     hash.select(
-      col("doc_id"),
-      col("ph_hi"),
-      col("ph_lo"),
+      col("*"),
       explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("key", expr(
         """CASE WHEN band < 2 THEN shiftright(ph_lo, band * 16) & 65535

@@ -911,6 +911,72 @@ object Streaming {
       }
   }
 
+  /** A perceptual band-bucket row carrying its event time — the input
+    * shape of the TTL-evicting image stream.
+    */
+  case class MmBandKeyedTs(
+      doc_id: Long, band: Int, key: Long, ph_hi: Long, ph_lo: Long,
+      event_ts: java.sql.Timestamp)
+
+  /** TTL-bucket state for the image stream: (id, hash halves) members
+    * plus the newest member event time — [[TtlBucket]]'s re-arming
+    * semantics on the perceptual member tuple.
+    */
+  case class MmTtlBucket(members: Vector[(Long, Long, Long)], newestTs: Long)
+
+  /** [[mmNearDupStream]] with the REAL state bound an endless crawl
+    * needs: each perceptual band bucket lives `ttlSeconds` of EVENT
+    * time past its newest member, then evicts —
+    * [[nearDupCandidateStreamTtl]]'s watermark-driven eviction and
+    * timeout re-arming verbatim, on image state (the trade is
+    * identical: a re-encode arriving after its bucket closed pairs
+    * with nothing). `withPayload` needs an `event_ts` column; the
+    * hash kernel is still the one [[graft.operators.Multimodal
+    * .phashOf]].
+    */
+  def mmNearDupStreamTtl(
+      withPayload: org.apache.spark.sql.DataFrame,
+      watermarkDelay: String,
+      ttlSeconds: Long): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    // event_ts threads THROUGH the hash projection (a stream cannot
+    // join back to itself to re-attach it); the kernel is still the
+    // one shared phashOf
+    val hashed = withPayload
+      .select(col("doc_id"), col("payload"), col("event_ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.map { case (id, p, ts) =>
+        val (hi, lo) = graft.operators.Multimodal.phashOf(p)
+        (id, hi, lo, ts)
+      })
+      .toDF("doc_id", "ph_hi", "ph_lo", "event_ts")
+    graft.operators.Multimodal.perceptualBanded(hashed)
+      .withWatermark("event_ts", watermarkDelay)
+      .select(
+        col("doc_id"), col("band").cast("int").as("band"),
+        col("key"), col("ph_hi"), col("ph_lo"), col("event_ts"))
+      .as[MmBandKeyedTs]
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[MmBandKeyedTs], state: GroupState[MmTtlBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove() // the bucket's epoch is over; a later arrival starts a fresh one
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            val prior = state.getOption.getOrElse(MmTtlBucket(Vector.empty, Long.MinValue))
+            val (members, out) = mmBucketFold(
+              batch.iterator.map(r => MmBandKeyed(r.doc_id, r.band, r.key, r.ph_hi, r.ph_lo)),
+              prior.members)
+            val newest = math.max(prior.newestTs, batch.map(_.event_ts.getTime).max)
+            state.update(MmTtlBucket(members, newest))
+            state.setTimeoutTimestamp(newest + ttlSeconds * 1000L)
+            out.iterator
+          }
+      }
+  }
+
   /** [[mmNearDupStream]]'s fold over bounded input — the
     * oracle-checkable batch twin (equals the band-bucket self-join
     * with the Hamming verify).

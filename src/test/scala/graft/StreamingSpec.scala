@@ -567,6 +567,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)), "epoch-1 output unchanged")
   }
 
+  test("TTL-evicted perceptual stream: a closed bucket stops cross-epoch image pairs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // smooth planted signals (the byte-path fixture mmNearDup's
+    // registry row uses): identical payloads collide in every band at
+    // hamming 0; distinct block keys keep noise rows unrelated
+    def signal(seed: Long): Array[Byte] = {
+      val body = new Array[Byte](2000)
+      var j = 0
+      while (j < 2000) {
+        body(j) = graft.operators.Multimodal.plantBlockValue(seed, j * 32L / 2000).toByte
+        j += 1
+      }
+      body
+    }
+    val dup = signal(7L)
+    val stream = MemoryStream[(Long, String, Long, Long, Array[Byte], java.sql.Timestamp)]
+    val cols = Seq("doc_id", "modality", "width", "height", "payload", "event_ts")
+    val query = Streaming.mmNearDupStreamTtl(
+      stream.toDS().toDF(cols: _*),
+      watermarkDelay = "0 seconds", ttlSeconds = 60)
+      .writeStream.format("memory").queryName("mm_ttl")
+      .outputMode("append").start()
+    def pairs() = spark.table("mm_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // epoch 1: two copies at 10:00 pair; within-TTL third still pairs
+    stream.addData(Seq(
+      (1L, "image", 0L, 0L, dup, ts(0)), (2L, "image", 0L, 0L, dup, ts(0))))
+    query.processAllAvailable()
+    stream.addData(Seq((3L, "image", 0L, 0L, dup, ts(1))))
+    query.processAllAvailable()
+    assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "within-TTL image arrivals must pair")
+
+    // advance the event clock past the armed timeout, then evict
+    stream.addData(Seq((50L, "image", 0L, 0L, signal(100L), ts(5))))
+    query.processAllAvailable()
+    stream.addData(Seq((51L, "image", 0L, 0L, signal(200L), ts(6))))
+    query.processAllAvailable()
+
+    // epoch 2: a copy after the bucket closed pairs with nothing
+    stream.addData(Seq((4L, "image", 0L, 0L, dup, ts(7))))
+    query.processAllAvailable()
+    query.stop()
+    assert(!pairs().exists { case (a, b) => a == 4L || b == 4L },
+      "cross-epoch image candidates must stop once the bucket evicted")
+    assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)), "epoch-1 output unchanged")
+  }
+
   test("TTL-evicted LSH stream: a late in-watermark arrival must not shrink the eviction window") {
     val spark = TestSpark.spark
     import spark.implicits._
