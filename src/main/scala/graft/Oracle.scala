@@ -1484,7 +1484,11 @@ object Oracle {
     ("streaming_keep_mask" -> allBase("doc_keep_mask")) +
     // the stateless ingest-time lang-ID kernel over bounded input
     // computes the batch doc_lang_id rows exactly — shared twin
-    ("streaming_lang_id" -> allBase("doc_lang_id"))
+    ("streaming_lang_id" -> allBase("doc_lang_id")) +
+    // the residual serving layout encodes and ranks the in-memory
+    // residual path's exact geometry (stand-in books, firstK coarse;
+    // parquet round-trips codes exactly) — shared twin
+    ("ann_index_residual_topk" -> allBase("ann_ivfpq_residual"))
 
   private lazy val allBase: Map[String, String] = Map(
     "span_metrics" -> withDensified(spanMetricsSql, fillPolicy = Some("forward")),
@@ -1596,6 +1600,10 @@ object Oracle {
     // parquet round-trips the codes/centroids exactly, so the on-disk
     // index shares the in-memory twin verbatim
     "ann_index_topk" -> annIvfPqSql,
+
+    // the residual serving layout encodes and ranks exactly the
+    // in-memory residual path's geometry (stand-in books, firstK
+    // coarse) — shared twin, assigned below via allBase
 
     // upsert path: tombstone+re-append must equal the in-memory IVF-PQ
     // over the logically-updated corpus under frozen index metadata

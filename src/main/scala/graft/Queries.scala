@@ -1208,6 +1208,24 @@ object Queries {
       .orderBy("q_id", "rn")
   }
 
+  /** The RESIDUAL serving layout end-to-end — the best-recall
+    * configuration on disk: per-list books persisted under
+    * `books_residual/` (the layout marker every face detects), codes
+    * quantizing v − centroid, queries ranked through per-(query,
+    * probed list) residual dtables. Must equal the in-memory
+    * `ann_ivfpq_residual` bit-for-bit (shared oracle twin).
+    */
+  def annIndexResidualTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val idxPath = annIndexCache.getOrElseUpdate(s"$dir#res", {
+      val p = tempIndexDir("graft_ann_res_")
+      graft.sinks.Sinks.writeAnnIndexResidual(e, p)
+      p
+    })
+    graft.sinks.Sinks.readAnnIndexTopK(s, idxPath, Ann.defaultQueries(e))
+      .orderBy("q_id", "rn")
+  }
+
   /** The serving index's UPSERT path end-to-end: build, then re-ingest
     * a data-derived id set (ids >= 100, off the query side, every
     * 13th) with DIFFERENT vectors — each takes the NEXT id's embedding
@@ -1624,6 +1642,7 @@ object Queries {
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_index_topk" -> (annIndexTopK _),
+    "ann_index_residual_topk" -> (annIndexResidualTopK _),
     "ann_index_upsert_topk" -> (annIndexUpsertTopK _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_ivfpq_residual_trained" -> (annIvfPqResidualTrained _),

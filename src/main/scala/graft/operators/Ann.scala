@@ -512,6 +512,84 @@ object Ann {
       .toDF("vec_id", "codes", "c_id")
   }
 
+  /** [[encodeForIndex]] for a RESIDUAL index: assign each vector to
+    * its nearest coarse centroid (cosine argmax, ties to the smaller
+    * c_id — identical to [[encodeForIndex]] and [[ivfAssign]]), then
+    * argmin-code the residual v − centroid against the OWN list's
+    * book ([[pqEncodeResidual]]'s `c.c − 2 v.c` key, ties to the
+    * smaller k). The ingest kernel of a residual serving index:
+    * streamed appends and upserts must encode against the index's
+    * frozen per-list geometry exactly as the build did.
+    */
+  def encodeResidualForIndex(
+      vecs: DataFrame,
+      cents: Array[(Long, Array[Float])],
+      books: Map[Long, Array[Array[Float]]]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty && books.nonEmpty, "index metadata must be non-empty")
+    val (pm, ps) = (PqM, PqSub)
+    val sorted = cents.sortBy(_._1)
+    vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cnorm = sorted.map { case (_, ce) =>
+          var acc = 0.0; var j = 0
+          while (j < ce.length) { acc += ce(j).toDouble * ce(j).toDouble; j += 1 }
+          math.sqrt(acc)
+        }
+        // per-list centroid self-dots are constant: hoist per partition
+        val cc: Map[Long, Array[Array[Double]]] = books.map { case (c, cb) =>
+          c -> Array.tabulate(pm, cb.length) { (m, k) =>
+            var acc = 0.0; var j = 0
+            while (j < ps) { val x = cb(k)(m * ps + j).toDouble; acc += x * x; j += 1 }
+            acc
+          }
+        }
+        rows.map { case (id, v) =>
+          var vn = 0.0
+          var j = 0
+          while (j < v.length) { vn += v(j).toDouble * v(j).toDouble; j += 1 }
+          val norm = math.sqrt(vn)
+          var bestC = 0
+          var bestCos = Double.NegativeInfinity
+          var ci = 0
+          while (ci < sorted.length) {
+            val ce = sorted(ci)._2
+            var d = 0.0; var j2 = 0
+            while (j2 < v.length) { d += v(j2).toDouble * ce(j2).toDouble; j2 += 1 }
+            val cos = d / (norm * cnorm(ci))
+            if (cos > bestCos) { bestCos = cos; bestC = ci } // strict >: ties keep smaller c_id
+            ci += 1
+          }
+          val cId = sorted(bestC)._1
+          val ce = sorted(bestC)._2
+          val cb = books(cId)
+          val ccm = cc(cId)
+          val r = new Array[Float](v.length)
+          var jr = 0
+          while (jr < v.length) { r(jr) = v(jr) - ce(jr); jr += 1 }
+          val codes = new Array[Int](pm)
+          var m = 0
+          while (m < pm) {
+            var best = 0
+            var bestD = Double.PositiveInfinity
+            var k = 0
+            while (k < cb.length) {
+              var vc = 0.0; var j3 = 0
+              while (j3 < ps) { vc += r(m * ps + j3).toDouble * cb(k)(m * ps + j3).toDouble; j3 += 1 }
+              val d = ccm(m)(k) - 2.0 * vc
+              if (d < bestD) { bestD = d; best = k } // strict <: ties keep the smaller k
+              k += 1
+            }
+            codes(m) = best
+            m += 1
+          }
+          (id, codes, cId)
+        }
+      }
+      .toDF("vec_id", "codes", "c_id")
+  }
+
   // --------------------------------------------- residual (per-list) PQ
   /** Per-list RESIDUAL codebooks: each inverted list quantizes v −
     * centroid instead of the raw vector. Residuals are what make IVF-PQ
@@ -777,8 +855,20 @@ object Ann {
       lists: DataFrame,
       cents: DataFrame,
       codebooks: DataFrame,
+      queries: DataFrame): DataFrame =
+    ivfPqResidualRankCodes(
+      pqEncodeResidual(lists, cents, codebooks), cents, codebooks, queries)
+
+  /** [[ivfPqResidualRank]] over ALREADY-ENCODED codes — the face a
+    * residual SERVING index queries through (codes come off disk,
+    * not a fresh encode; parquet round-trips ints exactly, so the
+    * two faces are bit-identical).
+    */
+  def ivfPqResidualRankCodes(
+      codes: DataFrame,
+      cents: DataFrame,
+      codebooks: DataFrame,
       queries: DataFrame): DataFrame = {
-    val codes = pqEncodeResidual(lists, cents, codebooks)
     // one packed codebook row per list (the pqCodebook trick), so the
     // per-(query, list) dtable builds inside one expression
     val packed = codebooks

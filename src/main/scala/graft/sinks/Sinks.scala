@@ -432,6 +432,57 @@ object Sinks {
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
   }
 
+  /** [[writeAnnIndex]] with RESIDUAL per-list encoding — the
+    * best-recall disk layout: codes quantize v − centroid against the
+    * OWN list's book ([[graft.operators.Ann.pqResidualCodebooks]]'
+    * deterministic stand-in; a trained book frame slots into the same
+    * shape via the `books` overload), so the 4-bit budget spends on
+    * within-list detail instead of list offsets. The per-list books
+    * persist under `books_residual/` — their presence IS the layout
+    * marker: queries ([[readAnnIndexTopK]]), streamed appends and
+    * upserts all detect it and encode/rank residually, so a caller
+    * never has to know which layout a path holds. Delta segments,
+    * tombstones, and [[compactAnnIndex]] are layout-agnostic (codes
+    * are (vec_id, codes, c_id) rows either way) and work unchanged.
+    */
+  def writeAnnIndexResidual(emb: DataFrame, path: String): Unit = {
+    import graft.operators.Ann
+    val cents = Ann.firstKCentroids(emb)
+    val lists = Ann.ivfAssign(emb, cents)
+    writeAnnIndexResidual(emb, path, Ann.pqResidualCodebooks(lists, cents))
+  }
+
+  /** [[writeAnnIndexResidual]] over an explicit (c_id, k, cb) book
+    * frame — the entry point for TRAINED books.
+    */
+  def writeAnnIndexResidual(emb: DataFrame, path: String, books: DataFrame): Unit = {
+    import graft.operators.Ann
+    val cents = Ann.firstKCentroids(emb)
+    val lists = Ann.ivfAssign(emb, cents)
+    Ann.pqEncodeResidual(lists, cents, books)
+      .select("vec_id", "codes", "c_id")
+      .repartition(col("c_id"))
+      .write.partitionBy("c_id").mode("overwrite").parquet(s"$path/codes")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    books.write.mode("overwrite").parquet(s"$path/books_residual")
+  }
+
+  /** The index's per-list residual books, if it carries them —
+    * kilobytes (IvfK × PqK × d floats), the layout marker for every
+    * read/ingest face.
+    */
+  private def loadResidualBooks(
+      spark: SparkSession, path: String): Option[Map[Long, Array[Array[Float]]]] = {
+    val p = new Path(s"$path/books_residual")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(
+      spark.read.parquet(p.toString).select("c_id", "k", "cb").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        .groupBy(_._1)
+        .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3) })
+  }
+
   /** [[writeAnnIndex]] with an OPQ-style TRAINED ROTATION
     * ([[graft.operators.Ann.pcaRotation]]) in front of the encode —
     * the recall lever at a fixed code budget, as index metadata: the
@@ -668,17 +719,38 @@ object Sinks {
     * collected once — shared by the streaming append and the upsert
     * path, which must encode against identical geometry.
     */
+  private def loadCentroids(
+      spark: SparkSession, path: String): Array[(Long, Array[Float])] =
+    spark.read.parquet(s"$path/centroids")
+      .select("c_id", "ce").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
   private def loadIndexMeta(
       spark: SparkSession,
       path: String): (Array[(Long, Array[Float])], Array[Array[Float]]) = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select("c_id", "ce").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = loadCentroids(spark, path)
     val cb = spark.read.parquet(s"$path/codebook").head()
       .getSeq[org.apache.spark.sql.Row](0)
       .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray).toArray
     (cents, cb)
   }
+
+  /** The index's encode kernel, layout-resolved: residual per-list
+    * argmin when `books_residual/` is present, plain IVF-PQ
+    * otherwise — metadata collected once, closed over; every ingest
+    * face (stream append, upsert) encodes through this so a path's
+    * layout decides, never the caller.
+    */
+  private def indexEncoder(
+      spark: SparkSession, path: String): DataFrame => DataFrame =
+    loadResidualBooks(spark, path) match {
+      case Some(books) =>
+        val cents = loadCentroids(spark, path)
+        v => graft.operators.Ann.encodeResidualForIndex(v, cents, books)
+      case None =>
+        val (cents, cb) = loadIndexMeta(spark, path)
+        v => graft.operators.Ann.encodeForIndex(v, cents, cb)
+    }
 
   /** Delete vectors from the serving index by id — the takedown path
     * (a deduped or redacted document whose embedding must leave the
@@ -740,7 +812,8 @@ object Sinks {
     // set through driver memory just to write a tombstone file
     val ids = vecs.select("vec_id").distinct()
     if (ids.isEmpty) return
-    val (cents, cb) = loadIndexMeta(spark, path)
+    val cents = loadCentroids(spark, path)
+    val encode = indexEncoder(spark, path)
     val rotation = loadRotation(spark, path)
     // VALIDATE BEFORE THE TOMBSTONE: the tombstone-first crash ordering
     // assumes a failed upsert is re-runnable to completion, but a batch
@@ -764,7 +837,7 @@ object Sinks {
       case Some(rot) => rotateFor(vecs, "vec_id", rot)
       case None => vecs
     }
-    graft.operators.Ann.encodeForIndex(inSpace, cents, cb)
+    encode(inSpace)
       .withColumn("seg", lit(seg))
       .repartition(col("c_id"))
       .write.partitionBy("c_id").mode("append").parquet(s"$path/codes_delta_batch")
@@ -783,11 +856,23 @@ object Sinks {
       case Some(rot) => rotateFor(queries, "q_id", rot)
       case None => queries
     }
-    graft.operators.Ann.ivfPqRank(
-      readAnnIndexCodes(spark, path),
-      spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/codebook"),
-      q)
+    val booksPath = new Path(s"$path/books_residual")
+    val fs = booksPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(booksPath))
+      // residual layout: per-(query, probed list) dtables over the
+      // query residual against that list's book — bit-identical to the
+      // in-memory ivfPqResidualRank over the same geometry
+      graft.operators.Ann.ivfPqResidualRankCodes(
+        readAnnIndexCodes(spark, path),
+        spark.read.parquet(s"$path/centroids"),
+        spark.read.parquet(booksPath.toString),
+        q)
+    else
+      graft.operators.Ann.ivfPqRank(
+        readAnnIndexCodes(spark, path),
+        spark.read.parquet(s"$path/centroids"),
+        spark.read.parquet(s"$path/codebook"),
+        q)
   }
 
   /** The probed lists' code rows, pruned by a literal c_id filter —
@@ -811,7 +896,7 @@ object Sinks {
       path: String,
       checkpoint: String): StreamingQuery = {
     val spark = vecs.sparkSession
-    val (cents, cb) = loadIndexMeta(spark, path)
+    val encode = indexEncoder(spark, path)
     // One segment number per ingest SESSION, allocated at stream
     // start: every row this stream appends outlives tombstones written
     // before the stream started, and dies to tombstones written after.
@@ -826,7 +911,7 @@ object Sinks {
       case Some(rot) => rotateFor(vecs, "vec_id", rot)
       case None => vecs
     }
-    graft.operators.Ann.encodeForIndex(inSpace, cents, cb)
+    encode(inSpace)
       .withColumn("seg", lit(seg))
       .writeStream
       .format("parquet")

@@ -191,6 +191,92 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(postCompact == preCompact, "compaction changed the upserted live view")
   }
 
+  test("residual index: disk equals in-memory; deletes, upserts, compaction all residual-encode") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = clustered(500, 71)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_res_").toString
+    Sinks.writeAnnIndexResidual(emb, dir)
+
+    // the residual layout's query face is bit-identical to the
+    // in-memory residual rank over the same stand-in geometry
+    val mem = Ann.ivfPqResidualTopK(emb).collect().map(_.toSeq).toSet
+    val disk = Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb))
+      .collect().map(_.toSeq).toSet
+    assert(disk == mem, s"residual disk path diverged: ${disk.size} vs ${mem.size} rows")
+    graft.operators.CacheScope.releaseAll()
+
+    // deletes are layout-agnostic tombstones
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(7L))
+    assert(Sinks.readAnnIndexCodes(spark, dir)
+      .filter(col("vec_id") === 7L).count() == 0)
+
+    // an upsert re-encodes RESIDUALLY against the frozen books: the
+    // live codes must equal encodeResidualForIndex's, and differ from
+    // what plain PQ would produce for the same vector
+    val newVec = emb.filter(col("vec_id") === 300L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Sinks.upsertAnnIndex(spark, dir, Seq((7L, newVec)).toDF("vec_id", "embedding"))
+    val live = Sinks.readAnnIndexCodes(spark, dir).filter(col("vec_id") === 7L).collect()
+    assert(live.length == 1, s"expected one live copy, got ${live.length}")
+    val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "ce").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val books = spark.read.parquet(s"$dir/books_residual")
+      .select("c_id", "k", "cb").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3) }
+    val expected = Ann.encodeResidualForIndex(
+      Seq((7L, newVec)).toDF("vec_id", "embedding"), cents, books)
+      .head()
+    assert(live.head.getSeq[Int](1) == expected.getSeq[Int](1),
+      "upsert did not residual-encode against the frozen books")
+    assert(live.head.getLong(2) == expected.getLong(2))
+
+    // compaction collapses segments without changing the live view,
+    // and queries keep answering residually afterwards
+    val preQ = Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb))
+      .collect().map(_.toSeq).toSet
+    Sinks.compactAnnIndex(spark, dir)
+    val postQ = Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb))
+      .collect().map(_.toSeq).toSet
+    assert(postQ == preQ, "compaction changed the residual query answers")
+    graft.operators.CacheScope.releaseAll()
+  }
+
+  test("residual index: streamed appends encode against the frozen per-list books") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = clustered(320, 73)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_res_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_idx_res_ckpt_").toString
+    Sinks.writeAnnIndexResidual(emb, dir)
+
+    val late = clustered(360, 73).filter(col("vec_id") >= 320)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = Sinks.appendAnnIndex(
+      stream.toDS().toDF("vec_id", "embedding"), dir, ckpt)
+    stream.addData(late.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val cents = spark.read.parquet(s"$dir/centroids").select("c_id", "ce").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val books = spark.read.parquet(s"$dir/books_residual")
+      .select("c_id", "k", "cb").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3) }
+    val expected = Ann.encodeResidualForIndex(
+      late.toSeq.toDF("vec_id", "embedding"), cents, books)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2)))).toMap
+    val streamed = Sinks.readAnnIndexCodes(spark, dir)
+      .filter(col("vec_id") >= 320)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2)))).toMap
+    assert(streamed == expected,
+      "streamed rows did not residual-encode against the index's frozen books")
+  }
+
   test("rotated index: every face applies the rotation artifact — queries, stream, upsert") {
     val spark = TestSpark.spark
     import spark.implicits._
