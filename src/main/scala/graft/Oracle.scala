@@ -3394,6 +3394,13 @@ object Oracle {
         val (rot, _) = Queries.rotatedPqMeta(spark, dir)
         annIvfPqResidualRotatedSql(rot, Queries.residualRotatedBooks(spark, dir))
       },
+      // the rotated-residual SERVING layout queries the identical
+      // geometry (same rotation literal, same trained books; parquet
+      // round-trips codes exactly) — shared dynamic twin
+      "ann_index_residual_rotated_topk" -> {
+        val (rot, _) = Queries.rotatedPqMeta(spark, dir)
+        annIvfPqResidualRotatedSql(rot, Queries.residualRotatedBooks(spark, dir))
+      },
       "doc_quality_model_trained" -> {
         val (w, bias) = Queries.qualityModelWeights(spark, dir)
         qualityModelTrainedSql(w, bias)

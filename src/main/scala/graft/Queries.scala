@@ -1226,6 +1226,27 @@ object Queries {
       .orderBy("q_id", "rn")
   }
 
+  /** The FULL best-recall disk configuration end-to-end: trained
+    * rotation + residual books fit in rotated space + the serving
+    * layout, every artifact composing automatically at query time —
+    * must equal the in-memory `ann_ivfpq_residual_rotated`
+    * bit-for-bit (shared dynamic twin: literal rotation + literal
+    * trained books through the identical residual CTEs).
+    */
+  def annIndexResidualRotatedTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (rot, _) = rotatedPqMeta(s, dir)
+    val idxPath = annIndexCache.getOrElseUpdate(s"$dir#resrot", {
+      val p = tempIndexDir("graft_ann_resrot_")
+      import s.implicits._
+      graft.sinks.Sinks.writeAnnIndexResidualRotated(
+        e, p, rot, residualRotatedBooks(s, dir).toSeq.toDF("c_id", "k", "cb"))
+      p
+    })
+    graft.sinks.Sinks.readAnnIndexTopK(s, idxPath, Ann.defaultQueries(e))
+      .orderBy("q_id", "rn")
+  }
+
   /** The serving index's UPSERT path end-to-end: build, then re-ingest
     * a data-derived id set (ids >= 100, off the query side, every
     * 13th) with DIFFERENT vectors — each takes the NEXT id's embedding
@@ -1643,6 +1664,7 @@ object Queries {
     "ann_ivfpq" -> (annIvfPq _),
     "ann_index_topk" -> (annIndexTopK _),
     "ann_index_residual_topk" -> (annIndexResidualTopK _),
+    "ann_index_residual_rotated_topk" -> (annIndexResidualRotatedTopK _),
     "ann_index_upsert_topk" -> (annIndexUpsertTopK _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_ivfpq_residual_trained" -> (annIvfPqResidualTrained _),

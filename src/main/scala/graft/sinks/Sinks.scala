@@ -467,6 +467,25 @@ object Sinks {
     books.write.mode("overwrite").parquet(s"$path/books_residual")
   }
 
+  /** The FULL best-recall disk configuration: trained rotation +
+    * per-list residual books (fit in rotated space) + the serving
+    * layout. Both artifacts persist (`rotation/`, `books_residual/`)
+    * and every face composes them automatically — queries rotate then
+    * rank residually, streamed appends and upserts rotate then
+    * residual-encode against the frozen books.
+    */
+  def writeAnnIndexResidualRotated(
+      emb: DataFrame,
+      path: String,
+      rot: Array[Array[Float]],
+      books: DataFrame): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    rot.zipWithIndex.toSeq.map { case (r, i) => (i, r) }.toDF("i", "r")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    writeAnnIndexResidual(graft.operators.Ann.rotate(emb, rot), path, books)
+  }
+
   /** The index's per-list residual books, if it carries them —
     * kilobytes (IvfK × PqK × d floats), the layout marker for every
     * read/ingest face.

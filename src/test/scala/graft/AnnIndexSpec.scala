@@ -277,6 +277,45 @@ class AnnIndexSpec extends AnyFunSuite {
       "streamed rows did not residual-encode against the index's frozen books")
   }
 
+  test("rotated-residual index: both artifacts compose at query and upsert time") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = clustered(400, 79)
+    val rot = Ann.pcaRotation(emb)
+    val re = Ann.rotate(emb, rot)
+    val cents = Ann.firstKCentroids(re)
+    val books = Ann.pqResidualCodebooks(Ann.ivfAssign(re, cents), cents)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_resrot_").toString
+    Sinks.writeAnnIndexResidualRotated(emb, dir, rot, books)
+
+    // query face: UNROTATED queries in, both artifacts applied inside —
+    // equals the in-memory residual rank over the rotated corpus
+    val mem = Ann.ivfPqResidualTopK(re).collect().map(_.toSeq).toSet
+    val disk = Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb))
+      .collect().map(_.toSeq).toSet
+    assert(disk == mem, s"rotated-residual disk path diverged: ${disk.size} vs ${mem.size}")
+    graft.operators.CacheScope.releaseAll()
+
+    // upsert face: the new vector must rotate FIRST, then
+    // residual-encode against the frozen rotated-space books
+    val newVec = emb.filter(col("vec_id") === 300L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Sinks.upsertAnnIndex(spark, dir, Seq((9L, newVec)).toDF("vec_id", "embedding"))
+    val live = Sinks.readAnnIndexCodes(spark, dir).filter(col("vec_id") === 9L).collect()
+    assert(live.length == 1)
+    val centArr = cents.select("c_id", "ce").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bookMap = books.select("c_id", "k", "cb").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3) }
+    val expected = Ann.encodeResidualForIndex(
+      Ann.rotate(Seq((9L, newVec)).toDF("vec_id", "embedding"), rot),
+      centArr, bookMap).head()
+    assert(live.head.getSeq[Int](1) == expected.getSeq[Int](1),
+      "upsert must rotate before residual-encoding")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("rotated index: every face applies the rotation artifact — queries, stream, upsert") {
     val spark = TestSpark.spark
     import spark.implicits._

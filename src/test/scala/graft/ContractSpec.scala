@@ -36,6 +36,7 @@ class ContractSpec extends AnyFunSuite {
     "ann_index_rotated_topk",
     "ann_ivfpq_residual_trained",
     "ann_ivfpq_residual_rotated",
+    "ann_index_residual_rotated_topk",
     "doc_quality_model_trained",
     "doc_quality_model_stored")
 
