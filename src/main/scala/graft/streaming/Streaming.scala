@@ -585,6 +585,54 @@ object Streaming {
         .as("dup_of_base"))
   }
 
+  /** The COMPLETE ingest loop [[dedupStoredStream]] only reads for:
+    * each micro-batch verdicts against base ∪ segments
+    * ([[graft.operators.Dedup.incrementalDedupStored]]), hands the
+    * NOVEL documents to `onKept` (the pipeline's corpus write), and
+    * appends their fingerprints as the batch's own delta segment
+    * ([[graft.sinks.Sinks.appendDedupDelta]]) — so the NEXT batch
+    * dedups against everything this one admitted, without waiting
+    * for a compaction. The segment-stamped delta layout is what makes
+    * this safe to run while a compaction folds older segments.
+    *
+    * Delivery semantics: foreachBatch is at-least-once — a crashed
+    * batch re-runs, and its re-appended fingerprints land as a
+    * SECOND segment holding the same fps. That is harmless by
+    * construction (the probe reads DISTINCT fps; the fold unions),
+    * but `onKept` sees the batch again — give it an idempotent write
+    * (overwrite-by-batch-id, the usual foreachBatch discipline).
+    * Run [[graft.sinks.Sinks.compactDedupBase]] between ingest
+    * sessions, as [[dedupStoredStream]] documents.
+    */
+  def dedupIngestLoop(
+      docs: org.apache.spark.sql.DataFrame,
+      table: String,
+      checkpoint: String,
+      onKept: (org.apache.spark.sql.DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val verdict = graft.operators.Dedup
+          .incrementalDedupStored(spark, table, batch)
+          .filter(col("is_new"))
+          .select("doc_id")
+        val kept = batch.join(verdict, "doc_id")
+        // persist: kept feeds BOTH the pipeline write and the segment
+        // append — without it the verdict joins run twice per batch
+        val k = kept.persist()
+        try {
+          onKept(k, batchId)
+          if (!k.isEmpty) graft.sinks.Sinks.appendDedupDelta(k, table)
+        } finally {
+          k.unpersist(blocking = false)
+          ()
+        }
+      }
+      .outputMode("update")
+      .start()
+
   /** The dedup stream's fold over one bounded hash group — the batch
     * harness giving the streaming code path an oracle-checkable twin
     * (equals min-per-hash on bounded input).

@@ -824,6 +824,55 @@ class StreamingSpec extends AnyFunSuite {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("dedup ingest loop: each batch's novel docs append as a segment the next batch probes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "ingest_loop_base"
+    (spark.sql(s"SHOW TABLES LIKE '${table}__delta*'")
+      .select("tableName").collect().map(_.getString(0)).toSeq ++
+      Seq(table, s"${table}__old", s"${table}__compact", s"${table}__compacting"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_loop_ckpt_").toString
+    try {
+      graft.sinks.Sinks.writeDedupBase(
+        Seq((1L, "alpha")).toDF("doc_id", "text"), table, buckets = 4)
+      val keptIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streaming.dedupIngestLoop(
+        stream.toDS().toDF("doc_id", "text"), table, ckpt,
+        onKept = (kept, _) =>
+          keptIds.synchronized {
+            keptIds ++= kept.select("doc_id").collect().map(_.getLong(0))
+            ()
+          })
+      // batch 1: one base dup, one novel, one within-batch dup pair
+      stream.addData(Seq((10L, "alpha"), (11L, "beta"), (12L, "beta")))
+      q.processAllAvailable()
+      // batch 2: "beta" must now read as ALREADY INGESTED (batch 1's
+      // segment), "gamma" is novel
+      stream.addData(Seq((20L, "beta"), (21L, "gamma")))
+      q.processAllAvailable()
+      q.stop()
+      assert(keptIds.toSet == Set(11L, 21L),
+        s"kept set must be first-occurrence novel docs only: $keptIds")
+      // one segment per batch that admitted docs
+      val segs = spark.sql(s"SHOW TABLES LIKE '${table}__delta*'").count()
+      assert(segs == 2, s"each admitting batch appends its own segment, found $segs")
+      // the live fingerprint set covers base + both admissions
+      assert(graft.sinks.Sinks.readDedupBase(spark, table).count() == 3)
+      val v = graft.operators.Dedup.incrementalDedupStored(
+        spark, table, Seq((90L, "beta"), (91L, "gamma"), (92L, "delta")).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(v(90L) && v(91L) && !v(92L), s"post-loop probe wrong: $v")
+    } finally {
+      (spark.sql(s"SHOW TABLES LIKE '${table}__delta*'")
+        .select("tableName").collect().map(_.getString(0)).toSeq ++
+        Seq(table, s"${table}__old", s"${table}__compact", s"${table}__compacting"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming decontamination batch harness equals the declarative operator") {
     val spark = TestSpark.spark
     import spark.implicits._
