@@ -1605,6 +1605,50 @@ object Oracle {
     // in-memory residual path's geometry (stand-in books, firstK
     // coarse) — shared twin, assigned below via allBase
 
+    // recall@K of the IVF-PQ tier vs brute force: both legs are the
+    // registry's own verified CTEs (cosSql exact ranking, the
+    // pruned-scan ivfpq body), joined per query — n_exact/n_hit are
+    // integers, recall a single rounded division
+    "ann_recall_report" -> {
+      val k = graft.operators.Ann.K
+      s"""WITH $vecNormCte,
+         |${ivfCtes()},
+         |${pqAdcCtesWith(pqcStandIn)},
+         |ivfpq AS (
+         |  SELECT p.q_id, a.vec_id, CAST(sum(qd.dq) AS BIGINT) AS dist_q
+         |  FROM probes p
+         |  JOIN asg a USING (c_id)
+         |  JOIN pq_codes pc ON pc.vec_id = a.vec_id
+         |  JOIN pq_qdt qd ON qd.q_id = p.q_id AND qd.m = pc.m AND qd.k = pc.code
+         |  WHERE p.q_id <> a.vec_id
+         |  GROUP BY p.q_id, a.vec_id
+         |),
+         |approx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY dist_q, vec_id) AS rn
+         |    FROM ivfpq)
+         |  WHERE rn <= $k
+         |),
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+         |        ${cosSql("p.qe", "v.embedding", "p.qnorm", "v.norm")} DESC, v.vec_id) AS rn
+         |    FROM (SELECT vec_id AS q_id, embedding AS qe, norm AS qnorm FROM vn
+         |          WHERE vec_id % ${graft.operators.Ann.QueryMod} = 0) p
+         |    JOIN vn v ON p.q_id <> v.vec_id)
+         |  WHERE rn <= $k
+         |)
+         |SELECT e.q_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall
+         |FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+    },
+
     // upsert path: tombstone+re-append must equal the in-memory IVF-PQ
     // over the logically-updated corpus under frozen index metadata
     "ann_index_upsert_topk" -> annIndexUpsertSql,

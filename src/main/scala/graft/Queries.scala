@@ -1072,6 +1072,13 @@ object Queries {
   def annTopK(s: SparkSession, dir: String): DataFrame =
     Ann.cosineTopK(embs(s, dir)).orderBy("q_id", "rn")
 
+  /** Per-query recall@K of the IVF-PQ tier vs brute force — the
+    * index-evaluation read; both legs are the registry's own verified
+    * retrieval shapes.
+    */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame =
+    Ann.recallReport(embs(s, dir)).orderBy("q_id")
+
   /** Label-filtered top-K (metadata predicate + similarity). */
   def annFilteredTopK(s: SparkSession, dir: String): DataFrame =
     Ann.cosineTopKFiltered(embs(s, dir)).orderBy("q_id", "rn")
@@ -1665,6 +1672,7 @@ object Queries {
     "ann_index_topk" -> (annIndexTopK _),
     "ann_index_residual_topk" -> (annIndexResidualTopK _),
     "ann_index_residual_rotated_topk" -> (annIndexResidualRotatedTopK _),
+    "ann_recall_report" -> (annRecallReport _),
     "ann_index_upsert_topk" -> (annIndexUpsertTopK _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_ivfpq_residual_trained" -> (annIvfPqResidualTrained _),

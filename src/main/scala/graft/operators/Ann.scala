@@ -907,6 +907,29 @@ object Ann {
         round(col("dist_q").cast("double") / PqFix, 6).as("dist"))
   }
 
+  /** Per-query recall@K of the IVF-PQ tier against brute-force cosine
+    * — the evaluation read a pipeline runs BEFORE trusting an index
+    * (at 100 TB nobody re-checks answers by hand; the recall report
+    * is how an ops dashboard knows NProbe/code-budget settings still
+    * hold as the corpus drifts). Exact top-K is the already-shaped
+    * broadcast brute force; the approximate tier is the already-
+    * shaped pruned scan; the report joins two K-row-per-query lists —
+    * all the cost is in the two retrieval legs, both of which the
+    * registry verifies independently.
+    */
+  def recallReport(emb: DataFrame): DataFrame = {
+    val exact = cosineTopK(emb).select(col("q_id"), col("vec_id"))
+    val approx = ivfPqTopK(emb).select(col("q_id"), col("vec_id"))
+      .withColumn("hit", lit(1))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn(
+        "recall", round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
+
   /** Embedding-cosine near-duplicate pairs: BANDED hyperplane-LSH
     * self-join (same no-all-pairs shape as text MinHash / SimHash),
     * exact cosine verify. The fifth dedup modality — catches semantic
