@@ -291,6 +291,18 @@ object ScaleBench {
       println(
         s"""{"metric":"ann_index_rotated_scale","vectors":$nVecs,"queries":$nQueries,""" +
           s""""index_write_sec":$rotWriteSec,"disk_query_sec":$rotQuerySec,"rows":$rotRows}""")
+      // RESIDUAL serving-layout probe: per-list books ride the build
+      // (one broadcast-join residual derivation) and every query pays
+      // per-(query, probed list) dtables instead of one shared table —
+      // the accuracy/cost trade of the best-recall layout, measured
+      val resDir = java.nio.file.Files.createTempDirectory("graft_scale_ann_res_").toString
+      val (resWriteSec, _) = time { graft.sinks.Sinks.writeAnnIndexResidual(emb, resDir); 0L }
+      val (resQuerySec, resRows) = time(
+        graft.sinks.Sinks.readAnnIndexTopK(spark, resDir, queries).count())
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"ann_index_residual_scale","vectors":$nVecs,"queries":$nQueries,""" +
+          s""""index_write_sec":$resWriteSec,"disk_query_sec":$resQuerySec,"rows":$resRows}""")
     }
     // curation-filter throughput probe: the per-doc quality battery —
     // hashed-feature model classifier (broadcast weight probe), word
