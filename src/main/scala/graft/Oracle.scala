@@ -2083,6 +2083,32 @@ object Oracle {
         |  FROM documents
         |) ORDER BY doc_id""".stripMargin,
 
+    // leakage audit: the verified near-dup pair chain joined to the
+    // hash split on both endpoints, rolled up by unordered split pair
+    "doc_split_leakage" ->
+      s"""WITH $nearDupCtes,
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < 8 THEN 'train'
+         |         WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bucket
+         |    FROM documents)
+         |),
+         |j AS (
+         |  SELECT least(sa.split, sb.split) AS split_a,
+         |         greatest(sa.split, sb.split) AS split_b
+         |  FROM nd
+         |  JOIN sp sa ON nd.doc_a = sa.doc_id
+         |  JOIN sp sb ON nd.doc_b = sb.doc_id
+         |  WHERE nd.jaccard >= ${graft.operators.Corpus.ClusterJaccard}
+         |)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  split_a <> split_b AS leaky
+         |FROM j GROUP BY split_a, split_b
+         |ORDER BY split_a, split_b""".stripMargin,
+
     "doc_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

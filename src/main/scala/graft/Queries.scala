@@ -605,6 +605,13 @@ object Queries {
   def docSplit(s: SparkSession, dir: String): DataFrame =
     TextStats.trainSplit(docs(s, dir)).orderBy("doc_id")
 
+  /** Eval-leakage audit: verified near-dup pairs bucketed by the
+    * unordered split pair they straddle — cross-split rows are eval
+    * examples the model effectively trained on.
+    */
+  def docSplitLeakage(s: SparkSession, dir: String): DataFrame =
+    Corpus.splitLeakage(docs(s, dir)).orderBy("split_a", "split_b")
+
   /** Pre-tokenization text normalization with shrinkage audit. */
   def docNormalize(s: SparkSession, dir: String): DataFrame =
     TextStats.normalize(docs(s, dir)).orderBy("doc_id")
@@ -1608,6 +1615,7 @@ object Queries {
     "doc_quality_model_stored" -> (docQualityModelStored _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
+    "doc_split_leakage" -> (docSplitLeakage _),
     "doc_normalize" -> (docNormalize _),
     "doc_extract_html" -> (docExtractHtml _),
     "doc_pii_scrub" -> (docPiiScrub _),

@@ -279,6 +279,34 @@ object Corpus {
         (col("doc_id") === col("cluster")).as("is_canonical"))
   }
 
+  /** Eval-LEAKAGE audit: near-duplicate pairs crossing train/valid/
+    * test boundaries. A hash split ([[TextStats.trainSplit]]) is
+    * doc-id-random, so near-copies of one page routinely land on
+    * opposite sides — each cross-split pair is an eval example the
+    * model effectively trained on, the quiet way benchmark numbers
+    * inflate. One row per unordered split pair with its pair count
+    * and a `leaky` flag; the fix the report drives is canonical-only
+    * training ([[dedupClusters]]) or split-by-cluster.
+    *
+    * Scale shape: rides the verified near-dup pair stream (banded
+    * candidates, never all-pairs); the split labels are a per-row
+    * projection joined doc-keyed; the rollup is at most 6 rows.
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val split = TextStats.trainSplit(docs).select(col("doc_id"), col("split"))
+    Dedup.nearDupPairs(docs)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select("doc_a", "doc_b")
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(
+        least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_a") =!= col("split_b"))
+  }
+
   /** Every 29th doc_id plays the held-out benchmark set in
     * [[decontaminate]] — a deterministic stand-in for the external eval
     * suites a production pipeline would load as their own table.
