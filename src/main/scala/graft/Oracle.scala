@@ -288,6 +288,42 @@ object Oracle {
        |)""".stripMargin
   }
 
+  /** The HTML page-wrap + extraction CTE pair, ending in
+    * `ex(doc_id, html, text)` — shared by the extraction row and the
+    * html-in curation composite.
+    */
+  // NOTE: no line here may START with '|' (a containing template
+  // applies stripMargin AFTER interpolating this string — a leading
+  // '||' would lose its first pipe), so the concatenation operators
+  // sit at line ends
+  private val htmlPageCtes: String =
+    """page AS (
+      |  SELECT doc_id,
+      |    '<html><head><title></title><style type="text/css">body { color: #333; } /* doc ' ||
+      |    CAST(doc_id AS VARCHAR) ||
+      |    ' */</style><script>var n = ' || CAST(doc_id AS VARCHAR) ||
+      |    '; if (n < 9 && n > 0) { n = "skip me"; }</script></head><body><!-- crawl ' ||
+      |    CAST(doc_id AS VARCHAR) || ' --><p class="main">' ||
+      |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+      |    '</p></body></html>' AS html
+      |  FROM documents
+      |),
+      |ex AS (
+      |  SELECT doc_id, html,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |            '(?s)<!--.*?-->', ' ', 'g'),
+      |          '<[^>]*>', ' ', 'g'),
+      |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+      |      '[ \t\n\r\f]+', ' ', 'g')) AS text
+      |  FROM page
+      |)""".stripMargin
+
   /** Near-dup CTE chain ending in `nd(doc_a, doc_b, jaccard)` — the
     * [[graft.operators.Dedup.nearDupPairs]] pipeline (LSH candidates +
     * exact-Jaccard verify) as consumed by the cluster twin.
@@ -1488,7 +1524,23 @@ object Oracle {
     // the residual serving layout encodes and ranks the in-memory
     // residual path's exact geometry (stand-in books, firstK coarse;
     // parquet round-trips codes exactly) — shared twin
-    ("ann_index_residual_topk" -> allBase("ann_ivfpq_residual"))
+    ("ann_index_residual_topk" -> allBase("ann_ivfpq_residual")) +
+    // html-in curation: the doc_pipeline twin rewired to read the
+    // extracted pages — every FROM documents becomes FROM html_docs,
+    // the extraction CTE pair prepended (string surgery is safe: the
+    // construction asserts the rewrite took and nothing was missed)
+    ("doc_pipeline_html" -> htmlDocPipelineSql)
+
+  private lazy val htmlDocPipelineSql: String = {
+    val body = allBase("doc_pipeline")
+    require(body.startsWith("WITH RECURSIVE "), "doc_pipeline twin shape changed")
+    val rewired = body.replace("FROM documents", "FROM html_docs")
+    require(!rewired.contains("FROM documents") && rewired != body,
+      "doc_pipeline twin no longer reads FROM documents as expected")
+    s"""WITH RECURSIVE $htmlPageCtes,
+       |html_docs AS (SELECT doc_id, text FROM ex),
+       |${rewired.stripPrefix("WITH RECURSIVE ")}""".stripMargin
+  }
 
   private lazy val allBase: Map[String, String] = Map(
     "span_metrics" -> withDensified(spanMetricsSql, fillPolicy = Some("forward")),
@@ -2123,32 +2175,7 @@ object Oracle {
     // named entities decode with &amp; LAST, whitespace collapses via
     // the explicit class both engines read identically)
     "doc_extract_html" ->
-      """WITH page AS (
-        |  SELECT doc_id,
-        |    '<html><head><title></title><style type="text/css">body { color: #333; } /* doc '
-        |    || CAST(doc_id AS VARCHAR)
-        |    || ' */</style><script>var n = ' || CAST(doc_id AS VARCHAR)
-        |    || '; if (n < 9 && n > 0) { n = "skip me"; }</script></head><body><!-- crawl '
-        |    || CAST(doc_id AS VARCHAR) || ' --><p class="main">'
-        |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
-        |    || '</p></body></html>' AS html
-        |  FROM documents
-        |),
-        |ex AS (
-        |  SELECT doc_id, html,
-        |    trim(regexp_replace(
-        |      replace(replace(replace(replace(replace(
-        |        regexp_replace(
-        |          regexp_replace(
-        |            regexp_replace(
-        |              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |            '(?s)<!--.*?-->', ' ', 'g'),
-        |          '<[^>]*>', ' ', 'g'),
-        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
-        |      '[ \t\n\r\f]+', ' ', 'g')) AS text
-        |  FROM page
-        |)
+      s"""WITH $htmlPageCtes
         |SELECT doc_id, text,
         |  CAST(length(html) AS INTEGER) AS n_chars_raw,
         |  CAST(length(text) AS INTEGER) AS n_chars_text

@@ -605,6 +605,20 @@ object Queries {
   def docSplit(s: SparkSession, dir: String): DataFrame =
     TextStats.trainSplit(docs(s, dir)).orderBy("doc_id")
 
+  /** The end-to-end WEB-ARCHIVE curation job: HTML pages in, keep
+    * verdict out — [[TextStats.wrapHtml]]'s planted pages through
+    * [[TextStats.extractText]] into [[Corpus.docPipeline]]'s
+    * clustering + decontamination verdict. Extraction preserves the
+    * shingle stream exactly (CorpusSpec pins it), so this composite
+    * proves the integration: the twin rewires the doc_pipeline SQL to
+    * read the extracted pages.
+    */
+  def docPipelineHtml(s: SparkSession, dir: String): DataFrame =
+    Corpus.docPipeline(
+      TextStats.extractText(TextStats.wrapHtml(docs(s, dir)))
+        .select("doc_id", "text"))
+      .orderBy("doc_id")
+
   /** Eval-leakage audit: verified near-dup pairs bucketed by the
     * unordered split pair they straddle — cross-split rows are eval
     * examples the model effectively trained on.
@@ -1618,6 +1632,7 @@ object Queries {
     "doc_split_leakage" -> (docSplitLeakage _),
     "doc_normalize" -> (docNormalize _),
     "doc_extract_html" -> (docExtractHtml _),
+    "doc_pipeline_html" -> (docPipelineHtml _),
     "doc_pii_scrub" -> (docPiiScrub _),
     "doc_repetition" -> (docRepetition _),
     "doc_ngram_repetition" -> (docNgramRepetition _),
