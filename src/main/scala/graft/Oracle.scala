@@ -1529,7 +1529,46 @@ object Oracle {
     // extracted pages — every FROM documents becomes FROM html_docs,
     // the extraction CTE pair prepended (string surgery is safe: the
     // construction asserts the rewrite took and nothing was missed)
-    ("doc_pipeline_html" -> htmlDocPipelineSql)
+    ("doc_pipeline_html" -> htmlDocPipelineSql) +
+    ("corpus_manifest" -> corpusManifestSql)
+
+  /** The dataset-card twin: one-row scalar legs (corpus composition,
+    * exact-dup window, the keep-mask and decontamination bodies
+    * reused verbatim as subqueries) CROSS JOINed — placeholders
+    * substituted AFTER stripMargin so the nested bodies' lines can
+    * never collide with margin processing.
+    */
+  private lazy val corpusManifestSql: String = {
+    val tpl =
+      """WITH base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents),
+        |dup AS (
+        |  SELECT CAST(sum(CASE WHEN doc_id <> canonical THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_dups
+        |  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+        |        FROM documents)),
+        |keep AS (
+        |  SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM (GRAFT_KEEP_BODY)),
+        |cont AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |  FROM (GRAFT_DECONT_BODY))
+        |SELECT n_docs, n_langs, n_sources, total_chars, total_tokens,
+        |  n_exact_dups, round(CAST(n_exact_dups AS DOUBLE) / n_docs, 6) AS exact_dup_rate,
+        |  n_kept, round(CAST(n_kept AS DOUBLE) / n_docs, 6) AS keep_rate,
+        |  n_checked, n_contaminated,
+        |  round(CAST(n_contaminated AS DOUBLE) / n_checked, 6) AS contamination_rate
+        |FROM base CROSS JOIN dup CROSS JOIN keep CROSS JOIN cont""".stripMargin
+    tpl
+      .replace("GRAFT_KEEP_BODY", allBase("doc_keep_mask"))
+      .replace("GRAFT_DECONT_BODY", allBase("doc_decontaminate"))
+  }
 
   private lazy val htmlDocPipelineSql: String = {
     val body = allBase("doc_pipeline")

@@ -619,6 +619,13 @@ object Queries {
         .select("doc_id", "text"))
       .orderBy("doc_id")
 
+  /** The dataset card: one row of corpus composition, dup/keep/
+    * contamination rates — what a corpus release publishes and a
+    * regression check diffs run-over-run.
+    */
+  def corpusManifest(s: SparkSession, dir: String): DataFrame =
+    Corpus.corpusManifest(docs(s, dir))
+
   /** Eval-leakage audit: verified near-dup pairs bucketed by the
     * unordered split pair they straddle — cross-split rows are eval
     * examples the model effectively trained on.
@@ -1630,6 +1637,7 @@ object Queries {
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_split_leakage" -> (docSplitLeakage _),
+    "corpus_manifest" -> (corpusManifest _),
     "doc_normalize" -> (docNormalize _),
     "doc_extract_html" -> (docExtractHtml _),
     "doc_pipeline_html" -> (docPipelineHtml _),

@@ -279,6 +279,47 @@ object Corpus {
         (col("doc_id") === col("cluster")).as("is_canonical"))
   }
 
+  /** The DATASET CARD: one row summarizing what a curation run
+    * produced — corpus size and composition, whitespace-token volume,
+    * exact-duplicate rate, the keep-verdict rate, and benchmark
+    * contamination — the numbers every corpus release publishes and
+    * every regression check diffs run-over-run. Each leg is an
+    * already-verified operator reduced to a one-row aggregate; the
+    * combine is a chain of broadcast one-row crossJoins (the
+    * totals-unpivot discipline), so the cost IS the legs'.
+    */
+  def corpusManifest(docs: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).cast("long").as("total_chars"),
+      sum(size(split(col("text"), " "))).cast("long").as("total_tokens"))
+    val dup = Dedup.exact(docs)
+      .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"))
+    val keep = TextStats.keepMask(docs)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    val cont = decontaminate(docs)
+      .agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+    base.crossJoin(dup).crossJoin(keep).crossJoin(cont)
+      .select(
+        col("n_docs"),
+        col("n_langs"),
+        col("n_sources"),
+        col("total_chars"),
+        col("total_tokens"),
+        col("n_exact_dups"),
+        round(col("n_exact_dups").cast("double") / col("n_docs"), 6).as("exact_dup_rate"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6).as("keep_rate"),
+        col("n_checked"),
+        col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_checked"), 6)
+          .as("contamination_rate"))
+  }
+
   /** Eval-LEAKAGE audit: near-duplicate pairs crossing train/valid/
     * test boundaries. A hash split ([[TextStats.trainSplit]]) is
     * doc-id-random, so near-copies of one page routinely land on

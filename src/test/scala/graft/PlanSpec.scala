@@ -29,7 +29,8 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq(
         "doc_near_dup", "doc_simhash_pairs", "ann_lsh", "emb_near_dup",
         "doc_boilerplate", "doc_pipeline", "doc_pipeline_full",
-        "doc_pipeline_full_v2", "doc_substring_dedup_wide",
+        "doc_pipeline_full_v2", "doc_pipeline_html", "doc_split_leakage",
+        "doc_substring_dedup_wide", "streaming_mm_near_dup",
         "ann_knn_join", "ann_topk_banded")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
