@@ -2068,6 +2068,40 @@ object Oracle {
       s"""WITH $simhashCtes
          |SELECT doc_id, sim_hi, sim_lo FROM sim ORDER BY doc_id""".stripMargin,
 
+    // cross-corpus near-dup: the inc-coin batch side banded against
+    // the corpus side (no self-join, no doc_a < doc_b constraint —
+    // the two sides are disjoint id sets), verified with the same
+    // exact shingle Jaccard
+    "doc_near_dup_incremental" ->
+      s"""WITH $shinglesCte,
+         |$minhashCtes,
+         |cn AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5('inc' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS b
+         |  FROM documents),
+         |bb AS (SELECT bs.* FROM bs JOIN cn USING (doc_id) WHERE cn.b = 1),
+         |bc AS (SELECT bs.* FROM bs JOIN cn USING (doc_id) WHERE cn.b = 0),
+         |pr AS (
+         |  SELECT DISTINCT a.doc_id AS doc_batch, b.doc_id AS doc_corpus
+         |  FROM bb a JOIN bc b ON a.band = b.band AND a.sig = b.sig),
+         |cnts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |com AS (
+         |  SELECT doc_batch, doc_corpus, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM pr
+         |  JOIN sh sa ON pr.doc_batch = sa.doc_id
+         |  JOIN sh sb ON pr.doc_corpus = sb.doc_id AND sa.shingle = sb.shingle
+         |  GROUP BY doc_batch, doc_corpus)
+         |SELECT pr.doc_batch, pr.doc_corpus,
+         |  ca.n AS n_batch, cb.n AS n_corpus,
+         |  coalesce(com.n_common, 0) AS n_common,
+         |  round(CAST(coalesce(com.n_common, 0) AS DOUBLE) /
+         |        (ca.n + cb.n - coalesce(com.n_common, 0)), 6) AS jaccard
+         |FROM pr
+         |LEFT JOIN com USING (doc_batch, doc_corpus)
+         |JOIN cnts ca ON ca.doc_id = pr.doc_batch
+         |JOIN cnts cb ON cb.doc_id = pr.doc_corpus
+         |ORDER BY doc_batch, doc_corpus""".stripMargin,
+
     // Twin of Dedup.containmentPairs: the nd chain plus two ratio
     // projections over the same integers.
     "doc_containment" ->

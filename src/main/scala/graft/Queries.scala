@@ -823,6 +823,20 @@ object Queries {
   def docDedupIncremental(s: SparkSession, dir: String): DataFrame =
     Dedup.incrementalDedup(docs(s, dir)).orderBy("doc_id")
 
+  /** Cross-corpus NEAR-dup: the arriving half of the deterministic
+    * `inc` coin split probed against the stored half — the near-copy
+    * face exact fingerprints miss (re-renders, boilerplate variants).
+    */
+  def docNearDupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val coin = expr(
+      "CAST(conv(substr(md5(concat('inc', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2")
+    val tagged = docs(s, dir).withColumn("b", coin)
+    Dedup.incrementalNearDup(
+      tagged.filter(col("b") === 1).drop("b"),
+      tagged.filter(col("b") === 0).drop("b"))
+      .orderBy("doc_batch", "doc_corpus")
+  }
+
   /** The STORED incremental-dedup fixture: a deterministic md5
     * three-way split of the documents table — coin `inc` picks
     * base (0) vs the rest; among the rest, coin `seg` picks an
@@ -1638,6 +1652,7 @@ object Queries {
     "doc_split" -> (docSplit _),
     "doc_split_leakage" -> (docSplitLeakage _),
     "corpus_manifest" -> (corpusManifest _),
+    "doc_near_dup_incremental" -> (docNearDupIncremental _),
     "doc_normalize" -> (docNormalize _),
     "doc_extract_html" -> (docExtractHtml _),
     "doc_pipeline_html" -> (docPipelineHtml _),

@@ -237,6 +237,56 @@ object Dedup {
           6).as("jaccard")))
   }
 
+  /** CROSS-CORPUS near-dup: an arriving batch against a stored
+    * corpus — the near-dup face of incremental dedup (the exact-fp
+    * base catches verbatim recrawls; this catches the re-rendered
+    * page, the boilerplate variant, the near-copy that md5 misses).
+    * Same banded candidate discipline as [[nearDupPairsFromShingles]]
+    * with the self-join replaced by the batch×corpus band equi-join:
+    * candidate volume is still collisions-only, and the batch side is
+    * small by construction, so at 100 TB the corpus side shuffles its
+    * signatures once while the batch's signature set broadcasts or
+    * co-partitions — never corpus×corpus.
+    */
+  def incrementalNearDup(batch: DataFrame, corpus: DataFrame): DataFrame =
+    nearDupPairsAgainst(
+      CacheScope.persist(shingles(batch)), CacheScope.persist(shingles(corpus)))
+
+  /** [[incrementalNearDup]] over already-persisted shingle frames —
+    * the shared-explode entry point.
+    */
+  def nearDupPairsAgainst(batchSh: DataFrame, corpusSh: DataFrame): DataFrame = {
+    val mhB = CacheScope.persist(minhashFromShingles(batchSh))
+    val mhC = CacheScope.persist(minhashFromShingles(corpusSh))
+    val pairs = bandStack(mhB).as("a")
+      .join(bandStack(mhC).as("b"), expr("a.band = b.band AND a.sig = b.sig"))
+      .select(col("a.doc_id").as("doc_batch"), col("b.doc_id").as("doc_corpus"))
+      .distinct()
+    val common = pairs
+      .join(batchSh.as("sa"), col("doc_batch") === col("sa.doc_id"))
+      .join(
+        corpusSh.as("sb"),
+        col("doc_corpus") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_batch", "doc_corpus")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(common, Seq("doc_batch", "doc_corpus"), "left")
+      .join(
+        mhB.select(col("doc_id").as("doc_batch"), col("n").as("n_batch")), "doc_batch")
+      .join(
+        mhC.select(col("doc_id").as("doc_corpus"), col("n").as("n_corpus")), "doc_corpus")
+      .select(
+        col("doc_batch"),
+        col("doc_corpus"),
+        col("n_batch"),
+        col("n_corpus"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(
+          coalesce(col("n_common"), lit(0L)).cast("double") /
+            (col("n_batch") + col("n_corpus") - coalesce(col("n_common"), lit(0L))),
+          6).as("jaccard"))
+  }
+
   /** 64-bit SimHash over the document's word multiset: each word votes
     * its md5-derived 64-bit pattern weighted by its count; bit b of the
     * fingerprint is 1 iff the summed vote is positive (tie -> 0).
