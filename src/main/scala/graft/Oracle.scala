@@ -1993,6 +1993,40 @@ object Oracle {
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    // pixel-true resize replay: the planted grid's 2x2 integer box
+    // floors (36x32 -> 18x16, exact division both steps since gray
+    // luma is the identity), summed and md5'd in row-major order —
+    // the codec-free mirror of the real decode/downscale/re-encode
+    "mm_resize_px" -> {
+      val (pe, w, h, ow, oh) = (
+        graft.operators.Multimodal.PxPlantEvery,
+        graft.operators.Multimodal.PxImgW,
+        graft.operators.Multimodal.PxImgH,
+        graft.operators.Multimodal.ResizeOutW,
+        graft.operators.Multimodal.ResizeOutH)
+      s"""WITH g AS (
+         |  SELECT d.doc_id, x.x, y.y,
+         |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '_' ||
+         |      CAST(x.x AS VARCHAR) || '_' || CAST(y.y AS VARCHAR)), 1, 2)) AS BIGINT) AS v
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % $pe = 0) d,
+         |       range($w) x(x), range($h) y(y)
+         |),
+         |cell AS (
+         |  SELECT doc_id, CAST(y // ${h / oh} AS INT) AS by, CAST(x // ${w / ow} AS INT) AS bx,
+         |    CAST(sum(v) // count(*) AS BIGINT) AS val
+         |  FROM g GROUP BY 1, 2, 3
+         |),
+         |per AS (
+         |  SELECT doc_id,
+         |    CAST(sum(val) AS BIGINT) AS luma_sum,
+         |    md5(string_agg(CAST(val AS VARCHAR), '_' ORDER BY by, bx)) AS luma_md5
+         |  FROM cell GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST($ow AS INT) AS out_w, CAST($oh AS INT) AS out_h,
+         |  luma_sum, luma_md5
+         |FROM per ORDER BY doc_id""".stripMargin
+    },
+
     "mm_near_dup" ->
       s"""WITH $mmBandedCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

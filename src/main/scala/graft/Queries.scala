@@ -1416,6 +1416,20 @@ object Queries {
     Multimodal.perceptualHash(Multimodal.plantedPngPayloads(docs(s, dir)))
       .toDF().orderBy("doc_id")
 
+  /** PIXEL-TRUE resize over the planted PNGs: real decode, exact
+    * integer box-average downscale to 18x16, real PNG re-encode. The
+    * hashable columns are the resized grid's integer luma sum and an
+    * md5 over its values — replayed by the twin from the planted
+    * formula with no codec; the re-encoded payload itself rides the
+    * row for consumers but never the hash (codec bytes are
+    * JDK-dependent).
+    */
+  def mmResizePx(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePx(Multimodal.plantedPngPayloads(docs(s, dir)))
+      .toDF()
+      .select("doc_id", "out_w", "out_h", "luma_sum", "luma_md5")
+      .orderBy("doc_id")
+
   /** Perceptual-hash image near-dup pairs: banded candidates, Hamming
     * verify — [[Multimodal.mmNearDup]] over the text payloads plus the
     * planted smooth signals and their stride-resampled copies (the
@@ -1739,6 +1753,7 @@ object Queries {
     "mm_resize" -> (mmResize _),
     "mm_phash" -> (mmPhash _),
     "mm_phash_px" -> (mmPhashPx _),
+    "mm_resize_px" -> (mmResizePx _),
     "mm_near_dup" -> (mmNearDup _),
     "mm_dedup_clusters" -> (mmDedupClusters _),
     "span_metrics" -> (spanMetrics _),

@@ -495,6 +495,99 @@ object Multimodal {
       .toDF()
   }
 
+  /** One pixel-true resize result: the re-encoded payload (real
+    * `javax.imageio` PNG write — consumers get actual image bytes)
+    * plus SQL-replayable proof columns: the resized grid's integer
+    * luma sum and an md5 over its `_`-joined values (codec output
+    * bytes are JDK-dependent and never hashed).
+    */
+  case class MmResizedPx(
+      doc_id: Long,
+      out_w: Int,
+      out_h: Int,
+      n_bytes: Long,
+      luma_sum: Long,
+      luma_md5: String,
+      payload: Array[Byte])
+
+  /** [[resize]]'s PIXEL-TRUE sibling: decode the payload, box-average
+    * the luma grid down to `outW`x`outH` with EXACT integer
+    * arithmetic (per-cell floor(sum/count) — no float, so a
+    * formula-replaying twin is bit-exact), and re-encode through the
+    * real PNG writer. Payloads that don't decode are dropped (the
+    * byte-stride [[resize]] remains the fallback for opaque bytes).
+    * Same bounded-memory partition-batched shape as every payload
+    * kernel; the resized PNG rides the row for downstream consumers
+    * while only the replayable columns participate in hashing.
+    */
+  val ResizeOutW = 18
+  val ResizeOutH = 16
+
+  def resizePx(
+      withPayloadDf: DataFrame,
+      outW: Int = ResizeOutW,
+      outH: Int = ResizeOutH): Dataset[MmResizedPx] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val fmt = parseHeader(r.payload)._1
+        if (fmt != "png" && fmt != "jpeg") None
+        else
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            if (img == null || img.getWidth < outW || img.getHeight < outH) None
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val sums = Array.ofDim[Long](outH, outW)
+              val cnts = Array.ofDim[Long](outH, outW)
+              var y = 0
+              while (y < h) {
+                val by = ((y.toLong * outH) / h).toInt
+                var x = 0
+                while (x < w) {
+                  val bx = ((x.toLong * outW) / w).toInt
+                  val rgb = img.getRGB(x, y)
+                  val lum = (299 * ((rgb >> 16) & 0xff) +
+                    587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                  sums(by)(bx) += lum
+                  cnts(by)(bx) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.awt.image.BufferedImage(
+                outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var lumaSum = 0L
+              val parts = new StringBuilder
+              var yy = 0
+              while (yy < outH) {
+                var xx = 0
+                while (xx < outW) {
+                  val v = (sums(yy)(xx) / cnts(yy)(xx)).toInt
+                  out.setRGB(xx, yy, (v << 16) | (v << 8) | v)
+                  lumaSum += v
+                  if (parts.nonEmpty) parts.append('_')
+                  parts.append(v)
+                  xx += 1
+                }
+                yy += 1
+              }
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", baos)
+              val bytes = baos.toByteArray
+              val lumaMd5 = md.digest(parts.toString.getBytes("US-ASCII"))
+                .map("%02x".format(_)).mkString
+              Some(MmResizedPx(
+                r.doc_id, outW, outH, bytes.length.toLong, lumaSum, lumaMd5, bytes))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
   /** Perceptual image near-dup pairs: band-bucket equi-join (never
     * all-pairs), Hamming verify over the full 64 bits, threshold
     * [[MmHammingMax]]. The image-modality face of [[Dedup

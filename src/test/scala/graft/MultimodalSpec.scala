@@ -209,6 +209,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.phashOf(truncated) == Multimodal.byteDHash(truncated))
   }
 
+  test("resizePx: decoded box-averages round-trip through the re-encoded PNG exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((10L, "x")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val out = Multimodal.resizePx(Multimodal.plantedPngPayloads(docs))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.out_w == Multimodal.ResizeOutW && r.out_h == Multimodal.ResizeOutH)
+    // reference grid straight from the planted formula: 2x2 floors
+    val expected = for (yy <- 0 until 16; xx <- 0 until 18) yield {
+      val s = (for (dy <- 0 to 1; dx <- 0 to 1)
+        yield Multimodal.pxPlantValue(10L, xx * 2 + dx, yy * 2 + dy)).sum
+      s / 4
+    }
+    assert(r.luma_sum == expected.map(_.toLong).sum, "luma sum diverged from the formula")
+    // the re-encoded PNG must decode back to the SAME gray values —
+    // the round-trip proof the real codec path is lossless
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    assert(img.getWidth == 18 && img.getHeight == 16)
+    val decoded = for (yy <- 0 until 16; xx <- 0 until 18) yield img.getRGB(xx, yy) & 0xff
+    assert(decoded == expected, "re-encoded PNG lost the resized grid")
+    // non-decodable payloads drop (the byte-stride resize is their path)
+    val ascii = Seq(Multimodal.MmRow(1L, "image", 0L, 0L, "not an image".getBytes)).toDF()
+    assert(Multimodal.resizePx(ascii).count() == 0)
+  }
+
   test("planted PNG rows decode: pixel hash differs from the byte hash of the same payload") {
     val spark = TestSpark.spark
     import spark.implicits._
