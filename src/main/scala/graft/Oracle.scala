@@ -1993,6 +1993,19 @@ object Oracle {
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    // the WAV twin replays the synth parameters and the exact integer
+    // duration math; data_bytes = ASCII-projected length (codepoint
+    // semantics pinned by the docPaySql note)
+    "mm_audio_features" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(8000 + (n_chars % 3) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(length(regexp_replace(text, '[^\x20-\x7e]', '_', 'g')) AS BIGINT) AS data_bytes,
+        |  CAST(length(regexp_replace(text, '[^\x20-\x7e]', '_', 'g')) * 1000
+        |       // ((8000 + (n_chars % 3) * 4000) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // pixel-true resize replay: the planted grid's 2x2 integer box
     // floors (36x32 -> 18x16, exact division both steps since gray
     // luma is the identity), summed and md5'd in row-major order —

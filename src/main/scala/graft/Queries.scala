@@ -1416,6 +1416,16 @@ object Queries {
     Multimodal.perceptualHash(Multimodal.plantedPngPayloads(docs(s, dir)))
       .toDF().orderBy("doc_id")
 
+  /** Audio-container features through a REAL RIFF/WAVE chunk scan:
+    * deterministic PCM parameters synthesized around the projected
+    * text as sample data, parsed back field-for-field with exact
+    * integer duration math — the audio modality joining the image
+    * family's plumbing.
+    */
+  def mmAudioFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeatures(Multimodal.withAudioPayload(docs(s, dir)))
+      .toDF().orderBy("doc_id")
+
   /** PIXEL-TRUE resize over the planted PNGs: real decode, exact
     * integer box-average downscale to 18x16, real PNG re-encode. The
     * hashable columns are the resized grid's integer luma sum and an
@@ -1754,6 +1764,7 @@ object Queries {
     "mm_phash" -> (mmPhash _),
     "mm_phash_px" -> (mmPhashPx _),
     "mm_resize_px" -> (mmResizePx _),
+    "mm_audio_features" -> (mmAudioFeatures _),
     "mm_near_dup" -> (mmNearDup _),
     "mm_dedup_clusters" -> (mmDedupClusters _),
     "span_metrics" -> (spanMetrics _),

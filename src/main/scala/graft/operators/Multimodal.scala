@@ -137,6 +137,104 @@ object Multimodal {
     } else ("unknown", 0L, 0L)
   }
 
+  // ------------------------------------------------------ audio (WAV)
+  /** Canonical 44-byte RIFF/WAVE header (PCM fmt chunk + data chunk
+    * header), little-endian — what any WAV reader accepts as a valid
+    * file start. The audio face of [[pngHeader]]/[[jpegHeader]].
+    */
+  private[graft] def wavHeader(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, dataLen: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val byteRate = sampleRate * blockAlign
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++ le32(byteRate) ++
+      le16(blockAlign) ++ le16(bitsPerSample) ++
+      "data".getBytes("US-ASCII") ++ le32(dataLen)
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+  private def readLe32(p: Array[Byte], off: Int): Long =
+    (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+      ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+  private def readLe16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+
+  /** Parsed audio features — everything a real WAV reader derives from
+    * the container before touching samples; `duration_ms` is exact
+    * integer math over the header fields.
+    */
+  case class MmAudio(
+      doc_id: Long,
+      format: String,
+      sample_rate: Long,
+      channels: Long,
+      bits: Long,
+      data_bytes: Long,
+      duration_ms: Long)
+
+  /** Audio payload synth: deterministic per-doc PCM parameters (8/12/
+    * 16 kHz by text length, mono/stereo by id parity, 16-bit) around
+    * the ASCII-projected text as stand-in sample data — the audio
+    * sibling of [[withEncodedPayload]].
+    */
+  def withAudioPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      (lit(8000) + (col("n_chars") % 3).cast("int") * 4000).as("rate"),
+      (lit(1) + (col("doc_id") % 2).cast("int")).as("channels"),
+      encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", "_"), "utf-8").as("body"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, rate, ch, body) =>
+        MmRow(id, "audio", 0L, 0L, wavHeader(rate, ch, 16, body.length) ++ body)
+      })
+      .toDF()
+  }
+
+  /** REAL RIFF/WAVE container parse: signature check, then a
+    * little-endian chunk scan to the `fmt ` and `data` chunks
+    * (skipping unknown chunks by their length fields, as any WAV
+    * reader does). Non-WAV payloads drop; a truncated header is data,
+    * not a job failure. Duration is exact integer milliseconds:
+    * data_bytes · 1000 / (rate · channels · bits/8).
+    */
+  def audioFeatures(withPayloadDf: DataFrame): Dataset[MmAudio] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions(_.flatMap { r =>
+      val p = r.payload
+      if (p.length < 12 ||
+          !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+          !(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) None
+      else {
+        var i = 12
+        var rate = 0L; var ch = 0L; var bits = 0L; var dataLen = -1L
+        var fmtSeen = false
+        while (i + 8 <= p.length && (dataLen < 0 || !fmtSeen)) {
+          val cid = new String(p.slice(i, i + 4), "US-ASCII")
+          val clen = readLe32(p, i + 4)
+          if (cid == "fmt " && i + 8 + 16 <= p.length) {
+            ch = readLe16(p, i + 10).toLong
+            rate = readLe32(p, i + 12)
+            bits = readLe16(p, i + 22).toLong
+            fmtSeen = true
+          } else if (cid == "data") dataLen = clen
+          // chunks are word-aligned: odd lengths carry a pad byte
+          i += 8 + clen.toInt + (clen.toInt & 1)
+        }
+        if (!fmtSeen || dataLen < 0 || rate == 0 || ch == 0 || bits == 0) None
+        else Some(MmAudio(
+          r.doc_id, "wav", rate, ch, bits, dataLen,
+          dataLen * 1000L / (rate * ch * (bits / 8))))
+      }
+    })
+  }
+
   /** Encoded-payload synth: a REAL container header (PNG for even
     * doc_ids, baseline JPEG for odd) carrying the metadata dimensions,
     * followed by the ASCII-projected text standing in for entropy data.

@@ -209,6 +209,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.phashOf(truncated) == Multimodal.byteDHash(truncated))
   }
 
+  test("audioFeatures: RIFF chunk scan parses synth headers; skips unknown chunks and junk") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 100), (2L, "b" * 37)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val rows = Multimodal.audioFeatures(Multimodal.withAudioPayload(docs))
+      .collect().map(a => a.doc_id -> a).toMap
+    // doc 1: rate 8000 + (100 % 3) * 4000 = 12000, stereo; 100 bytes
+    assert(rows(1L).sample_rate == 12000 && rows(1L).channels == 2)
+    assert(rows(1L).data_bytes == 100)
+    assert(rows(1L).duration_ms == 100L * 1000 / (12000 * 2 * 2))
+    // doc 2: rate 8000 + (37 % 3) * 4000 = 12000, mono
+    assert(rows(2L).sample_rate == 12000 && rows(2L).channels == 1)
+
+    // an unknown odd-length chunk BEFORE fmt must be skipped with its
+    // pad byte — the chunk-scan discipline any WAV reader needs
+    val body = "samples!".getBytes("US-ASCII")
+    val std = Multimodal.wavHeader(16000, 1, 16, body.length) ++ body
+    val junkChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ "abc".getBytes ++ Array[Byte](0) // 3 bytes + pad
+    val withJunk = std.slice(0, 12) ++ junkChunk ++ std.drop(12)
+    val parsed = Multimodal.audioFeatures(
+      Seq(Multimodal.MmRow(9L, "audio", 0L, 0L, withJunk)).toDF())
+      .collect()
+    assert(parsed.length == 1 && parsed.head.sample_rate == 16000 &&
+      parsed.head.data_bytes == body.length,
+      s"junk chunk broke the scan: ${parsed.toSeq}")
+    // non-WAV and truncated payloads drop, never throw
+    val bad = Seq(
+      Multimodal.MmRow(10L, "audio", 0L, 0L, "not riff at all".getBytes),
+      Multimodal.MmRow(11L, "audio", 0L, 0L, std.slice(0, 20))).toDF()
+    assert(Multimodal.audioFeatures(bad).count() == 0)
+  }
+
   test("resizePx: decoded box-averages round-trip through the re-encoded PNG exactly") {
     val spark = TestSpark.spark
     import spark.implicits._
