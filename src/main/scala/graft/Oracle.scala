@@ -1530,7 +1530,36 @@ object Oracle {
     // the extraction CTE pair prepended (string surgery is safe: the
     // construction asserts the rewrite took and nothing was missed)
     ("doc_pipeline_html" -> htmlDocPipelineSql) +
-    ("corpus_manifest" -> corpusManifestSql)
+    ("corpus_manifest" -> corpusManifestSql) +
+    // residual-tier recall: the full residual twin nested as the
+    // approx leg (its own WITH scope), the exact leg shared with
+    // ann_recall_report
+    ("ann_recall_report_residual" -> annRecallResidualSql)
+
+  private lazy val annRecallResidualSql: String = {
+    val k = graft.operators.Ann.K
+    val tpl =
+      s"""WITH $vecNormCte,
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qnorm FROM vn
+         |      WHERE vec_id % ${graft.operators.Ann.QueryMod} = 0),
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        ${cosSql("q.qe", "v.embedding", "q.qnorm", "v.norm")} DESC, v.vec_id) AS rn
+         |    FROM q JOIN vn v ON q.q_id <> v.vec_id)
+         |  WHERE rn <= $k
+         |),
+         |approx AS (SELECT q_id, vec_id FROM (GRAFT_RESIDUAL_BODY))
+         |SELECT e.q_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS recall
+         |FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+    tpl.replace("GRAFT_RESIDUAL_BODY", allBase("ann_ivfpq_residual"))
+  }
 
   /** The dataset-card twin: one-row scalar legs (corpus composition,
     * exact-dup window, the keep-mask and decontamination bodies

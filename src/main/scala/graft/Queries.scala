@@ -1121,6 +1121,12 @@ object Queries {
   def annRecallReport(s: SparkSession, dir: String): DataFrame =
     Ann.recallReport(embs(s, dir)).orderBy("q_id")
 
+  /** Recall@K of the RESIDUAL tier — the best-recall path evaluated
+    * through the same exact-vs-approx join.
+    */
+  def annRecallReportResidual(s: SparkSession, dir: String): DataFrame =
+    Ann.recallReportResidual(embs(s, dir)).orderBy("q_id")
+
   /** Label-filtered top-K (metadata predicate + similarity). */
   def annFilteredTopK(s: SparkSession, dir: String): DataFrame =
     Ann.cosineTopKFiltered(embs(s, dir)).orderBy("q_id", "rn")
@@ -1743,6 +1749,7 @@ object Queries {
     "ann_index_residual_topk" -> (annIndexResidualTopK _),
     "ann_index_residual_rotated_topk" -> (annIndexResidualRotatedTopK _),
     "ann_recall_report" -> (annRecallReport _),
+    "ann_recall_report_residual" -> (annRecallReportResidual _),
     "ann_index_upsert_topk" -> (annIndexUpsertTopK _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_ivfpq_residual_trained" -> (annIvfPqResidualTrained _),

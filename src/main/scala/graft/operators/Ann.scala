@@ -917,9 +917,18 @@ object Ann {
     * all the cost is in the two retrieval legs, both of which the
     * registry verifies independently.
     */
-  def recallReport(emb: DataFrame): DataFrame = {
+  def recallReport(emb: DataFrame): DataFrame =
+    recallAgainstExact(emb, ivfPqTopK(emb))
+
+  /** [[recallReport]] for the RESIDUAL tier — the best-recall
+    * configuration's own evaluation row.
+    */
+  def recallReportResidual(emb: DataFrame): DataFrame =
+    recallAgainstExact(emb, ivfPqResidualTopK(emb))
+
+  private def recallAgainstExact(emb: DataFrame, approxTopK: DataFrame): DataFrame = {
     val exact = cosineTopK(emb).select(col("q_id"), col("vec_id"))
-    val approx = ivfPqTopK(emb).select(col("q_id"), col("vec_id"))
+    val approx = approxTopK.select(col("q_id"), col("vec_id"))
       .withColumn("hit", lit(1))
     exact.join(approx, Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
