@@ -268,7 +268,10 @@ object Queries {
     val densified = GapFill.densify(dailyDf(s, dir), AsOf)
     val w = Window.partitionBy("url").orderBy("day")
     densified
-      .withColumn("changed", (col("specimen") =!= coalesce(lag(col("specimen"), 1).over(w), lit("\u0000"))).cast("long"))
+      // first-row sentinel " " matches the DuckDB twin's `coalesce(lag
+      // ...), ' ')` textually: specimen values ('~', '2xx', ...) never
+      // equal it, and a space keeps the registry greppable as plain text
+      .withColumn("changed", (col("specimen") =!= coalesce(lag(col("specimen"), 1).over(w), lit(" "))).cast("long"))
       .withColumn("run_id", sum("changed").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("url", "run_id")
       .agg(

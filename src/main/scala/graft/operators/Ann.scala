@@ -529,7 +529,12 @@ object Ann {
     import spark.implicits._
     require(cents.nonEmpty && books.nonEmpty, "index metadata must be non-empty")
     val (pm, ps) = (PqM, PqSub)
-    val sorted = cents.sortBy(_._1)
+    // Assign only among centroids that HAVE a residual codebook: a list
+    // empty at build time (e.g. duplicate seed vectors) has no book, and
+    // an upsert landing there must fall back to the nearest book-holding
+    // centroid rather than fail the whole ingest job on a missing key.
+    val sorted = cents.sortBy(_._1).filter { case (cId, _) => books.contains(cId) }
+    require(sorted.nonEmpty, "no centroid has a residual codebook")
     vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val cnorm = sorted.map { case (_, ce) =>

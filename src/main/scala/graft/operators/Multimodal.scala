@@ -212,22 +212,32 @@ object Multimodal {
           !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
           !(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) None
       else {
-        var i = 12
+        var i = 12L
         var rate = 0L; var ch = 0L; var bits = 0L; var dataLen = -1L
         var fmtSeen = false
-        while (i + 8 <= p.length && (dataLen < 0 || !fmtSeen)) {
-          val cid = new String(p.slice(i, i + 4), "US-ASCII")
-          val clen = readLe32(p, i + 4)
+        var halted = false
+        while (!halted && i + 8 <= p.length && (dataLen < 0 || !fmtSeen)) {
+          val io = i.toInt
+          val cid = new String(p.slice(io, io + 4), "US-ASCII")
+          val clen = readLe32(p, io + 4)
           if (cid == "fmt " && i + 8 + 16 <= p.length) {
-            ch = readLe16(p, i + 10).toLong
-            rate = readLe32(p, i + 12)
-            bits = readLe16(p, i + 22).toLong
+            ch = readLe16(p, io + 10).toLong
+            rate = readLe32(p, io + 12)
+            bits = readLe16(p, io + 22).toLong
             fmtSeen = true
           } else if (cid == "data") dataLen = clen
-          // chunks are word-aligned: odd lengths carry a pad byte
-          i += 8 + clen.toInt + (clen.toInt & 1)
+          // chunks are word-aligned: odd lengths carry a pad byte. All
+          // arithmetic in Long: a corrupt 32-bit length near 2^32 must
+          // neither spin the scan (zero advance) nor wrap the cursor
+          // negative — a chunk that runs past the payload ends the scan
+          // (truncated container = data, not a job failure).
+          val next = i + 8L + clen + (clen & 1L)
+          if (next <= i || (next > p.length && !(fmtSeen && dataLen >= 0))) halted = true
+          else i = next
         }
-        if (!fmtSeen || dataLen < 0 || rate == 0 || ch == 0 || bits == 0) None
+        // bits must be a positive whole-byte width: bits in 1..7 would
+        // make the block-align divisor zero (corrupt fmt = dropped row)
+        if (!fmtSeen || dataLen < 0 || rate == 0 || ch == 0 || bits < 8 || bits % 8 != 0) None
         else Some(MmAudio(
           r.doc_id, "wav", rate, ch, bits, dataLen,
           dataLen * 1000L / (rate * ch * (bits / 8))))
