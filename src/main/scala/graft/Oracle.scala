@@ -1361,6 +1361,96 @@ object Oracle {
        |  FROM full_ph, unnest(range(4)) t(band)
        |)""".stripMargin
 
+  /** The audio fingerprint relation, replayed with NO byte-level
+    * container at all ([[graft.operators.Multimodal.audioDHash]]):
+    * PCM frames come straight from the synth formulas — the text-
+    * audio negatives decode ASCII pairs as little-endian 16-bit words
+    * summed across channels (stereo for odd doc_ids, the
+    * `withAudioPayload` parameters), the planted rows replay md5
+    * amplitude blocks, the strided rows sample every 2nd position of
+    * the same formula — then bucket by `(k·65)//n`, energy-sum, and
+    * sign-of-delta pack exactly as the Spark kernel does over REAL
+    * WAV bytes. Equality is the proof the container scan + PCM decode
+    * is real. Clips under 65 frames drop on both sides (the
+    * sub-signature-length gate). Ends in `full_aph(doc_id, ph_hi,
+    * ph_lo)` and `abanded(doc_id, ph_hi, ph_lo, band, key)`.
+    */
+  private lazy val audioBandedCtes: String = {
+    val nb = graft.operators.Multimodal.PhashBuckets
+    val every = graft.operators.Multimodal.PlantEvery
+    val minLen = graft.operators.Multimodal.AudioPlantMinLen
+    val blocks = graft.operators.Multimodal.AudioPlantBlocks
+    val idBase = graft.operators.Multimodal.AudioPlantIdBase
+    val strideBase = graft.operators.Multimodal.AudioStrideIdBase
+    val stride = graft.operators.Multimodal.AudioStride
+    s"""atxt AS (
+       |  SELECT doc_id, s, 1 + doc_id % 2 AS ch,
+       |         length(s) // (2 * (1 + doc_id % 2)) AS n
+       |  FROM ($docPaySql)
+       |  WHERE length(s) // (2 * (1 + doc_id % 2)) >= $nb
+       |),
+       |atf AS (
+       |  SELECT t.doc_id, k.k AS k, t.n,
+       |    CAST(sum(ord(substr(t.s, CAST(t.ch * 2 * k.k + 2 * c.c + 1 AS INTEGER), 1))
+       |       + 256 * ord(substr(t.s, CAST(t.ch * 2 * k.k + 2 * c.c + 2 AS INTEGER), 1))) AS BIGINT) AS v
+       |  FROM atxt t,
+       |    LATERAL unnest(range(t.n)) k(k),
+       |    LATERAL unnest(range(t.ch)) c(c)
+       |  GROUP BY t.doc_id, k.k, t.n
+       |),
+       |apl AS (
+       |  SELECT doc_id, $minLen + doc_id AS n FROM documents WHERE doc_id % $every = 0
+       |),
+       |apf AS (
+       |  SELECT doc_id + $idBase AS doc_id, j.j AS k, n,
+       |    CAST(1000 + (CAST(('0x' || substr(md5('a' || doc_id || ':' ||
+       |      ((j.j * $blocks) // n)), 1, 2)) AS INTEGER) % 64) * 100 AS BIGINT) AS v
+       |  FROM apl, LATERAL unnest(range(n)) j(j)
+       |),
+       |asf AS (
+       |  SELECT doc_id + $strideBase AS doc_id, i.i AS k, (n + ${stride - 1}) // $stride AS n,
+       |    CAST(1000 + (CAST(('0x' || substr(md5('a' || doc_id || ':' ||
+       |      ((i.i * $stride * $blocks) // n)), 1, 2)) AS INTEGER) % 64) * 100 AS BIGINT) AS v
+       |  FROM apl, LATERAL unnest(range((n + ${stride - 1}) // $stride)) i(i)
+       |),
+       |afr AS (
+       |  SELECT * FROM atf UNION ALL SELECT * FROM apf UNION ALL SELECT * FROM asf
+       |),
+       |abk AS (
+       |  SELECT doc_id, (k * $nb) // n AS b,
+       |    CAST(sum(abs(v)) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM afr GROUP BY doc_id, b
+       |),
+       |abits AS (
+       |  SELECT b0.doc_id, b0.b AS bit
+       |  FROM abk b0 JOIN abk b1 ON b1.doc_id = b0.doc_id AND b1.b = b0.b + 1
+       |  WHERE b1.sv * b0.cnt > b0.sv * b1.cnt
+       |),
+       |aph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit >= 32 THEN (1::BIGINT << CAST(bit - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_hi,
+       |    CAST(sum(CASE WHEN bit < 32 THEN (1::BIGINT << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_lo
+       |  FROM abits GROUP BY doc_id
+       |),
+       |aids AS (
+       |  SELECT doc_id FROM atxt
+       |  UNION ALL SELECT doc_id + $idBase FROM apl
+       |  UNION ALL SELECT doc_id + $strideBase FROM apl
+       |),
+       |full_aph AS (
+       |  SELECT i.doc_id,
+       |    CAST(COALESCE(h.ph_hi, 0) AS BIGINT) AS ph_hi,
+       |    CAST(COALESCE(h.ph_lo, 0) AS BIGINT) AS ph_lo
+       |  FROM aids i LEFT JOIN aph h USING (doc_id)
+       |),
+       |abanded AS (
+       |  SELECT doc_id, ph_hi, ph_lo, band,
+       |    CASE WHEN band < 2 THEN (ph_lo >> (band * 16)) & 65535
+       |         ELSE (ph_hi >> ((band - 2) * 16)) & 65535 END AS key
+       |  FROM full_aph, unnest(range(4)) t(band)
+       |)""".stripMargin
+  }
+
   private def phashCtes(paySql: String): String =
     s"""pay AS (
        |  $paySql
@@ -2068,6 +2158,64 @@ object Oracle {
          |  luma_sum, luma_md5
          |FROM per ORDER BY doc_id""".stripMargin
     },
+
+    "mm_audio_phash" ->
+      s"""WITH $audioBandedCtes
+         |SELECT doc_id, ph_hi, ph_lo FROM full_aph
+         |ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_near_dup" ->
+      s"""WITH $audioBandedCtes
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+         |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
+         |FROM abanded a JOIN abanded b ON a.band = b.band AND a.key = b.key
+         |                             AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the audio ingest-time fold over bounded input equals the banded
+    // self-join with the Hamming verify, kept per band
+    "streaming_mm_audio_near_dup" ->
+      s"""WITH $audioBandedCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INTEGER) AS band,
+         |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+         |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
+         |FROM abanded a JOIN abanded b ON a.band = b.band AND a.key = b.key
+         |                             AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
+         |ORDER BY doc_a, doc_b, band""".stripMargin,
+
+    // audio pairs through the same recursive transitive closure the
+    // text, embedding, and image cluster twins replay
+    "mm_audio_dedup_clusters" ->
+      s"""WITH RECURSIVE $audioBandedCtes,
+         |aprs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM abanded a JOIN abanded b ON a.band = b.band AND a.key = b.key
+         |                               AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |      + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
+         |),
+         |ae AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM aprs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM aprs
+         |),
+         |areach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM full_aph
+         |  UNION
+         |  SELECT r.src, ae.b FROM areach r JOIN ae ON r.dst = ae.a
+         |),
+         |alab AS (SELECT src AS doc_id, min(dst) AS cluster FROM areach GROUP BY src),
+         |asz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |        FROM alab GROUP BY cluster)
+         |SELECT l.doc_id, l.cluster, sz.cluster_size,
+         |       l.doc_id = l.cluster AS is_canonical
+         |FROM alab l JOIN asz sz USING (cluster)
+         |ORDER BY doc_id""".stripMargin,
 
     "mm_near_dup" ->
       s"""WITH $mmBandedCtes

@@ -1471,6 +1471,42 @@ object Queries {
         .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))
       .orderBy("doc_id")
 
+  /** The combined audio payload set every mm_audio_* row runs over:
+    * text-synth WAVs (realistic negatives — too short for a stable
+    * 65-bucket energy signature) plus the planted waveform +
+    * 2x-downsample pairs where scale-invariant pairing is
+    * mathematically possible ([[Multimodal.plantedAudioPayloads]]).
+    */
+  private def audioPayloadSet(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withAudioPayload(docs(s, dir))
+      .unionByName(Multimodal.plantedAudioPayloads(docs(s, dir)))
+
+  /** PCM energy dHash over real WAV containers: the operator must
+    * chunk-scan the container, decode signed 16-bit little-endian
+    * frames, mono-mix, and bucket energies; the twin replays the
+    * samples from the synth formulas (text bytes for the negatives,
+    * md5 amplitude blocks for the planted rows) with no byte-level
+    * container at all — equality is the proof the PCM decode is real.
+    */
+  def mmAudioPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(audioPayloadSet(s, dir))
+      .toDF().orderBy("doc_id")
+
+  /** Perceptual AUDIO near-dup pairs: banded candidates, Hamming
+    * verify — each planted waveform must pair with its resample and
+    * nothing else, with the text-synth WAVs riding as negatives.
+    */
+  def mmAudioNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmAudioNearDup(audioPayloadSet(s, dir))
+      .orderBy("doc_a", "doc_b")
+
+  /** Audio duplicate clusters over the same payload set — the shared
+    * CC engine's fourth modality.
+    */
+  def mmAudioDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmAudioDedupClusters(audioPayloadSet(s, dir))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ P6/P5/P11/P12
   /** Presentation projection of the densified table: the reference's
     * public column set (rename/title-case P6, main.py:230) + URIM (P5).
@@ -1601,6 +1637,15 @@ object Queries {
     graft.streaming.Streaming.batchMmNearDup(
       Multimodal.withPayload(docs(s, dir))
         .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))
+      .toDF().orderBy("doc_a", "doc_b", "band")
+
+  /** The audio modality's ingest-time near-dup face over bounded
+    * input — the per-bucket Hamming-verified fold whose fingerprint
+    * kernel is shared verbatim with `mm_audio_phash`; the twin is the
+    * banded self-join the batch operator runs, kept per band.
+    */
+  def streamingMmAudioNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchMmAudioNearDup(audioPayloadSet(s, dir))
       .toDF().orderBy("doc_a", "doc_b", "band")
 
   /** The ingest-time decontamination kernel over bounded input — must
@@ -1775,6 +1820,10 @@ object Queries {
     "mm_phash_px" -> (mmPhashPx _),
     "mm_resize_px" -> (mmResizePx _),
     "mm_audio_features" -> (mmAudioFeatures _),
+    "mm_audio_phash" -> (mmAudioPhash _),
+    "mm_audio_near_dup" -> (mmAudioNearDup _),
+    "mm_audio_dedup_clusters" -> (mmAudioDedupClusters _),
+    "streaming_mm_audio_near_dup" -> (streamingMmAudioNearDup _),
     "mm_near_dup" -> (mmNearDup _),
     "mm_dedup_clusters" -> (mmDedupClusters _),
     "span_metrics" -> (spanMetrics _),

@@ -196,53 +196,261 @@ object Multimodal {
       .toDF()
   }
 
+  /** Everything the container scan derives before touching samples:
+    * fmt-chunk fields plus the data chunk's offset and declared
+    * length (the offset is what a sample decoder needs; declared
+    * length may exceed the bytes actually present in a truncated
+    * file — consumers clamp).
+    */
+  private[graft] case class WavInfo(
+      rate: Long, ch: Int, bits: Int, dataOff: Int, dataLen: Long)
+
   /** REAL RIFF/WAVE container parse: signature check, then a
     * little-endian chunk scan to the `fmt ` and `data` chunks
     * (skipping unknown chunks by their length fields, as any WAV
-    * reader does). Non-WAV payloads drop; a truncated header is data,
-    * not a job failure. Duration is exact integer milliseconds:
-    * data_bytes · 1000 / (rate · channels · bits/8).
+    * reader does). Non-WAV payloads → None; a truncated header is
+    * data, not a job failure. The ONE scan [[audioFeatures]] and
+    * [[audioDHash]] both ride.
+    */
+  private[graft] def parseWav(p: Array[Byte]): Option[WavInfo] = {
+    if (p.length < 12 ||
+        !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+        !(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) None
+    else {
+      var i = 12L
+      var rate = 0L; var ch = 0L; var bits = 0L; var dataLen = -1L
+      var dataOff = -1
+      var fmtSeen = false
+      var halted = false
+      while (!halted && i + 8 <= p.length && (dataLen < 0 || !fmtSeen)) {
+        val io = i.toInt
+        val cid = new String(p.slice(io, io + 4), "US-ASCII")
+        val clen = readLe32(p, io + 4)
+        if (cid == "fmt " && i + 8 + 16 <= p.length) {
+          ch = readLe16(p, io + 10).toLong
+          rate = readLe32(p, io + 12)
+          bits = readLe16(p, io + 22).toLong
+          fmtSeen = true
+        } else if (cid == "data") { dataLen = clen; dataOff = io + 8 }
+        // chunks are word-aligned: odd lengths carry a pad byte. All
+        // arithmetic in Long: a corrupt 32-bit length near 2^32 must
+        // neither spin the scan (zero advance) nor wrap the cursor
+        // negative — a chunk that runs past the payload ends the scan
+        // (truncated container = data, not a job failure).
+        val next = i + 8L + clen + (clen & 1L)
+        if (next <= i || (next > p.length && !(fmtSeen && dataLen >= 0))) halted = true
+        else i = next
+      }
+      // bits must be a positive whole-byte width: bits in 1..7 would
+      // make the block-align divisor zero (corrupt fmt = dropped row)
+      if (!fmtSeen || dataLen < 0 || rate == 0 || ch == 0 || ch > 0xffff ||
+          bits < 8 || bits % 8 != 0) None
+      else Some(WavInfo(rate, ch.toInt, bits.toInt, dataOff, dataLen))
+    }
+  }
+
+  /** Parsed audio container features; duration is exact integer
+    * milliseconds: data_bytes · 1000 / (rate · channels · bits/8).
     */
   def audioFeatures(withPayloadDf: DataFrame): Dataset[MmAudio] = {
     val spark = withPayloadDf.sparkSession
     import spark.implicits._
     withPayloadDf.as[MmRow].mapPartitions(_.flatMap { r =>
-      val p = r.payload
-      if (p.length < 12 ||
-          !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
-          !(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) None
-      else {
-        var i = 12L
-        var rate = 0L; var ch = 0L; var bits = 0L; var dataLen = -1L
-        var fmtSeen = false
-        var halted = false
-        while (!halted && i + 8 <= p.length && (dataLen < 0 || !fmtSeen)) {
-          val io = i.toInt
-          val cid = new String(p.slice(io, io + 4), "US-ASCII")
-          val clen = readLe32(p, io + 4)
-          if (cid == "fmt " && i + 8 + 16 <= p.length) {
-            ch = readLe16(p, io + 10).toLong
-            rate = readLe32(p, io + 12)
-            bits = readLe16(p, io + 22).toLong
-            fmtSeen = true
-          } else if (cid == "data") dataLen = clen
-          // chunks are word-aligned: odd lengths carry a pad byte. All
-          // arithmetic in Long: a corrupt 32-bit length near 2^32 must
-          // neither spin the scan (zero advance) nor wrap the cursor
-          // negative — a chunk that runs past the payload ends the scan
-          // (truncated container = data, not a job failure).
-          val next = i + 8L + clen + (clen & 1L)
-          if (next <= i || (next > p.length && !(fmtSeen && dataLen >= 0))) halted = true
-          else i = next
-        }
-        // bits must be a positive whole-byte width: bits in 1..7 would
-        // make the block-align divisor zero (corrupt fmt = dropped row)
-        if (!fmtSeen || dataLen < 0 || rate == 0 || ch == 0 || bits < 8 || bits % 8 != 0) None
-        else Some(MmAudio(
-          r.doc_id, "wav", rate, ch, bits, dataLen,
-          dataLen * 1000L / (rate * ch * (bits / 8))))
+      parseWav(r.payload).map { w =>
+        MmAudio(
+          r.doc_id, "wav", w.rate, w.ch.toLong, w.bits.toLong, w.dataLen,
+          w.dataLen * 1000L / (w.rate * w.ch * (w.bits / 8)))
       }
     })
+  }
+
+  // ------------------------------------- audio perceptual fingerprint
+  /** Audio dHash: decode the PCM frames the container scan located,
+    * mono-mix each frame (SUM of channel samples — integer, so the
+    * formula-replaying twin is bit-exact; a mean would divide), split
+    * the frame axis into [[PhashBuckets]] time buckets with the same
+    * `(k·n)/L` mapping [[byteDHash]] uses, take per-bucket ENERGY
+    * (sum of |frame|), and emit 64 sign-of-delta bits by integer
+    * cross-multiplication — no division, no float. Robustness
+    * property (why energy-delta beats md5 for audio): resampling or
+    * gain scaling moves bucket energies proportionally on BOTH sides
+    * of each comparison, so the bit pattern survives the re-encodes a
+    * crawl sees for one recording. 16-bit PCM only (the synth and
+    * fixture format); other widths drop rather than mis-decode. A
+    * recording with fewer frames than the bucket grid has no stable
+    * signature — most buckets would be empty and every such clip
+    * would collapse toward the all-zero hash, turning the band join
+    * into a degenerate all-pairs bucket — so clips under
+    * [[PhashBuckets]] frames drop, exactly as a production audio
+    * fingerprinter refuses sub-signature-length clips.
+    */
+  private[graft] def audioDHash(p: Array[Byte]): Option[(Long, Long)] =
+    parseWav(p).filter(_.bits == 16).flatMap { w =>
+      val blockAlign = w.ch * 2
+      val avail = math.max(0L, (p.length - w.dataOff).toLong)
+      val usable = math.min(w.dataLen, avail)
+      val n = (usable / blockAlign).toInt
+      if (n < PhashBuckets) None
+      else Some {
+        val nb = PhashBuckets
+        val sums = new Array[Long](nb)
+        val cnts = new Array[Long](nb)
+        var k = 0
+        while (k < n) {
+          val b = ((k.toLong * nb) / n).toInt
+          var fv = 0L
+          var c = 0
+          while (c < w.ch) {
+            val off = w.dataOff + k * blockAlign + 2 * c
+            fv += (((p(off + 1) & 0xff) << 8) | (p(off) & 0xff)).toShort.toLong
+            c += 1
+          }
+          sums(b) += math.abs(fv)
+          cnts(b) += 1
+          k += 1
+        }
+        // cross-products bounded by |frame|·(n/65)·n ≤ 65536·n²/65;
+        // past ~2^22 frames switch to exact BigInt compares (identical
+        // outcomes, pennies slower, only on rows that need it)
+        val big = n > (1 << 22)
+        var lo = 0L
+        var hi = 0L
+        var b = 0
+        while (b < nb - 1) {
+          val bit =
+            if (big) BigInt(sums(b + 1)) * cnts(b) > BigInt(sums(b)) * cnts(b + 1)
+            else sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1)
+          if (bit) {
+            if (b < 32) lo |= 1L << b
+            else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        (hi, lo)
+      }
+    }
+
+  /** Per-payload audio fingerprints: the ONE kernel every audio face
+    * rides (registry row, batch near-dup, streaming ingest). Non-WAV
+    * / non-16-bit payloads drop — the image stack has a byte-stream
+    * fallback because opaque bytes still carry image-like statistics;
+    * PCM interpreted from arbitrary bytes does not, so audio is
+    * strict about its container.
+    */
+  def audioFingerprint(withPayloadDf: DataFrame): Dataset[MmHash] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions(_.flatMap { r =>
+      audioDHash(r.payload).map { case (hi, lo) => MmHash(r.doc_id, hi, lo) }
+    })
+  }
+
+  /** Planted "recording + its 2x-downsample" WAV pairs for the audio
+    * near-dup rows — [[plantedResampledPayloads]]' discipline on the
+    * third modality. The documents table's text stand-ins are far too
+    * short for a 65-bucket energy signature to survive resampling
+    * (real recordings always are), so every [[PlantEvery]]-th doc
+    * plants a mono 16-bit waveform of [[AudioPlantMinLen]]+doc_id
+    * samples in [[AudioPlantBlocks]] md5-keyed amplitude blocks —
+    * locally smooth, globally unique, exactly the envelope statistics
+    * a real recording's energy track has — plus its every-
+    * [[AudioStride]]-th-sample copy at half the sample rate (same
+    * duration, half the frames: a genuine resample) under a second
+    * id. The operator must pair each waveform with its resample and
+    * nothing else; the text-synth WAVs ride along as realistic
+    * negatives.
+    */
+  val AudioPlantMinLen = 2000L
+  val AudioPlantBlocks = 32L
+  val AudioPlantIdBase = 300000L
+  val AudioStrideIdBase = 400000L
+  val AudioStride = 2
+
+  private[graft] def audioPlantValue(docId: Long, block: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"a$docId:$block".getBytes("UTF-8"))
+    1000 + ((h(0) & 0xff) % 64) * 100
+  }
+
+  def plantedAudioPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % PlantEvery === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val n = (AudioPlantMinLen + d).toInt
+        val samples = new Array[Short](n)
+        var j = 0
+        var blk = -1L
+        var v = 0
+        while (j < n) {
+          val b = j.toLong * AudioPlantBlocks / n
+          if (b != blk) { blk = b; v = audioPlantValue(d, b) }
+          samples(j) = v.toShort
+          j += 1
+        }
+        def pcm(ss: Array[Short]): Array[Byte] = {
+          val out = new Array[Byte](ss.length * 2)
+          var i = 0
+          while (i < ss.length) {
+            out(2 * i) = ss(i).toByte
+            out(2 * i + 1) = (ss(i) >> 8).toByte
+            i += 1
+          }
+          out
+        }
+        val strided = Array.range(0, n, AudioStride).map(samples(_))
+        val body = pcm(samples)
+        val sbody = pcm(strided)
+        Seq(
+          MmRow(d + AudioPlantIdBase, "audio", 0L, 0L,
+            wavHeader(8000, 1, 16, body.length) ++ body),
+          MmRow(d + AudioStrideIdBase, "audio", 0L, 0L,
+            wavHeader(8000 / AudioStride, 1, 16, sbody.length) ++ sbody))
+      })
+      .toDF()
+  }
+
+  /** Perceptual AUDIO near-dup pairs: band-bucket equi-join (never
+    * all-pairs) over [[audioFingerprint]], Hamming verify over the
+    * full 64 bits, threshold [[MmHammingMax]] — [[mmNearDup]]'s shape
+    * with the audio kernel, riding the same [[perceptualBanded]]
+    * bands.
+    */
+  def mmAudioNearDup(withPayloadDf: DataFrame): DataFrame = {
+    val banded = perceptualBanded(CacheScope.persist(audioFingerprint(withPayloadDf).toDF()))
+    banded.as("a")
+      .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.ph_lo ^ b.ph_lo)") + expr("bit_count(a.ph_hi ^ b.ph_hi)"))
+          .as("hamming"))
+      .filter(col("hamming") <= MmHammingMax)
+      .distinct()
+  }
+
+  /** Audio duplicate clusters: the FOURTH modality through
+    * [[graft.operators.Corpus.clustersFromEdges]]' one connected-
+    * components engine (text shingles, embedding cosines, image
+    * signals, now audio energy tracks). Membership universe = every
+    * payload that fingerprints (parsed 16-bit WAV), so a cluster id
+    * exists for singletons too.
+    */
+  def mmAudioDedupClusters(withPayloadDf: DataFrame): DataFrame = {
+    val hashed = CacheScope.persist(audioFingerprint(withPayloadDf).toDF())
+    val banded = perceptualBanded(hashed)
+    val pairs = banded.as("a")
+      .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.ph_lo ^ b.ph_lo)") + expr("bit_count(a.ph_hi ^ b.ph_hi)"))
+          .as("hamming"))
+      .filter(col("hamming") <= MmHammingMax)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    Corpus.clustersFromEdges(hashed.select(col("doc_id")), pairs)
   }
 
   /** Encoded-payload synth: a REAL container header (PNG for even

@@ -931,6 +931,23 @@ object Streaming {
       .as[MmBandKeyed]
   }
 
+  /** [[mmBandedRows]] with the AUDIO fingerprint kernel
+    * ([[graft.operators.Multimodal.audioFingerprint]] — PCM energy
+    * dHash; non-WAV payloads drop rather than mis-decode) feeding the
+    * same band projection.
+    */
+  private def mmAudioBandedRows(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmBandKeyed] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    graft.operators.Multimodal
+      .perceptualBanded(graft.operators.Multimodal.audioFingerprint(withPayload).toDF())
+      .select(
+        col("doc_id"), col("band").cast("int").as("band"),
+        col("key"), col("ph_hi"), col("ph_lo"))
+      .as[MmBandKeyed]
+  }
+
   /** The image modality's ingest-time face: arriving payloads hash
     * through the ONE perceptual kernel
     * ([[graft.operators.Multimodal.phashOf]] — pixel-true 2-D dHash
@@ -1034,6 +1051,43 @@ object Streaming {
     val spark = withPayload.sparkSession
     import spark.implicits._
     mmBandedRows(withPayload)
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroups((key: String, rows: Iterator[MmBandKeyed]) =>
+        mmBucketFold(rows, Vector.empty)._2.iterator)
+  }
+
+  /** The AUDIO modality's ingest-time face: arriving WAV payloads
+    * fingerprint through the one PCM energy-dHash kernel, band into
+    * 16-bit buckets, and each bucket's GroupState emits Hamming-
+    * verified pairs as later members arrive — a crawler sees a
+    * resampled re-encode of a recording paired while the crawl is
+    * still running. [[mmNearDupStream]]'s state bound and fold,
+    * verbatim, on the fourth modality.
+    */
+  def mmAudioNearDupStream(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    mmAudioBandedRows(withPayload)
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[MmBandKeyed],
+            state: GroupState[Vector[(Long, Long, Long)]]) =>
+          val (members, out) = mmBucketFold(rows, state.getOption.getOrElse(Vector.empty))
+          state.update(members)
+          out.iterator
+      }
+  }
+
+  /** The audio candidate stream's fold over bounded input — the
+    * oracle-checkable batch twin (equals the audio band-bucket
+    * self-join with the Hamming verify, kept per band).
+    */
+  def batchMmAudioNearDup(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    mmAudioBandedRows(withPayload)
       .groupByKey(r => s"${r.band}|${r.key}")
       .flatMapGroups((key: String, rows: Iterator[MmBandKeyed]) =>
         mmBucketFold(rows, Vector.empty)._2.iterator)

@@ -271,6 +271,109 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizePx(ascii).count() == 0)
   }
 
+  // ----------------------------------------------- audio fingerprint
+  /** A 16-bit mono WAV around the given samples — the test-side twin
+    * of the planted generator's PCM packing.
+    */
+  private def wav(samples: Array[Short], rate: Int = 8000, ch: Int = 1): Array[Byte] = {
+    val body = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      body(2 * i) = samples(i).toByte
+      body(2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    Multimodal.wavHeader(rate, ch, 16, body.length) ++ body
+  }
+
+  /** Blocky pseudo-random envelope — the statistics a real recording's
+    * energy track has (locally smooth, globally varied).
+    */
+  private def envelope(n: Int, seed: Int): Array[Short] =
+    Array.tabulate(n)(j => (500 +
+      ((((j / 25) * 2654435761L + seed * 40503L) & 0x7fffffffL) % 13).toInt * 400).toShort)
+
+  test("audio near-dup: a 2x-downsampled copy pairs with its original, nothing else") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (0L until 100L).map(i =>
+      (i, s"audio document $i " + (1 to 40).map(j => s"w${(i * 37 + j * 13) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val input = Multimodal.withAudioPayload(docs)
+      .unionByName(Multimodal.plantedAudioPayloads(docs))
+    val pairs = Multimodal.mmAudioNearDup(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    val expected = (0L until 100L by Multimodal.PlantEvery)
+      .map(d => (d + Multimodal.AudioPlantIdBase, d + Multimodal.AudioStrideIdBase)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(got), s"missing resample pairs: ${expected -- got}")
+    // a genuine 2x resample moves only a few of 64 bits
+    pairs.filter(p => expected((p._1, p._2))).foreach { case (a, b, ham) =>
+      assert(ham <= 3, s"resampled pair ($a,$b) drifted to hamming $ham")
+    }
+    // no planted waveform pairs with a DIFFERENT doc's waveform or a
+    // text-synth WAV — the fingerprint discriminates
+    val spurious = (got -- expected)
+      .filter(p => p._1 >= Multimodal.AudioPlantIdBase || p._2 >= Multimodal.AudioPlantIdBase)
+    assert(spurious.isEmpty, s"spurious audio pairs: $spurious")
+  }
+
+  test("audioDHash: gain-invariant, stereo-aware, strict about width and length") {
+    // gain scaling moves bucket energies proportionally on both sides
+    // of every comparison — the fingerprint must not move at all
+    val base = envelope(800, 3)
+    val louder = base.map(s => (s * 4).toShort)
+    assert(Multimodal.audioDHash(wav(base)).isDefined)
+    assert(Multimodal.audioDHash(wav(base)) == Multimodal.audioDHash(wav(louder)),
+      "gain scaling changed the fingerprint")
+    // stereo frames mono-mix: duplicating the channel keeps the hash
+    val stereo = new Array[Short](base.length * 2)
+    base.indices.foreach { i => stereo(2 * i) = base(i); stereo(2 * i + 1) = base(i) }
+    assert(Multimodal.audioDHash(wav(stereo, ch = 2)) == Multimodal.audioDHash(wav(base)),
+      "stereo mono-mix diverged from the mono hash")
+    // a clip shorter than the bucket grid has no stable signature
+    assert(Multimodal.audioDHash(wav(envelope(64, 1))).isEmpty, "sub-grid clip must drop")
+    assert(Multimodal.audioDHash(wav(envelope(65, 1))).isDefined)
+    // non-16-bit containers drop rather than mis-decode
+    val body8 = Array.fill[Byte](200)(42)
+    assert(Multimodal.audioDHash(
+      Multimodal.wavHeader(8000, 1, 8, body8.length) ++ body8).isEmpty)
+    // negative samples count by magnitude: a sign flip preserves energy
+    val flipped = base.map(s => (-s).toShort)
+    assert(Multimodal.audioDHash(wav(flipped)) == Multimodal.audioDHash(wav(base)),
+      "energy must use |frame|, not the signed value")
+  }
+
+  test("corrupt RIFF chunk lengths neither spin the scan nor throw") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // clen = 0xFFFFFFF8: with 32-bit narrowing the advance would be 0
+    // (executor spins); the Long-domain scan must terminate and drop
+    def chunk(id: String, lenLe: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ lenLe ++ payload
+    val riffHead = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++ "WAVE".getBytes
+    val spin = riffHead ++ chunk("JUNK", Array[Byte](-8, -1, -1, -1), Array.fill[Byte](32)(0))
+    assert(Multimodal.parseWav(spin).isEmpty, "corrupt huge chunk must drop the row")
+    // clen ≈ 0x7FFFFFF8: Int math would wrap the cursor negative and
+    // throw ArrayIndexOutOfBoundsException — must drop instead
+    val wrap = riffHead ++ chunk("JUNK", Array[Byte](-8, -1, -1, 0x7f), Array.fill[Byte](32)(0))
+    assert(Multimodal.parseWav(wrap).isEmpty, "overflowing chunk must drop the row")
+    // a corrupt fmt with bits in 1..7 would zero the block-align
+    // divisor: the row drops instead of failing the task
+    val sub8 = {
+      val ok = wav(envelope(100, 2))
+      // bits field lives at fmt offset +22 from the chunk start (12)
+      ok.updated(34, 7.toByte).updated(35, 0.toByte)
+    }
+    assert(Multimodal.parseWav(sub8).isEmpty, "bits=7 must drop, not divide by zero")
+    assert(Multimodal.audioFeatures(
+      Seq(Multimodal.MmRow(1L, "audio", 0L, 0L, spin),
+        Multimodal.MmRow(2L, "audio", 0L, 0L, wrap),
+        Multimodal.MmRow(3L, "audio", 0L, 0L, sub8)).toDF()).count() == 0)
+  }
+
   test("planted PNG rows decode: pixel hash differs from the byte hash of the same payload") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -523,6 +523,55 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly the png/jpeg re-encode pair: $pairs")
   }
 
+  test("audio ingest stream: a resample pairs with its original regardless of arrival order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // a blocky recording, its genuine 2x downsample (must pair), and a
+    // different recording (must not)
+    def env(n: Int, seed: Int): Array[Short] =
+      Array.tabulate(n)(j => (500 +
+        ((((j / 25) * 2654435761L + seed * 40503L) & 0x7fffffffL) % 13).toInt * 400).toShort)
+    def wav(samples: Array[Short], rate: Int): Array[Byte] = {
+      val body = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        body(2 * i) = samples(i).toByte
+        body(2 * i + 1) = (samples(i) >> 8).toByte
+      }
+      graft.operators.Multimodal.wavHeader(rate, 1, 16, body.length) ++ body
+    }
+    val a = env(800, 3)
+    val rows = Seq(
+      (1L, "audio", 0L, 0L, wav(a, 8000)),
+      (2L, "audio", 0L, 0L, wav(Array.range(0, a.length, 2).map(a(_)), 4000)),
+      (3L, "audio", 0L, 0L, wav(env(800, 9), 8000)))
+    val cols = Seq("doc_id", "modality", "width", "height", "payload")
+
+    def run(order: Seq[Int], name: String): Set[(Long, Long, Int, Int)] = {
+      val stream = MemoryStream[(Long, String, Long, Long, Array[Byte])]
+      val q = Streaming.mmAudioNearDupStream(stream.toDS().toDF(cols: _*))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      order.foreach { i =>
+        stream.addData(Seq(rows(i)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    }
+    val fwd = run(Seq(0, 1, 2), "mm_audio_nd_stream_fwd")
+    val rev = run(Seq(2, 1, 0), "mm_audio_nd_stream_rev")
+    val batch = Streaming.batchMmAudioNearDup(rows.toDF(cols: _*))
+      .collect().map(c => (c.doc_a, c.doc_b, c.band, c.hamming)).toSet
+    assert(fwd == batch, "streamed audio candidates diverged from the batch fold")
+    assert(rev == batch, "arrival order changed the audio candidate set")
+    val pairs = batch.map { case (x, y, _, _) => (x, y) }
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the original/resample pair: $pairs")
+  }
+
   test("TTL-evicted LSH stream: a closed bucket stops cross-epoch candidates") {
     val spark = TestSpark.spark
     import spark.implicits._
