@@ -701,6 +701,7 @@ object Sinks {
     val deltaPath = new Path(s"$path/codes_delta")
     val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCrashState(fs, path)
+    finishRebuildSwap(fs, path) // a crashed rebuild heals before any append
     def maxSeg(p: Path): Long =
       if (!fs.exists(p)) 0L
       else {
@@ -969,8 +970,11 @@ object Sinks {
     val tomb = new Path(s"$path/tombstones")
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Finish or roll back a previous compaction that crashed mid-swap
-    // (the same repair every writer runs before appending).
+    // (the same repair every writer runs before appending), then any
+    // crashed REBUILD swap — compaction must fold into the geometry
+    // that is actually current.
     repairCrashState(fs, path)
+    finishRebuildSwap(fs, path)
     // Orphaned temp dirs from crashed runs are dead weight — drop them.
     Option(fs.globStatus(new Path(s"$path/codes_compact_*")))
       .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
@@ -999,5 +1003,153 @@ object Sinks {
         try fs.delete(tmp, true) catch { case _: Throwable => () }
         throw e
     }
+  }
+
+  // ------------------------------------------------- ANN index rebuild
+  /** Every artifact directory a rebuild may replace, in swap order —
+    * metadata first, codes last, so the largest rename (and therefore
+    * the widest crash window) carries the artifact whose absence
+    * fails LOUDLY (a missing codes dir errors every read; mismatched
+    * kilobyte metadata would fail silently).
+    */
+  private val RebuildArtifacts =
+    Seq("centroids", "codebook", "books_residual", "rotation", "codes")
+
+  /** Finish (roll forward) or abandon (roll back) a rebuild swap —
+    * idempotent, called by [[rebuildAnnIndex]] itself and by every
+    * ingest writer via [[allocSeg]], so a crashed rebuild never
+    * strands the index. The `_STAGED` marker is the commit point:
+    * present → the staged build is complete and the swap MUST finish
+    * (each artifact's rename triple is re-entrant: live→old,
+    * staged→live, drop old); absent → the staging is garbage and is
+    * dropped, restoring any half-renamed artifact from its `_rb_old`.
+    * Returns true when a staged rebuild was applied.
+    */
+  private[graft] def finishRebuildSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Boolean = {
+    val staging = new Path(s"$path/rebuild_staging")
+    val marker = new Path(s"$path/rebuild_staging/_STAGED")
+    def restoreOld(): Unit = RebuildArtifacts.foreach { a =>
+      val live = new Path(s"$path/$a")
+      val old = new Path(s"$path/${a}_rb_old")
+      if (fs.exists(old)) {
+        if (fs.exists(live)) fs.delete(old, true)
+        else if (!fs.rename(old, live))
+          throw new java.io.IOException(s"rebuild rollback rename $old -> $live failed")
+      }
+    }
+    if (!fs.exists(staging)) {
+      // no staging: only stale `_rb_old` leftovers can remain (a crash
+      // right after an artifact swapped) — the live artifact exists,
+      // so this just drops the dead copy
+      restoreOld()
+      false
+    } else if (!fs.exists(marker)) {
+      // incomplete staging = garbage from a crashed BUILD (no swap has
+      // started; the marker is written strictly after every artifact)
+      fs.delete(staging, true)
+      restoreOld()
+      false
+    } else {
+      RebuildArtifacts.foreach { a =>
+        val live = new Path(s"$path/$a")
+        val old = new Path(s"$path/${a}_rb_old")
+        val staged = new Path(staging, a)
+        if (fs.exists(staged)) {
+          if (fs.exists(live)) {
+            fs.delete(old, true) // stale old from an earlier crash point
+            if (!fs.rename(live, old))
+              throw new java.io.IOException(s"rebuild rename $live -> $old failed")
+          }
+          if (!fs.rename(staged, live))
+            throw new java.io.IOException(s"rebuild rename $staged -> $live failed")
+          fs.delete(old, true)
+        } // staged absent: this artifact already swapped on a prior attempt
+      }
+      // the rebuild's input was base ∪ delta − tombstones, so every
+      // delta/tombstone row is folded into the new base — and they
+      // encode against the RETIRED geometry anyway
+      Seq("codes_delta", "codes_delta_batch", "tombstones", "segments")
+        .foreach(d => fs.delete(new Path(s"$path/$d"), true))
+      fs.delete(staging, true)
+      true
+    }
+  }
+
+  /** Build the replacement index into `rebuild_staging/` WITHOUT
+    * touching the live index: live vectors resolve through
+    * [[readAnnIndexCodes]] (base ∪ delta − tombstones), geometry
+    * refits from scratch in the layout the path already has
+    * (rotation and/or residual books re-derive; their presence is the
+    * layout marker), and the `_STAGED` commit marker lands strictly
+    * after every artifact. Split from the swap so a crash between the
+    * two is an explicitly tested state.
+    */
+  private[graft] def stageRebuild(
+      spark: SparkSession, path: String, vecs: DataFrame): Unit = {
+    import graft.operators.Ann
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = s"$path/rebuild_staging"
+    fs.delete(new Path(staging), true)
+    val liveIds = readAnnIndexCodes(spark, path).select("vec_id").distinct()
+    val lv = graft.operators.CacheScope.persist(
+      vecs.select(col("vec_id"), col("embedding")).join(liveIds, "vec_id"))
+    // fail fast BEFORE any write: a vector source missing ids the
+    // index holds would silently shrink the corpus on swap
+    val nLive = liveIds.count()
+    val nSrc = lv.count()
+    if (nSrc != nLive)
+      throw new IllegalArgumentException(
+        s"rebuildAnnIndex: vector source covers $nSrc of $nLive live index ids — " +
+          "pass the full current vector table (rebuild refits geometry from " +
+          "raw vectors; codes are not invertible)")
+    val hasRot = fs.exists(new Path(s"$path/rotation"))
+    val hasRes = fs.exists(new Path(s"$path/books_residual"))
+    (hasRot, hasRes) match {
+      case (false, false) => writeAnnIndex(lv, staging)
+      case (true, false) => writeAnnIndexRotated(lv, staging, Ann.pcaRotation(lv))
+      case (false, true) => writeAnnIndexResidual(lv, staging)
+      case (true, true) =>
+        val rot = Ann.pcaRotation(lv)
+        val rotated = Ann.rotate(lv, rot)
+        val cents = Ann.firstKCentroids(rotated)
+        val books = Ann.pqResidualCodebooks(Ann.ivfAssign(rotated, cents), cents)
+        writeAnnIndexResidualRotated(lv, staging, rot, books)
+    }
+    fs.create(new Path(s"$staging/_STAGED"), true).close()
+  }
+
+  /** REBUILD the serving index: refit centroids / codebooks / rotation
+    * on the CURRENT live vector set and swap the result in atomically
+    * — the remediation path when [[graft.operators.Ann.recallReport]]
+    * shows the frozen geometry has drifted from the corpus it now
+    * serves. [[compactAnnIndex]] deliberately never refits (ingest
+    * must encode against frozen geometry); rebuild is the lifecycle
+    * step that un-freezes it.
+    *
+    * `vecs` is the source-of-truth vector table (`vec_id, embedding`)
+    * — quantized codes are not invertible, so a rebuild needs the raw
+    * vectors; ids the index doesn't hold are ignored, ids it holds
+    * but `vecs` lacks fail fast before any mutation. The swap is the
+    * rename discipline [[compactDedupBase]] established: stage →
+    * commit marker → per-artifact rename triples, each crash point
+    * either rolled forward (marker present) or rolled back (absent)
+    * by the NEXT writer touching the index ([[allocSeg]] repairs, so
+    * appends/upserts/deletes self-heal; readers between a crash and
+    * the repair fail loudly on the missing codes dir — never silently
+    * serve mixed geometry). Run between ingest sessions, like
+    * compaction: a stream appending DURING the swap would encode
+    * against retired geometry.
+    */
+  def rebuildAnnIndex(spark: SparkSession, path: String, vecs: DataFrame): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCrashState(fs, path)
+    // a crashed earlier rebuild first completes or rolls back — THEN
+    // this rebuild runs on the repaired index, so the caller always
+    // gets a rebuild against the state they observed
+    finishRebuildSwap(fs, path)
+    stageRebuild(spark, path, vecs)
+    finishRebuildSwap(fs, path)
+    ()
   }
 }

@@ -496,6 +496,105 @@ class AnnIndexSpec extends AnyFunSuite {
       .filter(col("vec_id") === 800L).count() == 1, "the pre-crash upsert must survive")
   }
 
+  test("rebuild: recall recovers after drift; the swap survives every crash state") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // RESIDUAL index frozen on corpus A, then every vector REPLACED by
+    // corpus B (same ids, unrelated cluster directions, wider spread):
+    // the per-list books quantize v − centroid, and B's residuals
+    // against A's centroids live in regions the stale books never saw
+    // — codes lose contrast and recall craters. Measured drifted ≈
+    // 0.37 vs rebuilt ≈ 0.90 on this fixture (the residual layout is
+    // the geometry-sensitive one; the shared-codebook layout's firstK
+    // stand-ins degrade far more gently).
+    def spread(n: Int, seed: Int, sigma: Float) = {
+      val rnd = new scala.util.Random(seed)
+      val centers = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
+      (0 until n).map { i =>
+        val c = centers(i % 16)
+        (i.toLong, c.map(x => x + sigma * rnd.nextGaussian().toFloat), (i % 16).toLong)
+      }.toDF("vec_id", "embedding", "label")
+    }
+    val embA = spread(256, 101, 0.15f)
+    val embB = spread(256, 999, 0.35f)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_rebuild_").toString
+    Sinks.writeAnnIndexResidual(embA, dir)
+    Sinks.upsertAnnIndex(spark, dir, embB.select("vec_id", "embedding"))
+
+    def diskRecall(emb: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Ann.cosineTopK(emb).select("q_id", "vec_id")
+      val approx = Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb))
+        .select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+      val joined = exact.join(approx, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("h"))
+        .head()
+      joined.getLong(1).toDouble / joined.getLong(0)
+    }
+    val drifted = diskRecall(embB)
+
+    // rebuild refits geometry on the current vectors and swaps in place
+    Sinks.rebuildAnnIndex(spark, dir, embB.select("vec_id", "embedding"))
+    val rebuilt = diskRecall(embB)
+    assert(rebuilt > drifted + 0.3,
+      s"rebuild did not recover recall: drifted=$drifted rebuilt=$rebuilt")
+    // the crux: post-rebuild disk EQUALS the from-scratch in-memory
+    // RESIDUAL index over the current corpus, bit-for-bit — refit
+    // centroids AND refit per-list books, not recycled artifacts
+    val mem = Ann.ivfPqResidualTopK(embB).collect().map(_.toSeq).toSet
+    val disk = Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(embB))
+      .collect().map(_.toSeq).toSet
+    assert(disk == mem, "rebuilt index diverged from a from-scratch build")
+
+    // lifecycle continues unchanged across the swap: upsert + delete
+    val v = embB.filter(col("vec_id") === 7L).select("embedding").head().getSeq[Float](0).toArray
+    Sinks.upsertAnnIndex(spark, dir, Seq((900L, v)).toDF("vec_id", "embedding"))
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(5L))
+    val ids = Sinks.readAnnIndexCodes(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(900L) && !ids.contains(5L),
+      "post-rebuild ingest faces broke")
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+
+    // CRASH STATE 1 — staging complete (marker present), swap never
+    // started: the next WRITER rolls the rebuild forward before its
+    // own mutation, so the staged geometry is applied, then the write
+    val embC = clustered(256, 555)
+    // the live set now includes 900 and excludes 5 — source table must cover it
+    val srcC = embC.select("vec_id", "embedding")
+      .unionByName(Seq((900L, v)).toDF("vec_id", "embedding"))
+    Sinks.stageRebuild(spark, dir, srcC)
+    assert(fs.exists(p("rebuild_staging/_STAGED")), "staging must be committed")
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(11L)) // a writer arrives post-crash
+    assert(!fs.exists(p("rebuild_staging")), "writer must heal the crashed swap")
+    val ids2 = Sinks.readAnnIndexCodes(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids2.contains(900L) && !ids2.contains(5L) && !ids2.contains(11L),
+      "healed rebuild lost the pre-crash state or the post-crash takedown")
+
+    // CRASH STATE 2 — staging INCOMPLETE (no marker): garbage rolls
+    // back; a fresh rebuild proceeds on the live state
+    fs.mkdirs(p("rebuild_staging/codes"))
+    Sinks.rebuildAnnIndex(spark, dir, srcC)
+    val ids3 = Sinks.readAnnIndexCodes(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids3 == ids2, "rollback-then-rebuild changed the live id set")
+
+    // CRASH STATE 3 — crash mid-forward-swap (live codes renamed away,
+    // staged codes not yet moved): the next rebuild finishes the swap
+    // first, then rebuilds
+    Sinks.stageRebuild(spark, dir, srcC)
+    assert(fs.rename(p("codes"), p("codes_rb_old")))
+    Sinks.rebuildAnnIndex(spark, dir, srcC)
+    assert(!fs.exists(p("codes_rb_old")) && !fs.exists(p("rebuild_staging")),
+      "mid-swap repair left debris")
+    val ids4 = Sinks.readAnnIndexCodes(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids4 == ids2, "mid-swap repair changed the live id set")
+  }
+
   test("compaction crash states: reads stay correct, the next compact repairs") {
     val spark = TestSpark.spark
     import spark.implicits._
