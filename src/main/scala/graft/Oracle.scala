@@ -1028,6 +1028,29 @@ object Oracle {
        |${vecNormCteFrom("emb_up")},
        |${annIvfPqBodyFrom("emb_up")}""".stripMargin
 
+  /** Rebuild twin: the post-upsert corpus piped through the FULL
+    * from-scratch index derivation — unlike [[annIndexUpsertSql]]
+    * (whose upserts avoid ids < 100 so the frozen geometry survives),
+    * the rebuild fixture's upserts MOVE geometry seeds (3 and 10 are
+    * inside both the firstK coarse set and the PQ codebook stand-in),
+    * so this twin re-derives centroids AND codebook from `emb_rb`.
+    * Matching hashes prove [[graft.sinks.Sinks.rebuildAnnIndex]]
+    * refit rather than recycled.
+    */
+  private lazy val annIndexRebuildSql: String =
+    s"""WITH emb_rb AS (
+       |  SELECT v.vec_id, v.label,
+       |    CASE WHEN u.vec_id IS NOT NULL THEN w.embedding ELSE v.embedding END AS embedding
+       |  FROM embeddings v
+       |  LEFT JOIN (
+       |    SELECT a.vec_id FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |    WHERE a.vec_id % ${graft.operators.Ann.QueryMod} <> 0 AND a.vec_id % 7 = 3
+       |  ) u ON u.vec_id = v.vec_id
+       |  LEFT JOIN embeddings w ON w.vec_id = v.vec_id + 1
+       |),
+       |${vecNormCteFrom("emb_rb")},
+       |${annIvfPqBodyFrom("emb_rb", cbsrc = "emb_rb")}""".stripMargin
+
   private def annTopkSql(bucketed: Boolean): String = {
     val corpus =
       if (bucketed)
@@ -1862,6 +1885,7 @@ object Oracle {
     // upsert path: tombstone+re-append must equal the in-memory IVF-PQ
     // over the logically-updated corpus under frozen index metadata
     "ann_index_upsert_topk" -> annIndexUpsertSql,
+    "ann_index_rebuild_topk" -> annIndexRebuildSql,
 
     // residual IVF-PQ: per-list codebooks over v - centroid (stand-in:
     // each list's first PqK members' residuals, code = rank), corpus
@@ -3772,8 +3796,95 @@ object Oracle {
     * the SAME literal floats reach the Spark plan and the VALUES table
     * here, so even the trained path gets a real hash row.
     */
+  /** SQL string literal with quotes doubled — merge symbols come from
+    * corpus words and may carry apostrophes.
+    */
+  private def strLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The trained TRUE-BPE merge table as a VALUES relation — the
+    * [[qualityModelTrainedSql]] materialization pattern; rank order is
+    * apply order. Empty training (no multi-codepoint words) yields a
+    * rank-0 sentinel whose pattern (three consecutive spaces) can
+    * never occur in a single-space-separated symbol string.
+    */
+  private def bpeMergesValues(merges: Array[graft.operators.TextStats.BpeMerge]): String =
+    if (merges.isEmpty) "(VALUES (0, ' ', ' ')) AS t(rank, l, r)"
+    else merges
+      .map(m => s"(${m.rank}, ${strLit(m.left)}, ${strLit(m.right)})")
+      .mkString("(VALUES ", ", ", ") AS t(rank, l, r)")
+
+  /** Twin of the trained merge-table row: the literals round-tripped
+    * through parquet and the driver's hash — plus freq/merged, which
+    * the apply twin doesn't need.
+    */
+  private def bpeVocabSql(merges: Array[graft.operators.TextStats.BpeMerge]): String =
+    if (merges.isEmpty)
+      """SELECT CAST(0 AS INTEGER) AS rank, '' AS "left", '' AS "right",
+        |  '' AS merged, CAST(0 AS BIGINT) AS freq WHERE FALSE""".stripMargin
+    else merges
+      .map(m => s"(CAST(${m.rank} AS INTEGER), ${strLit(m.left)}, ${strLit(m.right)}, " +
+        s"${strLit(m.merged)}, CAST(${m.freq} AS BIGINT))")
+      .mkString(
+        "SELECT * FROM (VALUES ", ", ",
+        ") AS t(rank, \"left\", \"right\", merged, freq) ORDER BY rank")
+
+  /** Twin of [[graft.operators.TextStats.tokenStatsBpeTrue]]: each
+    * distinct word becomes a space-delimited CODEPOINT symbol string
+    * (' w o r d '), then a recursive walk applies the trained merges
+    * in rank order, one FIRST-occurrence replacement per step (staying
+    * on a rank until its pair no longer occurs = the left-to-right
+    * sweep; boundary spaces ride the pattern so symbols never match
+    * inside one another). Token count = spaces − 1 of the final
+    * string; per-doc sums mirror the whitespace/ratio shape of the
+    * greedy twin.
+    */
+  private def bpeTrueStatsSql(merges: Array[graft.operators.TextStats.BpeMerge]): String = {
+    val m = merges.length
+    s"""WITH RECURSIVE bm AS (SELECT * FROM ${bpeMergesValues(merges)}),
+       |bp_docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |),
+       |bp_dw AS (SELECT DISTINCT w FROM bp_docw WHERE length(w) > 0),
+       |bp_step(w, s, mi) AS (
+       |  SELECT w, regexp_replace(w, '(?s)(.)', ' \\1', 'g') || ' ', 1 FROM bp_dw
+       |  UNION ALL
+       |  SELECT st.w,
+       |    CASE WHEN strpos(st.s, ' ' || bm.l || ' ' || bm.r || ' ') > 0
+       |         THEN substr(st.s, 1, strpos(st.s, ' ' || bm.l || ' ' || bm.r || ' ') - 1)
+       |              || ' ' || bm.l || bm.r || ' '
+       |              || substr(st.s, strpos(st.s, ' ' || bm.l || ' ' || bm.r || ' ')
+       |                   + length(bm.l) + length(bm.r) + 3)
+       |         ELSE st.s END,
+       |    CASE WHEN strpos(st.s, ' ' || bm.l || ' ' || bm.r || ' ') > 0
+       |         THEN st.mi ELSE st.mi + 1 END
+       |  FROM bp_step st JOIN bm ON bm.rank = st.mi
+       |  WHERE st.mi <= $m
+       |),
+       |bp_fin AS (SELECT w, s FROM bp_step WHERE mi = $m + 1),
+       |bp_wtok AS (
+       |  SELECT w, CAST(length(s) - length(replace(s, ' ', '')) - 1 AS BIGINT) AS ntok
+       |  FROM bp_fin
+       |),
+       |bp_doctok AS (
+       |  SELECT dw.doc_id, CAST(sum(coalesce(t.ntok, 0)) AS BIGINT) AS n_tokens_bpe
+       |  FROM bp_docw dw LEFT JOIN bp_wtok t ON dw.w = t.w
+       |  GROUP BY dw.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
+       |  a.n_tokens_bpe,
+       |  round(CAST(a.n_tokens_bpe AS DOUBLE)
+       |        / len(string_split(d.text, ' ')), 6) AS bpe_per_ws
+       |FROM documents d JOIN bp_doctok a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def dynamic(spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, String] =
     Map(
+      "doc_subword_vocab_bpe" ->
+        bpeVocabSql(Queries.bpeTrainedMerges(spark, dir)),
+      "doc_token_stats_bpe_true" ->
+        bpeTrueStatsSql(Queries.bpeTrainedMerges(spark, dir)),
       "ann_ivf_kmeans" -> annIvfKmeansSql(Queries.kmeansCenters(spark, dir)),
       "ann_pq_trained" -> annPqTrainedSql(Queries.pqTrainedCents(spark, dir)),
       "ann_pq_rotated" -> {

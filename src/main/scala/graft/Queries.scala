@@ -485,6 +485,41 @@ object Queries {
   def docSubwordVocab(s: SparkSession, dir: String): DataFrame =
     TextStats.subwordVocab(docs(s, dir)).orderBy("rank")
 
+  /** TRUE-BPE merge cache — the [[kmeansCenters]] contract: trained
+    * once per (session, dir) so the identical literal merge table
+    * reaches both the Spark apply and the DuckDB VALUES twin.
+    */
+  private val bpeMergeCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[TextStats.BpeMerge]]]()
+
+  def bpeTrainedMerges(s: SparkSession, dir: String): Array[TextStats.BpeMerge] =
+    bpeMergeCache.synchronized {
+      val perSession = bpeMergeCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, Array[TextStats.BpeMerge]])
+      perSession.getOrElseUpdate(dir, TextStats.bpeMerges(docs(s, dir)))
+    }
+
+  /** The trained TRUE-BPE merge table as a row: iterative pair-merge
+    * training ([[TextStats.bpeMerges]] — one distributed aggregate
+    * per round, the Lloyd-loop discipline), materialized for the
+    * VALUES twin. EngineProps pins training parity against an
+    * independent single-machine BPE implementation.
+    */
+  def docSubwordVocabBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrainedMerges(s, dir).toSeq.toDS().toDF()
+      .select(col("rank"), col("left"), col("right"), col("merged"), col("freq"))
+      .orderBy("rank")
+  }
+
+  /** Per-doc token statistics under the TRUE-BPE vocabulary — the
+    * apply half: merges ride the closure, the twin replays the exact
+    * rank-ordered left-to-right merge walk as a recursive CTE.
+    */
+  def docTokenStatsBpeTrue(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenStatsBpeTrue(docs(s, dir), bpeTrainedMerges(s, dir))
+      .orderBy("doc_id")
+
   /** Real-token statistics through the trained subword vocab. */
   def docTokenStatsBpe(s: SparkSession, dir: String): DataFrame =
     TextStats.tokenStatsSubword(docs(s, dir)).orderBy("doc_id")
@@ -1330,6 +1365,39 @@ object Queries {
       .orderBy("q_id", "rn")
   }
 
+  /** The index LIFECYCLE end-to-end: build, drift the corpus with
+    * upserts that move GEOMETRY SEEDS (vec_ids 3 and 10 sit inside
+    * both the firstK coarse centroids and the PQ codebook stand-in,
+    * so the frozen geometry goes stale — exactly the recall-decay
+    * situation [[graft.operators.Ann.recallReport]] detects), then
+    * [[graft.sinks.Sinks.rebuildAnnIndex]] refits everything on the
+    * current vector table and atomically swaps. The twin replays the
+    * from-scratch index over the POST-upsert corpus (centroids AND
+    * codebook re-derived from `emb_rb`) — equality is the proof the
+    * rebuild truly refits geometry rather than recycling the stale
+    * artifacts.
+    */
+  def annIndexRebuildTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val idxPath = annIndexCache.getOrElseUpdate(s"$dir#rebuild", {
+      val p = tempIndexDir("graft_ann_rebuild_")
+      graft.sinks.Sinks.writeAnnIndex(e, p)
+      val nxt = e.select((col("vec_id") - 1).as("vec_id"), col("embedding"))
+      val up = e.select("vec_id")
+        .filter(col("vec_id") % Ann.QueryMod =!= 0 && col("vec_id") % 7 === 3)
+        .join(nxt, "vec_id") // inner join: drops the id with no successor
+      graft.sinks.Sinks.upsertAnnIndex(s, p, up)
+      // the source-of-truth vector table AFTER the upserts
+      val cur = e.select(col("vec_id"), col("embedding")).as("v")
+        .join(up.select(col("vec_id"), col("embedding").as("emb_up")), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("emb_up"), col("embedding")).as("embedding"))
+      graft.sinks.Sinks.rebuildAnnIndex(s, p, cur)
+      p
+    })
+    graft.sinks.Sinks.readAnnIndexTopK(s, idxPath, Ann.defaultQueries(e))
+      .orderBy("q_id", "rn")
+  }
+
   /** IVF-PQ with per-list RESIDUAL codebooks — codes quantize
     * v − centroid, ADC tables build over the query residual.
     */
@@ -1718,6 +1786,8 @@ object Queries {
     "doc_simhash_pairs" -> (docSimhashPairs _),
     "doc_token_stats" -> (docTokenStats _),
     "doc_subword_vocab" -> (docSubwordVocab _),
+    "doc_subword_vocab_bpe" -> (docSubwordVocabBpe _),
+    "doc_token_stats_bpe_true" -> (docTokenStatsBpeTrue _),
     "doc_token_stats_bpe" -> (docTokenStatsBpe _),
     "doc_token_stats_bpe_stored" -> (docTokenStatsBpeStored _),
     "doc_lang_id" -> (docLangId _),
@@ -1799,6 +1869,7 @@ object Queries {
     "ann_recall_report" -> (annRecallReport _),
     "ann_recall_report_residual" -> (annRecallReportResidual _),
     "ann_index_upsert_topk" -> (annIndexUpsertTopK _),
+    "ann_index_rebuild_topk" -> (annIndexRebuildTopK _),
     "ann_ivfpq_residual" -> (annIvfPqResidual _),
     "ann_ivfpq_residual_trained" -> (annIvfPqResidualTrained _),
     "ann_ivfpq_residual_rotated" -> (annIvfPqResidualRotated _),

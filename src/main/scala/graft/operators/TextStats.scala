@@ -237,6 +237,164 @@ object TextStats {
   def tokenStatsSubword(docs: DataFrame): DataFrame =
     tokenStatsWith(docs, subwordVocab(docs))
 
+  // ------------------------------------------------------------ true BPE
+  /** Merge rounds for [[bpeMerges]] — the vocab-size knob. */
+  val BpeNumMerges = 40
+
+  /** One trained BPE merge: at `rank`, the adjacent symbol pair
+    * (`left`, `right`) had the highest corpus frequency (`freq`,
+    * occurrences × word count) and fused into `merged`.
+    */
+  case class BpeMerge(rank: Int, left: String, right: String, merged: String, freq: Long)
+
+  /** A word as CODEPOINT symbols — not UTF-16 chars: a supplementary
+    * character is ONE symbol on both engines (DuckDB strings are
+    * codepoint-indexed; splitting surrogate halves would diverge).
+    */
+  private[graft] def codepointSyms(w: String): IndexedSeq[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toIndexedSeq
+
+  /** One left-to-right merge sweep: fuse every non-overlapping
+    * adjacent (l, r) occurrence — the original byte-pair-encoding
+    * replace step (Sennrich et al. 2016, public), shared verbatim by
+    * the trainer and the tokenizer so train and apply can never
+    * disagree on merge semantics.
+    */
+  private[graft] def applyMerge(
+      syms: IndexedSeq[String], l: String, r: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    val n = syms.length
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && syms(i) == l && syms(i + 1) == r) { out += l + r; i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** TRUE iterative BPE training — the merge loop [[subwordVocab]]'s
+    * one-pass frequent-substring ranking approximates: per round, ONE
+    * distributed aggregate counts every adjacent symbol-pair frequency
+    * over the word table (all positions, weighted by word count), the
+    * argmax pair (ties: count desc, then left, then right — a pure
+    * function of the corpus) merges everywhere, repeat to `numMerges`.
+    * The [[graft.operators.Ann]] Lloyd-loop discipline on text: state
+    * that moves per round is one collected row (the winning pair);
+    * the symbol table stays distributed and re-persists per round
+    * (lineage truncated every 10 rounds). Word-DISTINCT scale: the
+    * loop runs over the word-frequency table, never the corpus — at
+    * 100 TB the corpus scan happens once, the M rounds touch only the
+    * vocabulary-sized frame.
+    */
+  def bpeMerges(docs: DataFrame, numMerges: Int = BpeNumMerges): Array[BpeMerge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur: org.apache.spark.sql.Dataset[(IndexedSeq[String], Long)] = docs
+      .select(explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => (codepointSyms(w), c) }
+      .persist()
+    cur.count()
+    val merges = Array.newBuilder[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val top = cur.toDF("syms", "wcnt")
+        .select(
+          explode(expr(
+            """CASE WHEN size(syms) < 2 THEN array()
+              |ELSE transform(sequence(0, size(syms) - 2),
+              |  i -> struct(syms[i] AS l, syms[i + 1] AS r)) END""".stripMargin)).as("p"),
+          col("wcnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wcnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(r, l, rr, l + rr, cnt)
+        val mapped = cur.map { case (syms, c) => (applyMerge(syms, l, rr), c) }
+        val next = (if (r % 10 == 0) mapped.localCheckpoint(false) else mapped).persist()
+        next.count()
+        cur.unpersist(blocking = false)
+        cur = next
+        r += 1
+      }
+    }
+    cur.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** Tokenize one word by applying the trained merges in rank order
+    * (each a full left-to-right sweep) — the standard BPE apply; the
+    * DuckDB twin replays the identical walk as a recursive CTE over
+    * space-separated symbol strings.
+    */
+  private[graft] def bpeTokenize(w: String, merges: Array[BpeMerge]): IndexedSeq[String] = {
+    var syms: IndexedSeq[String] = codepointSyms(w)
+    var i = 0
+    while (i < merges.length && syms.length >= 2) {
+      syms = applyMerge(syms, merges(i).left, merges(i).right)
+      i += 1
+    }
+    syms
+  }
+
+  /** Per-doc token statistics under a TRUE-BPE vocabulary: whitespace
+    * count vs merge-applied symbol count — [[tokenStatsWith]]'s shape
+    * with the iterative-merge tokenizer. The merge table rides the
+    * closure (kilobytes); per-partition memoization keys on the word,
+    * so each distinct word tokenizes once per partition.
+    */
+  def tokenStatsBpeTrue(docs: DataFrame, merges: Array[BpeMerge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.map { case (id, text) =>
+          val ws = text.split(" ", -1)
+          var bpe = 0L
+          var i = 0
+          while (i < ws.length) {
+            if (ws(i).nonEmpty)
+              bpe += memo.getOrElseUpdate(ws(i), bpeTokenize(ws(i), merges).length.toLong)
+            i += 1
+          }
+          (id, ws.length.toLong, bpe)
+        }
+      }
+      .toDF("doc_id", "n_tokens_ws", "n_tokens_bpe")
+      .select(
+        col("doc_id"),
+        col("n_tokens_ws"),
+        col("n_tokens_bpe"),
+        round(col("n_tokens_bpe").cast("double") / col("n_tokens_ws"), 6)
+          .as("bpe_per_ws"))
+  }
+
+  /** Persist a trained merge table as a reusable artifact — the
+    * [[saveSubwordVocab]] contract for the true-BPE flavor: train once
+    * on a reference corpus, tokenize every later batch with the SAME
+    * merges.
+    */
+  def saveBpeMerges(spark: SparkSession, merges: Array[BpeMerge], path: String): Unit = {
+    import spark.implicits._
+    merges.toSeq.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge artifact written by [[saveBpeMerges]] — rank order
+    * restored (apply order IS the trained order).
+    */
+  def loadBpeMerges(spark: SparkSession, path: String): Array[BpeMerge] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[BpeMerge].collect().sortBy(_.rank)
+  }
+
   /** Stopword vocabulary for [[quality]]'s stopword ratio. */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
 

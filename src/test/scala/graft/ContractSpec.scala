@@ -38,7 +38,9 @@ class ContractSpec extends AnyFunSuite {
     "ann_ivfpq_residual_rotated",
     "ann_index_residual_rotated_topk",
     "doc_quality_model_trained",
-    "doc_quality_model_stored")
+    "doc_quality_model_stored",
+    "doc_subword_vocab_bpe",
+    "doc_token_stats_bpe_true")
 
   test("every registered query has an oracle twin (or is rows-only by design)") {
     val rowsOnly =

@@ -211,6 +211,67 @@ object EngineProps extends Properties("graft") {
       Prop(got == want) :| s"subword != local reference\n got=$got\n want=$want"
     }
 
+  property("true-BPE training + tokenization equals an independent local implementation") =
+    forAll(genTokCorpus) { docsSeq =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val ts = graft.operators.TextStats
+      val M = 12
+      // independent local reference: classic BPE (Sennrich et al.) —
+      // word-frequency table, per-round adjacent-pair count (all
+      // positions, weighted), argmax merge (ties: count desc, then
+      // left, then right), left-to-right non-overlapping sweep. None
+      // of the engine's code is reused.
+      val wcnt = docsSeq.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var table: Map[List[String], Long] =
+        wcnt.map { case (w, c) => w.map(_.toString).toList -> c }
+          .groupBy(_._1).view.mapValues(_.values.sum).toMap
+      val refMerges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var stop = false
+      while (refMerges.length < M && !stop) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+        table.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(p => pc(p) += c)
+        }
+        if (pc.isEmpty) stop = true
+        else {
+          val ((l, r), cnt) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+          refMerges += ((l, r, cnt))
+          def sweep(syms: List[String]): List[String] = syms match {
+            case a :: b :: rest if a == l && b == r => (a + b) :: sweep(rest)
+            case a :: rest => a :: sweep(rest)
+            case Nil => Nil
+          }
+          table = table.toSeq.map { case (s, c) => sweep(s) -> c }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        }
+      }
+      def refTok(w: String): Long = {
+        var syms = w.map(_.toString).toList
+        refMerges.foreach { case (l, r, _) =>
+          def sweep(ss: List[String]): List[String] = ss match {
+            case a :: b :: rest if a == l && b == r => (a + b) :: sweep(rest)
+            case a :: rest => a :: sweep(rest)
+            case Nil => Nil
+          }
+          syms = sweep(syms)
+        }
+        syms.length.toLong
+      }
+      val df = docsSeq.toDF("doc_id", "text")
+      val merges = ts.bpeMerges(df, M)
+      val mergesOk =
+        merges.map(m => (m.left, m.right, m.freq)).toSeq == refMerges.toSeq
+      val want = docsSeq.map { case (id, t) =>
+        id -> t.split(" ", -1).filter(_.nonEmpty).map(refTok).sum
+      }.toMap
+      val got = ts.tokenStatsBpeTrue(df, merges)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      Prop(mergesOk && got == want) :|
+        s"bpe != local reference\n merges ok=$mergesOk\n engine=${merges.toSeq}\n ref=$refMerges\n got=$got\n want=$want"
+    }
+
   property("stripBoilerplate equals a local recomputation on random corpora") =
     forAll(genBoilerCorpus) { docsSeq =>
       val spark = TestSpark.spark
