@@ -2791,6 +2791,10 @@ object Oracle {
          |  CAST(cum_excl % ${graft.operators.Corpus.PackBudget} AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    "doc_pack_nosplit" ->
+      packNoSplitSql(graft.operators.Corpus.PackBudget),
+    "doc_pack_nosplit_tiny" -> packNoSplitSql(16L),
+
     "doc_chunk" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
          |SELECT doc_id, CAST(t.i AS INTEGER) AS chunk_idx,
@@ -3800,6 +3804,75 @@ object Oracle {
     * corpus words and may carry apostrophes.
     */
   private def strLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Twin of [[graft.operators.Corpus.packSequencesNoSplit]] at a
+    * given budget: same hash order, harmonic class `budget // n`,
+    * in-class rank → sequence `rank // class`, within-sequence token
+    * prefix; class sequence counts prefix into global ids; oversize
+    * docs tile dedicated runs after every class sequence, `split`
+    * flagged. Where the Spark side two-levels every rank through 256
+    * hash buckets, the twin runs the single global windows a
+    * one-machine engine can afford — identical arithmetic.
+    */
+  private def packNoSplitSql(budget: Long): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    md5('pack' || CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM documents
+       |),
+       |sm AS (
+       |  SELECT *, $budget // n_tokens AS cls FROM t
+       |  WHERE n_tokens <= $budget AND n_tokens > 0
+       |),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY cls ORDER BY ord, doc_id) - 1 AS rn
+       |  FROM sm
+       |),
+       |sq AS (SELECT *, rn // cls AS seq_in_cls FROM r),
+       |o AS (
+       |  SELECT *,
+       |    sum(n_tokens) OVER (PARTITION BY cls, seq_in_cls ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS seq_offset
+       |  FROM sq
+       |),
+       |ct AS (
+       |  SELECT cls, (count(*) + cls - 1) // cls AS n_seqs FROM sm GROUP BY cls
+       |),
+       |cofs AS (
+       |  SELECT cls,
+       |    sum(n_seqs) OVER (ORDER BY cls
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_seqs AS cls_off
+       |  FROM ct
+       |),
+       |tot AS (SELECT CAST(coalesce(sum(n_seqs), 0) AS BIGINT) AS tseqs FROM ct),
+       |smf AS (
+       |  SELECT o.doc_id, o.n_tokens,
+       |    CAST(cofs.cls_off + o.seq_in_cls AS BIGINT) AS seq_id,
+       |    CAST(o.seq_offset AS BIGINT) AS seq_offset,
+       |    false AS split
+       |  FROM o JOIN cofs USING (cls)
+       |),
+       |bg AS (
+       |  SELECT *, (n_tokens + $budget - 1) // $budget AS nseq FROM t
+       |  WHERE n_tokens > $budget
+       |),
+       |bgo AS (
+       |  SELECT *,
+       |    sum(nseq) OVER (ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nseq AS boff
+       |  FROM bg
+       |),
+       |bgf AS (
+       |  SELECT bgo.doc_id, bgo.n_tokens,
+       |    CAST(tot.tseqs + bgo.boff AS BIGINT) AS seq_id,
+       |    CAST(0 AS BIGINT) AS seq_offset,
+       |    true AS split
+       |  FROM bgo, tot
+       |)
+       |SELECT * FROM (SELECT * FROM smf UNION ALL SELECT * FROM bgf)
+       |ORDER BY doc_id""".stripMargin
 
   /** The trained TRUE-BPE merge table as a VALUES relation — the
     * [[qualityModelTrainedSql]] materialization pattern; rank order is

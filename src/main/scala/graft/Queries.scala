@@ -762,6 +762,19 @@ object Queries {
   def docPackBpe(s: SparkSession, dir: String): DataFrame =
     Corpus.packSequencesSubword(docs(s, dir)).orderBy("doc_id")
 
+  /** Document-aware packing: no doc straddles a 256-token boundary
+    * (harmonic size classes; oversize docs tiled and flagged).
+    */
+  def docPackNoSplit(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequencesNoSplit(docs(s, dir)).orderBy("doc_id")
+
+  /** [[docPackNoSplit]] at a 16-token budget — small enough that real
+    * docs EXCEED it, so the oversize tiled-and-flagged path and the
+    * multi-class layout are both oracle-exercised.
+    */
+  def docPackNoSplitTiny(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequencesNoSplit(docs(s, dir), budget = 16L).orderBy("doc_id")
+
   /** Ingest-time real-token stats over bounded input — must equal
     * doc_token_stats_bpe row for row (shared twin).
     */
@@ -1824,6 +1837,8 @@ object Queries {
     "doc_boilerplate" -> (docBoilerplate _),
     "doc_pack" -> (docPack _),
     "doc_pack_bpe" -> (docPackBpe _),
+    "doc_pack_nosplit" -> (docPackNoSplit _),
+    "doc_pack_nosplit_tiny" -> (docPackNoSplitTiny _),
     "doc_logprob" -> (docLogProb _),
     "corpus_vocab" -> (corpusVocab _),
     "corpus_pmi" -> (corpusPmi _),

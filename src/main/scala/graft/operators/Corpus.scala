@@ -752,6 +752,105 @@ object Corpus {
         expr(s"cum_excl % $budget").as("seq_offset"))
   }
 
+  /** DOCUMENT-AWARE sequence packing: no document straddles a
+    * sequence boundary — the mode real pipelines use to avoid
+    * cross-document attention contamination ([[packSequences]] tiles
+    * contiguously and lets docs split). Harmonic size-class packing:
+    * a doc of `n` tokens joins class `c = budget div n` (the most
+    * same-class docs a sequence can hold); within a class, docs in
+    * deterministic hash order fill sequences `c` at a time, so every
+    * non-final class sequence is > budget·c/(c+1) full — utilization
+    * ≥ 1/2 guaranteed, typically far better (best-fit-decreasing
+    * quality without its sequential placement loop). Docs LONGER than
+    * the budget keep the tiling behavior — each gets its own run of
+    * ceil(n/budget) dedicated sequences — and are flagged `split`.
+    *
+    * Scale shape: per-class ranks use the same 256-bucket two-level
+    * prefix-sum [[packSequencesCore]] uses (class 1 holds most of a
+    * real corpus — a single per-class window would funnel it through
+    * one partition); the within-sequence offset window partitions by
+    * (class, sequence), groups of ≤ c rows; every cross-stage table
+    * (class/bucket counts, class offsets) is kilobytes and broadcast.
+    */
+  def packSequencesNoSplit(docs: DataFrame, budget: Long = PackBudget): DataFrame =
+    packNoSplitCore(
+      docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget)
+
+  private def packNoSplitCore(tokens: DataFrame, budget: Long): DataFrame = {
+    val t = tokens.select(
+      col("doc_id"),
+      col("n_tokens"),
+      md5(concat(lit("pack"), col("doc_id").cast("string"))).as("ord"))
+      .withColumn("bucket", expr("CAST(conv(substr(ord, 1, 2), 16, 10) AS INT)"))
+
+    // ---- small docs: harmonic classes, two-level rank within class
+    val small = t.filter(col("n_tokens") <= budget && col("n_tokens") > 0)
+      .withColumn("cls", expr(s"$budget div n_tokens"))
+    val wcb = Window.partitionBy("cls", "bucket").orderBy("ord", "doc_id")
+    val withRnB = small.withColumn("rn_b", row_number().over(wcb))
+    // per-(class, bucket) counts -> exclusive bucket starts per class:
+    // ≤ 256 rows per class, a broadcast-sized frame
+    val wcOff = Window.partitionBy("cls").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketStarts = small.groupBy("cls", "bucket")
+      .agg(count(lit(1)).as("bcnt"))
+      .withColumn("bstart", sum("bcnt").over(wcOff) - col("bcnt"))
+      .select("cls", "bucket", "bstart")
+    val ranked = withRnB
+      .join(broadcast(bucketStarts), Seq("cls", "bucket"))
+      .withColumn("rn", col("bstart") + col("rn_b") - 1) // 0-based rank in class
+      .withColumn("seq_in_cls", expr("rn div cls"))
+    val wseq = Window.partitionBy("cls", "seq_in_cls").orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOff = ranked
+      .withColumn("seq_offset", sum("n_tokens").over(wseq) - col("n_tokens"))
+    // class sequence counts -> exclusive class offsets (≤ budget rows)
+    val wcls = Window.orderBy("cls")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clsOffsets = small.groupBy("cls")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_seqs", expr("(cnt + cls - 1) div cls"))
+      .withColumn("cls_off", sum("n_seqs").over(wcls) - col("n_seqs"))
+      .select("cls", "cls_off", "n_seqs")
+    val totalClsSeqs = clsOffsets.agg(coalesce(sum(expr("n_seqs")), lit(0L)))
+      .head().getLong(0)
+    val smallOut = withOff
+      .join(broadcast(clsOffsets.select("cls", "cls_off")), "cls")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("cls_off") + col("seq_in_cls")).as("seq_id"),
+        col("seq_offset"),
+        lit(false).as("split"))
+
+    // ---- oversize docs: dedicated tiled runs, flagged; two-level
+    // cumsum of per-doc sequence counts orders the runs
+    val big = t.filter(col("n_tokens") > budget)
+      .withColumn("nseq", expr(s"(n_tokens + $budget - 1) div $budget"))
+    val wbb = Window.partitionBy("bucket").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bigCum = big.withColumn("bucket_cum", sum("nseq").over(wbb))
+    val wbo = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bigOffsets = big.groupBy("bucket")
+      .agg(sum("nseq").as("btotal"))
+      .withColumn("boff", sum("btotal").over(wbo) - col("btotal"))
+      .select("bucket", "boff")
+    val bigOut = bigCum
+      .join(broadcast(bigOffsets), "bucket")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (lit(totalClsSeqs) + col("boff") + col("bucket_cum") - col("nseq")).as("seq_id"),
+        lit(0L).as("seq_offset"),
+        lit(true).as("split"))
+
+    smallOut.unionByName(bigOut)
+  }
+
   val VocabTopK = 100
 
   /** Corpus vocabulary: the top-k words by document frequency (ties:

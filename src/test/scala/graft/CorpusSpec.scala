@@ -817,6 +817,57 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesNoSplit: no doc straddles a boundary; sequences are dense prefixes; oversize flagged") {
+    // word counts 3..36 at budget 16: classes 1..5 populated AND
+    // oversize docs (17+ words) exercising the tiled split path
+    val docs = docsDf((1L to 60L).map(i =>
+      (i, (0 until (i % 12 + 1).toInt * 3).map(w => s"d${i}w$w").mkString(" "), "en", "web")))
+    val budget = 16L
+    val out = Corpus.packSequencesNoSplit(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.length == 60)
+    val (split, whole) = out.partition(_._5)
+    assert(split.nonEmpty && whole.nonEmpty, "fixture must exercise both paths")
+    assert(split.forall(_._2 > budget) && whole.forall(_._2 <= budget),
+      "split flag must equal n_tokens > budget")
+
+    // THE property: no whole doc crosses its sequence's token boundary
+    whole.foreach { case (id, n, _, off, _) =>
+      assert(off >= 0 && off + n <= budget, s"doc $id straddles: off=$off n=$n")
+    }
+    // within each sequence, docs tile a dense prefix (no overlap/hole)
+    whole.groupBy(_._3).foreach { case (seq, members) =>
+      val sorted = members.sortBy(_._4)
+      var cursor = 0L
+      sorted.foreach { case (id, n, _, off, _) =>
+        assert(off == cursor, s"seq $seq: doc $id at $off, expected $cursor")
+        cursor += n
+      }
+    }
+    // oversize docs own DISJOINT dedicated runs of ceil(n/budget) seqs,
+    // disjoint from every whole-doc sequence
+    val wholeSeqs = whole.map(_._3).toSet
+    val runs = split.map { case (id, n, seq, off, _) =>
+      assert(off == 0L, s"split doc $id must start its run")
+      (id, seq, seq + (n + budget - 1) / budget - 1)
+    }
+    runs.foreach { case (id, lo, hi) =>
+      assert((lo to hi).forall(!wholeSeqs.contains(_)), s"split doc $id run collides")
+      runs.foreach { case (id2, lo2, hi2) =>
+        if (id != id2) assert(hi < lo2 || hi2 < lo, s"split runs $id/$id2 overlap")
+      }
+    }
+    // utilization: report vs the tiling packer (tiling fills 100% by
+    // construction but splits docs; no-split must stay >= 1/2 — the
+    // harmonic-class guarantee — and in practice much better)
+    val usedSeqs = wholeSeqs.size + runs.map { case (_, lo, hi) => hi - lo + 1 }.sum
+    val tokens = out.map(_._2).sum
+    val util = tokens.toDouble / (usedSeqs * budget)
+    val tilingSeqs = math.ceil(tokens.toDouble / budget).toLong
+    info(f"no-split utilization $util%.3f over $usedSeqs seqs (tiling packer: $tilingSeqs seqs at 1.000)")
+    assert(util >= 0.5, f"utilization $util%.3f below the harmonic floor")
+  }
+
   test("chunk: overlapping windows cover every word; short docs are one chunk") {
     val out = graft.operators.TextStats.chunk(docsDf(Seq(
       (1L, (1 to 9).map(i => s"w$i").mkString(" "), "en", "web"),
