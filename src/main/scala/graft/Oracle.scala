@@ -1643,6 +1643,10 @@ object Oracle {
     // the extraction CTE pair prepended (string surgery is safe: the
     // construction asserts the rewrite took and nothing was missed)
     ("doc_pipeline_html" -> htmlDocPipelineSql) +
+    // WARC-in curation: the container round-trip is lossless (pinned
+    // by warc_extract + CorpusSpec), so the post-scan pipeline twin is
+    // the HTML pipeline twin verbatim
+    ("warc_pipeline" -> htmlDocPipelineSql) +
     ("corpus_manifest" -> corpusManifestSql) +
     // residual-tier recall: the full residual twin nested as the
     // approx leg (its own WITH scope), the exact leg shared with
@@ -2501,6 +2505,28 @@ object Oracle {
         |  CAST(length(html) AS INTEGER) AS n_chars_raw,
         |  CAST(length(text) AS INTEGER) AS n_chars_text
         |FROM ex ORDER BY doc_id""".stripMargin,
+
+    // WARC round-trip: the twin replays the record synth formulas
+    // (url/date/status by id, block bytes = the literal HTTP head
+    // length + the page's octet length) and the shared extraction
+    // chain — no container bytes anywhere; the Spark side had to
+    // byte-scan real records to produce the same rows
+    "warc_extract" -> {
+      val len200 = graft.sources.Warc.httpHead(200).getBytes("UTF-8").length
+      val len404 = graft.sources.Warc.httpHead(404).getBytes("UTF-8").length
+      s"""WITH $htmlPageCtes
+         |SELECT e.doc_id,
+         |  'https://example.org/doc/' || CAST(e.doc_id AS VARCHAR) AS url,
+         |  '2024-01-' || lpad(CAST(e.doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         |    || 'T00:00:00Z' AS warc_date,
+         |  CAST(CASE WHEN e.doc_id % 17 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+         |  CAST(CASE WHEN e.doc_id % 17 = 0 THEN $len404 ELSE $len200 END
+         |    + strlen(e.html) AS BIGINT) AS n_block_bytes,
+         |  e.text,
+         |  CAST(length(e.html) AS INTEGER) AS n_chars_raw,
+         |  CAST(length(e.text) AS INTEGER) AS n_chars_text
+         |FROM ex e ORDER BY e.doc_id""".stripMargin
+    },
 
     "doc_lang_id" -> langIdSql,
 

@@ -657,6 +657,20 @@ object Queries {
         .select("doc_id", "text"))
       .orderBy("doc_id")
 
+  /** The archive-to-corpus story end-to-end: WARC files → record scan
+    * → HTTP body → text extraction → the full curation pipeline. The
+    * container round-trip is lossless, so the twin IS the HTML
+    * pipeline twin — any scan defect breaks the hash.
+    */
+  def warcPipeline(s: SparkSession, dir: String): DataFrame =
+    Corpus.docPipeline(
+      TextStats.extractText(
+        graft.sources.Warc.parseWarcRecords(
+          graft.sources.Warc.withWarcPayload(TextStats.wrapHtml(docs(s, dir)))).toDF(),
+        htmlCol = "html")
+        .select("doc_id", "text"))
+      .orderBy("doc_id")
+
   /** The dataset card: one row of corpus composition, dup/keep/
     * contamination rates — what a corpus release publishes and a
     * regression check diffs run-over-run.
@@ -869,6 +883,23 @@ object Queries {
     */
   def docExtractHtml(s: SparkSession, dir: String): DataFrame =
     TextStats.extractText(TextStats.wrapHtml(docs(s, dir))).orderBy("doc_id")
+
+  /** WARC container ingestion end-to-end: the HTML fixture wrapped in
+    * canonical multi-record ISO 28500 files (warcinfo head records,
+    * real HTTP response blocks, unknown extension headers), then
+    * parsed back with the REAL byte-level record scan and fed through
+    * [[TextStats.extractText]]. The twin replays the synth formulas
+    * with no container — equality proves the scan (version line,
+    * header walk, Content-Length block, status line) is real.
+    */
+  def warcExtract(s: SparkSession, dir: String): DataFrame = {
+    val parsed = graft.operators.CacheScope.persist(
+      graft.sources.Warc.parseWarcRecords(
+        graft.sources.Warc.withWarcPayload(TextStats.wrapHtml(docs(s, dir)))).toDF())
+    parsed.select("doc_id", "url", "warc_date", "status", "n_block_bytes")
+      .join(TextStats.extractText(parsed, htmlCol = "html"), "doc_id")
+      .orderBy("doc_id")
+  }
 
   /** Incremental batch-vs-base exact dedup verdict. */
   def docDedupIncremental(s: SparkSession, dir: String): DataFrame =
@@ -1816,6 +1847,8 @@ object Queries {
     "doc_near_dup_incremental" -> (docNearDupIncremental _),
     "doc_normalize" -> (docNormalize _),
     "doc_extract_html" -> (docExtractHtml _),
+    "warc_extract" -> (warcExtract _),
+    "warc_pipeline" -> (warcPipeline _),
     "doc_pipeline_html" -> (docPipelineHtml _),
     "doc_pii_scrub" -> (docPiiScrub _),
     "doc_repetition" -> (docRepetition _),

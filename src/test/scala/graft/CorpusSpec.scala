@@ -817,6 +817,52 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("WARC round-trip: unknown headers and warcinfo skip; malformed tails drop the file, not the job") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val W = graft.sources.Warc
+    val docs = docsDf(Seq(
+      (1L, "plain words here", "en", "web"),
+      (17L, "a four-oh-four page body <with markup> & entities", "en", "web"),
+      (23L, "unicode page é中 body", "en", "web")))
+    val pages = graft.operators.TextStats.wrapHtml(docs)
+    val parsed = W.parseWarcRecords(W.withWarcPayload(pages))
+      .collect().map(d => d.doc_id -> d).toMap
+
+    // every response record survives the scan; warcinfo heads don't leak
+    assert(parsed.keySet == Set(1L, 17L, 23L))
+    // the status line was READ, not assumed
+    assert(parsed(17L).status == 404 && parsed(1L).status == 200)
+    // the html round-trips byte-exactly through the container
+    val htmls = pages.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    parsed.foreach { case (id, d) =>
+      assert(d.html == htmls(id), s"doc $id html mutated in the container")
+      assert(d.url == s"https://example.org/doc/$id")
+      assert(d.n_block_bytes ==
+        W.httpHead(d.status).getBytes("UTF-8").length + htmls(id).getBytes("UTF-8").length)
+    }
+
+    // hand-mangled containers: a record with a corrupt Content-Length
+    // ends the FILE scan after the records before it; junk prefixes
+    // fail the version check and drop the file — data, never a throw
+    val good = W.warcResponse(5L, "<html><body>ok</body></html>")
+    val broken = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999999\r\n\r\n" +
+      "short").getBytes("UTF-8")
+    val after = W.warcResponse(6L, "<html><body>late</body></html>")
+    val mangled = Seq(
+      (100L, good ++ broken ++ after), // good record, then corrupt length
+      (101L, "not a warc at all".getBytes("UTF-8")),
+      (102L, good.dropRight(3))) // separator truncated at EOF
+      .toDF("file_id", "payload")
+    val got = W.parseWarcRecords(mangled).collect().map(_.doc_id).toSeq.sorted
+    // file 100 yields doc 5 then halts (doc 6 is unreachable past the
+    // corrupt record — there is no resynchronization point in WARC);
+    // file 101 fails the version check and yields nothing; file 102's
+    // record is COMPLETE (block intact) so it emits even though the
+    // trailing separator is cut at EOF — then the scan halts
+    assert(got == Seq(5L, 5L), s"mangled files must yield exactly the intact records: $got")
+  }
+
   test("packSequencesNoSplit: no doc straddles a boundary; sequences are dense prefixes; oversize flagged") {
     // word counts 3..36 at budget 16: classes 1..5 populated AND
     // oversize docs (17+ words) exercising the tiled split path
