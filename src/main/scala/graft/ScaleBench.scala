@@ -449,6 +449,39 @@ object ScaleBench {
           s""""sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
       docs.unpersist(blocking = false)
     }
+    // audio fingerprint near-dup scale probe: the third modality's
+    // linearity measured, not assumed — WAV container scan + PCM
+    // energy dHash over N payloads, every 10th doc also planted as a
+    // waveform + 2x-downsample pair the banding must find. Same
+    // no-all-pairs requirement as the image probe. The text stand-ins
+    // get VARIED lengths (20..60 words): [[documents]]' constant
+    // 359-char docs all decode to the same frame count, whose bucket
+    // population pattern then dominates the energy bits and pairs the
+    // whole same-length group — a constant-length-synthetic-corpus
+    // artifact real archives (and the sf tables) don't have.
+    sys.env.get("SPARK_GRAFT_MM_AUDIO_DOCS").map(_.toLong).foreach { nDocs =>
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 60).map { w =>
+            val idx = pmod(col("id") * 2654435761L + w * 40503, lit(2147483647L))
+            when(lit(w) < pmod(col("id") * 7919, lit(41)) + 20,
+              substring(md5(idx.cast("string")), 1, 8))
+          }: _*).as("text"))
+        .withColumn("n_chars", length(col("text")))
+        .persist()
+      docs.count()
+      val input = graft.operators.Multimodal.withAudioPayload(docs)
+        .unionByName(graft.operators.Multimodal.plantedAudioPayloads(docs))
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Multimodal.mmAudioNearDup(input).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"mm_audio_scale","docs":$nDocs,"pairs":$pairs,""" +
+          s""""sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
+      docs.unpersist(blocking = false)
+    }
     // CDX planning scale probe: a loopback server records page-count
     // probes while both planners plan an N-url live scan. The probe
     // planner pays one HTTP round-trip per url through the bounded

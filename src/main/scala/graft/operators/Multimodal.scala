@@ -361,7 +361,14 @@ object Multimodal {
     * negatives.
     */
   val AudioPlantMinLen = 2000L
-  val AudioPlantBlocks = 32L
+  // MORE blocks than [[PhashBuckets]]: with fewer, adjacent buckets
+  // inside one block tie (strict > → deterministic 0), leaving only
+  // ~32 entropy bits — at 100k+ planted waveforms those collide
+  // quadratically under the 8-bit Hamming gate. ~2 blocks per bucket
+  // keeps every adjacent-bucket comparison data-driven (64 real bits)
+  // while blocks stay ≥ 7 samples, wide enough that the 2x resample's
+  // boundary rounding moves only a few bits (spec-pinned ≤ 3).
+  val AudioPlantBlocks = 128L
   val AudioPlantIdBase = 300000L
   val AudioStrideIdBase = 400000L
   val AudioStride = 2
@@ -727,7 +734,12 @@ object Multimodal {
     */
   val PlantEvery = 10L
   val PlantMinLen = 2000L
-  val PlantBlocks = 32L
+  // ~one block per bucket for full 64-bit entropy — see
+  // [[AudioPlantBlocks]]; at 32 blocks the within-block bucket ties
+  // zero half the bits and 100k+ planted signals collide
+  // quadratically, while 128 blocks leave stride-4 resample blocks so
+  // narrow that boundary rounding drifts pairs past the Hamming gate
+  val PlantBlocks = 64L
   val PlantIdBase = 100000L
   val PlantStrideIdBase = 200000L
 
