@@ -595,6 +595,47 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ids4 == ids2, "mid-swap repair changed the live id set")
   }
 
+  test("rebuild preserves the rotated and rotated-residual layouts and refits their artifacts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val embA = clustered(300, 41)
+    val embB = clustered(300, 77)
+
+    // rotated layout: rebuild must refit the rotation on the live set
+    // and end up bit-identical to a from-scratch rotated build
+    val dirR = java.nio.file.Files.createTempDirectory("ann_idx_rb_rot_").toString
+    Sinks.writeAnnIndexRotated(embA, dirR, Ann.pcaRotation(embA))
+    Sinks.upsertAnnIndex(spark, dirR, embB.select("vec_id", "embedding"))
+    Sinks.rebuildAnnIndex(spark, dirR, embB.select("vec_id", "embedding"))
+    val fresh = java.nio.file.Files.createTempDirectory("ann_idx_rb_rot_f_").toString
+    Sinks.writeAnnIndexRotated(embB, fresh, Ann.pcaRotation(embB))
+    val gotR = Sinks.readAnnIndexTopK(spark, dirR, Ann.defaultQueries(embB))
+      .collect().map(_.toSeq).toSet
+    val wantR = Sinks.readAnnIndexTopK(spark, fresh, Ann.defaultQueries(embB))
+      .collect().map(_.toSeq).toSet
+    assert(gotR == wantR, "rotated rebuild diverged from a from-scratch rotated build")
+    graft.operators.CacheScope.releaseAll()
+
+    // rotated-residual layout: rotation AND per-list books both refit,
+    // books fit in the REFIT rotated space
+    val dirRR = java.nio.file.Files.createTempDirectory("ann_idx_rb_rr_").toString
+    val rotA = Ann.pcaRotation(embA)
+    val reA = Ann.rotate(embA, rotA)
+    val centsA = Ann.firstKCentroids(reA)
+    Sinks.writeAnnIndexResidualRotated(
+      embA, dirRR, rotA, Ann.pqResidualCodebooks(Ann.ivfAssign(reA, centsA), centsA))
+    Sinks.upsertAnnIndex(spark, dirRR, embB.select("vec_id", "embedding"))
+    Sinks.rebuildAnnIndex(spark, dirRR, embB.select("vec_id", "embedding"))
+    val rotB = Ann.pcaRotation(embB.select(col("vec_id"), col("embedding")))
+    val reB = Ann.rotate(embB.select(col("vec_id"), col("embedding")), rotB)
+    val gotRR = Sinks.readAnnIndexTopK(spark, dirRR, Ann.defaultQueries(embB))
+      .collect().map(_.toSeq).toSet
+    val wantRR = Ann.ivfPqResidualTopK(reB).collect().map(_.toSeq).toSet
+    assert(gotRR == wantRR,
+      "rotated-residual rebuild diverged from the in-memory residual rank over the refit-rotated corpus")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("compaction crash states: reads stay correct, the next compact repairs") {
     val spark = TestSpark.spark
     import spark.implicits._
