@@ -1398,8 +1398,13 @@ object Oracle {
     * sub-signature-length gate). Ends in `full_aph(doc_id, ph_hi,
     * ph_lo)` and `abanded(doc_id, ph_hi, ph_lo, band, key)`.
     */
-  private lazy val audioBandedCtes: String = {
-    val nb = graft.operators.Multimodal.PhashBuckets
+  /** The audio PCM frame relation (doc_id, k, n, v) over all three
+    * synth sources, replayed with no container bytes — shared by the
+    * fingerprint chain (which gates clips under the bucket grid) and
+    * the resample twin (which takes every decodable clip, so
+    * `minFrames` = 1 there).
+    */
+  private def audioFrameCtes(minFrames: Int): String = {
     val every = graft.operators.Multimodal.PlantEvery
     val minLen = graft.operators.Multimodal.AudioPlantMinLen
     val blocks = graft.operators.Multimodal.AudioPlantBlocks
@@ -1410,7 +1415,7 @@ object Oracle {
        |  SELECT doc_id, s, 1 + doc_id % 2 AS ch,
        |         length(s) // (2 * (1 + doc_id % 2)) AS n
        |  FROM ($docPaySql)
-       |  WHERE length(s) // (2 * (1 + doc_id % 2)) >= $nb
+       |  WHERE length(s) // (2 * (1 + doc_id % 2)) >= $minFrames
        |),
        |atf AS (
        |  SELECT t.doc_id, k.k AS k, t.n,
@@ -1439,6 +1444,22 @@ object Oracle {
        |afr AS (
        |  SELECT * FROM atf UNION ALL SELECT * FROM apf UNION ALL SELECT * FROM asf
        |),
+       |aids AS (
+       |  SELECT doc_id FROM atxt
+       |  UNION ALL SELECT doc_id + $idBase FROM apl
+       |  UNION ALL SELECT doc_id + $strideBase FROM apl
+       |),
+       |arate AS (
+       |  SELECT d.doc_id, CAST(8000 + (d.n_chars % 3) * 4000 AS BIGINT) AS rate
+       |  FROM documents d JOIN atxt USING (doc_id)
+       |  UNION ALL SELECT doc_id + $idBase, CAST(8000 AS BIGINT) FROM apl
+       |  UNION ALL SELECT doc_id + $strideBase, CAST(${8000 / stride} AS BIGINT) FROM apl
+       |)""".stripMargin
+  }
+
+  private lazy val audioBandedCtes: String = {
+    val nb = graft.operators.Multimodal.PhashBuckets
+    s"""${audioFrameCtes(nb)},
        |abk AS (
        |  SELECT doc_id, (k * $nb) // n AS b,
        |    CAST(sum(abs(v)) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS cnt
@@ -1454,11 +1475,6 @@ object Oracle {
        |    CAST(sum(CASE WHEN bit >= 32 THEN (1::BIGINT << CAST(bit - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_hi,
        |    CAST(sum(CASE WHEN bit < 32 THEN (1::BIGINT << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_lo
        |  FROM abits GROUP BY doc_id
-       |),
-       |aids AS (
-       |  SELECT doc_id FROM atxt
-       |  UNION ALL SELECT doc_id + $idBase FROM apl
-       |  UNION ALL SELECT doc_id + $strideBase FROM apl
        |),
        |full_aph AS (
        |  SELECT i.doc_id,
@@ -2185,6 +2201,32 @@ object Oracle {
          |SELECT doc_id, CAST($ow AS INT) AS out_w, CAST($oh AS INT) AS out_h,
          |  luma_sum, luma_md5
          |FROM per ORDER BY doc_id""".stripMargin
+    },
+
+    // sample-true resample replay: the synth-formula frames box-average
+    // in groups of AudioResampleFactor (floor division, 16-bit clamp),
+    // then energy-sum and md5 in frame order — the codec-free mirror
+    // of the real decode/decimate/re-encode; the re-encoded WAV rides
+    // the Spark row but never the hash
+    "mm_audio_resample" -> {
+      val f = graft.operators.Multimodal.AudioResampleFactor
+      s"""WITH ${audioFrameCtes(1)},
+         |ars AS (
+         |  SELECT doc_id, k // $f AS g,
+         |    CAST(greatest(-32768, least(32767, sum(v) // count(*))) AS BIGINT) AS val
+         |  FROM afr GROUP BY doc_id, k // $f
+         |),
+         |aper AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_frames,
+         |    CAST(sum(abs(val)) AS BIGINT) AS energy_sum,
+         |    md5(string_agg(CAST(val AS VARCHAR), '_' ORDER BY g)) AS pcm_md5
+         |  FROM ars GROUP BY doc_id
+         |)
+         |SELECT p.doc_id, CAST(r.rate // $f AS BIGINT) AS out_rate,
+         |  p.n_frames, p.energy_sum, p.pcm_md5
+         |FROM aper p JOIN arate r USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin
     },
 
     "mm_audio_phash" ->

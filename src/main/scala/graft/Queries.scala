@@ -1604,6 +1604,17 @@ object Queries {
     Multimodal.audioFingerprint(audioPayloadSet(s, dir))
       .toDF().orderBy("doc_id")
 
+  /** SAMPLE-TRUE audio resample: real container scan → PCM decode →
+    * exact integer box-average decimation → real WAV re-encode; only
+    * the formula-replayable proof columns hash (the [[mmResizePx]]
+    * discipline), the playable payload rides the row.
+    */
+  def mmAudioResample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resampleAudio(audioPayloadSet(s, dir))
+      .toDF()
+      .select("doc_id", "out_rate", "n_frames", "energy_sum", "pcm_md5")
+      .orderBy("doc_id")
+
   /** Perceptual AUDIO near-dup pairs: banded candidates, Hamming
     * verify — each planted waveform must pair with its resample and
     * nothing else, with the text-synth WAVs riding as negatives.
@@ -1940,6 +1951,7 @@ object Queries {
     "mm_resize_px" -> (mmResizePx _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "mm_audio_phash" -> (mmAudioPhash _),
+    "mm_audio_resample" -> (mmAudioResample _),
     "mm_audio_near_dup" -> (mmAudioNearDup _),
     "mm_audio_dedup_clusters" -> (mmAudioDedupClusters _),
     "streaming_mm_audio_near_dup" -> (streamingMmAudioNearDup _),

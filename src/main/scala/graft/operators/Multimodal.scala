@@ -418,6 +418,102 @@ object Multimodal {
       .toDF()
   }
 
+  /** One sample-true audio resample result: the re-encoded WAV (a real
+    * playable container — consumers get actual audio bytes) plus
+    * SQL-replayable proof columns: output frame count, the resampled
+    * track's integer |sample| energy sum, and an md5 over its
+    * `_`-joined sample values (container bytes hash-stable here, but
+    * proof columns keep the [[MmResizedPx]] discipline: only
+    * formula-replayable values participate in hashing).
+    */
+  case class MmAudioResampled(
+      doc_id: Long,
+      out_rate: Long,
+      n_frames: Long,
+      energy_sum: Long,
+      pcm_md5: String,
+      payload: Array[Byte])
+
+  /** Decimation factor for [[resampleAudio]]. */
+  val AudioResampleFactor = 4
+
+  /** SAMPLE-TRUE audio resample — [[resizePx]]'s audio sibling:
+    * chunk-scan the container, decode the signed 16-bit frames,
+    * mono-mix, box-average every [[AudioResampleFactor]] consecutive
+    * frames with EXACT integer arithmetic (floor(sum/count) — no
+    * float, so a formula-replaying twin is bit-exact), and re-encode
+    * through [[wavHeader]] at rate/factor. Non-WAV / non-16-bit
+    * payloads drop (strict container discipline, as
+    * [[audioFingerprint]]); a final partial window averages its
+    * actual count, as any decimator does.
+    */
+  def resampleAudio(
+      withPayloadDf: DataFrame,
+      factor: Int = AudioResampleFactor): Dataset[MmAudioResampled] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val p = r.payload
+        parseWav(p).filter(_.bits == 16).flatMap { w =>
+          val blockAlign = w.ch * 2
+          val avail = math.max(0L, (p.length - w.dataOff).toLong)
+          val usable = math.min(w.dataLen, avail)
+          val n = (usable / blockAlign).toInt
+          if (n <= 0) None
+          else {
+            val outN = (n + factor - 1) / factor
+            val out = new Array[Short](outN)
+            var o = 0
+            var k = 0
+            while (k < n) {
+              val hi = math.min(k + factor, n)
+              var acc = 0L
+              var j = k
+              while (j < hi) {
+                var fv = 0L
+                var c = 0
+                while (c < w.ch) {
+                  val off = w.dataOff + j * blockAlign + 2 * c
+                  fv += (((p(off + 1) & 0xff) << 8) | (p(off) & 0xff)).toShort.toLong
+                  c += 1
+                }
+                acc += fv
+                j += 1
+              }
+              // floor division toward negative infinity (SQL // floors
+              // the same way), then clamp to the 16-bit output range:
+              // a stereo mono-mix sum can exceed a short, and a real
+              // mixer saturates rather than wraps
+              val v = Math.floorDiv(acc, (hi - k).toLong)
+              out(o) = math.max(-32768L, math.min(32767L, v)).toShort
+              o += 1
+              k = hi
+            }
+            val body = new Array[Byte](outN * 2)
+            var i2 = 0
+            var energy = 0L
+            val parts = new StringBuilder
+            while (i2 < outN) {
+              body(2 * i2) = out(i2).toByte
+              body(2 * i2 + 1) = (out(i2) >> 8).toByte
+              energy += math.abs(out(i2).toLong)
+              if (parts.nonEmpty) parts.append('_')
+              parts.append(out(i2).toInt)
+              i2 += 1
+            }
+            val pcmMd5 = md.digest(parts.toString.getBytes("US-ASCII"))
+              .map("%02x".format(_)).mkString
+            Some(MmAudioResampled(
+              r.doc_id, w.rate / factor, outN.toLong, energy, pcmMd5,
+              wavHeader((w.rate / factor).toInt, 1, 16, body.length) ++ body))
+          }
+        }
+      }
+    }
+  }
+
   /** Perceptual AUDIO near-dup pairs: band-bucket equi-join (never
     * all-pairs) over [[audioFingerprint]], Hamming verify over the
     * full 64 bits, threshold [[MmHammingMax]] — [[mmNearDup]]'s shape

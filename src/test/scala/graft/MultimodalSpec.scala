@@ -346,6 +346,40 @@ class MultimodalSpec extends AnyFunSuite {
       "energy must use |frame|, not the signed value")
   }
 
+  test("resampleAudio: box-averaged samples round-trip through the re-encoded WAV exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = envelope(403, 5) // non-multiple of 4: partial final window
+    val rows = Seq(Multimodal.MmRow(7L, "audio", 0L, 0L, wav(base, rate = 8000))).toDF()
+    val out = Multimodal.resampleAudio(rows).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.out_rate == 2000L && r.n_frames == 101L) // ceil(403/4)
+    // independent local recomputation of the decimation
+    val expected = base.grouped(4).map { g =>
+      math.max(-32768L, math.min(32767L,
+        Math.floorDiv(g.map(_.toLong).sum, g.length.toLong))).toInt
+    }.toSeq
+    assert(r.energy_sum == expected.map(v => math.abs(v.toLong)).sum)
+    // the re-encoded WAV must DECODE back to the same samples — the
+    // round-trip proof the container write is real (and composable:
+    // the fingerprint kernel reads the resampled payload directly)
+    val w = Multimodal.parseWav(r.payload).get
+    assert(w.rate == 2000L && w.ch == 1 && w.bits == 16 && w.dataLen == 202L)
+    val decoded = (0 until 101).map { i =>
+      val off = w.dataOff + 2 * i
+      (((r.payload(off + 1) & 0xff) << 8) | (r.payload(off) & 0xff)).toShort.toInt
+    }
+    assert(decoded == expected, "re-encoded WAV lost the decimated samples")
+    // stereo mono-mix saturates rather than wraps
+    val loud = Array.fill[Short](200)(30000)
+    val stereo = new Array[Short](400)
+    loud.indices.foreach { i => stereo(2 * i) = loud(i); stereo(2 * i + 1) = loud(i) }
+    val sat = Multimodal.resampleAudio(
+      Seq(Multimodal.MmRow(8L, "audio", 0L, 0L, wav(stereo, ch = 2))).toDF()).head()
+    assert(sat.energy_sum == 50L * 32767, "stereo sum must clamp at the 16-bit rail")
+  }
+
   test("corrupt RIFF chunk lengths neither spin the scan nor throw") {
     val spark = TestSpark.spark
     import spark.implicits._
