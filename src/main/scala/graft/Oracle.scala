@@ -1650,6 +1650,12 @@ object Oracle {
     // the stateless ingest-time lang-ID kernel over bounded input
     // computes the batch doc_lang_id rows exactly — shared twin
     ("streaming_lang_id" -> allBase("doc_lang_id")) +
+    // ingest-time WARC extraction is the stateless batch kernel on an
+    // unbounded frame — shared twin
+    ("streaming_warc_extract" -> allBase("warc_extract")) +
+    // the stateless ingest-time LM kernel over bounded input computes
+    // the batch stored rows exactly — shared twin
+    ("streaming_lm_score" -> allBase("doc_lm_score_stored")) +
     // the residual serving layout encodes and ranks the in-memory
     // residual path's exact geometry (stand-in books, firstK coarse;
     // parquet round-trips codes exactly) — shared twin
@@ -3327,6 +3333,30 @@ object Oracle {
 
     // Twin of Ann.embOutliers: same rounded centroids, same
     // quantize-before-sum distance terms, exact median over integers.
+    // drift twin: identical md5 window coin, identical micro
+    // quantize-before-sum, one double division per mean on each side
+    "emb_drift_report" ->
+      """WITH q AS (
+        |  SELECT CAST(('0x' || substr(md5('drift' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS w,
+        |    g.i AS pos,
+        |    CAST(round(CAST(embedding[CAST(g.i + 1 AS INTEGER)] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i) g
+        |),
+        |a AS (
+        |  SELECT pos,
+        |    CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+        |    CAST(sum(CASE WHEN w = 0 THEN q ELSE 0 END) AS BIGINT) AS s_ref,
+        |    CAST(sum(CASE WHEN w = 1 THEN q ELSE 0 END) AS BIGINT) AS s_cur
+        |  FROM q GROUP BY pos
+        |)
+        |SELECT CAST(pos AS INTEGER) AS pos, n_ref, n_cur,
+        |  round(CAST(s_ref AS DOUBLE) / (CAST(n_ref AS DOUBLE) * 1000000.0), 6) AS mean_ref,
+        |  round(CAST(s_cur AS DOUBLE) / (CAST(n_cur AS DOUBLE) * 1000000.0), 6) AS mean_cur,
+        |  round(abs(CAST(s_cur AS DOUBLE) / (CAST(n_cur AS DOUBLE) * 1000000.0)
+        |      - CAST(s_ref AS DOUBLE) / (CAST(n_ref AS DOUBLE) * 1000000.0)), 6) AS mean_shift
+        |FROM a ORDER BY pos""".stripMargin,
+
     "emb_outliers" ->
       s"""WITH cent AS (
          |  SELECT label, pos,
@@ -3425,6 +3455,99 @@ object Oracle {
     // Twin of TextStats.entropy: identical quantize-before-sum — each
     // (doc, word) term rounds to integer micro-units before the per-doc
     // sum, so summation order can never move the hash.
+    // Twin of TextStats.lmScore: same bigram construction (split
+    // keeps empties, docs under 2 words carry no bigram), same
+    // add-one smoothing expression, per-bigram ln quantized to
+    // integer micro BEFORE the doc sum (the entropy discipline), one
+    // double division per mean and one exp, rounded at 6.
+    "doc_lm_score" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    w[CAST(g.i + 1 AS INTEGER)] AS w1,
+        |    w[CAST(g.i + 2 AS INTEGER)] AS w2
+        |  FROM ws, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) g
+        |  WHERE len(w) >= 2
+        |),
+        |uni AS (
+        |  SELECT word AS w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word
+        |),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM uni),
+        |lp AS (
+        |  SELECT bg.doc_id,
+        |    CAST(round(-ln(CAST(coalesce(bi.c12, 0) + 1 AS DOUBLE)
+        |        / CAST(coalesce(uni.c1, 0) + v.v_size AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+        |  FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN uni ON uni.w = bg.w1 CROSS JOIN v
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lp_micro) AS BIGINT) AS nll_micro
+        |  FROM lp GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(agg.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  coalesce(agg.nll_micro, CAST(0 AS BIGINT)) AS nll_micro,
+        |  round(CAST(agg.nll_micro AS DOUBLE) / 1e6 / agg.n_bigrams, 6) AS avg_nll,
+        |  round(exp(CAST(agg.nll_micro AS DOUBLE) / 1e6 / agg.n_bigrams), 6) AS ppl
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Twin of TextStats.lmScoreStored: fit on the md5 train split
+    // (the doc_split expression), prune the bigram tier to the top
+    // 4096 by (count desc, w1, w2) — the Spark side's
+    // TakeOrderedAndProject is the same total order — keep the
+    // unigram tier whole, score ALL documents with unseen mass
+    // coalesced to 0 under the identical smoothing expression. The
+    // Spark side runs the broadcast KERNEL; hash equality here is the
+    // kernel ≡ join proof on the full corpus.
+    "doc_lm_score_stored" ->
+      """WITH tr AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+        |),
+        |tws AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
+        |tbg AS (
+        |  SELECT w[CAST(g.i + 1 AS INTEGER)] AS w1,
+        |    w[CAST(g.i + 2 AS INTEGER)] AS w2
+        |  FROM tws, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) g
+        |  WHERE len(w) >= 2
+        |),
+        |uni AS (
+        |  SELECT word AS w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM tr)
+        |  GROUP BY word
+        |),
+        |bi0 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tbg GROUP BY w1, w2),
+        |bi AS (SELECT * FROM bi0 ORDER BY c12 DESC, w1, w2 LIMIT 4096),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM uni),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    w[CAST(g.i + 1 AS INTEGER)] AS w1,
+        |    w[CAST(g.i + 2 AS INTEGER)] AS w2
+        |  FROM ws, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) g
+        |  WHERE len(w) >= 2
+        |),
+        |lp AS (
+        |  SELECT bg.doc_id,
+        |    CAST(round(-ln(CAST(coalesce(bi.c12, 0) + 1 AS DOUBLE)
+        |        / CAST(coalesce(uni.c1, 0) + v.v_size AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+        |  FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN uni ON uni.w = bg.w1 CROSS JOIN v
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lp_micro) AS BIGINT) AS nll_micro
+        |  FROM lp GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(agg.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  coalesce(agg.nll_micro, CAST(0 AS BIGINT)) AS nll_micro,
+        |  round(CAST(agg.nll_micro AS DOUBLE) / 1e6 / agg.n_bigrams, 6) AS avg_nll,
+        |  round(exp(CAST(agg.nll_micro AS DOUBLE) / 1e6 / agg.n_bigrams), 6) AS ppl
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "doc_entropy" ->
       """WITH wrd AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

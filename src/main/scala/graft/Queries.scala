@@ -635,6 +635,55 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM perplexity under the corpus's OWN distribution — the
+    * CCNet-style gibberish read: docs whose word transitions are
+    * globally rare score high even when every word is common.
+    */
+  def docLmScore(s: SparkSession, dir: String): DataFrame =
+    TextStats.lmScore(docs(s, dir)).orderBy("doc_id")
+
+  /** Stored-LM cache — train on the deterministic md5 train split,
+    * persist the pruned artifact, load it back ONCE per (session,
+    * dir); bench sweeps and both stored faces probe the same frozen
+    * model instead of refitting per call.
+    */
+  private val lmArtifactCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (Map[(String, String), Long], Map[String, Long], Long)]]()
+
+  def lmStoredModel(s: SparkSession, dir: String): (Map[(String, String), Long], Map[String, Long], Long) =
+    lmArtifactCache.synchronized {
+      val perSession = lmArtifactCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, (Map[(String, String), Long], Map[String, Long], Long)])
+      perSession.getOrElseUpdate(
+        dir, {
+          val train = docs(s, dir).join(
+            TextStats.trainSplit(docs(s, dir)).filter(col("split") === "train").select("doc_id"),
+            Seq("doc_id"))
+          val (bi, uni, v) = TextStats.lmCounts(train)
+          val p = java.nio.file.Files.createTempDirectory("graft_lm_").toString
+          TextStats.saveLm(s, p, bi, uni, v.collect().head.getLong(0))
+          TextStats.loadLm(s, p)
+        })
+    }
+
+  /** [[docLmScore]] through a PERSISTED pruned artifact trained on the
+    * md5 train split and applied to the full corpus — the production
+    * filter shape: frozen model in a broadcast, zero-shuffle scoring,
+    * unseen mass priced by add-one smoothing.
+    */
+  def docLmScoreStored(s: SparkSession, dir: String): DataFrame = {
+    val (bi, uni, v) = lmStoredModel(s, dir)
+    TextStats.lmScoreStored(docs(s, dir), bi, uni, v).orderBy("doc_id")
+  }
+
+  /** The ingest-time LM filter over bounded input — the stateless
+    * kernel computes the batch stored rows exactly (shared twin).
+    */
+  def streamingLmScore(s: SparkSession, dir: String): DataFrame = {
+    val (bi, uni, v) = lmStoredModel(s, dir)
+    graft.streaming.Streaming.lmScoreStream(docs(s, dir), bi, uni, v).orderBy("doc_id")
+  }
+
   /** Content fingerprints (md5 + bottom-3 shingle sketch). */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprint(docs(s, dir)).orderBy("doc_id")
@@ -655,6 +704,16 @@ object Queries {
     Corpus.docPipeline(
       TextStats.extractText(TextStats.wrapHtml(docs(s, dir)))
         .select("doc_id", "text"))
+      .orderBy("doc_id")
+
+  /** Ingest-time WARC extraction over bounded input — the stateless
+    * kernel computes the batch warc_extract rows exactly (shared
+    * twin): a crawler's rolling archive uploads become corpus rows
+    * while the crawl runs.
+    */
+  def streamingWarcExtract(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.warcExtractStream(
+      graft.sources.Warc.withWarcPayload(TextStats.wrapHtml(docs(s, dir))))
       .orderBy("doc_id")
 
   /** The archive-to-corpus story end-to-end: WARC files → record scan
@@ -1505,6 +1564,12 @@ object Queries {
   def embCentroids(s: SparkSession, dir: String): DataFrame =
     Ann.labelCentroids(embs(s, dir)).orderBy("label", "pos")
 
+  /** Per-dimension mean shift between the reference and current
+    * corpus windows — the drift read that precedes recall decay.
+    */
+  def embDriftReport(s: SparkSession, dir: String): DataFrame =
+    Ann.embDriftReport(embs(s, dir)).orderBy("pos")
+
   /** Multimodal plumbing: binary payload + metadata -> typed
     * partition-batched feature extraction (decode stubbed).
     */
@@ -1851,6 +1916,9 @@ object Queries {
     "doc_quality_model" -> (docQualityModel _),
     "doc_quality_model_trained" -> (docQualityModelTrained _),
     "doc_quality_model_stored" -> (docQualityModelStored _),
+    "doc_lm_score" -> (docLmScore _),
+    "doc_lm_score_stored" -> (docLmScoreStored _),
+    "streaming_lm_score" -> (streamingLmScore _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_split_leakage" -> (docSplitLeakage _),
@@ -1860,6 +1928,7 @@ object Queries {
     "doc_extract_html" -> (docExtractHtml _),
     "warc_extract" -> (warcExtract _),
     "warc_pipeline" -> (warcPipeline _),
+    "streaming_warc_extract" -> (streamingWarcExtract _),
     "doc_pipeline_html" -> (docPipelineHtml _),
     "doc_pii_scrub" -> (docPiiScrub _),
     "doc_repetition" -> (docRepetition _),
@@ -1938,6 +2007,7 @@ object Queries {
     "ann_topk_banded" -> (annTopkBanded _),
     "emb_dedup_clusters" -> (embDedupClusters _),
     "emb_centroids" -> (embCentroids _),
+    "emb_drift_report" -> (embDriftReport _),
     "emb_outliers" -> (embOutliers _),
     "emb_quantize" -> (embQuantize _),
     "emb_project" -> (embProject _),

@@ -1594,6 +1594,41 @@ object Ann {
     * identically). Quantization error (<=5e-7 per element, averaged
     * down further) is far below any embedding's meaningful precision.
     */
+  /** Embedding DRIFT report: per-dimension mean shift between a
+    * reference window and the current window (deterministic md5
+    * halves standing in for "the corpus the index was built on" vs
+    * "the corpus it serves now") — the leading indicator an ops
+    * dashboard reads BEFORE recall decays: when the per-dimension
+    * means move, the frozen centroids/books/rotation describe a
+    * corpus that no longer exists, [[recallReport]] confirms the
+    * damage, and [[graft.sinks.Sinks.rebuildAnnIndex]] remediates.
+    * Determinism: per-(vec, dim) values quantize to integer micro
+    * BEFORE the sums (order-free exact — the [[labelCentroids]]
+    * pattern); each mean is one double division of exact integers.
+    */
+  def embDriftReport(emb: DataFrame): DataFrame = {
+    val coin = expr(
+      "CAST(conv(substr(md5(concat('drift', CAST(vec_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2")
+    val micro = round(col("v").cast("double") * 1000000).cast("long")
+    val meanRef = col("s_ref").cast("double") / (col("n_ref").cast("double") * 1000000.0)
+    val meanCur = col("s_cur").cast("double") / (col("n_cur").cast("double") * 1000000.0)
+    emb
+      .select(coin.as("w"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(
+        sum(when(col("w") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("w") === 1, 1L).otherwise(0L)).as("n_cur"),
+        sum(when(col("w") === 0, micro).otherwise(0L)).as("s_ref"),
+        sum(when(col("w") === 1, micro).otherwise(0L)).as("s_cur"))
+      .select(
+        col("pos").cast("int").as("pos"),
+        col("n_ref"),
+        col("n_cur"),
+        round(meanRef, 6).as("mean_ref"),
+        round(meanCur, 6).as("mean_cur"),
+        round(abs(meanCur - meanRef), 6).as("mean_shift"))
+  }
+
   def labelCentroids(emb: DataFrame): DataFrame =
     emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))

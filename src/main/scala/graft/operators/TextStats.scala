@@ -715,7 +715,18 @@ object TextStats {
     * is named `text`, so the result feeds the whole existing
     * shingle/quality/dedup pipeline unchanged.
     */
-  def extractText(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+  def extractText(pages: DataFrame, htmlCol: String = "html"): DataFrame =
+    pages.select(
+      col("doc_id"),
+      extractedTextCol(htmlCol).as("text"),
+      length(col(htmlCol)).as("n_chars_raw"),
+      length(extractedTextCol(htmlCol)).as("n_chars_text"))
+
+  /** The extraction as a COLUMN — shared by [[extractText]] and faces
+    * that must keep sibling columns in one projection (a stream
+    * cannot join back to itself to re-attach them).
+    */
+  private[graft] def extractedTextCol(htmlCol: String): Column = {
     val noScript = regexp_replace(col(htmlCol), "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
@@ -730,12 +741,7 @@ object TextStats {
         "&quot;", "\""),
       "&amp;", "&")
     // explicit class, not \s: Java's \s includes \x0B, RE2's does not
-    val cleaned = trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
-    pages.select(
-      col("doc_id"),
-      cleaned.as("text"),
-      length(col(htmlCol)).as("n_chars_raw"),
-      length(cleaned).as("n_chars_text"))
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
   }
 
   /** Content fingerprint: md5 of the whitespace-normalized lowercase
@@ -981,5 +987,188 @@ object TextStats {
     val w = Array.tabulate(ModelBuckets)(i =>
       (i.toLong, math.round(model.coefficients(i) * 1000)))
     (w, math.round(model.intercept * 1000))
+  }
+
+  // ---------------------------------------------------------------
+  // Bigram language-model perplexity (the CCNet-style LM filter)
+  // ---------------------------------------------------------------
+
+  /** Stored-LM bigram budget: the pruning tier keeps the top
+    * `LmTopBigrams` bigrams by (count desc, w1, w2) — the KenLM-
+    * pruning analogue that makes the persisted artifact bounded BY
+    * CONSTRUCTION regardless of corpus size, so scoring against a
+    * stored model is a broadcast probe, never a join. The unigram
+    * tier is NOT pruned: it is the vocabulary, bounded by the
+    * language, and keeping it whole preserves the c12 <= c1 invariant
+    * that makes every per-bigram logprob non-negative.
+    */
+  val LmTopBigrams = 4096
+
+  /** LM "fit": bigram counts, unigram counts, and the vocabulary size
+    * over `train`. All three stay DataFrames — at 100 TB the
+    * self-trained LM is unbounded and scoring JOINS on it (shuffles
+    * keyed on the bigram/unigram with map-side combine); only the
+    * pruned stored artifact ever reaches the driver. Tokenization is
+    * the registry's `split(text, ' ')` (empties kept), so every text
+    * face shares one vocabulary convention.
+    */
+  def lmCounts(train: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val uni = train.select(explode(words).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = train
+      .select(words.as("w")).where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    (bi, uni, uni.agg(count(lit(1)).as("v_size")))
+  }
+
+  /** Top-k bigram pruning — `orderBy.limit` so Spark plans a
+    * TakeOrderedAndProject (per-partition top-k + driver merge of k
+    * rows), NOT a global sort; ties break on (w1, w2) so the kept set
+    * is a pure function of the counts.
+    */
+  def lmPrune(bi: DataFrame, k: Int = LmTopBigrams): DataFrame =
+    bi.orderBy(col("c12").desc, col("w1"), col("w2")).limit(k)
+
+  /** Per-document negative log-likelihood under an add-one-smoothed
+    * bigram LM — the CCNet-style perplexity filter (Wenzek et al.
+    * 2020, public): lp(w1 w2) = -ln((c12 + 1) / (c1 + V)), quantized
+    * to integer micro PER BIGRAM before the doc sum (order-free exact
+    * — the [[entropy]] discipline), then one division for the mean
+    * and one exp for the perplexity, rounded at 6. Unseen bigrams and
+    * unseen context words coalesce to count 0, which is exactly what
+    * add-one smoothing is for — so the same expression scores a
+    * corpus against ITSELF (every bigram present) or against a model
+    * trained on a different window (unseen mass priced by V).
+    * Sub-2-word documents carry no bigram evidence: n_bigrams = 0,
+    * scores null.
+    */
+  def lmScoreWith(docs: DataFrame, bi: DataFrame, uni: DataFrame, v: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), words.as("w")).where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val agg = bg
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1_u"), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(
+        col("doc_id"),
+        round(-log(
+          (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c1_u"), lit(0L)) + col("v_size")).cast("double")) * 1000000)
+          .cast("long").as("lp_micro"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("lp_micro").as("nll_micro"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        round(col("nll_micro") / 1e6 / col("n_bigrams"), 6).as("avg_nll"),
+        round(exp(col("nll_micro") / 1e6 / col("n_bigrams")), 6).as("ppl"))
+  }
+
+  /** Self-trained LM score: the corpus priced under its own bigram
+    * distribution — the gibberish/boilerplate read (a doc of globally
+    * rare transitions scores high-perplexity even when every WORD is
+    * common).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val (bi, uni, v) = lmCounts(docs)
+    lmScoreWith(docs, bi, uni, v)
+  }
+
+  /** Persist an LM artifact: pruned bigram tier, full unigram tier,
+    * one meta row carrying the TRAINING vocabulary size (V must be
+    * the trained vocabulary, not the pruned table's row count — the
+    * smoothing denominator is a property of the fit).
+    */
+  def saveLm(
+      spark: SparkSession,
+      path: String,
+      bi: DataFrame,
+      uni: DataFrame,
+      v: Long): Unit = {
+    import spark.implicits._
+    lmPrune(bi).coalesce(1).write.mode("overwrite").parquet(s"$path/bigrams")
+    uni.coalesce(1).write.mode("overwrite").parquet(s"$path/unigrams")
+    Seq(v).toDF("v_size").coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load an LM artifact into broadcast-ready maps. The collect here
+    * is the artifact contract: bigrams capped at [[LmTopBigrams]] by
+    * [[saveLm]], unigrams vocabulary-bounded — kilobytes to megabytes
+    * by construction, never corpus-sized.
+    */
+  def loadLm(spark: SparkSession, path: String): (Map[(String, String), Long], Map[String, Long], Long) = {
+    val bi = spark.read.parquet(s"$path/bigrams").collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")), r.getAs[Long]("c12"))).toMap
+    val uni = spark.read.parquet(s"$path/unigrams").collect()
+      .map(r => ((r.getAs[String]("w"), r.getAs[Long]("c1")))).toMap
+    val v = spark.read.parquet(s"$path/meta").collect().head.getAs[Long]("v_size")
+    (bi, uni, v)
+  }
+
+  /** The per-document scoring kernel shared by the stored-model batch
+    * face and the streaming face: same split (empties kept), same
+    * per-bigram micro quantization (BigDecimal HALF_UP — Spark
+    * `round`'s rule), same coalesce-to-zero smoothing probes as the
+    * join path, so kernel ≡ join bit-for-bit (LmSpec pins it).
+    */
+  def lmScoreKernel(
+      text: String,
+      bi: Map[(String, String), Long],
+      uni: Map[String, Long],
+      v: Long): (Long, Long) = {
+    val w = text.split(" ", -1)
+    var n = 0L
+    var nll = 0L
+    var i = 0
+    while (i < w.length - 1) {
+      val c12 = bi.getOrElse((w(i), w(i + 1)), 0L)
+      val c1 = uni.getOrElse(w(i), 0L)
+      val lp = -math.log((c12 + 1L).toDouble / (c1 + v).toDouble) * 1000000d
+      nll += BigDecimal(lp).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      n += 1L
+      i += 1
+    }
+    (n, nll)
+  }
+
+  /** Score `docs` against a LOADED (pruned, frozen) LM artifact — the
+    * production filter shape: the model ships in a broadcast, scoring
+    * is one stateless partition-parallel pass with ZERO shuffles
+    * (compare the self-trained path's two count shuffles + two probe
+    * joins), and per-doc cost is independent of corpus size.
+    */
+  def lmScoreStored(
+      docs: DataFrame,
+      bi: Map[(String, String), Long],
+      uni: Map[String, Long],
+      v: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val biB = spark.sparkContext.broadcast(bi)
+    val uniB = spark.sparkContext.broadcast(uni)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (n, nll) = lmScoreKernel(text, biB.value, uniB.value, v)
+        val avg =
+          if (n == 0L) None
+          else Some(BigDecimal(nll.toDouble / 1e6 / n.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        val ppl =
+          if (n == 0L) None
+          else Some(BigDecimal(math.exp(nll.toDouble / 1e6 / n.toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        (id, n, nll, avg, ppl)
+      })
+      .toDF("doc_id", "n_bigrams", "nll_micro", "avg_nll", "ppl")
   }
 }

@@ -1079,6 +1079,70 @@ object Streaming {
       }
   }
 
+  /** [[mmAudioNearDupStream]] with the REAL state bound an endless
+    * crawl needs — [[mmNearDupStreamTtl]]'s watermark-driven eviction
+    * and timeout re-arming verbatim, on the audio fingerprint kernel:
+    * each band bucket lives `ttlSeconds` of EVENT time past its newest
+    * member, then evicts (a resample arriving after its bucket closed
+    * pairs with nothing — the takedown-friendly trade). `withPayload`
+    * needs an `event_ts` column.
+    */
+  def mmAudioNearDupStreamTtl(
+      withPayload: org.apache.spark.sql.DataFrame,
+      watermarkDelay: String,
+      ttlSeconds: Long): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    val hashed = withPayload
+      .select(col("doc_id"), col("payload"), col("event_ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, p, ts) =>
+        graft.operators.Multimodal.audioDHash(p).map { case (hi, lo) => (id, hi, lo, ts) }
+      })
+      .toDF("doc_id", "ph_hi", "ph_lo", "event_ts")
+    graft.operators.Multimodal.perceptualBanded(hashed)
+      .withWatermark("event_ts", watermarkDelay)
+      .select(
+        col("doc_id"), col("band").cast("int").as("band"),
+        col("key"), col("ph_hi"), col("ph_lo"), col("event_ts"))
+      .as[MmBandKeyedTs]
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[MmBandKeyedTs], state: GroupState[MmTtlBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            val prior = state.getOption.getOrElse(MmTtlBucket(Vector.empty, Long.MinValue))
+            val (members, out) = mmBucketFold(
+              batch.iterator.map(r => MmBandKeyed(r.doc_id, r.band, r.key, r.ph_hi, r.ph_lo)),
+              prior.members)
+            val newest = math.max(prior.newestTs, batch.map(_.event_ts.getTime).max)
+            state.update(MmTtlBucket(members, newest))
+            state.setTimeoutTimestamp(newest + ttlSeconds * 1000L)
+            out.iterator
+          }
+      }
+  }
+
+  /** Ingest-time WARC extraction: arriving archive FILES (one binary
+    * payload per file, the shape a crawler's rolling uploads have)
+    * record-scan, HTTP-parse, and text-extract inside the stream —
+    * the [[graft.sources.Warc.parseWarcRecords]] kernel is a
+    * stateless typed flatMap, so the streaming face IS the batch
+    * kernel on an unbounded frame; no state, no watermark, exactly
+    * the lang-ID/keep-mask stateless-ingest discipline.
+    */
+  def warcExtractStream(files: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ex = graft.operators.TextStats.extractedTextCol("html")
+    graft.sources.Warc.parseWarcRecords(files).toDF()
+      .select(
+        col("doc_id"), col("url"), col("warc_date"), col("status"),
+        col("n_block_bytes"), ex.as("text"),
+        length(col("html")).as("n_chars_raw"), length(ex).as("n_chars_text"))
+  }
+
   /** The audio candidate stream's fold over bounded input — the
     * oracle-checkable batch twin (equals the audio band-bucket
     * self-join with the Hamming verify, kept per band).
@@ -1466,4 +1530,20 @@ object Streaming {
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, lang, t) => langIdScore(id, lang, t) })
   }
+
+  /** LM-perplexity filtering AT INGEST: each arriving document prices
+    * its bigrams against a FROZEN stored LM (the
+    * [[decontaminateStream]] contract — the pruned artifact is
+    * kilobytes–megabytes by construction and ships in a broadcast).
+    * The kernel is [[graft.operators.TextStats.lmScoreKernel]], the
+    * very function the batch stored face runs, so stream ≡ batch by
+    * construction: stateless per-row scoring, no watermark, no state
+    * store, no shuffle — the filter scales with the scan.
+    */
+  def lmScoreStream(
+      docs: org.apache.spark.sql.DataFrame,
+      bi: Map[(String, String), Long],
+      uni: Map[String, Long],
+      v: Long): org.apache.spark.sql.DataFrame =
+    graft.operators.TextStats.lmScoreStored(docs, bi, uni, v)
 }

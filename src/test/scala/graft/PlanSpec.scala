@@ -262,6 +262,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("doc_lm_score: V broadcasts; bigram/unigram probes hash-join, no cartesian") {
+    val p = plan("doc_lm_score")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the one-row V total must arrive by broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "LM scoring must never plan a cartesian")
+  }
+
+  test("doc_lm_score_stored: frozen-model scoring is one shuffle-free map pass") {
+    val p = plan("doc_lm_score_stored")
+    // everything before the registry's presentation orderBy must be a
+    // single partition-parallel pass: no aggregation or join exchanges
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"stored LM scoring must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "stored LM scoring must probe the broadcast maps in the kernel, not join")
+  }
+
   test("doc_quality_model: the weight table probes by broadcast hash join") {
     val p = plan("doc_quality_model")
     // model size must cost a broadcast, not a corpus shuffle: the

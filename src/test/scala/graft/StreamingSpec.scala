@@ -669,6 +669,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)), "epoch-1 output unchanged")
   }
 
+  test("WARC ingest stream: rolling archive files extract exactly the batch rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val W = graft.sources.Warc
+    val docs = (1L to 25L).map(i => (i, s"warc stream doc $i with <markup> & words"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val pages = graft.operators.TextStats.wrapHtml(docs)
+    val files = W.withWarcPayload(pages)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = Streaming.warcExtractStream(stream.toDF().toDF("file_id", "payload"))
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    // two micro-batches: files arrive as a crawler uploads them
+    stream.addData(files.take(2).toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(files.drop(2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("warc_stream").collect().map(_.toSeq).toSet
+    val want = Streaming.warcExtractStream(files.toSeq.toDF("file_id", "payload"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streamed WARC extraction diverged from the batch kernel")
+    assert(got.size == 25, s"every response record must surface: ${got.size}")
+  }
+
+  test("TTL-evicted audio stream: a closed bucket stops cross-epoch recording pairs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    def env(n: Int, seed: Int): Array[Short] =
+      Array.tabulate(n)(j => (500 +
+        ((((j / 25) * 2654435761L + seed * 40503L) & 0x7fffffffL) % 13).toInt * 400).toShort)
+    def wav(samples: Array[Short], rate: Int): Array[Byte] = {
+      val body = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        body(2 * i) = samples(i).toByte
+        body(2 * i + 1) = (samples(i) >> 8).toByte
+      }
+      graft.operators.Multimodal.wavHeader(rate, 1, 16, body.length) ++ body
+    }
+    val rec = env(800, 3)
+    val dup = wav(rec, 8000)
+    val resample = wav(Array.range(0, rec.length, 2).map(rec(_)), 4000)
+    val stream = MemoryStream[(Long, String, Long, Long, Array[Byte], java.sql.Timestamp)]
+    val cols = Seq("doc_id", "modality", "width", "height", "payload", "event_ts")
+    val query = Streaming.mmAudioNearDupStreamTtl(
+      stream.toDS().toDF(cols: _*),
+      watermarkDelay = "0 seconds", ttlSeconds = 60)
+      .writeStream.format("memory").queryName("mm_audio_ttl")
+      .outputMode("append").start()
+    def pairs() = spark.table("mm_audio_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // epoch 1: a recording and its 2x resample pair within the TTL
+    stream.addData(Seq(
+      (1L, "audio", 0L, 0L, dup, ts(0)), (2L, "audio", 0L, 0L, resample, ts(1))))
+    query.processAllAvailable()
+    assert(pairs() == Set((1L, 2L)), "within-TTL resample must pair")
+
+    // advance event time past the timeout with unrelated recordings
+    stream.addData(Seq((50L, "audio", 0L, 0L, wav(env(800, 9), 8000), ts(5))))
+    query.processAllAvailable()
+    stream.addData(Seq((51L, "audio", 0L, 0L, wav(env(800, 11), 8000), ts(6))))
+    query.processAllAvailable()
+
+    // epoch 2: a copy after the bucket evicted pairs with nothing
+    stream.addData(Seq((4L, "audio", 0L, 0L, dup, ts(7))))
+    query.processAllAvailable()
+    query.stop()
+    assert(!pairs().exists { case (a, b) => a == 4L || b == 4L },
+      "cross-epoch audio candidates must stop once the bucket evicted")
+    assert(pairs() == Set((1L, 2L)), "epoch-1 output unchanged")
+  }
+
   test("TTL-evicted LSH stream: a late in-watermark arrival must not shrink the eviction window") {
     val spark = TestSpark.spark
     import spark.implicits._
