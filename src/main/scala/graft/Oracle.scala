@@ -2628,6 +2628,49 @@ object Oracle {
          |ORDER BY d.doc_id""".stripMargin
     },
 
+    // Twin of Corpus.sourceQualityGate: quality from the shared
+    // qualitySelect, each doc's rounded quality quantized to integer
+    // micro before the per-source sum; thresholds E-notated so DuckDB
+    // parses doubles, not narrowing decimals.
+    "source_quality_gate" ->
+      s"""WITH q AS ($qualitySelect),
+         |s AS (
+         |  SELECT d.source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT)) AS BIGINT) AS q_micro_sum,
+         |    CAST(sum(CASE WHEN q.quality < ${TextStats.QualityMin} THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+         |  GROUP BY d.source
+         |)
+         |SELECT source, n_docs, n_low,
+         |  round(CAST(q_micro_sum AS DOUBLE) / 1e6 / n_docs, 6) AS mean_quality,
+         |  round(CAST(n_low AS DOUBLE) / n_docs, 6) AS low_share,
+         |  (CAST(q_micro_sum AS DOUBLE) / 1e6 / n_docs >= 35E-2
+         |    AND CAST(n_low AS DOUBLE) / n_docs <= 5E-1) AS keep_source
+         |FROM s ORDER BY source""".stripMargin,
+
+    // Twin of Corpus.sourceFiltered: the gate's surviving sources
+    // joined back onto the corpus.
+    "doc_source_filtered" ->
+      s"""WITH q AS ($qualitySelect),
+         |s AS (
+         |  SELECT d.source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT)) AS BIGINT) AS q_micro_sum,
+         |    CAST(sum(CASE WHEN q.quality < ${TextStats.QualityMin} THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+         |  GROUP BY d.source
+         |),
+         |g AS (
+         |  SELECT source, round(CAST(q_micro_sum AS DOUBLE) / 1e6 / n_docs, 6) AS mean_quality
+         |  FROM s
+         |  WHERE CAST(q_micro_sum AS DOUBLE) / 1e6 / n_docs >= 35E-2
+         |    AND CAST(n_low AS DOUBLE) / n_docs <= 5E-1
+         |)
+         |SELECT d.doc_id, d.source, d.n_chars, g.mean_quality
+         |FROM documents d JOIN g ON d.source = g.source
+         |ORDER BY d.doc_id""".stripMargin,
+
     // keep-mask twin: quality from the shared qualitySelect; is_dup via
     // the window-min formulation, provably equal to doc_exact_dedup's
     // group-min canonical (same per-hash minimum)
@@ -3319,6 +3362,61 @@ object Oracle {
         |FROM r JOIN quota q ON r.source = q.source
         |WHERE r.rn <= q.k_src
         |ORDER BY r.doc_id""".stripMargin,
+
+    // Twin of Corpus.mixtureSampleTemperature: identical quota
+    // machinery, weights from sqrt(n_src) quantized to integer micro
+    // (same sqrt on both sides, one round) instead of the name-derived
+    // default spec.
+    "doc_mixture_temperature" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS weight
+        |  FROM documents GROUP BY source
+        |),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents GROUP BY source),
+        |wt AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM w WHERE weight > 0),
+        |caps AS (
+        |  SELECT n.source, w.weight, n.n_src, n.n_src * wt.w_total // w.weight AS cap
+        |  FROM n JOIN w ON n.source = w.source AND w.weight > 0, wt
+        |),
+        |kt AS (SELECT min(cap) AS k_mix FROM caps),
+        |quota AS (
+        |  SELECT caps.source, caps.weight, caps.n_src,
+        |    kt.k_mix * caps.weight // wt.w_total AS k_src
+        |  FROM caps, kt, wt
+        |),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('m' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.source, q.weight, r.rn, q.n_src, q.k_src
+        |FROM r JOIN quota q ON r.source = q.source
+        |WHERE r.rn <= q.k_src
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // Twin of TextStats.nfcPlant + nfcNormalize: replay the planted
+    // decomposed suffixes (chr(769)=U+0301, chr(776)=U+0308,
+    // chr(778)=U+030A) and normalize with DuckDB's OWN nfc_normalize —
+    // hash equality is the two-engines-one-UAX#15 proof; char counts
+    // are codepoints on both sides.
+    "doc_nfc" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text ||
+        |    CASE CAST(('0x' || substr(md5('nfc' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4
+        |      WHEN 0 THEN ' cafe' || chr(769)
+        |      WHEN 1 THEN ' Zu' || chr(776) || 'rich'
+        |      WHEN 2 THEN ' A' || chr(778)
+        |      ELSE '' END AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS INTEGER) AS n_chars_raw,
+        |  nfc_normalize(raw) AS text_nfc,
+        |  CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_chars_nfc,
+        |  raw != nfc_normalize(raw) AS changed
+        |FROM raw ORDER BY doc_id""".stripMargin,
 
     "emb_centroids" ->
       """SELECT label, CAST(pos AS INTEGER) AS pos,

@@ -684,6 +684,22 @@ object Queries {
     graft.streaming.Streaming.lmScoreStream(docs(s, dir), bi, uni, v).orderBy("doc_id")
   }
 
+  /** Unicode NFC normalization over planted decomposed accents. */
+  def docNfc(s: SparkSession, dir: String): DataFrame =
+    TextStats.nfcNormalize(TextStats.nfcPlant(docs(s, dir))).orderBy("doc_id")
+
+  /** Temperature-sampling mixture (T = 2, weight ∝ √n_source). */
+  def docMixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    Corpus.mixtureSampleTemperature(docs(s, dir)).orderBy("doc_id")
+
+  /** Domain-level quality gate verdicts (the C4-style source filter). */
+  def sourceQualityGate(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceQualityGate(docs(s, dir)).orderBy("source")
+
+  /** The domain gate applied: documents of surviving sources. */
+  def docSourceFiltered(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceFiltered(docs(s, dir)).orderBy("doc_id")
+
   /** Content fingerprints (md5 + bottom-3 shingle sketch). */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprint(docs(s, dir)).orderBy("doc_id")
@@ -1919,6 +1935,10 @@ object Queries {
     "doc_lm_score" -> (docLmScore _),
     "doc_lm_score_stored" -> (docLmScoreStored _),
     "streaming_lm_score" -> (streamingLmScore _),
+    "doc_nfc" -> (docNfc _),
+    "doc_mixture_temperature" -> (docMixtureTemperature _),
+    "source_quality_gate" -> (sourceQualityGate _),
+    "doc_source_filtered" -> (docSourceFiltered _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_split_leakage" -> (docSplitLeakage _),

@@ -428,6 +428,35 @@ object ScaleBench {
           s""""docs_per_sec":${(nDocs / tSec).toLong}}""")
       docs.unpersist(blocking = false)
     }
+    // bigram-LM scale probe: fit on a tenth of the corpus, prune to
+    // the bounded stored artifact, then score EVERY doc through the
+    // broadcast kernel — the production filter shape, so scoring
+    // docs/sec is the 100 TB number and must be flat (zero-shuffle
+    // per-row pass; the fit's count shuffles amortize over batches).
+    sys.env.get("SPARK_GRAFT_LM_DOCS").map(_.toLong).foreach { nDocs =>
+      val docs = documents(spark, nDocs).persist()
+      docs.count()
+      def time[A](f: => A): (Double, A) = {
+        val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+      }
+      val (fitSec, lm) = time {
+        val (bi, uni, v) = graft.operators.TextStats.lmCounts(
+          docs.filter(col("doc_id") % 10 === 0))
+        val pruned = graft.operators.TextStats.lmPrune(bi).collect()
+          .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+        val uniM = uni.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        (pruned, uniM, v.collect().head.getLong(0))
+      }
+      val (scoreSec, scored) = time(
+        graft.operators.TextStats.lmScoreStored(docs, lm._1, lm._2, lm._3)
+          .agg(count(lit(1))).head().getLong(0))
+      println(
+        s"""{"metric":"lm_scale","docs":$nDocs,"scored":$scored,""" +
+          s""""bigrams_kept":${lm._1.size},"vocab":${lm._2.size},""" +
+          s""""fit_sec":$fitSec,"score_sec":$scoreSec,""" +
+          s""""docs_per_sec":${(nDocs / scoreSec).toLong}}""")
+      docs.unpersist(blocking = false)
+    }
     // perceptual-hash near-dup scale probe: dHash + 16-bit banded
     // pairing over N payloads, with every 10th doc also present as a
     // stride-resampled copy the banding must pair. Hashing is one

@@ -1509,4 +1509,77 @@ object Corpus {
         .withColumn(
           "weight",
           expr("CAST(substring(source, 4) AS INT) % 3 + 1").cast("long")))
+
+  /** Temperature-sampling mixture weights at T = 2: weight ∝ √n_s —
+    * the multilingual/UniMax rebalancing recipe (big sources damped,
+    * small sources boosted relative to proportional sampling). The
+    * irrational weight quantizes to integer micro so the downstream
+    * integer quota arithmetic in [[mixtureSample]] stays exact; other
+    * temperatures swap the sqrt for pow(n, 1/T). One count aggregate,
+    * output rows = |sources| (kilobytes, broadcast onward).
+    */
+  def temperatureWeights(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .select(
+        col("source"),
+        round(sqrt(col("n_src").cast("double")) * 1000000).cast("long").as("weight"))
+
+  /** [[mixtureSample]] under T = 2 temperature weights. */
+  def mixtureSampleTemperature(docs: DataFrame): DataFrame =
+    mixtureSample(docs, temperatureWeights(docs))
+
+  /** Source-level mean-quality floor: a whole source must average at
+    * least this to survive the gate.
+    */
+  val SourceMeanQualityMin = 0.35
+
+  /** Source-level low-quality-share ceiling: a source with more than
+    * this fraction of sub-[[graft.operators.TextStats.QualityMin]]
+    * docs is dropped wholesale.
+    */
+  val SourceLowShareMax = 0.5
+
+  /** DOMAIN-level quality gate (the C4-style source filter): a
+    * training pipeline drops whole domains whose aggregate quality is
+    * bad, not just individual documents — spam farms produce
+    * individually-plausible pages. Per-source mean quality (each doc's
+    * rounded quality quantized to integer micro before the sum —
+    * order-free exact) and sub-threshold share decide `keep_source`.
+    * Scale shape: quality is per-row, the rollup is ONE shuffle keyed
+    * by source with map-side combine, and the verdict table is
+    * domain-cardinality (broadcastable onward).
+    */
+  def sourceQualityGate(docs: DataFrame): DataFrame = {
+    val q = TextStats.quality(docs).select(col("doc_id"), col("quality"))
+    val mean = col("q_micro_sum").cast("double") / 1e6 / col("n_docs")
+    val lowShare = col("n_low").cast("double") / col("n_docs")
+    docs.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(round(col("quality") * 1000000).cast("long")).as("q_micro_sum"),
+        sum(when(col("quality") < TextStats.QualityMin, 1L).otherwise(0L)).as("n_low"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_low"),
+        round(mean, 6).as("mean_quality"),
+        round(lowShare, 6).as("low_share"),
+        (mean >= lit(SourceMeanQualityMin) && lowShare <= lit(SourceLowShareMax))
+          .as("keep_source"))
+  }
+
+  /** The gate applied: documents of surviving sources only — the
+    * domain filter a pipeline composes in front of doc-level curation.
+    * The verdict side is domain-cardinality, so the join broadcasts;
+    * the corpus side never shuffles.
+    */
+  def sourceFiltered(docs: DataFrame): DataFrame =
+    docs
+      .join(
+        broadcast(sourceQualityGate(docs)
+          .filter(col("keep_source")).select("source", "mean_quality")),
+        Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("mean_quality"))
 }

@@ -990,6 +990,49 @@ object TextStats {
   }
 
   // ---------------------------------------------------------------
+  // Unicode NFC normalization
+  // ---------------------------------------------------------------
+
+  /** Plant deterministic DECOMPOSED suffixes on md5-selected docs.
+    * The synthetic corpus is pure ASCII (NFC = identity there), so the
+    * registered query manufactures the thing the operator exists for —
+    * visually-identical strings whose accents arrive decomposed (e +
+    * U+0301 vs é) — the planted-fixture discipline: the twin replays
+    * the planting and normalizes with ITS OWN engine.
+    */
+  def nfcPlant(docs: DataFrame): DataFrame = {
+    val cn = expr(
+      "CAST(conv(substr(md5(concat('nfc', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4")
+    val suffix = when(cn === 0, lit(" cafe\u0301"))
+      .when(cn === 1, lit(" Zu\u0308rich"))
+      .when(cn === 2, lit(" A\u030A"))
+      .otherwise(lit(""))
+    docs.select(col("doc_id"), concat(col("text"), suffix).as("raw"))
+  }
+
+  /** Unicode NFC normalization — the canonical-composition cleanup a
+    * dedup pipeline runs BEFORE hashing (decomposed and precomposed
+    * accents are byte-distinct but the same text; unnormalized they
+    * defeat exact dedup and split near-dup clusters). Spark ships no
+    * NFC expression, so the kernel is the JDK's `java.text.Normalizer`
+    * — an implementation of the same public UAX #15 algorithm DuckDB's
+    * `nfc_normalize` implements, which is exactly what makes the twin
+    * hash-exact. Stateless per-row kernel: no shuffle, scales with the
+    * scan; char counts are CODEPOINTS on both sides.
+    */
+  def nfcNormalize(withRaw: DataFrame): DataFrame = {
+    val spark = withRaw.sparkSession
+    import spark.implicits._
+    withRaw.select(col("doc_id"), col("raw")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, raw) =>
+        val nfc = java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+        (id, raw.codePointCount(0, raw.length), nfc,
+          nfc.codePointCount(0, nfc.length), raw != nfc)
+      })
+      .toDF("doc_id", "n_chars_raw", "text_nfc", "n_chars_nfc", "changed")
+  }
+
+  // ---------------------------------------------------------------
   // Bigram language-model perplexity (the CCNet-style LM filter)
   // ---------------------------------------------------------------
 

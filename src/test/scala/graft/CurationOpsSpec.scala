@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, TextStats}
+
+/** Unicode NFC normalization, the domain-level quality gate, and
+  * temperature mixture weights.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  test("NFC: decomposed accents compose, counts are codepoints, ASCII is untouched") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "café"), // e + combining acute -> é
+      (2L, "Zürich"), // u + combining diaeresis -> ü
+      (3L, "plain ascii"),
+      (4L, "Å") // A + combining ring -> Å
+    ).toDF("doc_id", "raw")
+    val out = TextStats.nfcNormalize(raw).orderBy("doc_id").collect()
+    assert(out(0).getString(2) == "café" && out(0).getBoolean(4))
+    assert(out(0).getInt(1) == 5 && out(0).getInt(3) == 4, "codepoint counts")
+    assert(out(1).getString(2) == "Zürich" && out(1).getBoolean(4))
+    assert(out(2).getString(2) == "plain ascii" && !out(2).getBoolean(4))
+    assert(out(3).getString(2) == "Å" && out(3).getInt(3) == 1)
+    // idempotence: NFC of NFC output changes nothing
+    val again = TextStats.nfcNormalize(
+      TextStats.nfcNormalize(raw).select(col("doc_id"), col("text_nfc").as("raw")))
+      .collect()
+    assert(again.forall(!_.getBoolean(4)), "NFC must be idempotent")
+  }
+
+  test("nfcPlant: suffix selection is a pure function of doc_id, 3 of 4 branches decompose") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = (1L to 40L).map(i => (i, s"doc $i", "en", "src", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val planted = TextStats.nfcPlant(d)
+    val out = TextStats.nfcNormalize(planted).collect()
+    assert(out.exists(_.getBoolean(4)) && out.exists(!_.getBoolean(4)),
+      "the md5 coin must plant both changed and unchanged docs")
+    // re-running plants the identical suffixes (no randomness)
+    val out2 = TextStats.nfcNormalize(TextStats.nfcPlant(d)).collect()
+    assert(out.map(_.toSeq).toSet == out2.map(_.toSeq).toSet)
+  }
+
+  private def gateCorpus = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // > 50 tokens so the length factor saturates and quality clears the floor
+    val good = Iterator.continually("the cat is on a mat and the dog is of the house")
+      .take(6).mkString(" ")
+    val bad = "!!!! ???? %%%% ####"
+    ((1L to 8L).map(i => (i, good, "en", "clean", good.length.toLong)) ++
+      (9L to 16L).map(i => (i, bad, "en", "spam", bad.length.toLong)))
+      .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("source gate: a spam-heavy source drops wholesale, a clean one survives") {
+    val g = Corpus.sourceQualityGate(gateCorpus).orderBy("source").collect()
+    assert(g.length == 2)
+    val byName = g.map(r => r.getString(0) -> r).toMap
+    assert(byName("clean").getBoolean(5), "clean source must keep")
+    assert(!byName("spam").getBoolean(5), "spam source must drop")
+    assert(byName("spam").getLong(2) == 8L, "all spam docs are sub-threshold")
+    val kept = Corpus.sourceFiltered(gateCorpus).collect()
+    assert(kept.length == 8 && kept.forall(_.getString(1) == "clean"),
+      "filtered corpus is exactly the surviving source's docs")
+  }
+
+  test("temperature weights: weight ∝ sqrt(n_source), exact for perfect squares") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = ((1L to 16L).map(i => (i, "t", "big")) ++ (17L to 20L).map(i => (i, "t", "small")))
+      .toSeq.toDF("doc_id", "text", "source")
+    val w = Corpus.temperatureWeights(d).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w("big") == 4000000L && w("small") == 2000000L,
+      s"sqrt(16)=4, sqrt(4)=2 in micro units: $w")
+    // damping: proportional sampling would weight big 4x small; T=2 halves the ratio
+    assert(w("big") / w("small") == 2L)
+  }
+
+  test("temperature mixture: quotas follow sqrt weights through the integer quota machinery") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = ((1L to 90L).map(i => (i, "x", "big")) ++ (91L to 100L).map(i => (i, "x", "small")))
+      .toSeq.toDF("doc_id", "text", "source")
+    val out = Corpus.mixtureSampleTemperature(d)
+    val quotas = out.select("source", "k_src", "n_src").distinct().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // k_src never exceeds the source's population and the weight ratio is ~3 (sqrt(90/10))
+    quotas.foreach { case (_, (k, n)) => assert(k <= n) }
+    val kBig = quotas("big")._1.toDouble
+    val kSmall = quotas("small")._1.toDouble
+    assert(kBig / kSmall >= 2.5 && kBig / kSmall <= 3.5,
+      s"T=2 quota ratio must track sqrt(90)/sqrt(10) ~= 3: $kBig / $kSmall")
+  }
+}
