@@ -1656,6 +1656,10 @@ object Oracle {
     // the stateless ingest-time LM kernel over bounded input computes
     // the batch stored rows exactly — shared twin
     ("streaming_lm_score" -> allBase("doc_lm_score_stored")) +
+    // the stateful domain-gate fold over bounded input equals the
+    // declarative batch gate (integer evidence is order-free) —
+    // shared twin
+    ("streaming_source_gate" -> allBase("source_quality_gate")) +
     // the residual serving layout encodes and ranks the in-memory
     // residual path's exact geometry (stand-in books, firstK coarse;
     // parquet round-trips codes exactly) — shared twin

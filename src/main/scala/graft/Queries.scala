@@ -700,6 +700,13 @@ object Queries {
   def docSourceFiltered(s: SparkSession, dir: String): DataFrame =
     Corpus.sourceFiltered(docs(s, dir)).orderBy("doc_id")
 
+  /** The stateful domain-gate fold over bounded input — must equal
+    * the declarative batch gate (shared twin); the true
+    * mapGroupsWithState path is StreamingSpec-pinned.
+    */
+  def streamingSourceGate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchSourceGate(docs(s, dir)).toDF().orderBy("source")
+
   /** Content fingerprints (md5 + bottom-3 shingle sketch). */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprint(docs(s, dir)).orderBy("doc_id")
@@ -1939,6 +1946,7 @@ object Queries {
     "doc_mixture_temperature" -> (docMixtureTemperature _),
     "source_quality_gate" -> (sourceQualityGate _),
     "doc_source_filtered" -> (docSourceFiltered _),
+    "streaming_source_gate" -> (streamingSourceGate _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_split_leakage" -> (docSplitLeakage _),

@@ -1546,4 +1546,101 @@ object Streaming {
       uni: Map[String, Long],
       v: Long): org.apache.spark.sql.DataFrame =
     graft.operators.TextStats.lmScoreStored(docs, bi, uni, v)
+
+  /** Per-source running evidence for the streaming domain gate. */
+  case class SourceGateState(nDocs: Long, qMicroSum: Long, nLow: Long)
+
+  /** A source's CURRENT verdict — schema-identical to the batch
+    * [[graft.operators.Corpus.sourceQualityGate]] row.
+    */
+  case class SourceGateOut(
+      source: String,
+      n_docs: Long,
+      n_low: Long,
+      mean_quality: Double,
+      low_share: Double,
+      keep_source: Boolean)
+
+  /** Fold a batch of (quality_micro, is_low) evidence into a source's
+    * state and emit its current verdict — the ONE function behind the
+    * streaming face and its bounded batch harness. Evidence
+    * accumulates as exact integers (each doc's rounded quality
+    * quantized to micro — the batch operator's own sum terms), so the
+    * running aggregates are order-free and the final verdict over
+    * bounded input equals the batch gate bit-for-bit.
+    */
+  def sourceGateFold(
+      source: String,
+      rows: Iterator[(Long, Long)],
+      prior: SourceGateState): (SourceGateState, SourceGateOut) = {
+    var n = prior.nDocs
+    var qs = prior.qMicroSum
+    var low = prior.nLow
+    rows.foreach { case (qm, isLow) => n += 1L; qs += qm; low += isLow }
+    val st = SourceGateState(n, qs, low)
+    val mean = qs.toDouble / 1e6 / n
+    val lowShare = low.toDouble / n
+    val out = SourceGateOut(
+      source, n, low,
+      BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(lowShare).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      mean >= graft.operators.Corpus.SourceMeanQualityMin &&
+        lowShare <= graft.operators.Corpus.SourceLowShareMax)
+    (st, out)
+  }
+
+  /** Per-row gate evidence: the spec-pinned [[qualityScore]] kernel,
+    * quantized exactly like the batch sum term
+    * `round(quality * 1000000)`.
+    */
+  private def gateEvidence(docs: org.apache.spark.sql.DataFrame): Dataset[(String, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"), col("text")).as[(String, String)]
+      .mapPartitions(_.map { case (src, t) =>
+        val (_, q) = qualityScore(t)
+        val qm = BigDecimal(q * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (src, qm, if (q < graft.operators.TextStats.QualityMin) 1L else 0L)
+      })
+  }
+
+  /** The domain gate AT INGEST: per-source evidence accumulates in
+    * mapGroupsWithState and every micro-batch re-emits the source's
+    * current verdict (update mode — a domain's keep/drop hardens as
+    * its pages accrue; a spam farm flips to drop and STAYS visible as
+    * drop in the sink). State is three longs per source —
+    * domain-cardinality, the smallest state any face here carries;
+    * no timeout because a domain's reputation has no event-time
+    * expiry. Stream-final ≡ batch gate is StreamingSpec-pinned; the
+    * registered bounded run shares source_quality_gate's twin.
+    */
+  def sourceGateStream(docs: org.apache.spark.sql.DataFrame): Dataset[SourceGateOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    gateEvidence(docs)
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[(String, Long, Long)], state: GroupState[SourceGateState]) =>
+          val (st, out) = sourceGateFold(
+            src, rows.map(r => (r._2, r._3)),
+            state.getOption.getOrElse(SourceGateState(0L, 0L, 0L)))
+          state.update(st)
+          out
+      }
+  }
+
+  /** The gate fold over bounded input — the oracle-checkable batch
+    * harness (equals the declarative batch gate; the shared-twin
+    * discipline of [[Queries.streamingDaily]]).
+    */
+  def batchSourceGate(docs: org.apache.spark.sql.DataFrame): Dataset[SourceGateOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    gateEvidence(docs)
+      .groupByKey(_._1)
+      .mapGroups { (src, rows) =>
+        sourceGateFold(src, rows.map(r => (r._2, r._3)), SourceGateState(0L, 0L, 0L))._2
+      }
+  }
 }

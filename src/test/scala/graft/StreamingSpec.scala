@@ -749,6 +749,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs() == Set((1L, 2L)), "epoch-1 output unchanged")
   }
 
+  test("streaming source gate: a domain's verdict hardens as evidence accrues; final state ≡ batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = Iterator.continually("the cat is on a mat and the dog is of the house")
+      .take(6).mkString(" ")
+    val bad = "!!!! ???? %%%% ####"
+    val batch1 = Seq(
+      (1L, bad, "farm"), (2L, bad, "farm"), (3L, bad, "farm"),
+      (4L, good, "clean"), (5L, good, "clean"))
+    val batch2 = (6L to 17L).map(i => (i, good, "farm"))
+
+    val stream = MemoryStream[(Long, String, String)]
+    val q = Streaming.sourceGateStream(
+      stream.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode("update").start()
+    def latest() = spark.table("gate_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(5)))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.maxBy(_._2) }
+
+    stream.addData(batch1)
+    q.processAllAvailable()
+    val mid = latest()
+    assert(!mid("farm")._3 && mid("farm")._2 == 3L, "all-junk domain must start dropped")
+    assert(mid("clean")._3, "clean domain keeps from the first batch")
+
+    stream.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val fin = latest()
+    assert(fin("farm")._3 && fin("farm")._2 == 15L,
+      "12 good pages over 3 junk must flip the domain to keep")
+
+    val batch = Streaming.batchSourceGate(
+      (batch1 ++ batch2).toDF("doc_id", "text", "source")).collect()
+      .map(o => o.source -> (o.n_docs, o.keep_source)).toMap
+    fin.foreach { case (s, (_, n, k)) =>
+      assert(batch(s) == ((n, k)), s"stream-final diverged from batch for $s")
+    }
+  }
+
   test("TTL-evicted LSH stream: a late in-watermark arrival must not shrink the eviction window") {
     val spark = TestSpark.spark
     import spark.implicits._
