@@ -703,6 +703,80 @@ object Oracle {
        |)""".stripMargin
   }
 
+  /** Stored-LM CTE chain shared by the standalone stored twin and the
+    * v3 pipeline twin: fit on the md5 train split, prune the bigram
+    * tier to the top 4096 by (count desc, w1, w2), keep the unigram
+    * tier whole, score ALL documents — ends in `lmdoc` (doc_id,
+    * n_bigrams, nll_micro, avg_nll, ppl).
+    */
+  private lazy val lmStoredCtes: String =
+    """lmtr AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+      |),
+      |lmtws AS (SELECT doc_id, string_split(text, ' ') AS w FROM lmtr),
+      |lmtbg AS (
+      |  SELECT w[CAST(g.i + 1 AS INTEGER)] AS w1,
+      |    w[CAST(g.i + 2 AS INTEGER)] AS w2
+      |  FROM lmtws, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) g
+      |  WHERE len(w) >= 2
+      |),
+      |lmuni AS (
+      |  SELECT word AS w, CAST(count(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM lmtr)
+      |  GROUP BY word
+      |),
+      |lmbi0 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM lmtbg GROUP BY w1, w2),
+      |lmbi AS (SELECT * FROM lmbi0 ORDER BY c12 DESC, w1, w2 LIMIT 4096),
+      |lmv AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM lmuni),
+      |lmws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |lmbg AS (
+      |  SELECT doc_id,
+      |    w[CAST(g.i + 1 AS INTEGER)] AS w1,
+      |    w[CAST(g.i + 2 AS INTEGER)] AS w2
+      |  FROM lmws, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) g
+      |  WHERE len(w) >= 2
+      |),
+      |lmlp AS (
+      |  SELECT lmbg.doc_id,
+      |    CAST(round(-ln(CAST(coalesce(lmbi.c12, 0) + 1 AS DOUBLE)
+      |        / CAST(coalesce(lmuni.c1, 0) + lmv.v_size AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+      |  FROM lmbg LEFT JOIN lmbi USING (w1, w2) LEFT JOIN lmuni ON lmuni.w = lmbg.w1 CROSS JOIN lmv
+      |),
+      |lmagg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(lp_micro) AS BIGINT) AS nll_micro
+      |  FROM lmlp GROUP BY doc_id
+      |),
+      |lmdoc AS (
+      |  SELECT d.doc_id,
+      |    coalesce(lmagg.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+      |    coalesce(lmagg.nll_micro, CAST(0 AS BIGINT)) AS nll_micro,
+      |    round(CAST(lmagg.nll_micro AS DOUBLE) / 1e6 / lmagg.n_bigrams, 6) AS avg_nll,
+      |    round(exp(CAST(lmagg.nll_micro AS DOUBLE) / 1e6 / lmagg.n_bigrams), 6) AS ppl
+      |  FROM documents d LEFT JOIN lmagg USING (doc_id)
+      |)""".stripMargin
+
+  /** Domain-gate CTE chain (reuses the `q` quality CTE from
+    * [[pipelineFaceCtes]]): per-source evidence rollup `gs` and the
+    * surviving-source verdict `gg`.
+    */
+  private lazy val gateCtes: String =
+    s"""gs AS (
+       |  SELECT d.source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT)) AS BIGINT) AS q_micro_sum,
+       |    CAST(sum(CASE WHEN q.quality < ${TextStats.QualityMin} THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+       |  GROUP BY d.source
+       |),
+       |gg AS (
+       |  SELECT source,
+       |    (CAST(q_micro_sum AS DOUBLE) / 1e6 / n_docs >= 35E-2
+       |      AND CAST(n_low AS DOUBLE) / n_docs <= 5E-1) AS keep_source
+       |  FROM gs
+       |)""".stripMargin
+
   /** Shared stored-dedup twin: the fixture's two md5 coins replayed in
     * place (base = inc-coin 0; segment = inc 1/seg 0; probe = inc
     * 1/seg 1), parameterized by the verdict projection so the full
@@ -2872,6 +2946,62 @@ object Oracle {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // v3 = the v2 funnel + the frozen-LM perplexity leg (shared
+    // lmStoredCtes — the Spark side scores through the broadcast
+    // kernel; hash equality here re-proves kernel ≡ join INSIDE the
+    // composite) + the domain gate (gateCtes over the shared q CTE).
+    // Reason precedence inserts bad_source after the contamination
+    // group and high_perplexity after low_quality.
+    "doc_pipeline_full_v3" -> {
+      val reason =
+        s"""CASE WHEN l.doc_id <> l.cluster THEN 'dup'
+           |       WHEN dec.contaminated THEN 'contaminated'
+           |       WHEN sem.contaminated THEN 'semantic_contaminated'
+           |       WHEN NOT gg.keep_source THEN 'bad_source'
+           |       WHEN q.n_tokens < ${TextStats.MinTokens} THEN 'too_short'
+           |       WHEN q.quality < ${TextStats.QualityMin} THEN 'low_quality'
+           |       WHEN lm.ppl >= ${graft.operators.Corpus.LmPplMax}E0 THEN 'high_perplexity'
+           |       WHEN rep.top_bigram_frac >= ${graft.operators.Corpus.RepetitionMax} THEN 'repetitive'
+           |       WHEN sd.n_dup_spans > 0 THEN 'dup_spans'
+           |       ELSE 'keep' END""".stripMargin
+      s"""WITH RECURSIVE $nearDupCtes,
+         |$clusterLabelCtes,
+         |$decontCtes,
+         |$vecNormCte,
+         |$embDecontCtes,
+         |${substringSpanCtes(
+            graft.operators.Dedup.SubstrMinSpanWordsWide,
+            graft.operators.Dedup.SubstrGramNWide)},
+         |sd AS (
+         |  SELECT nw.doc_id,
+         |    CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_dup_spans,
+         |    CAST(coalesce(a.dup_words, 0) AS BIGINT) AS dup_words
+         |  FROM nw LEFT JOIN (
+         |    SELECT doc_id, count(*) AS n_spans, sum(ee - ss) AS dup_words
+         |    FROM ms GROUP BY doc_id) a USING (doc_id)
+         |),
+         |$pipelineFaceCtes,
+         |$lmStoredCtes,
+         |$gateCtes
+         |SELECT l.doc_id, l.cluster, sz.cluster_size,
+         |  l.doc_id = l.cluster AS is_canonical,
+         |  dec.contamination, dec.contaminated,
+         |  sem.max_cos, sem.contaminated AS sem_contaminated,
+         |  q.n_tokens, q.quality, pii.n_emails, pii.n_longnums,
+         |  rep.top_bigram_frac, sd.n_dup_spans, sd.dup_words,
+         |  lm.ppl, gg.keep_source,
+         |  $reason AS reason,
+         |  ($reason) = 'keep' AS keep
+         |FROM lab l JOIN sz USING (cluster) JOIN dec USING (doc_id)
+         |JOIN semdec sem ON sem.vec_id = l.doc_id
+         |JOIN q USING (doc_id) JOIN pii USING (doc_id) JOIN rep USING (doc_id)
+         |JOIN sd USING (doc_id)
+         |JOIN lmdoc lm ON lm.doc_id = l.doc_id
+         |JOIN documents dsrc ON dsrc.doc_id = l.doc_id
+         |JOIN gg ON gg.source = dsrc.source
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "doc_boilerplate" ->
       s"""WITH w AS (
          |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -3605,50 +3735,9 @@ object Oracle {
     // Spark side runs the broadcast KERNEL; hash equality here is the
     // kernel ≡ join proof on the full corpus.
     "doc_lm_score_stored" ->
-      """WITH tr AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
-        |),
-        |tws AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
-        |tbg AS (
-        |  SELECT w[CAST(g.i + 1 AS INTEGER)] AS w1,
-        |    w[CAST(g.i + 2 AS INTEGER)] AS w2
-        |  FROM tws, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) g
-        |  WHERE len(w) >= 2
-        |),
-        |uni AS (
-        |  SELECT word AS w, CAST(count(*) AS BIGINT) AS c1
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM tr)
-        |  GROUP BY word
-        |),
-        |bi0 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tbg GROUP BY w1, w2),
-        |bi AS (SELECT * FROM bi0 ORDER BY c12 DESC, w1, w2 LIMIT 4096),
-        |v AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM uni),
-        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |bg AS (
-        |  SELECT doc_id,
-        |    w[CAST(g.i + 1 AS INTEGER)] AS w1,
-        |    w[CAST(g.i + 2 AS INTEGER)] AS w2
-        |  FROM ws, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) g
-        |  WHERE len(w) >= 2
-        |),
-        |lp AS (
-        |  SELECT bg.doc_id,
-        |    CAST(round(-ln(CAST(coalesce(bi.c12, 0) + 1 AS DOUBLE)
-        |        / CAST(coalesce(uni.c1, 0) + v.v_size AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
-        |  FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN uni ON uni.w = bg.w1 CROSS JOIN v
-        |),
-        |agg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    CAST(sum(lp_micro) AS BIGINT) AS nll_micro
-        |  FROM lp GROUP BY doc_id
-        |)
-        |SELECT d.doc_id,
-        |  coalesce(agg.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
-        |  coalesce(agg.nll_micro, CAST(0 AS BIGINT)) AS nll_micro,
-        |  round(CAST(agg.nll_micro AS DOUBLE) / 1e6 / agg.n_bigrams, 6) AS avg_nll,
-        |  round(exp(CAST(agg.nll_micro AS DOUBLE) / 1e6 / agg.n_bigrams), 6) AS ppl
-        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmStoredCtes
+         |SELECT doc_id, n_bigrams, nll_micro, avg_nll, ppl
+         |FROM lmdoc ORDER BY doc_id""".stripMargin,
 
     "doc_entropy" ->
       """WITH wrd AS (

@@ -844,6 +844,16 @@ object Queries {
   def docPipelineFullV2(s: SparkSession, dir: String): DataFrame =
     Corpus.docPipelineFullV2(docs(s, dir), embs(s, dir)).orderBy("doc_id")
 
+  /** The COMPLETE funnel: v2 plus the frozen-LM perplexity leg and
+    * the domain gate — every filter class a production curation
+    * pipeline runs, in one plan.
+    */
+  def docPipelineFullV3(s: SparkSession, dir: String): DataFrame = {
+    val (bi, uni, v) = lmStoredModel(s, dir)
+    Corpus.docPipelineFullV3(docs(s, dir), embs(s, dir), bi, uni, v)
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level boilerplate removal (segment-df scrub) with audit. */
   def docBoilerplate(s: SparkSession, dir: String): DataFrame =
     Corpus.stripBoilerplate(docs(s, dir)).orderBy("doc_id")
@@ -1947,6 +1957,7 @@ object Queries {
     "source_quality_gate" -> (sourceQualityGate _),
     "doc_source_filtered" -> (docSourceFiltered _),
     "streaming_source_gate" -> (streamingSourceGate _),
+    "doc_pipeline_full_v3" -> (docPipelineFullV3 _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_split_leakage" -> (docSplitLeakage _),

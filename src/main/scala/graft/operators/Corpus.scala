@@ -623,6 +623,90 @@ object Corpus {
         (reason === "keep").as("keep"))
   }
 
+  /** Perplexity ceiling for the v3 funnel's LM leg: documents whose
+    * stored-model perplexity reaches this are flagged
+    * `high_perplexity` (the CCNet head/middle/tail cut, here a fixed
+    * ceiling inside the synthetic corpus's observed 26–38 band so the
+    * leg demonstrably fires past the upstream filters).
+    */
+  val LmPplMax = 33.5
+
+  /** v3 = the COMPLETE curation funnel a production pipeline runs:
+    * the [[docPipelineFullV2]] legs plus the two model/domain reads —
+    * frozen-LM perplexity ([[TextStats.lmScoreKernel]] against the
+    * stored pruned artifact, a broadcast per-row probe adding ZERO
+    * shuffles) and the domain gate ([[sourceQualityGate]], one
+    * source-keyed rollup broadcast back). Reason precedence: dup >
+    * contaminated > semantic_contaminated > bad_source > too_short >
+    * low_quality > high_perplexity > repetitive > dup_spans > keep —
+    * domain verdicts outrank per-doc quality (a good page on a spam
+    * farm still drops), and the LM read refines the heuristic quality
+    * cut, not the other way around.
+    */
+  def docPipelineFullV3(
+      docs: DataFrame,
+      emb: DataFrame,
+      lmBi: Map[(String, String), Long],
+      lmUni: Map[String, Long],
+      lmV: Long): DataFrame = {
+    val sh = CacheScope.persist(Dedup.shingles(docs))
+    val clusters = CacheScope.withScope {
+      dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+    }
+    val decon = decontaminateFromShingles(docs, sh)
+      .select(col("doc_id"), col("contamination"), col("contaminated"))
+    val sem = graft.operators.Ann.embDecontaminate(emb)
+      .select(
+        col("vec_id").as("doc_id"),
+        col("max_cos"),
+        col("contaminated").as("sem_contaminated"))
+    val signals = TextStats.verdictSignals(docs)
+    val spans = Dedup.substringDedup(
+      docs, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
+      .select(col("doc_id"), col("n_spans").as("n_dup_spans"), col("dup_words"))
+    val lm = TextStats.lmScoreStored(docs, lmBi, lmUni, lmV)
+      .select(col("doc_id"), col("ppl"))
+    val gate = broadcast(
+      sourceQualityGate(docs).select(col("source"), col("keep_source")))
+    val reason = when(!col("is_canonical"), "dup")
+      .when(col("contaminated"), "contaminated")
+      .when(col("sem_contaminated"), "semantic_contaminated")
+      .when(!col("keep_source"), "bad_source")
+      .when(col("n_tokens") < TextStats.MinTokens, "too_short")
+      .when(col("quality") < TextStats.QualityMin, "low_quality")
+      .when(col("ppl") >= LmPplMax, "high_perplexity")
+      .when(col("top_bigram_frac") >= RepetitionMax, "repetitive")
+      .when(col("n_dup_spans") > 0, "dup_spans")
+      .otherwise("keep")
+    clusters.join(decon, "doc_id")
+      .join(sem, "doc_id")
+      .join(signals, "doc_id")
+      .join(spans, "doc_id")
+      .join(lm, "doc_id")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .join(gate, "source")
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("cluster_size"),
+        col("is_canonical"),
+        col("contamination"),
+        col("contaminated"),
+        col("max_cos"),
+        col("sem_contaminated"),
+        col("n_tokens"),
+        col("quality"),
+        col("n_emails"),
+        col("n_longnums"),
+        col("top_bigram_frac"),
+        col("n_dup_spans"),
+        col("dup_words"),
+        col("ppl"),
+        col("keep_source"),
+        reason.as("reason"),
+        (reason === "keep").as("keep"))
+  }
+
   /** [[stripBoilerplate]] segment width (words) and the document
     * frequency at which a segment counts as boilerplate.
     */

@@ -82,6 +82,61 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(w("big") / w("small") == 2L)
   }
 
+  test("v3 funnel: bad_source outranks per-doc legs; high_perplexity fires past quality") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 40-word shared vocabulary (5 stopwords in the mix); each clean
+    // doc is a deterministic LCG shuffle of it repeated to 60 words —
+    // shared vocab keeps stored-LM counts dense (low perplexity) while
+    // distinct orders keep shingle Jaccard low (no near-dup clusters).
+    val stop = Vector("the", "is", "of", "and", "a")
+    val vocab = stop ++ (0 until 35).map(i => s"w$i")
+    def cleanText(seed: Int): String = {
+      // xor-then-multiply mixing: 40 elements are too few for a plain
+      // LCG to decorrelate permutations across seeds (additive seed
+      // terms preserve relative order)
+      val order = vocab.indices.sortBy { j =>
+        (((j * 2654435761L) ^ (seed * 0x9E3779B9L)) * 2654435761L) & 0x7fffffffL
+      }
+      // exactly one period of the vocabulary: repeating it would plant
+      // a 20-gram self-duplicate and trip the span leg
+      order.map(vocab(_)).mkString(" ")
+    }
+    val cleanDocs = (1L to 12L).map(i => (i, cleanText(i.toInt), "en", "clean"))
+    val weird = (20L, (0 until 60).map(i => s"novel$i").mkString(" "), "en", "clean")
+    val farmJunk = (31L to 38L).map(i => (i, "!!!! ???? %%%% ####", "en", "farm"))
+    val farmGood = (40L, cleanText(40), "en", "farm")
+    val docs = (cleanDocs :+ weird) ++ farmJunk :+ farmGood
+    val ddf = docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    // benchmark vec 0 orthogonal to every doc vector: no semantic leg
+    val emb = ((0L, Seq(1.0f, 0.0f), 0) +: docs.map(d => (d._1, Seq(0.0f, 1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+
+    val (bi, uni, v) = TextStats.lmCounts(
+      ddf.filter(col("source") === "clean" && col("doc_id") <= 12))
+    val biM = bi.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val uniM = uni.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val vN = v.collect().head.getLong(0)
+    // fixture sanity: clean docs price under the ceiling, the novel doc above
+    val ppl = TextStats.lmScoreStored(ddf, biM, uniM, vN).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(ppl(1L) < Corpus.LmPplMax, s"clean doc must price under the ceiling: ${ppl(1L)}")
+    assert(ppl(20L) >= Corpus.LmPplMax, s"novel doc must price over the ceiling: ${ppl(20L)}")
+
+    val out = Corpus.docPipelineFullV3(ddf, emb, biM, uniM, vN).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def reason(id: Long) = out(id).getString(out(id).fieldIndex("reason"))
+    assert(reason(1L) == "keep", s"clean formulaic doc keeps: ${reason(1L)}")
+    assert(reason(20L) == "high_perplexity",
+      "novel-transition doc passes quality (0.5) but fails the LM read")
+    assert(reason(40L) == "bad_source",
+      "an individually-good page on a junk farm drops at the DOMAIN level")
+    assert(reason(31L) == "bad_source",
+      "domain verdict outranks too_short for the junk pages themselves")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("temperature mixture: quotas follow sqrt weights through the integer quota machinery") {
     val spark = TestSpark.spark
     import spark.implicits._
