@@ -1734,6 +1734,18 @@ object Oracle {
     // declarative batch gate (integer evidence is order-free) —
     // shared twin
     ("streaming_source_gate" -> allBase("source_quality_gate")) +
+    // index health: the recall and drift twins reduced to one-row
+    // aggregates (nested WITH subqueries are self-contained), one
+    // exact integer division, E-notated thresholds
+    ("ann_index_health" ->
+      s"""SELECT r.n_queries, r.recall_overall, d.n_dims, d.max_shift,
+         |  (r.recall_overall < 9E-1 OR d.max_shift >= 5E-2) AS rebuild_recommended
+         |FROM
+         |  (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |     round(CAST(sum(n_hit) AS DOUBLE) / sum(n_exact), 6) AS recall_overall
+         |   FROM (${allBase("ann_recall_report")})) r,
+         |  (SELECT CAST(count(*) AS BIGINT) AS n_dims, max(mean_shift) AS max_shift
+         |   FROM (${allBase("emb_drift_report")})) d""".stripMargin) +
     // the residual serving layout encodes and ranks the in-memory
     // residual path's exact geometry (stand-in books, firstK coarse;
     // parquet round-trips codes exactly) — shared twin

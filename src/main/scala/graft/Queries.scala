@@ -1301,6 +1301,12 @@ object Queries {
   def annRecallReportResidual(s: SparkSession, dir: String): DataFrame =
     Ann.recallReportResidual(embs(s, dir)).orderBy("q_id")
 
+  /** One-row index-health verdict: overall recall@K + drift summary +
+    * the rebuild_recommended hand-off to rebuildAnnIndex.
+    */
+  def annIndexHealth(s: SparkSession, dir: String): DataFrame =
+    Ann.indexHealth(embs(s, dir))
+
   /** Label-filtered top-K (metadata predicate + similarity). */
   def annFilteredTopK(s: SparkSession, dir: String): DataFrame =
     Ann.cosineTopKFiltered(embs(s, dir)).orderBy("q_id", "rn")
@@ -2034,6 +2040,7 @@ object Queries {
     "ann_index_residual_topk" -> (annIndexResidualTopK _),
     "ann_index_residual_rotated_topk" -> (annIndexResidualRotatedTopK _),
     "ann_recall_report" -> (annRecallReport _),
+    "ann_index_health" -> (annIndexHealth _),
     "ann_recall_report_residual" -> (annRecallReportResidual _),
     "ann_index_upsert_topk" -> (annIndexUpsertTopK _),
     "ann_index_rebuild_topk" -> (annIndexRebuildTopK _),

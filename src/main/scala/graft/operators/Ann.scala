@@ -1629,6 +1629,41 @@ object Ann {
         round(abs(meanCur - meanRef), 6).as("mean_shift"))
   }
 
+  /** Index-health verdict thresholds: the recall@K floor under which
+    * an index should be rebuilt, and the per-dimension mean-shift
+    * ceiling past which the frozen geometry is suspect even before
+    * recall visibly decays.
+    */
+  val HealthRecallFloor = 0.9
+  val HealthDriftMax = 0.05
+
+  /** One-row index health read — the ops dashboard row that closes
+    * the monitoring loop: overall recall@K of the IVF-PQ tier
+    * ([[recallReport]] reduced to sum(hit)/sum(exact) — one exact
+    * integer division) joined with the drift summary
+    * ([[embDriftReport]] reduced to its max shift), and the
+    * `rebuild_recommended` verdict that hands off to
+    * [[graft.sinks.Sinks.rebuildAnnIndex]]. Both legs are
+    * already-verified faces reduced to one-row aggregates; the join
+    * is a broadcast one-row crossJoin.
+    */
+  def indexHealth(emb: DataFrame): DataFrame = {
+    val rec = recallReport(emb).agg(
+      count(lit(1)).as("n_queries"),
+      round(sum("n_hit").cast("double") / sum("n_exact"), 6).as("recall_overall"))
+    val drift = embDriftReport(emb).agg(
+      count(lit(1)).as("n_dims"),
+      max("mean_shift").as("max_shift"))
+    rec.crossJoin(broadcast(drift))
+      .select(
+        col("n_queries"),
+        col("recall_overall"),
+        col("n_dims"),
+        col("max_shift"),
+        (col("recall_overall") < lit(HealthRecallFloor) ||
+          col("max_shift") >= lit(HealthDriftMax)).as("rebuild_recommended"))
+  }
+
   def labelCentroids(emb: DataFrame): DataFrame =
     emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
