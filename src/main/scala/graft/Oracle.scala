@@ -1564,6 +1564,96 @@ object Oracle {
        |)""".stripMargin
   }
 
+  /** Per-frame luma-sum CTEs for the video twins, ending in
+    * `vfr(doc_id, k, n, v)` (v = frame k's luma sum) + `vids` — the
+    * [[audioFrameCtes]] discipline on the fifth container: text rows
+    * replay the w·h-byte frame slicing of the ASCII projection,
+    * planted rows replay the constant-luma md5 block formula (frame
+    * sum = value · w·h), stride rows replay the every-2nd-frame copy.
+    * No container bytes anywhere — equality with the Spark side is
+    * the proof the AVI chunk walk and frame decode are real.
+    */
+  private def videoFrameCtes(minFrames: Int): String = {
+    val every = graft.operators.Multimodal.PlantEvery
+    val minF = graft.operators.Multimodal.VideoPlantMinFrames
+    val blocks = graft.operators.Multimodal.VideoPlantBlocks
+    val idBase = graft.operators.Multimodal.VideoPlantIdBase
+    val strideBase = graft.operators.Multimodal.VideoStrideIdBase
+    val stride = graft.operators.Multimodal.VideoStride
+    val fb = graft.operators.Multimodal.VideoPlantW * graft.operators.Multimodal.VideoPlantH
+    s"""vtxt AS (
+       |  SELECT p.doc_id, p.s,
+       |    (2 + p.doc_id % 3) * (2 + d.n_chars % 3) AS fb,
+       |    length(p.s) // ((2 + p.doc_id % 3) * (2 + d.n_chars % 3)) AS n
+       |  FROM ($docPaySql) p JOIN documents d USING (doc_id)
+       |  WHERE length(p.s) // ((2 + p.doc_id % 3) * (2 + d.n_chars % 3)) >= $minFrames
+       |),
+       |vtf AS (
+       |  SELECT t.doc_id, k.k AS k, t.n,
+       |    CAST(sum(ord(substr(t.s, CAST(k.k * t.fb + c.c + 1 AS INTEGER), 1))) AS BIGINT) AS v
+       |  FROM vtxt t,
+       |    LATERAL unnest(range(t.n)) k(k),
+       |    LATERAL unnest(range(t.fb)) c(c)
+       |  GROUP BY t.doc_id, k.k, t.n
+       |),
+       |vpl AS (
+       |  SELECT doc_id, $minF + doc_id % 1000 AS n FROM documents WHERE doc_id % $every = 0
+       |),
+       |vpf AS (
+       |  SELECT doc_id + $idBase AS doc_id, j.j AS k, n,
+       |    CAST((20 + CAST(('0x' || substr(md5('v' || doc_id || ':' ||
+       |      ((j.j * $blocks) // n)), 1, 2)) AS INTEGER) % 200) * $fb AS BIGINT) AS v
+       |  FROM vpl, LATERAL unnest(range(n)) j(j)
+       |),
+       |vsf AS (
+       |  SELECT doc_id + $strideBase AS doc_id, i.i AS k, (n + ${stride - 1}) // $stride AS n,
+       |    CAST((20 + CAST(('0x' || substr(md5('v' || doc_id || ':' ||
+       |      ((i.i * $stride * $blocks) // n)), 1, 2)) AS INTEGER) % 200) * $fb AS BIGINT) AS v
+       |  FROM vpl, LATERAL unnest(range((n + ${stride - 1}) // $stride)) i(i)
+       |),
+       |vfr AS (
+       |  SELECT * FROM vtf UNION ALL SELECT * FROM vpf UNION ALL SELECT * FROM vsf
+       |),
+       |vids AS (
+       |  SELECT doc_id FROM vtxt
+       |  UNION ALL SELECT doc_id + $idBase FROM vpl
+       |  UNION ALL SELECT doc_id + $strideBase FROM vpl
+       |)""".stripMargin
+  }
+
+  private lazy val videoBandedCtes: String = {
+    val nb = graft.operators.Multimodal.PhashBuckets
+    s"""${videoFrameCtes(nb)},
+       |vbk AS (
+       |  SELECT doc_id, (k * $nb) // n AS b,
+       |    CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM vfr GROUP BY doc_id, b
+       |),
+       |vbits AS (
+       |  SELECT b0.doc_id, b0.b AS bit
+       |  FROM vbk b0 JOIN vbk b1 ON b1.doc_id = b0.doc_id AND b1.b = b0.b + 1
+       |  WHERE b1.sv * b0.cnt > b0.sv * b1.cnt
+       |),
+       |vph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit >= 32 THEN (1::BIGINT << CAST(bit - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_hi,
+       |    CAST(sum(CASE WHEN bit < 32 THEN (1::BIGINT << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_lo
+       |  FROM vbits GROUP BY doc_id
+       |),
+       |full_vph AS (
+       |  SELECT i.doc_id,
+       |    CAST(COALESCE(h.ph_hi, 0) AS BIGINT) AS ph_hi,
+       |    CAST(COALESCE(h.ph_lo, 0) AS BIGINT) AS ph_lo
+       |  FROM vids i LEFT JOIN vph h USING (doc_id)
+       |),
+       |vbanded AS (
+       |  SELECT doc_id, ph_hi, ph_lo, band,
+       |    CASE WHEN band < 2 THEN (ph_lo >> (band * 16)) & 65535
+       |         ELSE (ph_hi >> ((band - 2) * 16)) & 65535 END AS key
+       |  FROM full_vph, unnest(range(4)) t(band)
+       |)""".stripMargin
+  }
+
   private def phashCtes(paySql: String): String =
     s"""pay AS (
        |  $paySql
@@ -2383,6 +2473,97 @@ object Oracle {
          |FROM alab l JOIN asz sz USING (cluster)
          |ORDER BY doc_id""".stripMargin,
 
+    // the AVI twin replays the synth geometry/timing formulas and the
+    // exact integer frame-count and duration math — no container bytes
+    "mm_video_features" -> {
+      val every = graft.operators.Multimodal.PlantEvery
+      val minF = graft.operators.Multimodal.VideoPlantMinFrames
+      val idBase = graft.operators.Multimodal.VideoPlantIdBase
+      val strideBase = graft.operators.Multimodal.VideoStrideIdBase
+      val stride = graft.operators.Multimodal.VideoStride
+      val pw = graft.operators.Multimodal.VideoPlantW
+      val ph = graft.operators.Multimodal.VideoPlantH
+      val uspf = graft.operators.Multimodal.VideoPlantUsPerFrame
+      s"""WITH f AS (
+         |  SELECT p.doc_id,
+         |    CAST(2 + p.doc_id % 3 AS BIGINT) AS width,
+         |    CAST(2 + d.n_chars % 3 AS BIGINT) AS height,
+         |    CAST(length(p.s) // ((2 + p.doc_id % 3) * (2 + d.n_chars % 3)) AS BIGINT) AS n_frames,
+         |    CAST(40000 + (d.n_chars % 3) * 20000 AS BIGINT) AS us_per_frame
+         |  FROM ($docPaySql) p JOIN documents d USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id + $idBase, $pw, $ph,
+         |    CAST($minF + doc_id % 1000 AS BIGINT), $uspf
+         |  FROM documents WHERE doc_id % $every = 0
+         |  UNION ALL
+         |  SELECT doc_id + $strideBase, $pw, $ph,
+         |    CAST(($minF + doc_id % 1000 + ${stride - 1}) // $stride AS BIGINT), ${uspf * stride}
+         |  FROM documents WHERE doc_id % $every = 0
+         |)
+         |SELECT doc_id, 'avi' AS format, width, height, n_frames, us_per_frame,
+         |  CAST(n_frames * us_per_frame // 1000 AS BIGINT) AS duration_ms
+         |FROM f WHERE n_frames >= 1
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "mm_video_phash" ->
+      s"""WITH $videoBandedCtes
+         |SELECT doc_id, ph_hi, ph_lo FROM full_vph
+         |ORDER BY doc_id""".stripMargin,
+
+    "mm_video_near_dup" ->
+      s"""WITH $videoBandedCtes
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+         |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
+         |FROM vbanded a JOIN vbanded b ON a.band = b.band AND a.key = b.key
+         |                             AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the video ingest-time fold over bounded input equals the banded
+    // self-join with the Hamming verify, kept per band
+    "streaming_mm_video_near_dup" ->
+      s"""WITH $videoBandedCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INTEGER) AS band,
+         |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+         |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
+         |FROM vbanded a JOIN vbanded b ON a.band = b.band AND a.key = b.key
+         |                             AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
+         |ORDER BY doc_a, doc_b, band""".stripMargin,
+
+    // video pairs through the same recursive transitive closure the
+    // text, embedding, image, and audio cluster twins replay
+    "mm_video_dedup_clusters" ->
+      s"""WITH RECURSIVE $videoBandedCtes,
+         |vprs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM vbanded a JOIN vbanded b ON a.band = b.band AND a.key = b.key
+         |                               AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |      + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
+         |),
+         |ve AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM vprs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM vprs
+         |),
+         |vreach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM full_vph
+         |  UNION
+         |  SELECT r.src, ve.b FROM vreach r JOIN ve ON r.dst = ve.a
+         |),
+         |vlab AS (SELECT src AS doc_id, min(dst) AS cluster FROM vreach GROUP BY src),
+         |vsz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |        FROM vlab GROUP BY cluster)
+         |SELECT l.doc_id, l.cluster, sz.cluster_size,
+         |       l.doc_id = l.cluster AS is_canonical
+         |FROM vlab l JOIN vsz sz USING (cluster)
+         |ORDER BY doc_id""".stripMargin,
+
     "mm_near_dup" ->
       s"""WITH $mmBandedCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2828,6 +3009,25 @@ object Oracle {
          |FROM g JOIN sz USING (cluster)
          |JOIN documents d ON d.doc_id = g.cluster
          |ORDER BY doc_id""".stripMargin,
+
+    // Quality-aware survivor twin: same label fixpoint, quality from
+    // the shared qualitySelect (so the ordering key cannot drift from
+    // `doc_quality`), argmax via the identical (quality DESC, doc_id)
+    // row_number cut.
+    "doc_dedup_export_best" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         |$clusterLabelCtes,
+         |q AS ($qualitySelect),
+         |r AS (
+         |  SELECT l.doc_id, l.cluster, sz.cluster_size, q.quality,
+         |    row_number() OVER (
+         |      PARTITION BY l.cluster ORDER BY q.quality DESC, l.doc_id) AS rn
+         |  FROM lab l JOIN sz USING (cluster) JOIN q USING (doc_id)
+         |)
+         |SELECT doc_id, cluster, cluster_size AS n_members, quality,
+         |  doc_id <> cluster AS displaced
+         |FROM r WHERE rn = 1
+         |ORDER BY cluster""".stripMargin,
 
     "doc_decontaminate" ->
       s"""WITH $shinglesCte,
@@ -3751,6 +3951,56 @@ object Oracle {
          |SELECT doc_id, n_bigrams, nll_micro, avg_nll, ppl
          |FROM lmdoc ORDER BY doc_id""".stripMargin,
 
+    // Snapshot-diff twin: replays the two planted releases from the
+    // same md5 classes and compares text directly — equality of texts
+    // is equality of the engine's xxhash64 content keys (modulo the
+    // documented collision trade).
+    "corpus_diff" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(('0x' || substr(md5('diff' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % ${Queries.DiffMod} AS b
+         |  FROM documents
+         |),
+         |old AS (SELECT doc_id, source, text FROM b WHERE b <> 0),
+         |nw AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN b = 2 THEN text || ' v2' ELSE text END AS text
+         |  FROM b WHERE b <> 1
+         |),
+         |j AS (
+         |  SELECT coalesce(o.source, n.source) AS source,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN o.text <> n.text THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+         |)
+         |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM j GROUP BY source, status
+         |ORDER BY source, status""".stripMargin,
+
+    // Twin of Corpus.shardManifest: same md5 shard hash, same integer
+    // rollup, one exact-integer share division.
+    "doc_shard_manifest" ->
+      s"""WITH t AS (
+         |  SELECT CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % ${graft.operators.Corpus.ExportShards} AS shard,
+         |    doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |),
+         |s AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |  FROM t GROUP BY shard
+         |),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM s)
+         |SELECT shard, n_docs, n_tokens, min_doc_id, max_doc_id,
+         |  round(CAST(n_tokens AS DOUBLE) / t_total, 6) AS token_share
+         |FROM s, tot ORDER BY shard""".stripMargin,
+
     "doc_entropy" ->
       """WITH wrd AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -4383,6 +4633,10 @@ object Oracle {
         // applied to the full corpus
         val (w, bias) = Queries.qualityModelWeightsStored(spark, dir)
         qualityModelTrainedSql(w, bias)
+      },
+      "doc_quality_eval" -> {
+        val (w, bias) = Queries.qualityModelWeights(spark, dir)
+        qualityEvalSql(w, bias)
       })
 
   /** The doc_quality_model twin over a literal TRAINED weight table —
@@ -4390,9 +4644,13 @@ object Oracle {
     * weights as a VALUES relation (1024 integer rows, the
     * [[annIvfKmeansSql]] materialization pattern).
     */
-  private def qualityModelTrainedSql(weights: Array[(Long, Long)], biasMilli: Long): String = {
+  /** The wt→wrd→agg→lg CTE chain scoring a literal trained weight
+    * table — shared by the trained/stored scoring twins and the
+    * evaluation twin so they cannot disagree on a verdict.
+    */
+  private def qualityModelCtes(weights: Array[(Long, Long)], biasMilli: Long): String = {
     val values = weights.map { case (b, w) => s"($b, $w)" }.mkString(",\n    ")
-    s"""WITH wt AS (SELECT bucket, weight_milli FROM (VALUES
+    s"""wt AS (SELECT bucket, weight_milli FROM (VALUES
        |    $values) t(bucket, weight_milli)),
        |wrd AS (
        |  SELECT doc_id,
@@ -4409,12 +4667,50 @@ object Oracle {
        |    CAST(round(CAST(feat_milli AS DOUBLE) * 1000.0 / n_tokens) AS BIGINT)
        |      + ${biasMilli * 1000L} AS logit_micro
        |  FROM agg
-       |)
+       |)""".stripMargin
+  }
+
+  private def qualityModelTrainedSql(weights: Array[(Long, Long)], biasMilli: Long): String =
+    s"""WITH ${qualityModelCtes(weights, biasMilli)}
        |SELECT doc_id, n_tokens, feat_milli, logit_micro,
        |  round(1.0 / (1.0 + exp(-(CAST(logit_micro AS DOUBLE) / 1e6))), 6) AS model_score,
        |  logit_micro >= 0 AS keep
        |FROM lg ORDER BY doc_id""".stripMargin
-  }
+
+  /** Evaluation twin: the shared scoring chain's keep verdict joined
+    * to the shared qualitySelect label and the md5 split, confusion
+    * counts per split — exact integers, three rounded divisions.
+    */
+  private def qualityEvalSql(weights: Array[(Long, Long)], biasMilli: Long): String =
+    s"""WITH ${qualityModelCtes(weights, biasMilli)},
+       |q AS ($qualitySelect),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+       |    FROM documents
+       |  )
+       |),
+       |j AS (
+       |  SELECT sp.split, lg.logit_micro >= 0 AS keep,
+       |    q.quality >= ${graft.operators.TextStats.QualityMin} AS label
+       |  FROM lg JOIN q USING (doc_id) JOIN sp USING (doc_id)
+       |),
+       |c AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN keep AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN keep AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN NOT keep AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN NOT keep AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM j GROUP BY split
+       |)
+       |SELECT split, n_docs, tp, fp, fn, tn,
+       |  round(CAST(tp + tn AS DOUBLE) / n_docs, 6) AS accuracy,
+       |  round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS prec,
+       |  round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall
+       |FROM c ORDER BY split""".stripMargin
 
   /** The ann_ivf twin over a literal trained codebook. Center floats
     * are serialized with Float.toString (shortest decimal that

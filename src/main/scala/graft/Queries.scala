@@ -635,6 +635,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Per-split confusion counts + accuracy/precision/recall of the
+    * TRAINED classifier vs the heuristic label — the quality-model
+    * analogue of `ann_recall_report`.
+    */
+  def docQualityEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w, bias) = qualityModelWeights(s, dir)
+    TextStats.qualityEval(
+      docs(s, dir), w.toSeq.toDF("bucket", "weight_milli"), bias)
+      .orderBy("split")
+  }
+
   /** Bigram-LM perplexity under the corpus's OWN distribution — the
     * CCNet-style gibberish read: docs whose word transitions are
     * globally rare score high even when every word is common.
@@ -699,6 +711,37 @@ object Queries {
   /** The domain gate applied: documents of surviving sources. */
   def docSourceFiltered(s: SparkSession, dir: String): DataFrame =
     Corpus.sourceFiltered(docs(s, dir)).orderBy("doc_id")
+
+  /** Deterministic export-shard manifest (per-shard volume + share). */
+  def docShardManifest(s: SparkSession, dir: String): DataFrame =
+    Corpus.shardManifest(docs(s, dir)).orderBy("shard")
+
+  /** How many md5 classes [[corpusDiff]]'s planted snapshots use. */
+  val DiffMod = 20
+
+  /** Snapshot diff over two planted releases of the documents table:
+    * md5 class 0 exists only in the new snapshot (`added`), class 1
+    * only in the old (`removed`), class 2 in both with a ` v2` text
+    * suffix in the new (`changed`) — a pure function of doc_id, so
+    * the twin replays the same two snapshots.
+    */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val tagged = docs(s, dir).select(
+      col("doc_id"),
+      col("source"),
+      col("text"),
+      expr(s"CAST(conv(substr(md5(concat('diff', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % $DiffMod")
+        .as("b"))
+    val old = tagged.filter(col("b") =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val nw = tagged.filter(col("b") =!= 1)
+      .select(
+        col("doc_id"),
+        col("source"),
+        when(col("b") === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    Corpus.snapshotDiff(old, nw).orderBy("source", "status")
+  }
 
   /** The stateful domain-gate fold over bounded input — must equal
     * the declarative batch gate (shared twin); the true
@@ -802,6 +845,10 @@ object Queries {
   /** Deduplicated corpus export: canonical rows + capped provenance. */
   def docDedupExport(s: SparkSession, dir: String): DataFrame =
     Corpus.dedupExport(docs(s, dir)).orderBy("doc_id")
+
+  /** Quality-aware survivor per cluster (argmax quality, id tiebreak). */
+  def docDedupExportBest(s: SparkSession, dir: String): DataFrame =
+    Corpus.dedupExportBest(docs(s, dir)).orderBy("cluster")
 
   /** Benchmark decontamination: shingle overlap vs the held-out set. */
   def docDecontaminate(s: SparkSession, dir: String): DataFrame =
@@ -1734,6 +1781,54 @@ object Queries {
     Multimodal.mmAudioDedupClusters(audioPayloadSet(s, dir))
       .orderBy("doc_id")
 
+  /** Every video face runs over synthesized-AVI versions of the text
+    * stand-ins (realistic negatives) plus planted clip + frame-rate-
+    * downsample pairs where temporal-invariant pairing is
+    * mathematically possible ([[Multimodal.plantedVideoPayloads]]).
+    */
+  private def videoPayloadSet(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withVideoPayload(docs(s, dir))
+      .unionByName(Multimodal.plantedVideoPayloads(docs(s, dir)))
+
+  /** Real AVI container scan (LIST descent, avih fields, 00db frame
+    * chunks): the twin replays geometry/timing/frame counts from the
+    * synth formulas with no container bytes — equality is the proof
+    * the chunk walk is real.
+    */
+  def mmVideoFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFeatures(videoPayloadSet(s, dir))
+      .toDF().orderBy("doc_id")
+
+  /** Temporal luma dHash over real AVI containers; the twin replays
+    * per-frame luma sums from the synth formulas.
+    */
+  def mmVideoPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFingerprint(videoPayloadSet(s, dir))
+      .toDF().orderBy("doc_id")
+
+  /** Perceptual VIDEO near-dup pairs: banded candidates, Hamming
+    * verify — each planted clip must pair with its frame-rate
+    * downsample and nothing else.
+    */
+  def mmVideoNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmVideoNearDup(videoPayloadSet(s, dir))
+      .orderBy("doc_a", "doc_b")
+
+  /** Video duplicate clusters over the same payload set — the shared
+    * CC engine's fifth modality.
+    */
+  def mmVideoDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmVideoDedupClusters(videoPayloadSet(s, dir))
+      .orderBy("doc_id")
+
+  /** The video ingest-time fold over bounded input — must equal the
+    * banded self-join kept per band (shared twin); the true
+    * flatMapGroupsWithState path is StreamingSpec-pinned.
+    */
+  def streamingMmVideoNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchMmVideoNearDup(videoPayloadSet(s, dir))
+      .toDF().orderBy("doc_a", "doc_b", "band")
+
   // ------------------------------------------------------------ P6/P5/P11/P12
   /** Presentation projection of the densified table: the reference's
     * public column set (rename/title-case P6, main.py:230) + URIM (P5).
@@ -1955,6 +2050,7 @@ object Queries {
     "doc_quality_model" -> (docQualityModel _),
     "doc_quality_model_trained" -> (docQualityModelTrained _),
     "doc_quality_model_stored" -> (docQualityModelStored _),
+    "doc_quality_eval" -> (docQualityEval _),
     "doc_lm_score" -> (docLmScore _),
     "doc_lm_score_stored" -> (docLmScoreStored _),
     "streaming_lm_score" -> (streamingLmScore _),
@@ -1964,6 +2060,8 @@ object Queries {
     "doc_source_filtered" -> (docSourceFiltered _),
     "streaming_source_gate" -> (streamingSourceGate _),
     "doc_pipeline_full_v3" -> (docPipelineFullV3 _),
+    "doc_shard_manifest" -> (docShardManifest _),
+    "corpus_diff" -> (corpusDiff _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_split_leakage" -> (docSplitLeakage _),
@@ -1982,6 +2080,7 @@ object Queries {
     "doc_chunk" -> (docChunk _),
     "doc_dedup_clusters" -> (docDedupClusters _),
     "doc_dedup_export" -> (docDedupExport _),
+    "doc_dedup_export_best" -> (docDedupExportBest _),
     "doc_decontaminate" -> (docDecontaminate _),
     "streaming_decontaminate" -> (streamingDecontaminate _),
     "streaming_emb_decontaminate" -> (streamingEmbDecontaminate _),
@@ -2071,6 +2170,11 @@ object Queries {
     "mm_audio_near_dup" -> (mmAudioNearDup _),
     "mm_audio_dedup_clusters" -> (mmAudioDedupClusters _),
     "streaming_mm_audio_near_dup" -> (streamingMmAudioNearDup _),
+    "mm_video_features" -> (mmVideoFeatures _),
+    "mm_video_phash" -> (mmVideoPhash _),
+    "mm_video_near_dup" -> (mmVideoNearDup _),
+    "mm_video_dedup_clusters" -> (mmVideoDedupClusters _),
+    "streaming_mm_video_near_dup" -> (streamingMmVideoNearDup _),
     "mm_near_dup" -> (mmNearDup _),
     "mm_dedup_clusters" -> (mmDedupClusters _),
     "span_metrics" -> (spanMetrics _),

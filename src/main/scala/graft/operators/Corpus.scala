@@ -152,6 +152,41 @@ object Corpus {
       .select("doc_id", "lang", "source", "n_chars", "n_members", "members")
   }
 
+  /** Quality-aware dedup survivor selection — the production variant
+    * of [[dedupExport]]'s min-id canonical: within each near-dup
+    * cluster, keep the member with the HIGHEST quality score
+    * (doc_id-ascending tiebreak), so a cleaner re-crawl of the same
+    * page beats an earlier boilerplate-laden capture instead of losing
+    * to it on id order. `displaced` flags clusters where the quality
+    * argmax differs from the min-id label — the docs an id-ordered
+    * export would have shipped wrongly.
+    *
+    * Scale shape: one per-cluster `row_number` window over the label
+    * frame (cluster-keyed — the spillable window sort absorbs a
+    * mega-cluster), quality joined doc-keyed; nothing corpus×corpus.
+    * The quality ordering is deterministic because both sides compare
+    * the same round-to-6 score ([[TextStats.quality]] ≡ qualitySelect,
+    * hash-pinned by `doc_quality`) before the id tiebreak.
+    */
+  def dedupExportBest(docs: DataFrame): DataFrame = {
+    val labels = dedupClusters(docs)
+    val q = TextStats.quality(docs).select(col("doc_id"), col("quality"))
+    labels
+      .join(q, "doc_id")
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("cluster")
+            .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("cluster_size").as("n_members"),
+        col("quality"),
+        (col("doc_id") =!= col("cluster")).as("displaced"))
+  }
+
   /** [[dedupClusters]] over an already-computed near-dup pair frame
     * (`doc_a`, `doc_b`, `jaccard`) — the shared-pipeline entry point:
     * [[docPipeline]] feeds it the pair set whose shingle explode is
@@ -705,6 +740,79 @@ object Corpus {
         col("keep_source"),
         reason.as("reason"),
         (reason === "keep").as("keep"))
+  }
+
+  /** Export shard count for [[shardManifest]]. */
+  val ExportShards = 8
+
+  /** Deterministic shard manifest — the summary a trainer's data
+    * loader consumes from an exported corpus: each doc hashes to one
+    * of [[ExportShards]] shards by an md5 of its id (a pure function
+    * of the corpus — re-export reproduces the same sharding
+    * bit-for-bit, where rand() would reshuffle under retry), and the
+    * manifest reports per-shard doc/token volume plus each shard's
+    * share of the corpus so imbalance is visible before a training
+    * run discovers it. One shuffle keyed by shard with map-side
+    * combine; the share denominator is a broadcast one-row total.
+    */
+  def shardManifest(docs: DataFrame): DataFrame = {
+    val perShard = docs.select(
+      expr(s"CAST(conv(substr(md5(concat('shard', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % $ExportShards")
+        .as("shard"),
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+    val total = perShard.agg(sum("n_tokens").as("t_total"))
+    perShard.crossJoin(broadcast(total))
+      .select(
+        col("shard"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("min_doc_id"),
+        col("max_doc_id"),
+        round(col("n_tokens").cast("double") / col("t_total"), 6).as("token_share"))
+  }
+
+  /** Release-over-release corpus diff — the regression read a data
+    * team runs before publishing snapshot N: per (source, status)
+    * document counts, where status is `added` (only in the new
+    * snapshot), `removed` (only in the old), `changed` (present in
+    * both, content differs) or `unchanged`. A surprise `removed`
+    * spike in one source is a broken ingest; a surprise `changed`
+    * spike is an upstream re-crawl — both caught here before a
+    * training run discovers them.
+    *
+    * Scale shape: content comparison happens on an 8-byte xxhash64 of
+    * the text computed AT THE SCAN, so the doc_id-keyed full-outer
+    * join shuffles (id, source, hash) — never document bodies; the
+    * rollup is |sources|×4 rows with map-side combine. A hash
+    * collision would misreport one doc as `unchanged` — the standard
+    * content-diff trade, same as [[Dedup.exactDedup]]'s hash key.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(
+      col("doc_id"),
+      col("source").as("src_old"),
+      xxhash64(col("text")).as("h_old"))
+    val n = newDocs.select(
+      col("doc_id"),
+      col("source").as("src_new"),
+      xxhash64(col("text")).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_old"), col("src_new")).as("source"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged"))
+          .as("status"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
   }
 
   /** [[stripBoilerplate]] segment width (words) and the document

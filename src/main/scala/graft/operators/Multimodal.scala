@@ -556,6 +556,307 @@ object Multimodal {
     Corpus.clustersFromEdges(hashed.select(col("doc_id")), pairs)
   }
 
+  // ------------------------------------------------ video container (AVI)
+  /** Everything the AVI container scan derives before touching pixels:
+    * the main-header timing/geometry fields plus each frame chunk's
+    * (offset, length) — what a frame decoder needs.
+    */
+  private[graft] case class AviInfo(
+      usPerFrame: Long, w: Long, h: Long, frames: Array[(Int, Int)])
+
+  /** Canonical RIFF/AVI assembly (the public AVI layout: RIFF("AVI ")
+    * → LIST(hdrl){avih} → LIST(movi){one `00db` raw-frame chunk per
+    * frame}) — the [[wavHeader]] synthesize-then-parse discipline on
+    * the FIFTH container format. `avih` carries the standard
+    * AVIMAINHEADER field order (microseconds per frame at +0, total
+    * frames at +16, width/height at +32/+36); frames are raw 8-bit
+    * luma planes, odd lengths pad per RIFF word alignment.
+    */
+  private[graft] def aviContainer(
+      usPerFrame: Int, w: Int, h: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    val avih =
+      le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrlBody =
+      "avih".getBytes("US-ASCII") ++ le32(avih.length) ++ avih
+    val hdrl =
+      "LIST".getBytes("US-ASCII") ++ le32(4 + hdrlBody.length) ++
+        "hdrl".getBytes("US-ASCII") ++ hdrlBody
+    val moviBody = frames.flatMap { f =>
+      "00db".getBytes("US-ASCII") ++ le32(f.length) ++ f ++
+        (if (f.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    }
+    val movi =
+      "LIST".getBytes("US-ASCII") ++ le32(4 + moviBody.length) ++
+        "movi".getBytes("US-ASCII") ++ moviBody
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + hdrl.length + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+  }
+
+  /** REAL AVI container parse: RIFF signature + form-type check, then
+    * a little-endian chunk walk that descends into LIST chunks, reads
+    * the `avih` timing/geometry fields, and records every `00db`
+    * frame chunk's extent — skipping unknown chunks by their length
+    * fields, as any AVI reader does. All cursor arithmetic in Long
+    * with the [[parseWav]] hardening: a corrupt 32-bit length must
+    * neither spin the scan nor wrap the cursor, and a chunk running
+    * past its enclosure halts the parse (truncated container = data,
+    * not a job failure). A container whose frame chunks disagree with
+    * the header geometry (length ≠ w·h) is corrupt → None.
+    */
+  private[graft] def parseAvi(p: Array[Byte]): Option[AviInfo] = {
+    if (p.length < 12 ||
+        !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+        !(p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' ')) None
+    else {
+      var usPerFrame = -1L
+      var w = -1L
+      var h = -1L
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var ok = true
+      def scan(start: Long, end: Long): Unit = {
+        var i = start
+        while (ok && i + 8 <= end) {
+          val io = i.toInt
+          val cid = new String(p.slice(io, io + 4), "US-ASCII")
+          val clen = readLe32(p, io + 4)
+          val body = i + 8
+          val next = body + clen + (clen & 1L)
+          if (next <= i || next > end) ok = false
+          else {
+            if (cid == "LIST" && clen >= 4) scan(body + 4, body + clen)
+            else if (cid == "avih" && clen >= 40) {
+              usPerFrame = readLe32(p, io + 8)
+              w = readLe32(p, io + 40)
+              h = readLe32(p, io + 44)
+            } else if (cid == "00db") frames += ((body.toInt, clen.toInt))
+            i = next
+          }
+        }
+      }
+      scan(12L, p.length.toLong)
+      if (!ok || usPerFrame <= 0 || w <= 0 || h <= 0 || frames.isEmpty ||
+          frames.exists(_._2.toLong != w * h)) None
+      else Some(AviInfo(usPerFrame, w, h, frames.toArray))
+    }
+  }
+
+  /** Parsed video container features; duration is exact integer
+    * milliseconds: n_frames · us_per_frame / 1000.
+    */
+  case class MmVideo(
+      doc_id: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      us_per_frame: Long,
+      duration_ms: Long)
+
+  /** Video payload synth: deterministic per-doc geometry (2–4 px a
+    * side by id/length) and frame timing (40/60/80 ms per frame by
+    * text length) around the ASCII-projected text sliced into
+    * consecutive w·h-byte raw luma frames — the video sibling of
+    * [[withAudioPayload]]. Docs shorter than one frame produce no
+    * `00db` chunk and drop at parse, as a real demuxer drops an empty
+    * movi.
+    */
+  def withVideoPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      (lit(2) + (col("doc_id") % 3)).cast("long").as("w"),
+      (lit(2) + (col("n_chars") % 3)).cast("long").as("h"),
+      (lit(40000) + (col("n_chars") % 3).cast("int") * 20000).as("uspf"),
+      encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", "_"), "utf-8").as("body"))
+      .as[(Long, Long, Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, w, h, uspf, body) =>
+        val fb = (w * h).toInt
+        val n = body.length / fb
+        val frames = Array.tabulate(n)(k => body.slice(k * fb, (k + 1) * fb))
+        MmRow(id, "video", w, h, aviContainer(uspf, w.toInt, h.toInt, frames))
+      })
+      .toDF()
+  }
+
+  /** Per-payload video features: the container scan every video face
+    * rides. Non-AVI payloads drop — like audio, pixel data interpreted
+    * from arbitrary bytes carries no video statistics, so the modality
+    * is strict about its container.
+    */
+  def videoFeatures(withPayloadDf: DataFrame): Dataset[MmVideo] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions(_.flatMap { r =>
+      parseAvi(r.payload).map { v =>
+        MmVideo(
+          r.doc_id, "avi", v.w, v.h, v.frames.length.toLong, v.usPerFrame,
+          v.frames.length.toLong * v.usPerFrame / 1000L)
+      }
+    })
+  }
+
+  /** Temporal video dHash: decode the frame chunks the container scan
+    * located, take each frame's LUMA SUM (unsigned bytes — integer,
+    * so the formula-replaying twin is bit-exact), split the frame
+    * axis into [[PhashBuckets]] time buckets with the same `(k·nb)/L`
+    * mapping the byte/audio kernels use, and emit 64 sign-of-delta
+    * bits by integer cross-multiplication. Robustness property: a
+    * frame-rate downsample (every 2nd frame) maps surviving frames to
+    * the same relative positions, so bucket luma means move together
+    * and the bit pattern survives — the temporal analogue of the
+    * audio kernel's resample invariance. Clips under [[PhashBuckets]]
+    * frames drop, exactly as the audio kernel refuses sub-signature-
+    * length clips (and for the same degenerate-bucket reason).
+    */
+  private[graft] def videoDHash(p: Array[Byte]): Option[(Long, Long)] =
+    parseAvi(p).flatMap { v =>
+      val n = v.frames.length
+      if (n < PhashBuckets) None
+      else Some {
+        val nb = PhashBuckets
+        val sums = new Array[Long](nb)
+        val cnts = new Array[Long](nb)
+        var k = 0
+        while (k < n) {
+          val b = ((k.toLong * nb) / n).toInt
+          val (off, len) = v.frames(k)
+          var s = 0L
+          var j = 0
+          while (j < len) {
+            s += (p(off + j) & 0xff)
+            j += 1
+          }
+          sums(b) += s
+          cnts(b) += 1
+          k += 1
+        }
+        val big = n > (1 << 22)
+        var lo = 0L
+        var hi = 0L
+        var b = 0
+        while (b < nb - 1) {
+          val bit =
+            if (big) BigInt(sums(b + 1)) * cnts(b) > BigInt(sums(b)) * cnts(b + 1)
+            else sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1)
+          if (bit) {
+            if (b < 32) lo |= 1L << b
+            else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        (hi, lo)
+      }
+    }
+
+  /** Per-payload video fingerprints: the ONE kernel every video face
+    * rides (registry row, batch near-dup, streaming ingest).
+    */
+  def videoFingerprint(withPayloadDf: DataFrame): Dataset[MmHash] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions(_.flatMap { r =>
+      videoDHash(r.payload).map { case (hi, lo) => MmHash(r.doc_id, hi, lo) }
+    })
+  }
+
+  /** Planted "clip + its 2x frame-rate downsample" AVI pairs —
+    * [[plantedAudioPayloads]]' discipline on the fifth container. The
+    * text stand-ins are too short for a 65-bucket temporal signature,
+    * so every [[PlantEvery]]-th doc plants a [[VideoPlantW]]×
+    * [[VideoPlantH]] constant-luma-per-frame clip of
+    * [[VideoPlantMinFrames]]+(doc_id % 1000) frames in
+    * [[VideoPlantBlocks]] md5-keyed luma blocks (locally smooth,
+    * globally unique — real clips' shot structure), plus its
+    * every-[[VideoStride]]-th-frame copy at doubled frame interval
+    * (same duration, half the frames: a genuine frame-rate
+    * downsample) under a second id.
+    */
+  // Frame count floor sized like [[AudioPlantMinLen]] relative to the
+  // bucket grid: ≥ 32 frames per bucket and ≥ 16 per md5 block — the
+  // same granularity ratios the audio plant uses — so a 2x frame-rate
+  // downsample's boundary rounding moves only a few bits (spec-pinned
+  // ≤ 3). At 260 frames (4/bucket) the rounding drifted past the
+  // Hamming gate; at 1040 (16/bucket) one pair still missed a band.
+  val VideoPlantMinFrames = 2080L
+  val VideoPlantBlocks = 128L
+  val VideoPlantIdBase = 500000L
+  val VideoStrideIdBase = 600000L
+  val VideoStride = 2
+  val VideoPlantW = 8
+  val VideoPlantH = 8
+  val VideoPlantUsPerFrame = 40000
+
+  private[graft] def videoPlantValue(docId: Long, block: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"v$docId:$block".getBytes("UTF-8"))
+    20 + ((h(0) & 0xff) % 200)
+  }
+
+  def plantedVideoPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % PlantEvery === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val n = (VideoPlantMinFrames + d % 1000).toInt
+        val fb = VideoPlantW * VideoPlantH
+        def frame(v: Int) = Array.fill(fb)(v.toByte)
+        val vals =
+          Array.tabulate(n)(k => videoPlantValue(d, k.toLong * VideoPlantBlocks / n))
+        val svals = Array.range(0, n, VideoStride).map(vals(_))
+        Seq(
+          MmRow(d + VideoPlantIdBase, "video", VideoPlantW, VideoPlantH,
+            aviContainer(VideoPlantUsPerFrame, VideoPlantW, VideoPlantH,
+              vals.map(frame))),
+          MmRow(d + VideoStrideIdBase, "video", VideoPlantW, VideoPlantH,
+            aviContainer(VideoPlantUsPerFrame * VideoStride, VideoPlantW,
+              VideoPlantH, svals.map(frame))))
+      })
+      .toDF()
+  }
+
+  /** Perceptual VIDEO near-dup pairs: band-bucket equi-join (never
+    * all-pairs) over [[videoFingerprint]], Hamming verify, threshold
+    * [[MmHammingMax]] — [[mmAudioNearDup]]'s shape on the fifth
+    * modality, riding the same [[perceptualBanded]] bands.
+    */
+  def mmVideoNearDup(withPayloadDf: DataFrame): DataFrame = {
+    val banded = perceptualBanded(CacheScope.persist(videoFingerprint(withPayloadDf).toDF()))
+    banded.as("a")
+      .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.ph_lo ^ b.ph_lo)") + expr("bit_count(a.ph_hi ^ b.ph_hi)"))
+          .as("hamming"))
+      .filter(col("hamming") <= MmHammingMax)
+      .distinct()
+  }
+
+  /** Video duplicate clusters: the FIFTH modality through
+    * [[graft.operators.Corpus.clustersFromEdges]]' one connected-
+    * components engine. Membership universe = every payload that
+    * fingerprints (parsed AVI of signature length).
+    */
+  def mmVideoDedupClusters(withPayloadDf: DataFrame): DataFrame = {
+    val hashed = CacheScope.persist(videoFingerprint(withPayloadDf).toDF())
+    val banded = perceptualBanded(hashed)
+    val pairs = banded.as("a")
+      .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.ph_lo ^ b.ph_lo)") + expr("bit_count(a.ph_hi ^ b.ph_hi)"))
+          .as("hamming"))
+      .filter(col("hamming") <= MmHammingMax)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    Corpus.clustersFromEdges(hashed.select(col("doc_id")), pairs)
+  }
+
   /** Encoded-payload synth: a REAL container header (PNG for even
     * doc_ids, baseline JPEG for odd) carrying the metadata dimensions,
     * followed by the ASCII-projected text standing in for entropy data.

@@ -903,6 +903,56 @@ object TextStats {
         (col("logit_micro") >= 0L).as("keep"))
   }
 
+  /** Classifier evaluation — the quality-model analogue of
+    * `ann_recall_report`, closing the train → store → score →
+    * EVALUATE lifecycle: per hash-split confusion counts of the
+    * model's keep verdict against the heuristic label it was distilled
+    * from (`quality` >= [[QualityMin]]), with accuracy / precision /
+    * recall. The `test` row is the number an ops dashboard watches —
+    * the train row only confirms the fit converged; a test-row drop
+    * with a healthy train row is the distribution-shift signal that
+    * triggers a retrain, exactly as `ann_index_health` hands off to
+    * the index rebuild.
+    *
+    * Scale shape: both legs are the already-verified doc-keyed scans
+    * ([[qualityModelWith]], [[quality]]), joined on doc_id; the rollup
+    * is 3 rows. Counts are exact integers; the only doubles are three
+    * final rounded divisions.
+    */
+  def qualityEval(docs: DataFrame, weights: DataFrame, biasMilli: Long): DataFrame = {
+    val pred = qualityModelWith(docs, weights, biasMilli)
+      .select(col("doc_id"), col("keep"))
+    val lab = quality(docs)
+      .select(col("doc_id"), (col("quality") >= QualityMin).as("label"))
+    val split = trainSplit(docs).select("doc_id", "split")
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L)).cast("long")
+    pred
+      .join(lab, "doc_id")
+      .join(split, "doc_id")
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        cnt(col("keep") && col("label")).as("tp"),
+        cnt(col("keep") && !col("label")).as("fp"),
+        cnt(!col("keep") && col("label")).as("fn"),
+        cnt(!col("keep") && !col("label")).as("tn"))
+      .select(
+        col("split"),
+        col("n_docs"),
+        col("tp"),
+        col("fp"),
+        col("fn"),
+        col("tn"),
+        round((col("tp") + col("tn")).cast("double") / col("n_docs"), 6)
+          .as("accuracy"),
+        round(
+          col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L)),
+          6).as("prec"),
+        round(
+          col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L)),
+          6).as("recall"))
+  }
+
   /** TRAIN the quality classifier: MLlib LogisticRegression over the
     * hashed bucket features (x = per-bucket word count / n_tokens —
     * exactly the mean-weight formulation [[qualityModelWith]] scores),

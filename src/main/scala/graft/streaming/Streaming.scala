@@ -1157,6 +1157,55 @@ object Streaming {
         mmBucketFold(rows, Vector.empty)._2.iterator)
   }
 
+  private def mmVideoBandedRows(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmBandKeyed] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    graft.operators.Multimodal
+      .perceptualBanded(graft.operators.Multimodal.videoFingerprint(withPayload).toDF())
+      .select(
+        col("doc_id"), col("band").cast("int").as("band"),
+        col("key"), col("ph_hi"), col("ph_lo"))
+      .as[MmBandKeyed]
+  }
+
+  /** The VIDEO modality's ingest-time face: arriving AVI payloads
+    * fingerprint through the one temporal luma-dHash kernel, band into
+    * 16-bit buckets, and each bucket's GroupState emits Hamming-
+    * verified pairs as later members arrive — a crawler sees a
+    * frame-rate re-encode of a clip paired while the crawl is still
+    * running. [[mmNearDupStream]]'s state bound and fold, verbatim, on
+    * the fifth modality.
+    */
+  def mmVideoNearDupStream(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    mmVideoBandedRows(withPayload)
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[MmBandKeyed],
+            state: GroupState[Vector[(Long, Long, Long)]]) =>
+          val (members, out) = mmBucketFold(rows, state.getOption.getOrElse(Vector.empty))
+          state.update(members)
+          out.iterator
+      }
+  }
+
+  /** The video candidate stream's fold over bounded input — the
+    * oracle-checkable batch twin (equals the video band-bucket
+    * self-join with the Hamming verify, kept per band).
+    */
+  def batchMmVideoNearDup(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    mmVideoBandedRows(withPayload)
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroups((key: String, rows: Iterator[MmBandKeyed]) =>
+        mmBucketFold(rows, Vector.empty)._2.iterator)
+  }
+
   /** The candidate stream's fold over bounded input — the oracle-
     * checkable batch twin (equals the band-bucket self-join). Feeds the
     * fold from the AGGREGATED signatures: on bounded input the shuffle-

@@ -39,6 +39,7 @@ class ContractSpec extends AnyFunSuite {
     "ann_index_residual_rotated_topk",
     "doc_quality_model_trained",
     "doc_quality_model_stored",
+    "doc_quality_eval",
     "doc_subword_vocab_bpe",
     "doc_token_stats_bpe_true")
 

@@ -45,6 +45,73 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(7L) == ((1L, "7")) && out(9L) == ((1L, "9")), "singletons export themselves")
   }
 
+  test("dedupExportBest: the quality argmax survives, not the min id; singletons stay") {
+    // doc 3 is doc 1 plus the stopword "the" (shingle superset,
+    // Jaccard 10/12): its stopword factor (1/13*5+0.5) beats siblings
+    // 1 and 2 (0 stopwords, floor 0.5), so the quality argmax of the
+    // {1,2,3} cluster is 3 — an id-ordered export would wrongly ship
+    // doc 1.
+    val fixture = Seq(
+      (1L, s"$base mu", "en", "web"),
+      (2L, s"$base nu", "en", "web"),
+      (3L, s"$base mu the", "en", "web"),
+      (7L, "one two three four five six seven eight nine ten eleven twelve", "en", "web"),
+      (9L, "tiny", "en", "web"))
+    val out = Corpus.dedupExportBest(docsDf(fixture)).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 7L, 9L), "one survivor per cluster, keyed by label")
+    assert(out(1L) == ((3L, 3L, true)), "quality argmax survives and is flagged displaced")
+    assert(out(7L) == ((7L, 1L, false)) && out(9L) == ((9L, 1L, false)),
+      "singletons survive themselves, undisplaced")
+  }
+
+  test("qualityEval: zero-weight classifier reduces to the bias verdict; exact confusion counts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = docsDf(clusterFixture)
+    val zeros = spark.range(graft.operators.TextStats.ModelBuckets.toLong)
+      .toDF("bucket").withColumn("weight_milli", lit(0L))
+    // expected labels and splits from the already-verified operators
+    val label = graft.operators.TextStats.quality(df)
+      .select(col("doc_id"), (col("quality") >= graft.operators.TextStats.QualityMin).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val split = graft.operators.TextStats.trainSplit(df)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    def expect(keepAll: Boolean) =
+      split.groupBy(_._2).map { case (s, m) =>
+        val labs = m.keys.toSeq.map(label)
+        val (t, f) = (labs.count(identity).toLong, labs.count(!_).toLong)
+        s -> (if (keepAll) (m.size.toLong, t, f, 0L, 0L)
+              else (m.size.toLong, 0L, 0L, t, f))
+      }
+    def got(biasMilli: Long) =
+      graft.operators.TextStats.qualityEval(df, zeros, biasMilli).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+    assert(got(1L) == expect(keepAll = true), "positive bias keeps everything: fp = false labels")
+    assert(got(-1L) == expect(keepAll = false), "negative bias drops everything: fn = true labels")
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged classified per source") {
+    val old = docsDf(Seq(
+      (1L, "a b", "en", "web"),
+      (2L, "c d", "en", "web"),
+      (3L, "e f", "en", "news")))
+    val nw = docsDf(Seq(
+      (2L, "c d", "en", "web"),
+      (3L, "e f CHANGED", "en", "news"),
+      (4L, "g h", "en", "web")))
+    val out = Corpus.snapshotDiff(old, nw).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("web", "removed") -> 1L,
+      ("web", "unchanged") -> 1L,
+      ("web", "added") -> 1L,
+      ("news", "changed") -> 1L))
+  }
+
   test("dedupClusters: every cluster label is a member doc_id and the component min") {
     val rows = Corpus.dedupClusters(docsDf(clusterFixture)).collect()
     val ids = rows.map(_.getLong(0)).toSet

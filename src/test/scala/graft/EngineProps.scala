@@ -289,4 +289,57 @@ object EngineProps extends Properties("graft") {
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
       Prop(got == want) :| s"boilerplate scrub != local twin\n got=$got\n want=$want"
     }
+
+  private def localLmCounts(docsSeq: Seq[(Long, String)]) = {
+    val uni = docsSeq.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = docsSeq
+      .flatMap(_._2.split(" ", -1).sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (bi, uni)
+  }
+
+  private def localNll(
+      t: String,
+      bi: Map[(String, String), Long],
+      uni: Map[String, Long],
+      v: Long): (Long, Long) = {
+    val terms = t.split(" ", -1).sliding(2).filter(_.length == 2).map { a =>
+      val lp = -math.log(
+        (bi.getOrElse((a(0), a(1)), 0L) + 1).toDouble /
+          (uni.getOrElse(a(0), 0L) + v).toDouble) * 1000000d
+      BigDecimal(lp).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toVector
+    (terms.length.toLong, terms.sum)
+  }
+
+  property("bigram LM: engine counts and kernel NLL equal a local recomputation") =
+    forAll(genTokCorpus) { docsSeq =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val ts = graft.operators.TextStats
+      val df = docsSeq.toDF("doc_id", "text")
+      val (bi, uni, v) = ts.lmCounts(df)
+      val biM = bi.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val uniM = uni.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val vN = v.collect().head.getLong(0)
+      val (locBi, locUni) = localLmCounts(docsSeq)
+      val countsOk = biM == locBi && uniM == locUni && vN == locUni.size.toLong
+      val want = docsSeq.map { case (id, t) => id -> localNll(t, locBi, locUni, locUni.size.toLong) }.toMap
+      val got = ts.lmScoreStored(df, biM, uniM, vN)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      Prop(countsOk && got == want) :|
+        s"LM != local reference\n counts ok=$countsOk\n got=$got\n want=$want"
+    }
+
+  property("bigram LM: pruning the bigram tier never lowers any document's NLL") =
+    forAll(genTokCorpus, Gen.choose(0, 10)) { (docsSeq, k) =>
+      val (locBi, locUni) = localLmCounts(docsSeq)
+      val v = locUni.size.toLong
+      val pruned = locBi.toSeq
+        .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(k).toMap
+      Prop(docsSeq.forall { case (_, t) =>
+        localNll(t, pruned, locUni, v)._2 >= localNll(t, locBi, locUni, v)._2
+      }) :| s"pruning to $k lowered an NLL"
+    }
 }

@@ -408,6 +408,92 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.MmRow(3L, "audio", 0L, 0L, sub8)).toDF()).count() == 0)
   }
 
+  /** Constant-luma frame sequence from a blocky value track — the
+    * shot structure a real clip's luma trace has.
+    */
+  private def clip(vals: Array[Int], w: Int = 4, h: Int = 4, uspf: Int = 40000): Array[Byte] =
+    Multimodal.aviContainer(uspf, w, h, vals.map(v => Array.fill(w * h)(v.toByte)))
+
+  private def lumaTrack(n: Int, seed: Int): Array[Int] =
+    Array.tabulate(n)(j => 20 + ((((j / 25) * 2654435761L + seed * 40503L) & 0x7fffffffL) % 13).toInt * 15)
+
+  test("parseAvi: synthesized container round-trips header fields and frame extents") {
+    val vals = lumaTrack(80, 5)
+    val p = clip(vals, w = 3, h = 5)
+    val info = Multimodal.parseAvi(p).get
+    assert(info.w == 3 && info.h == 5 && info.usPerFrame == 40000L)
+    assert(info.frames.length == 80)
+    info.frames.zipWithIndex.foreach { case ((off, len), k) =>
+      assert(len == 15)
+      assert((0 until len).forall(j => (p(off + j) & 0xff) == vals(k)),
+        s"frame $k bytes diverge from the synth value")
+    }
+    // a frame chunk disagreeing with the header geometry is corrupt
+    val bad = Multimodal.aviContainer(40000, 4, 4,
+      Array(Array.fill(16)(9.toByte), Array.fill(15)(9.toByte)))
+    assert(Multimodal.parseAvi(bad).isEmpty, "frame length != w*h must drop")
+  }
+
+  test("videoDHash: frame-rate invariance core, strict about signature length") {
+    // a sub-grid clip has no stable signature
+    assert(Multimodal.videoDHash(clip(lumaTrack(64, 1))).isEmpty, "sub-grid clip must drop")
+    assert(Multimodal.videoDHash(clip(lumaTrack(65, 1))).isDefined)
+    // identical content at different geometry hashes identically (the
+    // luma SUM per frame scales by w*h on every bucket — cross-
+    // multiplication cancels it)
+    val vals = lumaTrack(800, 7)
+    assert(Multimodal.videoDHash(clip(vals, w = 4, h = 4)) ==
+      Multimodal.videoDHash(clip(vals, w = 8, h = 2)),
+      "geometry change at equal content moved the fingerprint")
+    // dropping every 2nd frame (a frame-rate downsample) moves only a
+    // few of 64 bits
+    val (hi1, lo1) = Multimodal.videoDHash(clip(vals)).get
+    val strided = Array.range(0, vals.length, 2).map(vals(_))
+    val (hi2, lo2) = Multimodal.videoDHash(clip(strided, uspf = 80000)).get
+    val ham = java.lang.Long.bitCount(hi1 ^ hi2) + java.lang.Long.bitCount(lo1 ^ lo2)
+    assert(ham <= 3, s"frame-rate downsample drifted to hamming $ham")
+  }
+
+  test("corrupt AVI chunk lengths neither spin the scan nor throw") {
+    def chunk(id: String, lenLe: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ lenLe ++ payload
+    val riffHead = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++ "AVI ".getBytes
+    // clen = 0xFFFFFFF8: a 32-bit narrowed advance would be 0 (spin)
+    val spin = riffHead ++ chunk("JUNK", Array[Byte](-8, -1, -1, -1), Array.fill[Byte](32)(0))
+    assert(Multimodal.parseAvi(spin).isEmpty, "corrupt huge chunk must drop the row")
+    // clen ≈ 0x7FFFFFF8: Int math would wrap the cursor negative
+    val wrap = riffHead ++ chunk("JUNK", Array[Byte](-8, -1, -1, 0x7f), Array.fill[Byte](32)(0))
+    assert(Multimodal.parseAvi(wrap).isEmpty, "overflowing chunk must drop the row")
+    // a LIST whose declared body runs past the payload halts the parse
+    val badList = riffHead ++ chunk("LIST", Array[Byte](127, 0, 0, 0),
+      "movi".getBytes ++ Array.fill[Byte](8)(0))
+    assert(Multimodal.parseAvi(badList).isEmpty, "LIST past payload must drop")
+  }
+
+  test("video near-dup: a frame-rate downsample pairs with its original, nothing else") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (0L until 100L).map(i =>
+      (i, s"video document $i " + (1 to 40).map(j => s"w${(i * 37 + j * 13) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val input = Multimodal.withVideoPayload(docs)
+      .unionByName(Multimodal.plantedVideoPayloads(docs))
+    val pairs = Multimodal.mmVideoNearDup(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    val expected = (0L until 100L by Multimodal.PlantEvery)
+      .map(d => (d + Multimodal.VideoPlantIdBase, d + Multimodal.VideoStrideIdBase)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(got), s"missing downsample pairs: ${expected -- got}")
+    pairs.filter(p => expected((p._1, p._2))).foreach { case (a, b, ham) =>
+      assert(ham <= 3, s"downsampled pair ($a,$b) drifted to hamming $ham")
+    }
+    val spurious = (got -- expected)
+      .filter(p => p._1 >= Multimodal.VideoPlantIdBase || p._2 >= Multimodal.VideoPlantIdBase)
+    assert(spurious.isEmpty, s"spurious video pairs: $spurious")
+  }
+
   test("planted PNG rows decode: pixel hash differs from the byte hash of the same payload") {
     val spark = TestSpark.spark
     import spark.implicits._

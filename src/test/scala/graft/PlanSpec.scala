@@ -33,6 +33,7 @@ class PlanSpec extends AnyFunSuite {
         "doc_pipeline_html", "doc_split_leakage",
         "doc_substring_dedup_wide", "streaming_mm_near_dup",
         "mm_audio_near_dup", "streaming_mm_audio_near_dup",
+        "mm_video_near_dup", "streaming_mm_video_near_dup",
         "doc_near_dup_incremental",
         "ann_knn_join", "ann_topk_banded")) {
       val p = plan(q)

@@ -572,6 +572,50 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly the original/resample pair: $pairs")
   }
 
+  test("video ingest stream: a frame-rate downsample pairs with its original regardless of arrival order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // a blocky clip, its genuine 2x frame-rate downsample (must pair),
+    // and a different clip (must not)
+    def track(n: Int, seed: Int): Array[Int] =
+      Array.tabulate(n)(j => 20 +
+        ((((j / 25) * 2654435761L + seed * 40503L) & 0x7fffffffL) % 13).toInt * 15)
+    def avi(vals: Array[Int], uspf: Int): Array[Byte] =
+      graft.operators.Multimodal.aviContainer(
+        uspf, 4, 4, vals.map(v => Array.fill(16)(v.toByte)))
+    val a = track(800, 3)
+    val rows = Seq(
+      (1L, "video", 0L, 0L, avi(a, 40000)),
+      (2L, "video", 0L, 0L, avi(Array.range(0, a.length, 2).map(a(_)), 80000)),
+      (3L, "video", 0L, 0L, avi(track(800, 9), 40000)))
+    val cols = Seq("doc_id", "modality", "width", "height", "payload")
+
+    def run(order: Seq[Int], name: String): Set[(Long, Long, Int, Int)] = {
+      val stream = MemoryStream[(Long, String, Long, Long, Array[Byte])]
+      val q = Streaming.mmVideoNearDupStream(stream.toDS().toDF(cols: _*))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      order.foreach { i =>
+        stream.addData(Seq(rows(i)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    }
+    val fwd = run(Seq(0, 1, 2), "mm_video_nd_stream_fwd")
+    val rev = run(Seq(2, 1, 0), "mm_video_nd_stream_rev")
+    val batch = Streaming.batchMmVideoNearDup(rows.toDF(cols: _*))
+      .collect().map(c => (c.doc_a, c.doc_b, c.band, c.hamming)).toSet
+    assert(fwd == batch, "streamed video candidates diverged from the batch fold")
+    assert(rev == batch, "arrival order changed the video candidate set")
+    val pairs = batch.map { case (x, y, _, _) => (x, y) }
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the original/downsample pair: $pairs")
+  }
+
   test("TTL-evicted LSH stream: a closed bucket stops cross-epoch candidates") {
     val spark = TestSpark.spark
     import spark.implicits._
