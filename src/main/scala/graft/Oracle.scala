@@ -4596,8 +4596,91 @@ object Oracle {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The trained unigram piece table as a VALUES relation — the
+    * [[bpeVocabSql]] materialization pattern; EngineProps pins the
+    * EM training itself against an independent local implementation.
+    */
+  private def unigramVocabSql(pieces: Array[graft.operators.TextStats.UnigramPiece]): String =
+    pieces
+      .map(p => s"(${strLit(p.piece)}, CAST(${p.cnt_micro} AS BIGINT), " +
+        s"CAST(${p.score_micro} AS BIGINT))")
+      .mkString(
+        "SELECT * FROM (VALUES ", ", ",
+        ") AS t(piece, cnt_micro, score_micro) ORDER BY cnt_micro DESC, piece")
+
+  /** Twin of [[graft.operators.TextStats.tokenStatsUnigram]]: a
+    * DERIVED integer Viterbi over the materialized piece scores. The
+    * DP value at each codepoint position encodes (best score, token
+    * count) in ONE BIGINT — e = s·65536 + (65535 − t) — so "max score,
+    * then min tokens" is a plain `greatest`, and the transition
+    * (append piece of score m) is the linear e + m·65536 − 1. The
+    * recursion advances one position per step carrying a 4-position
+    * window (pieces span ≤ 4 codepoints); unknown single codepoints
+    * price at the shared [[graft.operators.TextStats.UnigramUnkMicro]]
+    * floor, longer pieces must exist or the candidate drops.
+    */
+  private def unigramStatsSql(pieces: Array[graft.operators.TextStats.UnigramPiece]): String = {
+    val unk = graft.operators.TextStats.UnigramUnkMicro
+    val values = pieces
+      .map(p => s"(${strLit(p.piece)}, CAST(${p.score_micro} AS BIGINT))")
+      .mkString(",\n    ")
+    val neg = "CAST(-4611686018427387904 AS BIGINT)"
+    val c1 = s"st.e1 + coalesce(p1.score_micro, CAST($unk AS BIGINT)) * 65536 - 1"
+    def cl(l: Int) =
+      s"CASE WHEN st.e$l IS NOT NULL AND p$l.score_micro IS NOT NULL " +
+        s"THEN st.e$l + p$l.score_micro * 65536 - 1 ELSE NULL END"
+    s"""WITH RECURSIVE uni_up AS (SELECT * FROM (VALUES
+       |    $values) t(piece, score_micro)),
+       |u_docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |u_dw AS (SELECT DISTINCT w, length(w) AS n FROM u_docw WHERE length(w) > 0),
+       |ust(w, n, pos, e1, e2, e3, e4) AS (
+       |  SELECT w, n, 0, CAST(65535 AS BIGINT), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       |  FROM u_dw
+       |  UNION ALL
+       |  SELECT st.w, st.n, st.pos + 1,
+       |    greatest(
+       |      coalesce($c1, $neg),
+       |      coalesce(${cl(2)}, $neg),
+       |      coalesce(${cl(3)}, $neg),
+       |      coalesce(${cl(4)}, $neg)),
+       |    st.e1, st.e2, st.e3
+       |  FROM ust st
+       |  LEFT JOIN uni_up p1 ON p1.piece = substr(st.w, CAST(st.pos + 1 AS INTEGER), 1)
+       |  LEFT JOIN uni_up p2 ON st.pos >= 1 AND p2.piece = substr(st.w, CAST(st.pos AS INTEGER), 2)
+       |  LEFT JOIN uni_up p3 ON st.pos >= 2 AND p3.piece = substr(st.w, CAST(st.pos - 1 AS INTEGER), 3)
+       |  LEFT JOIN uni_up p4 ON st.pos >= 3 AND p4.piece = substr(st.w, CAST(st.pos - 2 AS INTEGER), 4)
+       |  WHERE st.pos < st.n
+       |),
+       |u_fin AS (
+       |  SELECT w,
+       |    CAST(65535 - ((e1 % 65536) + 65536) % 65536 AS BIGINT) AS ntok,
+       |    CAST((e1 - (((e1 % 65536) + 65536) % 65536)) // 65536 AS BIGINT) AS score
+       |  FROM ust WHERE pos = n
+       |),
+       |u_doctok AS (
+       |  SELECT d.doc_id,
+       |    CAST(sum(f.ntok) AS BIGINT) AS n_tokens_uni,
+       |    CAST(sum(f.score) AS BIGINT) AS score_micro
+       |  FROM u_docw d JOIN u_fin f ON d.w = f.w
+       |  GROUP BY d.doc_id
+       |)
+       |SELECT doc.doc_id,
+       |  CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_tokens_ws,
+       |  coalesce(a.n_tokens_uni, 0) AS n_tokens_uni,
+       |  coalesce(a.score_micro, 0) AS score_micro,
+       |  round(CAST(coalesce(a.n_tokens_uni, 0) AS DOUBLE)
+       |        / len(string_split(doc.text, ' ')), 6) AS uni_per_ws
+       |FROM documents doc LEFT JOIN u_doctok a USING (doc_id)
+       |ORDER BY doc.doc_id""".stripMargin
+  }
+
   def dynamic(spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, String] =
     Map(
+      "doc_subword_vocab_unigram" ->
+        unigramVocabSql(Queries.unigramTrainedPieces(spark, dir)),
+      "doc_token_stats_unigram" ->
+        unigramStatsSql(Queries.unigramTrainedPieces(spark, dir)),
       "doc_subword_vocab_bpe" ->
         bpeVocabSql(Queries.bpeTrainedMerges(spark, dir)),
       "doc_token_stats_bpe_true" ->

@@ -524,6 +524,51 @@ object Queries {
   def docTokenStatsBpe(s: SparkSession, dir: String): DataFrame =
     TextStats.tokenStatsSubword(docs(s, dir)).orderBy("doc_id")
 
+  private val unigramCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[TextStats.UnigramPiece]]]()
+
+  /** Train the unigram-LM pieces ONCE per (session, dir), persist the
+    * artifact and load it back — the save/load round trip is part of
+    * the fixture, so the registered rows prove the frozen-artifact
+    * apply path end to end.
+    */
+  def unigramTrainedPieces(s: SparkSession, dir: String): Array[TextStats.UnigramPiece] =
+    unigramCache.synchronized {
+      val perSession = unigramCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, Array[TextStats.UnigramPiece]])
+      perSession.getOrElseUpdate(
+        dir, {
+          val trained =
+            try TextStats.unigramPieces(docs(s, dir))
+            finally graft.operators.CacheScope.releaseAll()
+          val p = java.nio.file.Files.createTempDirectory("graft_unigram_").toString
+          TextStats.saveUnigramPieces(s, trained, p)
+          TextStats.loadUnigramPieces(s, p)
+        })
+    }
+
+  /** The trained unigram-LM piece table as a row: EM training
+    * ([[TextStats.unigramPieces]] — one distributed integer aggregate
+    * per round), materialized for the VALUES twin. EngineProps pins
+    * seed/EM/prune/score parity against an independent single-machine
+    * implementation.
+    */
+  def docSubwordVocabUnigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unigramTrainedPieces(s, dir).toSeq.toDS().toDF()
+      .select(col("piece"), col("cnt_micro"), col("score_micro"))
+      .orderBy(col("cnt_micro").desc, col("piece"))
+  }
+
+  /** Per-doc token statistics under the unigram tokenizer — the apply
+    * half: the twin DERIVES the identical integer Viterbi (max score,
+    * then min tokens) as a recursive CTE carrying a 4-position DP
+    * window over the materialized piece scores.
+    */
+  def docTokenStatsUnigram(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenStatsUnigram(docs(s, dir), unigramTrainedPieces(s, dir))
+      .orderBy("doc_id")
+
   /** The tokenizer train/apply split end-to-end: a vocab trained on
     * ONE corpus (every third document — standing in for "batch 1" /
     * the frozen reference corpus), persisted as a parquet artifact,
@@ -2042,6 +2087,8 @@ object Queries {
     "doc_subword_vocab" -> (docSubwordVocab _),
     "doc_subword_vocab_bpe" -> (docSubwordVocabBpe _),
     "doc_token_stats_bpe_true" -> (docTokenStatsBpeTrue _),
+    "doc_subword_vocab_unigram" -> (docSubwordVocabUnigram _),
+    "doc_token_stats_unigram" -> (docTokenStatsUnigram _),
     "doc_token_stats_bpe" -> (docTokenStatsBpe _),
     "doc_token_stats_bpe_stored" -> (docTokenStatsBpeStored _),
     "doc_lang_id" -> (docLangId _),

@@ -395,6 +395,291 @@ object TextStats {
     spark.read.parquet(path).as[BpeMerge].collect().sortBy(_.rank)
   }
 
+  // --------------------------------------------- unigram-LM tokenizer
+  /** Unigram-LM (SentencePiece-style, Kudo 2018, public) tokenizer:
+    * the OTHER public subword algorithm, completing the family next to
+    * greedy frequent-substring and true BPE. Training is
+    * expectation-maximization over a piece vocabulary — each word is
+    * modeled as an independent mixture over its segmentations; the
+    * E-step computes each piece's expected count by forward-backward
+    * over the word lattice, the M-step re-scores pieces by their
+    * normalized counts, and pruning keeps the top pieces (all single
+    * codepoints always survive, the coverage guarantee).
+    *
+    * Determinism contract (the repo's integer-quantize discipline):
+    * per-(word, piece) expected counts quantize to integer MICRO
+    * before the freq multiply and the cross-word sum, so aggregation
+    * is order-free exact; scores are add-one-smoothed micro-nat logs
+    * of those integer counts — one double `ln` per piece per round
+    * from identical integer inputs. The only unquantized doubles live
+    * inside one word's forward-backward, which both the engine and
+    * the EngineProps reference compute from the same score integers.
+    *
+    * Scale shape: training runs over the word-FREQUENCY table, never
+    * the corpus; per EM round ONE distributed aggregate (words ×
+    * broadcast kilobyte score map → per-piece integer count sums) —
+    * the Lloyd-loop discipline [[bpeMerges]] uses. Apply is a
+    * shuffle-free broadcast kernel with per-partition word
+    * memoization.
+    */
+  val UnigramMaxPieceLen = 4
+  val UnigramSeedK = 300
+  val UnigramVocabK = 120
+  val UnigramEmRounds = 3
+
+  /** Viterbi score for a single codepoint absent from the vocabulary
+    * (an apply-time character never seen in training) — a fixed
+    * deterministic floor shared verbatim with the DuckDB twin.
+    */
+  val UnigramUnkMicro: Long = -25000000L
+
+  /** One trained unigram piece: expected corpus count (integer micro)
+    * and its add-one-smoothed log probability (integer micro-nats).
+    */
+  case class UnigramPiece(piece: String, cnt_micro: Long, score_micro: Long)
+
+  private def unigramRescore(
+      counts: Seq[(String, Long)]): Array[UnigramPiece] = {
+    val total = counts.map(_._2).sum
+    val v = counts.length.toLong
+    counts.map { case (p, c) =>
+      val lp = math.log((c + 1000000L).toDouble / (total + v * 1000000L).toDouble)
+      UnigramPiece(
+        p, c,
+        BigDecimal(lp * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toArray
+  }
+
+  /** Deterministic prune: every single-codepoint piece survives
+    * (coverage); multi-codepoint pieces keep the top
+    * [[UnigramVocabK]] by (count desc, piece asc).
+    */
+  private def unigramPrune(
+      counts: Seq[(String, Long)], keepMulti: Int): Seq[(String, Long)] = {
+    val (single, multi) =
+      counts.partition { case (p, _) => p.codePointCount(0, p.length) == 1 }
+    single.sortBy(_._1) ++
+      multi.sortBy { case (p, c) => (-c, p) }.take(keepMulti)
+  }
+
+  /** Expected piece counts for ONE word by forward-backward over the
+    * segmentation lattice, quantized to integer micro per piece —
+    * shared verbatim by the trainer and the EngineProps reference.
+    * Returns empty when the lattice has no path (cannot happen while
+    * training singles cover the corpus) or underflows.
+    */
+  private[graft] def unigramExpectedMicro(
+      w: String, scores: collection.Map[String, Long]): Seq[(String, Long)] = {
+    val cps = codepointSyms(w)
+    val n = cps.length
+    if (n == 0) return Seq.empty
+    def piece(i: Int, j: Int): String = cps.slice(i, j).mkString
+    def p(s: String): Option[Double] =
+      scores.get(s).map(m => math.exp(m.toDouble / 1e6))
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      while (l <= UnigramMaxPieceLen && l <= j) {
+        p(piece(j - l, j)).foreach(pp => alpha(j) += alpha(j - l) * pp)
+        l += 1
+      }
+      j += 1
+    }
+    val z = alpha(n)
+    if (z <= 0.0 || z.isNaN || z.isInfinite) return Seq.empty
+    val beta = new Array[Double](n + 1)
+    beta(n) = 1.0
+    var i = n - 1
+    while (i >= 0) {
+      var l = 1
+      while (l <= UnigramMaxPieceLen && i + l <= n) {
+        p(piece(i, i + l)).foreach(pp => beta(i) += pp * beta(i + l))
+        l += 1
+      }
+      i -= 1
+    }
+    val acc = scala.collection.mutable.HashMap.empty[String, Double]
+    i = 0
+    while (i < n) {
+      var l = 1
+      while (l <= UnigramMaxPieceLen && i + l <= n) {
+        val s = piece(i, i + l)
+        p(s).foreach { pp =>
+          acc.updateWith(s) {
+            case Some(e) => Some(e + alpha(i) * pp * beta(i + l) / z)
+            case None => Some(alpha(i) * pp * beta(i + l) / z)
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    acc.toSeq.sortBy(_._1).map { case (s, e) =>
+      (s, BigDecimal(e * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+  }
+
+  /** TRAIN the unigram vocabulary: seed from substring-span counts
+    * (all positions × word freq; every single codepoint plus the top
+    * [[UnigramSeedK]] multis), then [[UnigramEmRounds]] EM rounds —
+    * each ONE distributed integer aggregate — pruning to
+    * [[UnigramVocabK]] multis after every round.
+    */
+  def unigramPieces(docs: DataFrame): Array[UnigramPiece] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordFreq = docs
+      .select(explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .as[(String, Long)]
+      .persist()
+    wordFreq.count()
+    // seed: substring-span counts in micro units. The span table is
+    // corpus-vocabulary-sized, so the cut happens DISTRIBUTED: singles
+    // collect whole (alphabet-bounded), multis go through a
+    // TakeOrderedAndProject top-K — the driver never sees the full
+    // substring table.
+    val spanCounts = wordFreq
+      .flatMap { case (w, c) =>
+        val cps = codepointSyms(w)
+        for {
+          i <- cps.indices
+          l <- 1 to math.min(UnigramMaxPieceLen, cps.length - i)
+        } yield (cps.slice(i, i + l).mkString, c * 1000000L)
+      }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .reduceGroups(_ + _)
+      .toDF("piece", "cnt")
+      .persist()
+    val singles = spanCounts
+      .filter(expr("length(piece) = 1"))
+      .as[(String, Long)].collect()
+    val multis = spanCounts
+      .filter(expr("length(piece) > 1"))
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(UnigramSeedK)
+      .as[(String, Long)].collect()
+    spanCounts.unpersist(blocking = false)
+    val seeded = singles.toSeq.sortBy(_._1) ++
+      multis.toSeq.sortBy { case (p, c) => (-c, p) }
+    var pieces = unigramRescore(seeded)
+    var r = 0
+    while (r < UnigramEmRounds) {
+      val scoreMap = pieces.map(p => p.piece -> p.score_micro).toMap
+      val bc = spark.sparkContext.broadcast(scoreMap)
+      val counts = wordFreq
+        .flatMap { case (w, c) =>
+          unigramExpectedMicro(w, bc.value).map { case (s, e) => (s, e * c) }
+        }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .reduceGroups(_ + _)
+        .collect()
+      pieces = unigramRescore(
+        unigramPrune(counts.toSeq.map { case (p, c) => (p, c) }, UnigramVocabK))
+      r += 1
+    }
+    wordFreq.unpersist(blocking = false)
+    pieces.sortBy(p => (-p.cnt_micro, p.piece))
+  }
+
+  /** Viterbi tokenization of one word under trained piece scores:
+    * maximize the integer score sum; among equal scores minimize the
+    * token count — both DP values are pure integers, so the verdict
+    * is engine-stable and the DuckDB twin replays the identical
+    * recurrence. Unknown single codepoints price at
+    * [[UnigramUnkMicro]]. Returns (n_tokens, score_micro_sum).
+    */
+  private[graft] def unigramTokenize(
+      w: String, scores: collection.Map[String, Long]): (Long, Long) = {
+    val cps = codepointSyms(w)
+    val n = cps.length
+    if (n == 0) return (0L, 0L)
+    val bestS = new Array[Long](n + 1)
+    val bestT = new Array[Long](n + 1)
+    var j = 1
+    while (j <= n) {
+      var s = Long.MinValue
+      var t = Long.MaxValue
+      var l = 1
+      while (l <= UnigramMaxPieceLen && l <= j) {
+        val piece = cps.slice(j - l, j).mkString
+        val sc =
+          if (l == 1) Some(scores.getOrElse(piece, UnigramUnkMicro))
+          else scores.get(piece)
+        sc.foreach { m =>
+          val cs = bestS(j - l) + m
+          val ct = bestT(j - l) + 1
+          if (cs > s || (cs == s && ct < t)) { s = cs; t = ct }
+        }
+        l += 1
+      }
+      bestS(j) = s
+      bestT(j) = t
+      j += 1
+    }
+    (bestT(n), bestS(n))
+  }
+
+  /** Per-doc token statistics under the unigram tokenizer —
+    * [[tokenStatsBpeTrue]]'s broadcast-kernel shape: whitespace count
+    * vs Viterbi piece count plus the exact integer corpus score.
+    */
+  def tokenStatsUnigram(docs: DataFrame, pieces: Array[UnigramPiece]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scores = pieces.map(p => p.piece -> p.score_micro).toMap
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val memo = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        rows.map { case (id, text) =>
+          val ws = text.split(" ", -1)
+          var tok = 0L
+          var sc = 0L
+          var i = 0
+          while (i < ws.length) {
+            if (ws(i).nonEmpty) {
+              val (t, s) = memo.getOrElseUpdate(ws(i), unigramTokenize(ws(i), scores))
+              tok += t
+              sc += s
+            }
+            i += 1
+          }
+          (id, ws.length.toLong, tok, sc)
+        }
+      }
+      .toDF("doc_id", "n_tokens_ws", "n_tokens_uni", "score_micro")
+      .select(
+        col("doc_id"),
+        col("n_tokens_ws"),
+        col("n_tokens_uni"),
+        col("score_micro"),
+        round(col("n_tokens_uni").cast("double") / col("n_tokens_ws"), 6)
+          .as("uni_per_ws"))
+  }
+
+  /** Persist trained unigram pieces — the [[saveBpeMerges]] artifact
+    * contract for the EM tokenizer.
+    */
+  def saveUnigramPieces(
+      spark: SparkSession, pieces: Array[UnigramPiece], path: String): Unit = {
+    import spark.implicits._
+    pieces.toSeq.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a piece artifact written by [[saveUnigramPieces]], restored
+    * to the deterministic (count desc, piece) order.
+    */
+  def loadUnigramPieces(spark: SparkSession, path: String): Array[UnigramPiece] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[UnigramPiece].collect()
+      .sortBy(p => (-p.cnt_micro, p.piece))
+  }
+
   /** Stopword vocabulary for [[quality]]'s stopword ratio. */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
 

@@ -1192,6 +1192,53 @@ object Streaming {
       }
   }
 
+  /** [[mmVideoNearDupStream]] with the REAL state bound an endless
+    * crawl needs — [[mmNearDupStreamTtl]]'s watermark-driven eviction
+    * and timeout re-arming verbatim, on the video fingerprint kernel:
+    * each band bucket lives `ttlSeconds` of EVENT time past its newest
+    * member, then evicts (a re-encode arriving after its bucket closed
+    * pairs with nothing — the takedown-friendly trade). `withPayload`
+    * needs an `event_ts` column.
+    */
+  def mmVideoNearDupStreamTtl(
+      withPayload: org.apache.spark.sql.DataFrame,
+      watermarkDelay: String,
+      ttlSeconds: Long): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    val hashed = withPayload
+      .select(col("doc_id"), col("payload"), col("event_ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, p, ts) =>
+        graft.operators.Multimodal.videoDHash(p).map { case (hi, lo) => (id, hi, lo, ts) }
+      })
+      .toDF("doc_id", "ph_hi", "ph_lo", "event_ts")
+    graft.operators.Multimodal.perceptualBanded(hashed)
+      .withWatermark("event_ts", watermarkDelay)
+      .select(
+        col("doc_id"), col("band").cast("int").as("band"),
+        col("key"), col("ph_hi"), col("ph_lo"), col("event_ts"))
+      .as[MmBandKeyedTs]
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[MmBandKeyedTs], state: GroupState[MmTtlBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            val prior = state.getOption.getOrElse(MmTtlBucket(Vector.empty, Long.MinValue))
+            val (members, out) = mmBucketFold(
+              batch.iterator.map(r => MmBandKeyed(r.doc_id, r.band, r.key, r.ph_hi, r.ph_lo)),
+              prior.members)
+            val newest = math.max(prior.newestTs, batch.map(_.event_ts.getTime).max)
+            state.update(MmTtlBucket(members, newest))
+            state.setTimeoutTimestamp(newest + ttlSeconds * 1000L)
+            out.iterator
+          }
+      }
+  }
+
   /** The video candidate stream's fold over bounded input — the
     * oracle-checkable batch twin (equals the video band-bucket
     * self-join with the Hamming verify, kept per band).

@@ -41,7 +41,9 @@ class ContractSpec extends AnyFunSuite {
     "doc_quality_model_stored",
     "doc_quality_eval",
     "doc_subword_vocab_bpe",
-    "doc_token_stats_bpe_true")
+    "doc_token_stats_bpe_true",
+    "doc_subword_vocab_unigram",
+    "doc_token_stats_unigram")
 
   test("every registered query has an oracle twin (or is rows-only by design)") {
     val rowsOnly =

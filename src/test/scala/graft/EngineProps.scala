@@ -332,6 +332,114 @@ object EngineProps extends Properties("graft") {
         s"LM != local reference\n counts ok=$countsOk\n got=$got\n want=$want"
     }
 
+  /** Independent local reference for the unigram-LM tokenizer: same
+    * published algorithm (seed spans → EM forward-backward → prune →
+    * Viterbi), none of the engine's code reused. Quantization points
+    * (per-(word,piece) micro expected counts; add-one micro-nat
+    * scores) follow the engine's documented determinism contract.
+    */
+  private object LocalUnigram {
+    val MaxLen = graft.operators.TextStats.UnigramMaxPieceLen
+    val Unk = graft.operators.TextStats.UnigramUnkMicro
+    private def q(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def rescore(counts: Seq[(String, Long)]): Map[String, (Long, Long)] = {
+      val total = counts.map(_._2).sum
+      val v = counts.length.toLong
+      counts.map { case (p, c) =>
+        p -> ((c, q(math.log((c + 1000000L).toDouble / (total + v * 1000000L).toDouble) * 1e6)))
+      }.toMap
+    }
+    def prune(counts: Seq[(String, Long)], keepMulti: Int): Seq[(String, Long)] = {
+      val (s, m) = counts.partition(_._1.length == 1)
+      s.sortBy(_._1) ++ m.sortBy { case (p, c) => (-c, p) }.take(keepMulti)
+    }
+    def seed(wcnt: Map[String, Long]): Seq[(String, Long)] =
+      wcnt.toSeq.flatMap { case (w, c) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(MaxLen, w.length - i)
+        } yield (w.substring(i, i + l), c * 1000000L)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    def expected(w: String, sc: Map[String, Long]): Seq[(String, Long)] = {
+      val n = w.length
+      val alpha = Array.fill(n + 1)(0.0); alpha(0) = 1.0
+      for (j <- 1 to n; l <- 1 to math.min(MaxLen, j))
+        sc.get(w.substring(j - l, j)).foreach(m => alpha(j) += alpha(j - l) * math.exp(m / 1e6))
+      val z = alpha(n)
+      if (z <= 0 || z.isNaN || z.isInfinite) Seq.empty
+      else {
+        val beta = Array.fill(n + 1)(0.0); beta(n) = 1.0
+        for (i <- (n - 1) to 0 by -1; l <- 1 to math.min(MaxLen, n - i))
+          sc.get(w.substring(i, i + l)).foreach(m => beta(i) += math.exp(m / 1e6) * beta(i + l))
+        val acc = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+        for (i <- 0 until n; l <- 1 to math.min(MaxLen, n - i)) {
+          val s = w.substring(i, i + l)
+          sc.get(s).foreach(m => acc(s) += alpha(i) * math.exp(m / 1e6) * beta(i + l) / z)
+        }
+        acc.toSeq.sortBy(_._1).map { case (s, e) => (s, q(e * 1e6)) }
+      }
+    }
+    def train(wcnt: Map[String, Long]): Map[String, (Long, Long)] = {
+      var pieces = rescore(prune(seed(wcnt), graft.operators.TextStats.UnigramSeedK))
+      for (_ <- 1 to graft.operators.TextStats.UnigramEmRounds) {
+        val sc = pieces.map { case (p, (_, s)) => p -> s }
+        val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        wcnt.foreach { case (w, c) =>
+          expected(w, sc).foreach { case (s, e) => counts(s) += e * c }
+        }
+        pieces = rescore(prune(counts.toSeq, graft.operators.TextStats.UnigramVocabK))
+      }
+      pieces
+    }
+    def tokenize(w: String, sc: Map[String, Long]): (Long, Long) = {
+      val n = w.length
+      val dp = Array.fill[(Long, Long)](n + 1)((Long.MinValue, Long.MaxValue))
+      dp(0) = (0L, 0L)
+      for (j <- 1 to n; l <- 1 to math.min(MaxLen, j)) {
+        val s = w.substring(j - l, j)
+        val m = if (l == 1) Some(sc.getOrElse(s, Unk)) else sc.get(s)
+        m.foreach { mm =>
+          val cand = (dp(j - l)._1 + mm, dp(j - l)._2 + 1)
+          if (cand._1 > dp(j)._1 || (cand._1 == dp(j)._1 && cand._2 < dp(j)._2))
+            dp(j) = cand
+        }
+      }
+      (dp(n)._2, dp(n)._1)
+    }
+  }
+
+  property("unigram-LM EM training + Viterbi tokenization equal an independent local implementation") =
+    forAll(genTokCorpus) { docsSeq =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val ts = graft.operators.TextStats
+      val df = docsSeq.toDF("doc_id", "text")
+      val engine = ts.unigramPieces(df)
+      val wcnt = docsSeq.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = LocalUnigram.train(wcnt)
+      val got = engine.map(p => p.piece -> ((p.cnt_micro, p.score_micro))).toMap
+      val vocabOk = got == want
+      val sc = want.map { case (p, (_, s)) => p -> s }
+      val wantStats = docsSeq.map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        var tok = 0L
+        var s = 0L
+        ws.filter(_.nonEmpty).foreach { w =>
+          val (tt, ss) = LocalUnigram.tokenize(w, sc)
+          tok += tt
+          s += ss
+        }
+        id -> ((ws.length.toLong, tok, s))
+      }.toMap
+      val gotStats = ts.tokenStatsUnigram(df, engine)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      Prop(vocabOk && gotStats == wantStats) :|
+        s"unigram != local\n vocabOk=$vocabOk\n got=$got\n want=$want\n gotStats=$gotStats\n wantStats=$wantStats"
+    }
+
   property("bigram LM: pruning the bigram tier never lowers any document's NLL") =
     forAll(genTokCorpus, Gen.choose(0, 10)) { (docsSeq, k) =>
       val (locBi, locUni) = localLmCounts(docsSeq)

@@ -793,6 +793,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs() == Set((1L, 2L)), "epoch-1 output unchanged")
   }
 
+  test("TTL-evicted video stream: a closed bucket stops cross-epoch clip pairs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    def track(n: Int, seed: Int): Array[Int] =
+      Array.tabulate(n)(j => 20 +
+        ((((j / 25) * 2654435761L + seed * 40503L) & 0x7fffffffL) % 13).toInt * 15)
+    def avi(vals: Array[Int], uspf: Int): Array[Byte] =
+      graft.operators.Multimodal.aviContainer(
+        uspf, 4, 4, vals.map(v => Array.fill(16)(v.toByte)))
+    val vals = track(800, 3)
+    val dup = avi(vals, 40000)
+    val downsample = avi(Array.range(0, vals.length, 2).map(vals(_)), 80000)
+    val stream = MemoryStream[(Long, String, Long, Long, Array[Byte], java.sql.Timestamp)]
+    val cols = Seq("doc_id", "modality", "width", "height", "payload", "event_ts")
+    val query = Streaming.mmVideoNearDupStreamTtl(
+      stream.toDS().toDF(cols: _*),
+      watermarkDelay = "0 seconds", ttlSeconds = 60)
+      .writeStream.format("memory").queryName("mm_video_ttl")
+      .outputMode("append").start()
+    def pairs() = spark.table("mm_video_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // epoch 1: a clip and its frame-rate downsample pair within the TTL
+    stream.addData(Seq(
+      (1L, "video", 0L, 0L, dup, ts(0)), (2L, "video", 0L, 0L, downsample, ts(1))))
+    query.processAllAvailable()
+    assert(pairs() == Set((1L, 2L)), "within-TTL downsample must pair")
+
+    // advance event time past the timeout with unrelated clips
+    stream.addData(Seq((50L, "video", 0L, 0L, avi(track(800, 9), 40000), ts(5))))
+    query.processAllAvailable()
+    stream.addData(Seq((51L, "video", 0L, 0L, avi(track(800, 11), 40000), ts(6))))
+    query.processAllAvailable()
+
+    // epoch 2: a copy after the bucket evicted pairs with nothing
+    stream.addData(Seq((4L, "video", 0L, 0L, dup, ts(7))))
+    query.processAllAvailable()
+    query.stop()
+    assert(!pairs().exists { case (a, b) => a == 4L || b == 4L },
+      "cross-epoch video candidates must stop once the bucket evicted")
+    assert(pairs() == Set((1L, 2L)), "epoch-1 output unchanged")
+  }
+
   test("streaming source gate: a domain's verdict hardens as evidence accrues; final state ≡ batch") {
     val spark = TestSpark.spark
     import spark.implicits._
