@@ -511,6 +511,35 @@ object ScaleBench {
           s""""sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
       docs.unpersist(blocking = false)
     }
+    // video fingerprint near-dup scale probe: the fifth modality's
+    // linearity measured, not assumed — AVI chunk walk + temporal luma
+    // dHash over N payloads, every 10th doc also planted as a clip +
+    // 2x frame-rate-downsample pair the banding must find. Varied text
+    // lengths for the same constant-length-artifact reason as the
+    // audio probe.
+    sys.env.get("SPARK_GRAFT_MM_VIDEO_DOCS").map(_.toLong).foreach { nDocs =>
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 60).map { w =>
+            val idx = pmod(col("id") * 2654435761L + w * 40503, lit(2147483647L))
+            when(lit(w) < pmod(col("id") * 7919, lit(41)) + 20,
+              substring(md5(idx.cast("string")), 1, 8))
+          }: _*).as("text"))
+        .withColumn("n_chars", length(col("text")))
+        .persist()
+      docs.count()
+      val input = graft.operators.Multimodal.withVideoPayload(docs)
+        .unionByName(graft.operators.Multimodal.plantedVideoPayloads(docs))
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Multimodal.mmVideoNearDup(input).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"mm_video_scale","docs":$nDocs,"pairs":$pairs,""" +
+          s""""sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
+      docs.unpersist(blocking = false)
+    }
     // CDX planning scale probe: a loopback server records page-count
     // probes while both planners plan an N-url live scan. The probe
     // planner pays one HTTP round-trip per url through the bounded
