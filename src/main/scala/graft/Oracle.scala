@@ -2511,6 +2511,38 @@ object Oracle {
          |SELECT doc_id, ph_hi, ph_lo FROM full_vph
          |ORDER BY doc_id""".stripMargin,
 
+    // frame-true resample replay: keep every factor-th of the
+    // synth-formula per-frame luma sums, count/sum/md5 them in time
+    // order — the codec-free mirror of the real walk/decimate/
+    // re-encode; the re-encoded AVI rides the Spark row, never the
+    // hash
+    "mm_video_resample" -> {
+      val f = graft.operators.Multimodal.VideoResampleFactor
+      val idBase = graft.operators.Multimodal.VideoPlantIdBase
+      val strideBase = graft.operators.Multimodal.VideoStrideIdBase
+      val uspf = graft.operators.Multimodal.VideoPlantUsPerFrame
+      val stride = graft.operators.Multimodal.VideoStride
+      s"""WITH ${videoFrameCtes(1)},
+         |vrs AS (SELECT doc_id, k, v FROM vfr WHERE k % $f = 0),
+         |vper AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_frames,
+         |    CAST(sum(v) AS BIGINT) AS luma_sum,
+         |    md5(string_agg(CAST(v AS VARCHAR), '_' ORDER BY k)) AS frames_md5
+         |  FROM vrs GROUP BY doc_id
+         |),
+         |vuspf AS (
+         |  SELECT d.doc_id, CAST(40000 + (d.n_chars % 3) * 20000 AS BIGINT) AS uspf
+         |  FROM documents d JOIN vtxt USING (doc_id)
+         |  UNION ALL SELECT doc_id + $idBase, CAST($uspf AS BIGINT) FROM vpl
+         |  UNION ALL SELECT doc_id + $strideBase, CAST(${uspf * stride} AS BIGINT) FROM vpl
+         |)
+         |SELECT p.doc_id, CAST(u.uspf * $f AS BIGINT) AS out_us_per_frame,
+         |  p.n_frames, p.luma_sum, p.frames_md5
+         |FROM vper p JOIN vuspf u USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin
+    },
+
     "mm_video_near_dup" ->
       s"""WITH $videoBandedCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

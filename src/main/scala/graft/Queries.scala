@@ -1866,6 +1866,17 @@ object Queries {
     Multimodal.mmVideoDedupClusters(videoPayloadSet(s, dir))
       .orderBy("doc_id")
 
+  /** FRAME-TRUE video resample: real container walk → every-4th-frame
+    * decimation → real AVI re-encode; only formula-replayable proof
+    * columns hash (the [[mmAudioResample]] discipline), the playable
+    * payload rides the row.
+    */
+  def mmVideoResample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resampleVideo(videoPayloadSet(s, dir))
+      .toDF()
+      .select("doc_id", "out_us_per_frame", "n_frames", "luma_sum", "frames_md5")
+      .orderBy("doc_id")
+
   /** The video ingest-time fold over bounded input — must equal the
     * banded self-join kept per band (shared twin); the true
     * flatMapGroupsWithState path is StreamingSpec-pinned.
@@ -2220,6 +2231,7 @@ object Queries {
     "mm_video_features" -> (mmVideoFeatures _),
     "mm_video_phash" -> (mmVideoPhash _),
     "mm_video_near_dup" -> (mmVideoNearDup _),
+    "mm_video_resample" -> (mmVideoResample _),
     "mm_video_dedup_clusters" -> (mmVideoDedupClusters _),
     "streaming_mm_video_near_dup" -> (streamingMmVideoNearDup _),
     "mm_near_dup" -> (mmNearDup _),

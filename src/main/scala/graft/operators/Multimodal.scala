@@ -818,6 +818,74 @@ object Multimodal {
       .toDF()
   }
 
+  /** One frame-true video resample result: the re-encoded AVI (a real
+    * playable container at factor× the frame interval) plus
+    * SQL-replayable proof columns — output frame interval and count,
+    * the kept frames' integer luma-sum total, and an md5 over their
+    * `_`-joined per-frame luma sums in time order (the
+    * [[MmAudioResampled]] discipline: only formula-replayable values
+    * participate in hashing, the playable payload rides the row).
+    */
+  case class MmVideoResampled(
+      doc_id: Long,
+      out_us_per_frame: Long,
+      n_frames: Long,
+      luma_sum: Long,
+      frames_md5: String,
+      payload: Array[Byte])
+
+  /** Decimation factor for [[resampleVideo]]. */
+  val VideoResampleFactor = 4
+
+  /** FRAME-TRUE video resample — [[resampleAudio]]'s video sibling:
+    * chunk-walk the container, keep every [[VideoResampleFactor]]-th
+    * frame (temporal decimation, the frame-rate downsample a
+    * transcoder performs), and re-encode through [[aviContainer]] at
+    * factor× the frame interval — same duration, a quarter of the
+    * frames. Non-AVI payloads drop (strict container discipline, as
+    * [[videoFingerprint]]). Per-frame luma sums are exact integers,
+    * so the twin replays them from the synth formulas with no
+    * container bytes.
+    */
+  def resampleVideo(
+      withPayloadDf: DataFrame,
+      factor: Int = VideoResampleFactor): Dataset[MmVideoResampled] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val p = r.payload
+        parseAvi(p).map { v =>
+          val kept = v.frames.indices.filter(_ % factor == 0)
+          val frames = kept.map { k =>
+            val (off, len) = v.frames(k)
+            java.util.Arrays.copyOfRange(p, off, off + len)
+          }.toArray
+          var luma = 0L
+          val parts = new StringBuilder
+          frames.foreach { f =>
+            var s = 0L
+            var j = 0
+            while (j < f.length) {
+              s += (f(j) & 0xff)
+              j += 1
+            }
+            luma += s
+            if (parts.nonEmpty) parts.append('_')
+            parts.append(s)
+          }
+          val framesMd5 = md.digest(parts.toString.getBytes("US-ASCII"))
+            .map("%02x".format(_)).mkString
+          MmVideoResampled(
+            r.doc_id, v.usPerFrame * factor, frames.length.toLong, luma, framesMd5,
+            aviContainer(
+              (v.usPerFrame * factor).toInt, v.w.toInt, v.h.toInt, frames))
+        }
+      }
+    }
+  }
+
   /** Perceptual VIDEO near-dup pairs: band-bucket equi-join (never
     * all-pairs) over [[videoFingerprint]], Hamming verify, threshold
     * [[MmHammingMax]] — [[mmAudioNearDup]]'s shape on the fifth

@@ -454,6 +454,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham <= 3, s"frame-rate downsample drifted to hamming $ham")
   }
 
+  test("resampleVideo: kept frames round-trip through the re-encoded AVI exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val vals = lumaTrack(90, 4)
+    val p = clip(vals, w = 3, h = 4, uspf = 50000)
+    val out = Multimodal.resampleVideo(
+      Seq(Multimodal.MmRow(1L, "video", 3L, 4L, p)).toDF()).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.out_us_per_frame == 200000L && r.n_frames == 23L, "ceil(90/4) frames at 4x interval")
+    val info = Multimodal.parseAvi(r.payload).get
+    assert(info.usPerFrame == 200000L && info.w == 3 && info.h == 4)
+    assert(info.frames.length == 23)
+    info.frames.zipWithIndex.foreach { case ((off, len), i) =>
+      assert(len == 12)
+      assert((0 until len).forall(j => (r.payload(off + j) & 0xff) == vals(4 * i)),
+        s"re-encoded frame $i diverges from original frame ${4 * i}")
+    }
+    assert(r.luma_sum == (0 until 90 by 4).map(k => vals(k).toLong * 12).sum,
+      "proof column must equal a direct recomputation")
+  }
+
   test("corrupt AVI chunk lengths neither spin the scan nor throw") {
     def chunk(id: String, lenLe: Array[Byte], payload: Array[Byte]): Array[Byte] =
       id.getBytes("US-ASCII") ++ lenLe ++ payload
