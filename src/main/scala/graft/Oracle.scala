@@ -1836,6 +1836,25 @@ object Oracle {
          |   FROM (${allBase("ann_recall_report")})) r,
          |  (SELECT CAST(count(*) AS BIGINT) AS n_dims, max(mean_shift) AS max_shift
          |   FROM (${allBase("emb_drift_report")})) d""".stripMargin) +
+    // media release card: the three modality cluster twins reduced to
+    // one-row aggregates (nested WITH-scoped subqueries are
+    // self-contained), exact integer counts, one rounded division
+    ("mm_dedup_report" -> {
+      def leg(name: String, inner: String) =
+        s"""SELECT '$name' AS modality, CAST(count(*) AS BIGINT) AS n_items,
+           |  CAST(sum(CASE WHEN doc_id <> cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           |  CAST(max(cluster_size) AS BIGINT) AS max_cluster,
+           |  round(CAST(sum(CASE WHEN doc_id <> cluster THEN 1 ELSE 0 END) AS DOUBLE)
+           |        / count(*), 6) AS dup_rate
+           |FROM ($inner)""".stripMargin
+      s"""SELECT * FROM (
+         |${leg("audio", allBase("mm_audio_dedup_clusters"))}
+         |UNION ALL
+         |${leg("image", allBase("mm_dedup_clusters"))}
+         |UNION ALL
+         |${leg("video", allBase("mm_video_dedup_clusters"))}
+         |) ORDER BY modality""".stripMargin
+    }) +
     // the residual serving layout encodes and ranks the in-memory
     // residual path's exact geometry (stand-in books, firstK coarse;
     // parquet round-trips codes exactly) — shared twin

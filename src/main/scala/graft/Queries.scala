@@ -1866,6 +1866,42 @@ object Queries {
     Multimodal.mmVideoDedupClusters(videoPayloadSet(s, dir))
       .orderBy("doc_id")
 
+  /** Multimodal dedup report — the media release card: one row per
+    * payload modality with the counts a dataset card publishes
+    * (fingerprintable items, near-dup members dropped, largest
+    * cluster, dup rate). Each leg is an already-verified cluster
+    * query reduced to a one-row aggregate (the `corpus_manifest`
+    * composition discipline); the twin nests the three cluster twins
+    * as self-contained WITH-scoped subqueries.
+    */
+  def mmDedupReport(s: SparkSession, dir: String): DataFrame = {
+    def leg(name: String, clusters: DataFrame): DataFrame =
+      clusters
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(when(col("doc_id") =!= col("cluster"), 1L).otherwise(0L))
+            .cast("long").as("n_dups"),
+          max("cluster_size").as("max_cluster"))
+        .select(
+          lit(name).as("modality"),
+          col("n_items"),
+          col("n_dups"),
+          col("max_cluster"),
+          round(col("n_dups").cast("double") / col("n_items"), 6).as("dup_rate"))
+    leg(
+      "audio",
+      Multimodal.mmAudioDedupClusters(audioPayloadSet(s, dir)))
+      .unionByName(leg(
+        "image",
+        Multimodal.mmDedupClusters(
+          Multimodal.withPayload(docs(s, dir))
+            .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))))
+      .unionByName(leg(
+        "video",
+        Multimodal.mmVideoDedupClusters(videoPayloadSet(s, dir))))
+      .orderBy("modality")
+  }
+
   /** FRAME-TRUE video resample: real container walk → every-4th-frame
     * decimation → real AVI re-encode; only formula-replayable proof
     * columns hash (the [[mmAudioResample]] discipline), the playable
@@ -2232,6 +2268,7 @@ object Queries {
     "mm_video_phash" -> (mmVideoPhash _),
     "mm_video_near_dup" -> (mmVideoNearDup _),
     "mm_video_resample" -> (mmVideoResample _),
+    "mm_dedup_report" -> (mmDedupReport _),
     "mm_video_dedup_clusters" -> (mmVideoDedupClusters _),
     "streaming_mm_video_near_dup" -> (streamingMmVideoNearDup _),
     "mm_near_dup" -> (mmNearDup _),
