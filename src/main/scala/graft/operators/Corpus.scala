@@ -756,7 +756,10 @@ object Corpus {
     * combine; the share denominator is a broadcast one-row total.
     */
   def shardManifest(docs: DataFrame): DataFrame = {
-    val perShard = docs.select(
+    // the rollup is ExportShards rows; persisting it makes the share
+    // denominator a reuse of the SAME aggregation instead of a second
+    // full corpus scan (PlanSpec pins the single hash shuffle)
+    val perShard = CacheScope.persist(docs.select(
       expr(s"CAST(conv(substr(md5(concat('shard', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % $ExportShards")
         .as("shard"),
       col("doc_id"),
@@ -766,7 +769,7 @@ object Corpus {
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         min("doc_id").as("min_doc_id"),
-        max("doc_id").as("max_doc_id"))
+        max("doc_id").as("max_doc_id")))
     val total = perShard.agg(sum("n_tokens").as("t_total"))
     perShard.crossJoin(broadcast(total))
       .select(

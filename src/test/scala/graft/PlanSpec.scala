@@ -281,6 +281,32 @@ class PlanSpec extends AnyFunSuite {
       "stored LM scoring must probe the broadcast maps in the kernel, not join")
   }
 
+  test("doc_token_stats_unigram: Viterbi apply is one shuffle-free map pass") {
+    val p = plan("doc_token_stats_unigram")
+    // the trained piece table rides the closure (kilobytes): scoring a
+    // batch must be partition-parallel with no aggregation or join
+    // exchange before the presentation orderBy
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"unigram apply must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "unigram apply must probe the broadcast scores in the kernel, not join")
+  }
+
+  test("doc_shard_manifest: one shard-keyed shuffle; the share denominator broadcasts") {
+    val p = plan("doc_shard_manifest")
+    // the rollup is persisted and read twice (manifest side + total
+    // side); every hash-shuffle rendering must sit inside that shared
+    // cache — a direct second aggregation would print an exchange
+    // with no InMemoryRelation wrapper (the verdictSignals pin style)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val cachedRels = "InMemoryRelation".r.findAllIn(p).size
+    assert(hashExchanges == cachedRels && cachedRels >= 1,
+      s"shard rollup must be the one cached hash shuffle " +
+        s"($hashExchanges exchanges, $cachedRels cached):\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange"),
+      "the one-row token total must broadcast, never shuffle the manifest")
+  }
+
   test("doc_quality_model: the weight table probes by broadcast hash join") {
     val p = plan("doc_quality_model")
     // model size must cost a broadcast, not a corpus shuffle: the
