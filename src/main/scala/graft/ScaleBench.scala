@@ -511,6 +511,28 @@ object ScaleBench {
           s""""sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
       docs.unpersist(blocking = false)
     }
+    // unigram-LM trainer scale probe: EM over the word-frequency
+    // table — per round one distributed integer aggregate; the probe
+    // measures that training scales with the DISTINCT-WORD count
+    // (spread md5 vocabulary: ~40 unique words per doc), not the
+    // corpus, and reports apply throughput under the trained pieces.
+    sys.env.get("SPARK_GRAFT_UNIGRAM_DOCS").map(_.toLong).foreach { nDocs =>
+      val docs = documents(spark, nDocs).persist()
+      docs.count()
+      val t0 = System.nanoTime()
+      val pieces = graft.operators.TextStats.unigramPieces(docs)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      graft.operators.CacheScope.releaseAll()
+      val t1 = System.nanoTime()
+      val rows = graft.operators.TextStats.tokenStatsUnigram(docs, pieces).count()
+      val applySec = (System.nanoTime() - t1) / 1e9
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"unigram_scale","docs":$nDocs,"pieces":${pieces.length},""" +
+          s""""train_sec":$trainSec,"apply_sec":$applySec,""" +
+          s""""apply_docs_per_sec":${(rows / applySec).toLong}}""")
+      docs.unpersist(blocking = false)
+    }
     // video fingerprint near-dup scale probe: the fifth modality's
     // linearity measured, not assumed — AVI chunk walk + temporal luma
     // dHash over N payloads, every 10th doc also planted as a clip +
