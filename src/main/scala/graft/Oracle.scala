@@ -4726,12 +4726,42 @@ object Oracle {
        |ORDER BY doc.doc_id""".stripMargin
   }
 
+  /** Tokenizer-selection twin: the greedy static twin plus the two
+    * trained-artifact twins, each reduced to a one-row aggregate in
+    * its own WITH scope.
+    */
+  private def tokenizerCompareSql(
+      merges: Array[graft.operators.TextStats.BpeMerge],
+      pieces: Array[graft.operators.TextStats.UnigramPiece]): String = {
+    // placeholder substitution AFTER stripMargin: the BPE twin's `||`
+    // concatenation lines would lose a pipe if they rode through an
+    // outer stripMargin (the known fragment-interpolation trap)
+    def leg(name: String, inner: String, tokCol: String) =
+      s"""SELECT '$name' AS tokenizer,
+         |  CAST(sum(n_tokens_ws) AS BIGINT) AS n_tokens_ws,
+         |  CAST(sum($tokCol) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum($tokCol) AS DOUBLE) / sum(n_tokens_ws), 6) AS tokens_per_ws
+         |FROM (__INNER__)""".stripMargin.replace("__INNER__", inner)
+    Seq(
+      "SELECT * FROM (",
+      leg("bpe_true", bpeTrueStatsSql(merges), "n_tokens_bpe"),
+      "UNION ALL",
+      leg("greedy", subwordStatsSql, "n_tokens_bpe"),
+      "UNION ALL",
+      leg("unigram", unigramStatsSql(pieces), "n_tokens_uni"),
+      ") ORDER BY tokenizer").mkString("\n")
+  }
+
   def dynamic(spark: org.apache.spark.sql.SparkSession, dir: String): Map[String, String] =
     Map(
       "doc_subword_vocab_unigram" ->
         unigramVocabSql(Queries.unigramTrainedPieces(spark, dir)),
       "doc_token_stats_unigram" ->
         unigramStatsSql(Queries.unigramTrainedPieces(spark, dir)),
+      "doc_tokenizer_compare" ->
+        tokenizerCompareSql(
+          Queries.bpeTrainedMerges(spark, dir),
+          Queries.unigramTrainedPieces(spark, dir)),
       "doc_subword_vocab_bpe" ->
         bpeVocabSql(Queries.bpeTrainedMerges(spark, dir)),
       "doc_token_stats_bpe_true" ->

@@ -524,6 +524,37 @@ object Queries {
   def docTokenStatsBpe(s: SparkSession, dir: String): DataFrame =
     TextStats.tokenStatsSubword(docs(s, dir)).orderBy("doc_id")
 
+  /** Tokenizer selection card — one row per tokenizer family (greedy
+    * frequent-substring, true BPE, unigram-LM) with corpus-level
+    * token volume and tokens-per-whitespace-word: the read a pipeline
+    * runs when CHOOSING its tokenizer (compression rate at equal
+    * vocab budget). Each leg is an already-verified token-stats query
+    * reduced to a one-row aggregate; the twin nests the greedy static
+    * twin and the two dynamic twins as WITH-scoped subqueries.
+    */
+  def docTokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    def leg(name: String, stats: DataFrame, tokCol: String): DataFrame =
+      stats
+        .agg(
+          sum("n_tokens_ws").cast("long").as("n_tokens_ws"),
+          sum(tokCol).cast("long").as("n_tokens"))
+        .select(
+          lit(name).as("tokenizer"),
+          col("n_tokens_ws"),
+          col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_tokens_ws"), 6)
+            .as("tokens_per_ws"))
+    leg("bpe_true",
+      TextStats.tokenStatsBpeTrue(docs(s, dir), bpeTrainedMerges(s, dir)),
+      "n_tokens_bpe")
+      .unionByName(leg("greedy",
+        TextStats.tokenStatsSubword(docs(s, dir)), "n_tokens_bpe"))
+      .unionByName(leg("unigram",
+        TextStats.tokenStatsUnigram(docs(s, dir), unigramTrainedPieces(s, dir)),
+        "n_tokens_uni"))
+      .orderBy("tokenizer")
+  }
+
   private val unigramCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[TextStats.UnigramPiece]]]()
 
@@ -2136,6 +2167,7 @@ object Queries {
     "doc_token_stats_bpe_true" -> (docTokenStatsBpeTrue _),
     "doc_subword_vocab_unigram" -> (docSubwordVocabUnigram _),
     "doc_token_stats_unigram" -> (docTokenStatsUnigram _),
+    "doc_tokenizer_compare" -> (docTokenizerCompare _),
     "doc_token_stats_bpe" -> (docTokenStatsBpe _),
     "doc_token_stats_bpe_stored" -> (docTokenStatsBpeStored _),
     "doc_lang_id" -> (docLangId _),

@@ -43,7 +43,8 @@ class ContractSpec extends AnyFunSuite {
     "doc_subword_vocab_bpe",
     "doc_token_stats_bpe_true",
     "doc_subword_vocab_unigram",
-    "doc_token_stats_unigram")
+    "doc_token_stats_unigram",
+    "doc_tokenizer_compare")
 
   test("every registered query has an oracle twin (or is rows-only by design)") {
     val rowsOnly =
