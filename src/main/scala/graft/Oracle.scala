@@ -4801,6 +4801,23 @@ object Oracle {
       "doc_quality_eval" -> {
         val (w, bias) = Queries.qualityModelWeights(spark, dir)
         qualityEvalSql(w, bias)
+      },
+      // health twin: the eval twin's train and test rows read together
+      // (each in its own WITH scope), E-notated thresholds so the
+      // literals parse as DOUBLE, not DECIMAL
+      "doc_quality_health" -> {
+        val (w, bias) = Queries.qualityModelWeights(spark, dir)
+        val ev = qualityEvalSql(w, bias)
+        Seq(
+          "SELECT t.n_train, t.acc_train, e.n_test, e.acc_test,",
+          "  round(t.acc_train - e.acc_test, 6) AS gap,",
+          s"  (e.acc_test < ${graft.operators.TextStats.QualityAccMin * 10}E-1" +
+            s" OR round(t.acc_train - e.acc_test, 6) >= ${(graft.operators.TextStats.QualityGapMax * 100).toLong}E-2)" +
+            " AS retrain_recommended",
+          "FROM",
+          "  (SELECT n_docs AS n_train, accuracy AS acc_train FROM (__EV__) WHERE split = 'train') t,",
+          "  (SELECT n_docs AS n_test, accuracy AS acc_test FROM (__EV__) WHERE split = 'test') e")
+          .mkString("\n").replace("__EV__", ev)
       })
 
   /** The doc_quality_model twin over a literal TRAINED weight table —

@@ -723,6 +723,16 @@ object Queries {
       .orderBy("split")
   }
 
+  /** One-row classifier health verdict with the retrain hand-off —
+    * the quality-model analogue of `ann_index_health`.
+    */
+  def docQualityHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w, bias) = qualityModelWeights(s, dir)
+    TextStats.qualityHealth(
+      docs(s, dir), w.toSeq.toDF("bucket", "weight_milli"), bias)
+  }
+
   /** Bigram-LM perplexity under the corpus's OWN distribution — the
     * CCNet-style gibberish read: docs whose word transitions are
     * globally rare score high even when every word is common.
@@ -2177,6 +2187,7 @@ object Queries {
     "doc_quality_model_trained" -> (docQualityModelTrained _),
     "doc_quality_model_stored" -> (docQualityModelStored _),
     "doc_quality_eval" -> (docQualityEval _),
+    "doc_quality_health" -> (docQualityHealth _),
     "doc_lm_score" -> (docLmScore _),
     "doc_lm_score_stored" -> (docLmScoreStored _),
     "streaming_lm_score" -> (streamingLmScore _),

@@ -1238,6 +1238,42 @@ object TextStats {
           6).as("recall"))
   }
 
+  /** [[qualityHealth]] thresholds: the test-split accuracy floor and
+    * the train−test gap ceiling that trigger a retrain.
+    */
+  val QualityAccMin = 0.85
+  val QualityGapMax = 0.05
+
+  /** Classifier health verdict — the quality-model analogue of
+    * `ann_index_health`, closing the monitoring loop the same way:
+    * one row reading [[qualityEval]]'s train and test splits together
+    * and emitting `retrain_recommended` — the hand-off to
+    * [[trainQualityWeights]], exactly as the index health row hands
+    * off to the ANN rebuild. A healthy train row with a failing test
+    * row is the distribution-shift signature; both failing means the
+    * fit itself went bad.
+    *
+    * Scale shape: the 3-row eval persists once; the verdict is a
+    * broadcast one-row crossJoin of two single-row filters.
+    */
+  def qualityHealth(docs: DataFrame, weights: DataFrame, biasMilli: Long): DataFrame = {
+    val ev = CacheScope.persist(qualityEval(docs, weights, biasMilli))
+    val tr = ev.filter(col("split") === "train")
+      .select(col("n_docs").as("n_train"), col("accuracy").as("acc_train"))
+    val te = ev.filter(col("split") === "test")
+      .select(col("n_docs").as("n_test"), col("accuracy").as("acc_test"))
+    tr.crossJoin(broadcast(te))
+      .select(
+        col("n_train"),
+        col("acc_train"),
+        col("n_test"),
+        col("acc_test"),
+        round(col("acc_train") - col("acc_test"), 6).as("gap"),
+        (col("acc_test") < QualityAccMin ||
+          round(col("acc_train") - col("acc_test"), 6) >= QualityGapMax)
+          .as("retrain_recommended"))
+  }
+
   /** TRAIN the quality classifier: MLlib LogisticRegression over the
     * hashed bucket features (x = per-bucket word count / n_tokens —
     * exactly the mean-weight formulation [[qualityModelWith]] scores),

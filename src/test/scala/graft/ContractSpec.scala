@@ -40,6 +40,7 @@ class ContractSpec extends AnyFunSuite {
     "doc_quality_model_trained",
     "doc_quality_model_stored",
     "doc_quality_eval",
+    "doc_quality_health",
     "doc_subword_vocab_bpe",
     "doc_token_stats_bpe_true",
     "doc_subword_vocab_unigram",
