@@ -615,7 +615,11 @@ object Multimodal {
       var h = -1L
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       var ok = true
-      def scan(start: Long, end: Long): Unit = {
+      // depth-bounded LIST descent: a real AVI nests 2-3 levels; a
+      // crafted payload nesting thousands of 12-byte LISTs would
+      // otherwise overflow the scan's stack — corrupt data must stay
+      // data, never a job failure (the parseWav hardening contract)
+      def scan(start: Long, end: Long, depth: Int): Unit = {
         var i = start
         while (ok && i + 8 <= end) {
           val io = i.toInt
@@ -625,8 +629,10 @@ object Multimodal {
           val next = body + clen + (clen & 1L)
           if (next <= i || next > end) ok = false
           else {
-            if (cid == "LIST" && clen >= 4) scan(body + 4, body + clen)
-            else if (cid == "avih" && clen >= 40) {
+            if (cid == "LIST" && clen >= 4) {
+              if (depth >= 8) ok = false
+              else scan(body + 4, body + clen, depth + 1)
+            } else if (cid == "avih" && clen >= 40) {
               usPerFrame = readLe32(p, io + 8)
               w = readLe32(p, io + 40)
               h = readLe32(p, io + 44)
@@ -635,7 +641,7 @@ object Multimodal {
           }
         }
       }
-      scan(12L, p.length.toLong)
+      scan(12L, p.length.toLong, 0)
       if (!ok || usPerFrame <= 0 || w <= 0 || h <= 0 || frames.isEmpty ||
           frames.exists(_._2.toLong != w * h)) None
       else Some(AviInfo(usPerFrame, w, h, frames.toArray))

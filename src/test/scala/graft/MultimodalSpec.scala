@@ -490,6 +490,22 @@ class MultimodalSpec extends AnyFunSuite {
     val badList = riffHead ++ chunk("LIST", Array[Byte](127, 0, 0, 0),
       "movi".getBytes ++ Array.fill[Byte](8)(0))
     assert(Multimodal.parseAvi(badList).isEmpty, "LIST past payload must drop")
+    // thousands of nested LISTs (each body = a smaller LIST) must hit
+    // the depth bound and drop, never overflow the scan's stack
+    val levels = 5000
+    val deep = new java.io.ByteArrayOutputStream()
+    deep.write(("RIFF").getBytes); deep.write(Array[Byte](0, 0, 0, 0x7f))
+    deep.write("AVI ".getBytes)
+    (0 until levels).foreach { i =>
+      val inner = (levels - i - 1) * 12L + 4L
+      deep.write("LIST".getBytes)
+      deep.write(Array[Byte](
+        (inner & 0xff).toByte, ((inner >> 8) & 0xff).toByte,
+        ((inner >> 16) & 0xff).toByte, ((inner >> 24) & 0xff).toByte))
+      deep.write("hdrl".getBytes)
+    }
+    assert(Multimodal.parseAvi(deep.toByteArray).isEmpty,
+      "deeply nested LISTs must drop at the depth bound")
   }
 
   test("video near-dup: a frame-rate downsample pairs with its original, nothing else") {
