@@ -234,11 +234,39 @@ object Oracle {
 
   val shinglesCte: String = ngramCte(3, "sh", "shingle", distinct = true)
 
+  /** Capped band-bucket CTE pair — twin of [[graft.operators.BandCap
+    * .capBuckets]]: `out` keeps a member of `src` iff its md5 coin
+    * modulo the (keyCols) bucket size lands under the cap (which is
+    * everything, when the bucket is at or under the cap — the modulo
+    * is then always below it). Deterministic on both engines, so the
+    * sampled survivor set is bit-identical.
+    */
+  def capCte(
+      src: String,
+      out: String,
+      keyCols: Seq[String],
+      memberCol: String,
+      cap: Int = graft.operators.BandCap.DefaultCap): String = {
+    val keys = keyCols.mkString(", ")
+    val on = keyCols.map(c => s"s.$c = n.$c").mkString(" AND ")
+    val coin = (keyCols :+ memberCol).map(c => s"CAST(s.$c AS VARCHAR)").mkString(" || '|' || ")
+    s"""${out}_n AS (
+       |  SELECT $keys, CAST(count(*) AS BIGINT) AS bucket_n FROM $src GROUP BY $keys
+       |),
+       |$out AS (
+       |  SELECT s.* FROM $src s JOIN ${out}_n n ON $on
+       |  WHERE CAST(('0x' || substr(md5($coin), 1, 8)) AS BIGINT) % n.bucket_n < $cap
+       |)""".stripMargin
+  }
+
   /** MinHash CTEs twin of [[graft.operators.Dedup.minhash]]/
     * [[graft.operators.Dedup.bandSignatures]] — same wide 16-min
-    * aggregation, generated to stay column-for-column in sync.
+    * aggregation, generated to stay column-for-column in sync. Ends in
+    * `bs0` (raw band signatures) and `bs` (band-bucket-capped, the
+    * relation every candidate join consumes — [[graft.operators
+    * .BandCap]]'s twin).
     */
-  val minhashCtes: String = {
+  def minhashCtesCap(cap: Int): String = {
     val mins = (0 until 16)
       .map(p => s"min(substr(md5('$p|' || shingle), 1, 8)) AS mh$p")
       .mkString(",\n    ")
@@ -251,10 +279,13 @@ object Oracle {
        |    $mins
        |  FROM sh GROUP BY doc_id
        |),
-       |bs AS (
+       |bs0 AS (
        |  $bands
-       |)""".stripMargin
+       |),
+       |${capCte("bs0", "bs", Seq("band", "sig"), "doc_id", cap)}""".stripMargin
   }
+
+  val minhashCtes: String = minhashCtesCap(graft.operators.BandCap.DefaultCap)
 
   /** SimHash CTEs twin of [[graft.operators.Dedup.simhash]] — same wide
     * 64-vote aggregation, fingerprint as two 32-bit halves.
@@ -328,9 +359,9 @@ object Oracle {
     * [[graft.operators.Dedup.nearDupPairs]] pipeline (LSH candidates +
     * exact-Jaccard verify) as consumed by the cluster twin.
     */
-  val nearDupCtes: String =
+  def nearDupCtesCap(cap: Int): String =
     s"""$shinglesCte,
-       |$minhashCtes,
+       |${minhashCtesCap(cap)},
        |pr AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
@@ -354,6 +385,8 @@ object Oracle {
        |  JOIN cnts ca ON pr.doc_a = ca.doc_id
        |  JOIN cnts cb ON pr.doc_b = cb.doc_id
        |)""".stripMargin
+
+  val nearDupCtes: String = nearDupCtesCap(graft.operators.BandCap.DefaultCap)
 
   /** Connected-component label CTEs over `nd` (the [[nearDupCtes]]
     * chain): transitive closure + min-over-component — equivalent to
@@ -534,10 +567,11 @@ object Oracle {
        |sig AS (SELECT vec_id, embedding, norm,
        |  $keyCols
        |  FROM vn),
-       |banded AS (
+       |banded0 AS (
        |  SELECT vec_id, embedding, norm, band, $keyCase AS key
        |  FROM sig, unnest(range($bands)) t(band)
        |),
+       |${capCte("banded0", "banded", Seq("band", "key"), "vec_id")},
        |cand AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    ${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")} AS cos_raw
@@ -1451,12 +1485,13 @@ object Oracle {
     */
   private lazy val mmBandedCtes: String =
     s"""${phashCtes(plantedPaySql)},
-       |banded AS (
+       |banded0 AS (
        |  SELECT doc_id, ph_hi, ph_lo, band,
        |    CASE WHEN band < 2 THEN (ph_lo >> (band * 16)) & 65535
        |         ELSE (ph_hi >> ((band - 2) * 16)) & 65535 END AS key
        |  FROM full_ph, unnest(range(4)) t(band)
-       |)""".stripMargin
+       |),
+       |${capCte("banded0", "banded", Seq("band", "key"), "doc_id")}""".stripMargin
 
   /** The audio fingerprint relation, replayed with NO byte-level
     * container at all ([[graft.operators.Multimodal.audioDHash]]):
@@ -1556,12 +1591,13 @@ object Oracle {
        |    CAST(COALESCE(h.ph_lo, 0) AS BIGINT) AS ph_lo
        |  FROM aids i LEFT JOIN aph h USING (doc_id)
        |),
-       |abanded AS (
+       |abanded0 AS (
        |  SELECT doc_id, ph_hi, ph_lo, band,
        |    CASE WHEN band < 2 THEN (ph_lo >> (band * 16)) & 65535
        |         ELSE (ph_hi >> ((band - 2) * 16)) & 65535 END AS key
        |  FROM full_aph, unnest(range(4)) t(band)
-       |)""".stripMargin
+       |),
+       |${capCte("abanded0", "abanded", Seq("band", "key"), "doc_id")}""".stripMargin
   }
 
   /** Per-frame luma-sum CTEs for the video twins, ending in
@@ -1646,12 +1682,13 @@ object Oracle {
        |    CAST(COALESCE(h.ph_lo, 0) AS BIGINT) AS ph_lo
        |  FROM vids i LEFT JOIN vph h USING (doc_id)
        |),
-       |vbanded AS (
+       |vbanded0 AS (
        |  SELECT doc_id, ph_hi, ph_lo, band,
        |    CASE WHEN band < 2 THEN (ph_lo >> (band * 16)) & 65535
        |         ELSE (ph_hi >> ((band - 2) * 16)) & 65535 END AS key
        |  FROM full_vph, unnest(range(4)) t(band)
-       |)""".stripMargin
+       |),
+       |${capCte("vbanded0", "vbanded", Seq("band", "key"), "doc_id")}""".stripMargin
   }
 
   private def phashCtes(paySql: String): String =
@@ -2171,7 +2208,7 @@ object Oracle {
          |${embNearDupCtesFrom("embx")},
          |qb AS (
          |  SELECT vec_id AS q_id, embedding AS qe, norm AS qnorm, band, key
-         |  FROM banded
+         |  FROM banded0
          |  WHERE vec_id % ${graft.operators.Ann.QueryMod} = 0
          |    AND vec_id < ${graft.Queries.BandedTwinOffset}
          |),
@@ -2457,7 +2494,7 @@ object Oracle {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INTEGER) AS band,
          |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
          |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
-         |FROM abanded a JOIN abanded b ON a.band = b.band AND a.key = b.key
+         |FROM abanded0 a JOIN abanded0 b ON a.band = b.band AND a.key = b.key
          |                             AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
          |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
@@ -2580,7 +2617,7 @@ object Oracle {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INTEGER) AS band,
          |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
          |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
-         |FROM vbanded a JOIN vbanded b ON a.band = b.band AND a.key = b.key
+         |FROM vbanded0 a JOIN vbanded0 b ON a.band = b.band AND a.key = b.key
          |                             AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
          |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
@@ -2635,7 +2672,7 @@ object Oracle {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INTEGER) AS band,
          |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
          |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
-         |FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+         |FROM banded0 a JOIN banded0 b ON a.band = b.band AND a.key = b.key
          |                           AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
          |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
@@ -2686,6 +2723,25 @@ object Oracle {
          |SELECT doc_a, doc_b, n_a, n_b, n_common, jaccard
          |FROM nd ORDER BY doc_a, doc_b""".stripMargin,
 
+    // cap=2 forces the band-bucket sampling coin to fire on every
+    // bucket of 3+ (the sf corpora have several): the hash-identical
+    // result is the proof both engines replay the SAME deterministic
+    // survivor set, not merely "a cap was applied"
+    "doc_near_dup_capped" ->
+      s"""WITH ${nearDupCtesCap(2)}
+         |SELECT doc_a, doc_b, n_a, n_b, n_common, jaccard
+         |FROM nd ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the overflow census: which (band, sig) buckets a cap=2 run
+    // would sample, and their true sizes — the report that makes a
+    // capped run a documented trade instead of a silent truncation
+    "doc_band_overflow" ->
+      s"""WITH $shinglesCte,
+         |${minhashCtesCap(2)}
+         |SELECT band, sig, CAST(count(*) AS BIGINT) AS bucket_n
+         |FROM bs0 GROUP BY band, sig HAVING count(*) > 2
+         |ORDER BY band, sig""".stripMargin,
+
     "doc_simhash" ->
       s"""WITH $simhashCtes
          |SELECT doc_id, sim_hi, sim_lo FROM sim ORDER BY doc_id""".stripMargin,
@@ -2701,8 +2757,10 @@ object Oracle {
          |  SELECT doc_id,
          |    CAST(('0x' || substr(md5('inc' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS b
          |  FROM documents),
-         |bb AS (SELECT bs.* FROM bs JOIN cn USING (doc_id) WHERE cn.b = 1),
-         |bc AS (SELECT bs.* FROM bs JOIN cn USING (doc_id) WHERE cn.b = 0),
+         |bb0 AS (SELECT bs0.* FROM bs0 JOIN cn USING (doc_id) WHERE cn.b = 1),
+         |bc0 AS (SELECT bs0.* FROM bs0 JOIN cn USING (doc_id) WHERE cn.b = 0),
+         |${capCte("bb0", "bb", Seq("band", "sig"), "doc_id")},
+         |${capCte("bc0", "bc", Seq("band", "sig"), "doc_id")},
          |pr AS (
          |  SELECT DISTINCT a.doc_id AS doc_batch, b.doc_id AS doc_corpus
          |  FROM bb a JOIN bc b ON a.band = b.band AND a.sig = b.sig),
@@ -2738,12 +2796,13 @@ object Oracle {
 
     "doc_simhash_pairs" ->
       s"""WITH $simhashCtes,
-         |banded AS (
+         |banded0 AS (
         |  SELECT doc_id, sim_hi, sim_lo, band,
         |    CASE WHEN band < 2 THEN (sim_lo >> (band * 16)) & 65535
         |         ELSE (sim_hi >> ((band - 2) * 16)) & 65535 END AS key
         |  FROM sim, unnest(range(4)) t(band)
-        |)
+        |),
+        |${capCte("banded0", "banded", Seq("band", "key"), "doc_id")}
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.sim_lo, b.sim_lo))
         |     + bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
@@ -3916,8 +3975,8 @@ object Oracle {
       s"""WITH $shinglesCte,
          |$minhashCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INTEGER) AS band
-         |FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
-         |                   AND a.doc_id < b.doc_id
+         |FROM bs0 a JOIN bs0 b ON a.band = b.band AND a.sig = b.sig
+         |                     AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b, band""".stripMargin,
 
     "corpus_stats" ->

@@ -469,6 +469,26 @@ object Queries {
   def docNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
 
+  /** [[docNearDup]] with the band-bucket cap forced DOWN to 2 so the
+    * sampling coin actively fires on this corpus (every fixture bucket
+    * is under the production default of [[graft.operators.BandCap
+    * .DefaultCap]]): the oracle replaying the identical survivor set
+    * is the proof the cap is deterministic, not just bounded.
+    */
+  def docNearDupCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairsFromShingles(
+      graft.operators.CacheScope.persist(Dedup.shingles(docs(s, dir))), 2)
+      .orderBy("doc_a", "doc_b")
+
+  /** The overflow census for a cap=2 run — [[graft.operators.BandCap
+    * .overflowBuckets]]: every (band, sig) bucket the cap would
+    * sample, with its true size, so capping is reported, never silent.
+    */
+  def docBandOverflow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BandCap.overflowBuckets(
+      Dedup.bandSignatures(docs(s, dir)), Seq("band", "sig"), 2)
+      .orderBy("band", "sig")
+
   /** 32-bit SimHash fingerprints. */
   def docSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir)).orderBy("doc_id")
@@ -2169,6 +2189,8 @@ object Queries {
     "event_markov" -> (eventMarkov _),
     "doc_exact_dedup" -> (docExactDedup _),
     "doc_near_dup" -> (docNearDup _),
+    "doc_near_dup_capped" -> (docNearDupCapped _),
+    "doc_band_overflow" -> (docBandOverflow _),
     "doc_simhash" -> (docSimhash _),
     "doc_simhash_pairs" -> (docSimhashPairs _),
     "doc_token_stats" -> (docTokenStats _),

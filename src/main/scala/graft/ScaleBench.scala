@@ -176,6 +176,32 @@ object ScaleBench {
       println(
         s"""{"metric":"simhash_scale","docs":$nDocs,"pairs":$shPairs,"distinct_band_keys":$keys,"sec":$ssec}""")
     }
+    // band-bucket SKEW probe: N IDENTICAL documents — the mega-bucket
+    // pathology (one boilerplate signature shared by the whole batch).
+    // Uncapped this is 4·(N choose 2) candidate rows (50k docs = 5
+    // billion pairs — the job that never finishes at 100 TB); the
+    // BandCap sampler must bound candidates near cap² and complete in
+    // seconds. The probe reports the census too, so the drop is a
+    // documented trade, never silent.
+    sys.env.get("SPARK_GRAFT_SKEW_DOCS").map(_.toLong).foreach { nDocs =>
+      graft.operators.CacheScope.releaseAll()
+      val text = (0 until 40).map(w => s"boiler$w").mkString(" ")
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"), lit(text).as("text"))
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.nearDupPairs(docs).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val over = graft.operators.BandCap.overflowBuckets(
+        graft.operators.Dedup.bandSignatures(docs), Seq("band", "sig"))
+        .agg(
+          count(lit(1)).as("buckets"),
+          coalesce(max("bucket_n"), lit(0L)).as("max_n"))
+        .head()
+      graft.operators.CacheScope.releaseAll()
+      val cap = graft.operators.BandCap.DefaultCap
+      println(
+        s"""{"metric":"band_skew","docs":$nDocs,"cap":$cap,"candidate_pairs":$pairs,"over_buckets":${over.getLong(0)},"max_bucket":${over.getLong(1)},"sec":$sec}""")
+    }
     // embedding near-dup scale probe: banded hyperplane LSH + exact
     // cosine verify over planted near-copies, then semantic cluster
     // resolution over the surfaced pairs. The pre-banding single

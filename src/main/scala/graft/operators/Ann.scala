@@ -1012,7 +1012,7 @@ object Ann {
 
   def embNearDup(emb: DataFrame): DataFrame = {
     val sig = CacheScope.persist(nearDupSignature(withNorm(emb)))
-    val banded = explodeBands(sig)
+    val banded = BandCap.capBuckets(explodeBands(sig), Seq("band", "key"), "vec_id")
     banded.as("a")
       .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id"))
       .withColumn(
@@ -1052,7 +1052,7 @@ object Ann {
 
   def knnJoin(emb: DataFrame, k: Int): DataFrame = {
     val sig = CacheScope.persist(nearDupSignature(withNorm(emb)))
-    val banded = explodeBands(sig)
+    val banded = BandCap.capBuckets(explodeBands(sig), Seq("band", "key"), "vec_id")
     val und = banded.as("a")
       .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id"))
       .withColumn(
@@ -1084,7 +1084,10 @@ object Ann {
   def bandedTopK(emb: DataFrame): DataFrame = bandedTopK(emb, defaultQueries(emb))
 
   def bandedTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
-    val corpus = explodeBands(nearDupSignature(withNorm(emb)))
+    // corpus side capped only: the probe side is queries (small by
+    // construction), so the worst bucket costs |queries| × cap
+    val corpus = BandCap.capBuckets(
+      explodeBands(nearDupSignature(withNorm(emb))), Seq("band", "key"), "vec_id")
     val probes = explodeBands(nearDupSignature(withNorm(
       queries.select(col("q_id").as("vec_id"), col("embedding")))))
       .select(

@@ -194,7 +194,14 @@ object Dedup {
   /** [[nearDupPairs]] over an already-persisted (doc_id, shingle)
     * frame — the shared-explode entry point.
     */
-  def nearDupPairsFromShingles(sh: DataFrame): DataFrame = {
+  def nearDupPairsFromShingles(sh: DataFrame): DataFrame =
+    nearDupPairsFromShingles(sh, BandCap.DefaultCap)
+
+  /** [[nearDupPairsFromShingles]] with an explicit band-bucket cap —
+    * see [[BandCap.capBuckets]] for the mega-bucket rationale; the
+    * default keeps every honest bucket intact.
+    */
+  def nearDupPairsFromShingles(sh: DataFrame, cap: Int): DataFrame = {
     // Persist the self-joined intermediate: without it the whole
     // 16-perm minhash pipeline runs once per join side (and the shingle
     // explode three times). At warehouse scale these would be bucketed
@@ -204,7 +211,9 @@ object Dedup {
     // it twice for the self-join, and the Jaccard denominators are its
     // free `n` column instead of a second shuffle over the shingle rows
     val mh = CacheScope.persist(minhashFromShingles(sh))
-    val sigs = bandStack(mh)
+    // band-bucket cap BEFORE the self-join: a boilerplate mega-bucket
+    // contributes O(cap²) candidate pairs instead of O(n²)
+    val sigs = BandCap.capBuckets(bandStack(mh), Seq("band", "sig"), "doc_id", cap)
     val pairs = sigs.as("a")
       .join(sigs.as("b"), expr("a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -258,8 +267,12 @@ object Dedup {
   def nearDupPairsAgainst(batchSh: DataFrame, corpusSh: DataFrame): DataFrame = {
     val mhB = CacheScope.persist(minhashFromShingles(batchSh))
     val mhC = CacheScope.persist(minhashFromShingles(corpusSh))
-    val pairs = bandStack(mhB).as("a")
-      .join(bandStack(mhC).as("b"), expr("a.band = b.band AND a.sig = b.sig"))
+    // each side capped independently: the cross-bucket blowup is
+    // |batch bucket| × |corpus bucket|, bounded here at cap²
+    val sigsB = BandCap.capBuckets(bandStack(mhB), Seq("band", "sig"), "doc_id")
+    val sigsC = BandCap.capBuckets(bandStack(mhC), Seq("band", "sig"), "doc_id")
+    val pairs = sigsB.as("a")
+      .join(sigsC.as("b"), expr("a.band = b.band AND a.sig = b.sig"))
       .select(col("a.doc_id").as("doc_batch"), col("b.doc_id").as("doc_corpus"))
       .distinct()
     val common = pairs
@@ -337,7 +350,8 @@ object Dedup {
     * pins the cardinality so that shape cannot return).
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val banded = simhashBanded(CacheScope.persist(simhash(docs)))
+    val banded = BandCap.capBuckets(
+      simhashBanded(CacheScope.persist(simhash(docs))), Seq("band", "key"), "doc_id")
     banded.as("a")
       .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
       .select(

@@ -309,10 +309,11 @@ object Multimodal {
           cnts(b) += 1
           k += 1
         }
-        // cross-products bounded by |frame|·(n/65)·n ≤ 65536·n²/65;
-        // past ~2^22 frames switch to exact BigInt compares (identical
-        // outcomes, pennies slower, only on rows that need it)
-        val big = n > (1 << 22)
+        // exact magnitude gate: parseWav admits up to 0xffff channels,
+        // so per-frame |fv| (and with it the cross-product) scales with
+        // the CHANNEL COUNT, not just n — a frame-count threshold alone
+        // would let a crafted high-channel WAV overflow in Long
+        val big = needsBigInt(sums, cnts)
         var lo = 0L
         var hi = 0L
         var b = 0
@@ -521,7 +522,9 @@ object Multimodal {
     * bands.
     */
   def mmAudioNearDup(withPayloadDf: DataFrame): DataFrame = {
-    val banded = perceptualBanded(CacheScope.persist(audioFingerprint(withPayloadDf).toDF()))
+    val banded = BandCap.capBuckets(
+      perceptualBanded(CacheScope.persist(audioFingerprint(withPayloadDf).toDF())),
+      Seq("band", "key"), "doc_id")
     banded.as("a")
       .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
       .select(
@@ -542,7 +545,7 @@ object Multimodal {
     */
   def mmAudioDedupClusters(withPayloadDf: DataFrame): DataFrame = {
     val hashed = CacheScope.persist(audioFingerprint(withPayloadDf).toDF())
-    val banded = perceptualBanded(hashed)
+    val banded = BandCap.capBuckets(perceptualBanded(hashed), Seq("band", "key"), "doc_id")
     val pairs = banded.as("a")
       .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
       .select(
@@ -739,7 +742,10 @@ object Multimodal {
           cnts(b) += 1
           k += 1
         }
-        val big = n > (1 << 22)
+        // exact magnitude gate: frame luma sums scale with w·h, so a
+        // wide-frame AVI overflows the cross-product far below any
+        // frame-count threshold
+        val big = needsBigInt(sums, cnts)
         var lo = 0L
         var hi = 0L
         var b = 0
@@ -898,7 +904,9 @@ object Multimodal {
     * modality, riding the same [[perceptualBanded]] bands.
     */
   def mmVideoNearDup(withPayloadDf: DataFrame): DataFrame = {
-    val banded = perceptualBanded(CacheScope.persist(videoFingerprint(withPayloadDf).toDF()))
+    val banded = BandCap.capBuckets(
+      perceptualBanded(CacheScope.persist(videoFingerprint(withPayloadDf).toDF())),
+      Seq("band", "key"), "doc_id")
     banded.as("a")
       .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
       .select(
@@ -917,7 +925,7 @@ object Multimodal {
     */
   def mmVideoDedupClusters(withPayloadDf: DataFrame): DataFrame = {
     val hashed = CacheScope.persist(videoFingerprint(withPayloadDf).toDF())
-    val banded = perceptualBanded(hashed)
+    val banded = BandCap.capBuckets(perceptualBanded(hashed), Seq("band", "key"), "doc_id")
     val pairs = banded.as("a")
       .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
       .select(
@@ -1049,9 +1057,9 @@ object Multimodal {
     * bits, so near-dups land in a shared 16-bit band.
     *
     * Scale: one pass over each payload, no shuffle; the cross-multiply
-    * products are bounded by 255·(L/65)·L, so payloads past ~8 MB
-    * switch to BigInt compares (identical outcomes, pennies slower,
-    * only on rows that need it).
+    * compare switches to BigInt exactly when the accumulated
+    * magnitudes could overflow Long ([[needsBigInt]] — identical
+    * outcomes, pennies slower, only on rows that need it).
     */
   def perceptualHash(withPayloadDf: DataFrame): Dataset[MmHash] = {
     val spark = withPayloadDf.sparkSession
@@ -1076,6 +1084,28 @@ object Multimodal {
   private[graft] def phashOf(p: Array[Byte]): (Long, Long) =
     pixelDHash(p).getOrElse(byteDHash(p))
 
+  /** The EXACT overflow predicate for the sign-of-delta cross-products:
+    * BigInt compares are needed iff max(sums)·max(cnts) could exceed
+    * Long. Gating on the actual accumulated magnitudes (not on frame
+    * count or payload length) is what makes the dHash kernels safe
+    * against crafted inputs whose PER-UNIT magnitude is pathological —
+    * a 0xffff-channel WAV or a wide-frame AVI can overflow the product
+    * far below any frame-count threshold, silently flipping hash bits.
+    * (Accumulation itself cannot overflow: a payload is at most 2^31
+    * bytes, bounding every sums/cnts entry well under 2^63.)
+    */
+  private[graft] def needsBigInt(sums: Array[Long], cnts: Array[Long]): Boolean = {
+    var ms = 0L
+    var mc = 0L
+    var i = 0
+    while (i < sums.length) {
+      if (sums(i) > ms) ms = sums(i)
+      if (cnts(i) > mc) mc = cnts(i)
+      i += 1
+    }
+    mc > 0 && ms > Long.MaxValue / mc
+  }
+
   /** 1-D byte-stream dHash (the pre-decode fallback; scaladoc on
     * [[perceptualHash]] describes the bucket/compare scheme).
     */
@@ -1091,7 +1121,7 @@ object Multimodal {
       cnts(b) += 1
       i += 1
     }
-    val big = L > (1 << 23) // Long cross-products are exact below this
+    val big = needsBigInt(sums, cnts) // byte magnitude is bounded, but one exact predicate beats three ad-hoc ones
     var lo = 0L
     var hi = 0L
     var b = 0
@@ -1396,7 +1426,9 @@ object Multimodal {
     * photo pair even though their byte streams share nothing.
     */
   def mmNearDup(withPayloadDf: DataFrame): DataFrame = {
-    val banded = perceptualBanded(CacheScope.persist(perceptualHash(withPayloadDf).toDF()))
+    val banded = BandCap.capBuckets(
+      perceptualBanded(CacheScope.persist(perceptualHash(withPayloadDf).toDF())),
+      Seq("band", "key"), "doc_id")
     banded.as("a")
       .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
       .select(

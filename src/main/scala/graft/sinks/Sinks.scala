@@ -567,6 +567,36 @@ object Sinks {
     * the rows physically; the probes join's partition pruning on the
     * scan is untouched.
     */
+  /** Loud-fail guard for reads against an index whose REBUILD swap is
+    * in flight: `rebuild_staging/_STAGED` present means the swap MUST
+    * roll forward (some artifacts may already be new-geometry), and a
+    * stray `<artifact>_rb_old` means a swap or rollback was interrupted
+    * mid-rename — in either state a read could pair NEW metadata with
+    * OLD codes (or vice versa) and silently serve mixed geometry.
+    * Readers never mutate storage (the compaction crash-awareness
+    * contract above), so this fails loudly instead of healing; any
+    * writer ([[rebuildAnnIndex]], [[compactAnnIndex]], an ingest
+    * append via [[allocSeg]]) repairs the state first. A staging dir
+    * WITHOUT the marker is a crashed BUILD — no swap ever started, the
+    * live artifacts are consistent, and reads proceed.
+    */
+  private def guardRebuildState(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val staged = fs.exists(new Path(s"$path/rebuild_staging/_STAGED"))
+    val olds = RebuildArtifacts.filter(a => fs.exists(new Path(s"$path/${a}_rb_old")))
+    if (staged || olds.nonEmpty) {
+      val why =
+        (if (staged) Seq("rebuild_staging/_STAGED present") else Nil) ++
+          (if (olds.nonEmpty) Seq(olds.map(_ + "_rb_old").mkString(", ") + " present")
+           else Nil)
+      throw new IllegalStateException(
+        s"ANN index at $path has an unfinished rebuild swap (${why.mkString("; ")}): " +
+          "reading now could mix old and new geometry. Run rebuildAnnIndex, " +
+          "compactAnnIndex, or any ingest writer against this path to finish " +
+          "or roll back the swap, then retry the read.")
+    }
+  }
+
   def readAnnIndexCodes(spark: SparkSession, path: String): DataFrame = {
     val basePath = new Path(s"$path/codes")
     val oldPath = new Path(s"$path/codes_old")
@@ -579,6 +609,7 @@ object Sinks {
     val deltaPaths = Seq(
       new Path(s"$path/codes_delta"), new Path(s"$path/codes_delta_batch"))
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    guardRebuildState(fs, path)
     // Crash-state awareness for [[compactAnnIndex]]'s rename swap:
     //  - `codes_old` present WITHOUT `codes`  → crash between the two
     //    renames; `codes_old` IS the pre-compact base (delta+tombstones
@@ -832,6 +863,11 @@ object Sinks {
     // set through driver memory just to write a tombstone file
     val ids = vecs.select("vec_id").distinct()
     if (ids.isEmpty) return
+    // allocSeg FIRST: it heals any crashed compaction/rebuild swap, so
+    // the metadata loads below can never see half-swapped geometry and
+    // encode against artifacts the heal is about to replace. The cost
+    // of a later validation failure is one unused segment marker.
+    val seg = allocSeg(spark, path)
     val cents = loadCentroids(spark, path)
     val encode = indexEncoder(spark, path)
     val rotation = loadRotation(spark, path)
@@ -848,7 +884,6 @@ object Sinks {
     if (badDims.nonEmpty)
       throw new IllegalArgumentException(
         s"upsert batch carries ${badDims.mkString(",")}-dim vectors; index expects $expectDim")
-    val seg = allocSeg(spark, path)
     ids
       .withColumn("seg", lit(seg))
       .coalesce(1)
@@ -870,6 +905,11 @@ object Sinks {
     * scan prunes to the probed lists' directories.
     */
   def readAnnIndexTopK(spark: SparkSession, path: String, queries: DataFrame): DataFrame = {
+    // fail BEFORE touching any metadata artifact: a mid-rebuild index
+    // could otherwise rotate queries through NEW geometry and rank
+    // against OLD codes
+    guardRebuildState(
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration), path)
     // a rotated index's geometry lives in rotated space: queries must
     // rotate through the SAME artifact the corpus encoded under
     val q = loadRotation(spark, path) match {
@@ -916,14 +956,17 @@ object Sinks {
       path: String,
       checkpoint: String): StreamingQuery = {
     val spark = vecs.sparkSession
-    val encode = indexEncoder(spark, path)
     // One segment number per ingest SESSION, allocated at stream
     // start: every row this stream appends outlives tombstones written
     // before the stream started, and dies to tombstones written after.
     // (Deletes issued WHILE the stream runs use a higher segment and
     // so also hide rows this stream appends later — a delete-during-
-    // ingest is a takedown, and takedowns win.)
+    // ingest is a takedown, and takedowns win.) Allocated BEFORE the
+    // encoder closes over the frozen metadata: allocSeg heals any
+    // crashed swap first, so the stream never freezes half-swapped
+    // geometry.
     val seg = allocSeg(spark, path)
+    val encode = indexEncoder(spark, path)
     // the rotation artifact freezes with the rest of the metadata at
     // stream start; Ann.rotate is a stateless typed map, so it
     // composes with the streaming frame like the encode kernel does
@@ -1095,9 +1138,18 @@ object Sinks {
     val lv = graft.operators.CacheScope.persist(
       vecs.select(col("vec_id"), col("embedding")).join(liveIds, "vec_id"))
     // fail fast BEFORE any write: a vector source missing ids the
-    // index holds would silently shrink the corpus on swap
+    // index holds would silently shrink the corpus on swap. Counted on
+    // DISTINCT ids, with duplicates rejected separately — a raw row
+    // count would let one duplicated id mask one missing id and pass
+    // exactly the corruption this guard exists to stop.
     val nLive = liveIds.count()
-    val nSrc = lv.count()
+    val nSrcRows = lv.count()
+    val nSrc = lv.select("vec_id").distinct().count()
+    if (nSrcRows != nSrc)
+      throw new IllegalArgumentException(
+        s"rebuildAnnIndex: vector source carries duplicate vec_ids " +
+          s"($nSrcRows rows over $nSrc distinct live ids) — dedup the vector " +
+          "table first; a rebuild must encode each id exactly once")
     if (nSrc != nLive)
       throw new IllegalArgumentException(
         s"rebuildAnnIndex: vector source covers $nSrc of $nLive live index ids — " +
@@ -1136,8 +1188,10 @@ object Sinks {
     * either rolled forward (marker present) or rolled back (absent)
     * by the NEXT writer touching the index ([[allocSeg]] repairs, so
     * appends/upserts/deletes self-heal; readers between a crash and
-    * the repair fail loudly on the missing codes dir — never silently
-    * serve mixed geometry). Run between ingest sessions, like
+    * the repair detect the in-flight swap — the `_STAGED` marker or
+    * any `_rb_old` leftover — and fail loudly via `guardRebuildState`,
+    * never silently serving mixed geometry). Run between ingest
+    * sessions, like
     * compaction: a stream appending DURING the swap would encode
     * against retired geometry.
     */

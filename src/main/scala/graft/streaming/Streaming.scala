@@ -672,16 +672,27 @@ object Streaming {
     */
   private[graft] def bucketFold(
       rows: Iterator[BandKeyed],
-      prior: Vector[Long]): (Vector[Long], Vector[CandidateOut]) = {
+      prior: Vector[Long],
+      cap: Int = Int.MaxValue): (Vector[Long], Vector[CandidateOut]) = {
     // membership probes go through a Set (O(1)); the Vector stays the
     // arrival-ordered state representation. Without the Set, a giant
     // bucket pays O(n) per arrival ON TOP of the inherent O(n²) pair
     // emission — the avoidable half of the quadratic.
+    //
+    // `cap` bounds the member vector (the streaming face of
+    // [[graft.operators.BandCap]]): once a bucket holds `cap` members,
+    // later arrivals are dropped — no state growth AND no pair
+    // emission, so a boilerplate mega-bucket costs at most cap²/2
+    // pairs per epoch instead of n² (arrival order decides the
+    // survivors here where the batch cap hash-samples; a streaming
+    // fold cannot replay the coin — it would need the bucket's final
+    // size). The exact variants pass no cap: their oracle twins
+    // replay every pair.
     var members = prior
     val seen = scala.collection.mutable.HashSet.from(prior)
     val out = Vector.newBuilder[CandidateOut]
     rows.toSeq.sortBy(_.doc_id).foreach { r =>
-      if (seen.add(r.doc_id)) {
+      if (members.size < cap && seen.add(r.doc_id)) {
         members.foreach(m =>
           out += CandidateOut(math.min(m, r.doc_id), math.max(m, r.doc_id), r.band))
         members = members :+ r.doc_id
@@ -786,7 +797,8 @@ object Streaming {
             val prior = state.getOption.getOrElse(TtlBucket(Vector.empty, Long.MinValue))
             val (members, out) = bucketFold(
               batch.iterator.map(r => BandKeyed(r.doc_id, r.band, r.sig)),
-              prior.members)
+              prior.members,
+              graft.operators.BandCap.DefaultCap)
             val newest = math.max(prior.newestTs, batch.map(_.event_ts.getTime).max)
             state.update(TtlBucket(members, newest))
             state.setTimeoutTimestamp(newest + ttlSeconds * 1000L)
@@ -899,13 +911,15 @@ object Streaming {
     */
   private[graft] def mmBucketFold(
       rows: Iterator[MmBandKeyed],
-      prior: Vector[(Long, Long, Long)])
+      prior: Vector[(Long, Long, Long)],
+      cap: Int = Int.MaxValue)
       : (Vector[(Long, Long, Long)], Vector[MmCandidateOut]) = {
+    // `cap` = the TTL streams' member-vector bound; see [[bucketFold]]
     var members = prior
     val seen = scala.collection.mutable.HashSet.from(prior.map(_._1))
     val out = Vector.newBuilder[MmCandidateOut]
     rows.toSeq.sortBy(_.doc_id).foreach { r =>
-      if (seen.add(r.doc_id)) {
+      if (members.size < cap && seen.add(r.doc_id)) {
         members.foreach { case (m, hi, lo) =>
           val ham = java.lang.Long.bitCount(hi ^ r.ph_hi) +
             java.lang.Long.bitCount(lo ^ r.ph_lo)
@@ -1033,7 +1047,8 @@ object Streaming {
             val prior = state.getOption.getOrElse(MmTtlBucket(Vector.empty, Long.MinValue))
             val (members, out) = mmBucketFold(
               batch.iterator.map(r => MmBandKeyed(r.doc_id, r.band, r.key, r.ph_hi, r.ph_lo)),
-              prior.members)
+              prior.members,
+              graft.operators.BandCap.DefaultCap)
             val newest = math.max(prior.newestTs, batch.map(_.event_ts.getTime).max)
             state.update(MmTtlBucket(members, newest))
             state.setTimeoutTimestamp(newest + ttlSeconds * 1000L)
@@ -1117,7 +1132,8 @@ object Streaming {
             val prior = state.getOption.getOrElse(MmTtlBucket(Vector.empty, Long.MinValue))
             val (members, out) = mmBucketFold(
               batch.iterator.map(r => MmBandKeyed(r.doc_id, r.band, r.key, r.ph_hi, r.ph_lo)),
-              prior.members)
+              prior.members,
+              graft.operators.BandCap.DefaultCap)
             val newest = math.max(prior.newestTs, batch.map(_.event_ts.getTime).max)
             state.update(MmTtlBucket(members, newest))
             state.setTimeoutTimestamp(newest + ttlSeconds * 1000L)
@@ -1230,7 +1246,8 @@ object Streaming {
             val prior = state.getOption.getOrElse(MmTtlBucket(Vector.empty, Long.MinValue))
             val (members, out) = mmBucketFold(
               batch.iterator.map(r => MmBandKeyed(r.doc_id, r.band, r.key, r.ph_hi, r.ph_lo)),
-              prior.members)
+              prior.members,
+              graft.operators.BandCap.DefaultCap)
             val newest = math.max(prior.newestTs, batch.map(_.event_ts.getTime).max)
             state.update(MmTtlBucket(members, newest))
             state.setTimeoutTimestamp(newest + ttlSeconds * 1000L)

@@ -595,6 +595,74 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ids4 == ids2, "mid-swap repair changed the live id set")
   }
 
+  test("readers fail loudly mid-rebuild-swap; a writer heals and reads resume") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = clustered(128, 321)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_guard_").toString
+    Sinks.writeAnnIndex(emb, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+
+    // stage a rebuild (marker lands), then simulate a crash INSIDE the
+    // roll-forward: the codes triple got through live→old only — the
+    // family of states where pre-guard readers could pair one
+    // geometry's metadata with the other's codes
+    Sinks.stageRebuild(spark, dir, emb.select("vec_id", "embedding"))
+    assert(fs.exists(p("rebuild_staging/_STAGED")))
+    assert(fs.rename(p("codes"), p("codes_rb_old")))
+    val eCodes = intercept[IllegalStateException] {
+      Sinks.readAnnIndexCodes(spark, dir).count()
+    }
+    assert(eCodes.getMessage.contains("unfinished rebuild swap"))
+    val eTopK = intercept[IllegalStateException] {
+      Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb)).count()
+    }
+    assert(eTopK.getMessage.contains("unfinished rebuild swap"))
+
+    // any writer heals (allocSeg path); reads then serve the rebuilt,
+    // single-geometry index
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(3L))
+    assert(!fs.exists(p("rebuild_staging")) && !fs.exists(p("codes_rb_old")))
+    val ids = Sinks.readAnnIndexCodes(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(3L) && ids.contains(0L))
+    assert(Sinks.readAnnIndexTopK(spark, dir, Ann.defaultQueries(emb)).count() > 0)
+
+    // a stray _rb_old WITHOUT staging (crash during rollback's restore)
+    // also refuses reads until healed
+    assert(fs.rename(p("codes"), p("codes_rb_old")))
+    intercept[IllegalStateException] { Sinks.readAnnIndexCodes(spark, dir).count() }
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(999999L)) // writer heals via restore
+    assert(Sinks.readAnnIndexCodes(spark, dir).count() > 0)
+  }
+
+  test("rebuild rejects a vector source carrying duplicate vec_ids") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = clustered(96, 77)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_dup_").toString
+    Sinks.writeAnnIndex(emb, dir)
+    // one live id duplicated + one live id missing: the row count
+    // matches, so the old rows-only guard would have passed — the
+    // distinct-count guard must refuse on the duplicate first
+    val src = emb.select("vec_id", "embedding").filter(col("vec_id") =!= 5L)
+      .unionByName(emb.select("vec_id", "embedding").filter(col("vec_id") === 7L))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.rebuildAnnIndex(spark, dir, src)
+    }
+    assert(e.getMessage.contains("duplicate vec_ids"))
+    // dup-free but incomplete still fails on coverage
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.rebuildAnnIndex(
+        spark, dir, emb.select("vec_id", "embedding").filter(col("vec_id") =!= 5L))
+    }
+    assert(e2.getMessage.contains("covers"))
+    // and the index stayed untouched by both refusals
+    assert(Sinks.readAnnIndexCodes(spark, dir).count() === 96L)
+  }
+
   test("rebuild preserves the rotated and rotated-residual layouts and refits their artifacts") {
     val spark = TestSpark.spark
     import spark.implicits._
