@@ -589,9 +589,14 @@ object Queries {
         s, _ => scala.collection.mutable.Map.empty[String, Array[TextStats.UnigramPiece]])
       perSession.getOrElseUpdate(
         dir, {
-          val trained =
-            try TextStats.unigramPieces(docs(s, dir))
-            finally graft.operators.CacheScope.releaseAll()
+          // withScope, NOT releaseAll: lazy training triggered mid-query
+          // (docTokenizerCompare, the dynamic oracle map) must release
+          // only the trainer's own persists — a session-global drain
+          // here unpersisted frames an ENCLOSING query had registered,
+          // forcing recomputation
+          val trained = graft.operators.CacheScope.withScope {
+            TextStats.unigramPieces(docs(s, dir))
+          }
           val p = java.nio.file.Files.createTempDirectory("graft_unigram_").toString
           TextStats.saveUnigramPieces(s, trained, p)
           TextStats.loadUnigramPieces(s, p)
@@ -681,8 +686,9 @@ object Queries {
         s, _ => scala.collection.mutable.Map.empty[String, (Array[(Long, Long)], Long)])
       perSession.getOrElseUpdate(
         dir,
-        try TextStats.trainQualityWeights(docs(s, dir))
-        finally graft.operators.CacheScope.releaseAll())
+        graft.operators.CacheScope.withScope {
+          TextStats.trainQualityWeights(docs(s, dir))
+        })
     }
 
   /** [[docQualityModel]] with TRAINED weights: MLlib logistic
@@ -710,9 +716,9 @@ object Queries {
         s, _ => scala.collection.mutable.Map.empty[String, (Array[(Long, Long)], Long)])
       perSession.getOrElseUpdate(
         s"$dir#stored", {
-          val (w, b) =
-            try TextStats.trainQualityWeights(docs(s, dir).filter(col("doc_id") % 2 === 0))
-            finally graft.operators.CacheScope.releaseAll()
+          val (w, b) = graft.operators.CacheScope.withScope {
+            TextStats.trainQualityWeights(docs(s, dir).filter(col("doc_id") % 2 === 0))
+          }
           val p = java.nio.file.Files.createTempDirectory("graft_qweights_").toString
           TextStats.saveQualityWeights(s, p, w, b)
           TextStats.loadQualityWeights(s, p)
@@ -1374,11 +1380,12 @@ object Queries {
         dir, {
           val e = embs(s, dir)
           val cents = Ann.firstKCentroids(e)
-          try Ann.pqResidualCodebooksTrained(Ann.ivfAssign(e, cents), cents)
-            .collect()
-            .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
-            .sortBy(b => (b._1, b._2))
-          finally graft.operators.CacheScope.releaseAll()
+          graft.operators.CacheScope.withScope {
+            Ann.pqResidualCodebooksTrained(Ann.ivfAssign(e, cents), cents)
+              .collect()
+              .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+              .sortBy(b => (b._1, b._2))
+          }
         })
     }
 
@@ -1409,11 +1416,12 @@ object Queries {
         s"$dir#rotated", {
           val re = Ann.rotate(embs(s, dir), rotatedPqMeta(s, dir)._1)
           val cents = Ann.firstKCentroids(re)
-          try Ann.pqResidualCodebooksTrained(Ann.ivfAssign(re, cents), cents)
-            .collect()
-            .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
-            .sortBy(b => (b._1, b._2))
-          finally graft.operators.CacheScope.releaseAll()
+          graft.operators.CacheScope.withScope {
+            Ann.pqResidualCodebooksTrained(Ann.ivfAssign(re, cents), cents)
+              .collect()
+              .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+              .sortBy(b => (b._1, b._2))
+          }
         })
     }
 

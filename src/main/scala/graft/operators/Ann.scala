@@ -1663,7 +1663,11 @@ object Ann {
         col("recall_overall"),
         col("n_dims"),
         col("max_shift"),
-        (col("recall_overall") < lit(HealthRecallFloor) ||
+        // NULL legs (no queries / no vectors) are unhealth the verdict
+        // must REPORT — a null flag on an empty corpus would read as
+        // "not recommended" to any `WHERE rebuild_recommended` consumer
+        (col("recall_overall").isNull || col("max_shift").isNull ||
+          col("recall_overall") < lit(HealthRecallFloor) ||
           col("max_shift") >= lit(HealthDriftMax)).as("rebuild_recommended"))
   }
 

@@ -1253,23 +1253,32 @@ object TextStats {
     * row is the distribution-shift signature; both failing means the
     * fit itself went bad.
     *
-    * Scale shape: the 3-row eval persists once; the verdict is a
-    * broadcast one-row crossJoin of two single-row filters.
+    * Scale shape: one conditional aggregation over the 3-row eval —
+    * a global agg, so EXACTLY one verdict row emerges even when a
+    * split is empty (a small or skewed corpus). A missing split is an
+    * unhealthy state the row must REPORT, not a reason for the row to
+    * vanish — the earlier crossJoin-of-filters shape disappeared
+    * precisely when monitoring mattered most; here the missing
+    * split's counts read 0, its accuracy NULL, and
+    * `retrain_recommended` forces true.
     */
   def qualityHealth(docs: DataFrame, weights: DataFrame, biasMilli: Long): DataFrame = {
-    val ev = CacheScope.persist(qualityEval(docs, weights, biasMilli))
-    val tr = ev.filter(col("split") === "train")
-      .select(col("n_docs").as("n_train"), col("accuracy").as("acc_train"))
-    val te = ev.filter(col("split") === "test")
-      .select(col("n_docs").as("n_test"), col("accuracy").as("acc_test"))
-    tr.crossJoin(broadcast(te))
+    val ev = qualityEval(docs, weights, biasMilli)
+    def pick(split: String, c: Column) = max(when(col("split") === split, c))
+    ev
+      .agg(
+        coalesce(pick("train", col("n_docs")), lit(0L)).as("n_train"),
+        pick("train", col("accuracy")).as("acc_train"),
+        coalesce(pick("test", col("n_docs")), lit(0L)).as("n_test"),
+        pick("test", col("accuracy")).as("acc_test"))
       .select(
         col("n_train"),
         col("acc_train"),
         col("n_test"),
         col("acc_test"),
         round(col("acc_train") - col("acc_test"), 6).as("gap"),
-        (col("acc_test") < QualityAccMin ||
+        (col("acc_train").isNull || col("acc_test").isNull ||
+          col("acc_test") < QualityAccMin ||
           round(col("acc_train") - col("acc_test"), 6) >= QualityGapMax)
           .as("retrain_recommended"))
   }

@@ -94,6 +94,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(-1L) == expect(keepAll = false), "negative bias drops everything: fn = true labels")
   }
 
+  test("qualityHealth: one verdict row ALWAYS emerges; a missing split forces retrain") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val zeros = spark.range(graft.operators.TextStats.ModelBuckets.toLong)
+      .toDF("bucket").withColumn("weight_milli", lit(0L))
+    // a corpus with NO test-split docs — the small/skewed-corpus state
+    // where the old crossJoin-of-filters verdict silently vanished
+    // (60 docs so the md5 decile split reliably populates every split
+    // before the test-ids are carved out)
+    val full = docsDf((0 until 60).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon word$i tail", "en", "web")))
+    val testIds = graft.operators.TextStats.trainSplit(full)
+      .filter(col("split") === "test")
+      .collect().map(_.getLong(0)).toSet
+    val noTest = full.filter(!col("doc_id").isin(testIds.toSeq: _*))
+    val rows = graft.operators.TextStats.qualityHealth(noTest, zeros, 1L).collect()
+    assert(rows.length === 1, "the monitoring row must never disappear")
+    val r = rows(0)
+    assert(r.getLong(r.fieldIndex("n_test")) === 0L)
+    assert(r.isNullAt(r.fieldIndex("acc_test")))
+    assert(r.getBoolean(r.fieldIndex("retrain_recommended")),
+      "a missing eval split is an unhealthy state and must recommend retrain")
+    // and on the full corpus the row reports both splits
+    val ok = graft.operators.TextStats.qualityHealth(full, zeros, 1L).collect()
+    assert(ok.length === 1 && ok(0).getLong(ok(0).fieldIndex("n_test")) > 0L)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged classified per source") {
     val old = docsDf(Seq(
       (1L, "a b", "en", "web"),

@@ -548,4 +548,19 @@ class MultimodalSpec extends AnyFunSuite {
         s"pixel and byte hashes coincided — is the decode real? doc ${r.doc_id}")
     }
   }
+
+  test("needsBigInt flips exactly at the Long cross-product boundary") {
+    import graft.operators.Multimodal.needsBigInt
+    val L = Long.MaxValue
+    // (L/2) * 2 <= L: still exact in Long — stays on the fast path
+    assert(!needsBigInt(Array(L / 2), Array(2L)))
+    // (L/2) * 3 overflows — must switch
+    assert(needsBigInt(Array(L / 2), Array(3L)))
+    // the max is taken across buckets, whichever bucket carries it
+    assert(needsBigInt(Array(1L, L / 2, 7L), Array(3L, 1L, 1L)))
+    assert(!needsBigInt(Array(0L, 0L), Array(0L, 0L))) // empty buckets
+    // the magnitude gate is what the old frame-count gate missed: few
+    // frames, huge per-frame magnitude
+    assert(needsBigInt(Array(L / 4), Array(5L)))
+  }
 }
