@@ -1904,7 +1904,7 @@ object Oracle {
     // WARC-in curation: the container round-trip is lossless (pinned
     // by warc_extract + CorpusSpec), so the post-scan pipeline twin is
     // the HTML pipeline twin verbatim
-    ("warc_pipeline" -> htmlDocPipelineSql) +
+    ("warc_pipeline" -> warcDocPipelineSql) +
     ("corpus_manifest" -> corpusManifestSql) +
     // residual-tier recall: the full residual twin nested as the
     // approx leg (its own WITH scope), the exact leg shared with
@@ -1974,16 +1974,51 @@ object Oracle {
       .replace("GRAFT_DECONT_BODY", allBase("doc_decontaminate"))
   }
 
-  private lazy val htmlDocPipelineSql: String = {
+  /** The WARC reader's URI-keyed doc id, replayed over the fixture's
+    * URL formula — twin of [[graft.sources.Warc.uriDocId]] (first 60
+    * bits of md5(Target-URI)).
+    */
+  private def warcIdSql(docIdCol: String): String =
+    s"CAST(('0x' || substr(md5('https://example.org/doc/' || CAST($docIdCol AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  private lazy val warcExtractSql: String = {
+    val len200 = graft.sources.Warc.httpHead(200).getBytes("UTF-8").length
+    val len404 = graft.sources.Warc.httpHead(404).getBytes("UTF-8").length
+    s"""WITH $htmlPageCtes
+       |SELECT ${warcIdSql("e.doc_id")} AS doc_id,
+       |  'https://example.org/doc/' || CAST(e.doc_id AS VARCHAR) AS url,
+       |  '2024-01-' || lpad(CAST(e.doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       |    || 'T00:00:00Z' AS warc_date,
+       |  CAST(CASE WHEN e.doc_id % 17 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+       |  CAST(CASE WHEN e.doc_id % 17 = 0 THEN $len404 ELSE $len200 END
+       |    + strlen(e.html) AS BIGINT) AS n_block_bytes,
+       |  e.text,
+       |  CAST(length(e.html) AS INTEGER) AS n_chars_raw,
+       |  CAST(length(e.text) AS INTEGER) AS n_chars_text
+       |FROM ex e ORDER BY 1""".stripMargin
+  }
+
+  private def htmlDocPipelineSqlOver(htmlDocsCte: String): String = {
     val body = allBase("doc_pipeline")
     require(body.startsWith("WITH RECURSIVE "), "doc_pipeline twin shape changed")
     val rewired = body.replace("FROM documents", "FROM html_docs")
     require(!rewired.contains("FROM documents") && rewired != body,
       "doc_pipeline twin no longer reads FROM documents as expected")
     s"""WITH RECURSIVE $htmlPageCtes,
-       |html_docs AS (SELECT doc_id, text FROM ex),
+       |$htmlDocsCte,
        |${rewired.stripPrefix("WITH RECURSIVE ")}""".stripMargin
   }
+
+  private lazy val htmlDocPipelineSql: String =
+    htmlDocPipelineSqlOver("html_docs AS (SELECT doc_id, text FROM ex)")
+
+  /** `warc_pipeline`'s twin: the html pipeline over the WARC reader's
+    * URI-keyed ids — the scan emits md5-60bit(Target-URI) for every
+    * record, so the whole curation pipeline downstream runs on those.
+    */
+  private lazy val warcDocPipelineSql: String =
+    htmlDocPipelineSqlOver(
+      s"html_docs AS (SELECT ${warcIdSql("doc_id")} AS doc_id, text FROM ex)")
 
   private lazy val allBase: Map[String, String] = Map(
     "span_metrics" -> withDensified(spanMetricsSql, fillPolicy = Some("forward")),
@@ -2940,22 +2975,11 @@ object Oracle {
     // length + the page's octet length) and the shared extraction
     // chain — no container bytes anywhere; the Spark side had to
     // byte-scan real records to produce the same rows
-    "warc_extract" -> {
-      val len200 = graft.sources.Warc.httpHead(200).getBytes("UTF-8").length
-      val len404 = graft.sources.Warc.httpHead(404).getBytes("UTF-8").length
-      s"""WITH $htmlPageCtes
-         |SELECT e.doc_id,
-         |  'https://example.org/doc/' || CAST(e.doc_id AS VARCHAR) AS url,
-         |  '2024-01-' || lpad(CAST(e.doc_id % 28 + 1 AS VARCHAR), 2, '0')
-         |    || 'T00:00:00Z' AS warc_date,
-         |  CAST(CASE WHEN e.doc_id % 17 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
-         |  CAST(CASE WHEN e.doc_id % 17 = 0 THEN $len404 ELSE $len200 END
-         |    + strlen(e.html) AS BIGINT) AS n_block_bytes,
-         |  e.text,
-         |  CAST(length(e.html) AS INTEGER) AS n_chars_raw,
-         |  CAST(length(e.text) AS INTEGER) AS n_chars_text
-         |FROM ex e ORDER BY e.doc_id""".stripMargin
-    },
+    "warc_extract" -> warcExtractSql,
+    // per-record gzip members are a lossless container change, so the
+    // gz row shares the plain row's twin verbatim — equality proves
+    // the member walk inflates to the identical record stream
+    "warc_extract_gz" -> warcExtractSql,
 
     "doc_lang_id" -> langIdSql,
 

@@ -1152,6 +1152,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** [[warcExtract]] over `.warc.gz` payloads — per-record gzip
+    * members through the same scan; the twin is SHARED with the plain
+    * row, so hash equality proves the member walk is a lossless
+    * inflation, not a parallel code path.
+    */
+  def warcExtractGz(s: SparkSession, dir: String): DataFrame = {
+    val parsed = graft.operators.CacheScope.persist(
+      graft.sources.Warc.parseWarcRecords(
+        graft.sources.Warc.withWarcPayloadGz(TextStats.wrapHtml(docs(s, dir)))).toDF())
+    parsed.select("doc_id", "url", "warc_date", "status", "n_block_bytes")
+      .join(TextStats.extractText(parsed, htmlCol = "html"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Incremental batch-vs-base exact dedup verdict. */
   def docDedupIncremental(s: SparkSession, dir: String): DataFrame =
     Dedup.incrementalDedup(docs(s, dir)).orderBy("doc_id")
@@ -2199,6 +2213,7 @@ object Queries {
     "doc_near_dup" -> (docNearDup _),
     "doc_near_dup_capped" -> (docNearDupCapped _),
     "doc_band_overflow" -> (docBandOverflow _),
+    "warc_extract_gz" -> (warcExtractGz _),
     "doc_simhash" -> (docSimhash _),
     "doc_simhash_pairs" -> (docSimhashPairs _),
     "doc_token_stats" -> (docTokenStats _),

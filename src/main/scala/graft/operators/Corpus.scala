@@ -270,9 +270,18 @@ object Corpus {
       // previous round's files, which would otherwise accumulate in the
       // checkpoint dir for the life of the session (None on the local path)
       var prevCp = checkpointFile(cur)
-      var prevSum = Long.MinValue
-      var curSum = cur.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
-      while (curSum != prevSum) {
+      // convergence checksum in DECIMAL(38,0): labels only ever
+      // decrease, so equal-sum ⇔ converged — but a Long sum overflows
+      // the moment ids are hash-keyed (md5-60bit WARC ids, xxhash64
+      // corpus ids: 500 such labels already exceed 2^63, and ANSI mode
+      // rightly refuses). 38 digits hold any realistic corpus exactly.
+      def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(
+          sum(col("cluster").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+      var prevSum: java.math.BigDecimal = null
+      var curSum = labelSum(cur)
+      while (prevSum == null || curSum.compareTo(prevSum) != 0) {
         val nbrMin = loopEdges
           .join(cur, loopEdges("e_dst") === cur("doc_id"))
           .groupBy(col("e_src"))
@@ -291,7 +300,7 @@ object Corpus {
         // the lazy localCheckpoint as a side effect. On the reliable path
         // truncate already materialized eagerly, so the sum just reads the
         // checkpoint files — and the superseded round's files can go.
-        curSum = cur.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
+        curSum = labelSum(cur)
         prevCp.foreach(deleteCheckpoint(cur, _))
         prevCp = nextCp
       }

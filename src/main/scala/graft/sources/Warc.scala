@@ -39,6 +39,21 @@ object Warc {
 
   private val Crlf = "\r\n"
 
+  /** Document id of a record: the first 60 bits (15 hex chars) of
+    * md5(WARC-Target-URI), as a non-negative Long. Real archives key
+    * records by URI, not by any numeric id a fixture happens to carry
+    * — this is what lets the reader ingest FOREIGN archives, and 60
+    * bits keeps the birthday bound far beyond any corpus (a 32-bit id
+    * would collide by ~65k documents). md5-derived so the DuckDB twin
+    * replays the identical ids: `CAST(('0x' || substr(md5(uri), 1,
+    * 15)) AS BIGINT)`.
+    */
+  private[graft] def uriDocId(uri: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(uri.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   private[graft] def urlOf(docId: Long): String = s"https://example.org/doc/$docId"
 
   private[graft] def dateOf(docId: Long): String =
@@ -95,6 +110,30 @@ object Warc {
       .toDF("file_id", "payload")
   }
 
+  /** [[withWarcPayload]] in `.warc.gz` form: the SAME records, each
+    * compressed as its own gzip member and concatenated — the layout
+    * real crawl archives ship in (per-record members keep records
+    * independently seekable). Extraction must equal the plain form
+    * byte-for-byte after inflation, which is what the `warc_extract_gz`
+    * row's shared twin proves.
+    */
+  def withWarcPayloadGz(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id"), col("html"))
+      .withColumn("file_id", expr(s"doc_id div $DocsPerFile"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._3)
+      .mapGroups { (fileId, rows) =>
+        val docs = rows.toArray.sortBy(_._1)
+        val body = docs.foldLeft(gzipMember(warcinfo(fileId))) {
+          case (acc, (id, html, _)) => acc ++ gzipMember(warcResponse(id, html))
+        }
+        (fileId, body)
+      }
+      .toDF("file_id", "payload")
+  }
+
   /** REAL WARC scan: walk each file's bytes record by record — version
     * line check, case-insensitive header collection to the blank
     * line, Content-Length-delimited block skip, separator consume —
@@ -111,7 +150,50 @@ object Warc {
       .flatMap { case (_, p) => scanFile(p) }
   }
 
-  private[graft] def scanFile(p: Array[Byte]): Iterator[WarcDoc] = {
+  /** One gzipped member (the `.warc.gz` convention compresses each
+    * record as its own gzip member, so a reader can seek to a record
+    * without decompressing the file).
+    */
+  private[graft] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Decompress a multi-member gzip stream, halting at the first
+    * mangled member: bytes decompressed so far are kept (the records
+    * before the corruption are data), the rest of THAT FILE is
+    * abandoned — never the job. `GZIPInputStream` walks concatenated
+    * members natively; a corrupt member surfaces as an IOException
+    * mid-read, and trailing garbage after a valid member reads as
+    * EOF — both are the same halt-the-file verdict.
+    */
+  private[graft] def gunzipMembers(p: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(p))
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } catch { case _: java.io.IOException => () }
+    out.toByteArray
+  }
+
+  private val GzipMagic0 = 0x1f.toByte
+  private val GzipMagic1 = 0x8b.toByte
+
+  private[graft] def scanFile(raw: Array[Byte]): Iterator[WarcDoc] = {
+    // .warc.gz sniff: per-record gzip members inflate to the plain
+    // multi-record byte stream the scan below walks
+    val p =
+      if (raw.length >= 2 && raw(0) == GzipMagic0 && raw(1) == GzipMagic1)
+        gunzipMembers(raw)
+      else raw
     val acc = scala.collection.mutable.ArrayBuffer.empty[WarcDoc]
     var i = 0L
     var halted = false
@@ -153,9 +235,9 @@ object Warc {
               val statusLine = block.takeWhile(_ != '\r')
               val parts = statusLine.split(" ", 3)
               val status = if (parts.length >= 2) parts(1).toIntOption else None
-              val docId = headers.get("warc-target-uri")
-                .filter(_.startsWith("https://example.org/doc/"))
-                .flatMap(_.substring("https://example.org/doc/".length).toLongOption)
+              // ANY Target-URI keys a record — a real archive's URIs
+              // carry no fixture prefix; the id is the URI's md5-60bit
+              val docId = headers.get("warc-target-uri").map(uriDocId)
               (docId, status) match {
                 case (Some(id), Some(st)) if sep >= 0 =>
                   acc += WarcDoc(

@@ -923,17 +923,21 @@ class CorpusSpec extends AnyFunSuite {
     val parsed = W.parseWarcRecords(W.withWarcPayload(pages))
       .collect().map(d => d.doc_id -> d).toMap
 
+    // records key by md5-60bit(Target-URI) — the id a real archive's
+    // reader derives, not the fixture's numeric id
+    def uid(i: Long) = W.uriDocId(W.urlOf(i))
     // every response record survives the scan; warcinfo heads don't leak
-    assert(parsed.keySet == Set(1L, 17L, 23L))
+    assert(parsed.keySet == Set(uid(1L), uid(17L), uid(23L)))
     // the status line was READ, not assumed
-    assert(parsed(17L).status == 404 && parsed(1L).status == 200)
+    assert(parsed(uid(17L)).status == 404 && parsed(uid(1L)).status == 200)
     // the html round-trips byte-exactly through the container
     val htmls = pages.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    parsed.foreach { case (id, d) =>
-      assert(d.html == htmls(id), s"doc $id html mutated in the container")
-      assert(d.url == s"https://example.org/doc/$id")
+    Seq(1L, 17L, 23L).foreach { i =>
+      val d = parsed(uid(i))
+      assert(d.html == htmls(i), s"doc $i html mutated in the container")
+      assert(d.url == s"https://example.org/doc/$i")
       assert(d.n_block_bytes ==
-        W.httpHead(d.status).getBytes("UTF-8").length + htmls(id).getBytes("UTF-8").length)
+        W.httpHead(d.status).getBytes("UTF-8").length + htmls(i).getBytes("UTF-8").length)
     }
 
     // hand-mangled containers: a record with a corrupt Content-Length
@@ -954,7 +958,61 @@ class CorpusSpec extends AnyFunSuite {
     // file 101 fails the version check and yields nothing; file 102's
     // record is COMPLETE (block intact) so it emits even though the
     // trailing separator is cut at EOF — then the scan halts
-    assert(got == Seq(5L, 5L), s"mangled files must yield exactly the intact records: $got")
+    val id5 = W.uriDocId(W.urlOf(5L))
+    assert(got == Seq(id5, id5), s"mangled files must yield exactly the intact records: $got")
+  }
+
+  test("WARC gz: per-record gzip members round-trip; a mangled member halts the file, not the job") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val W = graft.sources.Warc
+    val docs = docsDf(Seq(
+      (1L, "plain words here", "en", "web"),
+      (17L, "a four-oh-four page body <with markup> & entities", "en", "web"),
+      (23L, "unicode page \u00e9\u4e2d body", "en", "web")))
+    val pages = graft.operators.TextStats.wrapHtml(docs)
+    // gz form extracts EXACTLY what the plain form extracts
+    val plain = W.parseWarcRecords(W.withWarcPayload(pages))
+      .collect().map(d => (d.doc_id, d.url, d.warc_date, d.status, d.n_block_bytes, d.html)).toSet
+    val gz = W.parseWarcRecords(W.withWarcPayloadGz(pages))
+      .collect().map(d => (d.doc_id, d.url, d.warc_date, d.status, d.n_block_bytes, d.html)).toSet
+    assert(gz == plain, "gz member walk must inflate to the identical record stream")
+
+    // mangle the SECOND member's deflate body: the first record's
+    // member decompresses, the corruption halts that file, other
+    // files are untouched
+    val m1 = W.gzipMember(W.warcResponse(5L, "<html><body>ok</body></html>"))
+    val m2 = W.gzipMember(W.warcResponse(6L, "<html><body>late</body></html>"))
+    val corrupt2 = m1 ++ m2.take(12) ++ m2.drop(12).map(b => (b ^ 0x5a).toByte)
+    val files = Seq(
+      (200L, corrupt2),
+      (201L, W.gzipMember(W.warcResponse(7L, "<html><body>other file</body></html>")))
+    ).toDF("file_id", "payload")
+    val got = W.parseWarcRecords(files).collect().map(_.doc_id).toSet
+    assert(got == Set(W.uriDocId(W.urlOf(5L)), W.uriDocId(W.urlOf(7L))),
+      s"mangled member must halt its file after the intact records: $got")
+  }
+
+  test("WARC foreign-URI records extract, keyed by their URI hash") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val W = graft.sources.Warc
+    // a record whose Target-URI carries no fixture prefix at all —
+    // the pre-URI-keying reader silently dropped these
+    val html = "<html><body>foreign archive page</body></html>"
+    val block = (W.httpHead(200) + html).getBytes("UTF-8")
+    val uri = "https://news.example.net/2024/story?id=9#frag"
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2024-02-02T00:00:00Z\r\nContent-Length: ${block.length}\r\n\r\n")
+      .getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+    val out = W.parseWarcRecords(Seq((300L, rec)).toDF("file_id", "payload")).collect()
+    assert(out.length == 1)
+    assert(out(0).doc_id == W.uriDocId(uri) && out(0).doc_id >= 0L)
+    assert(out(0).url == uri && out(0).html == html)
+    // and the same record through a gzip member
+    val outGz = W.parseWarcRecords(
+      Seq((301L, W.gzipMember(rec))).toDF("file_id", "payload")).collect()
+    assert(outGz.length == 1 && outGz(0).doc_id == W.uriDocId(uri))
   }
 
   test("packSequencesNoSplit: no doc straddles a boundary; sequences are dense prefixes; oversize flagged") {
