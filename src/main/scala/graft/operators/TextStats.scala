@@ -1318,14 +1318,95 @@ object TextStats {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Load a weights artifact written by [[saveQualityWeights]]. */
+  /** Load a weights artifact written by [[saveQualityWeights]]. Fails
+    * loudly when a [[retrainQualityModel]] swap is in flight (`_STAGED`
+    * marker or `_old` leftover present) — the [[graft.sinks.Sinks]]
+    * readAnnIndex discipline: readers never mutate, a half-swapped
+    * artifact could score one batch with old weights and the next with
+    * new, and the next retrain (or [[healQualityWeights]]) repairs.
+    */
   def loadQualityWeights(spark: SparkSession, path: String): (Array[(Long, Long)], Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.exists(new org.apache.hadoop.fs.Path(s"${path}_staged/_STAGED"))
+    val old = fs.exists(new org.apache.hadoop.fs.Path(s"${path}_old"))
+    if (staged || old)
+      throw new IllegalStateException(
+        s"quality-weights artifact at $path has an unfinished retrain swap (" +
+          (if (staged) s"${path}_staged/_STAGED present" else s"${path}_old present") +
+          "): run retrainQualityModel or healQualityWeights to finish or roll " +
+          "back the swap, then retry the load.")
     val rows = spark.read.parquet(path).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val bias = rows.collectFirst { case (-1L, b) => b }.getOrElse(
       throw new IllegalArgumentException(
         s"quality-weights artifact at $path carries no bias row (bucket -1)"))
     (rows.filter(_._1 >= 0L).sortBy(_._1), bias)
+  }
+
+  /** Finish (marker present) or abandon (marker absent) a crashed
+    * [[retrainQualityModel]] swap — idempotent, the
+    * [[graft.sinks.Sinks.finishRebuildSwap]] discipline on the weights
+    * artifact: `_STAGED` is the commit point; every crash state rolls
+    * forward to the staged weights or back to the live ones.
+    */
+  def healQualityWeights(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val staged = new Path(s"${path}_staged")
+    val marker = new Path(s"${path}_staged/_STAGED")
+    val old = new Path(s"${path}_old")
+    if (fs.exists(marker)) {
+      // committed: roll FORWARD (re-entrant across every crash point)
+      if (fs.exists(live)) {
+        fs.delete(old, true)
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"weights swap rename $live -> $old failed")
+      }
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(s"weights swap rename $staged -> $live failed")
+      fs.delete(new Path(live, "_STAGED"), false)
+      fs.delete(old, true)
+    } else {
+      // uncommitted staging is a crashed BUILD: garbage
+      if (fs.exists(staged)) fs.delete(staged, true)
+      if (!fs.exists(live) && fs.exists(old)) {
+        // crash between the two live renames of an EARLIER roll-forward
+        // whose staged copy already moved: old IS the last good artifact
+        if (!fs.rename(old, live))
+          throw new java.io.IOException(s"weights rollback rename $old -> $live failed")
+      } else fs.delete(old, true)
+      // a crash between staged→live and the marker cleanup leaves the
+      // marker file INSIDE the live dir — stray metadata, drop it
+      if (fs.exists(live)) fs.delete(new Path(live, "_STAGED"), false)
+    }
+    ()
+  }
+
+  /** RETRAIN the quality classifier and swap the weights artifact in
+    * atomically — the remediation path [[qualityHealth]]'s
+    * `retrain_recommended` hands off to, closing the monitoring loop
+    * exactly as `ann_index_health` hands off to
+    * [[graft.sinks.Sinks.rebuildAnnIndex]]: heal any crashed earlier
+    * swap, fit fresh weights on `docs`' train split, stage them beside
+    * the live artifact, commit with the `_STAGED` marker, and roll the
+    * rename swap forward. Readers between a mid-swap crash and the
+    * next heal fail loudly ([[loadQualityWeights]]) — never score with
+    * mixed artifacts. Returns the post-retrain [[qualityEval]] so the
+    * caller sees the recovered accuracy in the same call.
+    */
+  def retrainQualityModel(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healQualityWeights(spark, path)
+    val (w, bias) = CacheScope.withScope { trainQualityWeights(docs) }
+    saveQualityWeights(spark, s"${path}_staged", w, bias)
+    fs.create(new Path(s"${path}_staged/_STAGED"), true).close()
+    healQualityWeights(spark, path) // roll the committed swap forward
+    val (lw, lb) = loadQualityWeights(spark, path)
+    qualityEval(docs, lw.toSeq.toDF("bucket", "weight_milli"), lb)
   }
 
   def trainQualityWeights(docs: DataFrame): (Array[(Long, Long)], Long) = {

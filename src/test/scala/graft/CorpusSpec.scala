@@ -1015,6 +1015,80 @@ class CorpusSpec extends AnyFunSuite {
     assert(outGz.length == 1 && outGz(0).doc_id == W.uriDocId(uri))
   }
 
+  test("retrain loop: health flags, retrainQualityModel swaps atomically, health recovers") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val T = graft.operators.TextStats
+    // separable corpus: clean 50+-token prose (quality ~1) vs
+    // punctuation noise (quality ~0) — a linear model over word
+    // buckets fits the heuristic labels essentially perfectly
+    val stop = "the of and to in is it that for on"
+    val goodBody = (0 until 5).map(_ => stop).mkString(" ")
+    val fixture = (0 until 120).map { i =>
+      if (i % 2 == 0) (i.toLong, s"$goodBody topic$i subject matter words", "en", "web")
+      else (i.toLong, (0 until 40).map(_ => "!!@@##").mkString(" "), "en", "web")
+    }
+    val docs = docsDf(fixture)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qw_swap_").toString
+    val path = s"$dir/weights"
+
+    // a stale/garbage artifact (bias −1000, zero weights): keeps
+    // nothing, so accuracy == the negative-label share and the health
+    // row must demand a retrain
+    T.saveQualityWeights(spark, path, Array.tabulate(T.ModelBuckets)(b => (b.toLong, 0L)), -1000L)
+    def healthOf(p: String) = {
+      val (w, b) = T.loadQualityWeights(spark, p)
+      T.qualityHealth(docs, w.toSeq.toDF("bucket", "weight_milli"), b).head()
+    }
+    val sick = healthOf(path)
+    assert(sick.getBoolean(sick.fieldIndex("retrain_recommended")),
+      s"garbage weights must flag a retrain: $sick")
+
+    // retrain: stage → commit → atomic swap; the returned eval is the
+    // POST-swap read, and health recovers
+    val eval = T.retrainQualityModel(spark, path, docs).collect()
+    assert(eval.nonEmpty)
+    val healed = healthOf(path)
+    assert(!healed.getBoolean(healed.fieldIndex("retrain_recommended")),
+      s"retrained classifier must pass the health gate: $healed")
+    val (w1, b1) = T.loadQualityWeights(spark, path)
+
+    // mid-swap crash: a fresh staging is committed (marker present)
+    // but the live rename never ran — loads fail LOUDLY, the next
+    // retrain heals forward first, and scoring equals a clean train
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    T.saveQualityWeights(spark, s"${path}_staged",
+      Array.tabulate(T.ModelBuckets)(b => (b.toLong, 0L)), 1000L)
+    fs.create(new org.apache.hadoop.fs.Path(s"${path}_staged/_STAGED"), true).close()
+    val e = intercept[IllegalStateException] { T.loadQualityWeights(spark, path) }
+    assert(e.getMessage.contains("unfinished retrain swap"))
+    T.retrainQualityModel(spark, path, docs)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${path}_staged")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"${path}_old")), "swap debris left behind")
+    val (w2, b2) = T.loadQualityWeights(spark, path)
+    // deterministic trainer + same corpus → the healed artifact equals
+    // the pre-crash one, so stored scoring is stable across the crash
+    assert(w2.toSeq == w1.toSeq && b2 == b1,
+      "post-crash retrain must reproduce the same stored weights")
+    val after = healthOf(path)
+    assert(!after.getBoolean(after.fieldIndex("retrain_recommended")))
+
+    // crash BETWEEN the two live renames (live moved away, staged not
+    // yet moved): loads refuse on the _old leftover; heal rolls the
+    // committed staging forward
+    T.saveQualityWeights(spark, s"${path}_staged",
+      Array.tabulate(T.ModelBuckets)(b => (b.toLong, 0L)), 1000L)
+    fs.create(new org.apache.hadoop.fs.Path(s"${path}_staged/_STAGED"), true).close()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"${path}_old")))
+    intercept[IllegalStateException] { T.loadQualityWeights(spark, path) }
+    T.healQualityWeights(spark, path)
+    val (w3, b3) = T.loadQualityWeights(spark, path)
+    assert(b3 == 1000L && w3.forall(_._2 == 0L),
+      "a committed staging must roll FORWARD to the staged weights")
+  }
+
   test("packSequencesNoSplit: no doc straddles a boundary; sequences are dense prefixes; oversize flagged") {
     // word counts 3..36 at budget 16: classes 1..5 populated AND
     // oversize docs (17+ words) exercising the tiled split path
