@@ -1691,6 +1691,76 @@ object Oracle {
        |${capCte("vbanded0", "vbanded", Seq("band", "key"), "doc_id")}""".stripMargin
   }
 
+  /** Spatial-video twin CTEs ending in `pxh(doc_id, slot, ph_hi,
+    * ph_lo)` — the planted md5 cell grids pushed through CLOSED-FORM
+    * block/cell overlap sums instead of per-pixel replay: both
+    * geometries' grids divide exactly (the [[graft.operators
+    * .Multimodal.PxVideoEvery]] scaladoc derivation), so each block
+    * sum is Σ rows(by, cy) · cellWidth · cell(cy, bx), with the
+    * overlap row counts computed HERE by the same integer boundary
+    * arithmetic the Spark kernel walks pixel-by-pixel — equality is
+    * the proof the frame decode and grid accumulation are real.
+    */
+  private lazy val pxVideoCtes: String = {
+    val M = graft.operators.Multimodal
+    val gridH = M.PxGridH
+    val cellRows = M.PxVideoH / M.PxVideoCellH
+    val cellCols = M.PxVideoW / M.PxVideoCellW
+    // overlap row counts per (variant, block-row, cell-row)
+    def overlaps(h: Int, pad: Int, variant: Int): Seq[(Int, Int, Int, Int)] =
+      for {
+        by <- 0 until gridH
+        cy <- 0 until cellRows
+        rows = (0 until h).count(y =>
+          (y.toLong * gridH) / h == by && (y + pad) / M.PxVideoCellH == cy)
+        if rows > 0
+      } yield (variant, by, cy, rows)
+    val cropH = M.PxVideoH - 2 * M.PxVideoCropPad
+    val ov = (overlaps(M.PxVideoH, 0, 0) ++ overlaps(cropH, M.PxVideoCropPad, 1))
+      .map { case (v, by, cy, r) => s"($v, $by, $cy, $r)" }
+      .mkString(",\n    ")
+    s"""pxd AS (SELECT doc_id AS d FROM documents WHERE doc_id % ${M.PxVideoEvery} = 0),
+       |pxov(variant, by, cy, rows) AS (VALUES
+       |    $ov),
+       |pxcell AS (
+       |  SELECT d, k.k AS k, cy.cy AS cy, cx.cx AS cx,
+       |    16 + CAST(('0x' || substr(md5('pv' || CAST(d AS VARCHAR) || ':' ||
+       |      CAST(k.k AS VARCHAR) || ':' || CAST(cy.cy AS VARCHAR) || ':' ||
+       |      CAST(cx.cx AS VARCHAR)), 1, 2)) AS INTEGER) % 200 AS val
+       |  FROM pxd,
+       |    unnest(range(${M.PxVideoFrames})) k(k),
+       |    unnest(range($cellRows)) cy(cy),
+       |    unnest(range($cellCols)) cx(cx)
+       |),
+       |pxsum AS (
+       |  SELECT c.d, o.variant, c.k, o.by, c.cx AS bx,
+       |    CAST(sum(o.rows * ${M.PxVideoCellW} * c.val) AS BIGINT) AS s
+       |  FROM pxcell c JOIN pxov o ON o.cy = c.cy
+       |  GROUP BY c.d, o.variant, c.k, o.by, c.cx
+       |),
+       |pxbit AS (
+       |  SELECT d, variant, k, by, bx,
+       |    CASE WHEN lead(s) OVER (PARTITION BY d, variant, k, by ORDER BY bx) > s
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM pxsum
+       |),
+       |pxhash AS (
+       |  SELECT d, variant, k,
+       |    CAST(sum(CASE WHEN by*8+bx < 32 AND bit = 1
+       |      THEN (1::BIGINT << CAST(by*8+bx AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_lo,
+       |    CAST(sum(CASE WHEN by*8+bx >= 32 AND bit = 1
+       |      THEN (1::BIGINT << CAST(by*8+bx - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_hi
+       |  FROM pxbit WHERE bx < ${M.PxGridW - 1}
+       |  GROUP BY d, variant, k
+       |),
+       |pxh AS (
+       |  SELECT d + CASE WHEN variant = 0 THEN ${M.PxVideoIdBase}
+       |             ELSE ${M.PxVideoCropIdBase} END AS doc_id,
+       |    CAST(k AS INTEGER) AS slot, ph_hi, ph_lo
+       |  FROM pxhash
+       |)""".stripMargin
+  }
+
   private def phashCtes(paySql: String): String =
     s"""pay AS (
        |  $paySql
@@ -2596,6 +2666,43 @@ object Oracle {
          |FROM f WHERE n_frames >= 1
          |ORDER BY doc_id""".stripMargin
     },
+
+    "mm_video_phash_px" ->
+      s"""WITH $pxVideoCtes
+         |SELECT doc_id, slot, ph_hi, ph_lo FROM pxh
+         |ORDER BY doc_id, slot""".stripMargin,
+
+    // spatial near-dup twin: per-slot 16-bit banding over the replayed
+    // frame hashes, frame-vote verify — each planted clip pairs with
+    // its cropped copy (the re-encode the temporal hash cannot catch)
+    "mm_video_near_dup_px" ->
+      s"""WITH $pxVideoCtes,
+         |pxband AS (
+         |  SELECT doc_id, slot, ph_hi, ph_lo, band,
+         |    CASE WHEN band < 2 THEN (ph_lo >> (band * 16)) & 65535
+         |         ELSE (ph_hi >> ((band - 2) * 16)) & 65535 END AS key
+         |  FROM pxh, unnest(range(4)) t(band)
+         |),
+         |pxcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pxband a JOIN pxband b
+         |    ON a.slot = b.slot AND a.band = b.band AND a.key = b.key
+         |   AND a.doc_id < b.doc_id
+         |),
+         |pxvote AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_slots,
+         |    CAST(sum(CASE WHEN bit_count(xor(ha.ph_lo, hb.ph_lo))
+         |                     + bit_count(xor(ha.ph_hi, hb.ph_hi))
+         |                     <= ${graft.operators.Multimodal.MmHammingMax}
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS votes
+         |  FROM pxcand c
+         |  JOIN pxh ha ON ha.doc_id = c.doc_a
+         |  JOIN pxh hb ON hb.doc_id = c.doc_b AND hb.slot = ha.slot
+         |  GROUP BY c.doc_a, c.doc_b
+         |)
+         |SELECT doc_a, doc_b, n_slots, votes FROM pxvote
+         |WHERE votes * 2 > n_slots
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "mm_video_phash" ->
       s"""WITH $videoBandedCtes

@@ -1942,6 +1942,32 @@ object Queries {
     Multimodal.mmVideoNearDup(videoPayloadSet(s, dir))
       .orderBy("doc_a", "doc_b")
 
+  /** The SPATIAL video payload set: every clip of the temporal set
+    * (all of which fall under the 9×8 pixel grid and so emit no
+    * spatial hash — the sub-grid gate, proved by the twin replaying
+    * only the planted clips) plus the pixel-true planted
+    * original/cropped pairs.
+    */
+  private def pxVideoPayloadSet(s: SparkSession, dir: String): DataFrame =
+    videoPayloadSet(s, dir)
+      .unionByName(Multimodal.plantedPxVideoPayloads(docs(s, dir)))
+
+  /** Per-(clip, sampled frame) spatial 2-D dHash over decoded luma
+    * planes — the twin replays the planted md5 cell grids through the
+    * same closed-form block-overlap arithmetic, no container bytes.
+    */
+  def mmVideoPhashPx(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoPxHashes(pxVideoPayloadSet(s, dir))
+      .toDF().orderBy("doc_id", "slot")
+
+  /** Spatial video near-dup by per-slot banding + frame vote: each
+    * planted clip must pair with its CROPPED copy — the re-encode the
+    * temporal hash cannot catch — and nothing else.
+    */
+  def mmVideoNearDupPx(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmVideoNearDupPx(pxVideoPayloadSet(s, dir))
+      .orderBy("doc_a", "doc_b")
+
   /** Video duplicate clusters over the same payload set — the shared
     * CC engine's fifth modality.
     */
@@ -2355,6 +2381,8 @@ object Queries {
     "mm_video_features" -> (mmVideoFeatures _),
     "mm_video_phash" -> (mmVideoPhash _),
     "mm_video_near_dup" -> (mmVideoNearDup _),
+    "mm_video_phash_px" -> (mmVideoPhashPx _),
+    "mm_video_near_dup_px" -> (mmVideoNearDupPx _),
     "mm_video_resample" -> (mmVideoResample _),
     "mm_dedup_report" -> (mmDedupReport _),
     "mm_video_dedup_clusters" -> (mmVideoDedupClusters _),

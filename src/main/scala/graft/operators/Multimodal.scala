@@ -830,6 +830,192 @@ object Multimodal {
       .toDF()
   }
 
+  // ------------------------------------- spatial (per-frame) video dHash
+  /** The SPATIAL video fingerprint's planted fixture parameters: clips
+    * of [[PxVideoFrames]] frames whose pixels are md5-derived constant
+    * cells ([[PxVideoCellW]]×[[PxVideoCellH]] px), planted on every
+    * [[PxVideoEvery]]-th doc as an original plus a vertically CROPPED
+    * copy ([[PxVideoCropPad]] rows off top and bottom). The crop is
+    * the re-encode the TEMPORAL hash ([[videoDHash]]) cannot catch —
+    * cropping changes every frame's luma sum non-uniformly, scrambling
+    * the time-bucket deltas — while the per-frame 2-D dHash survives
+    * it: cell rows span two grid rows, so six of the eight block rows
+    * land in a single cell row in BOTH geometries (bit-identical), and
+    * the two mixed rows are dominance-weighted 5:2 toward the original
+    * cell. Geometry is chosen so both variants' grids divide exactly
+    * (72 = 9·8 blocks wide; 64 = 8·8 and 56 = 8·7 block rows), keeping
+    * every block's pixel count uniform and the oracle twin a pure
+    * closed-form overlap formula — no per-pixel replay.
+    */
+  val PxVideoEvery = 50L
+  val PxVideoIdBase = 700000L
+  val PxVideoCropIdBase = 800000L
+  val PxVideoW = 72
+  val PxVideoH = 64
+  val PxVideoCropPad = 4
+  val PxVideoFrames = 6
+  val PxVideoCellW = 8
+  val PxVideoCellH = 16
+  /** Frames sampled per clip for the spatial hash: all frames when the
+    * clip has at most this many, else this many at even RELATIVE
+    * positions — so a frame-rate-resampled copy's slot s still lands
+    * on the same content as the original's slot s.
+    */
+  val PxVideoMaxSlots = 8
+
+  private[graft] def pxVideoCell(docId: Long, k: Int, cy: Int, cx: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"pv$docId:$k:$cy:$cx".getBytes("UTF-8"))
+    16 + ((h(0) & 0xff) % 200)
+  }
+
+  def plantedPxVideoPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % PxVideoEvery === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val full = Array.tabulate(PxVideoFrames) { k =>
+          val f = new Array[Byte](PxVideoW * PxVideoH)
+          var y = 0
+          while (y < PxVideoH) {
+            var x = 0
+            while (x < PxVideoW) {
+              f(y * PxVideoW + x) =
+                pxVideoCell(d, k, y / PxVideoCellH, x / PxVideoCellW).toByte
+              x += 1
+            }
+            y += 1
+          }
+          f
+        }
+        val cropH = PxVideoH - 2 * PxVideoCropPad
+        val cropped = full.map(f =>
+          java.util.Arrays.copyOfRange(
+            f, PxVideoCropPad * PxVideoW, (PxVideoH - PxVideoCropPad) * PxVideoW))
+        Seq(
+          MmRow(d + PxVideoIdBase, "video", PxVideoW, PxVideoH,
+            aviContainer(VideoPlantUsPerFrame, PxVideoW, PxVideoH, full)),
+          MmRow(d + PxVideoCropIdBase, "video", PxVideoW, cropH,
+            aviContainer(VideoPlantUsPerFrame, PxVideoW, cropH, cropped)))
+      })
+      .toDF()
+  }
+
+  /** 2-D dHash over ONE raw 8-bit luma plane at `off` — the
+    * [[pixelDHash]] grid math applied to an already-decoded frame
+    * (AVI `00db` chunks carry bare planes; no codec in the loop).
+    * None when the plane is smaller than the grid — sub-grid frames
+    * carry no stable spatial signal, exactly the [[pixelDHash]] gate.
+    */
+  private[graft] def planeDHash(
+      p: Array[Byte], off: Int, w: Int, h: Int): Option[(Long, Long)] =
+    if (w < PxGridW || h < PxGridH || off < 0 || off.toLong + w.toLong * h > p.length) None
+    else {
+      val sums = Array.ofDim[Long](PxGridH, PxGridW)
+      val cnts = Array.ofDim[Long](PxGridH, PxGridW)
+      var y = 0
+      while (y < h) {
+        val by = ((y.toLong * PxGridH) / h).toInt
+        var x = 0
+        while (x < w) {
+          val bx = ((x.toLong * PxGridW) / w).toInt
+          sums(by)(bx) += (p(off + y * w + x) & 0xff).toLong
+          cnts(by)(bx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var lo = 0L
+      var hi = 0L
+      var b = 0
+      while (b < 64) {
+        val yy = b / (PxGridW - 1)
+        val xx = b % (PxGridW - 1)
+        val bit =
+          sums(yy)(xx + 1) * cnts(yy)(xx) > sums(yy)(xx) * cnts(yy)(xx + 1)
+        if (bit) {
+          if (b < 32) lo |= 1L << b
+          else hi |= 1L << (b - 32)
+        }
+        b += 1
+      }
+      Some((hi, lo))
+    }
+
+  /** Sampled per-frame spatial hashes of one clip: up to
+    * [[PxVideoMaxSlots]] frames at even relative positions, each
+    * through [[planeDHash]]. Clips whose geometry is under the grid
+    * (the text stand-ins at 2-4 px, the temporal plants at 8 px wide)
+    * emit nothing — spatial near-dup is for clips with real frames.
+    */
+  private[graft] def videoFrameDHashes(p: Array[Byte]): Seq[(Int, Long, Long)] =
+    parseAvi(p).toSeq.flatMap { v =>
+      val n = v.frames.length
+      if (n == 0 || v.w < PxGridW || v.h < PxGridH) Seq.empty
+      else {
+        val slots = math.min(n, PxVideoMaxSlots)
+        (0 until slots).flatMap { s =>
+          val k = ((s.toLong * n) / slots).toInt
+          val (offF, lenF) = v.frames(k)
+          if (lenF < v.w * v.h) None
+          else planeDHash(p, offF, v.w.toInt, v.h.toInt).map { case (hi, lo) =>
+            (s, hi, lo)
+          }
+        }
+      }
+    }
+
+  /** One sampled frame's spatial fingerprint. */
+  case class MmFrameHash(doc_id: Long, slot: Int, ph_hi: Long, ph_lo: Long)
+
+  /** Per-(clip, slot) spatial fingerprints — the registry face of the
+    * spatial kernel (`mm_video_phash_px`).
+    */
+  def videoPxHashes(withPayloadDf: DataFrame): Dataset[MmFrameHash] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions(_.flatMap { r =>
+      videoFrameDHashes(r.payload).map { case (s, hi, lo) =>
+        MmFrameHash(r.doc_id, s, hi, lo)
+      }
+    })
+  }
+
+  /** SPATIAL video near-dup: band each sampled frame's 64-bit hash
+    * into four 16-bit keys, candidate clips collide on any
+    * (slot, band, key) — same-relative-position frames only, so the
+    * bucket keyspace grows with both the corpus AND the clip length —
+    * then verify by FRAME VOTE: a pair is a near-dup when a strict
+    * majority of its common slots agree within [[MmHammingMax]].
+    * Catches the crop/letterbox re-encode the temporal hash cannot
+    * (see [[PxVideoEvery]] scaladoc); the candidate join rides the
+    * same [[graft.operators.BandCap]] bound as every other modality.
+    */
+  def mmVideoNearDupPx(withPayloadDf: DataFrame): DataFrame = {
+    val hashes = CacheScope.persist(videoPxHashes(withPayloadDf).toDF())
+    val banded = BandCap.capBuckets(
+      perceptualBanded(hashes), Seq("slot", "band", "key"), "doc_id")
+    val cand = banded.as("a")
+      .join(
+        banded.as("b"),
+        expr("a.slot = b.slot AND a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ham = expr("bit_count(ha.ph_lo ^ hb.ph_lo) + bit_count(ha.ph_hi ^ hb.ph_hi)")
+    cand
+      .join(hashes.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .join(
+        hashes.as("hb"),
+        col("doc_b") === col("hb.doc_id") && col("ha.slot") === col("hb.slot"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        count(lit(1)).as("n_slots"),
+        sum(when(ham <= MmHammingMax, 1L).otherwise(0L)).as("votes"))
+      .filter(col("votes") * 2 > col("n_slots"))
+      .select(col("doc_a"), col("doc_b"), col("n_slots"), col("votes"))
+  }
+
   /** One frame-true video resample result: the re-encoded AVI (a real
     * playable container at factor× the frame interval) plus
     * SQL-replayable proof columns — output frame interval and count,

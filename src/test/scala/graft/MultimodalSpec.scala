@@ -532,6 +532,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(spurious.isEmpty, s"spurious video pairs: $spurious")
   }
 
+  test("spatial video near-dup: a cropped copy pairs by frame vote; the temporal hash cannot catch it") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, s"video document $i " + (1 to 40).map(j => s"w${(i * 37 + j * 13) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val input = Multimodal.withVideoPayload(docs)
+      .unionByName(Multimodal.plantedVideoPayloads(docs))
+      .unionByName(Multimodal.plantedPxVideoPayloads(docs))
+
+    // 1. every planted original pairs with its cropped copy by a
+    //    strict frame-vote majority, and nothing else pairs
+    val pairs = Multimodal.mmVideoNearDupPx(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (0L until 200L by Multimodal.PxVideoEvery)
+      .map(d => (d + Multimodal.PxVideoIdBase, d + Multimodal.PxVideoCropIdBase)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected,
+      s"spatial pairs must be exactly the planted crop pairs: got ${pairs.toSeq}")
+    pairs.foreach { case (a, b, nSlots, votes) =>
+      assert(nSlots == Multimodal.PxVideoFrames.toLong && votes * 2 > nSlots,
+        s"($a,$b) votes=$votes of $nSlots")
+    }
+
+    // 2. the crop defeats the TEMPORAL hash: cropping removes
+    //    md5-random rows from every frame, so the time-bucket deltas
+    //    scramble and the temporal near-dup does NOT pair the copies
+    val temporalPairs = Multimodal.mmVideoNearDup(
+      Multimodal.plantedPxVideoPayloads(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(temporalPairs.intersect(expected).isEmpty,
+      s"temporal hash unexpectedly catches the crop: $temporalPairs")
+
+    // 3. the sub-grid gate: text stand-ins (2-4 px) and temporal
+    //    plants (8 px wide) emit no spatial hashes at all
+    val hashed = Multimodal.videoPxHashes(input).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(hashed.forall(_ >= Multimodal.PxVideoIdBase),
+      s"sub-grid clips leaked into the spatial hash: ${hashed.filter(_ < Multimodal.PxVideoIdBase)}")
+    assert(hashed.size == 2 * (200 / Multimodal.PxVideoEvery).toInt)
+  }
+
   test("planted PNG rows decode: pixel hash differs from the byte hash of the same payload") {
     val spark = TestSpark.spark
     import spark.implicits._

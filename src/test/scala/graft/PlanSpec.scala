@@ -34,6 +34,7 @@ class PlanSpec extends AnyFunSuite {
         "doc_substring_dedup_wide", "streaming_mm_near_dup",
         "mm_audio_near_dup", "streaming_mm_audio_near_dup",
         "mm_video_near_dup", "streaming_mm_video_near_dup",
+        "mm_video_near_dup_px",
         "doc_near_dup_incremental",
         "ann_knn_join", "ann_topk_banded")) {
       val p = plan(q)
