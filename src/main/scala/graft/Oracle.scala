@@ -495,11 +495,38 @@ object Oracle {
   /** Language-ID twin generated from the SAME marker table the Spark
     * operator uses, so the two sides cannot drift.
     */
-  private def langIdSql: String = {
+  private def langScoresSql: String = {
     def occ(w: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$w'))"
-    val scores = TextStats.Markers.map { case (lang, ms) =>
+    TextStats.Markers.map { case (lang, ms) =>
       s"CAST(${ms.map(occ).mkString(" + ")} AS INTEGER) AS score_$lang"
     }.mkString(",\n    ")
+  }
+
+  private def langPredictCaseSql: String = {
+    val langs = TextStats.Markers.map(_._1)
+    val branches = langs.zipWithIndex.map { case (lang, i) =>
+      val beats = langs.drop(i + 1).map(o => s"score_$lang >= score_$o")
+      val cond = (s"score_$lang > 0" +: beats).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n      ")
+    s"""CASE
+       |      $branches
+       |      ELSE 'und' END""".stripMargin
+  }
+
+  /** `plang(doc_id, predicted)` — the langId prediction as a reusable
+    * CTE (the v4 pipeline's language-gate leg).
+    */
+  private lazy val langPredictCte: String =
+    s"""plang AS (
+       |  SELECT doc_id, $langPredictCaseSql AS predicted
+       |  FROM (SELECT doc_id,
+       |    $langScoresSql
+       |  FROM documents)
+       |)""".stripMargin
+
+  private def langIdSql: String = {
+    val scores = langScoresSql
     val langs = TextStats.Markers.map(_._1)
     val branches = langs.zipWithIndex.map { case (lang, i) =>
       val beats = langs.drop(i + 1).map(o => s"score_$lang >= score_$o")
@@ -3450,6 +3477,63 @@ object Oracle {
          |JOIN q USING (doc_id) JOIN pii USING (doc_id) JOIN rep USING (doc_id)
          |JOIN sd USING (doc_id)
          |JOIN lmdoc lm ON lm.doc_id = l.doc_id
+         |JOIN documents dsrc ON dsrc.doc_id = l.doc_id
+         |JOIN gg ON gg.source = dsrc.source
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // v4 = the v3 funnel + the language gate: wrong_language between
+    // bad_source and too_short, predicted via the shared plang CTE
+    "doc_pipeline_full_v4" -> {
+      val target = graft.operators.Corpus.TargetLangs.toSeq.sorted
+        .map(l => s"'$l'").mkString(", ")
+      val reason =
+        s"""CASE WHEN l.doc_id <> l.cluster THEN 'dup'
+           |       WHEN dec.contaminated THEN 'contaminated'
+           |       WHEN sem.contaminated THEN 'semantic_contaminated'
+           |       WHEN NOT gg.keep_source THEN 'bad_source'
+           |       WHEN pl.predicted NOT IN ($target) THEN 'wrong_language'
+           |       WHEN q.n_tokens < ${TextStats.MinTokens} THEN 'too_short'
+           |       WHEN q.quality < ${TextStats.QualityMin} THEN 'low_quality'
+           |       WHEN lm.ppl >= ${graft.operators.Corpus.LmPplMax}E0 THEN 'high_perplexity'
+           |       WHEN rep.top_bigram_frac >= ${graft.operators.Corpus.RepetitionMax} THEN 'repetitive'
+           |       WHEN sd.n_dup_spans > 0 THEN 'dup_spans'
+           |       ELSE 'keep' END""".stripMargin
+      s"""WITH RECURSIVE $nearDupCtes,
+         |$clusterLabelCtes,
+         |$decontCtes,
+         |$vecNormCte,
+         |$embDecontCtes,
+         |${substringSpanCtes(
+            graft.operators.Dedup.SubstrMinSpanWordsWide,
+            graft.operators.Dedup.SubstrGramNWide)},
+         |sd AS (
+         |  SELECT nw.doc_id,
+         |    CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_dup_spans,
+         |    CAST(coalesce(a.dup_words, 0) AS BIGINT) AS dup_words
+         |  FROM nw LEFT JOIN (
+         |    SELECT doc_id, count(*) AS n_spans, sum(ee - ss) AS dup_words
+         |    FROM ms GROUP BY doc_id) a USING (doc_id)
+         |),
+         |$pipelineFaceCtes,
+         |$lmStoredCtes,
+         |$gateCtes,
+         |$langPredictCte
+         |SELECT l.doc_id, l.cluster, sz.cluster_size,
+         |  l.doc_id = l.cluster AS is_canonical,
+         |  dec.contamination, dec.contaminated,
+         |  sem.max_cos, sem.contaminated AS sem_contaminated,
+         |  q.n_tokens, q.quality, pii.n_emails, pii.n_longnums,
+         |  rep.top_bigram_frac, sd.n_dup_spans, sd.dup_words,
+         |  lm.ppl, gg.keep_source, pl.predicted AS predicted_lang,
+         |  $reason AS reason,
+         |  ($reason) = 'keep' AS keep
+         |FROM lab l JOIN sz USING (cluster) JOIN dec USING (doc_id)
+         |JOIN semdec sem ON sem.vec_id = l.doc_id
+         |JOIN q USING (doc_id) JOIN pii USING (doc_id) JOIN rep USING (doc_id)
+         |JOIN sd USING (doc_id)
+         |JOIN lmdoc lm ON lm.doc_id = l.doc_id
+         |JOIN plang pl ON pl.doc_id = l.doc_id
          |JOIN documents dsrc ON dsrc.doc_id = l.doc_id
          |JOIN gg ON gg.source = dsrc.source
          |ORDER BY doc_id""".stripMargin

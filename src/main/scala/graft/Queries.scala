@@ -1013,6 +1013,16 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** v3 plus the LANGUAGE GATE: wrong_language between bad_source and
+    * too_short — the corpus-composition decision a multilingual crawl
+    * feeds through before any per-doc quality read.
+    */
+  def docPipelineFullV4(s: SparkSession, dir: String): DataFrame = {
+    val (bi, uni, v) = lmStoredModel(s, dir)
+    Corpus.docPipelineFullV4(docs(s, dir), embs(s, dir), bi, uni, v)
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level boilerplate removal (segment-df scrub) with audit. */
   def docBoilerplate(s: SparkSession, dir: String): DataFrame =
     Corpus.stripBoilerplate(docs(s, dir)).orderBy("doc_id")
@@ -2268,6 +2278,7 @@ object Queries {
     "doc_source_filtered" -> (docSourceFiltered _),
     "streaming_source_gate" -> (streamingSourceGate _),
     "doc_pipeline_full_v3" -> (docPipelineFullV3 _),
+    "doc_pipeline_full_v4" -> (docPipelineFullV4 _),
     "doc_shard_manifest" -> (docShardManifest _),
     "corpus_diff" -> (corpusDiff _),
     "doc_fingerprint" -> (docFingerprint _),

@@ -751,6 +751,100 @@ object Corpus {
         (reason === "keep").as("keep"))
   }
 
+  /** Default target-language set for [[docPipelineFullV4]]'s language
+    * gate — the parameter a real curation run sets to its training
+    * languages. "en" on the synthetic corpus, whose texts are
+    * English-marker-dominated with an `und` (no-marker) tail, so the
+    * gate demonstrably fires past the upstream filters.
+    */
+  val TargetLangs: Set[String] = Set("en")
+
+  /** v4 = the v3 funnel + the LANGUAGE GATE: documents whose
+    * [[TextStats.langId]] prediction falls outside `targetLangs` drop
+    * with `wrong_language`, slotted between `bad_source` and
+    * `too_short` — language is a corpus-composition decision like the
+    * domain gate (a fluent page in the wrong language still drops),
+    * and it outranks per-doc quality reads (a wrong-language doc's
+    * quality/perplexity signals are meaningless under an
+    * English-marker battery). Reason precedence: dup > contaminated >
+    * semantic_contaminated > bad_source > wrong_language > too_short >
+    * low_quality > high_perplexity > repetitive > dup_spans > keep.
+    *
+    * Scale shape: the language leg is [[TextStats.langId]]'s one
+    * words-explode + broadcast marker join — at production it shares
+    * the verdictSignals explode's scan; here it stays the verified
+    * standalone face joined doc-keyed, adding no corpus×corpus work.
+    */
+  def docPipelineFullV4(
+      docs: DataFrame,
+      emb: DataFrame,
+      lmBi: Map[(String, String), Long],
+      lmUni: Map[String, Long],
+      lmV: Long,
+      targetLangs: Set[String] = TargetLangs): DataFrame = {
+    val sh = CacheScope.persist(Dedup.shingles(docs))
+    val clusters = CacheScope.withScope {
+      dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+    }
+    val decon = decontaminateFromShingles(docs, sh)
+      .select(col("doc_id"), col("contamination"), col("contaminated"))
+    val sem = graft.operators.Ann.embDecontaminate(emb)
+      .select(
+        col("vec_id").as("doc_id"),
+        col("max_cos"),
+        col("contaminated").as("sem_contaminated"))
+    val signals = TextStats.verdictSignals(docs)
+    val spans = Dedup.substringDedup(
+      docs, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
+      .select(col("doc_id"), col("n_spans").as("n_dup_spans"), col("dup_words"))
+    val lm = TextStats.lmScoreStored(docs, lmBi, lmUni, lmV)
+      .select(col("doc_id"), col("ppl"))
+    val gate = broadcast(
+      sourceQualityGate(docs).select(col("source"), col("keep_source")))
+    val lang = TextStats.langId(docs)
+      .select(col("doc_id"), col("predicted").as("predicted_lang"))
+    val reason = when(!col("is_canonical"), "dup")
+      .when(col("contaminated"), "contaminated")
+      .when(col("sem_contaminated"), "semantic_contaminated")
+      .when(!col("keep_source"), "bad_source")
+      .when(!col("predicted_lang").isin(targetLangs.toSeq: _*), "wrong_language")
+      .when(col("n_tokens") < TextStats.MinTokens, "too_short")
+      .when(col("quality") < TextStats.QualityMin, "low_quality")
+      .when(col("ppl") >= LmPplMax, "high_perplexity")
+      .when(col("top_bigram_frac") >= RepetitionMax, "repetitive")
+      .when(col("n_dup_spans") > 0, "dup_spans")
+      .otherwise("keep")
+    clusters.join(decon, "doc_id")
+      .join(sem, "doc_id")
+      .join(signals, "doc_id")
+      .join(spans, "doc_id")
+      .join(lm, "doc_id")
+      .join(lang, "doc_id")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .join(gate, "source")
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("cluster_size"),
+        col("is_canonical"),
+        col("contamination"),
+        col("contaminated"),
+        col("max_cos"),
+        col("sem_contaminated"),
+        col("n_tokens"),
+        col("quality"),
+        col("n_emails"),
+        col("n_longnums"),
+        col("top_bigram_frac"),
+        col("n_dup_spans"),
+        col("dup_words"),
+        col("ppl"),
+        col("keep_source"),
+        col("predicted_lang"),
+        reason.as("reason"),
+        (reason === "keep").as("keep"))
+  }
+
   /** Export shard count for [[shardManifest]]. */
   val ExportShards = 8
 

@@ -137,6 +137,60 @@ class CurationOpsSpec extends AnyFunSuite {
     graft.operators.CacheScope.releaseAll()
   }
 
+  test("v4 funnel: a non-target-language doc passing every other gate drops with wrong_language") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // clean English docs (keep), plus one GERMAN doc engineered to
+    // pass every other gate: 60 words, dense German markers (the
+    // langId battery predicts 'de'), no punctuation, vocabulary shared
+    // with the LM training set so perplexity stays under the ceiling
+    val stop = Vector("the", "is", "of", "and", "a")
+    val vocab = stop ++ (0 until 35).map(i => s"w$i")
+    def cleanText(seed: Int): String = {
+      val order = vocab.indices.sortBy { j =>
+        (((j * 2654435761L) ^ (seed * 0x9E3779B9L)) * 2654435761L) & 0x7fffffffL
+      }
+      order.map(vocab(_)).mkString(" ")
+    }
+    val cleanDocs = (1L to 12L).map(i => (i, cleanText(i.toInt), "en", "clean"))
+    // the German doc reuses the shared vocab (familiar bigrams) but
+    // leads with enough 'der die und ist das' mass to win the langId
+    // vote over the English stopwords in the tail
+    val german = (50L,
+      (0 until 6).map(_ => "der die und ist das").mkString(" ") + " " + cleanText(50),
+      "de", "clean")
+    val docs = cleanDocs :+ german
+    val ddf = docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val emb = ((0L, Seq(1.0f, 0.0f), 0) +: docs.map(d => (d._1, Seq(0.0f, 1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val (bi, uni, v) = TextStats.lmCounts(ddf)
+    val biM = bi.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val uniM = uni.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val vN = v.collect().head.getLong(0)
+
+    // fixture sanity: the German doc passes every OTHER gate
+    val ppl = TextStats.lmScoreStored(ddf, biM, uniM, vN).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(ppl(50L) < Corpus.LmPplMax, s"german doc must price under the LM ceiling: ${ppl(50L)}")
+    val pred = TextStats.langId(ddf).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("predicted"))).toMap
+    assert(pred(50L) == "de" && pred(1L) == "en", s"langId fixture drifted: $pred")
+
+    val out = Corpus.docPipelineFullV4(ddf, emb, biM, uniM, vN).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def reason(id: Long) = out(id).getString(out(id).fieldIndex("reason"))
+    assert(reason(1L) == "keep", s"clean english doc keeps: ${reason(1L)}")
+    assert(reason(50L) == "wrong_language",
+      s"the german doc passes every other gate and must drop at the language gate: ${reason(50L)}")
+    // parameterization: with 'de' in the target set the same doc keeps
+    val outDe = Corpus.docPipelineFullV4(ddf, emb, biM, uniM, vN, Set("en", "de"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(outDe(50L).getString(outDe(50L).fieldIndex("reason")) == "keep",
+      "widening the target set must keep the german doc")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("temperature mixture: quotas follow sqrt weights through the integer quota machinery") {
     val spark = TestSpark.spark
     import spark.implicits._

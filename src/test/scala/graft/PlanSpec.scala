@@ -30,6 +30,7 @@ class PlanSpec extends AnyFunSuite {
         "doc_near_dup", "doc_simhash_pairs", "ann_lsh", "emb_near_dup",
         "doc_boilerplate", "doc_pipeline", "doc_pipeline_full",
         "doc_pipeline_full_v2", "doc_pipeline_full_v3",
+        "doc_pipeline_full_v4",
         "doc_pipeline_html", "doc_split_leakage",
         "doc_substring_dedup_wide", "streaming_mm_near_dup",
         "mm_audio_near_dup", "streaming_mm_audio_near_dup",
