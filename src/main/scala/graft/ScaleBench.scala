@@ -594,6 +594,68 @@ object ScaleBench {
     // driver pool; the lazy planner must plan with ZERO HTTP traffic —
     // the difference IS the driver bottleneck a million-url crawl
     // would hit.
+    // STREAMING STATE-SIZE probe: N docs through the TTL-evicting
+    // near-dup candidate stream and the exact dedup stream, measuring
+    // what the "bounded state" claims actually cost — state rows and
+    // bytes from the state-store metrics, reported at their maximum
+    // across the run. Input files are written ONE AT A TIME in
+    // event-time order (the file source processes by modification
+    // time), so the watermark advances monotonically and TTL eviction
+    // fires mid-stream exactly as it would on a live crawl: the
+    // near-dup state must PLATEAU at ~one TTL window of band rows
+    // while the no-timeout dedup state grows with the distinct corpus.
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_DOCS").map(_.toLong).foreach { nDocs =>
+      val batches = 20
+      val per = nDocs / batches
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_state_").toString
+      val inDir = s"$dir/in"
+      // event time advances 1s per 100 docs; TTL = 1/4 of one batch's
+      // span, so eviction fires well within the run
+      val ttlSeconds = (per / 100L) / 4L
+      val src = documents(spark, nDocs).withColumn(
+        "event_ts", expr("timestamp_seconds(1704067200 + doc_id div 100)"))
+      (0 until batches).foreach { b =>
+        src.filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val schema = src.schema
+      def drain(
+          make: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_],
+          name: String): (Double, Long, Long, Long) = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val q = make(stream).toDF().writeStream
+          .format("noop")
+          .option("checkpointLocation", s"$dir/cp_$name")
+          .outputMode("append").start()
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress.toSeq
+        val maxRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max)
+        val maxBytes = progs.flatMap(_.stateOperators.map(_.memoryUsedBytes)).foldLeft(0L)(math.max)
+        val lastRows = progs.lastOption
+          .flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).getOrElse(0L)
+        q.stop()
+        (sec, maxRows, maxBytes, lastRows)
+      }
+      val (ndSec, ndRows, ndBytes, ndLast) = drain(
+        df => graft.streaming.Streaming.nearDupCandidateStreamTtl(
+          df, watermarkDelay = "0 seconds", ttlSeconds = ttlSeconds),
+        "neardup_ttl")
+      val (ddSec, ddRows, ddBytes, ddLast) = drain(
+        df => graft.streaming.Streaming.dedupStream(df), "dedup")
+      // the TTL claim quantified: unbounded near-dup state would be 4
+      // band rows per doc; the plateau must sit well under that
+      val unbounded = 4L * nDocs
+      println(
+        s"""{"metric":"stream_state","docs":$nDocs,"ttl_sec":$ttlSeconds,""" +
+          s""""neardup_max_state_rows":$ndRows,"neardup_max_state_bytes":$ndBytes,""" +
+          s""""neardup_final_state_rows":$ndLast,"neardup_unbounded_rows":$unbounded,""" +
+          s""""neardup_sec":$ndSec,""" +
+          s""""dedup_max_state_rows":$ddRows,"dedup_max_state_bytes":$ddBytes,""" +
+          s""""dedup_sec":$ddSec}""")
+    }
     sys.env.get("SPARK_GRAFT_CDX_URLS").map(_.toInt).foreach { nUrls =>
       val hits = new java.util.concurrent.atomic.AtomicLong(0)
       val server = com.sun.net.httpserver.HttpServer.create(
