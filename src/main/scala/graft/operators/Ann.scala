@@ -1085,9 +1085,12 @@ object Ann {
 
   def bandedTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
     // corpus side capped only: the probe side is queries (small by
-    // construction), so the worst bucket costs |queries| × cap
+    // construction), so the worst bucket costs |queries| × cap. The
+    // signature persists because the cap's census + join-back read it
+    // twice — recomputing the 64-plane signatures doubled this query
     val corpus = BandCap.capBuckets(
-      explodeBands(nearDupSignature(withNorm(emb))), Seq("band", "key"), "vec_id")
+      explodeBands(CacheScope.persist(nearDupSignature(withNorm(emb)))),
+      Seq("band", "key"), "vec_id")
     val probes = explodeBands(nearDupSignature(withNorm(
       queries.select(col("q_id").as("vec_id"), col("embedding")))))
       .select(

@@ -53,8 +53,20 @@ object BandCap {
   }
 
   /** `rows` minus the hash-sampled overflow of every (keyCols) bucket
-    * larger than `cap`. Deterministic, oracle-replayable; see object
+    * larger than `cap` — deterministic, oracle-replayable; see object
     * doc for the scale rationale.
+    *
+    * Plan-time skew census + conditional sampling plan. Skew is the
+    * EXCEPTION: on an honest corpus no bucket exceeds the cap, and the
+    * right answer is the caller's original narrow plan — pipelined
+    * self-join sides, no extra join, no persist. So the census runs
+    * once here as a small driver-side action (`isEmpty` early-stops on
+    * the first oversize bucket; the aggregate reads the caller's
+    * already-persisted signature frame), and only when an oversize
+    * bucket EXISTS does the sampling join enter the plan — the AQE
+    * philosophy, decided from a statistic the operator needs anyway.
+    * Batch-only: streaming paths bound their state in the fold
+    * ([[graft.streaming.Streaming.bucketFold]]), never through here.
     */
   def capBuckets(
       rows: DataFrame,
@@ -65,11 +77,13 @@ object BandCap {
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > cap)
-    rows
-      .join(over, keyCols, "left")
-      .filter(
-        col("__bucket_n").isNull || coin(keyCols, memberCol) % col("__bucket_n") < cap)
-      .drop("__bucket_n")
+    if (over.isEmpty) rows
+    else
+      rows
+        .join(over, keyCols, "left")
+        .filter(
+          col("__bucket_n").isNull || coin(keyCols, memberCol) % col("__bucket_n") < cap)
+        .drop("__bucket_n")
   }
 
   /** The buckets [[capBuckets]] would sample: one row per (keyCols)
