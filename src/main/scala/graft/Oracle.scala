@@ -2358,6 +2358,21 @@ object Oracle {
          |SELECT q_id, rn, vec_id, round(cos_raw, 6) AS cos
          |FROM rk WHERE rn <= ${graft.operators.Ann.K} ORDER BY q_id, rn""".stripMargin,
 
+    // the semantic ingest-time fold over bounded input equals the
+    // hyperplane banded self-join with the exact-cosine verify, kept
+    // per band (each vector holds one key per band, so a pair appears
+    // at most once per band on both sides); banded0 — the exact
+    // stream is uncapped, like every exact streaming twin
+    "streaming_emb_near_dup" ->
+      s"""WITH $embNearDupCtes
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(a.band AS INTEGER) AS band,
+         |  round(${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")}, 6) AS cos
+         |FROM banded0 a JOIN banded0 b ON a.band = b.band AND a.key = b.key
+         |                             AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding", "a.norm", "b.norm")}
+         |   >= ${graft.operators.Ann.NearDupCos}
+         |ORDER BY vec_a, vec_b, band""".stripMargin,
+
     // semantic dup-cluster twin: the same transitive-closure fixpoint
     // as doc_dedup_clusters, over the banded embedding pair graph
     "emb_dedup_clusters" ->

@@ -1735,6 +1735,15 @@ object Queries {
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     Ann.embNearDup(embs(s, dir)).orderBy("vec_a", "vec_b")
 
+  /** The SEMANTIC modality's ingest-time near-dup face over bounded
+    * input — the per-bucket exact-cosine fold whose signature kernel
+    * is shared verbatim with `emb_near_dup`; the twin is the banded
+    * self-join the batch operator runs, kept per band.
+    */
+  def streamingEmbNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchEmbNearDup(embs(s, dir))
+      .toDF().orderBy("vec_a", "vec_b", "band")
+
   /** Corpus-wide approximate k-NN graph over banded-LSH candidates. */
   def annKnnJoin(s: SparkSession, dir: String): DataFrame =
     Ann.knnJoin(embs(s, dir)).orderBy("vec_id", "rn")
@@ -2366,6 +2375,7 @@ object Queries {
     "ann_ivfpq_residual_trained" -> (annIvfPqResidualTrained _),
     "ann_ivfpq_residual_rotated" -> (annIvfPqResidualRotated _),
     "emb_near_dup" -> (embNearDup _),
+    "streaming_emb_near_dup" -> (streamingEmbNearDup _),
     "emb_decontaminate" -> (embDecontaminate _),
     "ann_knn_join" -> (annKnnJoin _),
     "ann_topk_banded" -> (annTopkBanded _),

@@ -973,7 +973,14 @@ object Ann {
     * whole-stage codegen — an `aggregate()` fold here would run 64
     * interpreted lambda steps per row.
     */
-  def nearDupSignature(emb: DataFrame): DataFrame = {
+  def nearDupSignature(emb: DataFrame): DataFrame = nearDupSignature(emb, Nil)
+
+  /** [[nearDupSignature]] with `passthrough` columns riding untouched
+    * (an event_ts beside each signature row — the watermarked-stream
+    * shape). Pure projections, so the same code serves batch frames
+    * and streaming ones.
+    */
+  def nearDupSignature(emb: DataFrame, passthrough: Seq[String]): DataFrame = {
     graft.functions.FloatDot.register(emb.sparkSession)
     val planes = typedLit(
       planeWeightsN(NearDupBands * NearDupBandPlanes).map(_.map(_.toFloat)))
@@ -987,7 +994,9 @@ object Ann {
     }
     emb
       .withColumn("planes", planes)
-      .select(Seq(col("vec_id"), col("embedding"), col("norm")) ++ keys: _*)
+      .select(
+        Seq(col("vec_id"), col("embedding"), col("norm")) ++
+          passthrough.map(col) ++ keys: _*)
   }
 
   /** (vec_id, band, key) bucket rows of [[nearDupSignature]] — the
@@ -1002,13 +1011,22 @@ object Ann {
   /** [[nearDupSignature]] rows exploded to one (band, key) bucket row
     * per band, carrying the vector + norm for the verify stage.
     */
-  private def explodeBands(sig: DataFrame): DataFrame =
+  private def explodeBands(sig: DataFrame): DataFrame = explodeBands(sig, Nil)
+
+  private def explodeBands(sig: DataFrame, passthrough: Seq[String]): DataFrame =
     sig.select(
-      col("vec_id"),
-      col("embedding"),
-      col("norm"),
-      posexplode(array((0 until NearDupBands).map(b => col(s"k$b")): _*))
-        .as(Seq("band", "key")))
+      Seq(col("vec_id"), col("embedding"), col("norm")) ++ passthrough.map(col) :+
+        posexplode(array((0 until NearDupBands).map(b => col(s"k$b")): _*))
+          .as(Seq("band", "key")): _*)
+
+  /** (vec_id, embedding, norm[, passthrough...], band, key) bucket rows
+    * of the hyperplane signature — the streaming-visible face of
+    * [[nearDupSignature]]+band explode (pure projections end to end,
+    * so [[graft.streaming.Streaming.embNearDupStream]] feeds each
+    * arriving vector straight into its band buckets).
+    */
+  def nearDupBandedVectors(emb: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
+    explodeBands(nearDupSignature(withNorm(emb), passthrough), passthrough)
 
   def embNearDup(emb: DataFrame): DataFrame = {
     val sig = CacheScope.persist(nearDupSignature(withNorm(emb)))

@@ -1286,6 +1286,162 @@ object Streaming {
         bucketFold(rows, Vector.empty)._2.iterator)
   }
 
+  // ------------------------------------------ embedding near-dup stream
+  /** A hyperplane band-bucket row carrying the vector + norm the
+    * verify step needs — the embedding modality's [[BandKeyed]].
+    */
+  case class EmbBandKeyed(
+      vec_id: Long, band: Int, key: Long, embedding: Array[Float], norm: Double)
+
+  /** One verified semantic candidate pair, kept per band. */
+  case class EmbCandidateOut(vec_a: Long, vec_b: Long, band: Int, cos: Double)
+
+  /** Per-bucket fold of the SEMANTIC near-dup stream: each arriving
+    * vector exact-cosine-verifies against the bucket's members
+    * (threshold [[graft.operators.Ann.NearDupCos]]) and joins the
+    * member set. The dot product is the strict index-ascending
+    * widen-to-double fold `float_dot` runs, and the rounding is
+    * Spark's HALF_UP at 6 — so the emitted cos is bit-identical to
+    * the batch operator's and to the DuckDB twin's. `cap` bounds the
+    * member vector for the TTL variant ([[bucketFold]]'s discipline —
+    * state AND emission stay O(cap) per bucket epoch).
+    */
+  private[graft] def embBucketFold(
+      rows: Iterator[EmbBandKeyed],
+      prior: Vector[(Long, Array[Float], Double)],
+      cap: Int = Int.MaxValue)
+      : (Vector[(Long, Array[Float], Double)], Vector[EmbCandidateOut]) = {
+    var members = prior
+    val seen = scala.collection.mutable.HashSet.from(prior.map(_._1))
+    val out = Vector.newBuilder[EmbCandidateOut]
+    rows.toSeq.sortBy(_.vec_id).foreach { r =>
+      if (members.size < cap && seen.add(r.vec_id)) {
+        members.foreach { case (m, me, mn) =>
+          var d = 0.0
+          var i = 0
+          val n = math.min(me.length, r.embedding.length)
+          while (i < n) {
+            d += me(i).toDouble * r.embedding(i).toDouble
+            i += 1
+          }
+          val cos = d / (mn * r.norm)
+          if (cos >= graft.operators.Ann.NearDupCos)
+            out += EmbCandidateOut(
+              math.min(m, r.vec_id),
+              math.max(m, r.vec_id),
+              r.band,
+              BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        members = members :+ ((r.vec_id, r.embedding, r.norm))
+      }
+    }
+    (members, out.result())
+  }
+
+  /** SEMANTIC (embedding) near-dup candidates at ingest time — the
+    * modality matrix's last streaming face (text shingles, image/
+    * audio/video perceptual hashes, and now vectors all surface
+    * near-dups while the crawl runs): arriving vectors band through
+    * the one hyperplane signature ([[graft.operators.Ann
+    * .nearDupBandedVectors]] — pure projections, so no pre-stateful
+    * aggregation), and each bucket's GroupState exact-cosine-verifies
+    * newcomers against its members. State holds the member VECTORS
+    * (the verify needs them — the semantic analogue of the perceptual
+    * streams' hash halves); [[embNearDupStreamTtl]] is the bounded
+    * production variant.
+    */
+  def embNearDupStream(emb: org.apache.spark.sql.DataFrame): Dataset[EmbCandidateOut] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.operators.Ann.nearDupBandedVectors(emb)
+      .select(
+        col("vec_id"), col("band").cast("int").as("band"), col("key"),
+        col("embedding"), col("norm"))
+      .as[EmbBandKeyed]
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[EmbBandKeyed],
+            state: GroupState[Vector[(Long, Array[Float], Double)]]) =>
+          val (members, out) = embBucketFold(rows, state.getOption.getOrElse(Vector.empty))
+          state.update(members)
+          out.iterator
+      }
+  }
+
+  /** A banded vector row carrying its event time — the TTL stream's
+    * input shape.
+    */
+  case class EmbBandKeyedTs(
+      vec_id: Long, band: Int, key: Long, embedding: Array[Float], norm: Double,
+      event_ts: java.sql.Timestamp)
+
+  /** TTL-bucket state for the embedding stream: (id, vector, norm)
+    * members plus the newest member event time — [[TtlBucket]]'s
+    * re-arming semantics on the semantic member tuple.
+    */
+  case class EmbTtlBucket(
+      members: Vector[(Long, Array[Float], Double)], newestTs: Long)
+
+  /** [[embNearDupStream]] with the REAL state bound an endless ingest
+    * needs — [[nearDupCandidateStreamTtl]]'s watermark-driven eviction
+    * and timeout re-arming on vector state, members bounded at
+    * [[graft.operators.BandCap.DefaultCap]] (vector members are the
+    * heaviest state in the engine — 64 floats each — so the cap
+    * matters MORE here than anywhere): a near-copy arriving after its
+    * bucket closed or filled pairs with nothing, the explicit trade.
+    * `emb` needs an `event_ts` column.
+    */
+  def embNearDupStreamTtl(
+      emb: org.apache.spark.sql.DataFrame,
+      watermarkDelay: String,
+      ttlSeconds: Long): Dataset[EmbCandidateOut] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.operators.Ann.nearDupBandedVectors(emb, passthrough = Seq("event_ts"))
+      .withWatermark("event_ts", watermarkDelay)
+      .select(
+        col("vec_id"), col("band").cast("int").as("band"), col("key"),
+        col("embedding"), col("norm"), col("event_ts"))
+      .as[EmbBandKeyedTs]
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[EmbBandKeyedTs], state: GroupState[EmbTtlBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            val prior = state.getOption.getOrElse(EmbTtlBucket(Vector.empty, Long.MinValue))
+            val (members, out) = embBucketFold(
+              batch.iterator.map(r =>
+                EmbBandKeyed(r.vec_id, r.band, r.key, r.embedding, r.norm)),
+              prior.members,
+              graft.operators.BandCap.DefaultCap)
+            val newest = math.max(prior.newestTs, batch.map(_.event_ts.getTime).max)
+            state.update(EmbTtlBucket(members, newest))
+            state.setTimeoutTimestamp(newest + ttlSeconds * 1000L)
+            out.iterator
+          }
+      }
+  }
+
+  /** The embedding candidate stream's fold over bounded input — the
+    * oracle-checkable batch twin (equals the hyperplane band-bucket
+    * self-join with the exact-cosine verify, kept per band).
+    */
+  def batchEmbNearDup(emb: org.apache.spark.sql.DataFrame): Dataset[EmbCandidateOut] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.operators.Ann.nearDupBandedVectors(emb)
+      .select(
+        col("vec_id"), col("band").cast("int").as("band"), col("key"),
+        col("embedding"), col("norm"))
+      .as[EmbBandKeyed]
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroups((key: String, rows: Iterator[EmbBandKeyed]) =>
+        embBucketFold(rows, Vector.empty)._2.iterator)
+  }
+
   // ---------------------------------------------- streaming decontamination
   /** One decontamination verdict per arriving document. */
   case class DecontOut(

@@ -660,6 +660,99 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)), "epoch-1 output unchanged")
   }
 
+  test("embedding ingest stream: a near-copy vector pairs regardless of arrival order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // a vector, a tiny perturbation of it (cos ~1, same hyperplane
+    // signs -> same band keys), and a far-away vector (must not pair)
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val near = base.map(v => v * 1.01f)
+    val far = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = Seq((1L, base), (2L, near), (7L, far))
+    val cols = Seq("vec_id", "embedding")
+
+    def run(order: Seq[Int], name: String): Set[(Long, Long, Int, Double)] = {
+      val stream = MemoryStream[(Long, Array[Float])]
+      val q = Streaming.embNearDupStream(stream.toDS().toDF(cols: _*))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      order.foreach { i =>
+        stream.addData(Seq(rows(i)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    }
+    val fwd = run(Seq(0, 1, 2), "emb_nd_stream_fwd")
+    val rev = run(Seq(2, 1, 0), "emb_nd_stream_rev")
+    val batch = Streaming.batchEmbNearDup(rows.toDF(cols: _*))
+      .collect().map(c => (c.vec_a, c.vec_b, c.band, c.cos)).toSet
+    assert(fwd == batch, "streamed semantic candidates diverged from the batch fold")
+    assert(rev == batch, "arrival order changed the semantic candidate set")
+    val pairs = batch.map { case (a, b, _, _) => (a, b) }
+    assert(pairs == Set((1L, 2L)), s"expected exactly the near-copy pair: $pairs")
+    // a scaled copy keeps every hyperplane sign, so it collides on ALL
+    // 4 bands, and the verified cos is exactly 1
+    assert(batch.size == 4 && batch.forall(_._4 == 1.0), s"got $batch")
+
+    // and the streamed cos equals the BATCH OPERATOR's verified cosine
+    // bit-for-bit (the fold's ascending-double dot == float_dot)
+    val op = graft.operators.Ann.embNearDup(
+      rows.toDF(cols: _*).withColumn("label", org.apache.spark.sql.functions.lit(0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(op == Set((1L, 2L, 1.0)), s"batch operator drifted: $op")
+    graft.operators.CacheScope.releaseAll()
+  }
+
+  test("TTL-evicted embedding stream: a closed or full bucket stops pairing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def copy(scale: Float) = base.map(_ * scale)
+    val far = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val far2 = Array.fill(64)(rnd.nextGaussian().toFloat)
+
+    val stream = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val q = Streaming.embNearDupStreamTtl(
+      stream.toDS().toDF("vec_id", "embedding", "event_ts"),
+      watermarkDelay = "0 seconds", ttlSeconds = 60)
+      .writeStream.format("memory").queryName("emb_nd_ttl")
+      .outputMode("append").start()
+    def pairs() = spark.table("emb_nd_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // epoch 1: the copy pairs with the original inside the TTL
+    stream.addData(Seq((1L, base, ts(0)), (2L, copy(1.02f), ts(0))))
+    q.processAllAvailable()
+    assert(pairs() == Set((1L, 2L)), s"in-epoch pair missing: ${pairs()}")
+
+    // advance the event clock past the armed timeout, then a late copy
+    // arrives — its bucket closed, it pairs with nothing
+    stream.addData(Seq((50L, far, ts(5))))
+    q.processAllAvailable()
+    stream.addData(Seq((51L, far2, ts(6))))
+    q.processAllAvailable()
+    stream.addData(Seq((3L, copy(1.04f), ts(7))))
+    q.processAllAvailable()
+    q.stop()
+    assert(!pairs().exists { case (a, b) => a == 3L || b == 3L },
+      "cross-epoch semantic candidates must stop once the bucket evicts")
+    assert(pairs() == Set((1L, 2L)), "epoch-1 output changed")
+
+    // the member-vector cap: a full bucket drops later arrivals
+    import graft.streaming.Streaming.{embBucketFold, EmbBandKeyed}
+    val arrivals = (0 until 50).map(i => EmbBandKeyed(i.toLong, 0, 9L, base, 1.0))
+    val (members, out) = embBucketFold(arrivals.iterator, Vector.empty, cap = 4)
+    assert(members.size == 4 && out.size == 6, s"${members.size}/${out.size}")
+  }
+
   test("TTL-evicted perceptual stream: a closed bucket stops cross-epoch image pairs") {
     val spark = TestSpark.spark
     import spark.implicits._
