@@ -2109,6 +2109,64 @@ object Oracle {
   private lazy val htmlDocPipelineSql: String =
     htmlDocPipelineSqlOver("html_docs AS (SELECT doc_id, text FROM ex)")
 
+  /** v4 funnel twin — shared by the `doc_pipeline_full_v4` row and
+    * the per-reason release card that nests it.
+    */
+  private lazy val docPipelineFullV4Sql: String = {
+    val target = graft.operators.Corpus.TargetLangs.toSeq.sorted
+      .map(l => s"'$l'").mkString(", ")
+      val reason =
+        s"""CASE WHEN l.doc_id <> l.cluster THEN 'dup'
+           |       WHEN dec.contaminated THEN 'contaminated'
+           |       WHEN sem.contaminated THEN 'semantic_contaminated'
+           |       WHEN NOT gg.keep_source THEN 'bad_source'
+           |       WHEN pl.predicted NOT IN ($target) THEN 'wrong_language'
+           |       WHEN q.n_tokens < ${TextStats.MinTokens} THEN 'too_short'
+           |       WHEN q.quality < ${TextStats.QualityMin} THEN 'low_quality'
+           |       WHEN lm.ppl >= ${graft.operators.Corpus.LmPplMax}E0 THEN 'high_perplexity'
+           |       WHEN rep.top_bigram_frac >= ${graft.operators.Corpus.RepetitionMax} THEN 'repetitive'
+           |       WHEN sd.n_dup_spans > 0 THEN 'dup_spans'
+           |       ELSE 'keep' END""".stripMargin
+      s"""WITH RECURSIVE $nearDupCtes,
+         |$clusterLabelCtes,
+         |$decontCtes,
+         |$vecNormCte,
+         |$embDecontCtes,
+         |${substringSpanCtes(
+            graft.operators.Dedup.SubstrMinSpanWordsWide,
+            graft.operators.Dedup.SubstrGramNWide)},
+         |sd AS (
+         |  SELECT nw.doc_id,
+         |    CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_dup_spans,
+         |    CAST(coalesce(a.dup_words, 0) AS BIGINT) AS dup_words
+         |  FROM nw LEFT JOIN (
+         |    SELECT doc_id, count(*) AS n_spans, sum(ee - ss) AS dup_words
+         |    FROM ms GROUP BY doc_id) a USING (doc_id)
+         |),
+         |$pipelineFaceCtes,
+         |$lmStoredCtes,
+         |$gateCtes,
+         |$langPredictCte
+         |SELECT l.doc_id, l.cluster, sz.cluster_size,
+         |  l.doc_id = l.cluster AS is_canonical,
+         |  dec.contamination, dec.contaminated,
+         |  sem.max_cos, sem.contaminated AS sem_contaminated,
+         |  q.n_tokens, q.quality, pii.n_emails, pii.n_longnums,
+         |  rep.top_bigram_frac, sd.n_dup_spans, sd.dup_words,
+         |  lm.ppl, gg.keep_source, pl.predicted AS predicted_lang,
+         |  $reason AS reason,
+         |  ($reason) = 'keep' AS keep
+         |FROM lab l JOIN sz USING (cluster) JOIN dec USING (doc_id)
+         |JOIN semdec sem ON sem.vec_id = l.doc_id
+         |JOIN q USING (doc_id) JOIN pii USING (doc_id) JOIN rep USING (doc_id)
+         |JOIN sd USING (doc_id)
+         |JOIN lmdoc lm ON lm.doc_id = l.doc_id
+         |JOIN plang pl ON pl.doc_id = l.doc_id
+         |JOIN documents dsrc ON dsrc.doc_id = l.doc_id
+         |JOIN gg ON gg.source = dsrc.source
+         |ORDER BY doc_id""".stripMargin
+  }
+
   /** `warc_pipeline`'s twin: the html pipeline over the WARC reader's
     * URI-keyed ids — the scan emits md5-60bit(Target-URI) for every
     * record, so the whole curation pipeline downstream runs on those.
@@ -3499,60 +3557,18 @@ object Oracle {
 
     // v4 = the v3 funnel + the language gate: wrong_language between
     // bad_source and too_short, predicted via the shared plang CTE
-    "doc_pipeline_full_v4" -> {
-      val target = graft.operators.Corpus.TargetLangs.toSeq.sorted
-        .map(l => s"'$l'").mkString(", ")
-      val reason =
-        s"""CASE WHEN l.doc_id <> l.cluster THEN 'dup'
-           |       WHEN dec.contaminated THEN 'contaminated'
-           |       WHEN sem.contaminated THEN 'semantic_contaminated'
-           |       WHEN NOT gg.keep_source THEN 'bad_source'
-           |       WHEN pl.predicted NOT IN ($target) THEN 'wrong_language'
-           |       WHEN q.n_tokens < ${TextStats.MinTokens} THEN 'too_short'
-           |       WHEN q.quality < ${TextStats.QualityMin} THEN 'low_quality'
-           |       WHEN lm.ppl >= ${graft.operators.Corpus.LmPplMax}E0 THEN 'high_perplexity'
-           |       WHEN rep.top_bigram_frac >= ${graft.operators.Corpus.RepetitionMax} THEN 'repetitive'
-           |       WHEN sd.n_dup_spans > 0 THEN 'dup_spans'
-           |       ELSE 'keep' END""".stripMargin
-      s"""WITH RECURSIVE $nearDupCtes,
-         |$clusterLabelCtes,
-         |$decontCtes,
-         |$vecNormCte,
-         |$embDecontCtes,
-         |${substringSpanCtes(
-            graft.operators.Dedup.SubstrMinSpanWordsWide,
-            graft.operators.Dedup.SubstrGramNWide)},
-         |sd AS (
-         |  SELECT nw.doc_id,
-         |    CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_dup_spans,
-         |    CAST(coalesce(a.dup_words, 0) AS BIGINT) AS dup_words
-         |  FROM nw LEFT JOIN (
-         |    SELECT doc_id, count(*) AS n_spans, sum(ee - ss) AS dup_words
-         |    FROM ms GROUP BY doc_id) a USING (doc_id)
-         |),
-         |$pipelineFaceCtes,
-         |$lmStoredCtes,
-         |$gateCtes,
-         |$langPredictCte
-         |SELECT l.doc_id, l.cluster, sz.cluster_size,
-         |  l.doc_id = l.cluster AS is_canonical,
-         |  dec.contamination, dec.contaminated,
-         |  sem.max_cos, sem.contaminated AS sem_contaminated,
-         |  q.n_tokens, q.quality, pii.n_emails, pii.n_longnums,
-         |  rep.top_bigram_frac, sd.n_dup_spans, sd.dup_words,
-         |  lm.ppl, gg.keep_source, pl.predicted AS predicted_lang,
-         |  $reason AS reason,
-         |  ($reason) = 'keep' AS keep
-         |FROM lab l JOIN sz USING (cluster) JOIN dec USING (doc_id)
-         |JOIN semdec sem ON sem.vec_id = l.doc_id
-         |JOIN q USING (doc_id) JOIN pii USING (doc_id) JOIN rep USING (doc_id)
-         |JOIN sd USING (doc_id)
-         |JOIN lmdoc lm ON lm.doc_id = l.doc_id
-         |JOIN plang pl ON pl.doc_id = l.doc_id
-         |JOIN documents dsrc ON dsrc.doc_id = l.doc_id
-         |JOIN gg ON gg.source = dsrc.source
-         |ORDER BY doc_id""".stripMargin
-    },
+    "doc_pipeline_full_v4" -> docPipelineFullV4Sql,
+
+    // the funnel release card: per-reason counts + shares over the v4
+    // verdict, nested as a self-contained subquery (the tokenizer-card
+    // discipline) — the share denominator is a window over the ~11
+    // grouped rows
+    "doc_pipeline_reasons" ->
+      s"""SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
+         |FROM ($docPipelineFullV4Sql)
+         |GROUP BY reason ORDER BY reason""".stripMargin,
+
 
     "doc_boilerplate" ->
       s"""WITH w AS (

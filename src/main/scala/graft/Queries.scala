@@ -1023,6 +1023,29 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The FUNNEL RELEASE CARD: per-reason document counts and shares
+    * over the complete v4 verdict — "why did we drop what we dropped",
+    * the one-table answer every curation run publishes beside its
+    * dataset card and the first thing a regression diff compares
+    * release-over-release. The rollup is reason-cardinality rows (~11)
+    * off the already-composed funnel; the share denominator is a
+    * single-partition window over those rows, not a second corpus
+    * pass.
+    */
+  def docPipelineReasons(s: SparkSession, dir: String): DataFrame = {
+    val (bi, uni, v) = lmStoredModel(s, dir)
+    Corpus.docPipelineFullV4(docs(s, dir), embs(s, dir), bi, uni, v)
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn(
+        "share",
+        round(
+          col("n_docs").cast("double") /
+            sum("n_docs").over(org.apache.spark.sql.expressions.Window.partitionBy()),
+          6))
+      .orderBy("reason")
+  }
+
   /** Corpus-level boilerplate removal (segment-df scrub) with audit. */
   def docBoilerplate(s: SparkSession, dir: String): DataFrame =
     Corpus.stripBoilerplate(docs(s, dir)).orderBy("doc_id")
@@ -2288,6 +2311,7 @@ object Queries {
     "streaming_source_gate" -> (streamingSourceGate _),
     "doc_pipeline_full_v3" -> (docPipelineFullV3 _),
     "doc_pipeline_full_v4" -> (docPipelineFullV4 _),
+    "doc_pipeline_reasons" -> (docPipelineReasons _),
     "doc_shard_manifest" -> (docShardManifest _),
     "corpus_diff" -> (corpusDiff _),
     "doc_fingerprint" -> (docFingerprint _),
