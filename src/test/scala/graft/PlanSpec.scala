@@ -44,6 +44,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("band cap: honest buckets keep the pre-cap plan; an active cap inserts exactly one sampling join") {
+    // sf0.001's text band buckets all sit under the default cap, so the
+    // plan-time census must hand back the ORIGINAL narrow plan — no
+    // census join, no __bucket_n anywhere in the executed plan
+    assert(!plan("doc_near_dup").contains("__bucket_n"),
+      "an honest corpus must not pay the sampling join")
+    // forcing the cap down to 2 makes buckets of 3+ oversize — the
+    // sampling join (and its md5 coin filter) must now be IN the plan
+    val capped = plan("doc_near_dup_capped")
+    assert(capped.contains("__bucket_n"),
+      "an active cap must insert the sampling join")
+    assert(!capped.contains("CartesianProduct") &&
+      !capped.contains("BroadcastNestedLoopJoin"),
+      "the sampling join must stay an equi-join")
+  }
+
   test("verdict signals: quality + PII + repetition legs scan docs once") {
     // the fused verdict input (TextStats.verdictSignals): one persisted
     // projection feeds the per-row counts AND the tagged word+bigram
