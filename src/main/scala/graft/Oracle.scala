@@ -1960,10 +1960,14 @@ object Oracle {
     ("streaming_source_gate" -> allBase("source_quality_gate")) +
     // index health: the recall and drift twins reduced to one-row
     // aggregates (nested WITH subqueries are self-contained), one
-    // exact integer division, E-notated thresholds
+    // exact integer division, E-notated thresholds. IS NULL terms
+    // mirror the Spark verdict exactly: a NULL leg (empty corpus — no
+    // queries or no vectors) is unhealth the flag must report as TRUE,
+    // never a NULL that reads as "not recommended"
     ("ann_index_health" ->
       s"""SELECT r.n_queries, r.recall_overall, d.n_dims, d.max_shift,
-         |  (r.recall_overall < 9E-1 OR d.max_shift >= 5E-2) AS rebuild_recommended
+         |  (r.recall_overall IS NULL OR d.max_shift IS NULL OR
+         |   r.recall_overall < 9E-1 OR d.max_shift >= 5E-2) AS rebuild_recommended
          |FROM
          |  (SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |     round(CAST(sum(n_hit) AS DOUBLE) / sum(n_exact), 6) AS recall_overall
@@ -5107,21 +5111,29 @@ object Oracle {
         val (w, bias) = Queries.qualityModelWeights(spark, dir)
         qualityEvalSql(w, bias)
       },
-      // health twin: the eval twin's train and test rows read together
-      // (each in its own WITH scope), E-notated thresholds so the
-      // literals parse as DOUBLE, not DECIMAL
+      // health twin: ONE conditional aggregate over the eval rows —
+      // the same always-one-row shape as the Spark verdict, so a
+      // missing split (empty/degenerate corpus) reads as n=0 /
+      // accuracy NULL / retrain_recommended TRUE on BOTH engines
+      // instead of the row silently vanishing from the twin.
+      // E-notated thresholds so the literals parse as DOUBLE, not
+      // DECIMAL
       "doc_quality_health" -> {
         val (w, bias) = Queries.qualityModelWeights(spark, dir)
         val ev = qualityEvalSql(w, bias)
         Seq(
-          "SELECT t.n_train, t.acc_train, e.n_test, e.acc_test,",
-          "  round(t.acc_train - e.acc_test, 6) AS gap,",
-          s"  (e.acc_test < ${graft.operators.TextStats.QualityAccMin * 10}E-1" +
-            s" OR round(t.acc_train - e.acc_test, 6) >= ${(graft.operators.TextStats.QualityGapMax * 100).toLong}E-2)" +
+          "SELECT n_train, acc_train, n_test, acc_test,",
+          "  round(acc_train - acc_test, 6) AS gap,",
+          s"  (acc_train IS NULL OR acc_test IS NULL" +
+            s" OR acc_test < ${graft.operators.TextStats.QualityAccMin * 10}E-1" +
+            s" OR round(acc_train - acc_test, 6) >= ${(graft.operators.TextStats.QualityGapMax * 100).toLong}E-2)" +
             " AS retrain_recommended",
-          "FROM",
-          "  (SELECT n_docs AS n_train, accuracy AS acc_train FROM (__EV__) WHERE split = 'train') t,",
-          "  (SELECT n_docs AS n_test, accuracy AS acc_test FROM (__EV__) WHERE split = 'test') e")
+          "FROM (SELECT",
+          "    CAST(coalesce(max(CASE WHEN split = 'train' THEN n_docs END), 0) AS BIGINT) AS n_train,",
+          "    max(CASE WHEN split = 'train' THEN accuracy END) AS acc_train,",
+          "    CAST(coalesce(max(CASE WHEN split = 'test' THEN n_docs END), 0) AS BIGINT) AS n_test,",
+          "    max(CASE WHEN split = 'test' THEN accuracy END) AS acc_test",
+          "  FROM (__EV__))")
           .mkString("\n").replace("__EV__", ev)
       })
 

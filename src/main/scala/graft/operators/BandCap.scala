@@ -56,15 +56,30 @@ object BandCap {
     * larger than `cap` — deterministic, oracle-replayable; see object
     * doc for the scale rationale.
     *
-    * Plan-time skew census + conditional sampling plan. Skew is the
-    * EXCEPTION: on an honest corpus no bucket exceeds the cap, and the
-    * right answer is the caller's original narrow plan — pipelined
-    * self-join sides, no extra join, no persist. So the census runs
-    * once here as a small driver-side action (`isEmpty` early-stops on
-    * the first oversize bucket; the aggregate reads the caller's
-    * already-persisted signature frame), and only when an oversize
-    * bucket EXISTS does the sampling join enter the plan — the AQE
-    * philosophy, decided from a statistic the operator needs anyway.
+    * ONE data-independent plan: the census aggregate joins back as the
+    * left side of a runtime-sized join, and the coin filter fires only
+    * on rows whose bucket is oversize (the `isNull ||` short-circuit —
+    * honest rows pay a null check, never an md5). On an honest corpus
+    * the census output is EMPTY, so under AQE the join executes as a
+    * broadcast of an empty relation — per-row cost ≈ zero — while a
+    * skewed corpus broadcasts its handful of oversize buckets (at most
+    * n/cap rows by pigeonhole; AQE decides from the ACTUAL census
+    * size, so even an adversarial all-boilerplate corpus degrades to a
+    * shuffled join instead of a driver OOM). The census is computed
+    * IN-PLAN, exactly once per leg: callers embed the capped frame in
+    * self-join sides, and the census's shuffle/broadcast exchange is
+    * plan-identical on both sides, so exchange reuse dedupes it.
+    *
+    * Deliberately NO plan-time driver action and NO plan fork (the
+    * earlier design probed the census eagerly with `isEmpty` and chose
+    * a narrow plan for honest corpora): the eager probe ran a Spark
+    * job at DataFrame-CONSTRUCTION time, froze the decision against
+    * the data observed then (wrong for a source that grows a
+    * mega-bucket between build and execution), and — when the cap
+    * activated — paid the census twice, once in the probe and again
+    * inside the join. The always-join plan is decided by the data each
+    * run actually reads, costs one census always, and leaves honest
+    * corpora with an empty-broadcast join that AQE makes free.
     * Batch-only: streaming paths bound their state in the fold
     * ([[graft.streaming.Streaming.bucketFold]]), never through here.
     */
@@ -77,13 +92,11 @@ object BandCap {
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > cap)
-    if (over.isEmpty) rows
-    else
-      rows
-        .join(over, keyCols, "left")
-        .filter(
-          col("__bucket_n").isNull || coin(keyCols, memberCol) % col("__bucket_n") < cap)
-        .drop("__bucket_n")
+    rows
+      .join(over, keyCols, "left")
+      .filter(
+        col("__bucket_n").isNull || coin(keyCols, memberCol) % col("__bucket_n") < cap)
+      .drop("__bucket_n")
   }
 
   /** The buckets [[capBuckets]] would sample: one row per (keyCols)

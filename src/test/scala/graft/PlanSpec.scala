@@ -44,20 +44,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("band cap: honest buckets keep the pre-cap plan; an active cap inserts exactly one sampling join") {
-    // sf0.001's text band buckets all sit under the default cap, so the
-    // plan-time census must hand back the ORIGINAL narrow plan — no
-    // census join, no __bucket_n anywhere in the executed plan
-    assert(!plan("doc_near_dup").contains("__bucket_n"),
-      "an honest corpus must not pay the sampling join")
-    // forcing the cap down to 2 makes buckets of 3+ oversize — the
-    // sampling join (and its md5 coin filter) must now be IN the plan
-    val capped = plan("doc_near_dup_capped")
-    assert(capped.contains("__bucket_n"),
-      "an active cap must insert the sampling join")
-    assert(!capped.contains("CartesianProduct") &&
-      !capped.contains("BroadcastNestedLoopJoin"),
-      "the sampling join must stay an equi-join")
+  test("band cap: ONE data-independent plan — sampling join present, equi only, no driver action") {
+    // the cap is a single always-on plan: the census joins back in-plan
+    // (AQE broadcasts the tiny/empty census at runtime), so the plan is
+    // never frozen against data observed at CONSTRUCTION time and the
+    // census is never paid twice. Both the honest corpus and the
+    // forced-cap variant must carry the sampling join, as equi-joins.
+    for (q <- Seq("doc_near_dup", "doc_near_dup_capped")) {
+      val p = plan(q)
+      assert(p.contains("__bucket_n"), s"$q must carry the in-plan census join")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the sampling join must stay an equi-join")
+    }
+  }
+
+  test("band cap: building the plan runs no Spark job") {
+    // the earlier design probed the census with a driver-side isEmpty
+    // at DataFrame-construction time — a Spark job per banded leg
+    // before the query even ran, and a decision frozen against stale
+    // data. Pin the fix: constructing a banded plan fires zero jobs.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"w$i x$i y$i z$i q$i r$i")).toDF("doc_id", "text")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val planned = graft.operators.Dedup.nearDupPairs(docs)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(planned != null)
+    assert(after === before,
+      s"constructing a banded near-dup plan must not run Spark jobs ($before -> $after)")
+    graft.operators.CacheScope.releaseAll()
   }
 
   test("verdict signals: quality + PII + repetition legs scan docs once") {
