@@ -3028,6 +3028,47 @@ object Oracle {
          |JOIN cnts cb ON cb.doc_id = pr.doc_corpus
          |ORDER BY doc_batch, doc_corpus""".stripMargin,
 
+    // Twin of Dedup.nearDupAgainstStored over the materialized base:
+    // the stored fixture's three-way split replayed in place — the
+    // BASE side capped over its own (write-time) census, the delta
+    // SEGMENT riding uncapped, the probing batch capped over its own
+    // census — exactly the capping state the storage layout holds
+    // between compactions.
+    "doc_near_dup_incremental_stored" ->
+      s"""WITH $shinglesCte,
+         |$minhashCtes,
+         |cn AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5('inc' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS b,
+         |    CAST(('0x' || substr(md5('seg' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS sc
+         |  FROM documents),
+         |bb0 AS (SELECT bs0.* FROM bs0 JOIN cn USING (doc_id) WHERE cn.b = 1 AND cn.sc = 1),
+         |sb0 AS (SELECT bs0.* FROM bs0 JOIN cn USING (doc_id) WHERE cn.b = 0),
+         |sg AS (SELECT bs0.* FROM bs0 JOIN cn USING (doc_id) WHERE cn.b = 1 AND cn.sc = 0),
+         |${capCte("bb0", "bb", Seq("band", "sig"), "doc_id")},
+         |${capCte("sb0", "sb", Seq("band", "sig"), "doc_id")},
+         |corp AS (SELECT * FROM sb UNION ALL SELECT * FROM sg),
+         |pr AS (
+         |  SELECT DISTINCT a.doc_id AS doc_batch, c.doc_id AS doc_corpus
+         |  FROM bb a JOIN corp c ON a.band = c.band AND a.sig = c.sig),
+         |cnts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |com AS (
+         |  SELECT doc_batch, doc_corpus, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM pr
+         |  JOIN sh sa ON pr.doc_batch = sa.doc_id
+         |  JOIN sh sb2 ON pr.doc_corpus = sb2.doc_id AND sa.shingle = sb2.shingle
+         |  GROUP BY doc_batch, doc_corpus)
+         |SELECT pr.doc_batch, pr.doc_corpus,
+         |  ca.n AS n_batch, cb.n AS n_corpus,
+         |  coalesce(com.n_common, 0) AS n_common,
+         |  round(CAST(coalesce(com.n_common, 0) AS DOUBLE) /
+         |        (ca.n + cb.n - coalesce(com.n_common, 0)), 6) AS jaccard
+         |FROM pr
+         |LEFT JOIN com USING (doc_batch, doc_corpus)
+         |JOIN cnts ca ON ca.doc_id = pr.doc_batch
+         |JOIN cnts cb ON cb.doc_id = pr.doc_corpus
+         |ORDER BY doc_batch, doc_corpus""".stripMargin,
+
     // Twin of Dedup.containmentPairs: the nd chain plus two ratio
     // projections over the same integers.
     "doc_containment" ->

@@ -1255,6 +1255,45 @@ object Queries {
     (table, tagged.filter(col("b") === 1 && col("sc") === 1).select("doc_id", "text"))
   }
 
+  /** The STORED near-dup fixture — [[storedDedupFixture]]'s three-way
+    * md5 split replayed on the near-dup tier: base docs (coin `inc` 0)
+    * written as the signature base ([[graft.sinks.Sinks
+    * .writeNearDupBase]] — shingles, minhash, band stack, and cap
+    * census all paid at write), segment docs (`inc` 1, `seg` 0)
+    * appended as an uncompacted delta, the rest probing. Memoized per
+    * (session, dir) so repeated bench sweeps reuse one fixture.
+    */
+  private val storedNearDupCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  private def storedNearDupFixture(s: SparkSession, dir: String): (String, DataFrame) = {
+    val coin = (p: String) =>
+      expr(s"CAST(conv(substr(md5(concat('$p', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2")
+    val tagged = docs(s, dir).withColumn("b", coin("inc")).withColumn("sc", coin("seg"))
+    val table = storedNearDupCache.synchronized {
+      val perSession = storedNearDupCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, String])
+      perSession.getOrElseUpdate(
+        dir, {
+          val t = s"neardup_stored_q_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          graft.sinks.Sinks.writeNearDupBase(
+            tagged.filter(col("b") === 0).select("doc_id", "text"), t)
+          graft.sinks.Sinks.appendNearDupDelta(
+            tagged.filter(col("b") === 1 && col("sc") === 0).select("doc_id", "text"), t)
+          t
+        })
+    }
+    (table, tagged.filter(col("b") === 1 && col("sc") === 1).select("doc_id", "text"))
+  }
+
+  /** Near-dup of an arriving batch against the PERSISTED signature
+    * base + delta segment — zero corpus-side minhash/census per probe.
+    */
+  def docNearDupIncrementalStored(s: SparkSession, dir: String): DataFrame = {
+    val (table, probe) = storedNearDupFixture(s, dir)
+    Dedup.nearDupAgainstStored(s, table, probe).orderBy("doc_batch", "doc_corpus")
+  }
+
   /** Incremental dedup against the PERSISTED base + delta segments —
     * the full storage path: bucketed base probe (exchange-free) plus
     * the broadcast segment probe.
@@ -2319,6 +2358,7 @@ object Queries {
     "doc_split_leakage" -> (docSplitLeakage _),
     "corpus_manifest" -> (corpusManifest _),
     "doc_near_dup_incremental" -> (docNearDupIncremental _),
+    "doc_near_dup_incremental_stored" -> (docNearDupIncrementalStored _),
     "doc_normalize" -> (docNormalize _),
     "doc_extract_html" -> (docExtractHtml _),
     "warc_extract" -> (warcExtract _),

@@ -99,6 +99,35 @@ object BandCap {
       .drop("__bucket_n")
   }
 
+  /** [[capBuckets]] as a FLAG instead of a filter: every row of `rows`
+    * with a `kept` boolean recording whether the cap retains it — the
+    * write-time face of the census. A stored signature base
+    * ([[graft.sinks.Sinks.writeNearDupBase]]) materializes this flag
+    * ONCE when the corpus is written, so every subsequent batch probe
+    * reads a precomputed verdict (`WHERE kept`) instead of
+    * re-aggregating the corpus census per probe — and keeps the FULL
+    * row set on disk, which is what lets a later compaction recompute
+    * the census over base ∪ segments without re-deriving signatures
+    * from text. Same census join and md5 coin as [[capBuckets]], so
+    * `flagBuckets(...).filter(kept)` ≡ `capBuckets(...)` row-for-row.
+    */
+  def flagBuckets(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      memberCol: String,
+      cap: Int = DefaultCap): DataFrame = {
+    val over = rows
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > cap)
+    rows
+      .join(over, keyCols, "left")
+      .withColumn(
+        "kept",
+        col("__bucket_n").isNull || coin(keyCols, memberCol) % col("__bucket_n") < cap)
+      .drop("__bucket_n")
+  }
+
   /** The buckets [[capBuckets]] would sample: one row per (keyCols)
     * bucket above `cap` with its true size — the logged/reported
     * overflow census, so a capped run is never a silent truncation.

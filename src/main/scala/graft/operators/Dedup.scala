@@ -140,6 +140,16 @@ object Dedup {
   def bandSignaturesFromShingles(sh: DataFrame): DataFrame =
     bandStack(minhashFromShingles(sh))
 
+  /** (doc_id, n, band, sig) — band signatures with the doc's distinct
+    * shingle count riding each row. The stored signature base
+    * ([[graft.sinks.Sinks.writeNearDupBase]]) persists THIS shape so a
+    * batch probe gets its Jaccard denominators from the candidate rows
+    * themselves: the 8-byte `n` repeated per band row buys back an
+    * entire corpus-side count aggregation (plus its shuffle) per probe.
+    */
+  def bandSignaturesWithCounts(sh: DataFrame): DataFrame =
+    bandStack(minhashFromShingles(sh), Seq("n"))
+
   /** Band stack over a minhash frame — a narrow projection, so callers
     * holding a persisted minhash pay no extra shuffle per read.
     * `passthrough` columns ride along unchanged (e.g. the event-time
@@ -291,6 +301,83 @@ object Dedup {
         mhB.select(col("doc_id").as("doc_batch"), col("n").as("n_batch")), "doc_batch")
       .join(
         mhC.select(col("doc_id").as("doc_corpus"), col("n").as("n_corpus")), "doc_corpus")
+      .select(
+        col("doc_batch"),
+        col("doc_corpus"),
+        col("n_batch"),
+        col("n_corpus"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(
+          coalesce(col("n_common"), lit(0L)).cast("double") /
+            (col("n_batch") + col("n_corpus") - coalesce(col("n_common"), lit(0L))),
+          6).as("jaccard"))
+  }
+
+  /** [[incrementalNearDup]] against a PERSISTED signature base — the
+    * production shape, mirroring [[incrementalDedupStored]] on the
+    * near-dup tier: the corpus side comes from
+    * [[graft.sinks.Sinks.writeNearDupBase]]'s tables (capped band
+    * signatures with per-doc counts, plus the shingle store), so a
+    * daily ingest batch pays ZERO corpus-side minhash compute, ZERO
+    * corpus-side shuffle, and ZERO corpus census per probe — all three
+    * were paid once at write time. The in-memory
+    * [[nearDupPairsAgainst]] re-shingles, re-minhashes, and
+    * re-censuses the whole corpus every invocation; at 100 TB that is
+    * the difference between a probe that reads a 1%-of-corpus
+    * signature table and one that recomputes 16 md5 minima per corpus
+    * document per batch.
+    *
+    * Probe shape: the batch's capped signatures broadcast into the
+    * band equi-join against the bucketed signature scan (no corpus
+    * exchange; the (band, sig) bucketing additionally satisfies the
+    * join distribution if a giant batch ever demotes the broadcast);
+    * the verify join reads the doc_id-bucketed shingle store the same
+    * way. Remaining linear cost per probe is the COLUMNAR SCAN of the
+    * two stored tables — the signature table is ~1% of corpus bytes;
+    * the shingle scan is the price of exact Jaccard verify (a serving
+    * layer with keyed point reads would replace it; Spark's scan+
+    * broadcast-semi is the plan shape that needs no such engine).
+    *
+    * Cap semantics: the BASE is capped by its write/compaction-time
+    * census (`kept` flag); delta segments appended since ride uncapped
+    * (they are batch-sized — the cross-bucket blowup stays ≤
+    * |batch bucket| × |segment|); the arriving batch caps over its own
+    * census, exactly as [[nearDupPairsAgainst]] does. Output schema is
+    * identical to [[nearDupPairsAgainst]].
+    */
+  def nearDupAgainstStored(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      batch: DataFrame,
+      cap: Int = BandCap.DefaultCap): DataFrame = {
+    val batchSh = CacheScope.persist(shingles(batch))
+    val mhB = CacheScope.persist(minhashFromShingles(batchSh))
+    val sigsB = BandCap.capBuckets(bandStack(mhB, Seq("n")), Seq("band", "sig"), "doc_id", cap)
+    val sigsC = graft.sinks.Sinks.readNearDupSigs(spark, table)
+    // n rides the signature rows on BOTH sides, so the pair set leaves
+    // this join carrying its own Jaccard denominators — no count
+    // aggregation, no join back to corpus state
+    // persist the (tiny) candidate list: it feeds the verify join AND
+    // the final projection — unpersisted, the whole candidate join
+    // (with its corpus signature scan) would execute once per consumer
+    val pairs = CacheScope.persist(sigsB.as("a")
+      .join(sigsC.as("b"), expr("a.band = b.band AND a.sig = b.sig"))
+      .select(
+        col("a.doc_id").as("doc_batch"),
+        col("b.doc_id").as("doc_corpus"),
+        col("a.n").as("n_batch"),
+        col("b.n").as("n_corpus"))
+      .distinct())
+    val corpusSh = graft.sinks.Sinks.readNearDupShingles(spark, table)
+    val common = pairs
+      .join(batchSh.as("sa"), col("doc_batch") === col("sa.doc_id"))
+      .join(
+        corpusSh.as("sb"),
+        col("doc_corpus") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_batch", "doc_corpus")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(common, Seq("doc_batch", "doc_corpus"), "left")
       .select(
         col("doc_batch"),
         col("doc_corpus"),

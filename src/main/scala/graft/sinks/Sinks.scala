@@ -309,6 +309,287 @@ object Sinks {
     ()
   }
 
+  // ------------------------------ near-dup signature base + segments
+  // The [[writeDedupBase]] discipline on the NEAR-DUP tier: the
+  // corpus's LSH band signatures persisted as a (band, sig)-bucketed
+  // table (full row set + write-time cap census as a `kept` flag, per-
+  // doc shingle counts denormalized onto the rows) beside a
+  // doc_id-bucketed shingle store for exact Jaccard verify — so an
+  // arriving batch probes the corpus with joins only, never
+  // re-shingling/re-minhashing/re-censusing it
+  // ([[graft.operators.Dedup.nearDupAgainstStored]]). Appends land as
+  // per-batch segment tables (per-doc ARRAY rows — one table per
+  // append keeps the exact tier's single-namespace claim/fold
+  // lifecycle) and a compaction folds them back, recomputing the cap
+  // census over the merged signature set.
+  //
+  // TWO tables swap per compaction (signatures + shingles), so the
+  // rename choreography is: write BOTH __compact merges, swap
+  // signatures, swap shingles, cleanup. Every crash point stays
+  // readable because [[nearDupBaseState]] tracks each side's fold
+  // state INDEPENDENTLY: a side whose swap completed stops unioning
+  // the folded segments; a side still pre-swap keeps unioning them —
+  // reads are consistent in the window between the two swaps. Repair
+  // rolls the second swap FORWARD (its merge is fully written before
+  // the first swap starts) rather than back.
+  //
+  // Same writer-concurrency contract as the exact tier: appends
+  // interleave freely with each other and with one running compaction;
+  // at most one compaction at a time.
+
+  private def ndSh(table: String) = s"${table}__sh"
+  private def ndOld(t: String) = s"${t}__old"
+  private def ndCompact(t: String) = s"${t}__compact"
+  private def ndManifest(table: String) = s"${table}__compacting"
+  private def ndSegTable(table: String, n: Long) = f"${table}__delta_$n%08d"
+
+  private def listNdSegs(spark: SparkSession, table: String): Seq[String] =
+    spark.sql(s"SHOW TABLES LIKE '${table}__delta*'")
+      .select("tableName").collect().map(_.getString(0)).toSeq.sorted
+
+  private def ndManifestSegs(spark: SparkSession, table: String): Option[Seq[String]] =
+    if (!spark.catalog.tableExists(ndManifest(table))) None
+    else Some(
+      spark.table(ndManifest(table)).collect().map(_.getString(0)).toSeq)
+
+  /** Write both base tables for a signature corpus derived from a
+    * PERSISTED shingle frame: the full (doc_id, n, band, sig, kept)
+    * signature rows bucketed by (band, sig) — `kept` is the
+    * materialized cap-census verdict — and the (doc_id, shingle) store
+    * bucketed by doc_id.
+    */
+  private def writeNdTables(
+      sh: DataFrame, sigTable: String, shTable: String, buckets: Int, cap: Int): Unit = {
+    graft.operators.BandCap
+      .flagBuckets(
+        graft.operators.Dedup.bandSignaturesWithCounts(sh),
+        Seq("band", "sig"), "doc_id", cap)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .saveAsTable(sigTable)
+    sh.select(col("doc_id"), col("shingle"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id", "shingle")
+      .saveAsTable(shTable)
+  }
+
+  /** Persist a near-dup signature base for `docs` — shingle explode,
+    * minhash, band stack, and cap census all paid ONCE here so
+    * [[graft.operators.Dedup.nearDupAgainstStored]] probes never pay
+    * them again. A rebuild retires the previous corpus's whole
+    * lifecycle first ([[writeDedupBase]]'s fail-open rationale).
+    */
+  def writeNearDupBase(
+      docs: DataFrame,
+      table: String,
+      buckets: Int = DefaultBuckets,
+      cap: Int = graft.operators.BandCap.DefaultCap): Unit = {
+    val s = docs.sparkSession
+    (listNdSegs(s, table) ++ Seq(
+      ndOld(table), ndCompact(table),
+      ndOld(ndSh(table)), ndCompact(ndSh(table)), ndManifest(table)))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.CacheScope.withScope {
+      val sh = graft.operators.CacheScope.persist(graft.operators.Dedup.shingles(docs))
+      writeNdTables(sh, table, ndSh(table), buckets, cap)
+    }
+  }
+
+  /** Append a verified batch's signatures + shingles as a DELTA
+    * SEGMENT: one table per append, per-doc ARRAY rows — (doc_id, n,
+    * sigs[], shingles[]) — claimed by an error-if-exists create (the
+    * [[appendDedupDelta]] discipline), exploded back to rows by the
+    * readers. Segments ride UNCAPPED (batch-sized) until
+    * [[compactNearDupBase]] folds them under the merged census.
+    */
+  def appendNearDupDelta(docs: DataFrame, table: String): Unit = {
+    val spark = docs.sparkSession
+    repairNdCrashState(spark, table)
+    graft.operators.CacheScope.withScope {
+      val sh = graft.operators.CacheScope.persist(graft.operators.Dedup.shingles(docs))
+      val seg = graft.operators.Dedup.bandSignaturesWithCounts(sh)
+        .groupBy("doc_id", "n")
+        .agg(expr("array_sort(collect_list(struct(band, sig)))").as("sigs"))
+        .join(
+          sh.groupBy("doc_id").agg(expr("array_sort(collect_list(shingle))").as("shingles")),
+          "doc_id")
+      var n = listNdSegs(spark, table)
+        .flatMap(t => t.stripPrefix(s"${table}__delta").stripPrefix("_").toLongOption)
+        .foldLeft(0L)(math.max) + 1L
+      var claimed = false
+      while (!claimed) {
+        try {
+          seg.write.mode("errorifexists").format("parquet")
+            .saveAsTable(ndSegTable(table, n))
+          claimed = true
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException
+              if spark.catalog.tableExists(ndSegTable(table, n)) =>
+            n += 1L // lost the claim race — take the next number
+        }
+      }
+    }
+  }
+
+  /** The crash-state view of a near-dup base: which table IS each side
+    * right now, and which delta segments each side must still union —
+    * PER SIDE, because the two swaps are sequential and a crash can
+    * land between them: the swapped side has folded the manifest's
+    * segments, the unswapped side has not, and reading each side with
+    * its own live-segment set keeps the union consistent at every
+    * crash point. Reads never mutate; writers repair.
+    */
+  private[graft] def nearDupBaseState(
+      spark: SparkSession, table: String): (String, String, Seq[String], Seq[String]) = {
+    val segs = listNdSegs(spark, table)
+    def side(t: String): (String, Seq[String]) = {
+      val oldExists = spark.catalog.tableExists(ndOld(t))
+      val baseExists = spark.catalog.tableExists(t)
+      if (oldExists && baseExists) {
+        val folded = ndManifestSegs(spark, table).getOrElse(segs).toSet
+        (t, segs.filterNot(folded))
+      } else (if (baseExists) t else ndOld(t), segs)
+    }
+    val (sigT, sigSegs) = side(table)
+    val (shT, shSegs) = side(ndSh(table))
+    (sigT, shT, sigSegs, shSegs)
+  }
+
+  /** The live corpus signature rows — base rows surviving the
+    * write-time cap (`WHERE kept`) plus the live segments' exploded,
+    * uncapped signature arrays. (doc_id, n, band, sig).
+    */
+  def readNearDupSigs(spark: SparkSession, table: String): DataFrame = {
+    val (sigT, _, sigSegs, _) = nearDupBaseState(spark, table)
+    val base = spark.table(sigT).filter(col("kept"))
+      .select("doc_id", "n", "band", "sig")
+    sigSegs.foldLeft(base) { (acc, t) =>
+      acc.unionByName(
+        spark.table(t)
+          .select(col("doc_id"), col("n"), explode(col("sigs")).as("s"))
+          .select(col("doc_id"), col("n"), col("s.band").as("band"), col("s.sig").as("sig")))
+    }
+  }
+
+  /** The live corpus shingle rows — base store plus the live segments'
+    * exploded shingle arrays. (doc_id, shingle).
+    */
+  def readNearDupShingles(spark: SparkSession, table: String): DataFrame = {
+    val (_, shT, _, shSegs) = nearDupBaseState(spark, table)
+    val base = spark.table(shT).select("doc_id", "shingle")
+    shSegs.foldLeft(base) { (acc, t) =>
+      acc.unionByName(
+        spark.table(t).select(col("doc_id"), explode(col("shingles")).as("shingle")))
+    }
+  }
+
+  /** Finish or roll back a [[compactNearDupBase]] swap that crashed —
+    * run by every writer first; idempotent; no-op on a healthy base.
+    * The signature swap leads, so its state decides the direction:
+    * mid-signature-swap rolls BACK (nothing folded yet); any state at
+    * or past a completed signature swap rolls the shingle swap
+    * FORWARD (both merges were fully written before the first rename)
+    * and finishes the cleanup. A manifest with no `__old` anywhere is
+    * a compaction still running its merge writes (or crashed there) —
+    * left alone, exactly as the exact tier leaves its orphaned merge.
+    */
+  private def repairNdCrashState(spark: SparkSession, table: String): Unit = {
+    val sT = table
+    val hT = ndSh(table)
+    val sOld = spark.catalog.tableExists(ndOld(sT))
+    val sBase = spark.catalog.tableExists(sT)
+    val hOld = spark.catalog.tableExists(ndOld(hT))
+    val hBase = spark.catalog.tableExists(hT)
+    if (sOld && !sBase) {
+      // mid-signature-swap: roll everything back; the merges never went live
+      spark.sql(s"ALTER TABLE ${ndOld(sT)} RENAME TO $sT")
+      spark.sql(s"DROP TABLE IF EXISTS ${ndCompact(sT)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${ndCompact(hT)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${ndManifest(table)}")
+    } else if (sOld || hOld) {
+      // signature swap complete (or cleanup already dropped its __old):
+      // drive the shingle swap forward, then finish cleanup in the
+      // compaction's own order — segments, sig __old, sh __old,
+      // manifest — so a crash mid-repair resumes precisely
+      if (sOld && !hOld && hBase)
+        spark.sql(s"ALTER TABLE $hT RENAME TO ${ndOld(hT)}")
+      if (!spark.catalog.tableExists(hT)) {
+        require(
+          spark.catalog.tableExists(ndCompact(hT)),
+          s"near-dup base $table: shingle merge ${ndCompact(hT)} missing mid-swap")
+        spark.sql(s"ALTER TABLE ${ndCompact(hT)} RENAME TO $hT")
+      }
+      ndManifestSegs(spark, table).getOrElse(listNdSegs(spark, table))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql(s"DROP TABLE IF EXISTS ${ndOld(sT)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${ndOld(hT)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${ndManifest(table)}")
+    }
+    ()
+  }
+
+  /** Fold the delta segments into both base tables, recomputing the
+    * cap census over the merged signature set — possible precisely
+    * because the base stores the FULL row set with `kept` as a flag,
+    * never dropping sampled rows. Same manifest/rename discipline as
+    * [[compactDedupBase]], with the two-table choreography documented
+    * on [[repairNdCrashState]].
+    */
+  def compactNearDupBase(
+      spark: SparkSession,
+      table: String,
+      buckets: Int = DefaultBuckets,
+      cap: Int = graft.operators.BandCap.DefaultCap): Unit =
+    compactNearDupBaseHooked(spark, table, buckets, () => (), cap)
+
+  private[graft] def compactNearDupBaseHooked(
+      spark: SparkSession,
+      table: String,
+      buckets: Int,
+      afterSnapshot: () => Unit,
+      cap: Int = graft.operators.BandCap.DefaultCap): Unit = {
+    repairNdCrashState(spark, table)
+    val segs = listNdSegs(spark, table)
+    if (segs.isEmpty) return
+    import spark.implicits._
+    segs.toDF("seg_table").coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(ndManifest(table))
+    afterSnapshot()
+    val sT = table
+    val hT = ndSh(table)
+    // both merges fully written BEFORE the first rename — the repair
+    // invariant that lets the second swap always roll forward
+    val mergedSigs = segs.foldLeft(
+      spark.table(sT).select("doc_id", "n", "band", "sig")) { (acc, t) =>
+      acc.unionByName(
+        spark.table(t)
+          .select(col("doc_id"), col("n"), explode(col("sigs")).as("s"))
+          .select(col("doc_id"), col("n"), col("s.band").as("band"), col("s.sig").as("sig")))
+    }
+    graft.operators.BandCap
+      .flagBuckets(mergedSigs, Seq("band", "sig"), "doc_id", cap)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .saveAsTable(ndCompact(sT))
+    val mergedSh = segs.foldLeft(spark.table(hT).select("doc_id", "shingle")) { (acc, t) =>
+      acc.unionByName(
+        spark.table(t).select(col("doc_id"), explode(col("shingles")).as("shingle")))
+    }
+    mergedSh
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id", "shingle")
+      .saveAsTable(ndCompact(hT))
+    spark.sql(s"ALTER TABLE $sT RENAME TO ${ndOld(sT)}")
+    spark.sql(s"ALTER TABLE ${ndCompact(sT)} RENAME TO $sT")
+    spark.sql(s"ALTER TABLE $hT RENAME TO ${ndOld(hT)}")
+    spark.sql(s"ALTER TABLE ${ndCompact(hT)} RENAME TO $hT")
+    segs.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"DROP TABLE IF EXISTS ${ndOld(sT)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${ndOld(hT)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${ndManifest(table)}")
+    ()
+  }
+
   /** Read the materialization back; `forUrl` prunes to the one bucket
     * partition the url hashes into (partition pruning does the work —
     * check PushedFilters/PartitionFilters in the scan). Without the

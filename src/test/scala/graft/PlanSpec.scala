@@ -36,12 +36,30 @@ class PlanSpec extends AnyFunSuite {
         "mm_audio_near_dup", "streaming_mm_audio_near_dup",
         "mm_video_near_dup", "streaming_mm_video_near_dup",
         "mm_video_near_dup_px",
-        "doc_near_dup_incremental",
+        "doc_near_dup_incremental", "doc_near_dup_incremental_stored",
         "ann_knn_join", "ann_topk_banded")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
     }
+  }
+
+  test("stored near-dup base: bucketed scans, pushed kept filter, corpus side never exchanges") {
+    val p = plan("doc_near_dup_incremental_stored")
+    // both stored tables (signatures + shingles) read through their
+    // bucketing, and the write-time cap verdict prunes AT THE SCAN
+    assert(p.contains("Bucketed: true"),
+      s"stored base must read as bucketed scans:\n${p.take(3000)}")
+    assert(p.contains("EqualTo(kept,true)"),
+      s"the kept flag must push down to the signature scan:\n${p.take(3000)}")
+    // the live delta segment unions in through its array explode
+    assert(p.contains("__delta_"), "the delta segment must join the live set")
+    // (band, sig) exchanges belong to the BATCH side only (its census +
+    // candidate distinct); the corpus side consumes its bucketing —
+    // re-minhashing or re-shuffling the corpus would add more
+    val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(p).size
+    assert(bandExchanges <= 2,
+      s"corpus side must not exchange on (band, sig) (<=2 batch-side, found $bandExchanges):\n${p.take(4000)}")
   }
 
   test("band cap: ONE data-independent plan — sampling join present, equi only, no driver action") {
