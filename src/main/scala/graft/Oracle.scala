@@ -2076,11 +2076,16 @@ object Oracle {
   }
 
   /** The WARC reader's URI-keyed doc id, replayed over the fixture's
-    * URL formula — twin of [[graft.sources.Warc.uriDocId]] (first 60
-    * bits of md5(Target-URI)).
+    * URL formula — twin of [[graft.sources.Warc.uriDocId]]: the first
+    * 64 bits of md5(Target-URI) sign-masked to 63, assembled as
+    * (hex[1] & 7) · 2^60 + hex[2..16] so DuckDB's checked BIGINT
+    * arithmetic never sees the sign bit.
     */
-  private def warcIdSql(docIdCol: String): String =
-    s"CAST(('0x' || substr(md5('https://example.org/doc/' || CAST($docIdCol AS VARCHAR)), 1, 15)) AS BIGINT)"
+  private def warcIdSql(docIdCol: String): String = {
+    val u = s"'https://example.org/doc/' || CAST($docIdCol AS VARCHAR)"
+    s"((CAST(('0x' || substr(md5($u), 1, 1)) AS BIGINT) % 8) * 1152921504606846976 + " +
+      s"CAST(('0x' || substr(md5($u), 2, 15)) AS BIGINT))"
+  }
 
   private lazy val warcExtractSql: String = {
     val len200 = graft.sources.Warc.httpHead(200).getBytes("UTF-8").length

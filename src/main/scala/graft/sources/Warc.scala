@@ -39,19 +39,26 @@ object Warc {
 
   private val Crlf = "\r\n"
 
-  /** Document id of a record: the first 60 bits (15 hex chars) of
-    * md5(WARC-Target-URI), as a non-negative Long. Real archives key
-    * records by URI, not by any numeric id a fixture happens to carry
-    * — this is what lets the reader ingest FOREIGN archives, and 60
-    * bits keeps the birthday bound far beyond any corpus (a 32-bit id
-    * would collide by ~65k documents). md5-derived so the DuckDB twin
-    * replays the identical ids: `CAST(('0x' || substr(md5(uri), 1,
-    * 15)) AS BIGINT)`.
+  /** Document id of a record: the first 64 bits of
+    * md5(WARC-Target-URI) with the sign bit masked — a non-negative
+    * 63-bit Long. Real archives key records by URI, not by any numeric
+    * id a fixture happens to carry — this is what lets the reader
+    * ingest FOREIGN archives. Collision budget, quantified: with 63
+    * bits the birthday bound expects ~0.005 colliding pairs at 10^9
+    * distinct URIs and ~0.5 at 10^10 — order one collision across a
+    * full 100 TB archive (the earlier 60-bit id expected ~20 there,
+    * each silently merging two documents). COLLISION POLICY: ids are
+    * content-addressed per URI, so a collision makes two URIs share a
+    * doc_id — the scan itself never drops records (every response row
+    * is emitted; same-URI recaptures share an id by design), and a
+    * downstream exact-dedup would keep one survivor per id. md5-derived
+    * so the DuckDB twin replays the identical ids from the same split:
+    * 3 high bits of hex char 1, then hex chars 2..16.
     */
   private[graft] def uriDocId(uri: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(uri.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16) & Long.MaxValue
   }
 
   private[graft] def urlOf(docId: Long): String = s"https://example.org/doc/$docId"
@@ -162,23 +169,53 @@ object Warc {
     bos.toByteArray
   }
 
-  /** Decompress a multi-member gzip stream, halting at the first
-    * mangled member: bytes decompressed so far are kept (the records
-    * before the corruption are data), the rest of THAT FILE is
-    * abandoned — never the job. `GZIPInputStream` walks concatenated
-    * members natively; a corrupt member surfaces as an IOException
-    * mid-read, and trailing garbage after a valid member reads as
-    * EOF — both are the same halt-the-file verdict.
+  /** Inflation budget for a `.warc.gz` file, as a multiple of its
+    * compressed size: honest web-archive members (HTML/text around
+    * HTTP envelopes) inflate ~5-20×, so 64× flags only a crafted
+    * bomb while leaving a 3× margin over anything legitimate. The
+    * reader accepts FOREIGN archives, which makes unbounded inflation
+    * new attack surface — gzip reaches ~1000:1, so a few-MB file
+    * could otherwise expand to gigabytes inside one executor task.
     */
-  private[graft] def gunzipMembers(p: Array[Byte]): Array[Byte] = {
+  val MaxInflateRatio = 64L
+
+  /** Floor on the budget so a legitimately tiny compressed file (a
+    * few hundred bytes of headers compressing a sparse page) still
+    * inflates without tripping the ratio.
+    */
+  val MinInflateBudget: Long = 1L << 20
+
+  /** Decompress a multi-member gzip stream, halting at the first
+    * mangled member OR at the inflation budget: bytes decompressed so
+    * far are kept (the records before the fault are data), the rest
+    * of THAT FILE is abandoned — never the job. `GZIPInputStream`
+    * walks concatenated members natively; a corrupt member surfaces
+    * as an IOException mid-read, trailing garbage after a valid
+    * member reads as EOF, and a decompression bomb crosses the budget
+    * — all three are the same halt-the-file verdict (the record scan
+    * parses complete records up to the cut and stops at the truncated
+    * tail).
+    */
+  private[graft] def gunzipMembers(
+      p: Array[Byte], maxRatio: Long = MaxInflateRatio): Array[Byte] = {
+    val budget = math.max(p.length.toLong * maxRatio, MinInflateBudget)
     val out = new java.io.ByteArrayOutputStream()
     try {
       val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(p))
       val buf = new Array[Byte](65536)
       var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        n = in.read(buf)
+      var halted = false
+      while (n >= 0 && !halted) {
+        val room = budget - out.size()
+        if (n >= room) {
+          // budget crossed mid-buffer: keep exactly the budgeted
+          // prefix and abandon the rest of the file
+          out.write(buf, 0, math.max(0L, math.min(n.toLong, room)).toInt)
+          halted = true
+        } else {
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
       }
     } catch { case _: java.io.IOException => () }
     out.toByteArray

@@ -1015,6 +1015,77 @@ class CorpusSpec extends AnyFunSuite {
     assert(outGz.length == 1 && outGz(0).doc_id == W.uriDocId(uri))
   }
 
+  test("WARC uriDocId: full 63 bits, sign-safe, collision policy = shared id, never a drop") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val W = graft.sources.Warc
+    // the id IS the first 64 md5 bits sign-masked — pin against an
+    // independent assembly from the hex split the oracle twin uses:
+    // (hex[1] & 7) << 60 | hex[2..16]
+    for (uri <- Seq(
+        "https://example.org/doc/1", "http://a.example/x",
+        "https://news.example.net/2024/story?id=9#frag")) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(uri.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expect = (java.lang.Long.parseLong(hex.substring(0, 1), 16) & 7L) *
+        1152921504606846976L + java.lang.Long.parseLong(hex.substring(1, 16), 16)
+      assert(W.uriDocId(uri) == expect, s"id split mismatch for $uri")
+      assert(W.uriDocId(uri) >= 0L)
+    }
+    // some URI must exercise the high bits the 60-bit id never set
+    assert(Seq("https://example.org/doc/1", "http://a.example/x",
+      "https://news.example.net/2024/story?id=9#frag",
+      "https://example.org/doc/2", "https://example.org/doc/3")
+      .exists(u => W.uriDocId(u) >= (1L << 60)),
+      "63-bit ids must populate above the old 60-bit ceiling")
+    // collision policy: two records whose URIs hash to the same id (a
+    // recapture IS that case) both emit — the scan never drops; dedup
+    // downstream decides the survivor
+    val html1 = "<html><body>first capture</body></html>"
+    val html2 = "<html><body>second capture</body></html>"
+    val uri = "https://example.org/recaptured"
+    def rec(html: String, date: String) = {
+      val block = (W.httpHead(200) + html).getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: $date\r\nContent-Length: ${block.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val payload = rec(html1, "2024-03-01T00:00:00Z") ++ rec(html2, "2024-03-02T00:00:00Z")
+    val out = W.parseWarcRecords(Seq((400L, payload)).toDF("file_id", "payload"))
+      .collect().sortBy(_.warc_date)
+    assert(out.length == 2, "colliding ids must both emit")
+    assert(out(0).doc_id == out(1).doc_id && out(0).doc_id == W.uriDocId(uri))
+    assert(out(0).html == html1 && out(1).html == html2)
+  }
+
+  test("WARC gz: a decompression bomb halts at the inflation budget; prior records survive") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val W = graft.sources.Warc
+    val good = W.warcResponse(5L, "<html><body>ok</body></html>")
+    // a crafted member: 4 MB of zeros compresses ~4000:1 — at the test
+    // ratio of 4 its budget is crossed mid-member
+    val bombBody = new Array[Byte](4 << 20)
+    val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: https://bomb.example/x\r\n" +
+      s"Content-Length: ${bombBody.length}\r\n\r\n").getBytes("UTF-8")
+    val bombRec = head ++ bombBody ++ "\r\n\r\n".getBytes("UTF-8")
+    val gz = W.gzipMember(good) ++ W.gzipMember(bombRec)
+    assert(gz.length < (64 << 10), s"fixture must be small on disk: ${gz.length}")
+    // ratio 4: budget = 4 * compressed ≈ tens of KB — the good record
+    // inflates fully, the bomb truncates, the scan halts at the cut
+    val inflated = W.gunzipMembers(gz, maxRatio = 4L)
+    assert(inflated.length <= math.max(4L * gz.length, 1L << 20),
+      s"inflation must stop at the budget: ${inflated.length}")
+    val docs = W.scanFile(inflated).toSeq
+    assert(docs.map(_.doc_id) == Seq(W.uriDocId(W.urlOf(5L))),
+      "records before the bomb must survive; the bomb must not")
+    // the production default budget leaves honest archives untouched:
+    // the same good-members file round-trips identically
+    val honest = W.gzipMember(good)
+    assert(W.gunzipMembers(honest).toSeq == good.toSeq)
+  }
+
   test("retrain loop: health flags, retrainQualityModel swaps atomically, health recovers") {
     val spark = TestSpark.spark
     import spark.implicits._
