@@ -2104,6 +2104,61 @@ object Oracle {
        |FROM ex e ORDER BY 1""".stripMargin
   }
 
+  /** Twin of the CDX↔WARC join: the fixture's CDX index replayed as
+    * pure string-length arithmetic — record length = fixed envelope +
+    * the id's digits (twice: record-id and URI) + the Content-Length
+    * value's digits + the block itself; offset = the file's warcinfo
+    * head + the running sum of earlier records (files group
+    * [[graft.sources.Warc.DocsPerFile]] docs, id-ordered). The fixed
+    * envelope constants are MEASURED from the real writers at
+    * twin-build time, not hand-counted. Hash equality on the offset
+    * column proves the engine's synthesized index points at true byte
+    * positions and the ranged read fetched exactly the selected
+    * records. `withOffset=false` is the `.warc.gz` face: member
+    * offsets depend on gzip's output bytes (not SQL-computable), so
+    * that row shares this twin minus the offset column.
+    */
+  private def cdxWarcJoinSql(withOffset: Boolean): String = {
+    val len200 = graft.sources.Warc.httpHead(200).getBytes("UTF-8").length
+    val len404 = graft.sources.Warc.httpHead(404).getBytes("UTF-8").length
+    // measured envelope constants (id 1: one digit, status 200)
+    val cInfo = graft.sources.Warc.warcinfo(0L).length - 1
+    val cResp = graft.sources.Warc.warcResponse(1L, "").length -
+      2 * 1 - len200.toString.length - len200
+    val offsetCol = if (withOffset) "\n  o.off AS offset," else ""
+    s"""WITH $htmlPageCtes,
+       |cw_base AS (
+       |  SELECT e.doc_id, e.html, e.text,
+       |    e.doc_id // ${graft.sources.Warc.DocsPerFile} AS f,
+       |    CASE WHEN e.doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+       |    CAST(CASE WHEN e.doc_id % 17 = 0 THEN $len404 ELSE $len200 END
+       |      + strlen(e.html) AS BIGINT) AS block_len
+       |  FROM ex e),
+       |cw_lens AS (
+       |  SELECT *, CAST($cResp + 2 * strlen(CAST(doc_id AS VARCHAR))
+       |    + strlen(CAST(block_len AS VARCHAR)) + block_len AS BIGINT) AS rec_len
+       |  FROM cw_base),
+       |cw_offs AS (
+       |  SELECT *, CAST($cInfo + strlen(CAST(f AS VARCHAR))
+       |    + COALESCE(sum(rec_len) OVER (PARTITION BY f ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM cw_lens)
+       |SELECT ${warcIdSql("o.doc_id")} AS doc_id,
+       |  'https://example.org/doc/' || CAST(o.doc_id AS VARCHAR) AS url,
+       |  '2024-01-' || lpad(CAST(o.doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       |    || 'T00:00:00Z' AS warc_date,
+       |  CAST(o.status AS INTEGER) AS status,$offsetCol
+       |  o.block_len AS n_block_bytes,
+       |  o.text,
+       |  CAST(length(o.html) AS INTEGER) AS n_chars_raw,
+       |  CAST(length(o.text) AS INTEGER) AS n_chars_text
+       |FROM cw_offs o
+       |WHERE o.status = 200
+       |  AND CAST(('0x' || substr(md5('cdx' || 'https://example.org/doc/'
+       |    || CAST(o.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 = 0
+       |ORDER BY 1""".stripMargin
+  }
+
   private def htmlDocPipelineSqlOver(htmlDocsCte: String): String = {
     val body = allBase("doc_pipeline")
     require(body.startsWith("WITH RECURSIVE "), "doc_pipeline twin shape changed")
@@ -3233,6 +3288,9 @@ object Oracle {
     // chain — no container bytes anywhere; the Spark side had to
     // byte-scan real records to produce the same rows
     "warc_extract" -> warcExtractSql,
+
+    "cdx_warc_join" -> cdxWarcJoinSql(withOffset = true),
+    "cdx_warc_join_gz" -> cdxWarcJoinSql(withOffset = false),
     // per-record gzip members are a lossless container change, so the
     // gz row shares the plain row's twin verbatim — equality proves
     // the member walk inflates to the identical record stream

@@ -1199,6 +1199,46 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The CDX↔WARC join — the complete archive data model in one
+    * pipeline: the synthesized CDX index (REAL byte offsets measured
+    * as the files were assembled — `Warc.withWarcPayloadIndexed`)
+    * filtered to a deterministic capture selection (status 200 + an
+    * md5 coin on the url), then EXACTLY those (filename, offset,
+    * length) records fetched through [[graft.sources.Warc
+    * .readRecordsAt]]'s ranged read. Output carries the offset, so
+    * hash equality against the twin's pure string-length replay of
+    * the layout arithmetic proves the synthesized index points at the
+    * true byte positions AND the ranged read fetches the right
+    * records.
+    */
+  private def cdxWarcFetch(s: SparkSession, dir: String, gz: Boolean): DataFrame = {
+    val fx = graft.operators.CacheScope.persist(
+      graft.sources.Warc.withWarcPayloadIndexed(TextStats.wrapHtml(docs(s, dir)), gz))
+    val selected = fx
+      .select(explode(col("locators")).as("l")).select("l.*")
+      .filter(col("status") === 200 &&
+        expr("CAST(conv(substr(md5(concat('cdx', url)), 1, 8), 16, 10) AS BIGINT) % 3 = 0"))
+    val fetched = graft.operators.CacheScope.persist(
+      graft.sources.Warc.readRecordsAt(
+        fx.select("filename", "payload"), selected).toDF())
+    fetched.select("doc_id", "url", "warc_date", "status", "offset", "n_block_bytes")
+      .join(TextStats.extractText(fetched, htmlCol = "html"), "doc_id")
+  }
+
+  def cdxWarcJoin(s: SparkSession, dir: String): DataFrame =
+    cdxWarcFetch(s, dir, gz = false).orderBy("doc_id")
+
+  /** The `.warc.gz` face: offsets address each record's own
+    * COMPRESSED gzip member (the real archive convention), so the
+    * fetch inflates exactly one member per selected capture. Member
+    * offsets are gzip-output-dependent — not SQL-computable — so this
+    * row drops the offset column and shares the plain row's record
+    * twin: hash equality proves the member-ranged fetch returns the
+    * identical records.
+    */
+  def cdxWarcJoinGz(s: SparkSession, dir: String): DataFrame =
+    cdxWarcFetch(s, dir, gz = true).drop("offset").orderBy("doc_id")
+
   /** Incremental batch-vs-base exact dedup verdict. */
   def docDedupIncremental(s: SparkSession, dir: String): DataFrame =
     Dedup.incrementalDedup(docs(s, dir)).orderBy("doc_id")
@@ -2363,6 +2403,8 @@ object Queries {
     "doc_extract_html" -> (docExtractHtml _),
     "warc_extract" -> (warcExtract _),
     "warc_pipeline" -> (warcPipeline _),
+    "cdx_warc_join" -> (cdxWarcJoin _),
+    "cdx_warc_join_gz" -> (cdxWarcJoinGz _),
     "streaming_warc_extract" -> (streamingWarcExtract _),
     "doc_pipeline_html" -> (docPipelineHtml _),
     "doc_pii_scrub" -> (docPiiScrub _),

@@ -224,6 +224,86 @@ object Warc {
   private val GzipMagic0 = 0x1f.toByte
   private val GzipMagic1 = 0x8b.toByte
 
+  /** Parse ONE record starting at byte `i` of a plain WARC stream:
+    * (the response doc if the record is an intact response, the
+    * position after the record's separator, whether the walk may
+    * continue). The single byte-walk implementation — the whole-file
+    * scan ([[scanFile]]) and the index-driven range fetch
+    * ([[recordAt]]) both ride it, so their parse semantics can never
+    * drift.
+    */
+  private def parseRecordAt(p: Array[Byte], i: Long): (Option[WarcDoc], Long, Boolean) = {
+    def lineAt(pos: Long): Option[(String, Long)] = {
+      var j = pos
+      while (j + 1 < p.length && !(p(j.toInt) == '\r' && p(j.toInt + 1) == '\n')) j += 1
+      if (j + 1 >= p.length) None
+      else Some((new String(p, pos.toInt, (j - pos).toInt, "UTF-8"), j + 2))
+    }
+    lineAt(i) match {
+      case Some((version, afterVersion)) if version.startsWith("WARC/") =>
+        var j = afterVersion
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var headersDone = false
+        var bad = false
+        while (!headersDone && !bad) {
+          lineAt(j) match {
+            case Some(("", next)) => headersDone = true; j = next
+            case Some((line, next)) =>
+              val c = line.indexOf(':')
+              if (c > 0)
+                headers(line.substring(0, c).trim.toLowerCase) =
+                  line.substring(c + 1).trim
+              // a header line without a colon is malformed but
+              // skippable — real archives carry oddities
+              j = next
+            case None => bad = true
+          }
+        }
+        val clen = headers.get("content-length").flatMap(_.toLongOption)
+        if (bad || clen.isEmpty || clen.get < 0 || j + clen.get > p.length)
+          (None, i, false)
+        else {
+          val blockStart = j
+          val len = clen.get
+          val doc: Option[WarcDoc] =
+            if (!headers.get("warc-type").contains("response")) None
+            else {
+              val block = new String(p, blockStart.toInt, len.toInt, "UTF-8")
+              val sep = block.indexOf("\r\n\r\n")
+              val statusLine = block.takeWhile(_ != '\r')
+              val parts = statusLine.split(" ", 3)
+              val status = if (parts.length >= 2) parts(1).toIntOption else None
+              // ANY Target-URI keys a record — a real archive's URIs
+              // carry no fixture prefix; the id is the URI's md5 63-bit
+              val docId = headers.get("warc-target-uri").map(uriDocId)
+              (docId, status) match {
+                case (Some(id), Some(st)) if sep >= 0 =>
+                  Some(WarcDoc(
+                    id,
+                    headers.getOrElse("warc-target-uri", ""),
+                    headers.getOrElse("warc-date", ""),
+                    st,
+                    len,
+                    block.substring(sep + 4)))
+                case _ => None // undecodable response block: dropped data
+              }
+            }
+          // advance past the block and the two-CRLF record separator;
+          // a clean EOF directly after the block is a complete record,
+          // trailing junk without a separator halts the walk
+          var next = blockStart + len
+          var ok = true
+          if (next + 4 <= p.length &&
+              p(next.toInt) == '\r' && p(next.toInt + 1) == '\n' &&
+              p(next.toInt + 2) == '\r' && p(next.toInt + 3) == '\n') next += 4
+          else if (next < p.length) ok = false // malformed tail: stop the file
+          if (next <= i) ok = false
+          (doc, next, ok)
+        }
+      case _ => (None, i, false)
+    }
+  }
+
   private[graft] def scanFile(raw: Array[Byte]): Iterator[WarcDoc] = {
     // .warc.gz sniff: per-record gzip members inflate to the plain
     // multi-record byte stream the scan below walks
@@ -234,71 +314,142 @@ object Warc {
     val acc = scala.collection.mutable.ArrayBuffer.empty[WarcDoc]
     var i = 0L
     var halted = false
-    def lineAt(pos: Long): Option[(String, Long)] = {
-      var j = pos
-      while (j + 1 < p.length && !(p(j.toInt) == '\r' && p(j.toInt + 1) == '\n')) j += 1
-      if (j + 1 >= p.length) None
-      else Some((new String(p, pos.toInt, (j - pos).toInt, "UTF-8"), j + 2))
-    }
     while (!halted && i < p.length) {
-      lineAt(i) match {
-        case Some((version, afterVersion)) if version.startsWith("WARC/") =>
-          var j = afterVersion
-          val headers = scala.collection.mutable.Map.empty[String, String]
-          var headersDone = false
-          var bad = false
-          while (!headersDone && !bad) {
-            lineAt(j) match {
-              case Some(("", next)) => headersDone = true; j = next
-              case Some((line, next)) =>
-                val c = line.indexOf(':')
-                if (c > 0)
-                  headers(line.substring(0, c).trim.toLowerCase) =
-                    line.substring(c + 1).trim
-                // a header line without a colon is malformed but
-                // skippable — real archives carry oddities
-                j = next
-              case None => bad = true
-            }
-          }
-          val clen = headers.get("content-length").flatMap(_.toLongOption)
-          if (bad || clen.isEmpty || clen.get < 0 || j + clen.get > p.length) halted = true
-          else {
-            val blockStart = j
-            val len = clen.get
-            if (headers.get("warc-type").contains("response")) {
-              val block = new String(p, blockStart.toInt, len.toInt, "UTF-8")
-              val sep = block.indexOf("\r\n\r\n")
-              val statusLine = block.takeWhile(_ != '\r')
-              val parts = statusLine.split(" ", 3)
-              val status = if (parts.length >= 2) parts(1).toIntOption else None
-              // ANY Target-URI keys a record — a real archive's URIs
-              // carry no fixture prefix; the id is the URI's md5-60bit
-              val docId = headers.get("warc-target-uri").map(uriDocId)
-              (docId, status) match {
-                case (Some(id), Some(st)) if sep >= 0 =>
-                  acc += WarcDoc(
-                    id,
-                    headers.getOrElse("warc-target-uri", ""),
-                    headers.getOrElse("warc-date", ""),
-                    st,
-                    len,
-                    block.substring(sep + 4))
-                case _ => () // undecodable response block: dropped data
-              }
-            }
-            // advance past the block and the two-CRLF record separator
-            var next = blockStart + len
-            if (next + 4 <= p.length &&
-                p(next.toInt) == '\r' && p(next.toInt + 1) == '\n' &&
-                p(next.toInt + 2) == '\r' && p(next.toInt + 3) == '\n') next += 4
-            else if (next < p.length) halted = true // malformed tail: stop the file
-            if (next <= i) halted = true
-            i = next
-          }
-        case _ => halted = true
-      }
+      val (doc, next, ok) = parseRecordAt(p, i)
+      doc.foreach(acc += _)
+      if (!ok) halted = true else i = next
     }
     acc.iterator
+  }
+
+  // --------------------------- CDX-indexed layout + ranged record fetch
+
+  /** One CDX-style archive locator row: where a capture lives —
+    * (filename, offset, length) point into the archive exactly as the
+    * public CDX index format's `g`/`V`/`S` fields do — plus the
+    * capture metadata a CDX line carries (url, timestamp, mime,
+    * status, digest). For `.warc.gz` files the offset/length address
+    * the record's own COMPRESSED gzip member, the real archives'
+    * convention (per-record members exist precisely so an index can
+    * point a reader at one record without inflating the file).
+    */
+  case class WarcLoc(
+      filename: String,
+      offset: Long,
+      length: Long,
+      url: String,
+      ts: String,
+      mime: String,
+      status: Int,
+      digest: String)
+
+  private[graft] def filenameOf(fileId: Long, gz: Boolean): String =
+    s"graft-$fileId.warc" + (if (gz) ".gz" else "")
+
+  /** [[withWarcPayload]] with its CDX index synthesized DURING
+    * assembly: one row per file carrying the payload AND the
+    * per-record locator array with REAL byte offsets (measured as the
+    * bytes are laid down, not recomputed after the fact). This is the
+    * missing half of the archive data model: the CDX index locates
+    * captures, the WARC file holds them, and
+    * [[readRecordsAt]] joins the two — select captures in the index,
+    * read exactly those records.
+    */
+  def withWarcPayloadIndexed(pages: DataFrame, gz: Boolean = false): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id"), col("html"))
+      .withColumn("file_id", expr(s"doc_id div $DocsPerFile"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._3)
+      .mapGroups { (fileId, rows) =>
+        val docs = rows.toArray.sortBy(_._1)
+        val fname = filenameOf(fileId, gz)
+        val buf = new java.io.ByteArrayOutputStream()
+        buf.write(if (gz) gzipMember(warcinfo(fileId)) else warcinfo(fileId))
+        val locs = scala.collection.mutable.ArrayBuffer.empty[WarcLoc]
+        docs.foreach { case (id, html, _) =>
+          val rec = warcResponse(id, html)
+          val bytes = if (gz) gzipMember(rec) else rec
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val digest = md.digest(html.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 8)
+          locs += WarcLoc(
+            fname, buf.size().toLong, bytes.length.toLong,
+            urlOf(id), dateOf(id), "text/html", statusOf(id), digest)
+          buf.write(bytes)
+        }
+        (fname, buf.toByteArray, locs.toSeq)
+      }
+      .toDF("filename", "payload", "locators")
+  }
+
+  /** One fetched record with its provenance — what the index-driven
+    * read returns per locator.
+    */
+  case class WarcFetched(
+      filename: String,
+      offset: Long,
+      doc_id: Long,
+      url: String,
+      warc_date: String,
+      status: Int,
+      n_block_bytes: Long,
+      html: String)
+
+  /** (offset, length) pair of one selected locator — public because
+    * the codegen'd deserializer for the join row must construct it.
+    */
+  case class LocSlice(offset: Long, length: Long)
+
+  /** Parse the single record at `[offset, offset+length)` of an
+    * archive file — the CDX-pointer read: slice the range, inflate it
+    * if it is a gzip member, parse exactly one record. A locator into
+    * a corrupt or mismatched range yields None (dropped data, never a
+    * job failure) — and because the read never walks the rest of the
+    * file, a corrupt EARLIER record cannot shadow an intact one the
+    * index points at (the whole-file scan necessarily halts there).
+    */
+  private[graft] def recordAt(p: Array[Byte], offset: Long, length: Long): Option[WarcDoc] = {
+    if (offset < 0 || length <= 0 || offset + length > p.length) None
+    else {
+      val slice = java.util.Arrays.copyOfRange(p, offset.toInt, (offset + length).toInt)
+      val body =
+        if (slice.length >= 2 && slice(0) == GzipMagic0 && slice(1) == GzipMagic1)
+          gunzipMembers(slice)
+        else slice
+      parseRecordAt(body, 0L)._1
+    }
+  }
+
+  /** The index-driven pruned read: `locs` is the SELECTED subset of a
+    * CDX index (filename, offset, length — whatever else rides along
+    * is ignored), `files` the archive. Only files named by a selected
+    * locator are parsed at all — the inner join drops the rest before
+    * any byte is touched — and within a file only the addressed
+    * ranges are parsed, never the full record walk. Scale shape: the
+    * selected locator set grouped per file is index-sized (broadcast
+    * under AQE); parallelism stays one-file-one-task, exactly the
+    * [[parseWarcRecords]] model, with per-task work proportional to
+    * the SELECTED records, not the archive.
+    */
+  def readRecordsAt(files: DataFrame, locs: DataFrame): Dataset[WarcFetched] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val sel = locs
+      .select(col("filename"), col("offset"), col("length"))
+      .groupBy("filename")
+      .agg(expr("array_sort(collect_list(struct(offset, length)))").as("locs"))
+    files.select(col("filename"), col("payload"))
+      .join(sel, Seq("filename"))
+      .as[(String, Array[Byte], Seq[LocSlice])]
+      .flatMap { case (fname, payload, ls) =>
+        ls.flatMap { l =>
+          recordAt(payload, l.offset, l.length).map(d =>
+            WarcFetched(
+              fname, l.offset, d.doc_id, d.url, d.warc_date, d.status,
+              d.n_block_bytes, d.html))
+        }
+      }
   }
 }

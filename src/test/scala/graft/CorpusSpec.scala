@@ -1086,6 +1086,68 @@ class CorpusSpec extends AnyFunSuite {
     assert(W.gunzipMembers(honest).toSeq == good.toSeq)
   }
 
+  test("CDX-indexed WARC: ranged reads fetch exactly the addressed records; unselected files never parse") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val W = graft.sources.Warc
+    val docs = docsDf(Seq(
+      (1L, "plain words here", "en", "web"),
+      (2L, "second page body", "en", "web"),
+      (17L, "a four-oh-four page", "en", "web"),
+      (23L, "unicode page é中 body", "en", "web")))
+    val pages = graft.operators.TextStats.wrapHtml(docs)
+    for (gz <- Seq(false, true)) {
+      val fx = W.withWarcPayloadIndexed(pages, gz)
+      val locs = fx.select(org.apache.spark.sql.functions.explode(col("locators")).as("l"))
+        .select("l.*")
+      // every locator range fetches exactly its record — the full index
+      // through the ranged read equals the whole-file scan
+      val viaIndex = W.readRecordsAt(fx.select("filename", "payload"), locs)
+        .collect().map(f => (f.doc_id, f.url, f.status, f.n_block_bytes, f.html)).toSet
+      val viaScan = W.parseWarcRecords(
+        fx.select(org.apache.spark.sql.functions.lit(0L).as("file_id"), col("payload")))
+        .collect().map(d => (d.doc_id, d.url, d.status, d.n_block_bytes, d.html)).toSet
+      assert(viaIndex == viaScan, s"gz=$gz: ranged reads must equal the full scan")
+      // the index carries real CDX metadata
+      val meta = locs.collect()
+      assert(meta.forall(_.getAs[String]("mime") == "text/html"))
+      assert(meta.map(_.getAs[Int]("status")).toSet == Set(200, 404))
+      // PRUNING: select only doc 1's locator — doc 2 lives in the SAME
+      // file (same range discipline), docs 17/23 in other files; a
+      // selected set naming one file must parse nothing from the others
+      val one = locs.filter(col("url") === W.urlOf(1L))
+      val got = W.readRecordsAt(fx.select("filename", "payload"), one).collect()
+      assert(got.map(_.doc_id).toSeq == Seq(W.uriDocId(W.urlOf(1L))),
+        s"gz=$gz: only the addressed record may return")
+    }
+  }
+
+  test("CDX offset jump reads an intact record a corrupt earlier record shadows from the walk") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val W = graft.sources.Warc
+    val good5 = W.warcResponse(5L, "<html><body>five</body></html>")
+    val corrupt = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999999\r\n\r\n" +
+      "short").getBytes("UTF-8")
+    val good6 = W.warcResponse(6L, "<html><body>six</body></html>")
+    val payload = good5 ++ corrupt ++ good6
+    val off6 = (good5.length + corrupt.length).toLong
+    // the whole-file walk halts at the corrupt record — doc 6 is
+    // unreachable without the index
+    val walked = W.scanFile(payload).map(_.doc_id).toSeq
+    assert(walked == Seq(W.uriDocId(W.urlOf(5L))), s"fixture: walk must halt: $walked")
+    // the CDX pointer jumps straight to doc 6's bytes
+    val files = Seq(("f.warc", payload)).toDF("filename", "payload")
+    val locs = Seq(("f.warc", off6, good6.length.toLong)).toDF("filename", "offset", "length")
+    val fetched = W.readRecordsAt(files, locs).collect()
+    assert(fetched.map(_.doc_id).toSeq == Seq(W.uriDocId(W.urlOf(6L))),
+      "the ranged read must fetch the record the walk cannot reach")
+    assert(fetched.head.html == "<html><body>six</body></html>")
+    // a locator into garbage yields nothing — dropped data, no throw
+    val badLoc = Seq(("f.warc", off6 + 7L, 25L)).toDF("filename", "offset", "length")
+    assert(W.readRecordsAt(files, badLoc).collect().isEmpty)
+  }
+
   test("retrain loop: health flags, retrainQualityModel swaps atomically, health recovers") {
     val spark = TestSpark.spark
     import spark.implicits._
