@@ -3671,6 +3671,28 @@ object Oracle {
     // verdict, nested as a self-contained subquery (the tokenizer-card
     // discipline) — the share denominator is a window over the ~11
     // grouped rows
+    // Twin of the funnel export's proof read: the v4 verdict's keep
+    // rows pushed through the deterministic shard coin and the shard
+    // rollup — what the files written under path/data/shard=N/ must
+    // aggregate back to.
+    "doc_pipeline_export" ->
+      s"""WITH v4k AS (
+         |  SELECT CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % ${graft.operators.Corpus.ExportShards} AS shard,
+         |    doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+         |  FROM ($docPipelineFullV4Sql) WHERE keep
+         |),
+         |s AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |  FROM v4k GROUP BY shard
+         |),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM s)
+         |SELECT shard, n_docs, n_tokens, min_doc_id, max_doc_id,
+         |  round(CAST(n_tokens AS DOUBLE) / t_total, 6) AS token_share
+         |FROM s, tot ORDER BY shard""".stripMargin,
+
     "doc_pipeline_reasons" ->
       s"""SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
          |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share

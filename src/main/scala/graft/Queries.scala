@@ -1046,6 +1046,33 @@ object Queries {
       .orderBy("reason")
   }
 
+  /** The funnel's RELEASE artifact, proof-read from disk: the v4 keep
+    * verdict applied and written as sharded parquet + manifest + card
+    * ([[graft.operators.Corpus.pipelineExport]]) ONCE per (session,
+    * dir), then the registered row recomputes the shard manifest FROM
+    * THE WRITTEN FILES — hash equality against the twin's
+    * keep-filtered shard rollup proves the artifact on disk holds
+    * exactly the kept documents in exactly the deterministic coin's
+    * shards (verdict → release, closed end-to-end).
+    */
+  private val exportCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  def docPipelineExport(s: SparkSession, dir: String): DataFrame = {
+    val path = exportCache.synchronized {
+      val perSession = exportCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, String])
+      perSession.getOrElseUpdate(
+        dir, {
+          val p = java.nio.file.Files.createTempDirectory("graft_export_").toString
+          val (bi, uni, v) = lmStoredModel(s, dir)
+          Corpus.pipelineExport(docs(s, dir), embs(s, dir), bi, uni, v, p)
+          p
+        })
+    }
+    Corpus.exportManifestFromFiles(s, path).orderBy("shard")
+  }
+
   /** Corpus-level boilerplate removal (segment-df scrub) with audit. */
   def docBoilerplate(s: SparkSession, dir: String): DataFrame =
     Corpus.stripBoilerplate(docs(s, dir)).orderBy("doc_id")
@@ -2390,6 +2417,7 @@ object Queries {
     "streaming_source_gate" -> (streamingSourceGate _),
     "doc_pipeline_full_v3" -> (docPipelineFullV3 _),
     "doc_pipeline_full_v4" -> (docPipelineFullV4 _),
+    "doc_pipeline_export" -> (docPipelineExport _),
     "doc_pipeline_reasons" -> (docPipelineReasons _),
     "doc_shard_manifest" -> (docShardManifest _),
     "corpus_diff" -> (corpusDiff _),

@@ -858,15 +858,23 @@ object Corpus {
     * run discovers it. One shuffle keyed by shard with map-side
     * combine; the share denominator is a broadcast one-row total.
     */
-  def shardManifest(docs: DataFrame): DataFrame = {
-    // the rollup is ExportShards rows; persisting it makes the share
-    // denominator a reuse of the SAME aggregation instead of a second
-    // full corpus scan (PlanSpec pins the single hash shuffle)
-    val perShard = CacheScope.persist(docs.select(
-      expr(s"CAST(conv(substr(md5(concat('shard', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % $ExportShards")
-        .as("shard"),
-      col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+  /** The deterministic shard coin — a pure function of doc_id, so a
+    * re-export reproduces the same sharding bit-for-bit (rand() would
+    * reshuffle under retry). Shared by [[shardManifest]] and
+    * [[pipelineExport]] so a manifest can never disagree with the
+    * files a trainer actually loads.
+    */
+  private def shardCoin: org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substr(md5(concat('shard', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % $ExportShards")
+
+  /** Per-shard rollup over (shard, doc_id, n_tokens) rows: doc/token
+    * volume, id range, and each shard's token share. One shuffle
+    * keyed by shard with map-side combine; the persisted ~8-row
+    * rollup feeds its own share denominator (PlanSpec pins the single
+    * hash shuffle).
+    */
+  private def shardRollup(rows: DataFrame): DataFrame = {
+    val perShard = CacheScope.persist(rows
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -883,6 +891,66 @@ object Corpus {
         col("max_doc_id"),
         round(col("n_tokens").cast("double") / col("t_total"), 6).as("token_share"))
   }
+
+  def shardManifest(docs: DataFrame): DataFrame =
+    shardRollup(docs.select(
+      shardCoin.as("shard"),
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
+  /** The curation funnel's RELEASE step — verdict → artifact in one
+    * invocation: run the complete v4 funnel, keep exactly its `keep`
+    * verdict, and write the release a trainer consumes — sharded
+    * parquet data (`path/data/shard=N/`, the [[shardManifest]] coin,
+    * id-sorted within shards), the per-shard manifest
+    * (`path/manifest`), and the dataset card over the KEPT corpus
+    * (`path/card`). The verdict frame is computed ONCE (persisted)
+    * and feeds both the data write and the manifest; the card's legs
+    * run over the kept subset only. Everything inside a CacheScope so
+    * a long-lived session drops the funnel intermediates when the
+    * export lands.
+    *
+    * Scale shape: the data write is one shard-keyed repartition
+    * (ExportShards output partitions bound the file count); the
+    * manifest is the ~8-row rollup; the card is one-row aggregates.
+    * Nothing here adds a corpus pass beyond the funnel itself and the
+    * one write.
+    */
+  def pipelineExport(
+      docs: DataFrame,
+      emb: DataFrame,
+      lmBi: Map[(String, String), Long],
+      lmUni: Map[String, Long],
+      lmV: Long,
+      path: String): Unit = CacheScope.withScope {
+    val verdict = CacheScope.persist(
+      docPipelineFullV4(docs, emb, lmBi, lmUni, lmV))
+    val kept = docs
+      .join(verdict.filter(col("keep")).select("doc_id", "n_tokens"), "doc_id")
+      .withColumn("shard", shardCoin)
+    CacheScope.persist(kept)
+    kept
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$path/data")
+    shardRollup(kept.select("shard", "doc_id", "n_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    corpusManifest(kept.drop("shard", "n_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/card")
+  }
+
+  /** The manifest recomputed FROM THE WRITTEN FILES — the proof read:
+    * hash equality against the funnel twin's keep-filtered shard
+    * rollup shows the exported artifact holds exactly the kept
+    * documents in exactly the coin's shards (a manifest read back
+    * from `path/manifest` would only prove the writer agreed with
+    * itself). The partition column comes back as the directory value;
+    * cast to the coin's BIGINT.
+    */
+  def exportManifestFromFiles(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    shardRollup(spark.read.parquet(s"$path/data")
+      .select(col("shard").cast("long").as("shard"), col("doc_id"), col("n_tokens")))
 
   /** Release-over-release corpus diff — the regression read a data
     * team runs before publishing snapshot N: per (source, status)

@@ -191,6 +191,72 @@ class CurationOpsSpec extends AnyFunSuite {
     graft.operators.CacheScope.releaseAll()
   }
 
+  test("pipelineExport: verdict → sharded parquet + manifest + card; only kept docs ship") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val stop = Vector("the", "is", "of", "and", "a")
+    val vocab = stop ++ (0 until 35).map(i => s"w$i")
+    def cleanText(seed: Int): String = {
+      val order = vocab.indices.sortBy { j =>
+        (((j * 2654435761L) ^ (seed * 0x9E3779B9L)) * 2654435761L) & 0x7fffffffL
+      }
+      order.map(vocab(_)).mkString(" ")
+    }
+    val cleanDocs = (1L to 12L).map(i => (i, cleanText(i.toInt), "en", "clean"))
+    val german = (50L,
+      (0 until 6).map(_ => "der die und ist das").mkString(" ") + " " + cleanText(50),
+      "de", "clean")
+    val docs = cleanDocs :+ german
+    val ddf = docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val emb = ((0L, Seq(1.0f, 0.0f), 0) +: docs.map(d => (d._1, Seq(0.0f, 1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val (bi, uni, v) = TextStats.lmCounts(ddf)
+    val biM = bi.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val uniM = uni.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val vN = v.collect().head.getLong(0)
+
+    val verdict = Corpus.docPipelineFullV4(ddf, emb, biM, uniM, vN).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    val keptIds = verdict.filter(_._2).keySet
+    assert(keptIds.nonEmpty && !verdict(50L), "fixture: german doc must drop")
+    graft.operators.CacheScope.releaseAll()
+
+    val path = java.nio.file.Files.createTempDirectory("export_spec_").toString
+    Corpus.pipelineExport(ddf, emb, biM, uniM, vN, path)
+
+    // the release layout exists: shard directories, manifest, card
+    val dataDir = new java.io.File(s"$path/data")
+    val shardDirs = dataDir.listFiles().filter(_.getName.startsWith("shard=")).map(_.getName)
+    assert(shardDirs.nonEmpty, s"sharded layout missing: ${dataDir.listFiles().toSeq}")
+    // the written data holds EXACTLY the kept docs, with their text
+    val written = spark.read.parquet(s"$path/data")
+    val writtenIds = written.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(writtenIds == keptIds, s"exported ids $writtenIds != kept $keptIds")
+    assert(!writtenIds.contains(50L), "a dropped doc must not ship")
+    assert(written.columns.contains("text") && written.columns.contains("n_tokens"))
+    // shard assignment is the deterministic coin
+    val coins = written.select(col("doc_id"), col("shard").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    coins.foreach { case (id, sh) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shard$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(sh == java.lang.Long.parseLong(hex.substring(0, 8), 16) % Corpus.ExportShards,
+        s"doc $id landed in the wrong shard")
+    }
+    // the stored manifest agrees with a recount from the files
+    val stored = spark.read.parquet(s"$path/manifest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val recount = Corpus.exportManifestFromFiles(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == recount, "manifest must agree with the written files")
+    // the card summarizes the KEPT corpus
+    val card = spark.read.parquet(s"$path/card").collect()
+    assert(card.length == 1 && card(0).getLong(0) == keptIds.size.toLong,
+      s"card must count the kept corpus: ${card.toSeq}")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("temperature mixture: quotas follow sqrt weights through the integer quota machinery") {
     val spark = TestSpark.spark
     import spark.implicits._
