@@ -609,6 +609,86 @@ object Oracle {
 
   private val embNearDupCtes: String = embNearDupCtesFrom("embeddings")
 
+  /** Twin of [[graft.operators.Ann.hnswTopK]]: the whole graph build
+    * (banded kNN short links from `cand`, md5-ring skip long links)
+    * plus the T-round beam search, unrolled — every rank tie-broken
+    * by id, every hash md5, so the search path is bit-identical.
+    */
+  private lazy val annHnswSql: String = {
+    val A = graft.operators.Ann
+    val B = A.HnswBeam
+    def beamCte(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT f.q_id, f.c_id,
+         |      CAST(row_number() OVER (PARTITION BY f.q_id
+         |        ORDER BY ${cosSql("q.qe", "v.embedding", "q.qnorm", "v.norm")} DESC, f.c_id)
+         |        AS INTEGER) AS rn
+         |    FROM $src f JOIN qn q ON f.q_id = q.q_id JOIN vn v ON f.c_id = v.vec_id
+         |  ) WHERE rn <= $B
+         |)""".stripMargin
+    val rounds = (1 to A.HnswHops).map { t =>
+      s"""c$t AS (
+         |  SELECT DISTINCT q_id, c_id FROM (
+         |    SELECT f.q_id, g.dst AS c_id FROM f${t - 1} f JOIN g ON f.c_id = g.src
+         |    UNION ALL SELECT q_id, c_id FROM f${t - 1}
+         |  )
+         |),
+         |${beamCte(s"c$t", s"f$t")}""".stripMargin
+    }.mkString(",\n")
+    val skips = (1 to A.HnswSkips).map(j => s"(${1L << j})").mkString(", ")
+    s"""WITH $embNearDupCtes,
+       |qn AS (
+       |  SELECT vec_id AS q_id, embedding AS qe, norm AS qnorm FROM vn
+       |  WHERE vec_id % ${A.QueryMod} = 0),
+       |ord AS (
+       |  SELECT vec_id, CAST(row_number() OVER (
+       |    ORDER BY md5('hnsw' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS r
+       |  FROM embeddings),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |ring AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM ord a CROSS JOIN cnt CROSS JOIN (VALUES $skips) s(p)
+       |  JOIN ord b ON b.r = (a.r + greatest(1, n // s.p)) % n
+       |),
+       |undk AS (SELECT DISTINCT vec_a, vec_b, cos_raw FROM cand),
+       |dirk AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nn, cos_raw FROM undk
+       |  UNION ALL SELECT vec_b AS vec_id, vec_a AS nn, cos_raw FROM undk),
+       |gshort AS (
+       |  SELECT vec_id AS src, nn AS dst FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, nn) AS rn
+       |    FROM dirk) WHERE rn <= ${A.KnnJoinK}),
+       |g AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM gshort UNION ALL SELECT src, dst FROM ring)
+       |  WHERE src <> dst),
+       |qb AS (
+       |  SELECT vec_id AS q_id, band, key FROM banded0
+       |  WHERE vec_id % ${A.QueryMod} = 0),
+       |seed AS (
+       |  SELECT DISTINCT q_id, c_id FROM (
+       |    SELECT qb.q_id, a.vec_id AS c_id FROM banded a
+       |      JOIN qb ON a.band = qb.band AND a.key = qb.key
+       |    UNION ALL
+       |    SELECT q.q_id, e.vec_id AS c_id FROM qn q
+       |      CROSS JOIN (SELECT vec_id FROM ord WHERE r < ${A.HnswEntries}) e
+       |  )
+       |),
+       |${beamCte("seed", "f0")},
+       |$rounds
+       |SELECT q_id, rn, c_id AS vec_id, round(cos_raw, 6) AS cos FROM (
+       |  SELECT f.q_id, f.c_id AS c_id,
+       |    ${cosSql("q.qe", "v.embedding", "q.qnorm", "v.norm")} AS cos_raw,
+       |    CAST(row_number() OVER (PARTITION BY f.q_id
+       |      ORDER BY ${cosSql("q.qe", "v.embedding", "q.qnorm", "v.norm")} DESC, f.c_id)
+       |      AS INTEGER) AS rn
+       |  FROM f${A.HnswHops} f JOIN qn q ON f.q_id = q.q_id JOIN vn v ON f.c_id = v.vec_id
+       |  WHERE f.c_id <> f.q_id
+       |) WHERE rn <= ${A.K}
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   /** md5-derived LSH bucket twin of [[graft.operators.Ann.withBucket]]. */
   val bucketExpr: String =
     """CAST(list_sum(list_transform(range(8), p ->
@@ -2427,6 +2507,12 @@ object Oracle {
 
     // k-NN graph twin: the SAME banded candidate CTEs (cand), distinct
     // undirected pairs flipped to directed, rank per vector
+    // Graph-ANN twin: deterministic small-world build (banded kNN
+    // short links + md5-ring skip long links) and the fixed-round
+    // beam as unrolled CTEs — same seeds, same tie-breaks, so build
+    // AND search replay bit-for-bit.
+    "ann_hnsw_topk" -> annHnswSql,
+
     "ann_knn_join" ->
       s"""WITH $embNearDupCtes,
          |und AS (SELECT DISTINCT vec_a, vec_b, cos_raw FROM cand),

@@ -1874,6 +1874,13 @@ object Queries {
       .toDF().orderBy("vec_a", "vec_b", "band")
 
   /** Corpus-wide approximate k-NN graph over banded-LSH candidates. */
+  /** Graph ANN (small-world) top-K: banded seeds + fixed-round beam
+    * over the kNN+ring graph — deterministic build and search, so the
+    * twin replays both.
+    */
+  def annHnswTopK(s: SparkSession, dir: String): DataFrame =
+    Ann.hnswTopK(embs(s, dir)).orderBy("q_id", "rn")
+
   def annKnnJoin(s: SparkSession, dir: String): DataFrame =
     Ann.knnJoin(embs(s, dir)).orderBy("vec_id", "rn")
 
@@ -2512,6 +2519,7 @@ object Queries {
     "streaming_emb_near_dup" -> (streamingEmbNearDup _),
     "emb_decontaminate" -> (embDecontaminate _),
     "ann_knn_join" -> (annKnnJoin _),
+    "ann_hnsw_topk" -> (annHnswTopK _),
     "ann_topk_banded" -> (annTopkBanded _),
     "emb_dedup_clusters" -> (embDedupClusters _),
     "emb_centroids" -> (embCentroids _),

@@ -1128,6 +1128,127 @@ object Ann {
     topK(scored)
   }
 
+  // ----------------------------- graph ANN (small-world, HNSW family)
+
+  /** Beam width kept per query per hop of [[hnswTopK]]. */
+  val HnswBeam = 8
+
+  /** Graph-expansion hops after the seed round. */
+  val HnswHops = 3
+
+  /** Global entry points (the first ranks of the md5 ring order). */
+  val HnswEntries = 4
+
+  /** Long-link skip scales: each node links ahead by ~n/2^j on the
+    * md5 ring for j = 1..HnswSkips.
+    */
+  val HnswSkips = 4
+
+  /** Graph ANN serving — the navigable-small-world family (Malkov &
+    * Yashunin 2018, public) re-expressed as bounded relational
+    * algebra: a NEIGHBOR GRAPH of short links (each vector's
+    * [[knnJoin]] top-k among banded-LSH candidates — the similarity
+    * edges) plus deterministic LONG links (a ring over md5(vec_id)
+    * order with skips at n/2, n/4, n/8, n/16 — the Kleinberg
+    * small-world construction, giving the graph the navigability
+    * random insertion order gives HNSW), searched by a fixed-round
+    * BEAM: seed each query with its banded band-key collisions (the
+    * LSH tier's candidate set) plus the global entry points, then
+    * [[HnswHops]] rounds of expand-along-edges → exact-cosine rank →
+    * keep [[HnswBeam]]. Recall ≥ the banded tier BY CONSTRUCTION
+    * (the seed already contains its candidates; expansion only adds
+    * — the neighbor-of-a-neighbor the banding missed), which is what
+    * the planted-cluster spec pins.
+    *
+    * Everything is deterministic (md5 ring, id tie-breaks), so the
+    * DuckDB twin replays build + search bit-for-bit — a fixed-round
+    * beam is exactly T unrolled CTEs. Scale shape: the graph is
+    * O(n·(k + skips)) edges built from capped banded candidates and
+    * one distributed sort (ring ranks via range-partitioned
+    * sort + zipWithIndex — never a single-partition window); each
+    * search round scores ≤ |Q|·beam·(degree+1) candidate rows
+    * against a broadcast query table; no corpus self-join beyond the
+    * capped candidate generation the near-dup tier already pays.
+    */
+  def hnswTopK(emb: DataFrame): DataFrame = hnswTopK(emb, defaultQueries(emb))
+
+  def hnswTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = CacheScope.persist(
+      withNorm(emb).select(col("vec_id"), col("embedding"), col("norm")))
+
+    // --- build: short similarity links + ring long links
+    val short = knnJoin(emb, KnnJoinK)
+      .select(col("vec_id").as("src"), col("nn").as("dst"))
+    // ring ranks: total md5 order via distributed sort + zipWithIndex
+    // (the scalable global-rank construction — a global row_number
+    // window would funnel the corpus through one partition)
+    val ord = CacheScope.persist(
+      corpus.select(col("vec_id"))
+        .withColumn("hord", md5(concat(lit("hnsw"), col("vec_id").cast("string"))))
+        .orderBy("hord", "vec_id")
+        .select("vec_id").as[Long].rdd.zipWithIndex()
+        .toDF("vec_id", "r"))
+    val cnt = ord.agg(count(lit(1)).as("n"))
+    val long = ord
+      .crossJoin(broadcast(cnt))
+      .select(
+        col("vec_id").as("src"),
+        col("r"),
+        col("n"),
+        explode(array((1 to HnswSkips).map(j => lit(1L << j)): _*)).as("p"))
+      .withColumn(
+        "dst_r", (col("r") + greatest(lit(1L), floor(col("n") / col("p")).cast("long"))) % col("n"))
+      .join(ord.select(col("vec_id").as("dst"), col("r").as("dst_r")), "dst_r")
+      .select("src", "dst")
+    val graph = CacheScope.persist(
+      short.unionByName(long).filter(col("src") =!= col("dst")).distinct())
+
+    // --- search: banded seeds + entries, then T beam rounds
+    val qn = CacheScope.persist(probeSide(queries))
+    val corpusBanded = BandCap.capBuckets(
+      explodeBands(CacheScope.persist(nearDupSignature(withNorm(emb)))),
+      Seq("band", "key"), "vec_id")
+    val probeBands = explodeBands(nearDupSignature(withNorm(
+      queries.select(col("q_id").as("vec_id"), col("embedding")))))
+      .select(col("vec_id").as("q_id"), col("band"), col("key"))
+    val bandSeeds = corpusBanded.join(probeBands, Seq("band", "key"))
+      .select(col("q_id"), col("vec_id").as("c_id"))
+    val entrySeeds = qn.select("q_id")
+      .crossJoin(broadcast(ord.filter(col("r") < HnswEntries).select(col("vec_id").as("c_id"))))
+    val seeds = bandSeeds.unionByName(entrySeeds).distinct()
+
+    def score(frontier: DataFrame): DataFrame =
+      frontier
+        .join(broadcast(qn), "q_id")
+        .join(corpus.withColumnRenamed("vec_id", "c_id"), "c_id")
+        .select(
+          col("q_id"),
+          col("c_id"),
+          (expr("float_dot(qe, embedding)") / (col("qnorm") * col("norm"))).as("cos_raw"))
+    def beam(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("c_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= HnswBeam)
+        .select("q_id", "c_id")
+    }
+
+    var frontier = CacheScope.persist(beam(score(seeds)))
+    for (_ <- 1 to HnswHops) {
+      val expanded = frontier
+        .join(graph, col("c_id") === col("src"))
+        .select(col("q_id"), col("dst").as("c_id"))
+        .unionByName(frontier)
+        .distinct()
+      frontier = CacheScope.persist(beam(score(expanded)))
+    }
+    topK(
+      score(frontier)
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumnRenamed("c_id", "vec_id"))
+  }
+
   /** Semantic duplicate-cluster resolution (the SemDeDup shape):
     * connected components over the banded embedding near-dup pair
     * graph, min-vec_id label per component, canonical survivor = the

@@ -163,6 +163,47 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"kNN-graph twin recall $recall%.3f < 0.9")
   }
 
+  test("hnswTopK: graph-beam recall >= the IVF bar AND >= its banded seed tier on planted clusters") {
+    val emb = plantedClusters
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.cosineTopK(emb))
+    val hnsw = pairs(Ann.hnswTopK(emb))
+    val banded = pairs(Ann.bandedTopK(emb))
+    val hnswRecall = (exact intersect hnsw).size.toDouble / exact.size
+    val bandedRecall = (exact intersect banded).size.toDouble / exact.size
+    // the graph tier's contract: at least the IVF serving bar, and the
+    // beam can only improve on its own banded seeds (each round keeps
+    // the cos-dominant frontier of a superset of the previous one)
+    assert(hnswRecall >= 0.8, f"hnsw recall $hnswRecall%.3f < 0.8 (${exact.size} true)")
+    assert(hnswRecall >= bandedRecall,
+      f"graph expansion ($hnswRecall%.3f) must not trail its banded seeds ($bandedRecall%.3f)")
+    graft.operators.CacheScope.releaseAll()
+  }
+
+  test("hnswTopK: planted near-copy twins surface in the top-5") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val base = Array.fill(200, 64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 200).map(i => (i.toLong, base(i), 0L)) ++
+      (0 until 200).map { i =>
+        val copy = base(i).map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+        ((1000 + i).toLong, copy, 0L)
+      }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 1000)
+      .select(
+        org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val found = Ann.hnswTopK(emb, queries).select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (0 until 200).count(i => found((i.toLong, (1000 + i).toLong))).toDouble / 200
+    assert(recall >= 0.9, f"hnsw twin recall $recall%.3f < 0.9")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("bandedTopK multi-probe recall beats the single-bucket lshTopK path") {
     val spark = TestSpark.spark
     import spark.implicits._
