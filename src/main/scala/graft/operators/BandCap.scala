@@ -92,8 +92,13 @@ object BandCap {
         .groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__bucket_n"))
         .filter(col("__bucket_n") > cap))
-    if (over.isEmpty) rows
-    else rows
+    if (over.isEmpty) {
+      // honest corpus: the census is empty and the sampling join never
+      // enters the plan, so the just-persisted frame would sit in cache
+      // until scope exit buying nothing — drop it now
+      CacheScope.release(over)
+      rows
+    } else rows
       .join(over, keyCols, "left")
       .filter(
         col("__bucket_n").isNull || coin(keyCols, memberCol) % col("__bucket_n") < cap)

@@ -107,6 +107,35 @@ object CacheScope {
     }
   }
 
+  /** Release ONE registered frame early — the operator knows at plan
+    * time the persist bought nothing (e.g. a skew census that came back
+    * empty) and drops it instead of holding cache until scope exit or
+    * [[releaseAll]]. Deregisters from whichever queue owns it, then
+    * unpersists unless a plan-equal frame is still registered elsewhere
+    * (the same sharing rule [[withScope]] applies on exit).
+    */
+  def release(df: DataFrame): Unit = {
+    registered.remove(df)
+    scopes.get.foreach(_.remove(df))
+    import scala.jdk.CollectionConverters._
+    val survivors =
+      (registered.iterator().asScala ++
+        scopes.get.iterator.flatMap(_.iterator().asScala)).toVector
+    val sharedElsewhere = survivors.exists { s =>
+      try s.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)
+      catch { case _: Throwable => false }
+    }
+    if (!sharedElsewhere) {
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+  }
+
+  /** Frames currently registered session-globally (not in any lexical
+    * scope) — the leak-detection seam: a well-scoped operator call
+    * leaves this unchanged.
+    */
+  private[graft] def registeredCount: Int = registered.size
+
   /** Unpersist every registered frame (non-blocking). Safe at any point:
     * an unpersisted plan simply recomputes if referenced again.
     */

@@ -60,6 +60,54 @@ object Sinks {
     * exchanges. At 100 TB the base is the corpus — re-shuffling it per
     * arriving batch is the cost this sink exists to delete.
     */
+  /** The managed location a default-database table of this name
+    * occupies in the session warehouse.
+    */
+  private def managedLocation(spark: SparkSession, table: String): Path =
+    new Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase(java.util.Locale.ROOT))
+
+  /** DROP TABLE IF EXISTS plus reclaim of an ORPHANED managed
+    * location: an in-memory catalog dies with its JVM while the
+    * warehouse directory survives, so a table name absent from this
+    * session's catalog can still occupy its location — and the next
+    * `saveAsTable` then fails with LOCATION_ALREADY_EXISTS. Rebuild
+    * paths treat such a directory as the dead catalog's garbage and
+    * delete it. Scope: the engine's internal base tables, which are
+    * always default-database managed tables (an external table's
+    * custom location never lives at the warehouse path this computes).
+    */
+  private def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = managedLocation(spark, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  private def managedLocationExists(spark: SparkSession, table: String): Boolean = {
+    val p = managedLocation(spark, table)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Retire every warehouse DIRECTORY whose name starts with `prefix`
+    * (catalog-dropping any that are still registered) — the orphaned-
+    * segment face of [[dropTableAndLocation]]: a dead JVM's delta
+    * segment tables are invisible to SHOW TABLES in the next session,
+    * so a rebuild must reclaim them from the filesystem listing or the
+    * next append's create-claim hits their leftover locations.
+    */
+  private def retirePrefixedLocations(spark: SparkSession, prefix: String): Unit = {
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lower = prefix.toLowerCase(java.util.Locale.ROOT)
+    if (fs.exists(wh)) {
+      fs.listStatus(wh).filter(_.getPath.getName.startsWith(lower)).foreach { st =>
+        spark.sql(s"DROP TABLE IF EXISTS ${st.getPath.getName}")
+        if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   def writeDedupBase(docs: DataFrame, table: String, buckets: Int = DefaultBuckets): Unit = {
     // a REBUILD retires the previous corpus's whole lifecycle FIRST:
     // stale delta segments (and any crash leftovers) describe the OLD
@@ -68,11 +116,14 @@ object Sinks {
     // the overwrite means a crash between the two steps fail-opens
     // (the half-rebuilt base under-dedups until re-run) instead of
     // fail-closing with ghost dups that a later compaction would fold
-    // into the new base permanently.
+    // into the new base permanently. Retirement reclaims LOCATIONS,
+    // not just catalog entries — a previous JVM's tables are catalog-
+    // invisible here but still occupy their warehouse directories.
     val s = docs.sparkSession
+    retirePrefixedLocations(s, s"${table}__delta")
     (listDedupSegs(s, table) ++
-      Seq(dedupOld(table), dedupCompact(table), dedupManifest(table)))
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(table, dedupOld(table), dedupCompact(table), dedupManifest(table), swapLock(table)))
+      .foreach(t => dropTableAndLocation(s, t))
     docs
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .write
@@ -101,9 +152,42 @@ object Sinks {
   // fresh segment table create-exclusively, and compaction folds only
   // the read-set it snapshotted into the `__compacting` manifest). At
   // most ONE compaction may run at a time — two concurrent compactions
-  // would race the rename swap itself; a concurrent append that lands
-  // exactly between the swap's two renames can roll the swap back
-  // (fail-SAFE: the compaction errors, nothing is lost — re-run it).
+  // would race the rename swap itself. An append CANNOT mistake a live
+  // compaction's swap window for a crash: the compaction stamps a
+  // `__swaplock` liveness marker just before its first rename and
+  // drops it after cleanup, and an append's crash repair stands down
+  // while the lock is fresh ([[SwapLockGraceSeconds]]) — the append
+  // just claims its segment (which never touches the swapped tables)
+  // and leaves the swap to its owner. A STALE lock (crashed compaction)
+  // expires and repair proceeds; a compaction repairs unconditionally
+  // at start, because the one-compaction contract means any swap
+  // evidence it sees is a crash by definition.
+
+  /** How long a `__swaplock` stamp counts as a LIVE compaction. The
+    * lock covers only the metadata swap window (renames + drops —
+    * bounded, data-size-independent), not the merge writes, so minutes
+    * of grace is orders of magnitude above any honest swap; past it
+    * the owner is presumed dead and writers repair.
+    */
+  val SwapLockGraceSeconds = 900L
+
+  private def swapLock(table: String) = s"${table}__swaplock"
+
+  /** Stamp the swap-liveness lock — one row, epoch seconds. Overwrite
+    * is safe: at most one compaction may run (contract above).
+    */
+  private def writeSwapLock(spark: SparkSession, table: String): Unit = {
+    import spark.implicits._
+    Seq(System.currentTimeMillis() / 1000).toDF("started_at").coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(swapLock(table))
+  }
+
+  private def swapLockFresh(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(swapLock(table)) && {
+      val at = spark.table(swapLock(table)).collect()
+        .headOption.map(_.getLong(0)).getOrElse(0L)
+      System.currentTimeMillis() / 1000 - at < SwapLockGraceSeconds
+    }
 
   private def dedupOld(table: String) = s"${table}__old"
   private def dedupCompact(table: String) = s"${table}__compact"
@@ -148,7 +232,7 @@ object Sinks {
     */
   def appendDedupDelta(docs: DataFrame, table: String): Unit = {
     val spark = docs.sparkSession
-    repairDedupCrashState(spark, table)
+    repairDedupCrashState(spark, table, gateOnLock = true)
     val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
     var seg = listDedupSegs(spark, table)
       .flatMap(n => n.stripPrefix(s"${table}__delta").stripPrefix("_").toLongOption)
@@ -160,9 +244,12 @@ object Sinks {
           .saveAsTable(dedupSegTable(table, seg))
         claimed = true
       } catch {
+        // lost the claim race — to a live writer (catalog) or to a dead
+        // JVM's orphaned segment location — take the next number
         case _: org.apache.spark.sql.AnalysisException
-            if spark.catalog.tableExists(dedupSegTable(table, seg)) =>
-          seg += 1L // lost the claim race — take the next number
+            if spark.catalog.tableExists(dedupSegTable(table, seg)) ||
+              managedLocationExists(spark, dedupSegTable(table, seg)) =>
+          seg += 1L
       }
     }
   }
@@ -232,9 +319,17 @@ object Sinks {
     * indistinguishable from a compaction that is STILL RUNNING (its
     * long merge write), and a healthy read never consults either —
     * the next [[compactDedupBase]] overwrites both.
+    *
+    * `gateOnLock`: appends pass true — swap evidence under a FRESH
+    * `__swaplock` is a live compaction mid-swap, not a crash, and
+    * repairing it would rip the rename out from under the owner (whose
+    * next ALTER then throws). Compactions pass false: the one-running-
+    * compaction contract makes any swap evidence they see a crash.
     */
-  private def repairDedupCrashState(spark: SparkSession, table: String): Unit = {
-    if (spark.catalog.tableExists(dedupOld(table))) {
+  private def repairDedupCrashState(
+      spark: SparkSession, table: String, gateOnLock: Boolean = false): Unit = {
+    if (spark.catalog.tableExists(dedupOld(table)) &&
+        !(gateOnLock && swapLockFresh(spark, table))) {
       if (spark.catalog.tableExists(table)) {
         // post-swap crash: the live base folded exactly the manifest's
         // segments — drop those and ONLY those (a segment appended
@@ -254,6 +349,9 @@ object Sinks {
         spark.sql(s"DROP TABLE IF EXISTS ${dedupManifest(table)}")
         spark.sql(s"DROP TABLE IF EXISTS ${dedupCompact(table)}")
       }
+      // the repaired swap's liveness stamp (if its owner left one) is
+      // now meaningless
+      spark.sql(s"DROP TABLE IF EXISTS ${swapLock(table)}")
     }
     ()
   }
@@ -301,11 +399,15 @@ object Sinks {
       .bucketBy(buckets, "fp")
       .sortBy("fp")
       .saveAsTable(dedupCompact(table))
+    // liveness stamp covers exactly the metadata swap window: from
+    // here to the final drop, concurrent appends stand down from repair
+    writeSwapLock(spark, table)
     spark.sql(s"ALTER TABLE $table RENAME TO ${dedupOld(table)}")
     spark.sql(s"ALTER TABLE ${dedupCompact(table)} RENAME TO $table")
     segs.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.sql(s"DROP TABLE IF EXISTS ${dedupOld(table)}")
     spark.sql(s"DROP TABLE IF EXISTS ${dedupManifest(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${swapLock(table)}")
     ()
   }
 
@@ -334,8 +436,10 @@ object Sinks {
   // the first swap starts) rather than back.
   //
   // Same writer-concurrency contract as the exact tier: appends
-  // interleave freely with each other and with one running compaction;
-  // at most one compaction at a time.
+  // interleave freely with each other and with one running compaction
+  // (the compaction's `__swaplock` stamp keeps append-side repair out
+  // of a LIVE swap window — and the nd tier's two-swap window is the
+  // wider one); at most one compaction at a time.
 
   private def ndSh(table: String) = s"${table}__sh"
   private def ndOld(t: String) = s"${t}__old"
@@ -385,10 +489,11 @@ object Sinks {
       buckets: Int = DefaultBuckets,
       cap: Int = graft.operators.BandCap.DefaultCap): Unit = {
     val s = docs.sparkSession
+    retirePrefixedLocations(s, s"${table}__delta")
     (listNdSegs(s, table) ++ Seq(
-      ndOld(table), ndCompact(table),
-      ndOld(ndSh(table)), ndCompact(ndSh(table)), ndManifest(table)))
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      table, ndSh(table), ndOld(table), ndCompact(table),
+      ndOld(ndSh(table)), ndCompact(ndSh(table)), ndManifest(table), swapLock(table)))
+      .foreach(t => dropTableAndLocation(s, t))
     graft.operators.CacheScope.withScope {
       val sh = graft.operators.CacheScope.persist(graft.operators.Dedup.shingles(docs))
       writeNdTables(sh, table, ndSh(table), buckets, cap)
@@ -404,7 +509,7 @@ object Sinks {
     */
   def appendNearDupDelta(docs: DataFrame, table: String): Unit = {
     val spark = docs.sparkSession
-    repairNdCrashState(spark, table)
+    repairNdCrashState(spark, table, gateOnLock = true)
     graft.operators.CacheScope.withScope {
       val sh = graft.operators.CacheScope.persist(graft.operators.Dedup.shingles(docs))
       val seg = graft.operators.Dedup.bandSignaturesWithCounts(sh)
@@ -423,9 +528,12 @@ object Sinks {
             .saveAsTable(ndSegTable(table, n))
           claimed = true
         } catch {
+          // lost the claim race — to a live writer or a dead JVM's
+          // orphaned segment location — take the next number
           case _: org.apache.spark.sql.AnalysisException
-              if spark.catalog.tableExists(ndSegTable(table, n)) =>
-            n += 1L // lost the claim race — take the next number
+              if spark.catalog.tableExists(ndSegTable(table, n)) ||
+                managedLocationExists(spark, ndSegTable(table, n)) =>
+            n += 1L
         }
       }
     }
@@ -492,20 +600,28 @@ object Sinks {
     * and finishes the cleanup. A manifest with no `__old` anywhere is
     * a compaction still running its merge writes (or crashed there) —
     * left alone, exactly as the exact tier leaves its orphaned merge.
+    *
+    * `gateOnLock` as on [[repairDedupCrashState]]: appends stand down
+    * from swap evidence under a fresh `__swaplock` — that is a LIVE
+    * compaction between its renames, not a crash.
     */
-  private def repairNdCrashState(spark: SparkSession, table: String): Unit = {
+  private def repairNdCrashState(
+      spark: SparkSession, table: String, gateOnLock: Boolean = false): Unit = {
     val sT = table
     val hT = ndSh(table)
     val sOld = spark.catalog.tableExists(ndOld(sT))
     val sBase = spark.catalog.tableExists(sT)
     val hOld = spark.catalog.tableExists(ndOld(hT))
     val hBase = spark.catalog.tableExists(hT)
-    if (sOld && !sBase) {
+    if ((sOld || hOld) && gateOnLock && swapLockFresh(spark, table)) {
+      // live compaction mid-swap: its owner finishes or the lock expires
+    } else if (sOld && !sBase) {
       // mid-signature-swap: roll everything back; the merges never went live
       spark.sql(s"ALTER TABLE ${ndOld(sT)} RENAME TO $sT")
       spark.sql(s"DROP TABLE IF EXISTS ${ndCompact(sT)}")
       spark.sql(s"DROP TABLE IF EXISTS ${ndCompact(hT)}")
       spark.sql(s"DROP TABLE IF EXISTS ${ndManifest(table)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${swapLock(table)}")
     } else if (sOld || hOld) {
       // signature swap complete (or cleanup already dropped its __old):
       // drive the shingle swap forward, then finish cleanup in the
@@ -524,6 +640,7 @@ object Sinks {
       spark.sql(s"DROP TABLE IF EXISTS ${ndOld(sT)}")
       spark.sql(s"DROP TABLE IF EXISTS ${ndOld(hT)}")
       spark.sql(s"DROP TABLE IF EXISTS ${ndManifest(table)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${swapLock(table)}")
     }
     ()
   }
@@ -579,6 +696,9 @@ object Sinks {
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "doc_id").sortBy("doc_id", "shingle")
       .saveAsTable(ndCompact(hT))
+    // liveness stamp covers the two-swap metadata window (see the
+    // exact tier): appends stand down from repair until the final drop
+    writeSwapLock(spark, table)
     spark.sql(s"ALTER TABLE $sT RENAME TO ${ndOld(sT)}")
     spark.sql(s"ALTER TABLE ${ndCompact(sT)} RENAME TO $sT")
     spark.sql(s"ALTER TABLE $hT RENAME TO ${ndOld(hT)}")
@@ -587,6 +707,7 @@ object Sinks {
     spark.sql(s"DROP TABLE IF EXISTS ${ndOld(sT)}")
     spark.sql(s"DROP TABLE IF EXISTS ${ndOld(hT)}")
     spark.sql(s"DROP TABLE IF EXISTS ${ndManifest(table)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${swapLock(table)}")
     ()
   }
 
@@ -766,6 +887,78 @@ object Sinks {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
     writeAnnIndexResidual(graft.operators.Ann.rotate(emb, rot), path, books)
   }
+
+  // ------------------------------------------------ HNSW serving layout
+  /** Persist the graph-ANN family's serving index: build once
+    * ([[graft.operators.Ann.hnswGraphParts]] — the per-invocation
+    * cost that made the in-memory face the registry's slowest query),
+    * search many against the frozen artifacts. Four parquet dirs:
+    *
+    *  - `edges/`    — the (src, dst) neighbor graph, repartitioned +
+    *                  sorted by src (one columnar scan per beam round,
+    *                  joined to a broadcast frontier).
+    *  - `entries/`  — the [[graft.operators.Ann.HnswEntries]] global
+    *                  entry-point vec_ids (bytes; broadcast).
+    *  - `bands/`    — the capped corpus band buckets (band, key,
+    *                  vec_id), sorted by (band, key): the seed join's
+    *                  corpus side, cap census paid HERE, never per
+    *                  query.
+    *  - `vectors/`  — (vec_id, embedding, norm): the exact-scoring
+    *                  rows. Vectors live IN a serving graph index —
+    *                  the beam's cosines never touch the source table.
+    *
+    * MUTATION CONTRACT: rebuild-only, deliberately. The IVF tier's
+    * append/tombstone segments work because codes are independent
+    * rows; a small-world graph's navigability lives in its EDGES —
+    * an appended vector with no inbound links is unreachable, and
+    * relational edge surgery per insert would pay the knnJoin anyway.
+    * Public practice matches (HNSW serving stacks rebuild or rely on
+    * in-memory insert-time surgery no columnar layout expresses).
+    * `writeHnswIndex` to the same path atomically supersedes via
+    * parquet overwrite per artifact; readers of a mid-rebuild path get
+    * whole old or whole new artifacts per dir — callers wanting a
+    * guarded swap compose [[rebuildAnnIndex]]'s staging discipline.
+    */
+  def writeHnswIndex(emb: DataFrame, path: String): Unit = {
+    import graft.operators.{Ann, CacheScope}
+    CacheScope.withScope {
+      val (graph, ord) = Ann.hnswGraphParts(emb)
+      graph
+        .repartition(col("src")).sortWithinPartitions("src")
+        .write.mode("overwrite").parquet(s"$path/edges")
+      ord.filter(col("r") < Ann.HnswEntries).select("vec_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/entries")
+      Ann.hnswCorpusBands(emb)
+        .repartition(col("band"), col("key")).sortWithinPartitions("band", "key")
+        .write.mode("overwrite").parquet(s"$path/bands")
+      Ann.hnswCorpusVectors(emb)
+        .write.mode("overwrite").parquet(s"$path/vectors")
+    }
+  }
+
+  /** Search the frozen HNSW index: banded seeds + entry points from
+    * the stored artifacts, the eager beam kernel
+    * ([[graft.operators.Ann.hnswSearch]] — shared verbatim with the
+    * in-memory face, so disk ≡ in-memory bit-for-bit), zero build
+    * stages — no knnJoin, no ring sort, no cap census appears in any
+    * round's plan (spec-pinned via the kernel's plan probe).
+    */
+  def readHnswIndexTopK(
+      spark: SparkSession, path: String, queries: DataFrame): DataFrame =
+    readHnswIndexTopK(spark, path, queries, _ => ())
+
+  private[graft] def readHnswIndexTopK(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      planProbe: String => Unit): DataFrame =
+    graft.operators.Ann.hnswSearch(
+      spark.read.parquet(s"$path/vectors"),
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/entries"),
+      spark.read.parquet(s"$path/edges"),
+      queries,
+      planProbe)
 
   /** The index's per-list residual books, if it carries them —
     * kilobytes (IvfK × PqK × d floats), the layout marker for every

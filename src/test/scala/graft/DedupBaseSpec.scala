@@ -35,8 +35,16 @@ class DedupBaseSpec extends AnyFunSuite {
 
   private def dropAll(table: String): Unit =
     (segTables(table) ++
-      Seq(table, s"${table}__old", s"${table}__compact", s"${table}__compacting"))
+      Seq(table, s"${table}__old", s"${table}__compact", s"${table}__compacting",
+        s"${table}__swaplock"))
       .foreach(t => TestSpark.spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def stampLock(table: String, startedAt: Long): Unit = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq(startedAt).toDF("started_at").coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}__swaplock")
+  }
 
   test("delta segments: a batch dedups against appended fingerprints, then compaction folds them") {
     val spark = TestSpark.spark
@@ -272,6 +280,76 @@ class DedupBaseSpec extends AnyFunSuite {
       assert(v2(83L) == ((true, false, false)) && v2(84L) == ((true, false, false)))
       Sinks.compactDedupBase(spark, table, buckets = 4)
       assert(spark.table(table).count() == 4)
+    } finally dropAll(table)
+  }
+
+  test("rebuild reclaims a dead JVM's orphaned warehouse locations (catalog-invisible dirs)") {
+    val spark = TestSpark.spark
+    val table = "dedup_base_orphan"
+    dropAll(table)
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // a previous JVM's base + delta segment: directories exist, no
+      // catalog entries — exactly what an in-memory catalog leaves
+      Seq(table, s"${table}__delta_00000001").foreach { t =>
+        val d = new org.apache.hadoop.fs.Path(wh, t)
+        fs.mkdirs(d)
+        val out = fs.create(new org.apache.hadoop.fs.Path(d, "junk.parquet"), true)
+        out.write(Array[Byte](1, 2, 3)); out.close()
+      }
+      assert(!spark.catalog.tableExists(table), "fixture: orphan must be catalog-invisible")
+      // the rebuild must succeed (LOCATION_ALREADY_EXISTS is the bug)
+      Sinks.writeDedupBase(docs(Seq((1L, "alpha"))), table, buckets = 4)
+      assert(verdicts(table, Seq((80L, "alpha")))(80L) == ((true, false, false)))
+      // and an append claims a number past any orphaned segment dir
+      Sinks.appendDedupDelta(docs(Seq((2L, "beta"))), table)
+      assert(verdicts(table, Seq((81L, "beta")))(81L) == ((true, false, false)))
+    } finally {
+      dropAll(table)
+      Seq(table, s"${table}__delta_00000001", s"${table}__delta_00000002").foreach { t =>
+        val d = new org.apache.hadoop.fs.Path(wh, t)
+        if (fs.exists(d)) fs.delete(d, true)
+      }
+    }
+  }
+
+  test("append-side repair stands down inside a LIVE swap window (fresh __swaplock)") {
+    val spark = TestSpark.spark
+    val table = "dedup_base_lock"
+    dropAll(table)
+    try {
+      Sinks.writeDedupBase(docs(Seq((1L, "alpha"))), table, buckets = 4)
+      // a compaction mid-swap: base renamed away, liveness stamp fresh
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}__old")
+      stampLock(table, System.currentTimeMillis() / 1000)
+      // an append must NOT repair (rolling the rename back would land
+      // under the live owner's next ALTER) — just claim its segment
+      Sinks.appendDedupDelta(docs(Seq((2L, "beta"))), table)
+      assert(!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(s"${table}__old"),
+        "fresh lock: the live swap window must stay untouched")
+      assert(segTables(table).size == 1, "the gated append still lands its segment")
+      // reads stay correct through the window (fall back to __old)
+      val v = verdicts(table, Seq((80L, "alpha"), (81L, "beta")))
+      assert(v(80L) == ((true, false, false)) && v(81L) == ((true, false, false)))
+      // the owner dies: the lock goes stale, the next append repairs
+      stampLock(table, 0L)
+      Sinks.appendDedupDelta(docs(Seq((3L, "gamma"))), table)
+      assert(spark.catalog.tableExists(table), "stale lock: repair rolls the swap back")
+      assert(!spark.catalog.tableExists(s"${table}__swaplock"), "repair retires the stamp")
+      val v2 = verdicts(table, Seq((82L, "alpha"), (83L, "gamma")))
+      assert(v2(82L) == ((true, false, false)) && v2(83L) == ((true, false, false)))
+      // a COMPACTION repairs even under a fresh lock — the at-most-one-
+      // compaction contract makes any swap evidence it sees a crash
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}__old")
+      stampLock(table, System.currentTimeMillis() / 1000)
+      Sinks.compactDedupBase(spark, table, buckets = 4)
+      assert(spark.catalog.tableExists(table) &&
+        !spark.catalog.tableExists(s"${table}__old") &&
+        !spark.catalog.tableExists(s"${table}__swaplock"))
+      assert(segTables(table).isEmpty)
+      assert(verdicts(table, Seq((84L, "gamma")))(84L) == ((true, false, false)))
     } finally dropAll(table)
   }
 }

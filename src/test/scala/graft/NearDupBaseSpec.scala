@@ -45,8 +45,16 @@ class NearDupBaseSpec extends AnyFunSuite {
 
   private def dropAll(table: String): Unit =
     (segTables(table) ++ Seq(table, s"${table}__sh").flatMap(t =>
-      Seq(t, s"${t}__old", s"${t}__compact")) :+ s"${table}__compacting")
+      Seq(t, s"${t}__old", s"${t}__compact")) ++
+      Seq(s"${table}__compacting", s"${table}__swaplock"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def stampLock(table: String, startedAt: Long): Unit = {
+    val s = spark
+    import s.implicits._
+    Seq(startedAt).toDF("started_at").coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}__swaplock")
+  }
 
   test("write → probe → append → compact: pairs stable, tables bucketed, segments retire") {
     val table = "nd_base_seg"
@@ -292,6 +300,44 @@ class NearDupBaseSpec extends AnyFunSuite {
         !spark.catalog.tableExists(s"${table}__compacting"))
       assert(segTables(table).size === 1)
       assert(pairsOf(table, probe) === expected3)
+    } finally dropAll(table)
+  }
+
+  test("append-side repair stands down inside a LIVE two-swap window (fresh __swaplock)") {
+    val table = "nd_base_lock"
+    dropAll(table)
+    try {
+      Sinks.writeNearDupBase(docs(Seq((1L, ta))), table, buckets = 4)
+      // a compaction mid-signature-swap, liveness stamp fresh: an
+      // append must neither roll the swap back nor drive it forward
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}__old")
+      stampLock(table, System.currentTimeMillis() / 1000)
+      Sinks.appendNearDupDelta(docs(Seq((2L, tb))), table)
+      assert(!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(s"${table}__old"),
+        "fresh lock: the live swap window must stay untouched")
+      assert(segTables(table).size === 1, "the gated append still lands its segment")
+      assert(pairsOf(table, Seq((100L, ta), (101L, tb))) ===
+        Set((100L, 1L, 1.0), (101L, 2L, 1.0)),
+        "reads stay consistent through the gated window")
+      // the owner dies: stale lock, next append repairs (rolls back)
+      stampLock(table, 0L)
+      Sinks.appendNearDupDelta(docs(Seq((3L, tc))), table)
+      assert(spark.catalog.tableExists(table), "stale lock: repair rolls the swap back")
+      assert(!spark.catalog.tableExists(s"${table}__swaplock"), "repair retires the stamp")
+      assert(pairsOf(table, Seq((100L, ta), (102L, tc))) ===
+        Set((100L, 1L, 1.0), (102L, 3L, 1.0)))
+      // a compaction under a fresh lock still repairs + folds (the
+      // at-most-one-compaction contract owns that call)
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}__old")
+      stampLock(table, System.currentTimeMillis() / 1000)
+      Sinks.compactNearDupBase(spark, table, buckets = 4)
+      assert(spark.catalog.tableExists(table) &&
+        !spark.catalog.tableExists(s"${table}__old") &&
+        !spark.catalog.tableExists(s"${table}__swaplock"))
+      assert(segTables(table).isEmpty)
+      assert(pairsOf(table, Seq((100L, ta), (101L, tb), (102L, tc))) ===
+        Set((100L, 1L, 1.0), (101L, 2L, 1.0), (102L, 3L, 1.0)))
     } finally dropAll(table)
   }
 }
