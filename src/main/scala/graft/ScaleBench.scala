@@ -259,6 +259,31 @@ object ScaleBench {
       println(
         s"""{"metric":"hnsw_scale","vecs":$nVecs,"queries":${qs.size},"twin_hits":$hits,"sec":$sec}""")
     }
+    // PERSISTED graph-ANN probe: the round-16 claim measured — the
+    // serving split pays the build ONCE at write and each search runs
+    // only the beam against the frozen artifacts. Reports write time,
+    // frozen-search time, and recall so build-amortization is a
+    // committed datapoint next to the build-per-invocation number
+    // above.
+    sys.env.get("SPARK_GRAFT_HNSW_INDEX_VECS").map(_.toLong).foreach { nVecs =>
+      graft.operators.CacheScope.releaseAll()
+      val emb = nearDupEmbeddings(spark, nVecs)
+      val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_scale_").toString
+      val tW0 = System.nanoTime()
+      graft.sinks.Sinks.writeHnswIndex(emb, dir)
+      val wsec = (System.nanoTime() - tW0) / 1e9
+      val queries = graft.operators.Ann.defaultQueries(emb)
+      val tS0 = System.nanoTime()
+      val got = graft.sinks.Sinks.readHnswIndexTopK(spark, dir, queries)
+        .select("q_id", "vec_id").collect()
+      val ssec = (System.nanoTime() - tS0) / 1e9
+      val found = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val qs = found.map(_._1).filter(_ > 0)
+      val hits = qs.count(q => found((q, q - 1)))
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"hnsw_index_scale","vecs":$nVecs,"queries":${qs.size},"twin_hits":$hits,"write_sec":$wsec,"search_sec":$ssec}""")
+    }
     // embedding near-dup scale probe: banded hyperplane LSH + exact
     // cosine verify over planted near-copies, then semantic cluster
     // resolution over the surfaced pairs. The pre-banding single

@@ -1155,10 +1155,13 @@ object Ann {
     * BEAM: seed each query with its banded band-key collisions (the
     * LSH tier's candidate set) plus the global entry points, then
     * [[HnswHops]] rounds of expand-along-edges → exact-cosine rank →
-    * keep [[HnswBeam]]. Recall ≥ the banded tier BY CONSTRUCTION
-    * (the seed already contains its candidates; expansion only adds
-    * — the neighbor-of-a-neighbor the banding missed), which is what
-    * the planted-cluster spec pins.
+    * keep [[HnswBeam]]. Recall does not trail the banded tier: a
+    * banded candidate can be pruned between rounds (with
+    * [[HnswEntries]] entry seeds, a banded top-5 candidate can rank
+    * below [[HnswBeam]] in the seed beam), but every pruned candidate
+    * is displaced only by strictly-closer survivors, so recall
+    * against exact ground truth cannot drop — the cosine-dominance
+    * property the planted-cluster spec pins.
     *
     * Everything is deterministic (md5 ring, id tie-breaks), so the
     * DuckDB twin replays build + search bit-for-bit — a fixed-round
@@ -1169,23 +1172,47 @@ object Ann {
     * search round scores ≤ |Q|·beam·(degree+1) candidate rows
     * against a broadcast query table; no corpus self-join beyond the
     * capped candidate generation the near-dup tier already pays.
+    *
+    * This face builds the graph PER INVOCATION — the one-shot /
+    * exploratory form. The serving path is
+    * [[graft.sinks.Sinks.writeHnswIndex]] +
+    * [[graft.sinks.Sinks.readHnswIndexTopK]]: build once, persist
+    * edges/entries/bands/vectors as frozen artifacts, search many.
+    * Both faces run the identical eager [[hnswSearch]] kernel, so
+    * disk ≡ in-memory bit-for-bit (spec-pinned). Every build and
+    * search intermediate is scoped — a call leaves nothing in the
+    * session cache registry.
     */
   def hnswTopK(emb: DataFrame): DataFrame = hnswTopK(emb, defaultQueries(emb))
 
-  def hnswTopK(emb: DataFrame, queries: DataFrame): DataFrame = {
+  def hnswTopK(emb: DataFrame, queries: DataFrame): DataFrame =
+    CacheScope.withScope {
+      val corpus = CacheScope.persist(
+        withNorm(emb).select(col("vec_id"), col("embedding"), col("norm")))
+      val (graph, ord) = hnswGraphParts(emb)
+      val entries = ord.filter(col("r") < HnswEntries).select("vec_id")
+      hnswSearch(corpus, hnswCorpusBands(emb), entries, graph, queries)
+    }
+
+  /** The graph-build halves of the HNSW family, shared by the
+    * in-memory face and [[graft.sinks.Sinks.writeHnswIndex]]:
+    * `(graph, ord)` where `graph` is the deduped short ∪ long edge
+    * set and `ord` the (vec_id, r) md5-ring ranks (rank <
+    * [[HnswEntries]] = the global entry points). Both frames are
+    * persisted into the CALLER's active [[CacheScope]] — callers wrap
+    * in `withScope` and consume eagerly.
+    */
+  private[graft] def hnswGraphParts(emb: DataFrame): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val corpus = CacheScope.persist(
-      withNorm(emb).select(col("vec_id"), col("embedding"), col("norm")))
-
-    // --- build: short similarity links + ring long links
+    // short similarity links
     val short = knnJoin(emb, KnnJoinK)
       .select(col("vec_id").as("src"), col("nn").as("dst"))
     // ring ranks: total md5 order via distributed sort + zipWithIndex
     // (the scalable global-rank construction — a global row_number
     // window would funnel the corpus through one partition)
     val ord = CacheScope.persist(
-      corpus.select(col("vec_id"))
+      emb.select(col("vec_id"))
         .withColumn("hord", md5(concat(lit("hnsw"), col("vec_id").cast("string"))))
         .orderBy("hord", "vec_id")
         .select("vec_id").as[Long].rdd.zipWithIndex()
@@ -1204,49 +1231,104 @@ object Ann {
       .select("src", "dst")
     val graph = CacheScope.persist(
       short.unionByName(long).filter(col("src") =!= col("dst")).distinct())
+    (graph, ord)
+  }
 
-    // --- search: banded seeds + entries, then T beam rounds
-    val qn = CacheScope.persist(probeSide(queries))
-    val corpusBanded = BandCap.capBuckets(
+  /** The capped corpus band buckets as the HNSW seed artifact shape —
+    * (band, key, vec_id). [[graft.sinks.Sinks.writeHnswIndex]]
+    * persists this; [[hnswTopK]] derives the identical frame inline.
+    */
+  private[graft] def hnswCorpusBands(emb: DataFrame): DataFrame =
+    BandCap.capBuckets(
       explodeBands(CacheScope.persist(nearDupSignature(withNorm(emb)))),
       Seq("band", "key"), "vec_id")
-    val probeBands = explodeBands(nearDupSignature(withNorm(
-      queries.select(col("q_id").as("vec_id"), col("embedding")))))
-      .select(col("vec_id").as("q_id"), col("band"), col("key"))
-    val bandSeeds = corpusBanded.join(probeBands, Seq("band", "key"))
-      .select(col("q_id"), col("vec_id").as("c_id"))
-    val entrySeeds = qn.select("q_id")
-      .crossJoin(broadcast(ord.filter(col("r") < HnswEntries).select(col("vec_id").as("c_id"))))
-    val seeds = bandSeeds.unionByName(entrySeeds).distinct()
+      .select("band", "key", "vec_id")
 
-    def score(frontier: DataFrame): DataFrame =
-      frontier
-        .join(broadcast(qn), "q_id")
-        .join(corpus.withColumnRenamed("vec_id", "c_id"), "c_id")
-        .select(
-          col("q_id"),
-          col("c_id"),
-          (expr("float_dot(qe, embedding)") / (col("qnorm") * col("norm"))).as("cos_raw"))
-    def beam(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("c_id"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= HnswBeam)
-        .select("q_id", "c_id")
-    }
+  /** (vec_id, embedding, norm) — the exact-scoring corpus rows the
+    * HNSW index stores beside its graph (vectors live IN a serving
+    * graph index; the beam's exact cosines read them, never the
+    * source table).
+    */
+  private[graft] def hnswCorpusVectors(emb: DataFrame): DataFrame =
+    withNorm(emb).select(col("vec_id"), col("embedding"), col("norm"))
 
-    var frontier = CacheScope.persist(beam(score(seeds)))
-    for (_ <- 1 to HnswHops) {
-      val expanded = frontier
-        .join(graph, col("c_id") === col("src"))
-        .select(col("q_id"), col("dst").as("c_id"))
-        .unionByName(frontier)
-        .distinct()
-      frontier = CacheScope.persist(beam(score(expanded)))
+  /** The SEARCH kernel both HNSW faces run: banded seeds ∪ broadcast
+    * entry points, then [[HnswHops]] eager beam rounds against the
+    * given edge set, exact-cosine top-K at the end.
+    *
+    * EAGER by design (the [[BandCap.capBuckets]] eager-probe
+    * precedent): each beam round persists into the enclosing scope
+    * and materializes before the next expands it — a lazy chain would
+    * either leak the per-round persists past the call (the round-15
+    * registry-accumulation finding) or, unpersisted, double the plan
+    * per round. The final (|Q|·K)-row result is localCheckpoint'ed —
+    * lineage truncated to the materialized rows — so scope exit
+    * reclaims every intermediate and the caller holds a self-contained
+    * frame. Scale: per-round work is one scan of the edge frame and
+    * one of the corpus rows joined to a frontier bounded by
+    * |Q|·beam·(degree+1); the eager rounds add T barrier points, not
+    * extra passes.
+    *
+    * `planProbe` is a test seam: each materialized round's executed
+    * plan, for pinning that a frozen-index search contains no build
+    * stages.
+    */
+  private[graft] def hnswSearch(
+      corpus: DataFrame,
+      corpusBands: DataFrame,
+      entries: DataFrame,
+      graph: DataFrame,
+      queries: DataFrame,
+      planProbe: String => Unit = _ => ()): DataFrame = {
+    graft.functions.FloatDot.register(corpus.sparkSession)
+    CacheScope.withScope {
+      val qn = CacheScope.persist(probeSide(queries))
+      val probeBands = explodeBands(nearDupSignature(withNorm(
+        queries.select(col("q_id").as("vec_id"), col("embedding")))))
+        .select(col("vec_id").as("q_id"), col("band"), col("key"))
+      val bandSeeds = corpusBands
+        .join(broadcast(probeBands), Seq("band", "key"))
+        .select(col("q_id"), col("vec_id").as("c_id"))
+      val entrySeeds = qn.select("q_id")
+        .crossJoin(broadcast(entries.select(col("vec_id").as("c_id"))))
+      val seeds = bandSeeds.unionByName(entrySeeds).distinct()
+
+      def score(frontier: DataFrame): DataFrame =
+        frontier
+          .join(broadcast(qn), "q_id")
+          .join(corpus.withColumnRenamed("vec_id", "c_id"), "c_id")
+          .select(
+            col("q_id"),
+            col("c_id"),
+            (expr("float_dot(qe, embedding)") / (col("qnorm") * col("norm"))).as("cos_raw"))
+      def beam(scored: DataFrame): DataFrame = {
+        val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("c_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= HnswBeam)
+          .select("q_id", "c_id")
+      }
+      def materialize(round: DataFrame): DataFrame = {
+        val f = CacheScope.persist(round)
+        f.count()
+        planProbe(f.queryExecution.executedPlan.toString)
+        f
+      }
+
+      var frontier = materialize(beam(score(seeds)))
+      for (_ <- 1 to HnswHops) {
+        val expanded = frontier
+          .join(graph, col("c_id") === col("src"))
+          .select(col("q_id"), col("dst").as("c_id"))
+          .unionByName(frontier)
+          .distinct()
+        frontier = materialize(beam(score(expanded)))
+      }
+      topK(
+        score(frontier)
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumnRenamed("c_id", "vec_id"))
+        .localCheckpoint(true)
     }
-    topK(
-      score(frontier)
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumnRenamed("c_id", "vec_id"))
   }
 
   /** Semantic duplicate-cluster resolution (the SemDeDup shape):

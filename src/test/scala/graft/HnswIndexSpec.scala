@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Ann, CacheScope}
+import graft.sinks.Sinks
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The HNSW SERVING layout — the graph-ANN family's build-once/
+  * search-many discipline: [[graft.sinks.Sinks.writeHnswIndex]]
+  * freezes edges/entries/bands/vectors as parquet artifacts, the
+  * search face runs only the beam kernel against them. Pins: disk ≡
+  * in-memory bit-for-bit (both faces share the kernel verbatim), the
+  * search plans carry zero build stages and read no storage outside
+  * the index path, the rebuild-only mutation contract, and the
+  * zero-registry-leak property of the scoped eager kernel.
+  */
+class HnswIndexSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  /** 120 gaussian vectors + a planted near-copy twin for each — the
+    * IvfRecallSpec fixture shape, small enough for exact comparison.
+    */
+  private def fixture(seed: Int = 31) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val base = Array.fill(120, 64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 120).map(i => (i.toLong, base(i), 0L)) ++
+      (0 until 120).map { i =>
+        val copy = base(i).map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+        ((1000 + i).toLong, copy, 0L)
+      }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_hnsw_spec_").toFile
+    d.deleteOnExit()
+    d.getPath
+  }
+
+  test("frozen-index search equals the in-memory face bit-for-bit") {
+    val emb = fixture()
+    val p = tmpDir()
+    Sinks.writeHnswIndex(emb, p)
+    val queries = Ann.defaultQueries(emb)
+    val mem = Ann.hnswTopK(emb, queries).collect().map(_.toSeq).toSet
+    val disk = Sinks.readHnswIndexTopK(spark, p, queries).collect().map(_.toSeq).toSet
+    assert(mem.nonEmpty, "fixture must produce results")
+    assert(disk === mem, "frozen-graph search diverged from the per-invocation build")
+  }
+
+  test("search plans carry no build stages and read only the index artifacts") {
+    val emb = fixture()
+    val p = tmpDir()
+    Sinks.writeHnswIndex(emb, p)
+    // literal query rows (LocalRelation): any file scan in a round's
+    // plan can only be an index artifact
+    val s = spark
+    import s.implicits._
+    val queries = emb.collect().take(3)
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toSeq.toDF("q_id", "embedding")
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val res = Sinks.readHnswIndexTopK(spark, p, queries, plans += _)
+    assert(res.count() > 0)
+    assert(plans.size === Ann.HnswHops + 1, "one materialized plan per beam round")
+    plans.foreach { pl =>
+      // the ring build (md5 'hord' sort) and the corpus band/signature
+      // build must never appear in a frozen-index search
+      assert(!pl.contains("hord"), s"ring-build stage leaked into a search round:\n${pl.take(1500)}")
+      // every file location the round touches lives under the index path
+      pl.linesIterator.filter(_.contains("file:")).foreach { line =>
+        assert(line.contains(p), s"search round read outside the index: $line")
+      }
+      assert(pl.contains("float_dot"), "beam round must score exact cosines")
+    }
+    // expansion rounds also never recompute signatures (the probe side
+    // pays them once, in the seed round only)
+    plans.drop(1).foreach { pl =>
+      assert(!pl.contains("planes"),
+        s"signature build leaked into an expansion round:\n${pl.take(1500)}")
+    }
+  }
+
+  test("both faces leave zero frames in the session-global cache registry") {
+    CacheScope.releaseAll()
+    val emb = fixture()
+    val before = CacheScope.registeredCount
+    assert(Ann.hnswTopK(emb).count() > 0)
+    assert(CacheScope.registeredCount === before,
+      "hnswTopK leaked persists into the session-global registry")
+    val p = tmpDir()
+    Sinks.writeHnswIndex(emb, p)
+    assert(CacheScope.registeredCount === before,
+      "writeHnswIndex leaked persists into the session-global registry")
+    assert(Sinks.readHnswIndexTopK(spark, p, Ann.defaultQueries(emb)).count() > 0)
+    assert(CacheScope.registeredCount === before,
+      "readHnswIndexTopK leaked persists into the session-global registry")
+  }
+
+  test("rebuild-only contract: a rewrite atomically supersedes the whole index") {
+    val p = tmpDir()
+    val embA = fixture(seed = 31)
+    Sinks.writeHnswIndex(embA, p)
+    val embB = fixture(seed = 47)
+    Sinks.writeHnswIndex(embB, p)
+    val queries = Ann.defaultQueries(embB)
+    val rebuilt = Sinks.readHnswIndexTopK(spark, p, queries).collect().map(_.toSeq).toSet
+    val direct = Ann.hnswTopK(embB, queries).collect().map(_.toSeq).toSet
+    assert(rebuilt === direct, "rewritten index must serve exactly the new corpus")
+  }
+}
