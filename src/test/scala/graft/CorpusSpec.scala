@@ -1148,6 +1148,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(W.readRecordsAt(files, badLoc).collect().isEmpty)
   }
 
+  test("seek-based ranged fetch reads Σ selected lengths, not Σ file sizes; records equal the payload face") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val W = graft.sources.Warc
+    // 40 docs → 4 archive files of 10 records each
+    val docs = docsDf((0L until 40L).map(i =>
+      (i, s"body words for document $i with enough padding text to matter", "en", "web")))
+    val pages = graft.operators.TextStats.wrapHtml(docs)
+    for (gz <- Seq(false, true)) {
+      val fx = W.withWarcPayloadIndexed(pages, gz)
+      val dir = java.nio.file.Files.createTempDirectory("graft_warc_seek_").toString
+      W.writeArchiveFiles(fx, dir)
+      val locs = fx.select(org.apache.spark.sql.functions.explode(col("locators")).as("l"))
+        .select("l.*")
+      // sparse selection: one record per file — selected ≪ total
+      val sel = locs.filter(col("url").isin((3L until 40L by 10L).map(W.urlOf): _*))
+      val acc = spark.sparkContext.longAccumulator(s"warc_seek_bytes_gz_$gz")
+      val got = W.readRecordsFromFiles(dir, sel, Some(acc)).collect()
+        .map(f => (f.doc_id, f.url, f.status, f.n_block_bytes, f.html)).toSet
+      val want = W.readRecordsAt(fx.select("filename", "payload"), sel).collect()
+        .map(f => (f.doc_id, f.url, f.status, f.n_block_bytes, f.html)).toSet
+      assert(got.size === 4, s"gz=$gz: one record per file expected")
+      assert(got === want, s"gz=$gz: seek face diverged from the payload face")
+      // the I/O contract: exactly the selected ranges came off storage
+      val selBytes = sel.agg(org.apache.spark.sql.functions.sum("length"))
+        .collect().head.getLong(0)
+      val totalBytes = fx
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(col("payload"))))
+        .collect().head.getLong(0)
+      assert(acc.value === selBytes,
+        s"gz=$gz: bytes read (${acc.value}) must equal Σ selected lengths ($selBytes)")
+      assert(selBytes * 5 < totalBytes,
+        s"gz=$gz: fixture must keep selected ($selBytes) ≪ total ($totalBytes)")
+      // a locator naming a missing file drops ITS records, no throw
+      val ghost = Seq(("no-such.warc", 0L, 64L)).toDF("filename", "offset", "length")
+      assert(W.readRecordsFromFiles(dir, ghost).collect().isEmpty)
+    }
+  }
+
   test("retrain loop: health flags, retrainQualityModel swaps atomically, health recovers") {
     val spark = TestSpark.spark
     import spark.implicits._
