@@ -922,7 +922,31 @@ object Corpus {
       lmBi: Map[(String, String), Long],
       lmUni: Map[String, Long],
       lmV: Long,
-      path: String): Unit = CacheScope.withScope {
+      path: String): Unit =
+    pipelineExport(docs, emb, lmBi, lmUni, lmV, path, basesTable = None)
+
+  /** [[pipelineExport]] CLOSING THE RELEASE LOOP: `basesTable = Some(t)`
+    * additionally ships the kept corpus's dedup bases —
+    * [[graft.sinks.Sinks.writeDedupBase]] as `t_fp` (exact
+    * fingerprints) and [[graft.sinks.Sinks.writeNearDupBase]] as
+    * `t_nd` (band signatures + shingle store) — so release N+1's
+    * ingest probes release N's artifacts
+    * ([[graft.operators.Dedup.incrementalDedupStored]] /
+    * [[Dedup.nearDupAgainstStored]]) instead of re-fingerprinting the
+    * published corpus. Crash discipline is the write paths' own:
+    * each base write retires the previous lifecycle first (stale
+    * segments, crash leftovers) and a re-run overwrite is total — a
+    * crash between the data write and the base writes fail-opens
+    * (under-dedup until the export re-runs), never ghost-dedups.
+    */
+  def pipelineExport(
+      docs: DataFrame,
+      emb: DataFrame,
+      lmBi: Map[(String, String), Long],
+      lmUni: Map[String, Long],
+      lmV: Long,
+      path: String,
+      basesTable: Option[String]): Unit = CacheScope.withScope {
     val verdict = CacheScope.persist(
       docPipelineFullV4(docs, emb, lmBi, lmUni, lmV))
     val kept = docs
@@ -937,6 +961,11 @@ object Corpus {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
     corpusManifest(kept.drop("shard", "n_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/card")
+    basesTable.foreach { t =>
+      val keptDocs = kept.select(col("doc_id"), col("text"))
+      graft.sinks.Sinks.writeDedupBase(keptDocs, s"${t}_fp")
+      graft.sinks.Sinks.writeNearDupBase(keptDocs, s"${t}_nd")
+    }
   }
 
   /** The manifest recomputed FROM THE WRITTEN FILES — the proof read:

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Corpus, TextStats}
+import graft.operators.{Corpus, Dedup, TextStats}
 
 /** Unicode NFC normalization, the domain-level quality gate, and
   * temperature mixture weights.
@@ -255,6 +255,66 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(card.length == 1 && card(0).getLong(0) == keptIds.size.toLong,
       s"card must count the kept corpus: ${card.toSeq}")
     graft.operators.CacheScope.releaseAll()
+  }
+
+  test("pipelineExport ships the next ingest's dedup bases: exported ≡ freshly-written probes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def words(tag: String) = (0 until 12).map(w => s"$tag$w").mkString(" ")
+    val stop = Vector("the", "is", "of", "and", "a")
+    val vocab = stop ++ (0 until 35).map(i => s"w$i")
+    def cleanText(seed: Int): String = {
+      val order = vocab.indices.sortBy { j =>
+        (((j * 2654435761L) ^ (seed * 0x9E3779B9L)) * 2654435761L) & 0x7fffffffL
+      }
+      order.map(vocab(_)).mkString(" ")
+    }
+    val ddf = (1L to 10L).map(i => (i, cleanText(i.toInt), "en", "clean"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val emb = ((0L, Seq(1.0f, 0.0f), 0) +: (1L to 10L).map(i => (i, Seq(0.0f, 1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val (bi, uni, v) = TextStats.lmCounts(ddf)
+    val biM = bi.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val uniM = uni.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val vN = v.collect().head.getLong(0)
+    val t = "export_bases_spec"
+    val tables = Seq(s"${t}_fp", s"${t}_nd", s"${t}_fresh_fp", s"${t}_fresh_nd")
+    def dropAll(): Unit = tables.foreach { b =>
+      (spark.sql(s"SHOW TABLES LIKE '$b*'").select("tableName")
+        .collect().map(_.getString(0)))
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+    dropAll()
+    try {
+      val path = java.nio.file.Files.createTempDirectory("export_bases_").toString
+      Corpus.pipelineExport(ddf, emb, biM, uniM, vN, path, basesTable = Some(t))
+      // fresh bases written directly from the exported data — the
+      // release artifact itself feeds the comparison, not the input
+      val shipped = spark.read.parquet(s"$path/data").select("doc_id", "text")
+      graft.sinks.Sinks.writeDedupBase(shipped, s"${t}_fresh_fp")
+      graft.sinks.Sinks.writeNearDupBase(shipped, s"${t}_fresh_nd")
+      // a next-release batch: one recrawl of a kept doc, one near-copy,
+      // one novel doc
+      val keptOne = shipped.orderBy("doc_id").collect().head
+      val batch = Seq(
+        (900L, keptOne.getString(1)),
+        (901L, keptOne.getString(1) + " extra"),
+        (902L, words("z"))).toDF("doc_id", "text")
+      val vExp = Dedup.incrementalDedupStored(spark, s"${t}_fp", batch)
+        .collect().map(_.toSeq).toSet
+      val vFresh = Dedup.incrementalDedupStored(spark, s"${t}_fresh_fp", batch)
+        .collect().map(_.toSeq).toSet
+      assert(vExp === vFresh, "exported exact base diverged from a fresh write")
+      assert(vExp.nonEmpty)
+      val pExp = Dedup.nearDupAgainstStored(spark, s"${t}_nd", batch)
+        .collect().map(_.toSeq).toSet
+      val pFresh = Dedup.nearDupAgainstStored(spark, s"${t}_fresh_nd", batch)
+        .collect().map(_.toSeq).toSet
+      assert(pExp === pFresh, "exported near-dup base diverged from a fresh write")
+      assert(pExp.exists(r => r.head == 900L), "the recrawl must near-dup the base")
+      graft.operators.CacheScope.releaseAll()
+    } finally dropAll()
   }
 
   test("temperature mixture: quotas follow sqrt weights through the integer quota machinery") {
