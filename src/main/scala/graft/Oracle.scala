@@ -1707,6 +1707,126 @@ object Oracle {
        |${capCte("abanded0", "abanded", Seq("band", "key"), "doc_id")}""".stripMargin
   }
 
+  /** The SPECTRAL (autocorrelation-bank) audio twins' CTEs, ending in
+    * `full_sph(doc_id, ph_hi, ph_lo)` and the capped `sbanded`. The
+    * payload set is text-synth WAVs (min [[graft.operators.Multimodal
+    * .SpectralMinFrames]] frames) plus the planted recording +
+    * padded-constant-pitch-stretch pairs — all replayed from synth
+    * FORMULAS (square-wave tones at md5 periods × md5 envelope
+    * blocks; silence pads are simply absent rows, contributing zero
+    * to every lag product exactly as zero samples do), then the
+    * integer lag products Σ v(k)·v(k+L) for L in [2, 66] and 64
+    * count-normalized adjacent-delta bits (HUGEINT cross-mults — the
+    * Spark side compares in BigInt).
+    */
+  private lazy val audioSpectralCtes: String = {
+    val M = graft.operators.Multimodal
+    val every = M.PlantEvery
+    val minLen = M.AudioPlantMinLen
+    val minF = M.SpectralMinFrames
+    val lag0 = M.SpectralLagBase
+    val step = M.SpectralLagStep
+    val nl = M.SpectralLagCount
+    val maxLag = lag0 + step * (nl - 1)
+    val tones = M.AudioStretchTones
+    val envB = M.AudioStretchEnvBlocks
+    val origBase = M.AudioStretchOrigIdBase
+    val strBase = M.AudioStretchIdBase
+    s"""satxt AS (
+       |  SELECT doc_id, s, 1 + doc_id % 2 AS ch,
+       |         length(s) // (2 * (1 + doc_id % 2)) AS n
+       |  FROM ($docPaySql)
+       |  WHERE length(s) // (2 * (1 + doc_id % 2)) >= $minF
+       |),
+       |satf AS (
+       |  SELECT t.doc_id, k.k AS k, t.n AS nf,
+       |    CAST(sum(ord(substr(t.s, CAST(t.ch * 2 * k.k + 2 * c.c + 1 AS INTEGER), 1))
+       |       + 256 * ord(substr(t.s, CAST(t.ch * 2 * k.k + 2 * c.c + 2 AS INTEGER), 1))) AS BIGINT) AS v
+       |  FROM satxt t,
+       |    LATERAL unnest(range(t.n)) k(k),
+       |    LATERAL unnest(range(t.ch)) c(c)
+       |  GROUP BY t.doc_id, k.k, t.n
+       |),
+       |spl AS (
+       |  SELECT doc_id, $minLen + doc_id AS n FROM documents WHERE doc_id % $every = 0
+       |),
+       |sper AS (
+       |  SELECT doc_id, m.m AS m,
+       |    40 + CAST(('0x' || substr(md5('sp' || doc_id || ':' || m.m), 1, 2)) AS INTEGER) % 91 AS p,
+       |    1 + CAST(('0x' || substr(md5('sp' || doc_id || ':' || m.m), 3, 2)) AS INTEGER) % 3 AS a,
+       |    CAST(('0x' || substr(md5('sp' || doc_id || ':' || m.m), 5, 4)) AS INTEGER)
+       |      % (40 + CAST(('0x' || substr(md5('sp' || doc_id || ':' || m.m), 1, 2)) AS INTEGER) % 91) AS ph
+       |  FROM spl, LATERAL unnest(range($tones)) m(m)
+       |),
+       |stone_o AS (
+       |  SELECT s.doc_id, j.j AS k,
+       |    CAST(sum(CASE WHEN ((j.j + p.ph) % p.p) * 2 < p.p THEN p.a ELSE -p.a END) AS BIGINT) AS tone
+       |  FROM spl s JOIN sper p USING (doc_id), LATERAL unnest(range(s.n)) j(j)
+       |  GROUP BY s.doc_id, j.j
+       |),
+       |sso AS (
+       |  SELECT t.doc_id + $origBase AS doc_id, t.k AS k, s.n AS nf,
+       |    CAST((1200 + CAST(('0x' || substr(md5('se' || t.doc_id || ':' ||
+       |      ((t.k * $envB) // s.n)), 1, 2)) AS INTEGER) % 64 * 8) * t.tone AS BIGINT) AS v
+       |  FROM stone_o t JOIN spl s USING (doc_id)
+       |),
+       |stone_s AS (
+       |  SELECT s.doc_id, i.i AS i,
+       |    CAST(sum(CASE WHEN ((i.i + p.ph) % p.p) * 2 < p.p THEN p.a ELSE -p.a END) AS BIGINT) AS tone
+       |  FROM spl s JOIN sper p USING (doc_id),
+       |    LATERAL unnest(range((s.n * 11) // 10)) i(i)
+       |  GROUP BY s.doc_id, i.i
+       |),
+       |sss AS (
+       |  SELECT t.doc_id + $strBase AS doc_id,
+       |    (3 * s.n) // 20 + t.i AS k,
+       |    (3 * s.n) // 20 + (s.n * 11) // 10 + s.n // 20 AS nf,
+       |    CAST((1200 + CAST(('0x' || substr(md5('se' || t.doc_id || ':' ||
+       |      ((t.i * $envB) // ((s.n * 11) // 10))), 1, 2)) AS INTEGER) % 64 * 8) * t.tone AS BIGINT) AS v
+       |  FROM stone_s t JOIN spl s USING (doc_id)
+       |),
+       |sfr AS (
+       |  SELECT doc_id, k, nf, v FROM satf
+       |  UNION ALL SELECT doc_id, k, nf, v FROM sso
+       |  UNION ALL SELECT doc_id, k, nf, v FROM sss
+       |),
+       |sids AS (SELECT DISTINCT doc_id, nf FROM sfr),
+       |sac AS (
+       |  SELECT a.doc_id, b.k - a.k AS lag, CAST(sum(a.v * b.v) AS BIGINT) AS ac
+       |  FROM sfr a JOIN sfr b
+       |    ON b.doc_id = a.doc_id AND b.k >= a.k + $lag0 AND b.k <= a.k + $maxLag
+       |   AND (b.k - a.k - $lag0) % $step = 0
+       |  GROUP BY a.doc_id, b.k - a.k
+       |),
+       |sbits AS (
+       |  SELECT a0.doc_id, CAST((a0.lag - $lag0) // $step AS INTEGER) AS bit
+       |  FROM sac a0
+       |  JOIN sac a1 ON a1.doc_id = a0.doc_id AND a1.lag = a0.lag + $step
+       |  JOIN sids d ON d.doc_id = a0.doc_id
+       |  WHERE CAST(a1.ac AS HUGEINT) * (d.nf - a0.lag)
+       |      > CAST(a0.ac AS HUGEINT) * (d.nf - a1.lag)
+       |),
+       |sph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit >= 32 THEN (1::BIGINT << CAST(bit - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_hi,
+       |    CAST(sum(CASE WHEN bit < 32 THEN (1::BIGINT << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_lo
+       |  FROM sbits GROUP BY doc_id
+       |),
+       |full_sph AS (
+       |  SELECT i.doc_id,
+       |    CAST(COALESCE(h.ph_hi, 0) AS BIGINT) AS ph_hi,
+       |    CAST(COALESCE(h.ph_lo, 0) AS BIGINT) AS ph_lo
+       |  FROM sids i LEFT JOIN sph h USING (doc_id)
+       |),
+       |sbanded0 AS (
+       |  SELECT doc_id, ph_hi, ph_lo, band,
+       |    CASE WHEN band < 2 THEN (ph_lo >> (band * 16)) & 65535
+       |         ELSE (ph_hi >> ((band - 2) * 16)) & 65535 END AS key
+       |  FROM full_sph, unnest(range(4)) t(band)
+       |),
+       |${capCte("sbanded0", "sbanded", Seq("band", "key"), "doc_id")}""".stripMargin
+  }
+
   /** Per-frame luma-sum CTEs for the video twins, ending in
     * `vfr(doc_id, k, n, v)` (v = frame k's luma sum) + `vids` — the
     * [[audioFrameCtes]] discipline on the fifth container: text rows
@@ -2512,6 +2632,10 @@ object Oracle {
     // beam as unrolled CTEs — same seeds, same tie-breaks, so build
     // AND search replay bit-for-bit.
     "ann_hnsw_topk" -> annHnswSql,
+    // the serving-layout face: the build is deterministic, so the
+    // frozen artifacts equal the per-invocation build and ONE twin
+    // replays both (the ann_index_topk/ann_ivfpq precedent)
+    "ann_index_hnsw_topk" -> annHnswSql,
 
     "ann_knn_join" ->
       s"""WITH $embNearDupCtes,
@@ -2830,6 +2954,22 @@ object Oracle {
       s"""WITH $audioBandedCtes
          |SELECT doc_id, ph_hi, ph_lo FROM full_aph
          |ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_phash_spectral" ->
+      s"""WITH $audioSpectralCtes
+         |SELECT doc_id, ph_hi, ph_lo FROM full_sph
+         |ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_near_dup_spectral" ->
+      s"""WITH $audioSpectralCtes
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+         |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
+         |FROM sbanded a JOIN sbanded b ON a.band = b.band AND a.key = b.key
+         |                             AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.SpectralHammingMax}
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "mm_audio_near_dup" ->
       s"""WITH $audioBandedCtes

@@ -270,6 +270,19 @@ object Dedup {
     * small by construction, so at 100 TB the corpus side shuffles its
     * signatures once while the batch's signature set broadcasts or
     * co-partitions — never corpus×corpus.
+    *
+    * SMALL-CORPUS / ONE-SHOT FORM, by contract. Each call re-pays the
+    * corpus side in full — shingle explode, 16-perm minhash, and the
+    * band-cap census (the frozen-decision probe, [[BandCap
+    * .capBuckets]]) — costs that are irreducible when the corpus
+    * arrives as a transient DataFrame: a one-shot comparison has no
+    * prior signatures to reuse, and routing through a temp-written
+    * base would pay the same census PLUS the table writes. Any
+    * corpus probed more than once belongs on the PRODUCTION path:
+    * [[graft.sinks.Sinks.writeNearDupBase]] once, then
+    * [[nearDupAgainstStored]] per batch — measured corpus-FLAT
+    * (SCALE_r15 `nd_stored`: 6.7 s → 7.0 s from a 100k to a 400k
+    * corpus, while this form grows 8.0 s → 18.1 s).
     */
   def incrementalNearDup(batch: DataFrame, corpus: DataFrame): DataFrame =
     nearDupPairsAgainst(
