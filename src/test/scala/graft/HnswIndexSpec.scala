@@ -75,11 +75,12 @@ class HnswIndexSpec extends AnyFunSuite {
       }
       assert(pl.contains("float_dot"), "beam round must score exact cosines")
     }
-    // expansion rounds also never recompute signatures (the probe side
-    // pays them once, in the seed round only)
+    // expansion rounds read the PREVIOUS round's persisted frontier
+    // from cache, never recompute it (the textual plan includes cached
+    // lineage, so the pin is the InMemoryTableScan itself)
     plans.drop(1).foreach { pl =>
-      assert(!pl.contains("planes"),
-        s"signature build leaked into an expansion round:\n${pl.take(1500)}")
+      assert(pl.contains("InMemoryTableScan") || pl.contains("InMemoryRelation"),
+        s"expansion round must read the cached frontier:\n${pl.take(1500)}")
     }
   }
 
