@@ -1827,6 +1827,127 @@ object Oracle {
        |${capCte("sbanded0", "sbanded", Seq("band", "key"), "doc_id")}""".stripMargin
   }
 
+  /** The video spectral twin: the [[audioSpectralCtes]] lag algebra
+    * over per-frame luma-sum DELTAS. Value series replayed from
+    * formulas (flicker negatives: one 2×2 constant-luma frame per
+    * payload byte, luma sum 4·ord(char k); plants: floor + Σ aᵢ ·
+    * phase-zero integer triangle at even period pᵢ — the integrated
+    * square-wave flicker, from the md5 parameters; the longer cut's
+    * black pads enter as two zero-value sentinel rows so the
+    * consecutive-row delta join emits exactly the boundary spikes —
+    * every other pad delta is zero and zero products drop from the
+    * lag sums identically on both engines). Normalization counts are
+    * content-independent (nd − lag), carried per doc. Ends in
+    * `full_vsph` + capped `vsbanded`.
+    */
+  private lazy val videoSpectralCtes: String = {
+    val M = graft.operators.Multimodal
+    val every = M.PlantEvery
+    val minFrames = M.VideoSpectralMinFrames
+    val minF = M.VideoStretchMinFrames
+    val lag0 = M.SpectralLagBase
+    val step = M.SpectralLagStep
+    val nl = M.SpectralLagCount
+    val maxLag = lag0 + step * (nl - 1)
+    val floor = M.VideoStretchFloor
+    val origBase = M.VideoStretchOrigIdBase
+    val strBase = M.VideoStretchIdBase
+    s"""vstxt AS (
+       |  SELECT doc_id, s, length(s) AS n
+       |  FROM ($docPaySql)
+       |  WHERE length(s) >= $minFrames
+       |),
+       |vsneg AS (
+       |  SELECT t.doc_id, k.k AS k, t.n AS nf,
+       |    CAST(4 * ord(substr(t.s, CAST(k.k + 1 AS INTEGER), 1)) AS BIGINT) AS v
+       |  FROM vstxt t, LATERAL unnest(range(t.n)) k(k)
+       |),
+       |vspl AS (
+       |  SELECT doc_id, $minF + doc_id % 1000 AS n FROM documents WHERE doc_id % $every = 0
+       |),
+       |vsper AS (
+       |  SELECT doc_id, n,
+       |    41 + 2 * (CAST(('0x' || substr(md5('vs' || doc_id), 1, 2)) AS INTEGER) % 11) AS p
+       |  FROM vspl
+       |),
+       |vsnz AS (
+       |  SELECT doc_id, j.j AS j0,
+       |    CASE WHEN j.j = 0 OR j.j = p - 1 THEN CAST($floor AS BIGINT)
+       |         ELSE CAST($floor + CAST(('0x' || substr(md5('vn' || doc_id || ':' || j.j), 1, 4)) AS INTEGER) % 981 AS BIGINT)
+       |    END AS nv
+       |  FROM vsper, LATERAL unnest(range(p)) j(j)
+       |),
+       |vso AS (
+       |  SELECT q.doc_id + $origBase AS doc_id, q.k AS k, q.n AS nf, z.nv AS v
+       |  FROM (SELECT s.doc_id, s.n, k.k AS k, k.k % s.p AS j0
+       |        FROM vsper s, LATERAL unnest(range(s.n)) k(k)) q
+       |  JOIN vsnz z ON z.doc_id = q.doc_id AND z.j0 = q.j0
+       |),
+       |vss AS (
+       |  SELECT q.doc_id + $strBase AS doc_id,
+       |    (3 * q.n) // 20 + q.i AS k,
+       |    (3 * q.n) // 20 + q.ns + q.n // 20 AS nf,
+       |    z.nv AS v
+       |  FROM (SELECT s.doc_id, s.n, ((s.n * 11) // 10 // s.p) * s.p AS ns,
+       |               i.i AS i, i.i % s.p AS j0
+       |        FROM vsper s, LATERAL unnest(range(((s.n * 11) // 10 // s.p) * s.p)) i(i)) q
+       |  JOIN vsnz z ON z.doc_id = q.doc_id AND z.j0 = q.j0
+       |  UNION ALL
+       |  SELECT doc_id + $strBase, (3 * n) // 20 - 1,
+       |    (3 * n) // 20 + ((n * 11) // 10 // p) * p + n // 20, CAST(0 AS BIGINT)
+       |  FROM vsper
+       |  UNION ALL
+       |  SELECT doc_id + $strBase, (3 * n) // 20 + ((n * 11) // 10 // p) * p,
+       |    (3 * n) // 20 + ((n * 11) // 10 // p) * p + n // 20, CAST(0 AS BIGINT)
+       |  FROM vsper
+       |),
+       |vsval AS (
+       |  SELECT doc_id, k, nf, v FROM vsneg
+       |  UNION ALL SELECT doc_id, k, nf, v FROM vso
+       |  UNION ALL SELECT doc_id, k, nf, v FROM vss
+       |),
+       |vsd AS (
+       |  SELECT a.doc_id, a.k AS k, a.nf - 1 AS nd,
+       |    CAST(b.v - a.v AS BIGINT) AS m
+       |  FROM vsval a JOIN vsval b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+       |),
+       |vsids AS (SELECT DISTINCT doc_id, nd FROM vsd),
+       |vsac AS (
+       |  SELECT a.doc_id, b.k - a.k AS lag, CAST(sum(a.m * b.m) AS BIGINT) AS ac
+       |  FROM vsd a JOIN vsd b
+       |    ON b.doc_id = a.doc_id AND b.k >= a.k + $lag0 AND b.k <= a.k + $maxLag
+       |   AND (b.k - a.k - $lag0) % $step = 0
+       |  GROUP BY a.doc_id, b.k - a.k
+       |),
+       |vsbits AS (
+       |  SELECT a0.doc_id, CAST((a0.lag - $lag0) // $step AS INTEGER) AS bit
+       |  FROM vsac a0
+       |  JOIN vsac a1 ON a1.doc_id = a0.doc_id AND a1.lag = a0.lag + $step
+       |  JOIN vsids d ON d.doc_id = a0.doc_id
+       |  WHERE CAST(a1.ac AS HUGEINT) * (d.nd - a0.lag)
+       |      > CAST(a0.ac AS HUGEINT) * (d.nd - a1.lag)
+       |),
+       |vsph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit >= 32 THEN (1::BIGINT << CAST(bit - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_hi,
+       |    CAST(sum(CASE WHEN bit < 32 THEN (1::BIGINT << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS ph_lo
+       |  FROM vsbits GROUP BY doc_id
+       |),
+       |full_vsph AS (
+       |  SELECT i.doc_id,
+       |    CAST(COALESCE(h.ph_hi, 0) AS BIGINT) AS ph_hi,
+       |    CAST(COALESCE(h.ph_lo, 0) AS BIGINT) AS ph_lo
+       |  FROM vsids i LEFT JOIN vsph h USING (doc_id)
+       |),
+       |vsbanded0 AS (
+       |  SELECT doc_id, ph_hi, ph_lo, band,
+       |    CASE WHEN band < 2 THEN (ph_lo >> (band * 16)) & 65535
+       |         ELSE (ph_hi >> ((band - 2) * 16)) & 65535 END AS key
+       |  FROM full_vsph, unnest(range(4)) t(band)
+       |),
+       |${capCte("vsbanded0", "vsbanded", Seq("band", "key"), "doc_id")}""".stripMargin
+  }
+
   /** Per-frame luma-sum CTEs for the video twins, ending in
     * `vfr(doc_id, k, n, v)` (v = frame k's luma sum) + `vids` — the
     * [[audioFrameCtes]] discipline on the fifth container: text rows
@@ -2969,6 +3090,22 @@ object Oracle {
          |                             AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
          |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.SpectralHammingMax}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "mm_video_phash_spectral" ->
+      s"""WITH $videoSpectralCtes
+         |SELECT doc_id, ph_hi, ph_lo FROM full_vsph
+         |ORDER BY doc_id""".stripMargin,
+
+    "mm_video_near_dup_spectral" ->
+      s"""WITH $videoSpectralCtes
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+         |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
+         |FROM vsbanded a JOIN vsbanded b ON a.band = b.band AND a.key = b.key
+         |                               AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.VideoSpectralHammingMax}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "mm_audio_near_dup" ->

@@ -2177,6 +2177,40 @@ object Queries {
     Multimodal.mmVideoNearDup(videoPayloadSet(s, dir))
       .orderBy("doc_a", "doc_b")
 
+  /** The video SPECTRAL rows' payload set: flicker-projected texts
+    * (negatives — one constant-luma frame per payload byte, the only
+    * projection that reaches a stable lag window from the corpus's
+    * text lengths; sub-minimum clips drop) plus the planted clip +
+    * black-padded constant-flicker stretch pairs where lag-structure
+    * pairing is mathematically possible. The constant-luma block
+    * plants are deliberately NOT in this set for the audio face's
+    * reason: near-DC content (sparse block-boundary deltas) gives a
+    * degenerate lag signature — the temporal-dHash tier is their home.
+    */
+  private def videoSpectralSet(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withFlickerVideoPayload(docs(s, dir))
+      .unionByName(Multimodal.plantedStretchedVideoPayloads(docs(s, dir)))
+
+  /** Temporal lag-bank (spectral-family) video fingerprint: the
+    * operator decodes real AVI containers, takes per-frame luma-sum
+    * DELTAS, and computes integer lag products; the twin replays the
+    * synth formulas (ord-deltas for the flicker negatives, integrated
+    * square-wave flicker triangles for the plants) through the
+    * identical lag algebra with no container at all.
+    */
+  def mmVideoPhashSpectral(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoSpectralFingerprint(videoSpectralSet(s, dir))
+      .toDF().orderBy("doc_id")
+
+  /** Spectral video near-dup pairs: each planted clip pairs with its
+    * black-padded longer cut at constant flicker — the transform
+    * class the relative-time temporal dHash provably misses
+    * (spec-pinned).
+    */
+  def mmVideoNearDupSpectral(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmVideoSpectralNearDup(videoSpectralSet(s, dir))
+      .orderBy("doc_a", "doc_b")
+
   /** The SPATIAL video payload set: every clip of the temporal set
     * (all of which fall under the 9×8 pixel grid and so emit no
     * spatial hash — the sub-grid gate, proved by the twin replaying
@@ -2627,6 +2661,8 @@ object Queries {
     "mm_video_features" -> (mmVideoFeatures _),
     "mm_video_phash" -> (mmVideoPhash _),
     "mm_video_near_dup" -> (mmVideoNearDup _),
+    "mm_video_phash_spectral" -> (mmVideoPhashSpectral _),
+    "mm_video_near_dup_spectral" -> (mmVideoNearDupSpectral _),
     "mm_video_phash_px" -> (mmVideoPhashPx _),
     "mm_video_near_dup_px" -> (mmVideoNearDupPx _),
     "mm_video_resample" -> (mmVideoResample _),

