@@ -3119,6 +3119,30 @@ object Oracle {
          |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.MmHammingMax}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // the spectral ingest-time folds over bounded input equal the
+    // per-band banded0 self-joins at their kernels' gates
+    "streaming_mm_audio_near_dup_spectral" ->
+      s"""WITH $audioSpectralCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INTEGER) AS band,
+         |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+         |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
+         |FROM sbanded0 a JOIN sbanded0 b ON a.band = b.band AND a.key = b.key
+         |                               AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.SpectralHammingMax}
+         |ORDER BY doc_a, doc_b, band""".stripMargin,
+
+    "streaming_mm_video_near_dup_spectral" ->
+      s"""WITH $videoSpectralCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INTEGER) AS band,
+         |  CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+         |     + bit_count(xor(a.ph_hi, b.ph_hi)) AS INTEGER) AS hamming
+         |FROM vsbanded0 a JOIN vsbanded0 b ON a.band = b.band AND a.key = b.key
+         |                                 AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph_lo, b.ph_lo))
+         |    + bit_count(xor(a.ph_hi, b.ph_hi)) <= ${graft.operators.Multimodal.VideoSpectralHammingMax}
+         |ORDER BY doc_a, doc_b, band""".stripMargin,
+
     // the audio ingest-time fold over bounded input equals the banded
     // self-join with the Hamming verify, kept per band
     "streaming_mm_audio_near_dup" ->

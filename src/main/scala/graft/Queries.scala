@@ -2440,6 +2440,25 @@ object Queries {
     graft.streaming.Streaming.batchMmAudioNearDup(audioPayloadSet(s, dir))
       .toDF().orderBy("doc_a", "doc_b", "band")
 
+  /** The SPECTRAL audio ingest face over bounded input — the lag-bank
+    * kernel + the spectral gate inside the shared bucket fold; the
+    * twin is the per-band sbanded0 self-join. Pairs the padded tempo
+    * stretch in-stream — the transform the energy-dHash stream
+    * provably cannot pair.
+    */
+  def streamingMmAudioNearDupSpectral(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchMmAudioSpectralNearDup(audioSpectralSet(s, dir))
+      .toDF().orderBy("doc_a", "doc_b", "band")
+
+  /** The SPECTRAL video ingest face over bounded input — the delta
+    * lag-bank kernel + its gate inside the shared bucket fold; the
+    * twin is the per-band vsbanded0 self-join. Pairs the black-padded
+    * re-edit in-stream.
+    */
+  def streamingMmVideoNearDupSpectral(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.batchMmVideoSpectralNearDup(videoSpectralSet(s, dir))
+      .toDF().orderBy("doc_a", "doc_b", "band")
+
   /** The ingest-time decontamination kernel over bounded input — must
     * equal doc_decontaminate row for row (shared twin).
     */
@@ -2658,6 +2677,8 @@ object Queries {
     "mm_audio_near_dup" -> (mmAudioNearDup _),
     "mm_audio_dedup_clusters" -> (mmAudioDedupClusters _),
     "streaming_mm_audio_near_dup" -> (streamingMmAudioNearDup _),
+    "streaming_mm_audio_near_dup_spectral" -> (streamingMmAudioNearDupSpectral _),
+    "streaming_mm_video_near_dup_spectral" -> (streamingMmVideoNearDupSpectral _),
     "mm_video_features" -> (mmVideoFeatures _),
     "mm_video_phash" -> (mmVideoPhash _),
     "mm_video_near_dup" -> (mmVideoNearDup _),

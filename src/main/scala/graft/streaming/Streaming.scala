@@ -912,9 +912,12 @@ object Streaming {
   private[graft] def mmBucketFold(
       rows: Iterator[MmBandKeyed],
       prior: Vector[(Long, Long, Long)],
-      cap: Int = Int.MaxValue)
+      cap: Int = Int.MaxValue,
+      gate: Int = graft.operators.Multimodal.MmHammingMax)
       : (Vector[(Long, Long, Long)], Vector[MmCandidateOut]) = {
-    // `cap` = the TTL streams' member-vector bound; see [[bucketFold]]
+    // `cap` = the TTL streams' member-vector bound; see [[bucketFold]].
+    // `gate` = the kernel family's Hamming verify (the spectral faces
+    // ride tighter gates than the dHash default).
     var members = prior
     val seen = scala.collection.mutable.HashSet.from(prior.map(_._1))
     val out = Vector.newBuilder[MmCandidateOut]
@@ -923,7 +926,7 @@ object Streaming {
         members.foreach { case (m, hi, lo) =>
           val ham = java.lang.Long.bitCount(hi ^ r.ph_hi) +
             java.lang.Long.bitCount(lo ^ r.ph_lo)
-          if (ham <= graft.operators.Multimodal.MmHammingMax)
+          if (ham <= gate)
             out += MmCandidateOut(
               math.min(m, r.doc_id), math.max(m, r.doc_id), r.band, ham)
         }
@@ -1268,6 +1271,122 @@ object Streaming {
       .groupByKey(r => s"${r.band}|${r.key}")
       .flatMapGroups((key: String, rows: Iterator[MmBandKeyed]) =>
         mmBucketFold(rows, Vector.empty)._2.iterator)
+  }
+
+  // ---------------------------- streaming SPECTRAL near-dup (audio+video)
+  /** [[mmAudioBandedRows]] on the autocorrelation lag-bank kernel
+    * ([[graft.operators.Multimodal.audioSpectralFingerprint]]) — the
+    * pad/trim/stretch-robust fingerprint's ingest face shares the
+    * batch kernel verbatim, exactly as every energy-dHash face does.
+    */
+  private def mmAudioSpectralBandedRows(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmBandKeyed] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    graft.operators.Multimodal
+      .perceptualBanded(
+        graft.operators.Multimodal.audioSpectralFingerprint(withPayload).toDF())
+      .select(
+        col("doc_id"), col("band").cast("int").as("band"),
+        col("key"), col("ph_hi"), col("ph_lo"))
+      .as[MmBandKeyed]
+  }
+
+  private def mmVideoSpectralBandedRows(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmBandKeyed] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    graft.operators.Multimodal
+      .perceptualBanded(
+        graft.operators.Multimodal.videoSpectralFingerprint(withPayload).toDF())
+      .select(
+        col("doc_id"), col("band").cast("int").as("band"),
+        col("key"), col("ph_hi"), col("ph_lo"))
+      .as[MmBandKeyed]
+  }
+
+  /** The SPECTRAL audio ingest face: arriving WAV payloads fingerprint
+    * through the lag-bank kernel, band, and Hamming-verify inside
+    * their bucket at the spectral gate
+    * ([[graft.operators.Multimodal.SpectralHammingMax]], tighter than
+    * the dHash default — lag-bank bits are global-structure bits) — a
+    * crawler sees the re-upload with a trimmed intro or a tempo
+    * stretch paired while the crawl is still running, the transform
+    * class the energy-dHash stream provably cannot pair. State bound
+    * and fold shared with [[mmNearDupStream]]; a TTL variant would
+    * follow [[mmAudioNearDupStreamTtl]]'s eviction verbatim (the
+    * watermark machinery is kernel-agnostic — only the hash call and
+    * the gate differ).
+    */
+  def mmAudioSpectralNearDupStream(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    mmAudioSpectralBandedRows(withPayload)
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[MmBandKeyed],
+            state: GroupState[Vector[(Long, Long, Long)]]) =>
+          val (members, out) = mmBucketFold(
+            rows, state.getOption.getOrElse(Vector.empty),
+            gate = graft.operators.Multimodal.SpectralHammingMax)
+          state.update(members)
+          out.iterator
+      }
+  }
+
+  /** [[mmAudioSpectralNearDupStream]]'s fold over bounded input — the
+    * oracle-checkable batch twin.
+    */
+  def batchMmAudioSpectralNearDup(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    mmAudioSpectralBandedRows(withPayload)
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroups((key: String, rows: Iterator[MmBandKeyed]) =>
+        mmBucketFold(
+          rows, Vector.empty,
+          gate = graft.operators.Multimodal.SpectralHammingMax)._2.iterator)
+  }
+
+  /** The SPECTRAL video ingest face: arriving AVI payloads fingerprint
+    * through the delta lag-bank kernel and verify at
+    * [[graft.operators.Multimodal.VideoSpectralHammingMax]] — the
+    * black-padded re-edit pairs in-stream, the transform class the
+    * temporal-dHash stream provably cannot pair. Same sharing
+    * contract as the audio face.
+    */
+  def mmVideoSpectralNearDupStream(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    mmVideoSpectralBandedRows(withPayload)
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[MmBandKeyed],
+            state: GroupState[Vector[(Long, Long, Long)]]) =>
+          val (members, out) = mmBucketFold(
+            rows, state.getOption.getOrElse(Vector.empty),
+            gate = graft.operators.Multimodal.VideoSpectralHammingMax)
+          state.update(members)
+          out.iterator
+      }
+  }
+
+  /** [[mmVideoSpectralNearDupStream]]'s fold over bounded input — the
+    * oracle-checkable batch twin.
+    */
+  def batchMmVideoSpectralNearDup(
+      withPayload: org.apache.spark.sql.DataFrame): Dataset[MmCandidateOut] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    mmVideoSpectralBandedRows(withPayload)
+      .groupByKey(r => s"${r.band}|${r.key}")
+      .flatMapGroups((key: String, rows: Iterator[MmBandKeyed]) =>
+        mmBucketFold(
+          rows, Vector.empty,
+          gate = graft.operators.Multimodal.VideoSpectralHammingMax)._2.iterator)
   }
 
   /** The candidate stream's fold over bounded input — the oracle-

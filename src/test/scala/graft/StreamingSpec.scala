@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.Capture
-import graft.operators.{Daily, Dedup}
+import graft.operators.{Daily, Dedup, Multimodal}
 import graft.streaming.Streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -614,6 +614,69 @@ class StreamingSpec extends AnyFunSuite {
     val pairs = batch.map { case (x, y, _, _) => (x, y) }
     assert(pairs == Set((1L, 2L)),
       s"expected exactly the original/downsample pair: $pairs")
+  }
+
+  test("spectral ingest streams: the padded stretch/re-edit pairs in-stream, order-insensitive, stream == batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the batch fixtures' planted pairs ARE the transform class the
+    // energy/temporal streams provably miss (MultimodalSpec) — drive
+    // the same payloads through the ingest faces
+    val docs = (0L until 20L).map(i =>
+      (i, s"doc $i " + (1 to 40).map(j => s"w${(i * 37 + j * 13) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val cols = Seq("doc_id", "modality", "width", "height", "payload")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Long, Array[Byte])] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getAs[Array[Byte]]("payload"))).toSeq.sortBy(_._1)
+
+    def run(
+        face: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[Streaming.MmCandidateOut],
+        rows: Seq[(Long, String, Long, Long, Array[Byte])],
+        order: Seq[Int], name: String): Set[(Long, Long, Int, Int)] = {
+      val stream = MemoryStream[(Long, String, Long, Long, Array[Byte])]
+      val q = face(stream.toDS().toDF(cols: _*))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      order.foreach { i =>
+        stream.addData(Seq(rows(i)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    }
+
+    // audio: orig 0, stretch 0, orig 10 (pairs only with its own cousin)
+    val aRows = rowsOf(Multimodal.plantedStretchedAudioPayloads(docs))
+    val aIdx = aRows.indices
+    val aFwd = run(Streaming.mmAudioSpectralNearDupStream, aRows, aIdx, "mm_audio_sp_fwd")
+    val aRev = run(Streaming.mmAudioSpectralNearDupStream, aRows, aIdx.reverse, "mm_audio_sp_rev")
+    val aBatch = Streaming.batchMmAudioSpectralNearDup(aRows.toDF(cols: _*))
+      .collect().map(c => (c.doc_a, c.doc_b, c.band, c.hamming)).toSet
+    assert(aFwd == aBatch, "streamed audio spectral candidates diverged from the batch fold")
+    assert(aRev == aBatch, "arrival order changed the audio spectral candidate set")
+    val aPairs = aBatch.map { case (x, y, _, _) => (x, y) }
+    val aExpect = Set(0L, 10L).map(d =>
+      (d + Multimodal.AudioStretchOrigIdBase, d + Multimodal.AudioStretchIdBase))
+    assert(aPairs == aExpect, s"audio spectral stream pairs: $aPairs")
+
+    // video: same shape on the delta lag bank
+    val vRows = rowsOf(Multimodal.plantedStretchedVideoPayloads(docs))
+    val vIdx = vRows.indices
+    val vFwd = run(Streaming.mmVideoSpectralNearDupStream, vRows, vIdx, "mm_video_sp_fwd")
+    val vRev = run(Streaming.mmVideoSpectralNearDupStream, vRows, vIdx.reverse, "mm_video_sp_rev")
+    val vBatch = Streaming.batchMmVideoSpectralNearDup(vRows.toDF(cols: _*))
+      .collect().map(c => (c.doc_a, c.doc_b, c.band, c.hamming)).toSet
+    assert(vFwd == vBatch, "streamed video spectral candidates diverged from the batch fold")
+    assert(vRev == vBatch, "arrival order changed the video spectral candidate set")
+    val vPairs = vBatch.map { case (x, y, _, _) => (x, y) }
+    val vExpect = Set(0L, 10L).map(d =>
+      (d + Multimodal.VideoStretchOrigIdBase, d + Multimodal.VideoStretchIdBase))
+    assert(vPairs == vExpect, s"video spectral stream pairs: $vPairs")
   }
 
   test("TTL-evicted LSH stream: a closed bucket stops cross-epoch candidates") {
