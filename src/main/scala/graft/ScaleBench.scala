@@ -670,6 +670,48 @@ object ScaleBench {
           s""""sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
       docs.unpersist(blocking = false)
     }
+    // video SPECTRAL near-dup scale probe: delta lag bank over N
+    // flicker payloads, every 10th doc also planted as a clip + its
+    // black-padded longer cut — the re-edit pair the temporal dHash
+    // provably misses; reports recall of the planted pairs so the
+    // measured gate margins hold at scale, not just in the spec
+    // fixture.
+    sys.env.get("SPARK_GRAFT_MM_VIDEO_SPECTRAL_DOCS").map(_.toLong).foreach { nDocs =>
+      // VARIED word lengths (4-11 chars), unlike the dHash probes'
+      // fixed 8: every fixed-width-word text shares a period-9
+      // "hex-then-space" delta rhythm, and a rhythm-locked lag bank
+      // correctly pairs such docs — a property of the synthetic
+      // generator, not of real corpora (the registry negatives at
+      // sf0.01 emit ~10 non-planted pairs, not tens of thousands)
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 60).map { w =>
+            val idx = pmod(col("id") * 2654435761L + w * 40503, lit(2147483647L))
+            when(lit(w) < pmod(col("id") * 7919, lit(41)) + 20,
+              md5(idx.cast("string")).substr(lit(1), (pmod(idx, lit(8)) + 4).cast("int")))
+          }: _*).as("text"))
+        .withColumn("n_chars", length(col("text")))
+        .persist()
+      docs.count()
+      val M = graft.operators.Multimodal
+      val input = M.withFlickerVideoPayload(docs)
+        .unionByName(M.plantedStretchedVideoPayloads(docs))
+      val t0 = System.nanoTime()
+      val got = M.mmVideoSpectralNearDup(input)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val planted = (0L until nDocs by M.PlantEvery)
+        .map(d => (d + M.VideoStretchOrigIdBase, d + M.VideoStretchIdBase))
+      val hit = planted.count(got)
+      graft.operators.CacheScope.releaseAll()
+      println(
+        s"""{"metric":"mm_video_spectral_scale","docs":$nDocs,"pairs":${got.size},""" +
+          s""""planted":${planted.size},"planted_hit":$hit,""" +
+          s""""sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
+      docs.unpersist(blocking = false)
+    }
     // CDX planning scale probe: a loopback server records page-count
     // probes while both planners plan an N-url live scan. The probe
     // planner pays one HTTP round-trip per url through the bounded

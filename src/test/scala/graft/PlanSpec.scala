@@ -34,7 +34,9 @@ class PlanSpec extends AnyFunSuite {
         "doc_pipeline_html", "doc_split_leakage",
         "doc_substring_dedup_wide", "streaming_mm_near_dup",
         "mm_audio_near_dup", "streaming_mm_audio_near_dup",
+        "mm_audio_near_dup_spectral", "streaming_mm_audio_near_dup_spectral",
         "mm_video_near_dup", "streaming_mm_video_near_dup",
+        "mm_video_near_dup_spectral", "streaming_mm_video_near_dup_spectral",
         "mm_video_near_dup_px",
         "doc_near_dup_incremental", "doc_near_dup_incremental_stored",
         "ann_knn_join", "ann_topk_banded")) {
