@@ -3,7 +3,7 @@ package graft.sinks
 import java.nio.charset.StandardCharsets
 
 import graft.model.ScoredRow
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -914,25 +914,76 @@ object Sinks {
     * relational edge surgery per insert would pay the knnJoin anyway.
     * Public practice matches (HNSW serving stacks rebuild or rely on
     * in-memory insert-time surgery no columnar layout expresses).
-    * `writeHnswIndex` to the same path atomically supersedes via
-    * parquet overwrite per artifact; readers of a mid-rebuild path get
-    * whole old or whole new artifacts per dir — callers wanting a
-    * guarded swap compose [[rebuildAnnIndex]]'s staging discipline.
+    *
+    * SWAP DISCIPLINE: the four artifacts must flip as ONE — a reader
+    * mixing new edges with old entry points searches a geometry that
+    * never existed (the silent-wrong-results class the IVF tier's
+    * read guard exists to prevent). Each rebuild writes a fresh
+    * GENERATION directory (`g<n>/edges …`) and then atomically flips
+    * the kilobyte `CURRENT` pointer file (write-temp → delete →
+    * rename); readers resolve `CURRENT` once and read only that
+    * generation, so they see whole-old or whole-new, never a mix. A
+    * missing/mid-flip pointer fails LOUDLY (the guardReadable
+    * discipline) — the flip window is two metadata ops, and a crash
+    * inside it is healed by the next write. Crash anywhere before the
+    * flip leaves the serving generation untouched; orphaned
+    * generations (a crashed write's partial artifacts) are reclaimed
+    * at the start of the next write, and the superseded generation is
+    * retired after the flip.
     */
   def writeHnswIndex(emb: DataFrame, path: String): Unit = {
     import graft.operators.{Ann, CacheScope}
+    val spark = emb.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentHnswGen(fs, path)
+    // reclaim crashed writes' orphans: any generation that is neither
+    // current nor about to be written
+    val next = cur.getOrElse(0L) + 1
+    if (fs.exists(new Path(path))) {
+      fs.listStatus(new Path(path)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("g") && n.drop(1).forall(_.isDigit) &&
+            !cur.contains(n.drop(1).toLong))
+          fs.delete(st.getPath, true)
+      }
+    }
+    val gdir = s"$path/g$next"
     CacheScope.withScope {
       val (graph, ord) = Ann.hnswGraphParts(emb)
       graph
         .repartition(col("src")).sortWithinPartitions("src")
-        .write.mode("overwrite").parquet(s"$path/edges")
+        .write.mode("overwrite").parquet(s"$gdir/edges")
       ord.filter(col("r") < Ann.HnswEntries).select("vec_id")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/entries")
+        .coalesce(1).write.mode("overwrite").parquet(s"$gdir/entries")
       Ann.hnswCorpusBands(emb)
         .repartition(col("band"), col("key")).sortWithinPartitions("band", "key")
-        .write.mode("overwrite").parquet(s"$path/bands")
+        .write.mode("overwrite").parquet(s"$gdir/bands")
       Ann.hnswCorpusVectors(emb)
-        .write.mode("overwrite").parquet(s"$path/vectors")
+        .write.mode("overwrite").parquet(s"$gdir/vectors")
+    }
+    // the atomic flip: stage the new pointer, drop the old, rename in
+    val tmp = new Path(s"$path/CURRENT_tmp")
+    val ptr = new Path(s"$path/CURRENT")
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8"))
+    out.close()
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new IllegalStateException(s"HNSW index pointer flip failed at $path")
+    cur.foreach(g => fs.delete(new Path(s"$path/g$g"), true))
+  }
+
+  /** The committed generation `CURRENT` points at, if any. */
+  private def currentHnswGen(fs: FileSystem, path: String): Option[Long] = {
+    val ptr = new Path(s"$path/CURRENT")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
     }
   }
 
@@ -941,7 +992,10 @@ object Sinks {
     * ([[graft.operators.Ann.hnswSearch]] — shared verbatim with the
     * in-memory face, so disk ≡ in-memory bit-for-bit), zero build
     * stages — no knnJoin, no ring sort, no cap census appears in any
-    * round's plan (spec-pinned via the kernel's plan probe).
+    * round's plan (spec-pinned via the kernel's plan probe). The
+    * `CURRENT` pointer resolves ONCE, so the whole search reads one
+    * committed generation; a missing pointer (no committed index, or
+    * a crash inside the two-op flip window) fails loudly.
     */
   def readHnswIndexTopK(
       spark: SparkSession, path: String, queries: DataFrame): DataFrame =
@@ -951,14 +1005,22 @@ object Sinks {
       spark: SparkSession,
       path: String,
       queries: DataFrame,
-      planProbe: String => Unit): DataFrame =
+      planProbe: String => Unit): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = currentHnswGen(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"HNSW index at $path has no committed CURRENT generation: either " +
+          "nothing was written here, or a rebuild crashed inside the pointer " +
+          "flip. Run writeHnswIndex to (re)commit."))
+    val gdir = s"$path/g$gen"
     graft.operators.Ann.hnswSearch(
-      spark.read.parquet(s"$path/vectors"),
-      spark.read.parquet(s"$path/bands"),
-      spark.read.parquet(s"$path/entries"),
-      spark.read.parquet(s"$path/edges"),
+      spark.read.parquet(s"$gdir/vectors"),
+      spark.read.parquet(s"$gdir/bands"),
+      spark.read.parquet(s"$gdir/entries"),
+      spark.read.parquet(s"$gdir/edges"),
       queries,
       planProbe)
+  }
 
   /** The index's per-list residual books, if it carries them —
     * kilobytes (IvfK × PqK × d floats), the layout marker for every

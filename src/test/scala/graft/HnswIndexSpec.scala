@@ -110,5 +110,49 @@ class HnswIndexSpec extends AnyFunSuite {
     val rebuilt = Sinks.readHnswIndexTopK(spark, p, queries).collect().map(_.toSeq).toSet
     val direct = Ann.hnswTopK(embB, queries).collect().map(_.toSeq).toSet
     assert(rebuilt === direct, "rewritten index must serve exactly the new corpus")
+    // the superseded generation is retired and exactly one remains
+    val gens = new java.io.File(p).listFiles().map(_.getName).filter(_.matches("g\\d+"))
+    assert(gens.toSeq === Seq("g2"), s"expected only the new generation: ${gens.toSeq}")
+  }
+
+  test("a missing/mid-flip CURRENT pointer fails loudly instead of serving a mixed geometry") {
+    val p = tmpDir()
+    val ex0 = intercept[IllegalStateException] {
+      Sinks.readHnswIndexTopK(spark, p, Ann.defaultQueries(fixture())).count()
+    }
+    assert(ex0.getMessage.contains("no committed CURRENT generation"))
+    val emb = fixture()
+    Sinks.writeHnswIndex(emb, p)
+    // simulate a crash inside the two-op flip window: pointer deleted,
+    // rename never happened
+    assert(new java.io.File(s"$p/CURRENT").delete())
+    val ex = intercept[IllegalStateException] {
+      Sinks.readHnswIndexTopK(spark, p, Ann.defaultQueries(emb)).count()
+    }
+    assert(ex.getMessage.contains("no committed CURRENT generation"))
+    // the next write heals: a fresh commit serves normally
+    Sinks.writeHnswIndex(emb, p)
+    assert(Sinks.readHnswIndexTopK(spark, p, Ann.defaultQueries(emb)).count() > 0)
+  }
+
+  test("a crashed rebuild leaves the serving generation intact; the next write reclaims its orphan") {
+    val p = tmpDir()
+    val emb = fixture()
+    Sinks.writeHnswIndex(emb, p)
+    val queries = Ann.defaultQueries(emb)
+    val before = Sinks.readHnswIndexTopK(spark, p, queries).collect().map(_.toSeq).toSet
+    // a rebuild that died after writing artifacts but before the flip:
+    // a partial orphan generation on disk, pointer untouched
+    val orphan = new java.io.File(s"$p/g99/edges")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$p/g99/edges/part-junk.parquet"), Array[Byte](1, 2, 3))
+    val during = Sinks.readHnswIndexTopK(spark, p, queries).collect().map(_.toSeq).toSet
+    assert(during === before, "an uncommitted generation must be invisible to readers")
+    Sinks.writeHnswIndex(emb, p)
+    assert(!new java.io.File(s"$p/g99").exists(),
+      "the next write must reclaim the crashed rebuild's orphan generation")
+    val after = Sinks.readHnswIndexTopK(spark, p, queries).collect().map(_.toSeq).toSet
+    assert(after === before, "the recommitted index must serve the same corpus")
   }
 }
