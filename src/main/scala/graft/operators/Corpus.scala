@@ -938,6 +938,15 @@ object Corpus {
     * segments, crash leftovers) and a re-run overwrite is total — a
     * crash between the data write and the base writes fail-opens
     * (under-dedup until the export re-runs), never ghost-dedups.
+    *
+    * `annIndex = true` additionally ships the kept corpus's ANN
+    * SERVING index under `path/ann_index` ([[graft.sinks.Sinks
+    * .writeAnnIndex]] over the kept docs' embedding rows — vec_id
+    * keys the document embedding) so a release consumer searches the
+    * published corpus without re-encoding it: the third release
+    * artifact family next to the data shards and the dedup bases,
+    * with the IVF tier's own lifecycle (appends, tombstones,
+    * compaction, rebuild, read guard) available against it.
     */
   def pipelineExport(
       docs: DataFrame,
@@ -946,7 +955,8 @@ object Corpus {
       lmUni: Map[String, Long],
       lmV: Long,
       path: String,
-      basesTable: Option[String]): Unit = CacheScope.withScope {
+      basesTable: Option[String],
+      annIndex: Boolean = false): Unit = CacheScope.withScope {
     val verdict = CacheScope.persist(
       docPipelineFullV4(docs, emb, lmBi, lmUni, lmV))
     val kept = docs
@@ -966,6 +976,11 @@ object Corpus {
       graft.sinks.Sinks.writeDedupBase(keptDocs, s"${t}_fp")
       graft.sinks.Sinks.writeNearDupBase(keptDocs, s"${t}_nd")
     }
+    if (annIndex)
+      graft.sinks.Sinks.writeAnnIndex(
+        emb.join(kept.select(col("doc_id").as("vec_id")), "vec_id")
+          .select("vec_id", "embedding"),
+        s"$path/ann_index")
   }
 
   /** The manifest recomputed FROM THE WRITTEN FILES — the proof read:

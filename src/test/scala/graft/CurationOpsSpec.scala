@@ -317,6 +317,61 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally dropAll()
   }
 
+  test("pipelineExport ships the kept corpus's ANN serving index: exported ≡ fresh, kept ids only") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val stop = Vector("the", "is", "of", "and", "a")
+    val vocab = stop ++ (0 until 35).map(i => s"w$i")
+    def cleanText(seed: Int): String = {
+      val order = vocab.indices.sortBy { j =>
+        (((j * 2654435761L) ^ (seed * 0x9E3779B9L)) * 2654435761L) & 0x7fffffffL
+      }
+      order.map(vocab(_)).mkString(" ")
+    }
+    val ddf = (1L to 30L).map(i => (i, cleanText(i.toInt), "en", "clean"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    // 64-dim clustered vectors for ids 0..30: id 0 has no document, so
+    // a correct export must NOT serve it
+    val rnd = new scala.util.Random(77)
+    val centers = Array.fill(4, 64)(rnd.nextGaussian().toFloat)
+    val emb = (0 to 30).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq, (i % 4).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val (bi, uni, v) = TextStats.lmCounts(ddf)
+    val biM = bi.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val uniM = uni.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val vN = v.collect().head.getLong(0)
+    val path = java.nio.file.Files.createTempDirectory("export_ann_").toString
+    Corpus.pipelineExport(ddf, emb, biM, uniM, vN, path, basesTable = None, annIndex = true)
+    val shippedIds = spark.read.parquet(s"$path/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shippedIds.nonEmpty && !shippedIds.contains(0L))
+    // the exported index serves exactly what a fresh write over the
+    // shipped corpus's vectors serves
+    val keptVecs = emb
+      .join(shippedIds.toSeq.toDF("vec_id"), "vec_id")
+      .select("vec_id", "embedding")
+    val fresh = java.nio.file.Files.createTempDirectory("export_ann_fresh_").toString
+    graft.sinks.Sinks.writeAnnIndex(keptVecs, fresh)
+    val queries = keptVecs.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val got = graft.sinks.Sinks.readAnnIndexTopK(spark, s"$path/ann_index", queries)
+      .collect().map(_.toSeq).toSet
+    val want = graft.sinks.Sinks.readAnnIndexTopK(spark, fresh, queries)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got === want,
+      "the exported ANN index diverged from a fresh write over the shipped corpus")
+    // the codes table carries kept ids ONLY — the droppable doc and the
+    // documentless vector must be absent from the release artifact
+    val codeIds = spark.read.parquet(s"$path/ann_index/codes")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(codeIds === shippedIds,
+      s"index ids must equal the shipped corpus: extra=${codeIds -- shippedIds} missing=${shippedIds -- codeIds}")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("temperature mixture: quotas follow sqrt weights through the integer quota machinery") {
     val spark = TestSpark.spark
     import spark.implicits._
