@@ -1830,15 +1830,20 @@ object Oracle {
   /** The video spectral twin: the [[audioSpectralCtes]] lag algebra
     * over per-frame luma-sum DELTAS. Value series replayed from
     * formulas (flicker negatives: one 2×2 constant-luma frame per
-    * payload byte, luma sum 4·ord(char k); plants: floor + Σ aᵢ ·
-    * phase-zero integer triangle at even period pᵢ — the integrated
-    * square-wave flicker, from the md5 parameters; the longer cut's
-    * black pads enter as two zero-value sentinel rows so the
-    * consecutive-row delta join emits exactly the boundary spikes —
-    * every other pad delta is zero and zero products drop from the
-    * lag sums identically on both engines). Normalization counts are
-    * content-independent (nd − lag), carried per doc. Ends in
-    * `full_vsph` + capped `vsbanded`.
+    * payload byte, luma sum 4·ord(char k); plants: the md5-seeded
+    * periodic pseudo-noise luma loop at ODD period p = 41 + 2·(md5
+    * ("vs"‖id) % 11) — per residue class j0 the level is the pinned
+    * splice floor when j0 ∈ {0, p−1} and floor + md5("vn"‖id‖":"‖j0)
+    * % 981 otherwise, exactly [[graft.operators.Multimodal
+    * .videoPlantPeriod]] / `videoPlantLevel`; each frame k replays
+    * level(k % p). The stretched cut replays a whole number of loops
+    * over 1.1× the length, and its black pads enter as two
+    * zero-value sentinel rows so the consecutive-row delta join
+    * emits exactly the boundary spikes — every other pad delta is
+    * zero and zero products drop from the lag sums identically on
+    * both engines. Normalization counts are content-independent
+    * (nd − lag), carried per doc. Ends in `full_vsph` + capped
+    * `vsbanded`.
     */
   private lazy val videoSpectralCtes: String = {
     val M = graft.operators.Multimodal

@@ -1908,6 +1908,13 @@ object Queries {
   /** Graph ANN (small-world) top-K: banded seeds + fixed-round beam
     * over the kNN+ring graph — deterministic build and search, so the
     * twin replays both.
+    *
+    * ONE-SHOT face, deliberately: this row pays the graph BUILD per
+    * invocation and is the registry's most expensive query for
+    * exactly that reason — it is the build+search correctness
+    * witness (its twin replays the build too). Repeated-search use
+    * belongs on [[annIndexHnswTopK]], the serving face that
+    * amortizes the build at write time.
     */
   def annHnswTopK(s: SparkSession, dir: String): DataFrame =
     Ann.hnswTopK(embs(s, dir)).orderBy("q_id", "rn")

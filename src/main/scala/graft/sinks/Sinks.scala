@@ -928,16 +928,29 @@ object Sinks {
     * inside it is healed by the next write. Crash anywhere before the
     * flip leaves the serving generation untouched; orphaned
     * generations (a crashed write's partial artifacts) are reclaimed
-    * at the start of the next write, and the superseded generation is
-    * retired after the flip.
+    * at the start of the next write.
+    *
+    * RETENTION CONTRACT: the superseded generation is NOT deleted at
+    * the flip — it is retained on disk until the NEXT write's orphan
+    * sweep reclaims it. A search that resolved `CURRENT` before the
+    * flip therefore finishes against intact files; deleting g at the
+    * flip would fail an in-flight reader of g mid-job (loudly — the
+    * pointer discipline rules out mixed geometry either way — but a
+    * serving index whose rebuild kills concurrent searches breaks the
+    * build-once/search-many contract at face value). At most two
+    * generations exist at a time: the current one and the one it
+    * superseded. The window a retired generation survives is one full
+    * rebuild cadence — far longer than any single search; a reader
+    * that somehow outlives TWO rebuilds fails loudly, never wrongly.
     */
   def writeHnswIndex(emb: DataFrame, path: String): Unit = {
     import graft.operators.{Ann, CacheScope}
     val spark = emb.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = currentHnswGen(fs, path)
-    // reclaim crashed writes' orphans: any generation that is neither
-    // current nor about to be written
+    // reclaim crashed writes' orphans AND the generation the previous
+    // write superseded (the retention contract above): anything that
+    // is neither current nor about to be written
     val next = cur.getOrElse(0L) + 1
     if (fs.exists(new Path(path))) {
       fs.listStatus(new Path(path)).foreach { st =>
@@ -970,20 +983,35 @@ object Sinks {
     fs.delete(ptr, false)
     if (!fs.rename(tmp, ptr))
       throw new IllegalStateException(s"HNSW index pointer flip failed at $path")
-    cur.foreach(g => fs.delete(new Path(s"$path/g$g"), true))
+    // the superseded generation is deliberately left in place (see
+    // RETENTION CONTRACT): the next write's sweep reclaims it.
   }
 
-  /** The committed generation `CURRENT` points at, if any. */
+  /** The committed generation `CURRENT` points at, if any. The file
+    * is drained fully (`readFully` — a single `read` may legally
+    * return short for an `FSDataInputStream`) and a pointer that
+    * exists but doesn't parse as a generation number fails with the
+    * same loud [[IllegalStateException]] class as the mid-flip path:
+    * an unreadable pointer must never be mistaken for "no index".
+    */
   private def currentHnswGen(fs: FileSystem, path: String): Option[Long] = {
     val ptr = new Path(s"$path/CURRENT")
     if (!fs.exists(ptr)) None
     else {
+      val len = fs.getFileStatus(ptr).getLen.toInt
+      val buf = new Array[Byte](len)
       val in = fs.open(ptr)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
-      } finally in.close()
+      try in.readFully(0, buf)
+      finally in.close()
+      val txt = new String(buf, "UTF-8").trim
+      try Some(txt.toLong)
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalStateException(
+            s"HNSW index pointer at $ptr is unreadable (content: '$txt'): " +
+              "a corrupt CURRENT file, not a missing index. Run " +
+              "writeHnswIndex to recommit.")
+      }
     }
   }
 

@@ -110,9 +110,57 @@ class HnswIndexSpec extends AnyFunSuite {
     val rebuilt = Sinks.readHnswIndexTopK(spark, p, queries).collect().map(_.toSeq).toSet
     val direct = Ann.hnswTopK(embB, queries).collect().map(_.toSeq).toSet
     assert(rebuilt === direct, "rewritten index must serve exactly the new corpus")
-    // the superseded generation is retired and exactly one remains
-    val gens = new java.io.File(p).listFiles().map(_.getName).filter(_.matches("g\\d+"))
-    assert(gens.toSeq === Seq("g2"), s"expected only the new generation: ${gens.toSeq}")
+    // RETENTION CONTRACT: the superseded generation survives the flip
+    // (so in-flight readers finish) and is reclaimed by the NEXT write
+    val gens = new java.io.File(p).listFiles().map(_.getName)
+      .filter(_.matches("g\\d+")).sorted
+    assert(gens.toSeq === Seq("g1", "g2"),
+      s"expected current + retained superseded generation: ${gens.toSeq}")
+    Sinks.writeHnswIndex(embB, p)
+    val gens2 = new java.io.File(p).listFiles().map(_.getName)
+      .filter(_.matches("g\\d+")).sorted
+    assert(gens2.toSeq === Seq("g2", "g3"),
+      s"the third write must reclaim g1 and retain g2: ${gens2.toSeq}")
+  }
+
+  test("an in-flight search that resolved CURRENT before a rebuild+flip completes against the retained generation") {
+    val p = tmpDir()
+    val embA = fixture(seed = 31)
+    Sinks.writeHnswIndex(embA, p)
+    val queries = Ann.defaultQueries(embA)
+    val expected = Ann.hnswTopK(embA, queries).collect().map(_.toSeq).toSet
+    // resolve CURRENT now, exactly as a reader's resolve-once step does
+    val preFlipGen = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$p/CURRENT")), "UTF-8").trim
+    val gdir = s"$p/g$preFlipGen"
+    // a rebuild supersedes that generation and flips the pointer
+    Sinks.writeHnswIndex(fixture(seed = 47), p)
+    // the reader's remaining work — scanning the resolved generation's
+    // four artifacts and running the beam — happens AFTER the flip.
+    // Pre-retention, these files were deleted at the flip and this scan
+    // died with FileNotFoundException mid-query.
+    val got = Ann.hnswSearch(
+      spark.read.parquet(s"$gdir/vectors"),
+      spark.read.parquet(s"$gdir/bands"),
+      spark.read.parquet(s"$gdir/entries"),
+      spark.read.parquet(s"$gdir/edges"),
+      queries).collect().map(_.toSeq).toSet
+    assert(got === expected,
+      "a search that resolved the pre-flip generation must finish against intact files")
+  }
+
+  test("a corrupt CURRENT pointer fails loudly, never parses as missing") {
+    val p = tmpDir()
+    Sinks.writeHnswIndex(fixture(), p)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$p/CURRENT"), "not-a-gen".getBytes("UTF-8"))
+    // drop the checksum sidecar so the corruption reaches the parser
+    // rather than the local FS's CRC check
+    new java.io.File(s"$p/.CURRENT.crc").delete()
+    val ex = intercept[IllegalStateException] {
+      Sinks.readHnswIndexTopK(spark, p, Ann.defaultQueries(fixture())).count()
+    }
+    assert(ex.getMessage.contains("unreadable"))
   }
 
   test("a missing/mid-flip CURRENT pointer fails loudly instead of serving a mixed geometry") {
