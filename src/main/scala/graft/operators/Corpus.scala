@@ -939,14 +939,32 @@ object Corpus {
     * crash between the data write and the base writes fail-opens
     * (under-dedup until the export re-runs), never ghost-dedups.
     *
-    * `annIndex = true` additionally ships the kept corpus's ANN
-    * SERVING index under `path/ann_index` ([[graft.sinks.Sinks
-    * .writeAnnIndex]] over the kept docs' embedding rows — vec_id
-    * keys the document embedding) so a release consumer searches the
-    * published corpus without re-encoding it: the third release
-    * artifact family next to the data shards and the dedup bases,
-    * with the IVF tier's own lifecycle (appends, tombstones,
-    * compaction, rebuild, read guard) available against it.
+    * `annIndex` picks which ANN SERVING index family ships with the
+    * release, over the kept docs' embedding rows (vec_id keys the
+    * document embedding), so a release consumer searches the
+    * published corpus without re-encoding it — the third release
+    * artifact family next to the data shards and the dedup bases:
+    *
+    *  - [[AnnIndexIvf]]  → `path/ann_index` ([[graft.sinks.Sinks
+    *    .writeAnnIndex]]), with the IVF tier's own lifecycle
+    *    (appends, tombstones, compaction, rebuild, read guard)
+    *    available against it — the continuous-ingest regime.
+    *  - [[AnnIndexHnsw]] → `path/ann_index_hnsw` ([[graft.sinks
+    *    .Sinks.writeHnswIndex]]) — the high-recall build-once/
+    *    search-many regime, its knnJoin build paid HERE where the
+    *    export already holds the kept vectors, not re-paid by the
+    *    consumer.
+    *  - [[AnnIndexBoth]] → both artifacts.
+    *  - [[AnnIndexNone]] (default) → neither.
+    *
+    * STALENESS DISCIPLINE: both index directories are retired BEFORE
+    * the data write, unconditionally — a re-run with a weaker
+    * `annIndex` choice (or a crash before the index write) must
+    * never leave a PRIOR export's index next to fresh data shards,
+    * silently serving the previous release's corpus. The failure
+    * window is loud-by-construction: a crash mid-export leaves no
+    * index at all (consumer's read guard throws) rather than a stale
+    * one, mirroring the dedup bases' fail-open-not-ghost contract.
     */
   def pipelineExport(
       docs: DataFrame,
@@ -956,7 +974,15 @@ object Corpus {
       lmV: Long,
       path: String,
       basesTable: Option[String],
-      annIndex: Boolean = false): Unit = CacheScope.withScope {
+      annIndex: AnnIndexKind = AnnIndexNone): Unit = CacheScope.withScope {
+    // retire any prior export's serving indexes up front (see
+    // STALENESS DISCIPLINE above)
+    val hconf = docs.sparkSession.sparkContext.hadoopConfiguration
+    Seq(s"$path/ann_index", s"$path/ann_index_hnsw").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
     val verdict = CacheScope.persist(
       docPipelineFullV4(docs, emb, lmBi, lmUni, lmV))
     val kept = docs
@@ -976,12 +1002,27 @@ object Corpus {
       graft.sinks.Sinks.writeDedupBase(keptDocs, s"${t}_fp")
       graft.sinks.Sinks.writeNearDupBase(keptDocs, s"${t}_nd")
     }
-    if (annIndex)
-      graft.sinks.Sinks.writeAnnIndex(
-        emb.join(kept.select(col("doc_id").as("vec_id")), "vec_id")
-          .select("vec_id", "embedding"),
-        s"$path/ann_index")
+    if (annIndex != AnnIndexNone) {
+      val keptVecs = emb
+        .join(kept.select(col("doc_id").as("vec_id")), "vec_id")
+        .select("vec_id", "embedding")
+      if (annIndex == AnnIndexIvf || annIndex == AnnIndexBoth)
+        graft.sinks.Sinks.writeAnnIndex(keptVecs, s"$path/ann_index")
+      if (annIndex == AnnIndexHnsw || annIndex == AnnIndexBoth)
+        graft.sinks.Sinks.writeHnswIndex(keptVecs, s"$path/ann_index_hnsw")
+    }
   }
+
+  /** Which ANN serving index family [[pipelineExport]] ships with a
+    * release: none, the IVF codes layout (continuous-ingest
+    * lifecycle), the HNSW graph layout (high-recall frozen serving),
+    * or both.
+    */
+  sealed trait AnnIndexKind
+  case object AnnIndexNone extends AnnIndexKind
+  case object AnnIndexIvf extends AnnIndexKind
+  case object AnnIndexHnsw extends AnnIndexKind
+  case object AnnIndexBoth extends AnnIndexKind
 
   /** The manifest recomputed FROM THE WRITTEN FILES — the proof read:
     * hash equality against the funnel twin's keep-filtered shard

@@ -1015,6 +1015,59 @@ object Sinks {
     }
   }
 
+  /** Default drift fraction for [[maybeRebuildHnswIndex]]: rebuild
+    * once the IVF-side live set has drifted 10% from what the graph
+    * serves. Rebuilds are the graph tier's whole mutation budget, so
+    * the threshold trades staleness (unreachable new vectors, ghost
+    * deleted ones — the brute/IVF tiers still see them correctly)
+    * against paying the knnJoin build.
+    */
+  val HnswRebuildDriftFraction: Double = 0.1
+
+  /** CONTINUOUS-INGEST CADENCE for the rebuild-only graph tier: the
+    * streaming/batch ingest faces ([[appendAnnIndex]],
+    * [[upsertAnnIndex]], [[deleteFromAnnIndex]]) mutate the IVF
+    * index's delta lifecycle — the graph index, rebuild-only by
+    * contract, would silently fall behind. This face closes the loop:
+    * it reads the IVF side's LIVE row count (base ∪ deltas through
+    * the tombstone anti-join — the segment stats the ingest already
+    * maintains) and the vector count the HNSW `CURRENT` generation
+    * serves, and when the absolute drift reaches `driftFraction` of
+    * the served count — or no committed generation exists — runs
+    * exactly one [[writeHnswIndex]] over `vecs` (the caller's
+    * canonical live vector set, typically the same frame the streams
+    * ingest from: the graph needs raw embeddings, which the IVF codes
+    * deliberately do not carry). Returns whether a rebuild ran.
+    *
+    * Self-normalizing, no extra state: a rebuild serves exactly
+    * `vecs`, so when `vecs` tracks the IVF live set the drift returns
+    * to ~0 and the trigger disarms until real ingest re-arms it —
+    * call it after every micro-batch or compaction; it is a cheap
+    * two-count check until the threshold trips. Limitation,
+    * documented: in-place UPSERTS of existing ids leave counts
+    * unchanged and do not trip the count-drift trigger — an
+    * upsert-heavy pipeline should pair this with a periodic
+    * unconditional rebuild.
+    */
+  def maybeRebuildHnswIndex(
+      spark: SparkSession,
+      ivfPath: String,
+      hnswPath: String,
+      vecs: DataFrame,
+      driftFraction: Double = HnswRebuildDriftFraction): Boolean = {
+    val fs = new Path(hnswPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val due = currentHnswGen(fs, hnswPath) match {
+      case None => true
+      case Some(g) =>
+        val served = spark.read.parquet(s"$hnswPath/g$g/vectors").count()
+        val live = readAnnIndexCodes(spark, ivfPath)
+          .select("vec_id").distinct().count()
+        math.abs(live - served) >= driftFraction * math.max(served, 1L)
+    }
+    if (due) writeHnswIndex(vecs, hnswPath)
+    due
+  }
+
   /** Search the frozen HNSW index: banded seeds + entry points from
     * the stored artifacts, the eager beam kernel
     * ([[graft.operators.Ann.hnswSearch]] — shared verbatim with the

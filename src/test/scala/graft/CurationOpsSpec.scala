@@ -317,7 +317,11 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally dropAll()
   }
 
-  test("pipelineExport ships the kept corpus's ANN serving index: exported ≡ fresh, kept ids only") {
+  /** Clean-doc corpus + clustered vectors for the ANN-export pins:
+    * ids 1..30 have documents, vec_id 0 has a vector but NO document —
+    * a correct export must not serve it.
+    */
+  private def annExportFixture() = {
     val spark = TestSpark.spark
     import spark.implicits._
     val stop = Vector("the", "is", "of", "and", "a")
@@ -331,8 +335,6 @@ class CurationOpsSpec extends AnyFunSuite {
     val ddf = (1L to 30L).map(i => (i, cleanText(i.toInt), "en", "clean"))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")))
-    // 64-dim clustered vectors for ids 0..30: id 0 has no document, so
-    // a correct export must NOT serve it
     val rnd = new scala.util.Random(77)
     val centers = Array.fill(4, 64)(rnd.nextGaussian().toFloat)
     val emb = (0 to 30).map { i =>
@@ -343,8 +345,16 @@ class CurationOpsSpec extends AnyFunSuite {
     val biM = bi.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     val uniM = uni.collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val vN = v.collect().head.getLong(0)
+    (ddf, emb, biM, uniM, vN)
+  }
+
+  test("pipelineExport ships the kept corpus's ANN serving index: exported ≡ fresh, kept ids only") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (ddf, emb, biM, uniM, vN) = annExportFixture()
     val path = java.nio.file.Files.createTempDirectory("export_ann_").toString
-    Corpus.pipelineExport(ddf, emb, biM, uniM, vN, path, basesTable = None, annIndex = true)
+    Corpus.pipelineExport(ddf, emb, biM, uniM, vN, path, basesTable = None,
+      annIndex = Corpus.AnnIndexIvf)
     val shippedIds = spark.read.parquet(s"$path/data")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(shippedIds.nonEmpty && !shippedIds.contains(0L))
@@ -369,6 +379,61 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(codeIds === shippedIds,
       s"index ids must equal the shipped corpus: extra=${codeIds -- shippedIds} missing=${shippedIds -- codeIds}")
+    graft.operators.CacheScope.releaseAll()
+  }
+
+  test("pipelineExport ships the HNSW serving index: frozen search ≡ fresh write, kept ids only") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (ddf, emb, biM, uniM, vN) = annExportFixture()
+    val path = java.nio.file.Files.createTempDirectory("export_hnsw_").toString
+    Corpus.pipelineExport(ddf, emb, biM, uniM, vN, path, basesTable = None,
+      annIndex = Corpus.AnnIndexHnsw)
+    val shippedIds = spark.read.parquet(s"$path/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shippedIds.nonEmpty && !shippedIds.contains(0L))
+    // the graph kind must not ship the IVF artifact
+    assert(!new java.io.File(s"$path/ann_index").exists(),
+      "AnnIndexHnsw must not write the IVF layout")
+    val keptVecs = emb
+      .join(shippedIds.toSeq.toDF("vec_id"), "vec_id")
+      .select("vec_id", "embedding")
+    val fresh = java.nio.file.Files.createTempDirectory("export_hnsw_fresh_").toString
+    graft.sinks.Sinks.writeHnswIndex(keptVecs, fresh)
+    val queries = keptVecs.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val got = graft.sinks.Sinks.readHnswIndexTopK(spark, s"$path/ann_index_hnsw", queries)
+      .collect().map(_.toSeq).toSet
+    val want = graft.sinks.Sinks.readHnswIndexTopK(spark, fresh, queries)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got === want,
+      "the exported HNSW index diverged from a fresh write over the shipped corpus")
+    // vectors artifact carries kept ids ONLY
+    val gen = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/ann_index_hnsw/CURRENT")), "UTF-8").trim
+    val vecIds = spark.read.parquet(s"$path/ann_index_hnsw/g$gen/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(vecIds === shippedIds,
+      s"index ids must equal the shipped corpus: extra=${vecIds -- shippedIds} missing=${shippedIds -- vecIds}")
+    graft.operators.CacheScope.releaseAll()
+  }
+
+  test("pipelineExport retires a prior export's serving indexes on re-run: no stale index beside fresh shards") {
+    val spark = TestSpark.spark
+    val (ddf, emb, biM, uniM, vN) = annExportFixture()
+    val path = java.nio.file.Files.createTempDirectory("export_stale_").toString
+    Corpus.pipelineExport(ddf, emb, biM, uniM, vN, path, basesTable = None,
+      annIndex = Corpus.AnnIndexBoth)
+    assert(new java.io.File(s"$path/ann_index").exists())
+    assert(new java.io.File(s"$path/ann_index_hnsw").exists())
+    // re-run WITHOUT indexes: both prior artifacts must be retired, so
+    // a consumer can never silently search the previous release
+    Corpus.pipelineExport(ddf, emb, biM, uniM, vN, path, basesTable = None,
+      annIndex = Corpus.AnnIndexNone)
+    assert(!new java.io.File(s"$path/ann_index").exists(),
+      "a re-run without annIndex left the prior IVF index beside fresh shards")
+    assert(!new java.io.File(s"$path/ann_index_hnsw").exists(),
+      "a re-run without annIndex left the prior HNSW index beside fresh shards")
     graft.operators.CacheScope.releaseAll()
   }
 

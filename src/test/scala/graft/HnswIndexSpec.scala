@@ -149,6 +149,49 @@ class HnswIndexSpec extends AnyFunSuite {
       "a search that resolved the pre-flip generation must finish against intact files")
   }
 
+  test("continuous ingest: IVF delta drift past the threshold triggers exactly one graph rebuild + flip") {
+    val s = spark
+    import s.implicits._
+    val emb = fixture() // 240 vectors → 10% drift threshold = 24
+    val ivf = tmpDir()
+    val hnsw = tmpDir()
+    Sinks.writeAnnIndex(emb, ivf)
+    def gen: Long = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$hnsw/CURRENT")), "UTF-8").trim.toLong
+    def newVecs(base: Long, n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(base.toInt)
+      (0 until n).map(i =>
+        (base + i, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq, 0L))
+        .toDF("vec_id", "embedding", "label")
+    }
+    // no committed generation: the first check always builds
+    assert(Sinks.maybeRebuildHnswIndex(s, ivf, hnsw, emb), "missing index must be due")
+    assert(gen === 1L)
+    // 10 new vectors on 240 served — under the 10% drift threshold
+    val add1 = newVecs(2000L, 10)
+    Sinks.upsertAnnIndex(s, ivf, add1.select("vec_id", "embedding"))
+    val after1 = emb.unionByName(add1)
+    assert(!Sinks.maybeRebuildHnswIndex(s, ivf, hnsw, after1),
+      "sub-threshold drift must not rebuild")
+    assert(gen === 1L, "no flip below the threshold")
+    // +20 more → 30 live-vs-served ≥ 24: exactly one rebuild + flip
+    val add2 = newVecs(3000L, 20)
+    Sinks.upsertAnnIndex(s, ivf, add2.select("vec_id", "embedding"))
+    val after2 = after1.unionByName(add2)
+    assert(Sinks.maybeRebuildHnswIndex(s, ivf, hnsw, after2),
+      "threshold drift must rebuild")
+    assert(gen === 2L, "exactly one pointer flip for the rebuild")
+    // self-normalizing: the rebuild served the live set, so an
+    // immediate re-check is quiet
+    assert(!Sinks.maybeRebuildHnswIndex(s, ivf, hnsw, after2),
+      "a fresh rebuild must disarm the trigger")
+    assert(gen === 2L)
+    // the rebuilt generation serves the ingested vectors
+    val servedIds = s.read.parquet(s"$hnsw/g2/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(servedIds.contains(3005L), "ingested vectors must reach the rebuilt graph")
+  }
+
   test("a corrupt CURRENT pointer fails loudly, never parses as missing") {
     val p = tmpDir()
     Sinks.writeHnswIndex(fixture(), p)
