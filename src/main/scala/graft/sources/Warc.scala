@@ -503,19 +503,39 @@ object Warc {
     * truncated file drops ITS records (data, not a job failure), the
     * [[scanFile]] discipline.
     *
-    * `bytesRead` is a test seam: every byte the face pulls from
-    * storage is counted there, which is how the spec pins
-    * bytes-read ≈ Σ selected lengths on a fixture where selected ≪
-    * total.
+    * SLICE COALESCING: on an object store every slice is a range-GET
+    * round trip, and a locator set that selects many records from one
+    * file (a domain crawl's pages land consecutively in the same
+    * WARC) would pay a request per record. Adjacent slices whose gap
+    * is below [[RangedReadCoalesceGap]] merge into ONE read — each
+    * record then parses out of its sub-range of the merged buffer —
+    * trading ≤ gap wasted bytes per merge for a saved round trip
+    * (the readahead/merge policy object-store connectors apply for
+    * the same reason). Bytes-read is therefore bounded by
+    * Σ lengths + (slices − 1) · gap, and equals Σ lengths exactly
+    * when no slices sit within a gap of each other.
+    *
+    * `bytesRead` / `readRequests` are test seams: every byte the face
+    * pulls from storage and every positioned read it issues are
+    * counted there, which is how the spec pins the Σ-lengths bound
+    * and the fewer-requests property of coalescing.
     */
   def readRecordsFromFiles(
       dir: String, locs: DataFrame): Dataset[WarcFetched] =
     readRecordsFromFiles(dir, locs, None)
 
+  /** Merge threshold for adjacent ranged-read slices: 64 KiB — small
+    * next to a typical record, large enough to fuse records that were
+    * written consecutively with only headers/small records between.
+    */
+  val RangedReadCoalesceGap: Long = 64L * 1024
+
   private[graft] def readRecordsFromFiles(
       dir: String,
       locs: DataFrame,
-      bytesRead: Option[org.apache.spark.util.LongAccumulator]): Dataset[WarcFetched] = {
+      bytesRead: Option[org.apache.spark.util.LongAccumulator],
+      readRequests: Option[org.apache.spark.util.LongAccumulator] = None,
+      coalesceGap: Long = RangedReadCoalesceGap): Dataset[WarcFetched] = {
     val spark = locs.sparkSession
     import spark.implicits._
     selectedSlices(locs)
@@ -524,17 +544,40 @@ object Warc {
         val conf = new org.apache.hadoop.conf.Configuration()
         val p = new org.apache.hadoop.fs.Path(dir, fname)
         val out = scala.collection.mutable.ArrayBuffer.empty[WarcFetched]
+        // group ascending-offset slices into merged ranges: a slice
+        // joins the open range when its gap is under the threshold
+        // and the merged range still fits one buffer
+        val valid = ls.filter(l =>
+          l.offset >= 0 && l.length > 0 && l.length <= Int.MaxValue)
+        val ranges = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, scala.collection.mutable.ArrayBuffer[LocSlice])]
+        valid.foreach { l =>
+          val lEnd = l.offset + l.length
+          if (ranges.nonEmpty && {
+                val (s0, e0, _) = ranges.last
+                l.offset <= e0 + coalesceGap && math.max(e0, lEnd) - s0 <= Int.MaxValue
+              }) {
+            val (s0, e0, members) = ranges.last
+            members += l
+            ranges(ranges.length - 1) = (s0, math.max(e0, lEnd), members)
+          } else
+            ranges += ((l.offset, lEnd,
+              scala.collection.mutable.ArrayBuffer(l)))
+        }
         try {
           val fs = p.getFileSystem(conf)
           val in = fs.open(p)
           try {
-            ls.foreach { l =>
-              if (l.offset >= 0 && l.length > 0 && l.length <= Int.MaxValue) {
-                val buf = new Array[Byte](l.length.toInt)
-                in.seek(l.offset)
-                in.readFully(buf)
-                bytesRead.foreach(_.add(l.length))
-                parseSlice(buf).foreach(d =>
+            ranges.foreach { case (start, end, members) =>
+              val buf = new Array[Byte]((end - start).toInt)
+              in.seek(start)
+              in.readFully(buf)
+              readRequests.foreach(_.add(1))
+              bytesRead.foreach(_.add(end - start))
+              members.foreach { l =>
+                val rec = java.util.Arrays.copyOfRange(
+                  buf, (l.offset - start).toInt, (l.offset - start + l.length).toInt)
+                parseSlice(rec).foreach(d =>
                   out += WarcFetched(
                     fname, l.offset, d.doc_id, d.url, d.warc_date, d.status,
                     d.n_block_bytes, d.html))

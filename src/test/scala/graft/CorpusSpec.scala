@@ -1188,6 +1188,53 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("adjacent ranged slices coalesce into one read: fewer requests, bytes bounded by Σ lengths + gaps") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val W = graft.sources.Warc
+    val docs = docsDf((0L until 40L).map(i =>
+      (i, s"body words for document $i with enough padding text to matter", "en", "web")))
+    val pages = graft.operators.TextStats.wrapHtml(docs)
+    val fx = W.withWarcPayloadIndexed(pages, false)
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_coal_").toString
+    W.writeArchiveFiles(fx, dir)
+    val locs = fx.select(org.apache.spark.sql.functions.explode(col("locators")).as("l"))
+      .select("l.*")
+    val nFiles = fx.select("filename").distinct().count()
+    // adjacent-heavy: EVERY other record of every file — gaps are one
+    // small record wide, far under the threshold, so each file's
+    // slices must fuse into a single positioned read
+    val sel = locs.filter(col("url").isin((0L until 40L by 2L).map(W.urlOf): _*))
+    val nSlices = sel.count()
+    assert(nSlices > nFiles, "fixture must select several records per file")
+    val bytes = spark.sparkContext.longAccumulator("warc_coal_bytes")
+    val reqs = spark.sparkContext.longAccumulator("warc_coal_reqs")
+    val got = W.readRecordsFromFiles(dir, sel, Some(bytes), Some(reqs)).collect()
+      .map(f => (f.doc_id, f.url, f.status, f.n_block_bytes, f.html)).toSet
+    val want = W.readRecordsAt(fx.select("filename", "payload"), sel).collect()
+      .map(f => (f.doc_id, f.url, f.status, f.n_block_bytes, f.html)).toSet
+    assert(got === want, "coalesced reads must parse exactly the selected records")
+    // the request economy: one fused read per file, not one per slice
+    assert(reqs.value === nFiles,
+      s"adjacent slices must coalesce to one read per file: ${reqs.value} reads for $nSlices slices")
+    // the bytes bound: Σ selected lengths + at most (slices − 1) gaps
+    val selBytes = sel.agg(org.apache.spark.sql.functions.sum("length"))
+      .collect().head.getLong(0)
+    assert(bytes.value >= selBytes, "a fused read covers every selected byte")
+    assert(bytes.value <= selBytes + (nSlices - 1) * W.RangedReadCoalesceGap,
+      s"bytes read (${bytes.value}) exceeded Σ lengths ($selBytes) + gaps bound")
+    // with coalescing off (gap 0 merges only zero-gap neighbors), the
+    // same selection pays a request per slice and exactly Σ lengths —
+    // the seam proves the merge, not the fixture
+    val bytes0 = spark.sparkContext.longAccumulator("warc_coal_bytes0")
+    val reqs0 = spark.sparkContext.longAccumulator("warc_coal_reqs0")
+    val got0 = W.readRecordsFromFiles(dir, sel, Some(bytes0), Some(reqs0), coalesceGap = -1L)
+      .collect().map(f => (f.doc_id, f.url, f.status, f.n_block_bytes, f.html)).toSet
+    assert(got0 === want)
+    assert(reqs0.value === nSlices, "gap −1 must issue one read per slice")
+    assert(bytes0.value === selBytes, "uncoalesced reads pay exactly Σ lengths")
+  }
+
   test("retrain loop: health flags, retrainQualityModel swaps atomically, health recovers") {
     val spark = TestSpark.spark
     import spark.implicits._
