@@ -1845,6 +1845,69 @@ object Oracle {
     * (nd − lag), carried per doc. Ends in `full_vsph` + capped
     * `vsbanded`.
     */
+  /** Shared CTEs for the tiled-image rows, ending in `th` (doc_id,
+    * tile_x, tile_y, th_hi, th_lo): the planted grid AND its
+    * tile-aligned crop replayed from [[graft.operators.Multimodal
+    * .pxPlantValue]]'s md5 formula (grayscale ⇒ BT.601 luma is the
+    * identity), box-summed per 12×8 tile into the 9×8 grid, bits by
+    * integer cross-multiplication — the per-tile mirror of the
+    * mm_phash_px replay.
+    */
+  private lazy val tileHashCtes: String = {
+    val M = graft.operators.Multimodal
+    val pe = M.PxPlantEvery
+    val (w, h) = (M.PxImgW, M.PxImgH)
+    val (cw, ch) = (M.PxCropW, M.PxCropH)
+    val (ox, oy) = (M.PxCropX, M.PxCropY)
+    val cb = M.PxCropIdBase
+    val (tw, tileH) = (M.TileW, M.TileH)
+    val (gw, gh) = (M.PxGridW, M.PxGridH)
+    s"""timgs AS (
+       |  SELECT doc_id, doc_id AS src, $w AS w, $h AS h, 0 AS ox, 0 AS oy
+       |  FROM documents WHERE doc_id % $pe = 0
+       |  UNION ALL
+       |  SELECT doc_id + $cb, doc_id, $cw, $ch, $ox, $oy
+       |  FROM documents WHERE doc_id % $pe = 0
+       |),
+       |tpx AS (
+       |  SELECT i.doc_id, x.x AS x, y.y AS y,
+       |    CAST(('0x' || substr(md5(CAST(i.src AS VARCHAR) || '_' ||
+       |      CAST(x.x + i.ox AS VARCHAR) || '_' ||
+       |      CAST(y.y + i.oy AS VARCHAR)), 1, 2)) AS BIGINT) AS v
+       |  FROM timgs i,
+       |       LATERAL unnest(range(i.w)) x(x),
+       |       LATERAL unnest(range(i.h)) y(y)
+       |),
+       |tcell AS (
+       |  SELECT doc_id, CAST(x // $tw AS INT) AS tx, CAST(y // $tileH AS INT) AS ty,
+       |    CAST(((x % $tw) * $gw) // $tw AS INT) AS bx,
+       |    CAST(((y % $tileH) * $gh) // $tileH AS INT) AS by,
+       |    v
+       |  FROM tpx
+       |),
+       |tblk AS (
+       |  SELECT doc_id, tx, ty, by, bx,
+       |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+       |  FROM tcell GROUP BY 1, 2, 3, 4, 5
+       |),
+       |tbits AS (
+       |  SELECT a.doc_id, a.tx, a.ty, a.by * ${gw - 1} + a.bx AS bi
+       |  FROM tblk a JOIN tblk n ON n.doc_id = a.doc_id AND n.tx = a.tx
+       |    AND n.ty = a.ty AND n.by = a.by AND n.bx = a.bx + 1
+       |  WHERE a.bx < ${gw - 1} AND n.s * a.c > a.s * n.c
+       |),
+       |th AS (
+       |  SELECT t.doc_id, t.tx AS tile_x, t.ty AS tile_y,
+       |    CAST(coalesce(sum(CASE WHEN b.bi >= 32
+       |      THEN CAST(1 AS BIGINT) << CAST(b.bi - 32 AS INTEGER) END), 0) AS BIGINT) AS th_hi,
+       |    CAST(coalesce(sum(CASE WHEN b.bi < 32
+       |      THEN CAST(1 AS BIGINT) << CAST(b.bi AS INTEGER) END), 0) AS BIGINT) AS th_lo
+       |  FROM (SELECT DISTINCT doc_id, tx, ty FROM tblk) t
+       |  LEFT JOIN tbits b ON b.doc_id = t.doc_id AND b.tx = t.tx AND b.ty = t.ty
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+  }
+
   private lazy val videoSpectralCtes: String = {
     val M = graft.operators.Multimodal
     val every = M.PlantEvery
@@ -3002,6 +3065,33 @@ object Oracle {
          |  CAST(sum(CASE WHEN bi < 32 THEN bit * (CAST(1 AS BIGINT) << bi) ELSE 0 END) AS BIGINT) AS ph_lo
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // Tiled twin: same md5 grid replay as mm_phash_px, but hashed per
+    // fixed 12x8 tile in absolute coordinates — the crop rows replay
+    // pixel (x, y) as formula value (x + PxCropX, y + PxCropY) of the
+    // SOURCE doc, so a surviving tile's sums equal the original's
+    // bit-for-bit. Plant dims divide the tile grid exactly (36=3·12,
+    // 32=4·8, 24=2·12=3·8), so every pixel belongs to a full tile on
+    // both engines.
+    "mm_phash_tiles" ->
+      s"""WITH $tileHashCtes
+         |SELECT doc_id, tile_x, tile_y, th_hi, th_lo FROM th
+         |ORDER BY doc_id, tile_y, tile_x""".stripMargin,
+
+    // position-free tile vote: distinct hash values per doc, the
+    // BandCap census over (th_hi, th_lo) buckets, equality self-join,
+    // >= TileMinVotes shared values = a pair
+    "mm_image_near_dup_tiles" ->
+      s"""WITH $tileHashCtes,
+         |tdh AS (SELECT DISTINCT doc_id, th_hi, th_lo FROM th),
+         |${capCte("tdh", "tdhc", Seq("th_hi", "th_lo"), "doc_id")}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS votes
+         |FROM tdhc a JOIN tdhc b
+         |  ON b.th_hi = a.th_hi AND b.th_lo = a.th_lo AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= ${graft.operators.Multimodal.TileMinVotes}
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the WAV twin replays the synth parameters and the exact integer
     // duration math; data_bytes = ASCII-projected length (codepoint

@@ -2027,6 +2027,27 @@ object Queries {
     Multimodal.perceptualHash(Multimodal.plantedPngPayloads(docs(s, dir)))
       .toDF().orderBy("doc_id")
 
+  /** Per-tile crop-robust hashes over the planted PNGs AND their
+    * tile-aligned crops — the fixed-size origin-anchored tile grid
+    * whose surviving tiles are bit-identical under the crop, while
+    * the global dHash scrambles (spec-pinned miss).
+    */
+  def mmPhashTiles(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelTileHashes(
+      Multimodal.plantedPngPayloads(docs(s, dir))
+        .unionByName(Multimodal.plantedCroppedPngPayloads(docs(s, dir))))
+      .toDF().orderBy("doc_id", "tile_y", "tile_x")
+
+  /** Crop-robust image near-dup: position-free tile-hash vote over
+    * the planted orig+crop corpus — every planted crop pair must
+    * stand on ≥ TileMinVotes shared tiles.
+    */
+  def mmImageNearDupTiles(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmImageNearDupTiles(
+      Multimodal.plantedPngPayloads(docs(s, dir))
+        .unionByName(Multimodal.plantedCroppedPngPayloads(docs(s, dir))))
+      .orderBy("doc_a", "doc_b")
+
   /** Audio-container features through a REAL RIFF/WAVE chunk scan:
     * deterministic PCM parameters synthesized around the projected
     * text as sample data, parsed back field-for-field with exact
@@ -2675,6 +2696,8 @@ object Queries {
     "mm_resize" -> (mmResize _),
     "mm_phash" -> (mmPhash _),
     "mm_phash_px" -> (mmPhashPx _),
+    "mm_phash_tiles" -> (mmPhashTiles _),
+    "mm_image_near_dup_tiles" -> (mmImageNearDupTiles _),
     "mm_resize_px" -> (mmResizePx _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "mm_audio_phash" -> (mmAudioPhash _),

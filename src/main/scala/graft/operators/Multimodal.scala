@@ -380,7 +380,16 @@ object Multimodal {
     1000 + ((h(0) & 0xff) % 64) * 100
   }
 
-  def plantedAudioPayloads(docs: DataFrame): DataFrame = {
+  def plantedAudioPayloads(docs: DataFrame): DataFrame =
+    plantedAudioPayloads(docs, AudioPlantIdBase, AudioStrideIdBase)
+
+  /** [[plantedAudioPayloads]] with caller-chosen id bases — content
+    * is keyed by the base `doc_id`; the scale probes pass spans
+    * sized to the corpus so plant ids never collide (see the stretch
+    * generator's overload for the collision arithmetic).
+    */
+  def plantedAudioPayloads(
+      docs: DataFrame, plantBase: Long, strideBase: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col("doc_id") % PlantEvery === 0)
@@ -411,9 +420,9 @@ object Multimodal {
         val body = pcm(samples)
         val sbody = pcm(strided)
         Seq(
-          MmRow(d + AudioPlantIdBase, "audio", 0L, 0L,
+          MmRow(d + plantBase, "audio", 0L, 0L,
             wavHeader(8000, 1, 16, body.length) ++ body),
-          MmRow(d + AudioStrideIdBase, "audio", 0L, 0L,
+          MmRow(d + strideBase, "audio", 0L, 0L,
             wavHeader(8000 / AudioStride, 1, 16, sbody.length) ++ sbody))
       })
       .toDF()
@@ -645,7 +654,16 @@ object Multimodal {
     1200 + ((h(0) & 0xff) % 64) * 8
   }
 
-  def plantedStretchedAudioPayloads(docs: DataFrame): DataFrame = {
+  def plantedStretchedAudioPayloads(docs: DataFrame): DataFrame =
+    plantedStretchedAudioPayloads(docs, AudioStretchOrigIdBase, AudioStretchIdBase)
+
+  /** [[plantedStretchedAudioPayloads]] with caller-chosen id bases —
+    * content is keyed by the base `doc_id` (md5 tone/envelope seeds),
+    * so the bases only relabel rows; see the video twin's overload
+    * for why the scale probes need collision-free spans.
+    */
+  def plantedStretchedAudioPayloads(
+      docs: DataFrame, origBase: Long, strBase: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col("doc_id") % PlantEvery === 0)
@@ -687,9 +705,9 @@ object Multimodal {
         val stretched = new Array[Short](pad1 + n10 + pad2)
         System.arraycopy(synth(n10), 0, stretched, pad1, n10)
         Seq(
-          MmRow(d + AudioStretchOrigIdBase, "audio", 0L, 0L,
+          MmRow(d + origBase, "audio", 0L, 0L,
             wavHeader(8000, 1, 16, orig.length * 2) ++ pcm(orig)),
-          MmRow(d + AudioStretchIdBase, "audio", 0L, 0L,
+          MmRow(d + strBase, "audio", 0L, 0L,
             wavHeader(8000, 1, 16, stretched.length * 2) ++ pcm(stretched)))
       })
       .toDF()
@@ -1083,7 +1101,16 @@ object Multimodal {
     20 + ((h(0) & 0xff) % 200)
   }
 
-  def plantedVideoPayloads(docs: DataFrame): DataFrame = {
+  def plantedVideoPayloads(docs: DataFrame): DataFrame =
+    plantedVideoPayloads(docs, VideoPlantIdBase, VideoStrideIdBase)
+
+  /** [[plantedVideoPayloads]] with caller-chosen id bases — content
+    * is keyed by the base `doc_id`; the scale probes pass spans
+    * sized to the corpus so plant ids never collide (see the stretch
+    * generator's overload for the collision arithmetic).
+    */
+  def plantedVideoPayloads(
+      docs: DataFrame, plantBase: Long, strideBase: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col("doc_id") % PlantEvery === 0)
@@ -1096,10 +1123,10 @@ object Multimodal {
           Array.tabulate(n)(k => videoPlantValue(d, k.toLong * VideoPlantBlocks / n))
         val svals = Array.range(0, n, VideoStride).map(vals(_))
         Seq(
-          MmRow(d + VideoPlantIdBase, "video", VideoPlantW, VideoPlantH,
+          MmRow(d + plantBase, "video", VideoPlantW, VideoPlantH,
             aviContainer(VideoPlantUsPerFrame, VideoPlantW, VideoPlantH,
               vals.map(frame))),
-          MmRow(d + VideoStrideIdBase, "video", VideoPlantW, VideoPlantH,
+          MmRow(d + strideBase, "video", VideoPlantW, VideoPlantH,
             aviContainer(VideoPlantUsPerFrame * VideoStride, VideoPlantW,
               VideoPlantH, svals.map(frame))))
       })
@@ -1213,7 +1240,20 @@ object Multimodal {
       VideoStretchFloor + ((((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 981)
     }
 
-  def plantedStretchedVideoPayloads(docs: DataFrame): DataFrame = {
+  def plantedStretchedVideoPayloads(docs: DataFrame): DataFrame =
+    plantedStretchedVideoPayloads(docs, VideoStretchOrigIdBase, VideoStretchIdBase)
+
+  /** [[plantedStretchedVideoPayloads]] with caller-chosen id bases.
+    * Payload CONTENT is keyed by the base `doc_id` (md5 period/level
+    * seeds), so moving the bases relabels rows without changing a
+    * byte — the scale probes use this to keep orig/stretch id spans
+    * disjoint at corpus sizes where the default constants' 100k
+    * spacing would collide (d + 500000 overlaps d' + 600000 once
+    * nDocs > 100000 + PlantEvery, giving ~(nDocs − 100000)/PlantEvery
+    * doc_ids two different payloads and corrupting recall counts).
+    */
+  def plantedStretchedVideoPayloads(
+      docs: DataFrame, origBase: Long, strBase: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col("doc_id") % PlantEvery === 0)
@@ -1240,9 +1280,9 @@ object Multimodal {
             Array.tabulate(n10)(i => frame(value(i))) ++
             Array.fill(pad2)(black)
         Seq(
-          MmRow(d + VideoStretchOrigIdBase, "video", 2L, 2L,
+          MmRow(d + origBase, "video", 2L, 2L,
             aviContainer(VideoPlantUsPerFrame, 2, 2, orig)),
-          MmRow(d + VideoStretchIdBase, "video", 2L, 2L,
+          MmRow(d + strBase, "video", 2L, 2L,
             aviContainer(VideoPlantUsPerFrame, 2, 2, stretched)))
       })
       .toDF()
@@ -1849,49 +1889,66 @@ object Multimodal {
     * header falls back rather than failing the job.
     */
   private[graft] def pixelDHash(p: Array[Byte]): Option[(Long, Long)] = {
+    decodeRaster(p).flatMap { img =>
+      if (img.getWidth < PxGridW || img.getHeight < PxGridH) None
+      else Some(gridDHash(img, 0, 0, img.getWidth, img.getHeight))
+    }
+  }
+
+  /** The shared decode gate: magic-byte classification keeps ImageIO
+    * off the non-image hot path; a decode failure on a real-looking
+    * header is None (dropped data), never a job failure.
+    */
+  private def decodeRaster(p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     val fmt = parseHeader(p)._1
     if (fmt != "png" && fmt != "jpeg") None
     else
-      try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-        if (img == null || img.getWidth < PxGridW || img.getHeight < PxGridH) None
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          val sums = Array.ofDim[Long](PxGridH, PxGridW)
-          val cnts = Array.ofDim[Long](PxGridH, PxGridW)
-          var y = 0
-          while (y < h) {
-            val by = ((y.toLong * PxGridH) / h).toInt
-            var x = 0
-            while (x < w) {
-              val bx = ((x.toLong * PxGridW) / w).toInt
-              val rgb = img.getRGB(x, y)
-              val lum = (299 * ((rgb >> 16) & 0xff) +
-                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
-              sums(by)(bx) += lum
-              cnts(by)(bx) += 1
-              x += 1
-            }
-            y += 1
-          }
-          var lo = 0L
-          var hi = 0L
-          var b = 0
-          while (b < 64) {
-            val yy = b / (PxGridW - 1)
-            val xx = b % (PxGridW - 1)
-            val bit =
-              sums(yy)(xx + 1) * cnts(yy)(xx) > sums(yy)(xx) * cnts(yy)(xx + 1)
-            if (bit) {
-              if (b < 32) lo |= 1L << b
-              else hi |= 1L << (b - 32)
-            }
-            b += 1
-          }
-          Some((hi, lo))
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The [[pixelDHash]] grid kernel over an arbitrary REGION of a
+    * decoded raster: BT.601 integer luma box-summed into the
+    * [[PxGridW]]×[[PxGridH]] grid, adjacent-column cross-multiplied
+    * comparisons — bit-identical to the whole-image hash when the
+    * region IS the whole image, and the per-tile kernel of the
+    * crop-robust face ([[pixelTileHashes]]).
+    */
+  private def gridDHash(
+      img: java.awt.image.BufferedImage,
+      x0: Int, y0: Int, w: Int, h: Int): (Long, Long) = {
+    val sums = Array.ofDim[Long](PxGridH, PxGridW)
+    val cnts = Array.ofDim[Long](PxGridH, PxGridW)
+    var y = 0
+    while (y < h) {
+      val by = ((y.toLong * PxGridH) / h).toInt
+      var x = 0
+      while (x < w) {
+        val bx = ((x.toLong * PxGridW) / w).toInt
+        val rgb = img.getRGB(x0 + x, y0 + y)
+        val lum = (299 * ((rgb >> 16) & 0xff) +
+          587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+        sums(by)(bx) += lum
+        cnts(by)(bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 64) {
+      val yy = b / (PxGridW - 1)
+      val xx = b % (PxGridW - 1)
+      val bit =
+        sums(yy)(xx + 1) * cnts(yy)(xx) > sums(yy)(xx) * cnts(yy)(xx + 1)
+      if (bit) {
+        if (b < 32) lo |= 1L << b
+        else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
   }
 
   /** (doc_id, band, key) bucket rows: four 16-bit slices of the 64-bit
@@ -2014,6 +2071,129 @@ object Multimodal {
         MmRow(d, "image", PxImgW.toLong, PxImgH.toLong, baos.toByteArray)
       })
       .toDF()
+  }
+
+  // -------------------------------- crop-robust tiled image fingerprint
+  /** The global [[pixelDHash]] normalizes its grid to the image
+    * DIMENSIONS, so a crop — which changes the dimensions — shifts
+    * every block boundary and scrambles the whole hash: resize-robust,
+    * crop-fragile, by construction. The tiled face covers the crop/pad
+    * class the way the spatial video tier covers re-edits with a
+    * frame vote: the image splits into fixed-size [[TileW]]×[[TileH]]
+    * tiles ANCHORED AT THE ORIGIN in absolute pixel coordinates, each
+    * tile hashed independently by the same [[PxGridW]]×[[PxGridH]]
+    * grid kernel, and two images pair when they share at least
+    * [[TileMinVotes]] distinct tile hash VALUES — position-free, the
+    * vote the frame vote runs over time run here over space, because
+    * a crop renumbers the surviving tiles.
+    *
+    * INVARIANCE CLASS, stated precisely: crops and pads whose offsets
+    * are multiples of the tile dimensions preserve every fully-
+    * interior tile bit-for-bit (absolute anchoring — the pixels of a
+    * surviving tile are untouched), so any crop keeping ≥
+    * [[TileMinVotes]] tiles is caught. An arbitrary-offset crop
+    * misaligns the tile grid and is OUT OF SCOPE for this tier — the
+    * honest fix is overlapping tiles at half-stride (4× the rows, the
+    * same join), not a weaker gate.
+    *
+    * Scale shape: tiles-per-image is bounded (area / (12·8)); the
+    * candidate join is an equality join on the 64-bit tile hash
+    * through [[graft.operators.BandCap]] caps — degenerate hashes
+    * (flat regions: the all-zero no-greater-neighbor hash every
+    * letterboxed image shares) hit the cap census and drop instead of
+    * going quadratic, the same discipline every banded tier rides.
+    */
+  val TileW = 12
+  val TileH = 8
+  val TileMinVotes = 4
+
+  /** Planted tile-aligned crop parameters: the cropped cousin keeps
+    * the [[PxCropW]]×[[PxCropH]] window at offset
+    * ([[PxCropX]], [[PxCropY]]) of the planted PNG — 6 of its 12
+    * tiles survive bit-for-bit, while the global dHash re-normalizes
+    * 36×32 → 24×24 and scrambles (spec-pinned miss).
+    */
+  val PxCropIdBase = 900000L
+  val PxCropX = 12
+  val PxCropY = 8
+  val PxCropW = 24
+  val PxCropH = 24
+
+  case class MmTileHash(doc_id: Long, tile_x: Int, tile_y: Int, th_hi: Long, th_lo: Long)
+
+  /** Per-tile hashes of every decodable raster payload — one row per
+    * fully-contained origin-anchored tile; non-image payloads emit no
+    * rows (the tile face is image-only; text stand-ins have the
+    * byte-dHash tier).
+    */
+  def pixelTileHashes(withPayloadDf: DataFrame): Dataset[MmTileHash] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    withPayloadDf.as[MmRow].mapPartitions(_.flatMap { r =>
+      decodeRaster(r.payload).toSeq.flatMap { img =>
+        for {
+          ty <- 0 until img.getHeight / TileH
+          tx <- 0 until img.getWidth / TileW
+        } yield {
+          val (hi, lo) = gridDHash(img, tx * TileW, ty * TileH, TileW, TileH)
+          MmTileHash(r.doc_id, tx, ty, hi, lo)
+        }
+      }
+    })
+  }
+
+  /** Tile-aligned cropped cousins of the planted PNGs, real
+    * `javax.imageio` encode — pixel (x, y) of the crop is pixel
+    * (x + [[PxCropX]], y + [[PxCropY]]) of the original by the same
+    * md5 formula, so the twin replays it codec-free.
+    */
+  def plantedCroppedPngPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % PxPlantEvery === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val img = new java.awt.image.BufferedImage(
+          PxCropW, PxCropH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < PxCropH) {
+          var x = 0
+          while (x < PxCropW) {
+            val v = pxPlantValue(d, x + PxCropX, y + PxCropY)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MmRow(d + PxCropIdBase, "image", PxCropW.toLong, PxCropH.toLong, baos.toByteArray)
+      })
+      .toDF()
+  }
+
+  /** CROP-ROBUST image near-dup: position-free tile-hash vote — a
+    * pair stands when the two images share ≥ [[TileMinVotes]]
+    * distinct tile hash values (exact 64-bit equality; a surviving
+    * tile is pixel-identical under the supported transform class, so
+    * a Hamming gate would only let degenerate collisions in).
+    */
+  def mmImageNearDupTiles(withPayloadDf: DataFrame): DataFrame = {
+    // one row per DISTINCT hash value per doc: flat regions repeat a
+    // hash within one image, and a repeated value must count as one
+    // vote, not several
+    val hashes = CacheScope.persist(
+      pixelTileHashes(withPayloadDf).toDF()
+        .select("doc_id", "th_hi", "th_lo").distinct())
+    val buckets = BandCap.capBuckets(hashes, Seq("th_hi", "th_lo"), "doc_id")
+    buckets.as("a")
+      .join(
+        buckets.as("b"),
+        expr("a.th_hi = b.th_hi AND a.th_lo = b.th_lo AND a.doc_id < b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= TileMinVotes)
+      .select(col("doc_a"), col("doc_b"), col("votes"))
   }
 
   /** One pixel-true resize result: the re-encoded payload (real

@@ -706,6 +706,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("tile vote catches the planted crop pair the global pixel dHash provably misses") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((10L, "x"), (20L, "y"), (30L, "z"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val orig = Multimodal.plantedPngPayloads(docs)
+    val crops = Multimodal.plantedCroppedPngPayloads(docs)
+    val byId = orig.unionByName(crops).as[Multimodal.MmRow]
+      .collect().map(r => r.doc_id -> r.payload).toMap
+    // THE MISS, pinned per pair: the global dHash re-normalizes its
+    // grid to the new dimensions, so the crop's hash lands far outside
+    // the near-dup Hamming gate
+    Seq(10L, 20L, 30L).foreach { d =>
+      val (ohi, olo) = Multimodal.pixelDHash(byId(d)).get
+      val (chi, clo) = Multimodal.pixelDHash(byId(d + Multimodal.PxCropIdBase)).get
+      val ham = java.lang.Long.bitCount(ohi ^ chi) + java.lang.Long.bitCount(olo ^ clo)
+      assert(ham > Multimodal.MmHammingMax,
+        s"doc $d: the global hash must MISS the crop (hamming $ham) or the tile tier is redundant")
+    }
+    // THE CATCH: every planted pair stands on >= TileMinVotes shared
+    // tiles; the surviving tiles are bit-identical (absolute anchoring)
+    val pairs = Multimodal.mmImageNearDupTiles(orig.unionByName(crops))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    val want = Seq(10L, 20L, 30L).map(d => (d, d + Multimodal.PxCropIdBase)).toSet
+    assert(got === want, s"tile vote must find exactly the planted crop pairs: $got")
+    assert(pairs.forall(_._3 >= Multimodal.TileMinVotes))
+    // and the shared tiles really are the crop's full tile set: 6 of
+    // the original's 12 survive the 24x24 window at offset (12, 8)
+    assert(pairs.forall(_._3 == 6L),
+      s"each crop shares exactly its 6 interior tiles: ${pairs.toSeq}")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("needsBigInt flips exactly at the Long cross-product boundary") {
     import graft.operators.Multimodal.needsBigInt
     val L = Long.MaxValue

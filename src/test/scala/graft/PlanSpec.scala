@@ -37,7 +37,7 @@ class PlanSpec extends AnyFunSuite {
         "mm_audio_near_dup_spectral", "streaming_mm_audio_near_dup_spectral",
         "mm_video_near_dup", "streaming_mm_video_near_dup",
         "mm_video_near_dup_spectral", "streaming_mm_video_near_dup_spectral",
-        "mm_video_near_dup_px",
+        "mm_video_near_dup_px", "mm_image_near_dup_tiles",
         "doc_near_dup_incremental", "doc_near_dup_incremental_stored",
         "ann_knn_join", "ann_topk_banded")) {
       val p = plan(q)
