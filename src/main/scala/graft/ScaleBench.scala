@@ -608,8 +608,13 @@ object ScaleBench {
         .withColumn("n_chars", length(col("text")))
         .persist()
       docs.count()
+      // plant id bases spaced by the corpus size: the default
+      // constants' 100k spacing collides once nDocs > 100k, giving
+      // doc_ids two different payloads and corrupting pair counts
+      val aBase = math.max(graft.operators.Multimodal.AudioPlantIdBase, nDocs)
       val input = graft.operators.Multimodal.withAudioPayload(docs)
-        .unionByName(graft.operators.Multimodal.plantedAudioPayloads(docs))
+        .unionByName(graft.operators.Multimodal.plantedAudioPayloads(
+          docs, aBase, aBase + nDocs))
       val t0 = System.nanoTime()
       val pairs = graft.operators.Multimodal.mmAudioNearDup(input).count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -659,8 +664,11 @@ object ScaleBench {
         .withColumn("n_chars", length(col("text")))
         .persist()
       docs.count()
+      // collision-free plant spans (see the audio probe's note)
+      val vBase = math.max(graft.operators.Multimodal.VideoPlantIdBase, nDocs)
       val input = graft.operators.Multimodal.withVideoPayload(docs)
-        .unionByName(graft.operators.Multimodal.plantedVideoPayloads(docs))
+        .unionByName(graft.operators.Multimodal.plantedVideoPayloads(
+          docs, vBase, vBase + nDocs))
       val t0 = System.nanoTime()
       val pairs = graft.operators.Multimodal.mmVideoNearDup(input).count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -695,21 +703,56 @@ object ScaleBench {
         .persist()
       docs.count()
       val M = graft.operators.Multimodal
+      // collision-free plant spans: orig ids in [base, base + nDocs),
+      // stretch ids in [base + nDocs, base + 2·nDocs) — disjoint from
+      // each other and from the corpus for any nDocs (the default
+      // constants overlapped past 100k docs, so the recorded 400k
+      // SCALE_r16 recall was measured on a corrupted id space)
+      val sBase = math.max(M.VideoStretchOrigIdBase, nDocs)
       val input = M.withFlickerVideoPayload(docs)
-        .unionByName(M.plantedStretchedVideoPayloads(docs))
+        .unionByName(M.plantedStretchedVideoPayloads(docs, sBase, sBase + nDocs))
       val t0 = System.nanoTime()
       val got = M.mmVideoSpectralNearDup(input)
         .select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val sec = (System.nanoTime() - t0) / 1e9
       val planted = (0L until nDocs by M.PlantEvery)
-        .map(d => (d + M.VideoStretchOrigIdBase, d + M.VideoStretchIdBase))
+        .map(d => (d + sBase, d + sBase + nDocs))
       val hit = planted.count(got)
       graft.operators.CacheScope.releaseAll()
       println(
         s"""{"metric":"mm_video_spectral_scale","docs":$nDocs,"pairs":${got.size},""" +
           s""""planted":${planted.size},"planted_hit":$hit,""" +
           s""""sec":$sec,"docs_per_sec":${(nDocs / sec).toLong}}""")
+      docs.unpersist(blocking = false)
+    }
+    // image TILE near-dup scale probe: real ImageIO PNG encode/decode
+    // + per-tile grid hashes + the position-free vote join over N/10
+    // planted images and their tile-aligned crops — the crop-robust
+    // tier's linearity measured, with planted recall (every crop pair
+    // must stand on its 6 interior tiles).
+    sys.env.get("SPARK_GRAFT_MM_TILE_DOCS").map(_.toLong).foreach { nDocs =>
+      val M = graft.operators.Multimodal
+      require(nDocs <= M.PxCropIdBase,
+        s"crop plant ids (base ${M.PxCropIdBase}) must stay above the corpus")
+      val docs = documents(spark, nDocs).persist()
+      docs.count()
+      val input = M.plantedPngPayloads(docs)
+        .unionByName(M.plantedCroppedPngPayloads(docs))
+      val t0 = System.nanoTime()
+      val got = M.mmImageNearDupTiles(input)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val planted = (0L until nDocs by M.PxPlantEvery)
+        .map(d => (d, d + M.PxCropIdBase))
+      val hit = planted.count(got)
+      graft.operators.CacheScope.releaseAll()
+      val nImgs = 2 * (nDocs / M.PxPlantEvery)
+      println(
+        s"""{"metric":"mm_image_tiles_scale","docs":$nDocs,"images":$nImgs,""" +
+          s""""pairs":${got.size},"planted":${planted.size},"planted_hit":$hit,""" +
+          s""""sec":$sec,"images_per_sec":${(nImgs / sec).toLong}}""")
       docs.unpersist(blocking = false)
     }
     // CDX planning scale probe: a loopback server records page-count
