@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Equal-count min-of-N sweep comparison between two rounds' local bench
+sweeps: per query, take the min across each round's sweep files, sum over
+the common query set, and list the biggest movers. Usage:
+
+  python3 tools/bench_compare.py 'BENCH_r16.local.*.json' 'BENCH_r17.local.*.json'
+"""
+import glob
+import json
+import sys
+
+
+def mins(pattern):
+    out = {}
+    files = sorted(glob.glob(pattern))
+    for f in files:
+        q = json.load(open(f))["queries"]
+        for k, v in q.items():
+            out[k] = min(out.get(k, float("inf")), v)
+    return out, len(files)
+
+
+def main():
+    a, na = mins(sys.argv[1])
+    b, nb = mins(sys.argv[2])
+    n = min(na, nb)
+    # equal sweep counts: recompute with the first n files of each
+    a, _ = mins_first(sys.argv[1], n)
+    b, _ = mins_first(sys.argv[2], n)
+    common = sorted(set(a) & set(b))
+    sa = sum(a[k] for k in common)
+    sb = sum(b[k] for k in common)
+    print(f"common queries: {len(common)}  sweeps used: {n}")
+    print(f"old: {sa:.1f} s   new: {sb:.1f} s   ratio: {sb / sa:.3f}x")
+    movers = sorted(((b[k] - a[k], k) for k in common), reverse=True)
+    print("biggest regressions:")
+    for d, k in movers[:10]:
+        if d <= 0:
+            break
+        print(f"  {k:45s} {a[k]:7.2f} -> {b[k]:7.2f}  ({d:+.2f}, {b[k] / max(a[k], 1e-9):.2f}x)")
+    print("biggest improvements:")
+    for d, k in sorted(movers)[:10]:
+        if d >= 0:
+            break
+        print(f"  {k:45s} {a[k]:7.2f} -> {b[k]:7.2f}  ({d:+.2f})")
+    new = sorted(set(b) - set(a))
+    if new:
+        print("new-only queries:", {k: round(b[k], 2) for k in new})
+
+
+def mins_first(pattern, n):
+    out = {}
+    files = sorted(glob.glob(pattern))[:n]
+    for f in files:
+        q = json.load(open(f))["queries"]
+        for k, v in q.items():
+            out[k] = min(out.get(k, float("inf")), v)
+    return out, len(files)
+
+
+if __name__ == "__main__":
+    main()
