@@ -1908,6 +1908,70 @@ object Oracle {
        |)""".stripMargin
   }
 
+  /** Shared CTEs for the HALF-STRIDE overlap rows, ending in `ovth`:
+    * tiles at every (TileW/2, TileH/2) lattice position of the
+    * planted PNGs and their (PxCrop2X, PxCrop2Y)-offset crops,
+    * replayed from the md5 formula — generated as positions × tile
+    * pixels rather than a per-pixel tx derivation, because lattice
+    * tiles OVERLAP (each pixel belongs to up to four tiles).
+    */
+  private lazy val tileOverlapCtes: String = {
+    val M = graft.operators.Multimodal
+    val pe = M.PxPlantEvery
+    val (w, h) = (M.PxImgW, M.PxImgH)
+    val (cw, ch) = (M.PxCropW, M.PxCropH)
+    val (ox, oy) = (M.PxCrop2X, M.PxCrop2Y)
+    val cb = M.PxCrop2IdBase
+    val (tw, tileH) = (M.TileW, M.TileH)
+    val (sx, sy) = (M.TileW / 2, M.TileH / 2)
+    val (gw, gh) = (M.PxGridW, M.PxGridH)
+    s"""ovimgs AS (
+       |  SELECT doc_id, doc_id AS src, $w AS w, $h AS h, 0 AS ox, 0 AS oy
+       |  FROM documents WHERE doc_id % $pe = 0
+       |  UNION ALL
+       |  SELECT doc_id + $cb, doc_id, $cw, $ch, $ox, $oy
+       |  FROM documents WHERE doc_id % $pe = 0
+       |),
+       |ovpos AS (
+       |  SELECT i.doc_id, i.src, i.ox, i.oy, tx.tx AS tx, ty.ty AS ty
+       |  FROM ovimgs i,
+       |       LATERAL unnest(range((i.w - $tw) // $sx + 1)) tx(tx),
+       |       LATERAL unnest(range((i.h - $tileH) // $sy + 1)) ty(ty)
+       |),
+       |ovpx AS (
+       |  SELECT p.doc_id, p.tx, p.ty,
+       |    CAST((u.u * $gw) // $tw AS INT) AS bx,
+       |    CAST((v.v * $gh) // $tileH AS INT) AS by,
+       |    CAST(('0x' || substr(md5(CAST(p.src AS VARCHAR) || '_' ||
+       |      CAST(p.tx * $sx + u.u + p.ox AS VARCHAR) || '_' ||
+       |      CAST(p.ty * $sy + v.v + p.oy AS VARCHAR)), 1, 2)) AS BIGINT) AS val
+       |  FROM ovpos p,
+       |       LATERAL unnest(range($tw)) u(u),
+       |       LATERAL unnest(range($tileH)) v(v)
+       |),
+       |ovblk AS (
+       |  SELECT doc_id, tx, ty, by, bx,
+       |    CAST(sum(val) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+       |  FROM ovpx GROUP BY 1, 2, 3, 4, 5
+       |),
+       |ovbits AS (
+       |  SELECT a.doc_id, a.tx, a.ty, a.by * ${gw - 1} + a.bx AS bi
+       |  FROM ovblk a JOIN ovblk n ON n.doc_id = a.doc_id AND n.tx = a.tx
+       |    AND n.ty = a.ty AND n.by = a.by AND n.bx = a.bx + 1
+       |  WHERE a.bx < ${gw - 1} AND n.s * a.c > a.s * n.c
+       |),
+       |ovth AS (
+       |  SELECT t.doc_id, t.tx AS tile_x, t.ty AS tile_y,
+       |    CAST(coalesce(sum(CASE WHEN b.bi >= 32
+       |      THEN CAST(1 AS BIGINT) << CAST(b.bi - 32 AS INTEGER) END), 0) AS BIGINT) AS th_hi,
+       |    CAST(coalesce(sum(CASE WHEN b.bi < 32
+       |      THEN CAST(1 AS BIGINT) << CAST(b.bi AS INTEGER) END), 0) AS BIGINT) AS th_lo
+       |  FROM (SELECT DISTINCT doc_id, tx, ty FROM ovblk) t
+       |  LEFT JOIN ovbits b ON b.doc_id = t.doc_id AND b.tx = t.tx AND b.ty = t.ty
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+  }
+
   private lazy val videoSpectralCtes: String = {
     val M = graft.operators.Multimodal
     val every = M.PlantEvery
@@ -3092,6 +3156,47 @@ object Oracle {
          |GROUP BY 1, 2
          |HAVING count(*) >= ${graft.operators.Multimodal.TileMinVotes}
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the half-stride lattice twin + its vote — same grid math as the
+    // aligned rows over overlapping positions; the crop replays pixel
+    // (x, y) as formula value (x + 6, y + 4) of the source doc
+    "mm_phash_tiles_overlap" ->
+      s"""WITH $tileOverlapCtes
+         |SELECT doc_id, tile_x, tile_y, th_hi, th_lo FROM ovth
+         |ORDER BY doc_id, tile_y, tile_x""".stripMargin,
+
+    "mm_image_near_dup_tiles_overlap" ->
+      s"""WITH $tileOverlapCtes,
+         |ovdh AS (SELECT DISTINCT doc_id, th_hi, th_lo FROM ovth),
+         |${capCte("ovdh", "ovdhc", Seq("th_hi", "th_lo"), "doc_id")}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS votes
+         |FROM ovdhc a JOIN ovdhc b
+         |  ON b.th_hi = a.th_hi AND b.th_lo = a.th_lo AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= ${graft.operators.Multimodal.TileMinVotes}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the stored-base twin reuses the aligned tile CTEs and splits by
+    // id span: base = the originals (capped over their own write-time
+    // census — flag+filter ≡ cap), batch = the crops (capped over
+    // their own census), then the batch-vs-base vote
+    "mm_image_tiles_incremental_stored" -> {
+      val cb = graft.operators.Multimodal.PxCropIdBase
+      val mv = graft.operators.Multimodal.TileMinVotes
+      s"""WITH $tileHashCtes,
+         |sbase0 AS (SELECT DISTINCT doc_id, th_hi, th_lo FROM th WHERE doc_id < $cb),
+         |${capCte("sbase0", "sbase", Seq("th_hi", "th_lo"), "doc_id")},
+         |sbatch0 AS (SELECT DISTINCT doc_id, th_hi, th_lo FROM th WHERE doc_id >= $cb),
+         |${capCte("sbatch0", "sbatch", Seq("th_hi", "th_lo"), "doc_id")}
+         |SELECT b.doc_id AS doc_batch, c.doc_id AS doc_corpus,
+         |  CAST(count(*) AS BIGINT) AS votes
+         |FROM sbatch b JOIN sbase c
+         |  ON c.th_hi = b.th_hi AND c.th_lo = b.th_lo
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $mv
+         |ORDER BY doc_batch, doc_corpus""".stripMargin
+    },
 
     // the WAV twin replays the synth parameters and the exact integer
     // duration math; data_bytes = ASCII-projected length (codepoint

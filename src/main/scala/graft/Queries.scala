@@ -2048,6 +2048,58 @@ object Queries {
         .unionByName(Multimodal.plantedCroppedPngPayloads(docs(s, dir))))
       .orderBy("doc_a", "doc_b")
 
+  /** HALF-STRIDE overlap tile hashes over the planted PNGs and their
+    * (6,4)-offset crops — the lattice face that upgrades the
+    * supported crop class from tile-aligned to half-tile-aligned.
+    */
+  def mmPhashTilesOverlap(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelTileHashesOverlap(
+      Multimodal.plantedPngPayloads(docs(s, dir))
+        .unionByName(Multimodal.plantedHalfStrideCroppedPngPayloads(docs(s, dir))))
+      .toDF().orderBy("doc_id", "tile_y", "tile_x")
+
+  /** Overlap-lattice near-dup: the (6,4)-offset crop pairs the ALIGNED
+    * tile face provably misses (spec-pinned), caught on the half-tile
+    * lattice.
+    */
+  def mmImageNearDupTilesOverlap(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmImageNearDupTilesOverlap(
+      Multimodal.plantedPngPayloads(docs(s, dir))
+        .unionByName(Multimodal.plantedHalfStrideCroppedPngPayloads(docs(s, dir))))
+      .orderBy("doc_a", "doc_b")
+
+  /** Tile base written once per (session, dir) — the
+    * [[storedNearDupFixture]] pattern: base = the planted originals
+    * (the published release's images, fingerprinted once), batch =
+    * their tile-aligned crops (the recrawl's re-cropped re-uploads).
+    */
+  private val storedTileCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  private def storedTileFixture(s: SparkSession, dir: String): (String, DataFrame) = {
+    val table = storedTileCache.synchronized {
+      val perSession = storedTileCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, String])
+      perSession.getOrElseUpdate(
+        dir, {
+          val t = s"tiles_stored_q_${fixtureTag(dir)}"
+          graft.sinks.Sinks.writeTileBase(
+            Multimodal.plantedPngPayloads(docs(s, dir)), t)
+          t
+        })
+    }
+    (table, Multimodal.plantedCroppedPngPayloads(docs(s, dir)))
+  }
+
+  /** Crop-robust image near-dup of an arriving batch against the
+    * PERSISTED tile-signature base — zero corpus decode per probe.
+    */
+  def mmImageTilesIncrementalStored(s: SparkSession, dir: String): DataFrame = {
+    val (table, batch) = storedTileFixture(s, dir)
+    Multimodal.tilesAgainstStored(s, table, batch)
+      .orderBy("doc_batch", "doc_corpus")
+  }
+
   /** Audio-container features through a REAL RIFF/WAVE chunk scan:
     * deterministic PCM parameters synthesized around the projected
     * text as sample data, parsed back field-for-field with exact
@@ -2698,6 +2750,9 @@ object Queries {
     "mm_phash_px" -> (mmPhashPx _),
     "mm_phash_tiles" -> (mmPhashTiles _),
     "mm_image_near_dup_tiles" -> (mmImageNearDupTiles _),
+    "mm_phash_tiles_overlap" -> (mmPhashTilesOverlap _),
+    "mm_image_near_dup_tiles_overlap" -> (mmImageNearDupTilesOverlap _),
+    "mm_image_tiles_incremental_stored" -> (mmImageTilesIncrementalStored _),
     "mm_resize_px" -> (mmResizePx _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "mm_audio_phash" -> (mmAudioPhash _),

@@ -2178,13 +2178,17 @@ object Multimodal {
     * tile is pixel-identical under the supported transform class, so
     * a Hamming gate would only let degenerate collisions in).
     */
-  def mmImageNearDupTiles(withPayloadDf: DataFrame): DataFrame = {
-    // one row per DISTINCT hash value per doc: flat regions repeat a
-    // hash within one image, and a repeated value must count as one
-    // vote, not several
+  def mmImageNearDupTiles(withPayloadDf: DataFrame): DataFrame =
+    tileVote(pixelTileHashes(withPayloadDf).toDF())
+
+  /** The shared position-free vote: one row per DISTINCT hash value
+    * per doc (flat regions repeat a hash within one image, and a
+    * repeated value must count as one vote, not several), capped
+    * buckets, equality self-join, ≥ [[TileMinVotes]].
+    */
+  private def tileVote(tileHashes: DataFrame): DataFrame = {
     val hashes = CacheScope.persist(
-      pixelTileHashes(withPayloadDf).toDF()
-        .select("doc_id", "th_hi", "th_lo").distinct())
+      tileHashes.select("doc_id", "th_hi", "th_lo").distinct())
     val buckets = BandCap.capBuckets(hashes, Seq("th_hi", "th_lo"), "doc_id")
     buckets.as("a")
       .join(
@@ -2194,6 +2198,105 @@ object Multimodal {
       .agg(count(lit(1)).as("votes"))
       .filter(col("votes") >= TileMinVotes)
       .select(col("doc_a"), col("doc_b"), col("votes"))
+  }
+
+  /** HALF-STRIDE OVERLAPPING tiles — the documented extension that
+    * upgrades the supported invariance class from tile-aligned to
+    * HALF-TILE-aligned crops/pads: tiles are emitted at every
+    * ([[TileW]]/2, [[TileH]]/2) lattice position (4× the rows of the
+    * aligned face, same join), so a crop whose offset is any multiple
+    * of (6, 4) still finds each of its fully-contained tiles at an
+    * emitted lattice position of the original. tile_x/tile_y number
+    * lattice STEPS, not disjoint tiles — the tile at (tx, ty) covers
+    * pixels from (tx·6, ty·4).
+    */
+  def pixelTileHashesOverlap(withPayloadDf: DataFrame): Dataset[MmTileHash] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    val (sx, sy) = (TileW / 2, TileH / 2)
+    withPayloadDf.as[MmRow].mapPartitions(_.flatMap { r =>
+      decodeRaster(r.payload).toSeq.flatMap { img =>
+        for {
+          ty <- 0 to (img.getHeight - TileH) / sy
+          tx <- 0 to (img.getWidth - TileW) / sx
+        } yield {
+          val (hi, lo) = gridDHash(img, tx * sx, ty * sy, TileW, TileH)
+          MmTileHash(r.doc_id, tx, ty, hi, lo)
+        }
+      }
+    })
+  }
+
+  /** [[mmImageNearDupTiles]] over the overlapping lattice — same
+    * distinct-value vote, same caps; covers crops at any half-tile
+    * offset for 4× the hash rows.
+    */
+  def mmImageNearDupTilesOverlap(withPayloadDf: DataFrame): DataFrame =
+    tileVote(pixelTileHashesOverlap(withPayloadDf).toDF())
+
+  /** Planted HALF-STRIDE crop parameters: offset (6, 4) — a multiple
+    * of the half-tile lattice but NOT of the tile size, so the
+    * aligned tile face provably misses it while the overlap face
+    * catches it (spec-pinned both ways).
+    */
+  val PxCrop2IdBase = 950000L
+  val PxCrop2X = 6
+  val PxCrop2Y = 4
+
+  /** The (6,4)-offset cropped cousins — [[plantedCroppedPngPayloads]]
+    * at the half-stride offset, ids at [[PxCrop2IdBase]].
+    */
+  def plantedHalfStrideCroppedPngPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % PxPlantEvery === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val img = new java.awt.image.BufferedImage(
+          PxCropW, PxCropH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < PxCropH) {
+          var x = 0
+          while (x < PxCropW) {
+            val v = pxPlantValue(d, x + PxCrop2X, y + PxCrop2Y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MmRow(d + PxCrop2IdBase, "image", PxCropW.toLong, PxCropH.toLong, baos.toByteArray)
+      })
+      .toDF()
+  }
+
+  /** Tile-vote of an arriving image batch AGAINST THE STORED BASE
+    * ([[graft.sinks.Sinks.writeTileBase]]) — the batch decodes and
+    * hashes (it is new bytes), the corpus side is one columnar scan
+    * of the hash-bucketed signature table: no corpus decode, no
+    * corpus exchange (the batch broadcasts into the bucketed scan).
+    * Cap semantics mirror [[graft.operators.Dedup
+    * .nearDupAgainstStored]]: the base is capped by its write-time
+    * census (`kept`), the batch caps over its own census. Output
+    * (doc_batch, doc_corpus, votes), votes ≥ [[TileMinVotes]].
+    */
+  def tilesAgainstStored(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      batch: DataFrame): DataFrame = {
+    val batchTiles = BandCap.capBuckets(
+      CacheScope.persist(
+        pixelTileHashes(batch).toDF().select("doc_id", "th_hi", "th_lo").distinct()),
+      Seq("th_hi", "th_lo"), "doc_id")
+    graft.sinks.Sinks.readTileSigs(spark, table).as("c")
+      .join(
+        broadcast(batchTiles.as("b")),
+        expr("c.th_hi = b.th_hi AND c.th_lo = b.th_lo"))
+      .groupBy(col("b.doc_id").as("doc_batch"), col("c.doc_id").as("doc_corpus"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= TileMinVotes)
+      .select(col("doc_batch"), col("doc_corpus"), col("votes"))
   }
 
   /** One pixel-true resize result: the re-encoded payload (real

@@ -888,6 +888,48 @@ object Sinks {
     writeAnnIndexResidual(graft.operators.Ann.rotate(emb, rot), path, books)
   }
 
+  // ------------------------------------------- image tile signature base
+  /** Persist the crop-robust TILE-SIGNATURE BASE for an image corpus:
+    * the decode + per-tile grid hashes + the cap census
+    * ([[graft.operators.Multimodal.pixelTileHashes]] +
+    * [[graft.operators.BandCap.flagBuckets]]) are all paid ONCE here,
+    * and the rows land bucketed by the 64-bit tile hash — so
+    * [[graft.operators.Multimodal.tilesAgainstStored]] probes a
+    * recrawl batch with ZERO corpus-side decoding and no corpus
+    * exchange. The image-modality mirror of [[writeNearDupBase]]'s
+    * fingerprint-once/probe-many contract.
+    *
+    * Rebuild-only, like the HNSW tier and unlike the text base's
+    * delta segments, deliberately: image corpora in this engine are
+    * release artifacts (a recrawl PROBES, a new release REWRITES);
+    * when ingest-time appends are ever needed, the nd segment
+    * lifecycle is the named extension. A rewrite retires the previous
+    * table first, and a crash between retire and write leaves NO base
+    * — the probe fails loudly on the missing table (fail-open:
+    * under-dedup until the write re-runs, never a stale-corpus ghost).
+    */
+  def writeTileBase(
+      images: DataFrame,
+      table: String,
+      buckets: Int = DefaultBuckets,
+      cap: Int = graft.operators.BandCap.DefaultCap): Unit = {
+    val s = images.sparkSession
+    dropTableAndLocation(s, table)
+    graft.operators.CacheScope.withScope {
+      val tiles = graft.operators.CacheScope.persist(
+        graft.operators.Multimodal.pixelTileHashes(images).toDF()
+          .select("doc_id", "th_hi", "th_lo").distinct())
+      graft.operators.BandCap.flagBuckets(tiles, Seq("th_hi", "th_lo"), "doc_id", cap)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "th_hi", "th_lo").sortBy("th_hi", "th_lo")
+        .saveAsTable(table)
+    }
+  }
+
+  /** The stored tile base's live (census-kept) rows. */
+  def readTileSigs(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).filter(col("kept")).select("doc_id", "th_hi", "th_lo")
+
   // ------------------------------------------------ HNSW serving layout
   /** Persist the graph-ANN family's serving index: build once
     * ([[graft.operators.Ann.hnswGraphParts]] — the per-invocation

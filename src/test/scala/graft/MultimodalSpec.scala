@@ -740,6 +740,58 @@ class MultimodalSpec extends AnyFunSuite {
     graft.operators.CacheScope.releaseAll()
   }
 
+  test("half-stride overlap lattice catches the (6,4)-offset crop the aligned tile face provably misses") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((10L, "x"), (20L, "y"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val orig = Multimodal.plantedPngPayloads(docs)
+    val crops = Multimodal.plantedHalfStrideCroppedPngPayloads(docs)
+    val corpus = orig.unionByName(crops)
+    // the aligned face misses: offset (6,4) is not a tile multiple, so
+    // no tile hash is shared and no pair forms
+    val aligned = Multimodal.mmImageNearDupTiles(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aligned.isEmpty,
+      s"the aligned face must MISS half-stride crops or the overlap face is redundant: $aligned")
+    // the overlap face catches every planted pair, each on its full
+    // 3x5 lattice of surviving tiles
+    val pairs = Multimodal.mmImageNearDupTilesOverlap(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    val want = Seq(10L, 20L).map(d => (d, d + Multimodal.PxCrop2IdBase)).toSet
+    assert(got === want, s"overlap vote must find exactly the planted pairs: $got")
+    assert(pairs.forall(_._3 == 15L),
+      s"each crop shares its full 3x5 lattice: ${pairs.toSeq}")
+    graft.operators.CacheScope.releaseAll()
+  }
+
+  test("stored tile base: the probe equals the planted vote and fails loudly on a retired base") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((10L, "x"), (20L, "y"), (30L, "z"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val base = Multimodal.plantedPngPayloads(docs)
+    val batch = Multimodal.plantedCroppedPngPayloads(docs)
+    val t = "tile_base_spec"
+    graft.sinks.Sinks.writeTileBase(base, t)
+    val got = Multimodal.tilesAgainstStored(spark, t, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Seq(10L, 20L, 30L)
+      .map(d => (d + Multimodal.PxCropIdBase, d, 6L)).toSet
+    assert(got === want, s"stored-base vote must find the planted pairs: $got")
+    // the probe plans no cartesian; the corpus side is the bucketed scan
+    val plan = Multimodal.tilesAgainstStored(spark, t, batch)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // crash discipline: a retired base fails the probe loudly
+    spark.sql(s"DROP TABLE $t")
+    intercept[Exception] {
+      Multimodal.tilesAgainstStored(spark, t, batch).collect()
+    }
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("needsBigInt flips exactly at the Long cross-product boundary") {
     import graft.operators.Multimodal.needsBigInt
     val L = Long.MaxValue
