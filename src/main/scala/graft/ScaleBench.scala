@@ -575,8 +575,11 @@ object ScaleBench {
         .withColumn("n_chars", length(col("text")))
         .persist()
       docs.count()
+      // collision-free plant spans (see the audio probe's note)
+      val pBase = math.max(graft.operators.Multimodal.PlantIdBase, nDocs)
       val input = graft.operators.Multimodal.withPayload(docs)
-        .unionByName(graft.operators.Multimodal.plantedResampledPayloads(docs))
+        .unionByName(graft.operators.Multimodal.plantedResampledPayloads(
+          docs, pBase, pBase + nDocs))
       val t0 = System.nanoTime()
       val pairs = graft.operators.Multimodal.mmNearDup(input).count()
       val sec = (System.nanoTime() - t0) / 1e9

@@ -654,18 +654,17 @@ object Multimodal {
     1200 + ((h(0) & 0xff) % 64) * 8
   }
 
-  def plantedStretchedAudioPayloads(docs: DataFrame): DataFrame =
-    plantedStretchedAudioPayloads(docs, AudioStretchOrigIdBase, AudioStretchIdBase)
-
-  /** [[plantedStretchedAudioPayloads]] with caller-chosen id bases —
-    * content is keyed by the base `doc_id` (md5 tone/envelope seeds),
-    * so the bases only relabel rows; see the video twin's overload
-    * for why the scale probes need collision-free spans.
-    */
-  def plantedStretchedAudioPayloads(
-      docs: DataFrame, origBase: Long, strBase: Long): DataFrame = {
+  // No caller-chosen-bases overload here, deliberately: the stretch
+  // generator's payload length grows with the doc id (AudioPlantMinLen
+  // + d), so a corpus-sized spectral scale probe would synthesize
+  // multi-hundred-KB waveforms per plant — the registry/spec scales
+  // (doc_id ≤ 5000) are the only users, and the default constants
+  // never collide there.
+  def plantedStretchedAudioPayloads(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val origBase = AudioStretchOrigIdBase
+    val strBase = AudioStretchIdBase
     docs.filter(col("doc_id") % PlantEvery === 0)
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { d =>
@@ -2002,7 +2001,16 @@ object Multimodal {
   /** The planted signal + strided-copy rows (see the scaladoc above).
     * Pure generation — one row pair per selected doc, no shuffle.
     */
-  def plantedResampledPayloads(docs: DataFrame): DataFrame = {
+  def plantedResampledPayloads(docs: DataFrame): DataFrame =
+    plantedResampledPayloads(docs, PlantIdBase, PlantStrideIdBase)
+
+  /** [[plantedResampledPayloads]] with caller-chosen id bases —
+    * content is keyed by the base `doc_id`; the scale probe passes
+    * spans sized to the corpus so plant ids never collide (see the
+    * stretch generator's overload for the collision arithmetic).
+    */
+  def plantedResampledPayloads(
+      docs: DataFrame, plantBase: Long, strideBase: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col("doc_id") % PlantEvery === 0)
@@ -2021,8 +2029,8 @@ object Multimodal {
         }
         val strided = Array.range(0, lp, ResizeStride).map(body(_))
         Seq(
-          MmRow(d + PlantIdBase, "image", 0L, 0L, body),
-          MmRow(d + PlantStrideIdBase, "image", 0L, 0L, strided))
+          MmRow(d + plantBase, "image", 0L, 0L, body),
+          MmRow(d + strideBase, "image", 0L, 0L, strided))
       })
       .toDF()
   }

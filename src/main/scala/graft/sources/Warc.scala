@@ -513,7 +513,19 @@ object Warc {
     * (the readahead/merge policy object-store connectors apply for
     * the same reason). Bytes-read is therefore bounded by
     * Σ lengths + (slices − 1) · gap, and equals Σ lengths exactly
-    * when no slices sit within a gap of each other.
+    * when no slices sit within a gap of each other. A merged range
+    * is additionally capped at [[RangedReadCoalesceMaxLen]] bytes —
+    * a dense selection over a multi-GB file must fuse into a chain
+    * of buffer-sized reads, never one file-sized allocation (a
+    * single slice larger than the cap still reads alone; it needs
+    * its buffer regardless).
+    *
+    * ERROR ISOLATION survives coalescing: a fused read that fails (a
+    * range crossing a truncation point) DEGRADES to per-slice reads
+    * of its members, so every record before the truncation still
+    * returns and only the slices past EOF drop — exactly the
+    * uncoalesced face's behavior, paid only on the broken range. A
+    * missing file still drops only its own records.
     *
     * `bytesRead` / `readRequests` are test seams: every byte the face
     * pulls from storage and every positioned read it issues are
@@ -529,6 +541,13 @@ object Warc {
     * written consecutively with only headers/small records between.
     */
   val RangedReadCoalesceGap: Long = 64L * 1024
+
+  /** Upper bound on one merged range (and so on one task-local read
+    * buffer): 8 MiB, the readahead-buffer order of magnitude — a
+    * dense selection over a large file chains many capped reads
+    * instead of allocating the file's size in memory.
+    */
+  val RangedReadCoalesceMaxLen: Long = 8L * 1024 * 1024
 
   private[graft] def readRecordsFromFiles(
       dir: String,
@@ -549,13 +568,19 @@ object Warc {
         // and the merged range still fits one buffer
         val valid = ls.filter(l =>
           l.offset >= 0 && l.length > 0 && l.length <= Int.MaxValue)
+        val maxLen = math.min(
+          math.max(RangedReadCoalesceMaxLen, 1L), Int.MaxValue.toLong)
         val ranges = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Long, scala.collection.mutable.ArrayBuffer[LocSlice])]
         valid.foreach { l =>
           val lEnd = l.offset + l.length
           if (ranges.nonEmpty && {
                 val (s0, e0, _) = ranges.last
-                l.offset <= e0 + coalesceGap && math.max(e0, lEnd) - s0 <= Int.MaxValue
+                // fuse when the gap is small AND the merged range stays
+                // under the buffer cap (an oversize single slice still
+                // opens its own range — it needs that buffer regardless)
+                l.offset <= e0 + coalesceGap &&
+                math.max(e0, lEnd) - s0 <= math.max(maxLen, l.length)
               }) {
             val (s0, e0, members) = ranges.last
             members += l
@@ -568,25 +593,43 @@ object Warc {
           val fs = p.getFileSystem(conf)
           val in = fs.open(p)
           try {
-            ranges.foreach { case (start, end, members) =>
-              val buf = new Array[Byte]((end - start).toInt)
-              in.seek(start)
-              in.readFully(buf)
-              readRequests.foreach(_.add(1))
-              bytesRead.foreach(_.add(end - start))
-              members.foreach { l =>
-                val rec = java.util.Arrays.copyOfRange(
-                  buf, (l.offset - start).toInt, (l.offset - start + l.length).toInt)
-                parseSlice(rec).foreach(d =>
+            def parseMember(l: LocSlice, buf: Array[Byte], at: Int): Unit =
+              parseSlice(java.util.Arrays.copyOfRange(buf, at, at + l.length.toInt))
+                .foreach(d =>
                   out += WarcFetched(
                     fname, l.offset, d.doc_id, d.url, d.warc_date, d.status,
                     d.n_block_bytes, d.html))
+            ranges.foreach { case (start, end, members) =>
+              try {
+                val buf = new Array[Byte]((end - start).toInt)
+                in.seek(start)
+                in.readFully(buf)
+                readRequests.foreach(_.add(1))
+                bytesRead.foreach(_.add(end - start))
+                members.foreach(l => parseMember(l, buf, (l.offset - start).toInt))
+              } catch {
+                // the fused read crossed a truncation point: degrade
+                // this range to per-slice reads so every member before
+                // the truncation still returns — the uncoalesced
+                // face's records-before-the-truncation behavior; only
+                // the slices past EOF drop
+                case _: java.io.IOException =>
+                  members.foreach { l =>
+                    try {
+                      val buf = new Array[Byte](l.length.toInt)
+                      in.seek(l.offset)
+                      in.readFully(buf)
+                      readRequests.foreach(_.add(1))
+                      bytesRead.foreach(_.add(l.length))
+                      parseMember(l, buf, 0)
+                    } catch { case _: java.io.IOException => () }
+                  }
               }
             }
           } finally in.close()
         } catch {
-          // missing file / range past EOF: this file's records are
-          // dropped data, never a job failure
+          // missing file: its records are dropped data, never a job
+          // failure
           case _: java.io.IOException => ()
         }
         out

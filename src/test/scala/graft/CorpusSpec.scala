@@ -1235,6 +1235,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(bytes0.value === selBytes, "uncoalesced reads pay exactly Σ lengths")
   }
 
+  test("a truncated archive degrades the fused read to per-slice: records before the cut survive") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val W = graft.sources.Warc
+    // one file of three adjacent records; truncate it mid-record-3
+    val recs = Seq(5L, 6L, 7L).map(i =>
+      W.warcResponse(i, s"<html><body>doc number $i</body></html>"))
+    val full = recs.flatten.toArray
+    val cut = full.length - recs(2).length / 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_trunc_").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t.warc"), full.take(cut))
+    val offs = recs.scanLeft(0L)((a, r) => a + r.length)
+    val locs = Seq(
+      ("t.warc", offs(0), recs(0).length.toLong),
+      ("t.warc", offs(1), recs(1).length.toLong),
+      ("t.warc", offs(2), recs(2).length.toLong)) // past EOF
+      .toDF("filename", "offset", "length")
+    // the three adjacent slices fuse into ONE range whose read crosses
+    // the truncation point — the fallback must still return records 5
+    // and 6, dropping only the cut record
+    val got = W.readRecordsFromFiles(dir, locs).collect().map(_.doc_id).toSet
+    assert(got === Set(W.uriDocId(W.urlOf(5L)), W.uriDocId(W.urlOf(6L))),
+      s"records before the truncation must survive the fused-read failure: $got")
+  }
+
   test("retrain loop: health flags, retrainQualityModel swaps atomically, health recovers") {
     val spark = TestSpark.spark
     import spark.implicits._

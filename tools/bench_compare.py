@@ -10,23 +10,20 @@ import json
 import sys
 
 
-def mins(pattern):
+def mins(pattern, n=None):
     out = {}
-    files = sorted(glob.glob(pattern))
+    files = sorted(glob.glob(pattern))[:n]
     for f in files:
         q = json.load(open(f))["queries"]
         for k, v in q.items():
             out[k] = min(out.get(k, float("inf")), v)
-    return out, len(files)
+    return out
 
 
 def main():
-    a, na = mins(sys.argv[1])
-    b, nb = mins(sys.argv[2])
-    n = min(na, nb)
-    # equal sweep counts: recompute with the first n files of each
-    a, _ = mins_first(sys.argv[1], n)
-    b, _ = mins_first(sys.argv[2], n)
+    n = min(len(glob.glob(sys.argv[1])), len(glob.glob(sys.argv[2])))
+    a = mins(sys.argv[1], n)
+    b = mins(sys.argv[2], n)
     common = sorted(set(a) & set(b))
     sa = sum(a[k] for k in common)
     sb = sum(b[k] for k in common)
@@ -46,16 +43,6 @@ def main():
     new = sorted(set(b) - set(a))
     if new:
         print("new-only queries:", {k: round(b[k], 2) for k in new})
-
-
-def mins_first(pattern, n):
-    out = {}
-    files = sorted(glob.glob(pattern))[:n]
-    for f in files:
-        q = json.load(open(f))["queries"]
-        for k, v in q.items():
-            out[k] = min(out.get(k, float("inf")), v)
-    return out, len(files)
 
 
 if __name__ == "__main__":
