@@ -603,13 +603,17 @@ object Warc {
               try {
                 val buf = new Array[Byte]((end - start).toInt)
                 in.seek(start)
-                in.readFully(buf)
+                // count the request BEFORE the read: the seam reflects
+                // ISSUED storage round trips, not successful ones — a
+                // fused read that dies on a truncation still cost its
+                // round trip, and so does each per-slice retry below
                 readRequests.foreach(_.add(1))
+                in.readFully(buf)
                 bytesRead.foreach(_.add(end - start))
                 members.foreach(l => parseMember(l, buf, (l.offset - start).toInt))
               } catch {
                 // the fused read crossed a truncation point: degrade
-                // this range to per-slice reads so every member before
+                // this range to per-slice reads so every record before
                 // the truncation still returns — the uncoalesced
                 // face's records-before-the-truncation behavior; only
                 // the slices past EOF drop
@@ -618,8 +622,8 @@ object Warc {
                     try {
                       val buf = new Array[Byte](l.length.toInt)
                       in.seek(l.offset)
-                      in.readFully(buf)
                       readRequests.foreach(_.add(1))
+                      in.readFully(buf)
                       bytesRead.foreach(_.add(l.length))
                       parseMember(l, buf, 0)
                     } catch { case _: java.io.IOException => () }

@@ -1256,9 +1256,15 @@ class CorpusSpec extends AnyFunSuite {
     // the three adjacent slices fuse into ONE range whose read crosses
     // the truncation point — the fallback must still return records 5
     // and 6, dropping only the cut record
-    val got = W.readRecordsFromFiles(dir, locs).collect().map(_.doc_id).toSet
+    val reqs = spark.sparkContext.longAccumulator("warc_trunc_reqs")
+    val got = W.readRecordsFromFiles(dir, locs, None, Some(reqs)).collect()
+      .map(_.doc_id).toSet
     assert(got === Set(W.uriDocId(W.urlOf(5L)), W.uriDocId(W.urlOf(6L))),
       s"records before the truncation must survive the fused-read failure: $got")
+    // the seam counts ISSUED round trips, not successful ones: the
+    // failed fused attempt (1) plus one per-slice retry per member (3)
+    assert(reqs.value === 4L,
+      s"a degraded range must count its failed fused attempt and every retry: ${reqs.value}")
   }
 
   test("retrain loop: health flags, retrainQualityModel swaps atomically, health recovers") {
