@@ -957,14 +957,20 @@ object Corpus {
     *  - [[AnnIndexBoth]] → both artifacts.
     *  - [[AnnIndexNone]] (default) → neither.
     *
-    * STALENESS DISCIPLINE: both index directories are retired BEFORE
-    * the data write, unconditionally — a re-run with a weaker
-    * `annIndex` choice (or a crash before the index write) must
-    * never leave a PRIOR export's index next to fresh data shards,
-    * silently serving the previous release's corpus. The failure
-    * window is loud-by-construction: a crash mid-export leaves no
-    * index at all (consumer's read guard throws) rather than a stale
-    * one, mirroring the dedup bases' fail-open-not-ghost contract.
+    * STALENESS DISCIPLINE: both index directories are retired AFTER
+    * the verdict computes but BEFORE the data write, unconditionally
+    * — a re-run with a weaker `annIndex` choice (or a crash before
+    * the index write) must never leave a PRIOR export's index next to
+    * fresh data shards, silently serving the previous release's
+    * corpus. Retiring after the verdict (not at entry) means a
+    * compute-only failure — the funnel throwing before anything is
+    * written — leaves the previous release fully intact, index
+    * included; availability is only traded away once this run is
+    * actually going to replace the data. The remaining failure window
+    * is loud-by-construction: a crash between the retire and the
+    * index write leaves no index at all (consumer's read guard
+    * throws) rather than a stale one, mirroring the dedup bases'
+    * fail-open-not-ghost contract.
     */
   def pipelineExport(
       docs: DataFrame,
@@ -975,20 +981,23 @@ object Corpus {
       path: String,
       basesTable: Option[String],
       annIndex: AnnIndexKind = AnnIndexNone): Unit = CacheScope.withScope {
-    // retire any prior export's serving indexes up front (see
-    // STALENESS DISCIPLINE above)
-    val hconf = docs.sparkSession.sparkContext.hadoopConfiguration
-    Seq(s"$path/ann_index", s"$path/ann_index_hnsw").foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(hconf)
-      if (fs.exists(hp)) fs.delete(hp, true)
-    }
     val verdict = CacheScope.persist(
       docPipelineFullV4(docs, emb, lmBi, lmUni, lmV))
     val kept = docs
       .join(verdict.filter(col("keep")).select("doc_id", "n_tokens"), "doc_id")
       .withColumn("shard", shardCoin)
     CacheScope.persist(kept)
+    // force the kept set NOW, then retire any prior export's serving
+    // indexes — after the funnel compute (a compute-only failure above
+    // this line leaves the previous release intact, index included),
+    // before the data write (see STALENESS DISCIPLINE above)
+    kept.count()
+    val hconf = docs.sparkSession.sparkContext.hadoopConfiguration
+    Seq(s"$path/ann_index", s"$path/ann_index_hnsw").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
     kept
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "doc_id")

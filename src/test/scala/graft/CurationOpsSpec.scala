@@ -437,6 +437,32 @@ class CurationOpsSpec extends AnyFunSuite {
     graft.operators.CacheScope.releaseAll()
   }
 
+  test("pipelineExport: a compute-only failure preserves the previous release, index included") {
+    val spark = TestSpark.spark
+    val (ddf, emb, biM, uniM, vN) = annExportFixture()
+    val path = java.nio.file.Files.createTempDirectory("export_computefail_").toString
+    Corpus.pipelineExport(ddf, emb, biM, uniM, vN, path, basesTable = None,
+      annIndex = Corpus.AnnIndexIvf)
+    val dataBefore = spark.read.parquet(s"$path/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(new java.io.File(s"$path/ann_index").exists())
+    // a funnel that cannot compute (schema-broken input) must fail
+    // BEFORE the index retire: the previous release keeps serving —
+    // data shards AND index — because this run never got to the point
+    // of replacing anything
+    intercept[Exception] {
+      Corpus.pipelineExport(ddf.drop("text"), emb, biM, uniM, vN, path,
+        basesTable = None, annIndex = Corpus.AnnIndexIvf)
+    }
+    assert(new java.io.File(s"$path/ann_index").exists(),
+      "a compute-only failure must not retire the previous release's index")
+    val dataAfter = spark.read.parquet(s"$path/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dataAfter === dataBefore,
+      "a compute-only failure must leave the previous data shards intact")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("temperature mixture: quotas follow sqrt weights through the integer quota machinery") {
     val spark = TestSpark.spark
     import spark.implicits._
