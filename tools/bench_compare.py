@@ -10,9 +10,19 @@ import json
 import sys
 
 
+def sweep_key(path):
+    """Numeric sweep suffix (…local.<n>.json) so 10 sorts after 2 —
+    lexicographic order would make the 'first n' subset arbitrary."""
+    parts = path.rsplit(".", 2)
+    try:
+        return (int(parts[-2]), path)
+    except (ValueError, IndexError):
+        return (0, path)
+
+
 def mins(pattern, n=None):
     out = {}
-    files = sorted(glob.glob(pattern))[:n]
+    files = sorted(glob.glob(pattern), key=sweep_key)[:n]
     for f in files:
         q = json.load(open(f))["queries"]
         for k, v in q.items():
@@ -28,7 +38,8 @@ def main():
     sa = sum(a[k] for k in common)
     sb = sum(b[k] for k in common)
     print(f"common queries: {len(common)}  sweeps used: {n}")
-    print(f"old: {sa:.1f} s   new: {sb:.1f} s   ratio: {sb / sa:.3f}x")
+    ratio = f"{sb / sa:.3f}x" if sa > 0 else "n/a (empty common set)"
+    print(f"old: {sa:.1f} s   new: {sb:.1f} s   ratio: {ratio}")
     movers = sorted(((b[k] - a[k], k) for k in common), reverse=True)
     print("biggest regressions:")
     for d, k in movers[:10]:
