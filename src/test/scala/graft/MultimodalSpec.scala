@@ -773,7 +773,10 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
     val base = Multimodal.plantedPngPayloads(docs)
     val batch = Multimodal.plantedCroppedPngPayloads(docs)
-    val t = "tile_base_spec"
+    // unique-per-run table name: the shared warehouse outlives the
+    // JVM, and a parallel/re-entrant run against a fixed name would
+    // collide (the Queries fixtures tag their names the same way)
+    val t = s"tile_base_spec_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     graft.sinks.Sinks.writeTileBase(base, t)
     val got = Multimodal.tilesAgainstStored(spark, t, batch)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
