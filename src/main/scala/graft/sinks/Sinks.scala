@@ -832,6 +832,8 @@ object Sinks {
       .write.partitionBy("c_id").mode("overwrite").parquet(s"$path/codes")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    refreshLiveCountMeta(emb.sparkSession, path)
+    ()
   }
 
   /** [[writeAnnIndex]] with RESIDUAL per-list encoding — the
@@ -867,6 +869,8 @@ object Sinks {
       .write.partitionBy("c_id").mode("overwrite").parquet(s"$path/codes")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     books.write.mode("overwrite").parquet(s"$path/books_residual")
+    refreshLiveCountMeta(emb.sparkSession, path)
+    ()
   }
 
   /** The FULL best-recall disk configuration: trained rotation +
@@ -1071,25 +1075,30 @@ object Sinks {
     * [[upsertAnnIndex]], [[deleteFromAnnIndex]]) mutate the IVF
     * index's delta lifecycle — the graph index, rebuild-only by
     * contract, would silently fall behind. This face closes the loop:
-    * it reads the IVF side's LIVE row count (base ∪ deltas through
-    * the tombstone anti-join — the segment stats the ingest already
-    * maintains) and the vector count the HNSW `CURRENT` generation
-    * serves, and when the absolute drift reaches `driftFraction` of
-    * the served count — or no committed generation exists — runs
-    * exactly one [[writeHnswIndex]] over `vecs` (the caller's
-    * canonical live vector set, typically the same frame the streams
-    * ingest from: the graph needs raw embeddings, which the IVF codes
-    * deliberately do not carry). Returns whether a rebuild ran.
+    * it reads the IVF side's LIVE distinct-id count
+    * ([[annIndexLiveCount]] — the maintained metadata plus the
+    * streaming delta's read-time contribution; ZERO codes-base scans
+    * on the no-rebuild path) and the vector count the HNSW `CURRENT`
+    * generation serves (a parquet metadata count), and when the
+    * absolute drift reaches `driftFraction` of the served count — or
+    * no committed generation exists — runs exactly one
+    * [[writeHnswIndex]] over `vecs` (the caller's canonical live
+    * vector set, typically the same frame the streams ingest from:
+    * the graph needs raw embeddings, which the IVF codes deliberately
+    * do not carry). Returns whether a rebuild ran.
     *
     * Self-normalizing, no extra state: a rebuild serves exactly
     * `vecs`, so when `vecs` tracks the IVF live set the drift returns
     * to ~0 and the trigger disarms until real ingest re-arms it —
-    * call it after every micro-batch or compaction; it is a cheap
-    * two-count check until the threshold trips. Limitation,
-    * documented: in-place UPSERTS of existing ids leave counts
-    * unchanged and do not trip the count-drift trigger — an
-    * upsert-heavy pipeline should pair this with a periodic
-    * unconditional rebuild.
+    * call it after every micro-batch or compaction; the no-op path
+    * costs the kilobyte metadata file, the tombstone set, and one
+    * read of the (small-between-compactions) streaming delta — never
+    * the index. Limitation, documented: in-place UPSERTS of existing
+    * ids leave counts unchanged and do not trip the count-drift
+    * trigger — an upsert-heavy pipeline should pair this with a
+    * periodic unconditional rebuild. The end-to-end continuous-ingest
+    * recipe lives at
+    * [[graft.streaming.Streaming.annIngestWithCadence]].
     */
   def maybeRebuildHnswIndex(
       spark: SparkSession,
@@ -1102,8 +1111,7 @@ object Sinks {
       case None => true
       case Some(g) =>
         val served = spark.read.parquet(s"$hnswPath/g$g/vectors").count()
-        val live = readAnnIndexCodes(spark, ivfPath)
-          .select("vec_id").distinct().count()
+        val live = annIndexLiveCount(spark, ivfPath)
         math.abs(live - served) >= driftFraction * math.max(served, 1L)
     }
     if (due) writeHnswIndex(vecs, hnswPath)
@@ -1256,7 +1264,19 @@ object Sinks {
     }
   }
 
-  def readAnnIndexCodes(spark: SparkSession, path: String): DataFrame = {
+  def readAnnIndexCodes(spark: SparkSession, path: String): DataFrame =
+    readAnnIndexCodesTiers(spark, path, includeStreamingDelta = true)
+
+  /** [[readAnnIndexCodes]] with the STREAMING delta tier optional:
+    * the live-count metadata ([[annIndexLiveCount]]) maintains an
+    * exact count over the batch-writer tiers (base ∪ batch delta −
+    * tombstones) and adds the streaming tier's contribution at read
+    * time — the streaming sink can't update metadata per micro-batch
+    * (the parquet sink owns its commit log), so the count's stored
+    * half deliberately excludes `codes_delta`.
+    */
+  private def readAnnIndexCodesTiers(
+      spark: SparkSession, path: String, includeStreamingDelta: Boolean): DataFrame = {
     val basePath = new Path(s"$path/codes")
     val oldPath = new Path(s"$path/codes_old")
     // TWO delta dirs, one per writer kind: `codes_delta` belongs to the
@@ -1265,8 +1285,9 @@ object Sinks {
     // silently invisible to every read), `codes_delta_batch` to batch
     // upserts. Keeping them separate is what lets the two writer kinds
     // interleave without one shadowing the other's rows.
-    val deltaPaths = Seq(
-      new Path(s"$path/codes_delta"), new Path(s"$path/codes_delta_batch"))
+    val deltaPaths =
+      (if (includeStreamingDelta) Seq(new Path(s"$path/codes_delta")) else Nil) :+
+        new Path(s"$path/codes_delta_batch")
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     guardRebuildState(fs, path)
     // Crash-state awareness for [[compactAnnIndex]]'s rename swap:
@@ -1340,6 +1361,193 @@ object Sinks {
     }
   }
 
+  // ------------------------------------------- ANN index live count
+  /** The maintained live-count metadata file: one line,
+    * `<count> <validUptoSeg>`, written atomically (tmp → rename, the
+    * `CURRENT` pointer discipline). `count` is the exact number of
+    * distinct live vec_ids in the BATCH tiers (base ∪ batch delta
+    * through the tombstone anti-join — everything except the
+    * streaming `codes_delta`); `validUptoSeg` is the highest segment
+    * number stamped on any tombstone or batch-delta file the count
+    * accounts for. A reader trusts the count iff that high-water mark
+    * still matches the dirs — any mutation the metadata missed (a
+    * writer that crashed between its data write and its metadata
+    * update) allocated a HIGHER segment, so staleness is always
+    * detectable and heals by one recount. Unlike the HNSW `CURRENT`
+    * pointer, a corrupt file here is NOT loud: the count is derived
+    * data with an exact recompute path, so corruption degrades to a
+    * recount, never to wrong results.
+    */
+  private def liveCountMetaPath(path: String) = new Path(s"$path/livecount")
+
+  private def readLiveCountMeta(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Option[(Long, Long)] = {
+    val p = liveCountMetaPath(path)
+    if (!fs.exists(p)) None
+    else
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, buf)
+        finally in.close()
+        new String(buf, "UTF-8").trim.split("\\s+") match {
+          case Array(c, u) => (c.toLongOption, u.toLongOption) match {
+            case (Some(count), Some(upto)) if count >= 0 => Some((count, upto))
+            case _ => None
+          }
+          case _ => None
+        }
+      } catch {
+        // an unreadable file (truncated write, checksum mismatch) is
+        // CORRUPT metadata — degrade to the recount heal, exactly like
+        // unparseable content; derived data must never fail a read
+        case _: java.io.IOException => None
+      }
+  }
+
+  private def writeLiveCountMeta(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, count: Long, upto: Long): Unit = {
+    val tmp = new Path(s"$path/livecount_tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"$count $upto".getBytes("UTF-8"))
+    out.close()
+    fs.delete(liveCountMetaPath(path), false)
+    if (!fs.rename(tmp, liveCountMetaPath(path)))
+      throw new java.io.IOException(s"live-count metadata rename failed at $path")
+  }
+
+  /** Highest `seg` stamped on any file of `p` (0 when the dir is
+    * absent or pre-segment). A kilobyte-to-delta-scale read — these
+    * dirs are tombstones and batch deltas, never the base.
+    */
+  private def maxSegIn(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem, p: Path): Long =
+    if (!fs.exists(p)) 0L
+    else {
+      val df = spark.read.option("mergeSchema", "true").parquet(p.toString)
+      if (!df.columns.contains("seg")) 0L
+      else df.agg(max(col("seg"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    }
+
+  /** The mutation high-water mark the live-count metadata validates
+    * against: max segment across the tombstone and batch-delta dirs —
+    * exactly the writers that change the stored half of the count.
+    * The streaming delta is deliberately absent (its contribution is
+    * computed at read time), so a running ingest session never
+    * invalidates the metadata.
+    */
+  private def liveCountToken(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem, path: String): Long =
+    math.max(
+      maxSegIn(spark, fs, new Path(s"$path/tombstones")),
+      maxSegIn(spark, fs, new Path(s"$path/codes_delta_batch")))
+
+  /** Distinct vec_ids live ONLY via the streaming delta tier: rows in
+    * `codes_delta` that survive the tombstone anti-join. Reads the
+    * DELTA dir and the kilobyte tombstone set — never the base. Exact
+    * under the streaming append face's documented contract (appended
+    * ids are NEW to the index): an id that later moves to the batch
+    * tiers via [[upsertAnnIndex]] is hidden here by the upsert's
+    * higher-segment tombstone, so it is never double-counted.
+    */
+  private def streamingDeltaLiveCount(spark: SparkSession, path: String): Long = {
+    val deltaPath = new Path(s"$path/codes_delta")
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(deltaPath)) 0L
+    else {
+      val delta = spark.read.option("mergeSchema", "true").parquet(deltaPath.toString)
+      val rows =
+        (if (delta.columns.contains("seg"))
+           delta.withColumn("rseg", coalesce(col("seg"), lit(0L))).drop("seg")
+         else delta.withColumn("rseg", lit(0L)))
+          .select("vec_id", "rseg")
+      val live = readAnnTombstones(spark, path) match {
+        case Some(dead) =>
+          val t = dead.select(col("vec_id").as("t_vec_id"), col("tseg"))
+          rows.join(
+            broadcast(t),
+            rows("vec_id") === t("t_vec_id") && t("tseg") > rows("rseg"),
+            "left_anti")
+        case None => rows
+      }
+      live.select("vec_id").distinct().count()
+    }
+  }
+
+  /** Recount the stored half of the live count from the batch tiers
+    * and commit it with the current mutation token — the heal path
+    * for absent/stale/corrupt metadata (a legacy index, or a writer
+    * that crashed between its data write and its metadata update).
+    * Skipped (count returned, nothing written) in the post-swap-crash
+    * state, where readers ignore the delta/tombstone dirs that the
+    * token summarizes — the next [[compactAnnIndex]] heals the swap
+    * first.
+    */
+  private def refreshLiveCountMeta(spark: SparkSession, path: String): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postSwapCrash =
+      fs.exists(new Path(s"$path/codes")) && fs.exists(new Path(s"$path/codes_old"))
+    val token = liveCountToken(spark, fs, path)
+    val c = readAnnIndexCodesTiers(spark, path, includeStreamingDelta = false)
+      .select("vec_id").distinct().count()
+    if (!postSwapCrash) writeLiveCountMeta(fs, path, c, token)
+    c
+  }
+
+  /** EXACT number of distinct live vec_ids the IVF index serves —
+    * [[readAnnIndexCodes]]`.select("vec_id").distinct().count()`
+    * without the index scan: the stored metadata covers the batch
+    * tiers (maintained by [[upsertAnnIndex]], [[deleteFromAnnIndex]],
+    * [[compactAnnIndex]], [[rebuildAnnIndex]], and the write faces),
+    * and the streaming tier's contribution is computed from the
+    * delta dir at read time (small by construction between
+    * compactions). On the trusted path the only reads are the
+    * kilobyte metadata file, the tombstone set, and the delta dirs —
+    * ZERO jobs touch the codes base (spec-pinned by hiding the base
+    * dir). Absent, stale, or corrupt metadata degrades to one exact
+    * recount that writes the metadata back — the legacy-index and
+    * crashed-writer heal.
+    *
+    * Exactness contract: equal to the full recount on every
+    * append/upsert/delete/compact/rebuild/crash state, PROVIDED the
+    * streaming append face carries ids new to the index — its
+    * documented semantics (a repeated-id streaming append is a data
+    * bug first: two live copies of one id — before it is a counting
+    * bug).
+    */
+  def annIndexLiveCount(spark: SparkSession, path: String): Long =
+    annIndexLiveCount(spark, path, () => ())
+
+  /** `onRecount` is a test seam: fires only when the stored metadata
+    * could not be trusted and the batch tiers were recounted.
+    */
+  private[graft] def annIndexLiveCount(
+      spark: SparkSession, path: String, onRecount: () => Unit): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    guardRebuildState(fs, path)
+    val postSwapCrash =
+      fs.exists(new Path(s"$path/codes")) && fs.exists(new Path(s"$path/codes_old"))
+    if (postSwapCrash) {
+      // readers ignore the delta/tombstone dirs in this state, so the
+      // token can't validate the metadata — count what readers see and
+      // leave the heal to the next compact
+      onRecount()
+      readAnnIndexCodes(spark, path).select("vec_id").distinct().count()
+    } else {
+      val token = liveCountToken(spark, fs, path)
+      val stored = readLiveCountMeta(fs, path) match {
+        case Some((count, upto)) if upto == token => count
+        case _ =>
+          onRecount()
+          refreshLiveCountMeta(spark, path)
+      }
+      stored + streamingDeltaLiveCount(spark, path)
+    }
+  }
+
   /** Finish or roll back a [[compactAnnIndex]] swap that crashed —
     * called by EVERY writer before it touches the delta/tombstone
     * dirs, so a post-crash index never accumulates new segments that
@@ -1392,16 +1600,6 @@ object Sinks {
     val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCrashState(fs, path)
     finishRebuildSwap(fs, path) // a crashed rebuild heals before any append
-    def maxSeg(p: Path): Long =
-      if (!fs.exists(p)) 0L
-      else {
-        val df = spark.read.option("mergeSchema", "true").parquet(p.toString)
-        if (!df.columns.contains("seg")) 0L
-        else df.agg(max(col("seg"))).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }
-      }
     val markers = new Path(s"$path/segments")
     val markerMax =
       if (!fs.exists(markers)) 0L
@@ -1409,8 +1607,10 @@ object Sinks {
         .flatMap(s => s.getPath.getName.toLongOption).foldLeft(0L)(math.max)
     var seg = math.max(
       math.max(
-        math.max(maxSeg(deltaPath), maxSeg(new Path(s"$path/codes_delta_batch"))),
-        maxSeg(new Path(s"$path/tombstones"))),
+        math.max(
+          maxSegIn(spark, fs, deltaPath),
+          maxSegIn(spark, fs, new Path(s"$path/codes_delta_batch"))),
+        maxSegIn(spark, fs, new Path(s"$path/tombstones"))),
       markerMax) + 1L
     var claimed = false
     while (!claimed) {
@@ -1487,13 +1687,41 @@ object Sinks {
     * broadcast anti-join and must stay metadata-scale — a purge so
     * large that its ID SET doesn't fit one file should be a compaction
     * (rewrite the base minus the ids), not a tombstone.
+    *
+    * LIVE-COUNT MAINTENANCE: when the stored metadata is valid, the
+    * delete pays one membership probe — the broadcast id set
+    * semi-joined against the batch tiers' vec_id column (a
+    * column-pruned scan, no shuffle of the base) — so
+    * [[annIndexLiveCount]] stays exact without ever scanning on the
+    * check path. The metadata write is LAST: a crash after the
+    * tombstone but before it leaves a detectably-stale token that
+    * heals by one recount.
     */
   def deleteFromAnnIndex(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     val seg = allocSeg(spark, path)
-    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tokenBefore = liveCountToken(spark, fs, path)
+    val metaBefore = readLiveCountMeta(fs, path)
+    val idSet = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    // how many of the ids are live in the batch tiers RIGHT NOW —
+    // resolved before the tombstone lands (afterwards they all read
+    // dead); None = stale/absent metadata, heal by recount below
+    val gone = metaBefore match {
+      case Some((_, upto)) if upto == tokenBefore =>
+        Some(idSet.join(
+          readAnnIndexCodesTiers(spark, path, includeStreamingDelta = false)
+            .select("vec_id"),
+          Seq("vec_id"), "left_semi").count())
+      case _ => None
+    }
+    idSet
       .withColumn("seg", lit(seg))
       .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
+    gone match {
+      case Some(g) => writeLiveCountMeta(fs, path, metaBefore.get._1 - g, seg)
+      case None => refreshLiveCountMeta(spark, path); ()
+    }
   }
 
   /** UPSERT into the serving index: re-encode `vecs` against the
@@ -1507,7 +1735,11 @@ object Sinks {
     * the reverse order would leave two live copies answering queries.
     * Cost: two kilobyte-scale metadata reads (segment allocation), one
     * tombstone file, one delta append — no index rewrite, no shuffle
-    * beyond the append's c_id partitioning.
+    * beyond the append's c_id partitioning — plus one live-count
+    * membership probe (broadcast batch ids against the batch tiers'
+    * vec_id column, column-pruned, no base shuffle), the price that
+    * keeps [[annIndexLiveCount]] exact and the per-micro-batch cadence
+    * check scan-free.
     *
     * Batch rows land in `codes_delta_batch`, NEVER in the streaming
     * sink's `codes_delta`: once a stream has written there, its
@@ -1543,6 +1775,22 @@ object Sinks {
     if (badDims.nonEmpty)
       throw new IllegalArgumentException(
         s"upsert batch carries ${badDims.mkString(",")}-dim vectors; index expects $expectDim")
+    // live-count maintenance: with valid metadata, one membership
+    // probe (broadcast batch ids anti-joined against the batch tiers'
+    // vec_id column — column-pruned, no base shuffle) resolves how
+    // many ids are NEW before the tombstone hides their history; the
+    // metadata write is last, so any crash in between heals by recount
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tokenBefore = liveCountToken(spark, fs, path)
+    val metaBefore = readLiveCountMeta(fs, path)
+    val newIds = metaBefore match {
+      case Some((_, upto)) if upto == tokenBefore =>
+        Some(ids.join(
+          readAnnIndexCodesTiers(spark, path, includeStreamingDelta = false)
+            .select("vec_id"),
+          Seq("vec_id"), "left_anti").count())
+      case _ => None
+    }
     ids
       .withColumn("seg", lit(seg))
       .coalesce(1)
@@ -1555,6 +1803,10 @@ object Sinks {
       .withColumn("seg", lit(seg))
       .repartition(col("c_id"))
       .write.partitionBy("c_id").mode("append").parquet(s"$path/codes_delta_batch")
+    newIds match {
+      case Some(nw) => writeLiveCountMeta(fs, path, metaBefore.get._1 + nw, seg)
+      case None => refreshLiveCountMeta(spark, path); ()
+    }
   }
 
   /** Query the on-disk index: same probe/ADC/rank tail as the
@@ -1681,6 +1933,11 @@ object Sinks {
     Option(fs.globStatus(new Path(s"$path/codes_compact_*")))
       .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
     if (!fs.exists(delta) && !fs.exists(deltaBatch) && !fs.exists(tomb)) return
+    // the live-count metadata cannot describe both the pre- and
+    // post-compact layouts (the fold moves streaming rows into the
+    // stored half): retire it FIRST — any crash below leaves no
+    // metadata, and the next count heals by one exact recount
+    fs.delete(liveCountMetaPath(path), false)
     val tmp = new Path(s"$path/codes_compact_${java.util.UUID.randomUUID()}")
     try {
       readAnnIndexCodes(spark, path)
@@ -1695,6 +1952,9 @@ object Sinks {
       fs.delete(tomb, true)
       fs.delete(new Path(s"$path/segments"), true)
       fs.delete(baseOld, true)
+      // recommit the live count over the folded base (one column scan
+      // of data this compact just rewrote — within its cost class)
+      refreshLiveCountMeta(spark, path)
       ()
     } catch {
       case e: Throwable =>
@@ -1773,6 +2033,17 @@ object Sinks {
       // encode against the RETIRED geometry anyway
       Seq("codes_delta", "codes_delta_batch", "tombstones", "segments")
         .foreach(d => fs.delete(new Path(s"$path/$d"), true))
+      // the staged write produced its own live-count metadata (count
+      // over exactly the staged codes, token 0 — the post-swap state):
+      // install it; if a pre-metadata staged build lacks one, retire
+      // the live file instead (it describes the retired layout) and
+      // the next count heals by recount
+      val stagedLc = new Path(staging, "livecount")
+      fs.delete(liveCountMetaPath(path), false)
+      if (fs.exists(stagedLc)) {
+        if (!fs.rename(stagedLc, liveCountMetaPath(path)))
+          throw new java.io.IOException(s"rebuild livecount rename failed at $path")
+      }
       fs.delete(staging, true)
       true
     }

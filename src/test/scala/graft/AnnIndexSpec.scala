@@ -757,4 +757,149 @@ class AnnIndexSpec extends AnyFunSuite {
       "post-swap repair left stale segments")
     assert(Sinks.readAnnIndexCodes(spark, dir).collect().map(_.toSeq).toSet == expected2)
   }
+
+  test("live count: maintained metadata equals the recount across the batch lifecycle, no recounts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = clustered(300, 91)
+    val dir = java.nio.file.Files.createTempDirectory("ann_lc_life_").toString
+    def recount = Sinks.readAnnIndexCodes(spark, dir)
+      .select("vec_id").distinct().count()
+    var recounts = 0
+    def counted = Sinks.annIndexLiveCount(spark, dir, () => recounts += 1)
+
+    Sinks.writeAnnIndex(emb, dir)
+    assert(counted === 300L && recounts === 0,
+      "the write face commits metadata; the first read must already trust it")
+    assert(recount === 300L)
+    // upsert 10 existing + 5 new ids: +5, resolved by the mutation-time
+    // membership probe, not a recount
+    val up = clustered(305, 92).filter(col("vec_id") >= 290)
+    Sinks.upsertAnnIndex(spark, dir, up.select("vec_id", "embedding"))
+    assert(counted === 305L && recounts === 0)
+    assert(recount === 305L)
+    // delete 3 live + 1 never-present id: −3
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(0L, 1L, 2L, 99999L))
+    assert(counted === 302L && recounts === 0)
+    // deleting an already-dead id is a no-op on the count
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(2L, 3L))
+    assert(counted === 301L && recounts === 0)
+    assert(recount === 301L)
+    // re-upserting a deleted id makes it live again: +1
+    Sinks.upsertAnnIndex(spark, dir,
+      clustered(300, 91).filter(col("vec_id") === 1L).select("vec_id", "embedding"))
+    assert(counted === 302L && recounts === 0)
+    // compact folds the tiers and recommits the metadata itself
+    Sinks.compactAnnIndex(spark, dir)
+    assert(counted === 302L && recounts === 0)
+    assert(recount === 302L)
+    // rebuild installs the STAGED metadata with the swap
+    Sinks.rebuildAnnIndex(spark, dir, clustered(310, 93).select("vec_id", "embedding"))
+    assert(counted === 302L && recounts === 0)
+    assert(recount === 302L)
+  }
+
+  test("live count: stale, corrupt, unreadable, or absent metadata heals by exactly one recount") {
+    val spark = TestSpark.spark
+    val emb = clustered(200, 95)
+    val dir = java.nio.file.Files.createTempDirectory("ann_lc_crash_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaP = new org.apache.hadoop.fs.Path(s"$dir/livecount")
+    def putMeta(content: String): Unit = {
+      val out = fs.create(metaP, true)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+    }
+    var recounts = 0
+    def counted = Sinks.annIndexLiveCount(spark, dir, () => recounts += 1)
+
+    Sinks.writeAnnIndex(emb, dir)
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(0L, 1L))
+    // a delete that "crashed" between its tombstone write and its
+    // metadata update: reinstate the pre-delete metadata — the token
+    // (highest tombstone segment) no longer matches
+    putMeta("200 0")
+    assert(counted === 198L && recounts === 1,
+      "a stale token must be detected and recounted, never trusted")
+    assert(counted === 198L && recounts === 1,
+      "the recount writes the metadata back; the next read trusts it")
+    // unparseable metadata degrades to a recount, never to wrong results
+    putMeta("not a count")
+    assert(counted === 198L && recounts === 2)
+    // UNREADABLE metadata (content swapped under the checksum — a
+    // torn/corrupt file) degrades the same way
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/livecount"), "999 1".getBytes("UTF-8"))
+    assert(counted === 198L && recounts === 3)
+    // absent metadata (a legacy index) recounts once and heals
+    fs.delete(metaP, false)
+    assert(counted === 198L && recounts === 4)
+    assert(counted === 198L && recounts === 4)
+  }
+
+  test("live count + cadence check read ZERO bytes of the codes base (base hidden)") {
+    val spark = TestSpark.spark
+    val emb = clustered(240, 97)
+    val ivf = java.nio.file.Files.createTempDirectory("ann_lc_scanfree_ivf_").toString
+    val hnsw = java.nio.file.Files.createTempDirectory("ann_lc_scanfree_hnsw_").toString
+    Sinks.writeAnnIndex(emb, ivf)
+    Sinks.writeHnswIndex(emb, hnsw)
+    // hide the base: any job that touches it now fails loudly — the
+    // strongest possible no-codes-scan pin
+    val fs = new org.apache.hadoop.fs.Path(ivf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$ivf/codes"),
+      new org.apache.hadoop.fs.Path(s"$ivf/codes_hidden")))
+    var recounts = 0
+    assert(Sinks.annIndexLiveCount(spark, ivf, () => recounts += 1) === 240L)
+    assert(recounts === 0)
+    // the full no-op cadence check is likewise base-free: metadata
+    // count vs parquet-footer served count, no rebuild
+    assert(!Sinks.maybeRebuildHnswIndex(spark, ivf, hnsw, emb),
+      "zero drift must not rebuild")
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$ivf/codes_hidden"),
+      new org.apache.hadoop.fs.Path(s"$ivf/codes")))
+    assert(Sinks.readAnnIndexCodes(spark, ivf)
+      .select("vec_id").distinct().count() === 240L)
+  }
+
+  test("live count: the streaming delta contributes at read time without invalidating metadata") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = clustered(320, 99)
+    val dir = java.nio.file.Files.createTempDirectory("ann_lc_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_lc_stream_ckpt_").toString
+    Sinks.writeAnnIndex(emb, dir)
+    var recounts = 0
+    def counted = Sinks.annIndexLiveCount(spark, dir, () => recounts += 1)
+    assert(counted === 320L && recounts === 0)
+
+    val late = clustered(360, 99).filter(col("vec_id") >= 320)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = Sinks.appendAnnIndex(stream.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    stream.addData(late.take(25).toIndexedSeq)
+    q.processAllAvailable()
+    assert(counted === 345L && recounts === 0,
+      "streamed rows must count at read time with the metadata still trusted")
+    stream.addData(late.drop(25).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(counted === 360L && recounts === 0)
+    assert(Sinks.readAnnIndexCodes(spark, dir)
+      .select("vec_id").distinct().count() === 360L)
+    // a tombstone over streamed-only ids: the stored half is untouched
+    // (−0) and the read-time correction drops them
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(320L, 321L, 322L, 323L, 324L))
+    assert(counted === 355L && recounts === 0)
+    // compaction folds the streaming tier into the stored half
+    Sinks.compactAnnIndex(spark, dir)
+    assert(counted === 355L && recounts === 0)
+    assert(Sinks.readAnnIndexCodes(spark, dir)
+      .select("vec_id").distinct().count() === 355L)
+  }
 }
