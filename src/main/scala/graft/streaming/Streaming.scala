@@ -633,6 +633,87 @@ object Streaming {
       .outputMode("update")
       .start()
 
+  /** The END-TO-END continuous-ingest loop for the VECTOR serving
+    * stack — [[dedupIngestLoop]]'s shape on the ANN tier: each vector
+    * micro-batch (1) lands in the raw-vector store (rebuilds need raw
+    * embeddings — quantized codes are not invertible), (2) enters the
+    * IVF index's delta lifecycle via
+    * [[graft.sinks.Sinks.upsertAnnIndex]] (encoded against the frozen
+    * geometry; latest copy wins), and (3) runs the graph tier's
+    * cadence check ([[graft.sinks.Sinks.maybeRebuildHnswIndex]]) — so
+    * the rebuild-only HNSW index follows the stream automatically:
+    * quiet below the drift threshold (the check is metadata + delta
+    * reads, never an index scan), exactly one rebuild+flip when
+    * ingest pushes live-vs-served drift past it, self-disarming after
+    * the flip.
+    *
+    * Delivery semantics: foreachBatch is at-least-once, and every
+    * step tolerates a re-run — the upsert is idempotent on the live
+    * set (the re-run's tombstone + same-segment rows reproduce the
+    * same live copies), the store append lands duplicate rows that
+    * the latest-wins resolution below collapses, and a duplicate
+    * cadence check is a no-op once the flip disarmed it. The raw
+    * store stamps each row with its micro-batch id; the canonical
+    * vector set handed to a rebuild is the per-id argmax over
+    * batch_id — latest-wins, so a re-ingested id rebuilds with its
+    * newest embedding. That resolution shuffles the store ONLY when a
+    * rebuild actually fires (the frame is lazy; the no-op path never
+    * executes it).
+    *
+    * Run [[graft.sinks.Sinks.compactAnnIndex]] between ingest
+    * sessions (each micro-batch adds a delta segment — the
+    * [[graft.sinks.Sinks.appendAnnIndex]] discipline); `onRebuild`
+    * fires with the triggering batch id, the observability hook the
+    * spec pins exactly-one on.
+    *
+    * SEEDING CONTRACT: `vecStorePath` must start with the raw vectors
+    * of everything the IVF index already holds (stamp them
+    * `batch_id = -1`) — a rebuild serves exactly the canonical store,
+    * so a store missing the initial corpus would silently shrink the
+    * graph at the first flip ([[graft.sinks.Sinks.writeHnswIndex]]
+    * has no id-coverage guard; it builds what it is given).
+    */
+  def annIngestWithCadence(
+      vecs: org.apache.spark.sql.DataFrame,
+      ivfPath: String,
+      hnswPath: String,
+      vecStorePath: String,
+      checkpoint: String,
+      driftFraction: Double = graft.sinks.Sinks.HnswRebuildDriftFraction,
+      onRebuild: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("vec_id"), col("embedding")).persist()
+        try {
+          if (!b.isEmpty) {
+            b.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(vecStorePath)
+            graft.sinks.Sinks.upsertAnnIndex(spark, ivfPath, b)
+          }
+          val fs = new org.apache.hadoop.fs.Path(vecStorePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new org.apache.hadoop.fs.Path(vecStorePath))) {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id").orderBy(col("batch_id").desc)
+            val canonical = spark.read.parquet(vecStorePath)
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1)
+              .select("vec_id", "embedding")
+            if (graft.sinks.Sinks.maybeRebuildHnswIndex(
+                spark, ivfPath, hnswPath, canonical, driftFraction))
+              onRebuild(batchId)
+          }
+        } finally {
+          b.unpersist(blocking = false)
+          ()
+        }
+      }
+      .outputMode("update")
+      .start()
+
   /** The dedup stream's fold over one bounded hash group — the batch
     * harness giving the streaming code path an oracle-checkable twin
     * (equals min-per-hash on bounded input).

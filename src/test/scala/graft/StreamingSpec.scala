@@ -1290,6 +1290,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("annIngestWithCadence: micro-batches drive the IVF lifecycle; exactly one mid-stream rebuild+flip") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val S = graft.sinks.Sinks
+    // deterministic per-id embeddings so an exact-twin probe retrieves
+    // its mid-stream original
+    def vecsOf(ids: Seq[Long]): Seq[(Long, Array[Float])] =
+      ids.map { i =>
+        val rnd = new Random(i)
+        (i, Array.fill(64)(rnd.nextGaussian().toFloat))
+      }
+    val emb = vecsOf(0L until 240L).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("cadence_loop_").toString
+    val (ivf, hnsw, store, ckpt) =
+      (s"$root/ivf", s"$root/hnsw", s"$root/store", s"$root/ckpt")
+    S.writeAnnIndex(emb, ivf)
+    S.writeHnswIndex(emb, hnsw)
+    // the seeding contract: the raw-vector store starts with the
+    // corpus the indexes already hold
+    emb.withColumn("batch_id", lit(-1L)).write.mode("append").parquet(store)
+    def gen: Long = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$hnsw/CURRENT")), "UTF-8").trim.toLong
+    assert(gen === 1L)
+
+    val rebuilds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Streaming.annIngestWithCadence(
+      stream.toDF().toDF("vec_id", "embedding"), ivf, hnsw, store, ckpt,
+      onRebuild = id => rebuilds.synchronized { rebuilds += id; () })
+    // batch 0: +10 on 240 served — under the 10% drift threshold (24)
+    stream.addData(vecsOf(1000L until 1010L))
+    q.processAllAvailable()
+    assert(rebuilds.isEmpty && gen === 1L, "sub-threshold ingest must stay quiet")
+    // batch 1: +20 more — 270 live vs 240 served ≥ 24: exactly one
+    // rebuild + pointer flip, mid-stream
+    stream.addData(vecsOf(1010L until 1030L))
+    q.processAllAvailable()
+    assert(rebuilds.toSeq === Seq(1L),
+      s"exactly one rebuild, at the threshold-crossing batch: $rebuilds")
+    assert(gen === 2L, "the rebuild must flip the serving generation")
+    // batch 2: +5 — the flip re-based the served count; disarmed
+    stream.addData(vecsOf(2000L until 2005L))
+    q.processAllAvailable()
+    q.stop()
+    assert(rebuilds.toSeq === Seq(1L) && gen === 2L,
+      "post-flip sub-threshold ingest must not rebuild again")
+    // the flipped generation serves every vector ingested before it
+    val servedIds = spark.read.parquet(s"$hnsw/g2/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((0L until 240L).forall(servedIds.contains) &&
+      (1000L until 1030L).forall(servedIds.contains),
+      "the rebuilt graph must serve the initial corpus plus the ingested batches")
+    // and a post-flip search finds a mid-stream vector by its exact twin
+    val probe = vecsOf(Seq(1015L)).map { case (_, e) => (9999999L, e) }
+      .toDF("q_id", "embedding")
+    val top = S.readHnswIndexTopK(spark, hnsw, probe)
+      .filter(col("rn") === 1).collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("vec_id") === 1015L,
+      s"post-flip search must serve the mid-stream ingested vector: ${top.toSeq}")
+  }
+
   test("streaming decontamination batch harness equals the declarative operator") {
     val spark = TestSpark.spark
     import spark.implicits._
