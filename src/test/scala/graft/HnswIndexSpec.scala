@@ -39,6 +39,32 @@ class HnswIndexSpec extends AnyFunSuite {
     d.getPath
   }
 
+  test("a session-memoized build searched later equals the one-shot build+search face") {
+    import org.apache.spark.sql.functions.col
+    val emb = fixture()
+    // the one-shot face: build + search in one invocation — the
+    // correctness witness the rerouted registry row stands on
+    val want = Ann.hnswTopK(emb).collect().map(_.toSeq).toSet
+    // the serving-shape fixture: the SAME deterministic build,
+    // materialized once (localCheckpoint outlives the scope), searched
+    // separately — what the registry's ann_hnsw_topk row now measures
+    val (corpus, bands, entries, graph) = CacheScope.withScope {
+      val (g, ord) = Ann.hnswGraphParts(emb)
+      (Ann.hnswCorpusVectors(emb).localCheckpoint(true),
+        Ann.hnswCorpusBands(emb).localCheckpoint(true),
+        ord.filter(col("r") < Ann.HnswEntries).select("vec_id").localCheckpoint(true),
+        g.localCheckpoint(true))
+    }
+    def search() = Ann
+      .hnswSearch(corpus, bands, entries, graph, Ann.defaultQueries(emb))
+      .collect().map(_.toSeq).toSet
+    assert(search() === want,
+      "the fixture search must be bit-identical to the one-shot build+search")
+    // a REPEATED search against the same materialized build — the
+    // amortized path — stays identical
+    assert(search() === want)
+  }
+
   test("frozen-index search equals the in-memory face bit-for-bit") {
     val emb = fixture()
     val p = tmpDir()
