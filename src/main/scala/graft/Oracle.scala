@@ -222,15 +222,8 @@ object Oracle {
     * k-parameterized so every n-gram consumer (shingles, bigrams) reads
     * the one construction.
     */
-  def ngramCte(k: Int, alias: String, outCol: String, distinct: Boolean): String = {
-    val gram = (1 to k).map(j => s"words[i+$j]").mkString(" || ' ' || ")
-    s"""$alias AS (
-       |  SELECT ${if (distinct) "DISTINCT " else ""}doc_id,
-       |    $gram AS $outCol
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-       |       unnest(range(len(words) - ${k - 1})) t(i)
-       |)""".stripMargin
-  }
+  def ngramCte(k: Int, alias: String, outCol: String, distinct: Boolean): String =
+    ngramCteOver("documents", k, alias, outCol, distinct)
 
   val shinglesCte: String = ngramCte(3, "sh", "shingle", distinct = true)
 
@@ -266,23 +259,45 @@ object Oracle {
     * relation every candidate join consumes — [[graft.operators
     * .BandCap]]'s twin).
     */
-  def minhashCtesCap(cap: Int): String = {
+  def minhashCtesCap(cap: Int): String = minhashCtesOver("sh", "", cap)
+
+  /** [[minhashCtesCap]] with the shingle relation NAMED and every CTE
+    * name suffixed — lets one query run two independent chains (a
+    * diff's old-corpus side and its new-probe side) without name
+    * collisions. Ends in `bs$sfx` (capped band signatures).
+    */
+  def minhashCtesOver(shRel: String, sfx: String, cap: Int): String = {
     val mins = (0 until 16)
       .map(p => s"min(substr(md5('$p|' || shingle), 1, 8)) AS mh$p")
       .mkString(",\n    ")
     val bands = (0 until 4).map { b =>
       val cols = (b * 4 until b * 4 + 4).map(p => s"mh$p").mkString(" || '_' || ")
-      s"SELECT doc_id, $b AS band, $cols AS sig FROM mh"
+      s"SELECT doc_id, $b AS band, $cols AS sig FROM mh$sfx"
     }.mkString("\n  UNION ALL ")
-    s"""mh AS (
+    s"""mh$sfx AS (
        |  SELECT doc_id,
        |    $mins
-       |  FROM sh GROUP BY doc_id
+       |  FROM $shRel GROUP BY doc_id
        |),
-       |bs0 AS (
+       |bs0$sfx AS (
        |  $bands
        |),
-       |${capCte("bs0", "bs", Seq("band", "sig"), "doc_id", cap)}""".stripMargin
+       |${capCte(s"bs0$sfx", s"bs$sfx", Seq("band", "sig"), "doc_id", cap)}""".stripMargin
+  }
+
+  /** [[ngramCte]] over an arbitrary `(doc_id, text)` relation instead
+    * of the documents table — for queries whose shingle source is a
+    * derived snapshot.
+    */
+  def ngramCteOver(
+      src: String, k: Int, alias: String, outCol: String, distinct: Boolean): String = {
+    val gram = (1 to k).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+    s"""$alias AS (
+       |  SELECT ${if (distinct) "DISTINCT " else ""}doc_id,
+       |    $gram AS $outCol
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $src),
+       |       unnest(range(len(words) - ${k - 1})) t(i)
+       |)""".stripMargin
   }
 
   val minhashCtes: String = minhashCtesCap(graft.operators.BandCap.DefaultCap)
@@ -5052,6 +5067,92 @@ object Oracle {
          |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
          |FROM j GROUP BY source, status
          |ORDER BY source, status""".stripMargin,
+
+    // Twin of Corpus.snapshotDiffNear over Queries.corpusDiffNear's
+    // planted snapshots: the exact diff's id-keyed full-outer join,
+    // plus the near tier — the probe side (added ∪ changed new docs)
+    // and the corpus side (old snapshot; stored ≡ fresh, the
+    // nearDupAgainstStored equivalence the stored-tier specs pin) each
+    // run the banded minhash chain, pairs verify by exact Jaccard at
+    // ClusterJaccard, and a same-id pair (re-render in place) or an
+    // added×removed cross pair (re-render under a new id) reclassifies
+    // its rows as near_changed.
+    "corpus_diff_near" -> {
+      val cap = graft.operators.BandCap.DefaultCap
+      s"""WITH bse AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(('0x' || substr(md5('ndiff' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % ${Queries.DiffNearMod} AS b
+         |  FROM documents
+         |),
+         |old AS (SELECT doc_id, source, text FROM bse WHERE b <> 0),
+         |nw AS (
+         |  SELECT CASE WHEN b = 4 THEN doc_id + ${Queries.DiffNearIdOffset} ELSE doc_id END AS doc_id,
+         |    source,
+         |    CASE WHEN b = 2 THEN 'rewritten ' || md5(text)
+         |         WHEN b IN (3, 4) THEN text || ' v2'
+         |         ELSE text END AS text
+         |  FROM bse WHERE b <> 1
+         |),
+         |ex AS (
+         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |    coalesce(o.source, n.source) AS source,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN o.text <> n.text THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+         |),
+         |probe AS (
+         |  SELECT n.doc_id, n.text FROM nw n
+         |  JOIN ex ON n.doc_id = ex.doc_id
+         |  WHERE ex.status IN ('added', 'changed')
+         |),
+         |${ngramCteOver("old", 3, "shc", "shingle", distinct = true)},
+         |${ngramCteOver("probe", 3, "shb", "shingle", distinct = true)},
+         |${minhashCtesOver("shc", "c", cap)},
+         |${minhashCtesOver("shb", "p", cap)},
+         |pr AS (
+         |  SELECT DISTINCT a.doc_id AS doc_batch, c.doc_id AS doc_corpus
+         |  FROM bsp a JOIN bsc c ON a.band = c.band AND a.sig = c.sig),
+         |cntb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shb GROUP BY doc_id),
+         |cntc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shc GROUP BY doc_id),
+         |com AS (
+         |  SELECT doc_batch, doc_corpus, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM pr
+         |  JOIN shb sa ON pr.doc_batch = sa.doc_id
+         |  JOIN shc sc2 ON pr.doc_corpus = sc2.doc_id AND sa.shingle = sc2.shingle
+         |  GROUP BY doc_batch, doc_corpus),
+         |near_pairs AS (
+         |  SELECT pr.doc_batch, pr.doc_corpus
+         |  FROM pr
+         |  LEFT JOIN com USING (doc_batch, doc_corpus)
+         |  JOIN cntb ca ON ca.doc_id = pr.doc_batch
+         |  JOIN cntc cb ON cb.doc_id = pr.doc_corpus
+         |  WHERE round(CAST(coalesce(com.n_common, 0) AS DOUBLE) /
+         |        (ca.n + cb.n - coalesce(com.n_common, 0)), 6)
+         |      >= ${graft.operators.Corpus.ClusterJaccard}),
+         |cross_pairs AS (
+         |  SELECT p.doc_batch, p.doc_corpus FROM near_pairs p
+         |  JOIN ex a ON a.doc_id = p.doc_batch AND a.status = 'added'
+         |  JOIN ex r ON r.doc_id = p.doc_corpus AND r.status = 'removed'
+         |  WHERE p.doc_batch <> p.doc_corpus),
+         |near_ids AS (
+         |  SELECT doc_batch AS doc_id FROM near_pairs WHERE doc_batch = doc_corpus
+         |  UNION
+         |  SELECT doc_batch AS doc_id FROM cross_pairs
+         |  UNION
+         |  SELECT doc_corpus AS doc_id FROM cross_pairs
+         |)
+         |SELECT ex.source,
+         |  CASE WHEN ni.doc_id IS NOT NULL
+         |            AND ex.status IN ('added', 'removed', 'changed')
+         |       THEN 'near_changed' ELSE ex.status END AS status,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM ex LEFT JOIN near_ids ni ON ex.doc_id = ni.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY source, status""".stripMargin
+    },
 
     // Twin of Corpus.shardManifest: same md5 shard hash, same integer
     // rollup, one exact-integer share division.

@@ -855,6 +855,72 @@ object Queries {
     Corpus.snapshotDiff(old, nw).orderBy("source", "status")
   }
 
+  /** How many md5 classes [[corpusDiffNear]]'s planted snapshots use,
+    * and the id offset its re-render-with-new-id class lands at (far
+    * above any sf's real doc_id space).
+    */
+  val DiffNearMod = 20
+  val DiffNearIdOffset = 10000000L
+
+  /** [[corpusDiffNear]]'s planted releases: class 0 exists only in the
+    * new snapshot (genuinely `added`), class 1 only in the old
+    * (`removed`), class 2 is REWRITTEN in place (text replaced by a
+    * deterministic digest string — near-zero shingle overlap, a real
+    * `changed`), class 3 is RE-RENDERED in place (` v2` suffix — high
+    * Jaccard, the exact diff's first blind spot), class 4 is
+    * re-rendered under a NEW id (old row + suffixed text at
+    * doc_id + [[DiffNearIdOffset]] — the exact diff's removed+added
+    * blind spot), everything else unchanged. Pure functions of
+    * doc_id, so the twin replays both snapshots.
+    */
+  private def diffNearSnapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tagged = docs(s, dir).select(
+      col("doc_id"),
+      col("source"),
+      col("text"),
+      expr(s"CAST(conv(substr(md5(concat('ndiff', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % $DiffNearMod")
+        .as("b"))
+    val old = tagged.filter(col("b") =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val nw = tagged.filter(col("b") =!= 1)
+      .select(
+        when(col("b") === 4, col("doc_id") + DiffNearIdOffset)
+          .otherwise(col("doc_id")).as("doc_id"),
+        col("source"),
+        when(col("b") === 2, concat(lit("rewritten "), md5(col("text"))))
+          .when(col("b").isin(3, 4), concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    (old, nw)
+  }
+
+  /** The old release's SHIPPED near-dup base, written once per
+    * (session, dir) — what [[Corpus.snapshotDiffNear]] probes, so the
+    * diff pays zero old-corpus re-fingerprinting (the artifact
+    * [[graft.operators.Corpus.pipelineExport]] publishes anyway).
+    */
+  private val diffNearCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  /** Near-dup-aware snapshot diff: (added, removed, changed,
+    * near_changed, unchanged) per source — the exact diff plus
+    * re-render detection through the old release's stored signature
+    * base.
+    */
+  def corpusDiffNear(s: SparkSession, dir: String): DataFrame = {
+    val (old, nw) = diffNearSnapshots(s, dir)
+    val table = diffNearCache.synchronized {
+      val perSession = diffNearCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, String])
+      perSession.getOrElseUpdate(
+        dir, {
+          val t = s"diffnear_nd_q_${fixtureTag(dir)}"
+          graft.sinks.Sinks.writeNearDupBase(old.select("doc_id", "text"), t)
+          t
+        })
+    }
+    Corpus.snapshotDiffNear(s, table, old, nw).orderBy("source", "status")
+  }
+
   /** The stateful domain-gate fold over bounded input — must equal
     * the declarative batch gate (shared twin); the true
     * mapGroupsWithState path is StreamingSpec-pinned.
@@ -2683,6 +2749,7 @@ object Queries {
     "doc_pipeline_reasons" -> (docPipelineReasons _),
     "doc_shard_manifest" -> (docShardManifest _),
     "corpus_diff" -> (corpusDiff _),
+    "corpus_diff_near" -> (corpusDiffNear _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_split" -> (docSplit _),
     "doc_split_leakage" -> (docSplitLeakage _),

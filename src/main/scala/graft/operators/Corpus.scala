@@ -1083,6 +1083,85 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** NEAR-DUP-AWARE snapshot diff — [[snapshotDiff]] with the near-dup
+    * tier folded in, closing its two blind spots: (1) a re-rendered
+    * page under the SAME id (boilerplate tweak, ad rotation — the
+    * near-dup tier's whole reason to exist) reads as `changed` by
+    * exact hash; (2) a re-render that the recrawl assigned a NEW id
+    * reads as `removed` + `added`. Both reclassify here as
+    * `near_changed`: the new snapshot's added∪changed docs probe the
+    * OLD release's SHIPPED near-dup base (`ndTable` —
+    * [[graft.sinks.Sinks.writeNearDupBase]]'s artifact, which
+    * [[pipelineExport]] already publishes with every release) through
+    * [[Dedup.nearDupAgainstStored]], so the old corpus pays ZERO
+    * re-fingerprinting per diff. A same-id pair at `minJaccard` turns
+    * `changed` into `near_changed`; a cross-id pair whose batch doc is
+    * `added` and whose corpus doc is `removed` turns BOTH into
+    * `near_changed` (one old row + one new row — the same two rows
+    * the exact diff counted). An added doc that merely near-matches
+    * surviving old content stays `added` (that is a near-duplicate
+    * for the dedup tier, not a rename).
+    *
+    * Scale shape: the exact half is [[snapshotDiff]]'s id-keyed join
+    * (hashes only, bodies never shuffle); the near half is the stored
+    * probe's broadcast-into-bucketed-scan shape over the (small)
+    * added∪changed slice; the reclassify joins carry id frames.
+    * Output schema is [[snapshotDiff]]'s: (source, status, n_docs)
+    * with `near_changed` as the fifth status.
+    */
+  def snapshotDiffNear(
+      spark: org.apache.spark.sql.SparkSession,
+      ndTable: String,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      minJaccard: Double = ClusterJaccard): DataFrame = CacheScope.withScope {
+    val o = oldDocs.select(
+      col("doc_id"), col("source").as("src_old"), xxhash64(col("text")).as("h_old"))
+    val n = newDocs.select(
+      col("doc_id"), col("source").as("src_new"), xxhash64(col("text")).as("h_new"))
+    val exact = CacheScope.persist(
+      o.join(n, Seq("doc_id"), "full_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("src_old"), col("src_new")).as("source"),
+          when(col("h_old").isNull, lit("added"))
+            .when(col("h_new").isNull, lit("removed"))
+            .when(col("h_old") =!= col("h_new"), lit("changed"))
+            .otherwise(lit("unchanged"))
+            .as("status")))
+    val probe = newDocs.join(
+      exact.filter(col("status").isin("added", "changed")).select("doc_id"),
+      "doc_id")
+    val pairs = CacheScope.persist(
+      Dedup.nearDupAgainstStored(spark, ndTable, probe)
+        .filter(col("jaccard") >= minJaccard)
+        .select("doc_batch", "doc_corpus"))
+    val sameId = pairs
+      .filter(col("doc_batch") === col("doc_corpus"))
+      .select(col("doc_batch").as("doc_id"))
+    val addedIds = exact.filter(col("status") === "added").select("doc_id")
+    val removedIds = exact.filter(col("status") === "removed").select("doc_id")
+    val cross = CacheScope.persist(
+      pairs
+        .filter(col("doc_batch") =!= col("doc_corpus"))
+        .join(addedIds.withColumnRenamed("doc_id", "doc_batch"), Seq("doc_batch"), "left_semi")
+        .join(removedIds.withColumnRenamed("doc_id", "doc_corpus"), Seq("doc_corpus"), "left_semi"))
+    val nearIds = sameId
+      .unionByName(cross.select(col("doc_batch").as("doc_id")))
+      .unionByName(cross.select(col("doc_corpus").as("doc_id")))
+      .distinct()
+      .withColumn("near", lit(true))
+    exact
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(
+        col("source"),
+        when(coalesce(col("near"), lit(false)) &&
+            col("status").isin("added", "removed", "changed"),
+          lit("near_changed")).otherwise(col("status")).as("status"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** [[stripBoilerplate]] segment width (words) and the document
     * frequency at which a segment counts as boilerplate.
     */

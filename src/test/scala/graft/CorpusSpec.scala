@@ -139,6 +139,50 @@ class CorpusSpec extends AnyFunSuite {
       ("news", "changed") -> 1L))
   }
 
+  test("snapshotDiffNear: re-renders the exact diff misclassifies reclassify as near_changed") {
+    val spark = TestSpark.spark
+    // six 30-word docs with disjoint vocabularies — cross-doc Jaccard
+    // ~0, so only a planted re-render can pair
+    def words(tag: String) = (0 until 30).map(i => s"$tag$i").mkString(" ")
+    val old = docsDf(Seq(
+      (1L, words("keep"), "en", "web"),
+      (2L, words("render"), "en", "web"),
+      (3L, words("rewrite"), "en", "web"),
+      (4L, words("moved"), "en", "web"),
+      (5L, words("gone"), "en", "web"),
+      (6L, words("also"), "en", "web")))
+    val nw = docsDf(Seq(
+      (1L, words("keep"), "en", "web"),
+      (2L, words("render") + " v2", "en", "web"), // re-render in place
+      (3L, words("totally"), "en", "web"), // real rewrite
+      (6L, words("also"), "en", "web"),
+      (100L, words("moved") + " v2", "en", "web"), // re-render, NEW id
+      (200L, words("novel"), "en", "web"))) // genuinely new
+    // THE MISS, pinned: the exact diff reads the in-place re-render as
+    // `changed` and the new-id re-render as `removed` + `added` —
+    // indistinguishable from real churn
+    val exact = Corpus.snapshotDiff(old, nw).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(exact === Map(
+      "unchanged" -> 2L, "changed" -> 2L, "removed" -> 2L, "added" -> 2L),
+      s"exact diff fixture drifted: $exact")
+    // THE CATCH: probing the old release's stored signature base
+    // reclassifies doc 2 (changed→near), docs 4 and 100 (the
+    // removed+added rename pair→near); the real rewrite, real
+    // removal, and real addition keep their classes
+    val t = s"diffnear_spec_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    graft.sinks.Sinks.writeNearDupBase(old.select("doc_id", "text"), t)
+    try {
+      val near = Corpus.snapshotDiffNear(spark, t, old, nw).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(near === Map(
+        "unchanged" -> 2L, "near_changed" -> 3L,
+        "changed" -> 1L, "removed" -> 1L, "added" -> 1L),
+        s"near diff wrong: $near")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("dedupClusters: every cluster label is a member doc_id and the component min") {
     val rows = Corpus.dedupClusters(docsDf(clusterFixture)).collect()
     val ids = rows.map(_.getLong(0)).toSet
