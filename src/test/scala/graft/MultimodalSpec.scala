@@ -766,6 +766,81 @@ class MultimodalSpec extends AnyFunSuite {
     graft.operators.CacheScope.releaseAll()
   }
 
+  test("MEASUREMENT: the overlap face catches exactly the 8 half-stride phases of 96 — arbitrary offsets are out of class") {
+    // The round-17 open question ("is half-tile alignment enough for
+    // real re-crops?") decided by exhaustive measurement: plant a
+    // 24×24 crop of each original at EVERY tile phase (dx, dy) ∈
+    // 12×8 = 96 offsets and record which phases the overlap face
+    // pairs. Result, pinned below: exactly the (dx % 6, dy % 4) =
+    // (0, 0) lattice — 8 of 96 phases per doc, zero votes anywhere
+    // else — so arbitrary-offset recall is 0 BY CONSTRUCTION, not by
+    // fixture luck. The recorded decision (SURVEY §8): half-tile
+    // alignment IS the supported closure for the fingerprint tiers;
+    // quarter-stride would buy 4× coverage (still 1/6 of phases) for
+    // 16× the rows — the wrong trade; arbitrary re-crops belong to
+    // the embedding near-dup tier.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val baseIds = Seq(10L, 20L, 30L)
+    val docs = baseIds.map(d => (d, "x")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val orig = Multimodal.plantedPngPayloads(docs)
+    val cropBase = 1000000L
+    def cropId(d: Long, dx: Int, dy: Int) = cropBase + d * 10000L + dx * 100L + dy
+    val phases = for {
+      dx <- 0 until Multimodal.TileW
+      dy <- 0 until Multimodal.TileH
+    } yield (dx, dy)
+    val crops = spark
+      .createDataset(baseIds.flatMap(d => phases.map { case (dx, dy) => (d, dx, dy) }))
+      .map { case (d, dx, dy) =>
+        val w = 24
+        val h = 24
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = Multimodal.pxPlantValue(d, x + dx, y + dy)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Multimodal.MmRow(cropId(d, dx, dy), "image", w.toLong, h.toLong, baos.toByteArray)
+      }
+      .toDF()
+    val pairs = Multimodal.mmImageNearDupTilesOverlap(orig.unionByName(crops))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // crop↔crop pairs of one doc legitimately share window pixels;
+    // the measurement reads only original↔crop pairs
+    val caught = pairs.flatMap { case (a, b) =>
+      if (a >= cropBase || b < cropBase) None
+      else {
+        val enc = b - cropBase
+        Some((a, enc / 10000L, ((enc % 10000L) / 100L).toInt, (enc % 100L).toInt))
+      }
+    }
+    // zero cross-doc catches (disjoint planted content)
+    assert(caught.forall { case (o, d, _, _) => o == d },
+      s"cross-doc tile pair: ${caught.filterNot { case (o, d, _, _) => o == d }.toSeq}")
+    val caughtPhases = caught.map { case (o, _, dx, dy) => (o, dx, dy) }.toSet
+    val lattice = for {
+      d <- baseIds
+      (dx, dy) <- phases
+      if dx % (Multimodal.TileW / 2) == 0 && dy % (Multimodal.TileH / 2) == 0
+    } yield (d, dx, dy)
+    assert(caughtPhases === lattice.toSet,
+      s"the overlap face's empirical invariance class must be exactly the half-stride lattice; " +
+        s"caught ${caughtPhases.size} of ${baseIds.size * phases.size} " +
+        s"(expected ${lattice.size}); diff extra=${caughtPhases -- lattice.toSet} " +
+        s"missing=${lattice.toSet -- caughtPhases}")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("stored tile base: the probe equals the planted vote and fails loudly on a retired base") {
     val spark = TestSpark.spark
     import spark.implicits._
