@@ -866,6 +866,34 @@ class AnnIndexSpec extends AnyFunSuite {
       .select("vec_id").distinct().count() === 240L)
   }
 
+  test("live count: the rotated-residual layout maintains the same exact metadata") {
+    // the membership probe and the metadata writes ride
+    // readAnnIndexCodesTiers and the shared segment machinery — layout
+    // (rotation/books) must be invisible to the count
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = clustered(200, 101)
+    val rot = Ann.pcaRotation(emb)
+    val re = Ann.rotate(emb, rot)
+    val cents = Ann.firstKCentroids(re)
+    val books = Ann.pqResidualCodebooks(Ann.ivfAssign(re, cents), cents)
+    val dir = java.nio.file.Files.createTempDirectory("ann_lc_resrot_").toString
+    Sinks.writeAnnIndexResidualRotated(emb, dir, rot, books)
+    var recounts = 0
+    def counted = Sinks.annIndexLiveCount(spark, dir, () => recounts += 1)
+    assert(counted === 200L && recounts === 0)
+    // 5 existing + 10 new ids through the rotate-then-residual-encode
+    // upsert: +10, no recount
+    Sinks.upsertAnnIndex(spark, dir,
+      clustered(210, 102).filter(col("vec_id") >= 195).select("vec_id", "embedding"))
+    assert(counted === 210L && recounts === 0)
+    Sinks.deleteFromAnnIndex(spark, dir, Seq(0L, 99999L))
+    assert(counted === 209L && recounts === 0)
+    assert(Sinks.readAnnIndexCodes(spark, dir)
+      .select("vec_id").distinct().count() === 209L)
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("live count: the streaming delta contributes at read time without invalidating metadata") {
     val spark = TestSpark.spark
     import spark.implicits._
