@@ -1987,6 +1987,112 @@ object Oracle {
        |)""".stripMargin
   }
 
+  /** Shared CTEs for the CONTENT-ANCHORED rows, ending in `anc`
+    * (doc_id, anchor_x, anchor_y, ah_hi, ah_lo): the planted grid and
+    * its (7,3) OFF-LATTICE crop replayed from the md5 formula, the
+    * integer gradient score (|right−left| + |down−up| on luma, which
+    * is the identity for the grayscale plants), strict 3×3 local
+    * maxima gated at AnchorMinScore on the margin-eligible interior,
+    * the deterministic AnchorCap (score DESC, row-major tiebreak —
+    * a no-op at plant size, replayed anyway for fidelity), and the
+    * same 12×8-window 9×8-grid cross-multiplied bit math as the tile
+    * twins, keyed by anchor instead of tile.
+    */
+  private lazy val anchoredCtes: String = {
+    val M = graft.operators.Multimodal
+    val pe = M.PxPlantEvery
+    val (w, h) = (M.PxImgW, M.PxImgH)
+    val (cw, ch) = (M.PxCropW, M.PxCropH)
+    val (ox, oy) = (M.PxCrop3X, M.PxCrop3Y)
+    val cb = M.PxCrop3IdBase
+    val (tw, tileH) = (M.TileW, M.TileH)
+    val (gw, gh) = (M.PxGridW, M.PxGridH)
+    val (mx, my) = (M.TileW / 2, M.TileH / 2)
+    val r = M.AnchorR
+    s"""aimgs AS (
+       |  SELECT doc_id, doc_id AS src, $w AS w, $h AS h, 0 AS ox, 0 AS oy
+       |  FROM documents WHERE doc_id % $pe = 0
+       |  UNION ALL
+       |  SELECT doc_id + $cb, doc_id, $cw, $ch, $ox, $oy
+       |  FROM documents WHERE doc_id % $pe = 0
+       |),
+       |apx AS (
+       |  SELECT i.doc_id, x.x AS x, y.y AS y,
+       |    CAST(('0x' || substr(md5(CAST(i.src AS VARCHAR) || '_' ||
+       |      CAST(x.x + i.ox AS VARCHAR) || '_' ||
+       |      CAST(y.y + i.oy AS VARCHAR)), 1, 2)) AS BIGINT) AS v
+       |  FROM aimgs i,
+       |       LATERAL unnest(range(i.w)) x(x),
+       |       LATERAL unnest(range(i.h)) y(y)
+       |),
+       |ascore AS (
+       |  SELECT p.doc_id, p.x, p.y,
+       |    abs(pr.v - pl.v) + abs(pd.v - pu.v) AS s
+       |  FROM apx p
+       |  JOIN apx pl ON pl.doc_id = p.doc_id AND pl.x = p.x - 1 AND pl.y = p.y
+       |  JOIN apx pr ON pr.doc_id = p.doc_id AND pr.x = p.x + 1 AND pr.y = p.y
+       |  JOIN apx pu ON pu.doc_id = p.doc_id AND pu.x = p.x AND pu.y = p.y - 1
+       |  JOIN apx pd ON pd.doc_id = p.doc_id AND pd.x = p.x AND pd.y = p.y + 1
+       |),
+       |acand AS (
+       |  SELECT a.doc_id, a.x, a.y, a.s
+       |  FROM ascore a JOIN aimgs i ON i.doc_id = a.doc_id
+       |  WHERE a.x BETWEEN $mx AND i.w - $mx
+       |    AND a.y BETWEEN $my AND i.h - $my
+       |    AND a.s >= ${M.AnchorMinScore}
+       |),
+       |aanch0 AS (
+       |  SELECT c.doc_id, c.x, c.y, c.s
+       |  FROM acand c JOIN ascore n ON n.doc_id = c.doc_id
+       |    AND n.x BETWEEN c.x - $r AND c.x + $r
+       |    AND n.y BETWEEN c.y - $r AND c.y + $r
+       |    AND NOT (n.x = c.x AND n.y = c.y)
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING count(*) FILTER (WHERE n.s >= c.s) = 0
+       |),
+       |aanch AS (
+       |  SELECT doc_id, x, y FROM (
+       |    SELECT doc_id, x, y,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, y, x) AS rn
+       |    FROM aanch0)
+       |  WHERE rn <= ${M.AnchorCap}
+       |),
+       |adpx AS (
+       |  SELECT a.doc_id, a.x AS ax, a.y AS ay,
+       |    CAST((u.u * $gw) // $tw AS INT) AS bx,
+       |    CAST((v.v * $gh) // $tileH AS INT) AS by,
+       |    p.v AS val
+       |  FROM aanch a,
+       |       LATERAL unnest(range($tw)) u(u),
+       |       LATERAL unnest(range($tileH)) v(v),
+       |       apx p
+       |  WHERE p.doc_id = a.doc_id
+       |    AND p.x = a.x - $mx + u.u AND p.y = a.y - $my + v.v
+       |),
+       |ablk AS (
+       |  SELECT doc_id, ax, ay, by, bx,
+       |    CAST(sum(val) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+       |  FROM adpx GROUP BY 1, 2, 3, 4, 5
+       |),
+       |abits AS (
+       |  SELECT a.doc_id, a.ax, a.ay, a.by * ${gw - 1} + a.bx AS bi
+       |  FROM ablk a JOIN ablk n ON n.doc_id = a.doc_id AND n.ax = a.ax
+       |    AND n.ay = a.ay AND n.by = a.by AND n.bx = a.bx + 1
+       |  WHERE a.bx < ${gw - 1} AND n.s * a.c > a.s * n.c
+       |),
+       |anc AS (
+       |  SELECT t.doc_id, CAST(t.ax AS INT) AS anchor_x,
+       |    CAST(t.ay AS INT) AS anchor_y,
+       |    CAST(coalesce(sum(CASE WHEN b.bi >= 32
+       |      THEN CAST(1 AS BIGINT) << CAST(b.bi - 32 AS INTEGER) END), 0) AS BIGINT) AS ah_hi,
+       |    CAST(coalesce(sum(CASE WHEN b.bi < 32
+       |      THEN CAST(1 AS BIGINT) << CAST(b.bi AS INTEGER) END), 0) AS BIGINT) AS ah_lo
+       |  FROM (SELECT DISTINCT doc_id, ax, ay FROM ablk) t
+       |  LEFT JOIN abits b ON b.doc_id = t.doc_id AND b.ax = t.ax AND b.ay = t.ay
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+  }
+
   private lazy val videoSpectralCtes: String = {
     val M = graft.operators.Multimodal
     val every = M.PlantEvery
@@ -3192,6 +3298,30 @@ object Oracle {
          |HAVING count(*) >= ${graft.operators.Multimodal.TileMinVotes}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // content-anchored twin: gradient-local-max anchors + the tile
+    // bit math keyed per anchor, over the originals and the (7,3)
+    // off-lattice crops — the crop rows replay pixel (x, y) as
+    // formula value (x + 7, y + 3) of the source doc, so every
+    // shared anchor's descriptor equals the original's bit-for-bit
+    "mm_anchor_hashes" ->
+      s"""WITH $anchoredCtes
+         |SELECT doc_id, anchor_x, anchor_y, ah_hi, ah_lo FROM anc
+         |ORDER BY doc_id, anchor_y, anchor_x""".stripMargin,
+
+    // the anchored vote: distinct descriptor values per doc, the same
+    // capped census, equality self-join, >= AnchorMinVotes
+    "mm_image_near_dup_anchored" ->
+      s"""WITH $anchoredCtes,
+         |adh AS (SELECT DISTINCT doc_id, ah_hi, ah_lo FROM anc),
+         |${capCte("adh", "adhc", Seq("ah_hi", "ah_lo"), "doc_id")}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS votes
+         |FROM adhc a JOIN adhc b
+         |  ON b.ah_hi = a.ah_hi AND b.ah_lo = a.ah_lo AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= ${graft.operators.Multimodal.AnchorMinVotes}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // the stored-base twin reuses the aligned tile CTEs and splits by
     // id span: base = the originals (capped over their own write-time
     // census — flag+filter ≡ cap), batch = the crops (capped over
@@ -3208,6 +3338,26 @@ object Oracle {
          |  CAST(count(*) AS BIGINT) AS votes
          |FROM sbatch b JOIN sbase c
          |  ON c.th_hi = b.th_hi AND c.th_lo = b.th_lo
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $mv
+         |ORDER BY doc_batch, doc_corpus""".stripMargin
+    },
+
+    // the stored-anchor twin mirrors the stored-tile one over the
+    // anchored CTEs: split by id span, per-side capCte, batch-vs-base
+    // vote at the anchored bar
+    "mm_image_anchored_incremental_stored" -> {
+      val cb = graft.operators.Multimodal.PxCrop3IdBase
+      val mv = graft.operators.Multimodal.AnchorMinVotes
+      s"""WITH $anchoredCtes,
+         |asbase0 AS (SELECT DISTINCT doc_id, ah_hi, ah_lo FROM anc WHERE doc_id < $cb),
+         |${capCte("asbase0", "asbase", Seq("ah_hi", "ah_lo"), "doc_id")},
+         |asbatch0 AS (SELECT DISTINCT doc_id, ah_hi, ah_lo FROM anc WHERE doc_id >= $cb),
+         |${capCte("asbatch0", "asbatch", Seq("ah_hi", "ah_lo"), "doc_id")}
+         |SELECT b.doc_id AS doc_batch, c.doc_id AS doc_corpus,
+         |  CAST(count(*) AS BIGINT) AS votes
+         |FROM asbatch b JOIN asbase c
+         |  ON c.ah_hi = b.ah_hi AND c.ah_lo = b.ah_lo
          |GROUP BY 1, 2
          |HAVING count(*) >= $mv
          |ORDER BY doc_batch, doc_corpus""".stripMargin

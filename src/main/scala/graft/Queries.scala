@@ -2156,6 +2156,28 @@ object Queries {
         .unionByName(Multimodal.plantedCroppedPngPayloads(docs(s, dir))))
       .orderBy("doc_a", "doc_b")
 
+  /** Content-anchored descriptor hashes over the planted PNGs and
+    * their (7,3) OFF-LATTICE crops — gradient-local-max anchors, the
+    * same 12×8 region kernel centered on each, so the crop rows'
+    * shared anchors carry bit-identical descriptors at an offset
+    * neither tile lattice covers.
+    */
+  def mmAnchorHashes(s: SparkSession, dir: String): DataFrame =
+    Multimodal.anchorHashes(
+      Multimodal.plantedPngPayloads(docs(s, dir))
+        .unionByName(Multimodal.plantedArbitraryCroppedPngPayloads(docs(s, dir))))
+      .toDF().orderBy("doc_id", "anchor_y", "anchor_x")
+
+  /** Arbitrary-offset crop-robust near-dup: the anchored vote over
+    * the planted orig+(7,3)-crop corpus — the pairs BOTH tile faces
+    * provably miss (spec-pinned), caught content-anchored.
+    */
+  def mmImageNearDupAnchored(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmImageNearDupAnchored(
+      Multimodal.plantedPngPayloads(docs(s, dir))
+        .unionByName(Multimodal.plantedArbitraryCroppedPngPayloads(docs(s, dir))))
+      .orderBy("doc_a", "doc_b")
+
   /** HALF-STRIDE overlap tile hashes over the planted PNGs and their
     * (6,4)-offset crops — the lattice face that upgrades the
     * supported crop class from tile-aligned to half-tile-aligned.
@@ -2205,6 +2227,36 @@ object Queries {
   def mmImageTilesIncrementalStored(s: SparkSession, dir: String): DataFrame = {
     val (table, batch) = storedTileFixture(s, dir)
     Multimodal.tilesAgainstStored(s, table, batch)
+      .orderBy("doc_batch", "doc_corpus")
+  }
+
+  /** Anchor base written once per (session, dir) — the stored-tile
+    * pattern with content-anchored signatures: base = the planted
+    * originals, batch = their (7,3) OFF-LATTICE crops (the recrawl's
+    * arbitrarily re-cropped re-uploads — the class the tile base's
+    * lattice provably misses).
+    */
+  private val storedAnchorCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  private def storedAnchorFixture(s: SparkSession, dir: String): (String, DataFrame) = {
+    val table = storedAnchorCache.synchronized {
+      val perSession = storedAnchorCache.computeIfAbsent(
+        s, _ => scala.collection.mutable.Map.empty[String, String])
+      perSession.getOrElseUpdate(
+        dir, {
+          val t = s"anchors_stored_q_${fixtureTag(dir)}"
+          graft.sinks.Sinks.writeAnchorBase(
+            Multimodal.plantedPngPayloads(docs(s, dir)), t)
+          t
+        })
+    }
+    (table, Multimodal.plantedArbitraryCroppedPngPayloads(docs(s, dir)))
+  }
+
+  def mmImageAnchoredIncrementalStored(s: SparkSession, dir: String): DataFrame = {
+    val (table, batch) = storedAnchorFixture(s, dir)
+    Multimodal.anchorsAgainstStored(s, table, batch)
       .orderBy("doc_batch", "doc_corpus")
   }
 
@@ -2861,7 +2913,10 @@ object Queries {
     "mm_image_near_dup_tiles" -> (mmImageNearDupTiles _),
     "mm_phash_tiles_overlap" -> (mmPhashTilesOverlap _),
     "mm_image_near_dup_tiles_overlap" -> (mmImageNearDupTilesOverlap _),
+    "mm_anchor_hashes" -> (mmAnchorHashes _),
+    "mm_image_near_dup_anchored" -> (mmImageNearDupAnchored _),
     "mm_image_tiles_incremental_stored" -> (mmImageTilesIncrementalStored _),
+    "mm_image_anchored_incremental_stored" -> (mmImageAnchoredIncrementalStored _),
     "mm_resize_px" -> (mmResizePx _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "mm_audio_phash" -> (mmAudioPhash _),

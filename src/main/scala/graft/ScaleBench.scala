@@ -758,6 +758,37 @@ object ScaleBench {
           s""""sec":$sec,"images_per_sec":${(nImgs / sec).toLong}}""")
       docs.unpersist(blocking = false)
     }
+    // image CONTENT-ANCHORED near-dup scale probe: real PNG
+    // encode/decode + gradient-local-max anchor detection + per-anchor
+    // descriptor hashes + the capped vote join, over N/10 planted
+    // images and their (7,3) OFF-LATTICE crops — the arbitrary-offset
+    // tier's linearity measured, with planted recall (the offset both
+    // tile lattices provably miss; the measured floor is 14 shared
+    // anchors against the 4-vote bar).
+    sys.env.get("SPARK_GRAFT_MM_ANCHOR_DOCS").map(_.toLong).foreach { nDocs =>
+      val M = graft.operators.Multimodal
+      require(nDocs <= M.PxCrop3IdBase,
+        s"crop plant ids (base ${M.PxCrop3IdBase}) must stay above the corpus")
+      val docs = documents(spark, nDocs).persist()
+      docs.count()
+      val input = M.plantedPngPayloads(docs)
+        .unionByName(M.plantedArbitraryCroppedPngPayloads(docs))
+      val t0 = System.nanoTime()
+      val got = M.mmImageNearDupAnchored(input)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val planted = (0L until nDocs by M.PxPlantEvery)
+        .map(d => (d, d + M.PxCrop3IdBase))
+      val hit = planted.count(got)
+      graft.operators.CacheScope.releaseAll()
+      val nImgs = 2 * (nDocs / M.PxPlantEvery)
+      println(
+        s"""{"metric":"mm_image_anchored_scale","docs":$nDocs,"images":$nImgs,""" +
+          s""""pairs":${got.size},"planted":${planted.size},"planted_hit":$hit,""" +
+          s""""sec":$sec,"images_per_sec":${(nImgs / sec).toLong}}""")
+      docs.unpersist(blocking = false)
+    }
     // CDX planning scale probe: a loopback server records page-count
     // probes while both planners plan an N-url live scan. The probe
     // planner pays one HTTP round-trip per url through the bounded

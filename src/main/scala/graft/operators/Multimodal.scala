@@ -2194,7 +2194,8 @@ object Multimodal {
     * repeated value must count as one vote, not several), capped
     * buckets, equality self-join, ≥ [[TileMinVotes]].
     */
-  private def tileVote(tileHashes: DataFrame): DataFrame = {
+  private def tileVote(
+      tileHashes: DataFrame, minVotes: Int = TileMinVotes): DataFrame = {
     val hashes = CacheScope.persist(
       tileHashes.select("doc_id", "th_hi", "th_lo").distinct())
     val buckets = BandCap.capBuckets(hashes, Seq("th_hi", "th_lo"), "doc_id")
@@ -2204,7 +2205,7 @@ object Multimodal {
         expr("a.th_hi = b.th_hi AND a.th_lo = b.th_lo AND a.doc_id < b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("votes"))
-      .filter(col("votes") >= TileMinVotes)
+      .filter(col("votes") >= minVotes)
       .select(col("doc_a"), col("doc_b"), col("votes"))
   }
 
@@ -2304,6 +2305,204 @@ object Multimodal {
       .groupBy(col("b.doc_id").as("doc_batch"), col("c.doc_id").as("doc_corpus"))
       .agg(count(lit(1)).as("votes"))
       .filter(col("votes") >= TileMinVotes)
+      .select(col("doc_batch"), col("doc_corpus"), col("votes"))
+  }
+
+  // --------------------- content-anchored (keypoint) image fingerprint
+  /** The lattice faces cover crops whose offsets land ON the lattice —
+    * the 96-phase measurement (MultimodalSpec) pins the overlap face
+    * at exactly 8 of 96 tile phases, zero elsewhere. This face removes
+    * the lattice entirely by anchoring descriptors at CONTENT instead
+    * of coordinates, upgrading the supported class to crops at ANY
+    * pixel offset that keep ≥ [[AnchorMinVotes]] eligible anchors.
+    *
+    * Anchor detection: integer gradient score
+    * `s(x,y) = |lum(x+1,y) − lum(x−1,y)| + |lum(x,y+1) − lum(x,y−1)|`
+    * on BT.601 luma; an anchor is a STRICT local maximum of `s` over
+    * the (2·[[AnchorR]]+1)² Chebyshev window with
+    * `s ≥ [[AnchorMinScore]]` (ties produce no anchor — a flat or
+    * letterboxed region, all-equal scores, yields nothing, the
+    * degenerate case the tile faces needed the cap census for).
+    * Descriptor: the SAME [[gridDHash]] region kernel the tile faces
+    * use, over the [[TileW]]×[[TileH]] window centered at the anchor.
+    *
+    * CROP STABILITY, the whole point: the score at (x, y) reads pixels
+    * at distance ≤ 1, the strict-max decision reads scores at distance
+    * ≤ [[AnchorR]], and the descriptor reads the centered window — so
+    * every quantity depends only on pixels within the eligibility
+    * margins ([[TileW]]/2, [[TileH]]/2), and eligibility itself is the
+    * same margin test against each image's own bounds. A crop is a
+    * pixel-identical subwindow, hence: anchors of the crop = anchors
+    * of the original that fall inside the crop's eligible interior,
+    * with BIT-IDENTICAL descriptors — at any offset, no lattice
+    * (spec-pinned: the anchored face catches all 96 phases the overlap
+    * face catches 8 of, and the anchors-of-crop ⊆ anchors-of-original
+    * subset property is pinned directly).
+    *
+    * Scale shape: strict 3×3 maxima are ≥ 2 apart, so anchors are
+    * bounded by area/4 and land near area/9 on textured content —
+    * same O(pixels) row class as the lattice faces; [[AnchorCap]]
+    * (deterministic score-desc, row-major tiebreak) is the busy-image
+    * guardrail, and the vote rides the identical capped-census
+    * equality join ([[BandCap]]), never all-pairs. Reference scope:
+    * trendmachine fingerprints whole specimens (main.py digest
+    * handling); the crop-robust tier is this engine's extension for
+    * re-hosted/re-cropped training images.
+    */
+  val AnchorR = 1
+  val AnchorMinScore = 16
+  val AnchorCap = 512
+  val AnchorMinVotes = 4
+
+  /** Planted ARBITRARY-OFFSET crop parameters: offset (7, 3) is on
+    * neither the tile lattice (12, 8) nor the half-stride lattice
+    * (6, 4) — both tile faces provably miss it (spec-pinned) while
+    * the anchored face catches it. Floor measured over all 500 sf0.1
+    * plants: ≥ 14 shared anchors per planted pair at this offset,
+    * 3.5× the [[AnchorMinVotes]] bar.
+    */
+  val PxCrop3IdBase = 975000L
+  val PxCrop3X = 7
+  val PxCrop3Y = 3
+
+  case class MmAnchorHash(
+      doc_id: Long, anchor_x: Int, anchor_y: Int, ah_hi: Long, ah_lo: Long)
+
+  /** Content-anchored descriptor hashes of every decodable raster
+    * payload — one row per retained anchor; images too small for any
+    * eligible anchor (w < [[TileW]] or h < [[TileH]]) emit no rows.
+    */
+  def anchorHashes(withPayloadDf: DataFrame): Dataset[MmAnchorHash] = {
+    val spark = withPayloadDf.sparkSession
+    import spark.implicits._
+    val (mx, my) = (TileW / 2, TileH / 2)
+    withPayloadDf.as[MmRow].mapPartitions(_.flatMap { r =>
+      decodeRaster(r.payload).toSeq.flatMap { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val lum = Array.ofDim[Int](h, w)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lum(y)(x) = (299 * ((rgb >> 16) & 0xff) +
+              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        // gradient score, defined on the 1-pixel interior
+        val sc = Array.ofDim[Int](h, w)
+        y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            sc(y)(x) = math.abs(lum(y)(x + 1) - lum(y)(x - 1)) +
+              math.abs(lum(y + 1)(x) - lum(y - 1)(x))
+            x += 1
+          }
+          y += 1
+        }
+        // strict local maxima on the eligible interior
+        val cands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+        var ay = my
+        while (ay <= h - my) {
+          var ax = mx
+          while (ax <= w - mx) {
+            val c = sc(ay)(ax)
+            if (c >= AnchorMinScore) {
+              var isMax = true
+              var dy = -AnchorR
+              while (isMax && dy <= AnchorR) {
+                var dx = -AnchorR
+                while (isMax && dx <= AnchorR) {
+                  if ((dx != 0 || dy != 0) && sc(ay + dy)(ax + dx) >= c)
+                    isMax = false
+                  dx += 1
+                }
+                dy += 1
+              }
+              if (isMax) cands += ((ax, ay, c))
+            }
+            ax += 1
+          }
+          ay += 1
+        }
+        val kept =
+          if (cands.size <= AnchorCap) cands
+          else cands.sortBy { case (ax, ay2, s) => (-s, ay2, ax) }.take(AnchorCap)
+        kept.map { case (ax, ay2, _) =>
+          val (hi, lo) = gridDHash(img, ax - mx, ay2 - my, TileW, TileH)
+          MmAnchorHash(r.doc_id, ax, ay2, hi, lo)
+        }
+      }
+    })
+  }
+
+  /** ARBITRARY-OFFSET crop-robust image near-dup: the position-free
+    * vote ([[tileVote]]'s capped equality join) over content-anchored
+    * descriptor values — ≥ [[AnchorMinVotes]] shared distinct values
+    * pair two images, wherever the crop landed.
+    */
+  def mmImageNearDupAnchored(withPayloadDf: DataFrame): DataFrame =
+    tileVote(
+      anchorHashes(withPayloadDf).toDF()
+        .select(col("doc_id"), col("ah_hi").as("th_hi"), col("ah_lo").as("th_lo")),
+      AnchorMinVotes)
+
+  /** The (7,3)-offset cropped cousins — [[plantedCroppedPngPayloads]]
+    * at the off-lattice offset, ids at [[PxCrop3IdBase]].
+    */
+  def plantedArbitraryCroppedPngPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % PxPlantEvery === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val img = new java.awt.image.BufferedImage(
+          PxCropW, PxCropH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < PxCropH) {
+          var x = 0
+          while (x < PxCropW) {
+            val v = pxPlantValue(d, x + PxCrop3X, y + PxCrop3Y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MmRow(d + PxCrop3IdBase, "image", PxCropW.toLong, PxCropH.toLong, baos.toByteArray)
+      })
+      .toDF()
+  }
+
+  /** Anchored vote of an arriving image batch AGAINST THE STORED BASE
+    * ([[graft.sinks.Sinks.writeAnchorBase]]) — [[tilesAgainstStored]]
+    * with content-anchored descriptors: the batch decodes and anchors
+    * (it is new bytes), the corpus side is one columnar scan of the
+    * hash-bucketed signature table, the batch broadcasts into it. The
+    * face a recrawl probes when re-uploads are re-cropped at
+    * ARBITRARY offsets — off the lattice the tile base covers.
+    * Output (doc_batch, doc_corpus, votes), votes ≥ [[AnchorMinVotes]].
+    */
+  def anchorsAgainstStored(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      batch: DataFrame): DataFrame = {
+    val batchSigs = BandCap.capBuckets(
+      CacheScope.persist(
+        anchorHashes(batch).toDF().select("doc_id", "ah_hi", "ah_lo").distinct()),
+      Seq("ah_hi", "ah_lo"), "doc_id")
+    graft.sinks.Sinks.readAnchorSigs(spark, table).as("c")
+      .join(
+        broadcast(batchSigs.as("b")),
+        expr("c.ah_hi = b.ah_hi AND c.ah_lo = b.ah_lo"))
+      .groupBy(col("b.doc_id").as("doc_batch"), col("c.doc_id").as("doc_corpus"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= AnchorMinVotes)
       .select(col("doc_batch"), col("doc_corpus"), col("votes"))
   }
 

@@ -934,6 +934,38 @@ object Sinks {
   def readTileSigs(spark: SparkSession, table: String): DataFrame =
     spark.table(table).filter(col("kept")).select("doc_id", "th_hi", "th_lo")
 
+  /** [[writeTileBase]]'s content-anchored sibling: the corpus's
+    * anchor-descriptor signatures ([[graft.operators.Multimodal
+    * .anchorHashes]] — detection + descriptor paid ONCE), distinct
+    * per doc, flagged by the write-time census, hash-bucketed. Same
+    * contract as the tile base in every other respect: rebuild-only,
+    * retire-then-write fail-open, probes broadcast into the bucketed
+    * scan with zero corpus decode. This is the base a recrawl probes
+    * when re-uploads are re-CROPPED at arbitrary offsets — the class
+    * the tile base's lattice provably misses.
+    */
+  def writeAnchorBase(
+      images: DataFrame,
+      table: String,
+      buckets: Int = DefaultBuckets,
+      cap: Int = graft.operators.BandCap.DefaultCap): Unit = {
+    val s = images.sparkSession
+    dropTableAndLocation(s, table)
+    graft.operators.CacheScope.withScope {
+      val sigs = graft.operators.CacheScope.persist(
+        graft.operators.Multimodal.anchorHashes(images).toDF()
+          .select("doc_id", "ah_hi", "ah_lo").distinct())
+      graft.operators.BandCap.flagBuckets(sigs, Seq("ah_hi", "ah_lo"), "doc_id", cap)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "ah_hi", "ah_lo").sortBy("ah_hi", "ah_lo")
+        .saveAsTable(table)
+    }
+  }
+
+  /** The stored anchor base's live (census-kept) rows. */
+  def readAnchorSigs(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).filter(col("kept")).select("doc_id", "ah_hi", "ah_lo")
+
   // ------------------------------------------------ HNSW serving layout
   /** Persist the graph-ANN family's serving index: build once
     * ([[graft.operators.Ann.hnswGraphParts]] — the per-invocation

@@ -870,6 +870,161 @@ class MultimodalSpec extends AnyFunSuite {
     graft.operators.CacheScope.releaseAll()
   }
 
+  // ---------------- content-anchored (keypoint) fingerprint face
+
+  import MultimodalSpec.mdPng
+
+  test("anchored face catches the (7,3) off-lattice crop BOTH tile faces provably miss") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((10L, "x"), (20L, "y"), (30L, "z"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val corpus = Multimodal.plantedPngPayloads(docs)
+      .unionByName(Multimodal.plantedArbitraryCroppedPngPayloads(docs))
+    // (7, 3) is on neither lattice: the aligned face (12, 8) and the
+    // half-stride face (6, 4) must both return zero pairs — the class
+    // boundary the 96-phase measurement pinned, re-asserted on the
+    // exact planted offset the registry rows ship
+    assert(Multimodal.mmImageNearDupTiles(corpus).count() === 0L)
+    assert(Multimodal.mmImageNearDupTilesOverlap(corpus).count() === 0L)
+    val pairs = Multimodal.mmImageNearDupAnchored(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    val want = Seq(10L, 20L, 30L)
+      .map(d => (d, d + Multimodal.PxCrop3IdBase)).toSet
+    assert(got === want, s"anchored vote must find exactly the planted pairs: $got")
+    assert(pairs.forall(_._3 >= Multimodal.AnchorMinVotes))
+    graft.operators.CacheScope.releaseAll()
+  }
+
+  test("MEASUREMENT: the anchored face catches ALL 96 phases the overlap face catches 8 of") {
+    // the same 96-offset plant as the overlap measurement, run
+    // through the content-anchored vote: every (dx, dy) ∈ 12×8 must
+    // pair with its source — the empirical invariance class has no
+    // lattice left — and no crop pairs with a foreign doc
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val baseIds = Seq(10L, 20L, 30L)
+    val docs = baseIds.map(d => (d, "x")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val orig = Multimodal.plantedPngPayloads(docs)
+    val cropBase = 1000000L
+    def cropId(d: Long, dx: Int, dy: Int) = cropBase + d * 10000L + dx * 100L + dy
+    val phases = for {
+      dx <- 0 until Multimodal.TileW
+      dy <- 0 until Multimodal.TileH
+    } yield (dx, dy)
+    val crops = spark
+      .createDataset(baseIds.flatMap(d => phases.map { case (dx, dy) => (d, dx, dy) }))
+      .map { case (d, dx, dy) => mdPng(d, cropId(d, dx, dy), 24, 24, dx, dy) }
+      .toDF()
+    val pairs = Multimodal.mmImageNearDupAnchored(orig.unionByName(crops))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val caught = pairs.flatMap { case (a, b) =>
+      if (a >= cropBase || b < cropBase) None
+      else {
+        val enc = b - cropBase
+        Some((a, enc / 10000L, ((enc % 10000L) / 100L).toInt, (enc % 100L).toInt))
+      }
+    }
+    assert(caught.forall { case (o, d, _, _) => o == d },
+      s"cross-doc anchored pair: ${caught.filterNot { case (o, d, _, _) => o == d }.toSeq}")
+    val caughtPhases = caught.map { case (o, _, dx, dy) => (o, dx, dy) }.toSet
+    val all = (for { d <- baseIds; (dx, dy) <- phases } yield (d, dx, dy)).toSet
+    assert(caughtPhases === all,
+      s"the anchored face must catch every phase; caught ${caughtPhases.size} " +
+        s"of ${all.size}; missing=${all -- caughtPhases}")
+    graft.operators.CacheScope.releaseAll()
+  }
+
+  test("anchors of a crop = anchors of the original inside the crop's eligible interior, descriptors bit-identical") {
+    // the crop-stability argument pinned structurally, not just
+    // end-to-end: every quantity (score, strict-max decision,
+    // descriptor) reads only pixels within the eligibility margins,
+    // so the crop's anchor set is EXACTLY the original's restricted
+    // to the crop's eligible window, shifted — at an offset chosen
+    // off both lattices
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (cx, cy, cw, ch) = (5, 7, 24, 24)
+    val corpus = Seq(mdPng(10L, 1L, 36, 32, 0, 0), mdPng(10L, 2L, cw, ch, cx, cy))
+      .toDF()
+    val rows = Multimodal.anchorHashes(corpus).collect()
+    val orig = rows.filter(_.doc_id == 1L)
+      .map(a => ((a.anchor_x, a.anchor_y), (a.ah_hi, a.ah_lo))).toMap
+    val crop = rows.filter(_.doc_id == 2L)
+      .map(a => ((a.anchor_x, a.anchor_y), (a.ah_hi, a.ah_lo))).toMap
+    val (mx, my) = (Multimodal.TileW / 2, Multimodal.TileH / 2)
+    val expected = orig.collect {
+      case ((ax, ay), d)
+          if ax - cx >= mx && ax - cx <= cw - mx &&
+            ay - cy >= my && ay - cy <= ch - my =>
+        ((ax - cx, ay - cy), d)
+    }
+    assert(crop === expected,
+      s"crop anchors must be the original's restricted+shifted set: " +
+        s"crop=${crop.keySet.toSeq.sorted} expected=${expected.keySet.toSeq.sorted}")
+    assert(expected.nonEmpty, "fixture must actually exercise shared anchors")
+    graft.operators.CacheScope.releaseAll()
+  }
+
+  test("flat images yield zero anchors; busy images cap at AnchorCap deterministically") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // letterbox degeneracy: constant color → all scores 0 → no strict
+    // max anywhere (and all below AnchorMinScore) — the case the tile
+    // faces lean on the cap census for produces NOTHING here
+    val flat = {
+      val img = new java.awt.image.BufferedImage(
+        36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(y => (0 until 36).foreach(x => img.setRGB(x, y, 0x808080)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      Multimodal.MmRow(9L, "image", 36L, 32L, baos.toByteArray)
+    }
+    assert(Multimodal.anchorHashes(Seq(flat).toDF()).count() === 0L)
+    // busy-image guardrail: a 120×80 noise image has ~880 natural
+    // anchors; the retained set must be exactly AnchorCap rows and
+    // identical across runs (score-desc, row-major tiebreak)
+    val busy = Seq(mdPng(7L, 3L, 120, 80, 0, 0)).toDF()
+    val run1 = Multimodal.anchorHashes(busy).collect()
+      .map(a => (a.anchor_x, a.anchor_y, a.ah_hi, a.ah_lo)).toSet
+    val run2 = Multimodal.anchorHashes(busy).collect()
+      .map(a => (a.anchor_x, a.anchor_y, a.ah_hi, a.ah_lo)).toSet
+    assert(run1.size === Multimodal.AnchorCap,
+      s"cap must bind at exactly AnchorCap: ${run1.size}")
+    assert(run1 === run2, "capped anchor set must be deterministic")
+    graft.operators.CacheScope.releaseAll()
+  }
+
+  test("stored anchor base: the probe equals the planted vote and fails loudly on a retired base") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((10L, "x"), (20L, "y"), (30L, "z"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val base = Multimodal.plantedPngPayloads(docs)
+    val batch = Multimodal.plantedArbitraryCroppedPngPayloads(docs)
+    val t = s"anchor_base_spec_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    graft.sinks.Sinks.writeAnchorBase(base, t)
+    val got = Multimodal.anchorsAgainstStored(spark, t, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Seq(10L, 20L, 30L)
+      .map(d => (d + Multimodal.PxCrop3IdBase, d)).toSet
+    assert(got === want, s"stored-base anchored vote must find the planted pairs: $got")
+    // probe ≡ the symmetric planted vote's pair set on the same corpus
+    val direct = Multimodal.mmImageNearDupAnchored(base.unionByName(batch))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(got === direct, s"probe must equal the direct vote: $got vs $direct")
+    val plan = Multimodal.anchorsAgainstStored(spark, t, batch)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    spark.sql(s"DROP TABLE $t")
+    intercept[Exception] {
+      Multimodal.anchorsAgainstStored(spark, t, batch).collect()
+    }
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("needsBigInt flips exactly at the Long cross-product boundary") {
     import graft.operators.Multimodal.needsBigInt
     val L = Long.MaxValue
@@ -883,5 +1038,28 @@ class MultimodalSpec extends AnyFunSuite {
     // the magnitude gate is what the old frame-count gate missed: few
     // frames, huge per-frame magnitude
     assert(needsBigInt(Array(L / 4), Array(5L)))
+  }
+}
+
+/** Executor-side fixture builder: a standalone object so Dataset
+  * closures mapping over it serialize without dragging the suite in.
+  */
+private object MultimodalSpec extends Serializable {
+  def mdPng(src: Long, id: Long, w: Int, h: Int, ox: Int, oy: Int): Multimodal.MmRow = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = Multimodal.pxPlantValue(src, x + ox, y + oy)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    Multimodal.MmRow(id, "image", w.toLong, h.toLong, baos.toByteArray)
   }
 }

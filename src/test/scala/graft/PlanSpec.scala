@@ -39,6 +39,7 @@ class PlanSpec extends AnyFunSuite {
         "mm_video_near_dup_spectral", "streaming_mm_video_near_dup_spectral",
         "mm_video_near_dup_px", "mm_image_near_dup_tiles",
         "mm_image_near_dup_tiles_overlap", "mm_image_tiles_incremental_stored",
+        "mm_image_near_dup_anchored", "mm_image_anchored_incremental_stored",
         "doc_near_dup_incremental", "doc_near_dup_incremental_stored",
         "corpus_diff_near",
         "ann_knn_join", "ann_topk_banded")) {
