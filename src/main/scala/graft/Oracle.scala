@@ -3343,6 +3343,41 @@ object Oracle {
          |ORDER BY doc_batch, doc_corpus""".stripMargin
     },
 
+    // anchored dup clusters: the anchored vote's pair stream through
+    // the recursive min-label CC twin (the video/audio cluster twins'
+    // shape); universe = docs that anchor
+    "mm_image_anchored_clusters" -> {
+      val mv = graft.operators.Multimodal.AnchorMinVotes
+      s"""WITH RECURSIVE $anchoredCtes,
+         |adh AS (SELECT DISTINCT doc_id, ah_hi, ah_lo FROM anc),
+         |${capCte("adh", "adhc", Seq("ah_hi", "ah_lo"), "doc_id")},
+         |aprs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM adhc a JOIN adhc b
+         |    ON b.ah_hi = a.ah_hi AND b.ah_lo = a.ah_lo AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= $mv
+         |),
+         |ae AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM aprs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM aprs
+         |),
+         |auniv AS (SELECT DISTINCT doc_id FROM anc),
+         |areach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM auniv
+         |  UNION
+         |  SELECT r.src, ae.b FROM areach r JOIN ae ON r.dst = ae.a
+         |),
+         |alab AS (SELECT src AS doc_id, min(dst) AS cluster FROM areach GROUP BY src),
+         |asz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |        FROM alab GROUP BY cluster)
+         |SELECT l.doc_id, l.cluster, sz.cluster_size,
+         |       l.doc_id = l.cluster AS is_canonical
+         |FROM alab l JOIN asz sz USING (cluster)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // the stored-anchor twin mirrors the stored-tile one over the
     // anchored CTEs: split by id span, per-side capCte, batch-vs-base
     // vote at the anchored bar

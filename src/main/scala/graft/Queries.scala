@@ -2260,6 +2260,16 @@ object Queries {
       .orderBy("doc_batch", "doc_corpus")
   }
 
+  /** Anchored dup clusters over the orig+(7,3)-crop corpus — each
+    * arbitrary-offset crop family resolves to its original as the
+    * canonical doc through the one CC engine.
+    */
+  def mmImageAnchoredClusters(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mmImageAnchoredClusters(
+      Multimodal.plantedPngPayloads(docs(s, dir))
+        .unionByName(Multimodal.plantedArbitraryCroppedPngPayloads(docs(s, dir))))
+      .orderBy("doc_id")
+
   /** Audio-container features through a REAL RIFF/WAVE chunk scan:
     * deterministic PCM parameters synthesized around the projected
     * text as sample data, parsed back field-for-field with exact
@@ -2917,6 +2927,7 @@ object Queries {
     "mm_image_near_dup_anchored" -> (mmImageNearDupAnchored _),
     "mm_image_tiles_incremental_stored" -> (mmImageTilesIncrementalStored _),
     "mm_image_anchored_incremental_stored" -> (mmImageAnchoredIncrementalStored _),
+    "mm_image_anchored_clusters" -> (mmImageAnchoredClusters _),
     "mm_resize_px" -> (mmResizePx _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "mm_audio_phash" -> (mmAudioPhash _),

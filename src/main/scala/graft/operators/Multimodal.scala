@@ -2506,6 +2506,24 @@ object Multimodal {
       .select(col("doc_batch"), col("doc_corpus"), col("votes"))
   }
 
+  /** Anchored duplicate clusters: the SIXTH modality through
+    * [[graft.operators.Corpus.clustersFromEdges]]' one connected-
+    * components engine — arbitrary-offset crop families resolve to
+    * canonical representatives with exactly the machinery the text,
+    * embedding, perceptual, audio and video tiers already use.
+    * Membership universe = every payload that anchors (≥ 1 eligible
+    * anchor), mirroring the video face's "every payload that
+    * fingerprints".
+    */
+  def mmImageAnchoredClusters(withPayloadDf: DataFrame): DataFrame = {
+    val hashes = CacheScope.persist(
+      anchorHashes(withPayloadDf).toDF()
+        .select(col("doc_id"), col("ah_hi").as("th_hi"), col("ah_lo").as("th_lo")))
+    Corpus.clustersFromEdges(
+      hashes.select(col("doc_id")).distinct(),
+      tileVote(hashes, AnchorMinVotes).select(col("doc_a"), col("doc_b")))
+  }
+
   /** One pixel-true resize result: the re-encoded payload (real
     * `javax.imageio` PNG write — consumers get actual image bytes)
     * plus SQL-replayable proof columns: the resized grid's integer
