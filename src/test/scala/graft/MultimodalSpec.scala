@@ -1025,6 +1025,26 @@ class MultimodalSpec extends AnyFunSuite {
     graft.operators.CacheScope.releaseAll()
   }
 
+  test("anchored clusters: each planted crop family is a 2-cluster canonicalized at the original") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((10L, "x"), (20L, "y"), (30L, "z"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val corpus = Multimodal.plantedPngPayloads(docs)
+      .unionByName(Multimodal.plantedArbitraryCroppedPngPayloads(docs))
+    val rows = Multimodal.mmImageAnchoredClusters(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length === 6, s"universe = all 6 anchoring payloads: ${rows.toSeq}")
+    Seq(10L, 20L, 30L).foreach { d =>
+      val fam = rows.filter(r => r._1 == d || r._1 == d + Multimodal.PxCrop3IdBase)
+      assert(fam.forall(r => r._2 == d && r._3 == 2L),
+        s"family $d must form one 2-cluster labeled at the original: ${fam.toSeq}")
+      assert(fam.collect { case (id, _, _, can) if can => id }.toSeq === Seq(d),
+        s"only the original is canonical in family $d: ${fam.toSeq}")
+    }
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("needsBigInt flips exactly at the Long cross-product boundary") {
     import graft.operators.Multimodal.needsBigInt
     val L = Long.MaxValue
