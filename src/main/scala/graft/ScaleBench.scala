@@ -789,6 +789,65 @@ object ScaleBench {
           s""""sec":$sec,"images_per_sec":${(nImgs / sec).toLong}}""")
       docs.unpersist(blocking = false)
     }
+    // vector CONTINUOUS-INGEST cadence probe: seed N vectors into the
+    // IVF serving layout + HNSW generation + raw store, then drive
+    // 2%-of-N micro-batches through annIngestWithCadence. The claim
+    // under measurement is the round-18 O(1) live-count fix: no-op
+    // batches must cost O(batch) — the metadata check plus the delta
+    // upsert, NOT a codes scan — while exactly one threshold-crossing
+    // batch pays the O(N) graph rebuild.
+    sys.env.get("SPARK_GRAFT_ANN_INGEST_VECS").map(_.toLong).foreach { nVecs =>
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val S = graft.sinks.Sinks
+      val dim = 64
+      def embOf(ids: Seq[Long]): Seq[(Long, Array[Float])] =
+        ids.map { i =>
+          val rnd = new scala.util.Random(i)
+          (i, Array.fill(dim)(rnd.nextGaussian().toFloat))
+        }
+      val emb = spark.range(nVecs).as[Long]
+        .mapPartitions(_.map { i =>
+          val rnd = new scala.util.Random(i)
+          (i, Array.fill(dim)(rnd.nextGaussian().toFloat))
+        })
+        .toDF("vec_id", "embedding")
+      val root = java.nio.file.Files.createTempDirectory("cadence_scale_").toString
+      val (ivf, hnsw, store, ckpt) =
+        (s"$root/ivf", s"$root/hnsw", s"$root/store", s"$root/ckpt")
+      val tSeed0 = System.nanoTime()
+      S.writeAnnIndex(emb, ivf)
+      S.writeHnswIndex(emb, hnsw)
+      emb.withColumn("batch_id", lit(-1L)).write.mode("append").parquet(store)
+      val seedSec = (System.nanoTime() - tSeed0) / 1e9
+      val rebuilds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stream =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.Streaming.annIngestWithCadence(
+        stream.toDF().toDF("vec_id", "embedding"), ivf, hnsw, store, ckpt,
+        onRebuild = id => rebuilds.synchronized { rebuilds += id; () })
+      val per = math.max(1L, nVecs / 50) // 2% of the served corpus
+      val batchSecs = (0 until 8).map { b =>
+        stream.addData(embOf((nVecs + b * per) until (nVecs + (b + 1) * per)))
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      val rebuildBatches = rebuilds.toSeq.sorted
+      val noop = batchSecs.zipWithIndex.collect {
+        case (s, i) if !rebuildBatches.contains(i.toLong) => s
+      }
+      val rebuildSec = batchSecs.zipWithIndex.collect {
+        case (s, i) if rebuildBatches.contains(i.toLong) => s
+      }
+      println(
+        s"""{"metric":"ann_ingest_cadence_scale","vecs":$nVecs,"batch_size":$per,""" +
+          s""""batches":${batchSecs.size},"rebuilds":${rebuildBatches.size},""" +
+          s""""rebuild_batch":${rebuildBatches.headOption.getOrElse(-1L)},""" +
+          s""""seed_sec":$seedSec,"rebuild_sec":${rebuildSec.headOption.getOrElse(-1.0)},""" +
+          s""""noop_sec_min":${noop.min},"noop_sec_max":${noop.max}}""")
+    }
     // CDX planning scale probe: a loopback server records page-count
     // probes while both planners plan an N-url live scan. The probe
     // planner pays one HTTP round-trip per url through the bounded

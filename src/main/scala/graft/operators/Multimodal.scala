@@ -2345,9 +2345,10 @@ object Multimodal {
     * (deterministic score-desc, row-major tiebreak) is the busy-image
     * guardrail, and the vote rides the identical capped-census
     * equality join ([[BandCap]]), never all-pairs. Reference scope:
-    * trendmachine fingerprints whole specimens (main.py digest
-    * handling); the crop-robust tier is this engine's extension for
-    * re-hosted/re-cropped training images.
+    * trendmachine identifies content by whole-specimen digest
+    * (main.py:152 — full-digest map keys, 8-char display); the
+    * crop-robust tiers are this engine's extension of that identity
+    * notion to re-hosted/re-cropped training images.
     */
   val AnchorR = 1
   val AnchorMinScore = 16
