@@ -1980,8 +1980,15 @@ object Queries {
     * [[graft.sinks.Sinks.writeHnswIndex]] run, so the fixture search
     * is bit-identical to both (spec-pinned).
     */
+  // A plain HashMap, deliberately: the cached DataFrames hold a strong
+  // reference to their SparkSession, so a WeakHashMap keyed by session
+  // (the sibling caches' pattern — safe there because their values are
+  // plain table-name Strings) could never evict here, and the
+  // localCheckpoint blocks live in the session's block manager
+  // regardless — GC of the handle would strand them, not free them.
+  // Entries are bounded at one per (session, dir) for the JVM's life.
   private val hnswBuildCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[
+    new java.util.HashMap[SparkSession, scala.collection.mutable.Map[
       String, (DataFrame, DataFrame, DataFrame, DataFrame)]]()
 
   private def hnswBuildFixture(

@@ -792,25 +792,30 @@ object ScaleBench {
     // vector CONTINUOUS-INGEST cadence probe: seed N vectors into the
     // IVF serving layout + HNSW generation + raw store, then drive
     // 2%-of-N micro-batches through annIngestWithCadence. The claim
-    // under measurement is the round-18 O(1) live-count fix: no-op
-    // batches must cost O(batch) — the metadata check plus the delta
-    // upsert, NOT a codes scan — while exactly one threshold-crossing
-    // batch pays the O(N) graph rebuild.
+    // under measurement is the round-18 live-count fix: a no-op batch
+    // pays the delta upsert (whose live-count maintenance reads the
+    // codes tiers' vec_id COLUMN once — column-pruned, no decode, no
+    // distinct shuffle) plus the scan-free metadata cadence check —
+    // while exactly one threshold-crossing batch pays the O(N) graph
+    // rebuild. The vec_id column read is the no-op path's only
+    // index-sized term; at serving scale it is the next optimization
+    // target (an id membership sketch), and this probe is what would
+    // measure that change.
     sys.env.get("SPARK_GRAFT_ANN_INGEST_VECS").map(_.toLong).foreach { nVecs =>
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val S = graft.sinks.Sinks
       val dim = 64
-      def embOf(ids: Seq[Long]): Seq[(Long, Array[Float])] =
-        ids.map { i =>
-          val rnd = new scala.util.Random(i)
-          (i, Array.fill(dim)(rnd.nextGaussian().toFloat))
-        }
+      // ONE per-id formula for both the seeded corpus and the streamed
+      // batches — the probe's seed/ingest contract (the store must
+      // hold exactly what the indexes hold) depends on them agreeing
+      def embOne(i: Long): (Long, Array[Float]) = {
+        val rnd = new scala.util.Random(i)
+        (i, Array.fill(dim)(rnd.nextGaussian().toFloat))
+      }
+      def embOf(ids: Seq[Long]): Seq[(Long, Array[Float])] = ids.map(embOne)
       val emb = spark.range(nVecs).as[Long]
-        .mapPartitions(_.map { i =>
-          val rnd = new scala.util.Random(i)
-          (i, Array.fill(dim)(rnd.nextGaussian().toFloat))
-        })
+        .mapPartitions(_.map(embOne))
         .toDF("vec_id", "embedding")
       val root = java.nio.file.Files.createTempDirectory("cadence_scale_").toString
       val (ivf, hnsw, store, ckpt) =

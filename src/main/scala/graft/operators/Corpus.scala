@@ -1114,7 +1114,14 @@ object Corpus {
       ndTable: String,
       oldDocs: DataFrame,
       newDocs: DataFrame,
-      minJaccard: Double = ClusterJaccard): DataFrame = CacheScope.withScope {
+      minJaccard: Double = ClusterJaccard): DataFrame = {
+    // NOT withScope: the result is returned lazily, so a scope would
+    // unpersist every cached frame below before the caller's first
+    // action ever populates it — and the final plan would then
+    // re-execute the stored near-dup probe once per consumer (exact is
+    // read 4x, pairs 3x). Persists registered here are released by the
+    // harness's per-query CacheScope.releaseAll(), the registry-wide
+    // convention for operators that return lazy frames.
     val o = oldDocs.select(
       col("doc_id"), col("source").as("src_old"), xxhash64(col("text")).as("h_old"))
     val n = newDocs.select(

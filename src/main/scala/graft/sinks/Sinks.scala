@@ -912,23 +912,38 @@ object Sinks {
     * — the probe fails loudly on the missing table (fail-open:
     * under-dedup until the write re-runs, never a stale-corpus ghost).
     */
+  /** The shared image-signature base writer behind [[writeTileBase]]
+    * and [[writeAnchorBase]]: distinct per-doc signature rows, the
+    * write-time census flag, one hash-bucketed sorted table — the
+    * retire-then-write contract lives HERE, once.
+    */
+  private def writeImageSigBase(
+      sigs: DataFrame,
+      table: String,
+      keyCols: Seq[String],
+      buckets: Int,
+      cap: Int): Unit = {
+    val s = sigs.sparkSession
+    dropTableAndLocation(s, table)
+    graft.operators.CacheScope.withScope {
+      val d = graft.operators.CacheScope.persist(sigs.distinct())
+      graft.operators.BandCap.flagBuckets(d, keyCols, "doc_id", cap)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+        .sortBy(keyCols.head, keyCols.tail: _*)
+        .saveAsTable(table)
+    }
+  }
+
   def writeTileBase(
       images: DataFrame,
       table: String,
       buckets: Int = DefaultBuckets,
-      cap: Int = graft.operators.BandCap.DefaultCap): Unit = {
-    val s = images.sparkSession
-    dropTableAndLocation(s, table)
-    graft.operators.CacheScope.withScope {
-      val tiles = graft.operators.CacheScope.persist(
-        graft.operators.Multimodal.pixelTileHashes(images).toDF()
-          .select("doc_id", "th_hi", "th_lo").distinct())
-      graft.operators.BandCap.flagBuckets(tiles, Seq("th_hi", "th_lo"), "doc_id", cap)
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, "th_hi", "th_lo").sortBy("th_hi", "th_lo")
-        .saveAsTable(table)
-    }
-  }
+      cap: Int = graft.operators.BandCap.DefaultCap): Unit =
+    writeImageSigBase(
+      graft.operators.Multimodal.pixelTileHashes(images).toDF()
+        .select("doc_id", "th_hi", "th_lo"),
+      table, Seq("th_hi", "th_lo"), buckets, cap)
 
   /** The stored tile base's live (census-kept) rows. */
   def readTileSigs(spark: SparkSession, table: String): DataFrame =
@@ -948,19 +963,11 @@ object Sinks {
       images: DataFrame,
       table: String,
       buckets: Int = DefaultBuckets,
-      cap: Int = graft.operators.BandCap.DefaultCap): Unit = {
-    val s = images.sparkSession
-    dropTableAndLocation(s, table)
-    graft.operators.CacheScope.withScope {
-      val sigs = graft.operators.CacheScope.persist(
-        graft.operators.Multimodal.anchorHashes(images).toDF()
-          .select("doc_id", "ah_hi", "ah_lo").distinct())
-      graft.operators.BandCap.flagBuckets(sigs, Seq("ah_hi", "ah_lo"), "doc_id", cap)
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, "ah_hi", "ah_lo").sortBy("ah_hi", "ah_lo")
-        .saveAsTable(table)
-    }
-  }
+      cap: Int = graft.operators.BandCap.DefaultCap): Unit =
+    writeImageSigBase(
+      graft.operators.Multimodal.anchorHashes(images).toDF()
+        .select("doc_id", "ah_hi", "ah_lo"),
+      table, Seq("ah_hi", "ah_lo"), buckets, cap)
 
   /** The stored anchor base's live (census-kept) rows. */
   def readAnchorSigs(spark: SparkSession, table: String): DataFrame =
@@ -1785,7 +1792,17 @@ object Sinks {
     // ids stay DISTRIBUTED: a large re-ingest must not funnel its id
     // set through driver memory just to write a tombstone file
     val ids = vecs.select("vec_id").distinct()
-    if (ids.isEmpty) return
+    // one row per vec_id is the contract: duplicates within one call
+    // land at the SAME segment, where the tombstone hides neither copy
+    // — both would stay live forever, silently double-serving the id.
+    // Two batch-sized counts buy a loud failure instead.
+    val nRows = vecs.count()
+    val nIds = ids.count()
+    if (nRows != nIds)
+      throw new IllegalArgumentException(
+        s"upsert batch carries duplicate vec_ids ($nRows rows, $nIds distinct) — " +
+          "collapse to one row per id before upserting")
+    if (nIds == 0) return
     // allocSeg FIRST: it heals any crashed compaction/rebuild swap, so
     // the metadata loads below can never see half-swapped geometry and
     // encode against artifacts the heal is about to replace. The cost

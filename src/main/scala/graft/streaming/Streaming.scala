@@ -686,7 +686,19 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.select(col("vec_id"), col("embedding")).persist()
+        // At-least-once inputs can repeat a vec_id WITHIN one trigger;
+        // the upsert contract is one row per id (duplicates would land
+        // at the SAME delta segment, where the tombstone hides neither
+        // copy — both would stay live). Collapse deterministically:
+        // identical redeliveries (the common case) coalesce to their
+        // single row, and a genuine same-trigger double update resolves
+        // by embedding-hash order, not partition luck.
+        val dupW = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(xxhash64(col("embedding")).desc)
+        val b = batch.select(col("vec_id"), col("embedding"))
+          .withColumn("__rn", row_number().over(dupW))
+          .filter(col("__rn") === 1).drop("__rn")
+          .persist()
         try {
           if (!b.isEmpty) {
             b.withColumn("batch_id", lit(batchId))
@@ -696,8 +708,12 @@ object Streaming {
           val fs = new org.apache.hadoop.fs.Path(vecStorePath)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(new org.apache.hadoop.fs.Path(vecStorePath))) {
+            // same-batch_id ties (a retried batch re-appending its rows)
+            // break on the embedding hash — the same determinism rule as
+            // the in-batch collapse above
             val w = org.apache.spark.sql.expressions.Window
-              .partitionBy("vec_id").orderBy(col("batch_id").desc)
+              .partitionBy("vec_id")
+              .orderBy(col("batch_id").desc, xxhash64(col("embedding")).desc)
             val canonical = spark.read.parquet(vecStorePath)
               .withColumn("rn", row_number().over(w))
               .filter(col("rn") === 1)

@@ -930,4 +930,26 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(Sinks.readAnnIndexCodes(spark, dir)
       .select("vec_id").distinct().count() === 355L)
   }
+
+  test("upsert rejects a batch carrying duplicate vec_ids, loudly") {
+    // duplicates within one call would land at the SAME segment, where
+    // the tombstone hides neither copy — both would stay live forever,
+    // silently double-serving the id. The contract is one row per id;
+    // violating it must throw, not corrupt.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = clustered(200, 83)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_dup_").toString
+    Sinks.writeAnnIndex(emb, dir)
+    val v = emb.filter(col("vec_id") === 5L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertAnnIndex(
+        spark, dir, Seq((7L, v), (7L, v)).toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("duplicate vec_ids"))
+    // the failed call left no partial mutation live for the id
+    assert(Sinks.readAnnIndexCodes(spark, dir)
+      .filter(col("vec_id") === 7L).count() === 1L)
+  }
 }

@@ -1334,6 +1334,17 @@ class StreamingSpec extends AnyFunSuite {
     // batch 2: +5 — the flip re-based the served count; disarmed
     stream.addData(vecsOf(2000L until 2005L))
     q.processAllAvailable()
+    // batch 3: an at-least-once redelivery — the SAME vec_id twice in
+    // one trigger. The loop must collapse it to one row before the
+    // upsert (which rejects duplicate ids loudly); exactly one copy
+    // may be live afterwards.
+    stream.addData(vecsOf(Seq(3000L)) ++ vecsOf(Seq(3000L)))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty,
+      s"duplicated-id batch must not kill the stream: ${q.exception}")
+    assert(graft.sinks.Sinks.readAnnIndexCodes(spark, ivf)
+      .filter(col("vec_id") === 3000L).count() === 1L,
+      "within-batch duplicate id must leave exactly one live row")
     q.stop()
     assert(rebuilds.toSeq === Seq(1L) && gen === 2L,
       "post-flip sub-threshold ingest must not rebuild again")
