@@ -75,7 +75,15 @@ object BreakdownV4 {
       noop(Corpus.sourceQualityGate(docs))
     }
     time("v4 composed") {
-      noop(Corpus.docPipelineFullV4(docs, embs, bi, uni, v).orderBy("doc_id"))
+      val t0 = System.nanoTime()
+      val df = Corpus.docPipelineFullV4(docs, embs, bi, uni, v).orderBy("doc_id")
+      println(f"[breakdown]   v4 construction (eager part): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val tp = System.nanoTime()
+      df.queryExecution.executedPlan
+      println(f"[breakdown]   v4 final planning: ${(System.nanoTime() - tp) / 1e9}%.2f s")
+      val t1 = System.nanoTime()
+      noop(df)
+      println(f"[breakdown]   v4 final action: ${(System.nanoTime() - t1) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -26,7 +26,7 @@ object ProfileOne {
     case class StageRow(
         id: Int, name: String, tasks: Int, durMs: Long,
         inputMB: Double, shReadMB: Double, shWriteMB: Double,
-        cpuMs: Long, gcMs: Long)
+        cpuMs: Long, gcMs: Long, subMs: Long)
     val rows = mutable.ArrayBuffer.empty[StageRow]
     val jobDescs = mutable.Map.empty[Int, String]
     var collecting = false
@@ -47,7 +47,8 @@ object ProfileOne {
             m.shuffleReadMetrics.totalBytesRead / 1e6,
             m.shuffleWriteMetrics.bytesWritten / 1e6,
             m.executorCpuTime / 1000000L,
-            m.jvmGCTime)
+            m.jvmGCTime,
+            si.submissionTime.getOrElse(-1L))
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -69,9 +70,10 @@ object ProfileOne {
       // give the listener bus a moment to drain
       Thread.sleep(300)
       println(f"===== $name  wall=$wall%.2f s  stages=${rows.size}  stageWallSum=${rows.map(_.durMs).sum / 1e3}%.2f s =====")
-      println(f"${"stage"}%6s ${"ms"}%7s ${"tasks"}%5s ${"cpuMs"}%7s ${"gcMs"}%5s ${"inMB"}%8s ${"shRdMB"}%8s ${"shWrMB"}%8s  name")
-      for (r <- rows.sortBy(-_.durMs)) {
-        println(f"${r.id}%6d ${r.durMs}%7d ${r.tasks}%5d ${r.cpuMs}%7d ${r.gcMs}%5d ${r.inputMB}%8.1f ${r.shReadMB}%8.1f ${r.shWriteMB}%8.1f  ${r.name}")
+      val base = rows.map(_.subMs).filter(_ > 0).minOption.getOrElse(0L)
+      println(f"${"stage"}%6s ${"t0ms"}%7s ${"ms"}%7s ${"tasks"}%5s ${"cpuMs"}%7s ${"gcMs"}%5s ${"inMB"}%8s ${"shRdMB"}%8s ${"shWrMB"}%8s  name")
+      for (r <- rows.sortBy(_.subMs)) {
+        println(f"${r.id}%6d ${r.subMs - base}%7d ${r.durMs}%7d ${r.tasks}%5d ${r.cpuMs}%7d ${r.gcMs}%5d ${r.inputMB}%8.1f ${r.shReadMB}%8.1f ${r.shWriteMB}%8.1f  ${r.name}")
       }
     }
     spark.stop()

@@ -1991,9 +1991,22 @@ object Queries {
     new java.util.HashMap[SparkSession, scala.collection.mutable.Map[
       String, (DataFrame, DataFrame, DataFrame, DataFrame)]]()
 
+  /** Drop the memoized HNSW build fixture for `s` — the explicit
+    * eviction hook for long-lived JVMs that create and stop many
+    * sessions (the checkpoint blocks die with the session's block
+    * manager; this frees the driver-side handles and the session
+    * reference itself).
+    */
+  def invalidateHnswBuildCache(s: SparkSession): Unit =
+    hnswBuildCache.synchronized { hnswBuildCache.remove(s); () }
+
   private def hnswBuildFixture(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
     hnswBuildCache.synchronized {
+      // purge entries whose session is already stopped: their blocks
+      // are gone with the block manager, only the dead handles remain
+      val it = hnswBuildCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
       val perSession = hnswBuildCache.computeIfAbsent(
         s,
         _ => scala.collection.mutable.Map
@@ -2523,18 +2536,32 @@ object Queries {
           col("n_dups"),
           col("max_cluster"),
           round(col("n_dups").cast("double") / col("n_items"), 6).as("dup_rate"))
-    leg(
-      "audio",
-      Multimodal.mmAudioDedupClusters(audioPayloadSet(s, dir)))
-      .unionByName(leg(
+    // The three modality legs are fully independent chains (separate
+    // payload synthesis, fingerprints, and an EAGER cluster-propagation
+    // loop each); built sequentially, each leg's loop idles the cluster
+    // while the next leg waits. Build AND materialize them concurrently
+    // (persist + count in a thread per leg; the union then reads the
+    // three 1-row caches) — identical rows, wall-clock approaches the
+    // slowest leg instead of the sum. Persists land in the session
+    // registry and are released by the harness's per-query releaseAll.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val futs = Seq[() => DataFrame](
+      () => leg("audio", Multimodal.mmAudioDedupClusters(audioPayloadSet(s, dir))),
+      () => leg(
         "image",
         Multimodal.mmDedupClusters(
           Multimodal.withPayload(docs(s, dir))
-            .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))))
-      .unionByName(leg(
-        "video",
-        Multimodal.mmVideoDedupClusters(videoPayloadSet(s, dir))))
-      .orderBy("modality")
+            .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))),
+      () => leg("video", Multimodal.mmVideoDedupClusters(videoPayloadSet(s, dir)))
+    ).map(f => pool.submit(new java.util.concurrent.Callable[DataFrame] {
+      def call(): DataFrame = {
+        val df = graft.operators.CacheScope.persist(f())
+        df.count() // populate the 1-row cache while the other legs run
+        df
+      }
+    }))
+    try futs.map(_.get()).reduce(_ unionByName _).orderBy("modality")
+    finally pool.shutdown()
   }
 
   /** FRAME-TRUE video resample: real container walk → every-4th-frame

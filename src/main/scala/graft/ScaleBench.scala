@@ -851,7 +851,8 @@ object ScaleBench {
           s""""batches":${batchSecs.size},"rebuilds":${rebuildBatches.size},""" +
           s""""rebuild_batch":${rebuildBatches.headOption.getOrElse(-1L)},""" +
           s""""seed_sec":$seedSec,"rebuild_sec":${rebuildSec.headOption.getOrElse(-1.0)},""" +
-          s""""noop_sec_min":${noop.min},"noop_sec_max":${noop.max}}""")
+          s""""noop_sec_min":${noop.minOption.getOrElse(-1.0)},""" +
+          s""""noop_sec_max":${noop.maxOption.getOrElse(-1.0)}}""")
     }
     // CDX planning scale probe: a loopback server records page-count
     // probes while both planners plan an N-url live scan. The probe

@@ -132,7 +132,13 @@ object Corpus {
     * makes the list shuffle-order deterministic.
     */
   def dedupExport(docs: DataFrame): DataFrame = {
-    val labels = dedupClusters(docs)
+    // persisted: the label frame feeds BOTH the provenance-members
+    // aggregate and the canonical filter below — without the persist
+    // each branch re-runs the singleton anti-join + size window on top
+    // of the checkpointed loop labels (round-19 measurement: the whole
+    // post-loop tail ran twice). Narrow per-doc rows, released by the
+    // harness/scope like every operator persist.
+    val labels = CacheScope.persist(dedupClusters(docs))
     val members = labels
       .withColumn(
         "rn",
@@ -233,15 +239,22 @@ object Corpus {
     // shuffling the duplicate set per round.
     val nodes = edges.select(col("e_src").as("doc_id")).distinct()
 
-    // Loop shuffles are sized by AQE from the DATA, not the session
-    // default: label frames hold one row per subgraph node, and with
-    // coalescePartitions.parallelismFirst (default true) AQE refuses to
-    // coalesce below the core count — so every one of the O(rounds x 6)
-    // loop stages schedules |shuffle.partitions| near-empty tasks and
-    // the loop cost is pure task overhead. parallelismFirst=false lets
-    // AQE shrink each round's exchanges toward the advisory size: a
-    // test corpus runs the loop on 1-2 partitions, a 100 TB subgraph
-    // still earns hundreds — data-driven either way.
+    // Loop shuffles are sized from the DATA, not the session default:
+    // label frames hold one row per subgraph node, and with the session
+    // default every one of the O(rounds x stages) loop stages schedules
+    // |shuffle.partitions| near-empty tasks — the loop cost is pure
+    // task overhead. The loop session therefore runs with AQE OFF and
+    // an explicit partition count derived from the measured edge count
+    // (~64k edge rows per partition, capped at the caller's configured
+    // parallelism): a test corpus runs each round on one partition, a
+    // 100 TB subgraph still earns the caller's full width — data-driven
+    // either way. AQE-off beats AQE-with-coalescing here by a measured
+    // ~40% (round 19): the per-stage adaptive re-planning loop costs
+    // more than it saves on frames this small, and the round plan below
+    // is a fixed two-exchange shape with nothing for AQE to improve.
+    // (Skew note: a mega-cluster hub skews nothing structurally — the
+    // groupBy min is map-combinable and rows per node are bounded by
+    // degree; partitions scale with the edge count.)
     //
     // The override lives on a CHILD session (shared SparkContext,
     // cache, and checkpoint dir; private SQLConf): nothing planned on
@@ -255,6 +268,13 @@ object Corpus {
     val loopSession = parent.newSession()
     loopSession.conf.set(
       "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val parentParts = scala.util.Try(
+      parent.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    // one cheap count over the already-materialized checkpoint sizes the
+    // loop's fixed shuffle width
+    val loopParts = math.max(1L, math.min(parentParts.toLong, edges.count() / 65536L + 1L))
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val loopEdges = loopSession.createDataFrame(edges.rdd, edges.schema)
     val labels = {
       // init IS the first propagation round: label = min(self, neighbors)
@@ -282,16 +302,20 @@ object Corpus {
       var prevSum: java.math.BigDecimal = null
       var curSum = labelSum(cur)
       while (prevSum == null || curSum.compareTo(prevSum) != 0) {
-        val nbrMin = loopEdges
-          .join(cur, loopEdges("e_dst") === cur("doc_id"))
-          .groupBy(col("e_src"))
-          .agg(min("cluster").as("nbr"))
-        // inner join: every subgraph node has >= 1 edge, so nbrMin covers
-        // all of them; least() keeps the node's own (possibly smaller) label
+        // One round = one join + one aggregate (round 19 reshape; the
+        // previous form paid a second join to re-attach the node's own
+        // label): next(doc) = min over {cur(doc)} ∪ {cur(nbr) : nbr
+        // adjacent} — the union row supplies the self label, and every
+        // subgraph node appears as e_src of the symmetric edge list, so
+        // coverage is total. Bit-identical labels to the join-twice
+        // form (CorpusSpec pins ≡ local union-find).
         val next = truncate(
-          cur
-            .join(nbrMin, cur("doc_id") === nbrMin("e_src"))
-            .select(cur("doc_id"), least(col("cluster"), col("nbr")).as("cluster")),
+          loopEdges
+            .join(cur, loopEdges("e_dst") === cur("doc_id"))
+            .select(col("e_src").as("doc_id"), col("cluster"))
+            .union(cur.select(col("doc_id"), col("cluster")))
+            .groupBy(col("doc_id"))
+            .agg(min("cluster").as("cluster")),
           eager = false)
         val nextCp = checkpointFile(next)
         cur = next
@@ -1108,6 +1132,14 @@ object Corpus {
     * added∪changed slice; the reclassify joins carry id frames.
     * Output schema is [[snapshotDiff]]'s: (source, status, n_docs)
     * with `near_changed` as the fifth status.
+    *
+    * CALLER OBLIGATION: the result is returned LAZILY with its
+    * intermediates persisted in the session-global registry (not a
+    * lexical scope — see the inline note), so a long-lived library
+    * session must call [[CacheScope.releaseAll]] once it has consumed
+    * the frame (the Bench/Verify harnesses do this per query);
+    * otherwise the registered persists hold storage memory for the
+    * session's life.
     */
   def snapshotDiffNear(
       spark: org.apache.spark.sql.SparkSession,

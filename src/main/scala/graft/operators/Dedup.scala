@@ -653,39 +653,65 @@ object Dedup {
       minSpanWords: Int = SubstrMinSpanWords,
       gramN: Int = SubstrGramN): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val grams = w
+    // Per-position gram keys WITHOUT materializing gram text (round-19
+    // reshape): each word is xxhash64'd ONCE per document, and the
+    // gram key is xxhash64 over the length-N slice of that hash array
+    // — where the previous form concat_ws'd ~N words into a fresh
+    // string per position and hashed its bytes, re-touching every
+    // word's characters N times (20x at production width). Equal grams
+    // still map to equal keys (equal word slices ⇔ equal grams — words
+    // are space-split so the space-join is injective); UNequal grams
+    // colliding on the 64-bit key was already possible in the string
+    // form and is exactly what the level-2 exact confirm below
+    // removes, so the final spans are bit-identical (the driver-side
+    // reference pin in DedupSpec holds unchanged).
+    def positions = w
       .filter(size(col("w")) >= gramN)
+      .withColumn("wh", expr("transform(w, x -> xxhash64(x))"))
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $gramN), " +
-          s"i -> struct(i AS pos, concat_ws(' ', slice(w, i + 1, $gramN)) AS gram))")).as("g"))
-      .select(col("doc_id"), col("g.pos").cast("long").as("pos"), col("g.gram").as("gram"))
-      .withColumn("gh", xxhash64(col("gram")))
+        s"transform(sequence(0, size(wh) - $gramN), " +
+          s"i -> struct(CAST(i AS BIGINT) AS pos, xxhash64(slice(wh, i + 1, $gramN)) AS gh))")).as("g"))
     // Level 1: candidate duplicated grams, keyed on the 64-bit hash.
     // This is the one corpus-sized shuffle in the operator — (gh,
-    // doc_id) per position — and it no longer ships a single byte of
-    // gram text. "Appears in >1 distinct doc" is computed as
-    // min(doc_id) != max(doc_id): identical truth value to
-    // countDistinct > 1, but min/max are plain partial aggregates
-    // where countDistinct needs a map-side dedup pass.
-    val candHashes = grams
-      .select("gh", "doc_id")
+    // doc_id) per position — and it ships no gram text (and now never
+    // even BUILDS it: level-1 rows are three longs). "Appears in >1
+    // distinct doc" is computed as min(doc_id) != max(doc_id):
+    // identical truth value to countDistinct > 1, but min/max are
+    // plain partial aggregates where countDistinct needs a map-side
+    // dedup pass.
+    val candHashes = positions
+      .select(col("g.gh").as("gh"), col("doc_id"))
       .groupBy("gh")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select("gh")
     // Candidate positions: the duplicated subset, small relative to
-    // the corpus by construction — the only rows whose gram STRING
-    // ever travels again.
-    val cand = grams.join(candHashes, Seq("gh"), "left_semi")
-    // Level 2: exact string confirmation over survivors only, as a
-    // single (gh, gram)-keyed window — a candidate gram whose rows all
-    // sit in one doc can only have passed level 1 via a 64-bit
-    // collision with a DIFFERENT gram sharing its hash, and such rows
-    // drop here. One shuffle of the candidate subset, no self-join, no
-    // persist; spans stay bit-identical to the string-keyed
-    // single-level formulation (spec-pinned against a driver-side
-    // reference).
-    val candW = Window.partitionBy("gh", "gram")
+    // the corpus by construction — the only rows whose gram CONTENT
+    // (the word slice) travels past the semi join. The second pass
+    // re-derives positions rather than caching them (the positions
+    // frame is token-sized, far too large to persist at corpus scale)
+    // and emits the word slice per position pre-join — the semi join
+    // is a broadcast of the tiny candidate-hash set, so non-candidate
+    // slices die in the same stage that builds them.
+    val cand = w
+      .filter(size(col("w")) >= gramN)
+      .withColumn("wh", expr("transform(w, x -> xxhash64(x))"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(wh) - $gramN), " +
+          s"i -> struct(CAST(i AS BIGINT) AS pos, xxhash64(slice(wh, i + 1, $gramN)) AS gh, " +
+          s"slice(w, i + 1, $gramN) AS gw))")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"), col("g.gw").as("gw"))
+      .join(candHashes, Seq("gh"), "left_semi")
+    // Level 2: exact gram confirmation over survivors only, as a
+    // single (gh, gram-words)-keyed window — a candidate gram whose
+    // rows all sit in one doc can only have passed level 1 via a
+    // 64-bit collision with a DIFFERENT gram sharing its hash, and
+    // such rows drop here. The confirm key is the word slice itself,
+    // equality-equivalent to the joined gram string. One shuffle of
+    // the candidate subset, no self-join, no persist; spans stay
+    // bit-identical to the string-keyed single-level formulation
+    // (spec-pinned against a driver-side reference).
+    val candW = Window.partitionBy("gh", "gw")
     val docW = Window.partitionBy("doc_id").orderBy("s")
     cand
       .withColumn("cmn", min("doc_id").over(candW))

@@ -1795,9 +1795,15 @@ object Sinks {
     // one row per vec_id is the contract: duplicates within one call
     // land at the SAME segment, where the tombstone hides neither copy
     // — both would stay live forever, silently double-serving the id.
-    // Two batch-sized counts buy a loud failure instead.
-    val nRows = vecs.count()
-    val nIds = ids.count()
+    // ONE batch-sized pass (count + count_distinct in a single
+    // aggregate — this guard sits on the streaming cadence loop's
+    // per-micro-batch hot path, where the previous two separate jobs
+    // doubled the scan) buys a loud failure instead.
+    val guard = vecs.agg(
+      count(lit(1)).as("rows"),
+      count_distinct(col("vec_id")).as("ids")).head()
+    val nRows = guard.getLong(0)
+    val nIds = guard.getLong(1)
     if (nRows != nIds)
       throw new IllegalArgumentException(
         s"upsert batch carries duplicate vec_ids ($nRows rows, $nIds distinct) — " +
