@@ -461,6 +461,25 @@ object Queries {
   // --------------------------------------------- training-data pipeline ops
   private def docs(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
 
+  /** The documents table hash-repartitioned by doc_id to the session's
+    * shuffle width, for feeding PER-ROW SYNTHESIS/CODEC KERNELS (guide
+    * §2.5 input skew): the corpus parquet packs into one scan split at
+    * bench scale (one small file = one task), so every payload
+    * synthesis + container parse + decode chain downstream of the scan
+    * ran near-serial while the rest of the cluster idled — round-19
+    * ProfileOne measured the whole mm_video/mm_anchor families on 2
+    * tasks. One ~MB exchange of the raw text rows buys a full-width
+    * fused kernel stage; row-wise kernels are placement-independent,
+    * so results are identical. Kept for queries whose dominant cost is
+    * a compute kernel, NOT added to cheap projection/aggregate queries
+    * where the extra exchange would cost more than it buys.
+    */
+  private def spreadDocs(s: SparkSession, dir: String): DataFrame = {
+    val n = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    docs(s, dir).repartition(n, col("doc_id"))
+  }
+
   /** Exact dedup: content-hash groups with canonical survivor. */
   def docExactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir)).orderBy("doc_id")
@@ -946,7 +965,7 @@ object Queries {
     */
   def docPipelineHtml(s: SparkSession, dir: String): DataFrame =
     Corpus.docPipeline(
-      TextStats.extractText(TextStats.wrapHtml(docs(s, dir)))
+      TextStats.extractText(TextStats.wrapHtml(spreadDocs(s, dir)))
         .select("doc_id", "text"))
       .orderBy("doc_id")
 
@@ -957,7 +976,7 @@ object Queries {
     */
   def streamingWarcExtract(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming.warcExtractStream(
-      graft.sources.Warc.withWarcPayload(TextStats.wrapHtml(docs(s, dir))))
+      graft.sources.Warc.withWarcPayload(TextStats.wrapHtml(spreadDocs(s, dir))))
       .orderBy("doc_id")
 
   /** The archive-to-corpus story end-to-end: WARC files → record scan
@@ -969,7 +988,7 @@ object Queries {
     Corpus.docPipeline(
       TextStats.extractText(
         graft.sources.Warc.parseWarcRecords(
-          graft.sources.Warc.withWarcPayload(TextStats.wrapHtml(docs(s, dir)))).toDF(),
+          graft.sources.Warc.withWarcPayload(TextStats.wrapHtml(spreadDocs(s, dir)))).toDF(),
         htmlCol = "html")
         .select("doc_id", "text"))
       .orderBy("doc_id")
@@ -1259,7 +1278,7 @@ object Queries {
     * the wrap and the extraction with the same RE2 patterns.
     */
   def docExtractHtml(s: SparkSession, dir: String): DataFrame =
-    TextStats.extractText(TextStats.wrapHtml(docs(s, dir))).orderBy("doc_id")
+    TextStats.extractText(TextStats.wrapHtml(spreadDocs(s, dir))).orderBy("doc_id")
 
   /** WARC container ingestion end-to-end: the HTML fixture wrapped in
     * canonical multi-record ISO 28500 files (warcinfo head records,
@@ -1272,7 +1291,7 @@ object Queries {
   def warcExtract(s: SparkSession, dir: String): DataFrame = {
     val parsed = graft.operators.CacheScope.persist(
       graft.sources.Warc.parseWarcRecords(
-        graft.sources.Warc.withWarcPayload(TextStats.wrapHtml(docs(s, dir)))).toDF())
+        graft.sources.Warc.withWarcPayload(TextStats.wrapHtml(spreadDocs(s, dir)))).toDF())
     parsed.select("doc_id", "url", "warc_date", "status", "n_block_bytes")
       .join(TextStats.extractText(parsed, htmlCol = "html"), "doc_id")
       .orderBy("doc_id")
@@ -1286,7 +1305,7 @@ object Queries {
   def warcExtractGz(s: SparkSession, dir: String): DataFrame = {
     val parsed = graft.operators.CacheScope.persist(
       graft.sources.Warc.parseWarcRecords(
-        graft.sources.Warc.withWarcPayloadGz(TextStats.wrapHtml(docs(s, dir)))).toDF())
+        graft.sources.Warc.withWarcPayloadGz(TextStats.wrapHtml(spreadDocs(s, dir)))).toDF())
     parsed.select("doc_id", "url", "warc_date", "status", "n_block_bytes")
       .join(TextStats.extractText(parsed, htmlCol = "html"), "doc_id")
       .orderBy("doc_id")
@@ -1312,7 +1331,7 @@ object Queries {
 
   private def cdxWarcFetch(s: SparkSession, dir: String, gz: Boolean): DataFrame = {
     val fx = graft.operators.CacheScope.persist(
-      graft.sources.Warc.withWarcPayloadIndexed(TextStats.wrapHtml(docs(s, dir)), gz))
+      graft.sources.Warc.withWarcPayloadIndexed(TextStats.wrapHtml(spreadDocs(s, dir)), gz))
     // the PRODUCTION fetch path: locators select, the reader seeks
     // [offset, offset+length) of each selected record in the on-disk
     // archive — bytes read ≈ Σ selected lengths, never Σ file sizes
@@ -2127,21 +2146,21 @@ object Queries {
     * partition-batched feature extraction (decode stubbed).
     */
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.features(docs(s, dir)).toDF().orderBy("doc_id")
+    Multimodal.features(spreadDocs(s, dir)).toDF().orderBy("doc_id")
 
   /** Frame sampling over the payload (video-keyframe plumbing). */
   def mmFrames(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleFrames(Multimodal.withPayload(docs(s, dir)))
+    Multimodal.sampleFrames(Multimodal.withPayload(spreadDocs(s, dir)))
       .toDF().orderBy("doc_id", "frame_idx")
 
   /** Stride-resample resize stub. */
   def mmResize(s: SparkSession, dir: String): DataFrame =
-    Multimodal.resize(Multimodal.withPayload(docs(s, dir)))
+    Multimodal.resize(Multimodal.withPayload(spreadDocs(s, dir)))
       .toDF().orderBy("doc_id")
 
   /** dHash perceptual fingerprint per payload (integer-exact). */
   def mmPhash(s: SparkSession, dir: String): DataFrame =
-    Multimodal.perceptualHash(Multimodal.withPayload(docs(s, dir)))
+    Multimodal.perceptualHash(Multimodal.withPayload(spreadDocs(s, dir)))
       .toDF().orderBy("doc_id")
 
   /** PIXEL-TRUE 2-D dHash over real PNG payloads: the fixture plants
@@ -2152,7 +2171,7 @@ object Queries {
     * equality is the proof the decode path is real.
     */
   def mmPhashPx(s: SparkSession, dir: String): DataFrame =
-    Multimodal.perceptualHash(Multimodal.plantedPngPayloads(docs(s, dir)))
+    Multimodal.perceptualHash(Multimodal.plantedPngPayloads(spreadDocs(s, dir)))
       .toDF().orderBy("doc_id")
 
   /** Per-tile crop-robust hashes over the planted PNGs AND their
@@ -2162,8 +2181,8 @@ object Queries {
     */
   def mmPhashTiles(s: SparkSession, dir: String): DataFrame =
     Multimodal.pixelTileHashes(
-      Multimodal.plantedPngPayloads(docs(s, dir))
-        .unionByName(Multimodal.plantedCroppedPngPayloads(docs(s, dir))))
+      Multimodal.plantedPngPayloads(spreadDocs(s, dir))
+        .unionByName(Multimodal.plantedCroppedPngPayloads(spreadDocs(s, dir))))
       .toDF().orderBy("doc_id", "tile_y", "tile_x")
 
   /** Crop-robust image near-dup: position-free tile-hash vote over
@@ -2172,8 +2191,8 @@ object Queries {
     */
   def mmImageNearDupTiles(s: SparkSession, dir: String): DataFrame =
     Multimodal.mmImageNearDupTiles(
-      Multimodal.plantedPngPayloads(docs(s, dir))
-        .unionByName(Multimodal.plantedCroppedPngPayloads(docs(s, dir))))
+      Multimodal.plantedPngPayloads(spreadDocs(s, dir))
+        .unionByName(Multimodal.plantedCroppedPngPayloads(spreadDocs(s, dir))))
       .orderBy("doc_a", "doc_b")
 
   /** Content-anchored descriptor hashes over the planted PNGs and
@@ -2184,8 +2203,8 @@ object Queries {
     */
   def mmAnchorHashes(s: SparkSession, dir: String): DataFrame =
     Multimodal.anchorHashes(
-      Multimodal.plantedPngPayloads(docs(s, dir))
-        .unionByName(Multimodal.plantedArbitraryCroppedPngPayloads(docs(s, dir))))
+      Multimodal.plantedPngPayloads(spreadDocs(s, dir))
+        .unionByName(Multimodal.plantedArbitraryCroppedPngPayloads(spreadDocs(s, dir))))
       .toDF().orderBy("doc_id", "anchor_y", "anchor_x")
 
   /** Arbitrary-offset crop-robust near-dup: the anchored vote over
@@ -2194,8 +2213,8 @@ object Queries {
     */
   def mmImageNearDupAnchored(s: SparkSession, dir: String): DataFrame =
     Multimodal.mmImageNearDupAnchored(
-      Multimodal.plantedPngPayloads(docs(s, dir))
-        .unionByName(Multimodal.plantedArbitraryCroppedPngPayloads(docs(s, dir))))
+      Multimodal.plantedPngPayloads(spreadDocs(s, dir))
+        .unionByName(Multimodal.plantedArbitraryCroppedPngPayloads(spreadDocs(s, dir))))
       .orderBy("doc_a", "doc_b")
 
   /** HALF-STRIDE overlap tile hashes over the planted PNGs and their
@@ -2204,8 +2223,8 @@ object Queries {
     */
   def mmPhashTilesOverlap(s: SparkSession, dir: String): DataFrame =
     Multimodal.pixelTileHashesOverlap(
-      Multimodal.plantedPngPayloads(docs(s, dir))
-        .unionByName(Multimodal.plantedHalfStrideCroppedPngPayloads(docs(s, dir))))
+      Multimodal.plantedPngPayloads(spreadDocs(s, dir))
+        .unionByName(Multimodal.plantedHalfStrideCroppedPngPayloads(spreadDocs(s, dir))))
       .toDF().orderBy("doc_id", "tile_y", "tile_x")
 
   /** Overlap-lattice near-dup: the (6,4)-offset crop pairs the ALIGNED
@@ -2214,8 +2233,8 @@ object Queries {
     */
   def mmImageNearDupTilesOverlap(s: SparkSession, dir: String): DataFrame =
     Multimodal.mmImageNearDupTilesOverlap(
-      Multimodal.plantedPngPayloads(docs(s, dir))
-        .unionByName(Multimodal.plantedHalfStrideCroppedPngPayloads(docs(s, dir))))
+      Multimodal.plantedPngPayloads(spreadDocs(s, dir))
+        .unionByName(Multimodal.plantedHalfStrideCroppedPngPayloads(spreadDocs(s, dir))))
       .orderBy("doc_a", "doc_b")
 
   /** Tile base written once per (session, dir) — the
@@ -2234,11 +2253,11 @@ object Queries {
         dir, {
           val t = s"tiles_stored_q_${fixtureTag(dir)}"
           graft.sinks.Sinks.writeTileBase(
-            Multimodal.plantedPngPayloads(docs(s, dir)), t)
+            Multimodal.plantedPngPayloads(spreadDocs(s, dir)), t)
           t
         })
     }
-    (table, Multimodal.plantedCroppedPngPayloads(docs(s, dir)))
+    (table, Multimodal.plantedCroppedPngPayloads(spreadDocs(s, dir)))
   }
 
   /** Crop-robust image near-dup of an arriving batch against the
@@ -2267,11 +2286,11 @@ object Queries {
         dir, {
           val t = s"anchors_stored_q_${fixtureTag(dir)}"
           graft.sinks.Sinks.writeAnchorBase(
-            Multimodal.plantedPngPayloads(docs(s, dir)), t)
+            Multimodal.plantedPngPayloads(spreadDocs(s, dir)), t)
           t
         })
     }
-    (table, Multimodal.plantedArbitraryCroppedPngPayloads(docs(s, dir)))
+    (table, Multimodal.plantedArbitraryCroppedPngPayloads(spreadDocs(s, dir)))
   }
 
   def mmImageAnchoredIncrementalStored(s: SparkSession, dir: String): DataFrame = {
@@ -2286,8 +2305,8 @@ object Queries {
     */
   def mmImageAnchoredClusters(s: SparkSession, dir: String): DataFrame =
     Multimodal.mmImageAnchoredClusters(
-      Multimodal.plantedPngPayloads(docs(s, dir))
-        .unionByName(Multimodal.plantedArbitraryCroppedPngPayloads(docs(s, dir))))
+      Multimodal.plantedPngPayloads(spreadDocs(s, dir))
+        .unionByName(Multimodal.plantedArbitraryCroppedPngPayloads(spreadDocs(s, dir))))
       .orderBy("doc_id")
 
   /** Audio-container features through a REAL RIFF/WAVE chunk scan:
@@ -2297,7 +2316,7 @@ object Queries {
     * family's plumbing.
     */
   def mmAudioFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.audioFeatures(Multimodal.withAudioPayload(docs(s, dir)))
+    Multimodal.audioFeatures(Multimodal.withAudioPayload(spreadDocs(s, dir)))
       .toDF().orderBy("doc_id")
 
   /** PIXEL-TRUE resize over the planted PNGs: real decode, exact
@@ -2309,7 +2328,7 @@ object Queries {
     * JDK-dependent).
     */
   def mmResizePx(s: SparkSession, dir: String): DataFrame =
-    Multimodal.resizePx(Multimodal.plantedPngPayloads(docs(s, dir)))
+    Multimodal.resizePx(Multimodal.plantedPngPayloads(spreadDocs(s, dir)))
       .toDF()
       .select("doc_id", "out_w", "out_h", "luma_sum", "luma_md5")
       .orderBy("doc_id")
@@ -2323,8 +2342,8 @@ object Queries {
     */
   def mmNearDup(s: SparkSession, dir: String): DataFrame =
     Multimodal.mmNearDup(
-      Multimodal.withPayload(docs(s, dir))
-        .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))
+      Multimodal.withPayload(spreadDocs(s, dir))
+        .unionByName(Multimodal.plantedResampledPayloads(spreadDocs(s, dir))))
       .orderBy("doc_a", "doc_b")
 
   /** Perceptual duplicate clusters over the same payload set — the
@@ -2332,8 +2351,8 @@ object Queries {
     */
   def mmDedupClusters(s: SparkSession, dir: String): DataFrame =
     Multimodal.mmDedupClusters(
-      Multimodal.withPayload(docs(s, dir))
-        .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))
+      Multimodal.withPayload(spreadDocs(s, dir))
+        .unionByName(Multimodal.plantedResampledPayloads(spreadDocs(s, dir))))
       .orderBy("doc_id")
 
   /** The combined audio payload set every mm_audio_* row runs over:
@@ -2343,8 +2362,8 @@ object Queries {
     * mathematically possible ([[Multimodal.plantedAudioPayloads]]).
     */
   private def audioPayloadSet(s: SparkSession, dir: String): DataFrame =
-    Multimodal.withAudioPayload(docs(s, dir))
-      .unionByName(Multimodal.plantedAudioPayloads(docs(s, dir)))
+    Multimodal.withAudioPayload(spreadDocs(s, dir))
+      .unionByName(Multimodal.plantedAudioPayloads(spreadDocs(s, dir)))
 
   /** PCM energy dHash over real WAV containers: the operator must
     * chunk-scan the container, decode signed 16-bit little-endian
@@ -2367,8 +2386,8 @@ object Queries {
     * tier is their home.
     */
   private def audioSpectralSet(s: SparkSession, dir: String): DataFrame =
-    Multimodal.withAudioPayload(docs(s, dir))
-      .unionByName(Multimodal.plantedStretchedAudioPayloads(docs(s, dir)))
+    Multimodal.withAudioPayload(spreadDocs(s, dir))
+      .unionByName(Multimodal.plantedStretchedAudioPayloads(spreadDocs(s, dir)))
 
   /** Autocorrelation-bank (spectral-family) audio fingerprint: the
     * operator decodes real WAV containers and computes integer lag
@@ -2420,8 +2439,8 @@ object Queries {
     * mathematically possible ([[Multimodal.plantedVideoPayloads]]).
     */
   private def videoPayloadSet(s: SparkSession, dir: String): DataFrame =
-    Multimodal.withVideoPayload(docs(s, dir))
-      .unionByName(Multimodal.plantedVideoPayloads(docs(s, dir)))
+    Multimodal.withVideoPayload(spreadDocs(s, dir))
+      .unionByName(Multimodal.plantedVideoPayloads(spreadDocs(s, dir)))
 
   /** Real AVI container scan (LIST descent, avih fields, 00db frame
     * chunks): the twin replays geometry/timing/frame counts from the
@@ -2458,8 +2477,8 @@ object Queries {
     * degenerate lag signature — the temporal-dHash tier is their home.
     */
   private def videoSpectralSet(s: SparkSession, dir: String): DataFrame =
-    Multimodal.withFlickerVideoPayload(docs(s, dir))
-      .unionByName(Multimodal.plantedStretchedVideoPayloads(docs(s, dir)))
+    Multimodal.withFlickerVideoPayload(spreadDocs(s, dir))
+      .unionByName(Multimodal.plantedStretchedVideoPayloads(spreadDocs(s, dir)))
 
   /** Temporal lag-bank (spectral-family) video fingerprint: the
     * operator decodes real AVI containers, takes per-frame luma-sum
@@ -2489,7 +2508,7 @@ object Queries {
     */
   private def pxVideoPayloadSet(s: SparkSession, dir: String): DataFrame =
     videoPayloadSet(s, dir)
-      .unionByName(Multimodal.plantedPxVideoPayloads(docs(s, dir)))
+      .unionByName(Multimodal.plantedPxVideoPayloads(spreadDocs(s, dir)))
 
   /** Per-(clip, sampled frame) spatial 2-D dHash over decoded luma
     * planes — the twin replays the planted md5 cell grids through the
@@ -2550,8 +2569,8 @@ object Queries {
       () => leg(
         "image",
         Multimodal.mmDedupClusters(
-          Multimodal.withPayload(docs(s, dir))
-            .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))),
+          Multimodal.withPayload(spreadDocs(s, dir))
+            .unionByName(Multimodal.plantedResampledPayloads(spreadDocs(s, dir))))),
       () => leg("video", Multimodal.mmVideoDedupClusters(videoPayloadSet(s, dir)))
     ).map(f => pool.submit(new java.util.concurrent.Callable[DataFrame] {
       def call(): DataFrame = {
@@ -2711,8 +2730,8 @@ object Queries {
     */
   def streamingMmNearDup(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streaming.batchMmNearDup(
-      Multimodal.withPayload(docs(s, dir))
-        .unionByName(Multimodal.plantedResampledPayloads(docs(s, dir))))
+      Multimodal.withPayload(spreadDocs(s, dir))
+        .unionByName(Multimodal.plantedResampledPayloads(spreadDocs(s, dir))))
       .toDF().orderBy("doc_a", "doc_b", "band")
 
   /** The audio modality's ingest-time near-dup face over bounded

@@ -175,8 +175,13 @@ object Corpus {
     * hash-pinned by `doc_quality`) before the id tiebreak.
     */
   def dedupExportBest(docs: DataFrame): DataFrame = {
-    val labels = dedupClusters(docs)
-    val q = TextStats.quality(docs).select(col("doc_id"), col("quality"))
+    // the quality leg (one docs scan) materializes concurrently with
+    // the eager cluster loop — identical frames, overlapped wall-clock
+    val (labels, legs) = withConcurrentLegs(Seq(
+      () => TextStats.quality(docs).select(col("doc_id"), col("quality")))) {
+      dedupClusters(docs)
+    }
+    val q = legs(0)
     labels
       .join(q, "doc_id")
       .withColumn(
@@ -509,6 +514,38 @@ object Corpus {
         (contamination >= ContaminationThreshold).as("contaminated"))
   }
 
+  /** Build and MATERIALIZE independent funnel legs concurrently with
+    * the eager cluster stage (guide §2.6, overlap independent jobs —
+    * the [[graft.Queries.mmDedupReport]] discipline applied to the
+    * curation funnels): each leg is persisted and counted on a pool
+    * thread while the caller's eager propagation loop runs on the
+    * calling thread, so the loop's driver-coordinated rounds (which
+    * leave most executor slots idle) back-fill with leg work instead
+    * of serializing against it — round-19 leg attribution measured the
+    * eager cluster stage fully serialized against ~6 s of lazy legs.
+    * Results are identical by construction: the returned frames are
+    * the same plans the composed join consumed before; materialization
+    * order changes WHEN the cache fills, never its content. Persists
+    * land in the session-global CacheScope registry (pool threads hold
+    * no lexical scope), released by the harness's per-query
+    * releaseAll; long-lived library sessions share the releaseAll
+    * obligation documented on [[snapshotDiffNear]].
+    */
+  private def withConcurrentLegs(legs: Seq[() => DataFrame])(
+      eager: => DataFrame): (DataFrame, IndexedSeq[DataFrame]) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
+    val futs = legs.toIndexedSeq.map(f =>
+      pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame = {
+          val df = CacheScope.persist(f())
+          df.count() // fill the cache while the eager stage runs
+          df
+        }
+      }))
+    try (eager, futs.map(_.get()))
+    finally pool.shutdown()
+  }
+
   /** One-job curation pipeline: near-dup clustering AND benchmark
     * decontamination fed from a SINGLE persisted shingle explode, plus
     * the combined keep verdict (canonical in its cluster and not
@@ -524,16 +561,23 @@ object Corpus {
     */
   def docPipeline(docs: DataFrame): DataFrame = {
     val sh = CacheScope.persist(Dedup.shingles(docs))
+    // materialize the shared explode ONCE before both concurrent
+    // consumers (the loop's minhash and the decontamination probe)
+    // race to fill it
+    sh.count()
     // scope the clustering stage exactly as dedupClusters does: the
     // minhash and verified-pair persists release the moment the edge
     // checkpoint materializes instead of pinning storage memory through
     // decontamination and the final join. The shared `sh` is registered
     // GLOBALLY (above, outside the scope), so scope exit leaves it
     // cached for the decontamination branch.
-    val clusters = CacheScope.withScope {
-      dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+    val (clusters, legs) = withConcurrentLegs(Seq(
+      () => decontaminateFromShingles(docs, sh))) {
+      CacheScope.withScope {
+        dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+      }
     }
-    val decon = decontaminateFromShingles(docs, sh)
+    val decon = legs(0)
     // inner join: decontaminate already excludes benchmark docs
     clusters.join(decon, "doc_id")
       .select(
@@ -574,17 +618,23 @@ object Corpus {
     */
   def docPipelineFull(docs: DataFrame): DataFrame = {
     val sh = CacheScope.persist(Dedup.shingles(docs))
+    sh.count() // materialize the shared explode once, before both consumers
     // same scoping as docPipeline: the clustering stage's minhash and
     // verified-pair persists release when the edge checkpoint
-    // materializes; the shared `sh` is registered globally above
-    val clusters = CacheScope.withScope {
-      dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+    // materializes; the shared `sh` is registered globally above.
+    // The per-doc legs materialize concurrently with the eager loop
+    // (withConcurrentLegs) — identical frames, overlapped wall-clock.
+    val (clusters, legs) = withConcurrentLegs(Seq(
+      () => decontaminateFromShingles(docs, sh)
+        .select(col("doc_id"), col("contamination"), col("contaminated")),
+      () => TextStats.quality(docs).select(col("doc_id"), col("n_tokens"), col("quality")),
+      () => TextStats.piiScrub(docs).select(col("doc_id"), col("n_emails"), col("n_longnums")),
+      () => TextStats.repetition(docs).select(col("doc_id"), col("top_bigram_frac")))) {
+      CacheScope.withScope {
+        dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+      }
     }
-    val decon = decontaminateFromShingles(docs, sh)
-      .select(col("doc_id"), col("contamination"), col("contaminated"))
-    val q = TextStats.quality(docs).select(col("doc_id"), col("n_tokens"), col("quality"))
-    val pii = TextStats.piiScrub(docs).select(col("doc_id"), col("n_emails"), col("n_longnums"))
-    val rep = TextStats.repetition(docs).select(col("doc_id"), col("top_bigram_frac"))
+    val Seq(decon, q, pii, rep) = legs.toSeq
     val reason = when(!col("is_canonical"), "dup")
       .when(col("contaminated"), "contaminated")
       .when(col("n_tokens") < TextStats.MinTokens, "too_short")
@@ -641,24 +691,29 @@ object Corpus {
     */
   def docPipelineFullV2(docs: DataFrame, emb: DataFrame): DataFrame = {
     val sh = CacheScope.persist(Dedup.shingles(docs))
-    val clusters = CacheScope.withScope {
-      dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
-    }
-    val decon = decontaminateFromShingles(docs, sh)
-      .select(col("doc_id"), col("contamination"), col("contaminated"))
-    val sem = graft.operators.Ann.embDecontaminate(emb)
-      .select(
-        col("vec_id").as("doc_id"),
-        col("max_cos"),
-        col("contaminated").as("sem_contaminated"))
+    sh.count() // materialize the shared explode once, before both consumers
     // quality + PII + repetition fused into one scan of docs
     // (TextStats.verdictSignals: one persisted projection, one tagged
     // explode) — bit-equal to the three standalone operators, minus
-    // two corpus scans and a words explode
-    val signals = TextStats.verdictSignals(docs)
-    val spans = Dedup.substringDedup(
-      docs, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
-      .select(col("doc_id"), col("n_spans").as("n_dup_spans"), col("dup_words"))
+    // two corpus scans and a words explode. All four legs materialize
+    // concurrently with the eager cluster loop (withConcurrentLegs).
+    val (clusters, legs) = withConcurrentLegs(Seq(
+      () => decontaminateFromShingles(docs, sh)
+        .select(col("doc_id"), col("contamination"), col("contaminated")),
+      () => graft.operators.Ann.embDecontaminate(emb)
+        .select(
+          col("vec_id").as("doc_id"),
+          col("max_cos"),
+          col("contaminated").as("sem_contaminated")),
+      () => TextStats.verdictSignals(docs),
+      () => Dedup.substringDedup(
+        docs, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
+        .select(col("doc_id"), col("n_spans").as("n_dup_spans"), col("dup_words")))) {
+      CacheScope.withScope {
+        dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+      }
+    }
+    val Seq(decon, sem, signals, spans) = legs.toSeq
     val reason = when(!col("is_canonical"), "dup")
       .when(col("contaminated"), "contaminated")
       .when(col("sem_contaminated"), "semantic_contaminated")
@@ -718,24 +773,30 @@ object Corpus {
       lmUni: Map[String, Long],
       lmV: Long): DataFrame = {
     val sh = CacheScope.persist(Dedup.shingles(docs))
-    val clusters = CacheScope.withScope {
-      dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+    sh.count() // materialize the shared explode once, before both consumers
+    // all six legs materialize concurrently with the eager cluster
+    // loop (withConcurrentLegs) — identical frames, overlapped wall-clock
+    val (clusters, legs) = withConcurrentLegs(Seq(
+      () => decontaminateFromShingles(docs, sh)
+        .select(col("doc_id"), col("contamination"), col("contaminated")),
+      () => graft.operators.Ann.embDecontaminate(emb)
+        .select(
+          col("vec_id").as("doc_id"),
+          col("max_cos"),
+          col("contaminated").as("sem_contaminated")),
+      () => TextStats.verdictSignals(docs),
+      () => Dedup.substringDedup(
+        docs, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
+        .select(col("doc_id"), col("n_spans").as("n_dup_spans"), col("dup_words")),
+      () => TextStats.lmScoreStored(docs, lmBi, lmUni, lmV)
+        .select(col("doc_id"), col("ppl")),
+      () => sourceQualityGate(docs).select(col("source"), col("keep_source")))) {
+      CacheScope.withScope {
+        dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+      }
     }
-    val decon = decontaminateFromShingles(docs, sh)
-      .select(col("doc_id"), col("contamination"), col("contaminated"))
-    val sem = graft.operators.Ann.embDecontaminate(emb)
-      .select(
-        col("vec_id").as("doc_id"),
-        col("max_cos"),
-        col("contaminated").as("sem_contaminated"))
-    val signals = TextStats.verdictSignals(docs)
-    val spans = Dedup.substringDedup(
-      docs, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
-      .select(col("doc_id"), col("n_spans").as("n_dup_spans"), col("dup_words"))
-    val lm = TextStats.lmScoreStored(docs, lmBi, lmUni, lmV)
-      .select(col("doc_id"), col("ppl"))
-    val gate = broadcast(
-      sourceQualityGate(docs).select(col("source"), col("keep_source")))
+    val Seq(decon, sem, signals, spans, lm, gateLeg) = legs.toSeq
+    val gate = broadcast(gateLeg)
     val reason = when(!col("is_canonical"), "dup")
       .when(col("contaminated"), "contaminated")
       .when(col("sem_contaminated"), "semantic_contaminated")
@@ -807,26 +868,32 @@ object Corpus {
       lmV: Long,
       targetLangs: Set[String] = TargetLangs): DataFrame = {
     val sh = CacheScope.persist(Dedup.shingles(docs))
-    val clusters = CacheScope.withScope {
-      dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+    sh.count() // materialize the shared explode once, before both consumers
+    // all seven legs materialize concurrently with the eager cluster
+    // loop (withConcurrentLegs) — identical frames, overlapped wall-clock
+    val (clusters, legs) = withConcurrentLegs(Seq(
+      () => decontaminateFromShingles(docs, sh)
+        .select(col("doc_id"), col("contamination"), col("contaminated")),
+      () => graft.operators.Ann.embDecontaminate(emb)
+        .select(
+          col("vec_id").as("doc_id"),
+          col("max_cos"),
+          col("contaminated").as("sem_contaminated")),
+      () => TextStats.verdictSignals(docs),
+      () => Dedup.substringDedup(
+        docs, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
+        .select(col("doc_id"), col("n_spans").as("n_dup_spans"), col("dup_words")),
+      () => TextStats.lmScoreStored(docs, lmBi, lmUni, lmV)
+        .select(col("doc_id"), col("ppl")),
+      () => sourceQualityGate(docs).select(col("source"), col("keep_source")),
+      () => TextStats.langId(docs)
+        .select(col("doc_id"), col("predicted").as("predicted_lang")))) {
+      CacheScope.withScope {
+        dedupClustersFromPairs(docs, Dedup.nearDupPairsFromShingles(sh))
+      }
     }
-    val decon = decontaminateFromShingles(docs, sh)
-      .select(col("doc_id"), col("contamination"), col("contaminated"))
-    val sem = graft.operators.Ann.embDecontaminate(emb)
-      .select(
-        col("vec_id").as("doc_id"),
-        col("max_cos"),
-        col("contaminated").as("sem_contaminated"))
-    val signals = TextStats.verdictSignals(docs)
-    val spans = Dedup.substringDedup(
-      docs, Dedup.SubstrMinSpanWordsWide, Dedup.SubstrGramNWide)
-      .select(col("doc_id"), col("n_spans").as("n_dup_spans"), col("dup_words"))
-    val lm = TextStats.lmScoreStored(docs, lmBi, lmUni, lmV)
-      .select(col("doc_id"), col("ppl"))
-    val gate = broadcast(
-      sourceQualityGate(docs).select(col("source"), col("keep_source")))
-    val lang = TextStats.langId(docs)
-      .select(col("doc_id"), col("predicted").as("predicted_lang"))
+    val Seq(decon, sem, signals, spans, lm, gateLeg, lang) = legs.toSeq
+    val gate = broadcast(gateLeg)
     val reason = when(!col("is_canonical"), "dup")
       .when(col("contaminated"), "contaminated")
       .when(col("sem_contaminated"), "semantic_contaminated")
