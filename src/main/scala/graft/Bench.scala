@@ -33,6 +33,17 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     finally graft.operators.CacheScope.releaseAll()
+    // Warm the ANN kernel path the same way: the 64-plane hyperplane
+    // signature + float_dot codegen is its own multi-second ONE-TIME
+    // whole-stage compile that would otherwise land on the first ann_*
+    // query of the sweep (alphabetically the very first family). A
+    // 64-row slice compiles the identical generated classes; no
+    // full-corpus artifact is built or reused here.
+    try graft.operators.Ann.embNearDup(
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64))
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    finally graft.operators.CacheScope.releaseAll()
     // min of N iterations per query: single local-JVM runs have +-20%
     // GC/scheduling noise that would drown real regressions.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt

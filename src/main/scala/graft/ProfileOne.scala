@@ -53,12 +53,17 @@ object ProfileOne {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // PROFILE_WARM=0 profiles the FIRST (cold) run — one-time session
+    // builds included — instead of warming them off the measurement.
+    val warm = sys.env.getOrElse("PROFILE_WARM", "1") != "0"
     for (name <- args) {
       // warm run: classloading + codegen compile off the measurement
-      try {
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable => println(s"[profile] $name warm failed: ${e.getMessage}") }
+      if (warm) {
+        try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable => println(s"[profile] $name warm failed: ${e.getMessage}") }
+      }
       graft.operators.CacheScope.releaseAll()
       rows.clear(); collecting = true
       val t0 = System.nanoTime()

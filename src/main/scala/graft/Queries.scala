@@ -2077,7 +2077,18 @@ object Queries {
     val e = embs(s, dir)
     val idxPath = annIndexCache.getOrElseUpdate(s"$dir#hnsw", {
       val p = tempIndexDir("graft_ann_hnsw_")
-      graft.sinks.Sinks.writeHnswIndex(e, p)
+      // Freeze the session-memoized build fixture instead of paying a
+      // second identical build: [[hnswBuildFixture]] holds the SAME
+      // deterministic (graph, entries, bands, vectors) frames
+      // writeHnswIndex would reconstruct from `e`
+      // (Ann.hnswGraphParts/hnswCorpusBands/hnswCorpusVectors are
+      // pure functions of the corpus and the build is md5-ring/id
+      // deterministic — HnswIndexSpec pins disk ≡ in-memory), so the
+      // written generation is bit-identical and the graph build is
+      // paid ONCE per (session, dir) across both serving faces.
+      val (vectors, bands, entries, graph) = hnswBuildFixture(s, dir)
+      graft.sinks.Sinks.writeHnswIndexFromParts(s, p)(
+        () => (graph, entries, bands, vectors))
       p
     })
     graft.sinks.Sinks.readHnswIndexTopK(s, idxPath, Ann.defaultQueries(e))

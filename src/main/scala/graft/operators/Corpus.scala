@@ -530,9 +530,21 @@ object Corpus {
     * no lexical scope), released by the harness's per-query
     * releaseAll; long-lived library sessions share the releaseAll
     * obligation documented on [[snapshotDiffNear]].
+    *
+    * INVARIANT (CacheScope survivor snapshot): legs must not persist
+    * frames plan-equal to persists registered INSIDE the caller's
+    * `eager` scope — [[CacheScope.withScope]]'s exit snapshots
+    * survivors once, so a leg persist that dedupes onto a
+    * scope-registered entry after that snapshot would be evicted at
+    * scope exit and silently recompute. Current call sites satisfy
+    * this: the legs (decon/semantic/signals/spans/LM/gate/lang) share
+    * no plan with the loop's internals (minhash, verified pairs), and
+    * the one deliberately shared frame (the shingle explode) is
+    * registered GLOBALLY before either side starts.
     */
   private def withConcurrentLegs(legs: Seq[() => DataFrame])(
       eager: => DataFrame): (DataFrame, IndexedSeq[DataFrame]) = {
+    if (legs.isEmpty) return (eager, IndexedSeq.empty)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
     val futs = legs.toIndexedSeq.map(f =>
       pool.submit(new java.util.concurrent.Callable[DataFrame] {
@@ -542,8 +554,29 @@ object Corpus {
           df
         }
       }))
-    try (eager, futs.map(_.get()))
-    finally pool.shutdown()
+    try {
+      // eager first: if IT throws, cancel the in-flight legs instead of
+      // letting detached jobs run (and register persists) for a failed
+      // invocation
+      val e =
+        try eager
+        catch {
+          case t: Throwable =>
+            futs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            throw t
+        }
+      // unwrap a leg failure to its original exception type — callers
+      // should see the Spark error, not ExecutionException plumbing
+      val legResults = futs.map(f =>
+        try f.get()
+        catch {
+          case ee: java.util.concurrent.ExecutionException =>
+            futs.foreach(_.cancel(true))
+            throw Option(ee.getCause).getOrElse(ee)
+        })
+      (e, legResults)
+    } finally pool.shutdown()
   }
 
   /** One-job curation pipeline: near-dup clustering AND benchmark

@@ -1030,7 +1030,32 @@ object Sinks {
     */
   def writeHnswIndex(emb: DataFrame, path: String): Unit = {
     import graft.operators.{Ann, CacheScope}
-    val spark = emb.sparkSession
+    writeHnswIndexFromParts(emb.sparkSession, path) { () =>
+      CacheScope.withScope {
+        val (graph, ord) = Ann.hnswGraphParts(emb)
+        (graph,
+          ord.filter(col("r") < Ann.HnswEntries).select("vec_id"),
+          Ann.hnswCorpusBands(emb),
+          Ann.hnswCorpusVectors(emb))
+      }
+    }
+  }
+
+  /** [[writeHnswIndex]]'s generation/flip discipline over
+    * ALREADY-BUILT artifacts — the entry point for callers that hold
+    * the deterministic build's four frames (graph, entries, bands,
+    * vectors) materialized (e.g. a session that built the in-memory
+    * serving fixture and now freezes the IDENTICAL geometry to disk —
+    * [[Ann.hnswGraphParts]] is deterministic, so parts-in equals
+    * build-here bit-for-bit). `parts` is invoked AFTER the orphan
+    * sweep so a build crash still leaves the serving generation
+    * untouched; everything else (generation dir, atomic pointer flip,
+    * retention) is the contract documented above.
+    */
+  private[graft] def writeHnswIndexFromParts(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String)(
+      parts: () => (DataFrame, DataFrame, DataFrame, DataFrame)): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = currentHnswGen(fs, path)
     // reclaim crashed writes' orphans AND the generation the previous
@@ -1046,19 +1071,8 @@ object Sinks {
       }
     }
     val gdir = s"$path/g$next"
-    CacheScope.withScope {
-      val (graph, ord) = Ann.hnswGraphParts(emb)
-      graph
-        .repartition(col("src")).sortWithinPartitions("src")
-        .write.mode("overwrite").parquet(s"$gdir/edges")
-      ord.filter(col("r") < Ann.HnswEntries).select("vec_id")
-        .coalesce(1).write.mode("overwrite").parquet(s"$gdir/entries")
-      Ann.hnswCorpusBands(emb)
-        .repartition(col("band"), col("key")).sortWithinPartitions("band", "key")
-        .write.mode("overwrite").parquet(s"$gdir/bands")
-      Ann.hnswCorpusVectors(emb)
-        .write.mode("overwrite").parquet(s"$gdir/vectors")
-    }
+    val (graph, entries, bands, vectors) = parts()
+    writeHnswGenArtifacts(gdir, graph, entries, bands, vectors)
     // the atomic flip: stage the new pointer, drop the old, rename in
     val tmp = new Path(s"$path/CURRENT_tmp")
     val ptr = new Path(s"$path/CURRENT")
@@ -1070,6 +1084,28 @@ object Sinks {
       throw new IllegalStateException(s"HNSW index pointer flip failed at $path")
     // the superseded generation is deliberately left in place (see
     // RETENTION CONTRACT): the next write's sweep reclaims it.
+  }
+
+  /** One generation directory's four parquet artifacts, laid out for
+    * the read path: edges clustered by src, bands by (band, key), the
+    * (tiny) entry list in one file.
+    */
+  private def writeHnswGenArtifacts(
+      gdir: String,
+      graph: DataFrame,
+      entries: DataFrame,
+      bands: DataFrame,
+      vectors: DataFrame): Unit = {
+    graph
+      .repartition(col("src")).sortWithinPartitions("src")
+      .write.mode("overwrite").parquet(s"$gdir/edges")
+    entries
+      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/entries")
+    bands
+      .repartition(col("band"), col("key")).sortWithinPartitions("band", "key")
+      .write.mode("overwrite").parquet(s"$gdir/bands")
+    vectors
+      .write.mode("overwrite").parquet(s"$gdir/vectors")
   }
 
   /** The committed generation `CURRENT` points at, if any. The file
