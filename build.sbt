@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench/verify sandbox has 128 GiB; an 8g heap at
+  // local[32] left ~4.6 GiB of unified memory for 32 concurrent tasks
+  // plus session-lifetime caches, and a measured 8g-vs-24g full-sweep
+  // A/B showed GC/eviction-driven slowdowns (30%+ on the ann_index
+  // family, hnsw serving, doc_pipeline) at 8g. Still env-overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

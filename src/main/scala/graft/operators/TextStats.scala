@@ -289,44 +289,103 @@ object TextStats {
   def bpeMerges(docs: DataFrame, numMerges: Int = BpeNumMerges): Array[BpeMerge] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var cur: org.apache.spark.sql.Dataset[(IndexedSeq[String], Long)] = docs
+    // The merge loop iterates over the word-FREQUENCY table (vocab-
+    // sized, orders of magnitude under the corpus) ~2·numMerges times;
+    // through Catalyst each round pays full analysis/optimization of a
+    // GROWING typed plan plus |shuffle.partitions| near-empty tasks —
+    // profiled cold: 25 s wall against 9.5 s of stage time, the gap
+    // all driver-side planning. The loop therefore runs on a plain RDD
+    // (no per-round planning, plain JVM objects instead of encoder
+    // round-trips) at a width derived from the measured word count
+    // (~64k rows per partition, capped at the caller's parallelism —
+    // the [[graft.operators.Corpus]] cluster-loop sizing discipline).
+    // The corpus-sized explode + groupBy below still runs at the
+    // caller's full width; only the vocab-sized loop frames narrow.
+    // Results are bit-identical: the pair-count aggregate is an
+    // order-free long sum, the argmax tie-break a total order (count
+    // desc, then left, then right in UTF-8 BINARY order — exactly the
+    // UTF8String comparison the previous DataFrame orderBy used), and
+    // applyMerge is per-row.
+    val wordFreq = docs
       .select(explode(words).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
       .as[(String, Long)]
+      .persist()
+    val nWords = wordFreq.count()
+    val parentParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    val loopParts = math.max(1L, math.min(parentParts.toLong, nWords / 65536L + 1L)).toInt
+    var cur: org.apache.spark.rdd.RDD[(IndexedSeq[String], Long)] = wordFreq.rdd
+      .coalesce(loopParts)
       .map { case (w, c) => (codepointSyms(w), c) }
       .persist()
     cur.count()
+    wordFreq.unpersist(blocking = false)
+    // (count desc, left, right) — left/right compared as UTF-8 bytes
+    // unsigned, matching Spark SQL's binary string ordering
+    val bestOrd: Ordering[((String, String), Long)] =
+      new Ordering[((String, String), Long)] {
+        def compare(a: ((String, String), Long), b: ((String, String), Long)): Int = {
+          val byCnt = java.lang.Long.compare(b._2, a._2)
+          if (byCnt != 0) byCnt
+          else {
+            val byL = utf8Compare(a._1._1, b._1._1)
+            if (byL != 0) byL else utf8Compare(a._1._2, b._1._2)
+          }
+        }
+      }
     val merges = Array.newBuilder[BpeMerge]
+    var prev: Option[org.apache.spark.rdd.RDD[(IndexedSeq[String], Long)]] = None
     var r = 1
     var done = false
     while (r <= numMerges && !done) {
-      val top = cur.toDF("syms", "wcnt")
-        .select(
-          explode(expr(
-            """CASE WHEN size(syms) < 2 THEN array()
-              |ELSE transform(sequence(0, size(syms) - 2),
-              |  i -> struct(syms[i] AS l, syms[i + 1] AS r)) END""".stripMargin)).as("p"),
-          col("wcnt"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("wcnt").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
+      val top = cur
+        .flatMap { case (syms, c) =>
+          if (syms.length < 2) Iterator.empty
+          else (0 until syms.length - 1).iterator.map(i => ((syms(i), syms(i + 1)), c))
+        }
+        .reduceByKey(_ + _)
+        .takeOrdered(1)(bestOrd)
+      // the takeOrdered materialized `cur`'s (lazy) persist — the
+      // frame that fed it can release its cache now
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(cur)
       if (top.isEmpty) done = true
       else {
-        val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val ((l, rr), cnt) = top(0)
         merges += BpeMerge(r, l, rr, l + rr, cnt)
         val mapped = cur.map { case (syms, c) => (applyMerge(syms, l, rr), c) }
-        val next = (if (r % 10 == 0) mapped.localCheckpoint(false) else mapped).persist()
-        next.count()
-        cur.unpersist(blocking = false)
-        cur = next
+        cur = mapped.persist()
+        // periodic lineage truncation, lazily — materialized by the
+        // next round's takeOrdered like every other round frame
+        // (localCheckpoint after persist: it UPGRADES the existing
+        // storage level; the reverse order throws)
+        if (r % 10 == 0) cur.localCheckpoint()
         r += 1
       }
     }
+    prev.foreach(_.unpersist(blocking = false))
     cur.unpersist(blocking = false)
     merges.result()
+  }
+
+  /** UTF-8 binary string comparison — byte-wise unsigned, the ordering
+    * Spark SQL's UTF8String gives a string sort key (equal to
+    * codepoint order; differs from java.lang.String's UTF-16 char
+    * order only above the BMP).
+    */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    ab.length - bb.length
   }
 
   /** Tokenize one word by applying the trained merges in rank order
